@@ -1,0 +1,20 @@
+package graft.queries
+
+/** All declared t2 queries, keyed by name. SparkEntry exposes these to the
+  * driver; additional groups (Cdc, Llm) register here as they land.
+  */
+object Registry {
+  val groups: Seq[Seq[QDef]] = Seq(
+    Relational.all,
+    StreamingBatch.all
+  )
+
+  lazy val all: Seq[QDef] = {
+    val qs = groups.flatten
+    val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
+    qs
+  }
+
+  lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,458 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.Tables
+
+/** Relational t2 surface: scans, filters, joins, aggregations, windows,
+  * sort/limit, set ops, scalar functions (SURVEY §2.3 Q01–Q56).
+  *
+  * Engine-side the `events` view is already canonical (microsecond
+  * timestamps); the DuckDB oracle normalizes the nanosecond parquet column
+  * with the normative CTE (FIXTURES.md §1).
+  */
+object Relational {
+
+  /** DuckDB-side canonical events view (engine side has the `events` view). */
+  private val E =
+    """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+      |user_id, event_type, value, props FROM events)""".stripMargin
+
+  val all: Seq[QDef] = Seq(
+
+    // ---------------------------------------------------------- scans
+    QDef.shared("q01_count", "SELECT count(*) AS cnt FROM lineitem"),
+
+    QDef.shared(
+      "q02_project_limit",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_quantity AS DECIMAL(18,4)) AS quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+
+    // Engine writes a filtered parquet, re-reads, counts — exercises the
+    // writer path; oracle counts directly.
+    QDef.df("q03_parquet_roundtrip",
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_discount > 0.05") { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_q03").toString
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_discount") > 0.05)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).agg(count(lit(1)).as("cnt"))
+    },
+
+    // ------------------------------------------------- filters / predicates
+    QDef.shared(
+      "q04_compound_predicate",
+      """SELECT count(*) AS cnt FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND (l_quantity BETWEEN 10 AND 20 OR l_tax > 0.05)
+        |  AND l_linestatus IN ('F','O')
+        |  AND NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')""".stripMargin),
+
+    QDef.shared(
+      "q05_null_handling",
+      """SELECT event_type,
+        |       count(*) FILTER (WHERE coalesce(value, 0) > 100) AS cnt_big,
+        |       count(*) FILTER (WHERE props IS NOT NULL) AS cnt_props
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    QDef.shared(
+      "q06_case_buckets",
+      """SELECT CASE WHEN o_totalprice > 150000 THEN 'big'
+        |            WHEN o_totalprice > 50000 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9) AS DECIMAL(38,3)) AS disc_sum
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    QDef.shared(
+      "q07_like",
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
+        |GROUP BY p_brand""".stripMargin),
+
+    // ---------------------------------------------------------- joins
+    QDef.shared(
+      "q10_inner_join",
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // Broadcast join spelled with the DataFrame API: `part` is the small
+    // dimension → BroadcastHashJoin, no shuffle of lineitem.
+    QDef.df("q11_broadcast_join",
+      """SELECT p_brand, count(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+      val p = Tables.table(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_price"))
+    },
+
+    QDef.sql(
+      "q12_sortmerge_join",
+      """SELECT /*+ MERGE(lineitem) */ o_orderstatus, count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin),
+
+    QDef.shared(
+      "q13_left_outer_join",
+      """SELECT c_custkey, count(o_orderkey) AS cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey < 50 GROUP BY c_custkey""".stripMargin),
+
+    QDef.shared(
+      "q14_full_outer_join",
+      """WITH s AS (SELECT s_nationkey AS nk, count(*) AS sc FROM supplier GROUP BY s_nationkey),
+        |     c AS (SELECT c_nationkey AS nk, count(*) AS cc FROM customer GROUP BY c_nationkey)
+        |SELECT coalesce(s.nk, c.nk) AS nationkey,
+        |       coalesce(sc, 0) AS suppliers, coalesce(cc, 0) AS customers
+        |FROM s FULL OUTER JOIN c ON s.nk = c.nk""".stripMargin),
+
+    QDef.shared(
+      "q15_semi_join",
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    QDef.shared(
+      "q16_anti_join",
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+
+    QDef.shared(
+      "q17_theta_join",
+      "SELECT count(*) AS cnt FROM part, supplier WHERE p_size > s_suppkey * 4"),
+
+    QDef.sql(
+      "q18_range_self_join",
+      """SELECT e1.event_type, count(*) AS cnt
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |GROUP BY e1.event_type""".stripMargin,
+      s"""$E
+         |SELECT e1.event_type, count(*) AS cnt
+         |FROM e e1 JOIN e e2
+         |  ON e1.user_id = e2.user_id
+         | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+         |GROUP BY e1.event_type""".stripMargin),
+
+    QDef.sql(
+      "q19_asof_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |     j AS (SELECT p.event_id AS pid, v.ts AS vts, v.event_id AS vid
+        |           FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts),
+        |     m AS (SELECT pid, max(vts) AS mts FROM j GROUP BY pid)
+        |SELECT m.pid AS event_id, unix_micros(m.mts) AS view_ts_us,
+        |       max(j.vid) AS view_event_id
+        |FROM m JOIN j ON j.pid = m.pid AND j.vts = m.mts
+        |GROUP BY m.pid, m.mts""".stripMargin,
+      s"""$E,
+         |     p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+         |     v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+         |     j AS (SELECT p.event_id AS pid, v.ts AS vts, v.event_id AS vid
+         |           FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts),
+         |     m AS (SELECT pid, max(vts) AS mts FROM j GROUP BY pid)
+         |SELECT m.pid AS event_id, epoch_us(m.mts) AS view_ts_us,
+         |       max(j.vid) AS view_event_id
+         |FROM m JOIN j ON j.pid = m.pid AND j.vts = m.mts
+         |GROUP BY m.pid, m.mts""".stripMargin),
+
+    // ---------------------------------------------------------- aggregations
+    QDef.shared(
+      "q20_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    QDef.shared(
+      "q21_count_distinct",
+      """SELECT count(DISTINCT l_partkey) AS dparts,
+        |       count(DISTINCT l_suppkey) AS dsupps,
+        |       count(*) AS cnt FROM lineitem""".stripMargin),
+
+    QDef.shared(
+      "q22_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+
+    QDef.shared(
+      "q23_rollup",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin),
+
+    QDef.shared(
+      "q24_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+
+    QDef.shared(
+      "q25_having",
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin),
+
+    QDef.sql(
+      "q26_filtered_agg",
+      """SELECT event_type,
+        |       count(*) FILTER (WHERE value > 100) AS cnt_big,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS DECIMAL(38,4)) AS even_sum
+        |FROM events GROUP BY event_type""".stripMargin,
+      """SELECT event_type,
+        |       count(*) FILTER (WHERE value > 100) AS cnt_big,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS DECIMAL(38,4)) AS even_sum
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    QDef.sql(
+      "q27_max_by",
+      """SELECT o_custkey,
+        |       unix_micros(CAST(max_by(o_orderdate, o_orderkey) AS TIMESTAMP)) AS maxkey_date_us,
+        |       unix_micros(CAST(min_by(o_orderdate, o_orderkey) AS TIMESTAMP)) AS minkey_date_us
+        |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey""".stripMargin,
+      """SELECT o_custkey,
+        |       epoch_us(max_by(o_orderdate, o_orderkey)) AS maxkey_date_us,
+        |       epoch_us(min_by(o_orderdate, o_orderkey)) AS minkey_date_us
+        |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey""".stripMargin),
+
+    QDef.sql(
+      "q28_global_stats",
+      """SELECT unix_micros(CAST(min(o_orderdate) AS TIMESTAMP)) AS min_date_us,
+        |       unix_micros(CAST(max(o_orderdate) AS TIMESTAMP)) AS max_date_us,
+        |       CAST(min(o_totalprice) AS DECIMAL(18,4)) AS min_price,
+        |       CAST(max(o_totalprice) AS DECIMAL(18,4)) AS max_price,
+        |       count(*) AS cnt, count(DISTINCT o_custkey) AS dcust
+        |FROM orders""".stripMargin,
+      """SELECT epoch_us(min(o_orderdate)) AS min_date_us,
+        |       epoch_us(max(o_orderdate)) AS max_date_us,
+        |       CAST(min(o_totalprice) AS DECIMAL(18,4)) AS min_price,
+        |       CAST(max(o_totalprice) AS DECIMAL(18,4)) AS max_price,
+        |       count(*) AS cnt, count(DISTINCT o_custkey) AS dcust
+        |FROM orders""".stripMargin),
+
+    // ---------------------------------------------------------- windows
+    QDef.shared(
+      "q30_row_number",
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey < 100) t
+        |WHERE rn <= 2""".stripMargin),
+
+    QDef.shared(
+      "q31_rank",
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(rk AS BIGINT) AS rk, CAST(drk AS BIGINT) AS drk FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rk <= 5""".stripMargin),
+
+    QDef.sql(
+      "q32_lag_lead",
+      """WITH e2 AS (SELECT user_id, event_id, unix_micros(ts) AS tus
+        |            FROM events WHERE user_id < 5)
+        |SELECT user_id, event_id,
+        |       tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap_us,
+        |       lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS next_us
+        |FROM e2""".stripMargin,
+      s"""$E,
+         |e2 AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM e WHERE user_id < 5)
+         |SELECT user_id, event_id,
+         |       tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap_us,
+         |       lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS next_us
+         |FROM e2""".stripMargin),
+
+    QDef.shared(
+      "q33_running_sum",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(38,4)) AS run_qty
+        |FROM lineitem WHERE l_orderkey < 500""".stripMargin),
+
+    QDef.shared(
+      "q34_ntile",
+      """SELECT CAST(tile AS BIGINT) AS tile, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM (SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+        |      FROM orders) t
+        |GROUP BY tile""".stripMargin),
+
+    QDef.sql(
+      "q35_moving_avg",
+      """SELECT user_id, event_id,
+        |       CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(38,4)) AS mavg
+        |FROM events WHERE user_id < 3""".stripMargin,
+      s"""$E
+         |SELECT user_id, event_id,
+         |       CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |            AS DECIMAL(38,4)) AS mavg
+         |FROM e WHERE user_id < 3""".stripMargin),
+
+    QDef.shared(
+      "q36_first_last_value",
+      """SELECT DISTINCT o_custkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+
+    // ------------------------------------------------- sort / limit / top-k
+    QDef.shared(
+      "q40_global_sort",
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name DESC, n_name ASC""".stripMargin),
+
+    QDef.shared(
+      "q41_topk",
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    QDef.shared(
+      "q42_topk_per_group",
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |             row_number() OVER (PARTITION BY l_orderkey
+        |                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |      FROM lineitem WHERE l_orderkey < 100) t
+        |WHERE rn <= 3""".stripMargin),
+
+    // ---------------------------------------------------------- set ops
+    QDef.shared(
+      "q43_union_all",
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer) t""".stripMargin),
+
+    QDef.shared(
+      "q44_union_distinct",
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer) t""".stripMargin),
+
+    QDef.shared(
+      "q45_intersect",
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders"),
+
+    QDef.shared(
+      "q46_except",
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"),
+
+    // ----------------------------------------------------- scalar functions
+    QDef.shared(
+      "q50_string_suite",
+      """SELECT p_partkey,
+        |       upper(p_brand) AS ub, lower(p_type) AS lt,
+        |       substring(p_name, 1, 5) AS sub5,
+        |       CAST(length(p_name) AS BIGINT) AS len,
+        |       trim(p_name) AS trimmed,
+        |       replace(p_type, ' ', '_') AS repl,
+        |       lpad(CAST(p_partkey AS STRING), 8, '0') AS pad,
+        |       p_brand || '.' || p_type AS cat
+        |FROM part""".stripMargin),
+
+    // R3's calculated-field expression (README.md:29-32) must round-trip;
+    // '[0-9]' avoids backslash-escape dialect differences.
+    QDef.shared(
+      "q51_regexp",
+      """SELECT CAST(SUM(CASE WHEN regexp_replace(event_type || '_part_' || CAST(user_id % 5 AS STRING),
+        |                                         '_part_[0-9]+$', '') = event_type
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_ok,
+        |       count(*) AS cnt
+        |FROM events""".stripMargin),
+
+    QDef.shared(
+      "q51b_regexp_extract",
+      """SELECT regexp_extract(p_name, '^[a-z]+', 0) AS prefix, count(*) AS cnt
+        |FROM part GROUP BY 1""".stripMargin),
+
+    QDef.sql(
+      "q52_date_suite",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |       count(*) AS cnt,
+        |       unix_micros(CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP)) AS min_month_us,
+        |       unix_micros(CAST(max(o_orderdate + INTERVAL 90 DAY) AS TIMESTAMP)) AS max_plus90_us,
+        |       CAST(min(EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS min_month,
+        |       CAST(max(EXTRACT(DAY FROM o_orderdate)) AS BIGINT) AS max_day
+        |FROM orders GROUP BY 1""".stripMargin,
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |       count(*) AS cnt,
+        |       epoch_us(min(date_trunc('month', o_orderdate))) AS min_month_us,
+        |       epoch_us(max(o_orderdate + INTERVAL 90 DAY)) AS max_plus90_us,
+        |       CAST(min(EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS min_month,
+        |       CAST(max(EXTRACT(DAY FROM o_orderdate)) AS BIGINT) AS max_day
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    QDef.shared(
+      "q53_math_suite",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(abs(l_discount - 0.05) AS DECIMAL(18,6)) AS abs_disc,
+        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price2,
+        |       CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS ce,
+        |       CAST(power(l_discount, 2) AS DECIMAL(18,6)) AS pow2,
+        |       l_partkey % 7 AS mod7,
+        |       CAST(sqrt(l_quantity) AS DECIMAL(18,6)) AS sq
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+
+    QDef.sql(
+      "q54_array_ops",
+      """SELECT label, count(*) AS cnt,
+        |       CAST(SUM(CAST(element_at(embedding, 1) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_e1,
+        |       CAST(min(size(embedding)) AS BIGINT) AS min_dim,
+        |       CAST(max(size(embedding)) AS BIGINT) AS max_dim
+        |FROM embeddings GROUP BY label""".stripMargin,
+      """SELECT label, count(*) AS cnt,
+        |       CAST(SUM(CAST(embedding[1] AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_e1,
+        |       CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        |       CAST(max(len(embedding)) AS BIGINT) AS max_dim
+        |FROM embeddings GROUP BY label""".stripMargin),
+
+    QDef.sql(
+      "q55_json",
+      """SELECT event_type,
+        |       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    QDef.sql(
+      "q56_map_ops",
+      """SELECT CAST(element_at(map('error', 0, 'signup', 1, 'purchase', 2, 'view', 3, 'click', 4),
+        |                       event_type) AS BIGINT) AS code,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+      """SELECT CAST(CASE event_type WHEN 'error' THEN 0 WHEN 'signup' THEN 1
+        |                            WHEN 'purchase' THEN 2 WHEN 'view' THEN 3
+        |                            WHEN 'click' THEN 4 END AS BIGINT) AS code,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin)
+  )
+}

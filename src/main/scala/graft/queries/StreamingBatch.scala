@@ -1,0 +1,78 @@
+package graft.queries
+
+/** Batch-equivalents of the engine's streaming operators (SURVEY §2.3
+  * Q70–Q73). The engine runs these shapes as Structured Streaming
+  * (`graft.streaming`); t2 verifies the batch semantics — tumbling/sliding
+  * windows via Spark's `window()` expression (the exact operator streaming
+  * uses), session windows as gaps-and-islands shared SQL.
+  */
+object StreamingBatch {
+
+  private val E =
+    """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+      |user_id, event_type, value, props FROM events)""".stripMargin
+
+  val all: Seq[QDef] = Seq(
+
+    // Tumbling 1h window — engine uses the streaming-compatible window()
+    // expression; oracle expresses the same bucketing as date_trunc.
+    QDef.sql(
+      "q70_tumbling_window",
+      """SELECT unix_micros(window.start) AS ws, event_type, count(*) AS cnt,
+        |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_v
+        |FROM events GROUP BY window(ts, '1 hour'), event_type""".stripMargin,
+      s"""$E
+         |SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt,
+         |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_v
+         |FROM e GROUP BY 1, 2""".stripMargin),
+
+    // Sliding 1h window, 30min hop: each event falls in exactly two windows.
+    QDef.sql(
+      "q71_sliding_window",
+      """SELECT unix_micros(window.start) AS ws, count(*) AS cnt
+        |FROM events GROUP BY window(ts, '1 hour', '30 minutes')""".stripMargin,
+      s"""$E,
+         |e2 AS (SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS w0 FROM e),
+         |x AS (SELECT w0 AS ws FROM e2 UNION ALL SELECT w0 - 1800000000 FROM e2)
+         |SELECT ws, count(*) AS cnt FROM x GROUP BY ws""".stripMargin),
+
+    // Session windows (30-min gap) as gaps-and-islands — identical SQL text
+    // modulo the epoch function; streaming twin is session_window().
+    QDef.sql(
+      "q72_session_window",
+      """WITH e2 AS (SELECT user_id, event_id, unix_micros(ts) AS tus FROM events),
+        |g AS (SELECT user_id, event_id, tus,
+        |             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e2),
+        |s AS (SELECT user_id, tus,
+        |             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |      FROM g)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |       min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+      s"""$E,
+         |e2 AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM e),
+         |g AS (SELECT user_id, event_id, tus,
+         |             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+         |                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e2),
+         |s AS (SELECT user_id, tus,
+         |             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |      FROM g)
+         |SELECT user_id, sid, count(*) AS n_events,
+         |       min(tus) AS start_us, max(tus) AS end_us
+         |FROM s GROUP BY user_id, sid""".stripMargin),
+
+    // Exact dedup after synthetic duplication (streaming twin:
+    // dropDuplicates("event_id") with watermark state).
+    QDef.shared(
+      "q73_dedup_exact",
+      """SELECT count(*) AS total, count(DISTINCT event_id) AS uniq
+        |FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events) t""".stripMargin)
+  )
+}
