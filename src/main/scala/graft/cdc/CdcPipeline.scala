@@ -1,0 +1,116 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.TableSpec
+import graft.types.UdtMapper
+
+/** Batch building blocks of the per-table CDC pipeline (R2–R15):
+  * multiplexed envelope → derived `full_table_name` → per-table filter →
+  * star-expansion → typed cast → last-write-wins upsert view.
+  *
+  * Scale notes: every step is a narrow projection/filter until [[latest]],
+  * which shuffles once on the primary key — the minimal shuffle any
+  * upsert-by-key semantics needs. The per-table filter is a pushed-down
+  * predicate on the source (the reference installs it at the source too,
+  * add_output.py:366-406).
+  */
+object CdcPipeline {
+
+  /** Reads a batch of CDC envelope documents (JSONL). Schema is inferred —
+    * the reference similarly infers from data (SURVEY §1.1).
+    */
+  def readBatch(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** R3 calculated field (README.md:29-32): strip the `_part_N` shard suffix
+    * and qualify with the database name.
+    */
+  def fullTableName(database: Column, table: Column): Column =
+    concat(database, lit("."), regexp_replace(table, "_part_[0-9]+$", ""))
+
+  def withFullTableName(df: DataFrame): DataFrame =
+    df.withColumn("full_table_name",
+      fullTableName(col("data.database_name"), col("data.table_name")))
+
+  /** R5 per-table equality filter, with the reference's `inverted` switch
+    * (add_output.py:394).
+    */
+  def forTable(df: DataFrame, table: String, inverted: Boolean = false): DataFrame = {
+    val d = if (df.columns.contains("full_table_name")) df else withFullTableName(df)
+    val p = d.col("full_table_name") === lit(table)
+    d.filter(if (inverted) !p else p)
+  }
+
+  /** R26 include/exclude set filters (add_output.py:512-516,546-549). */
+  def includeExclude(df: DataFrame, include: Seq[String], exclude: Seq[String]): DataFrame = {
+    val d = if (df.columns.contains("full_table_name")) df else withFullTableName(df)
+    val inc = if (include.nonEmpty) d.filter(col("full_table_name").isin(include: _*)) else d
+    if (exclude.nonEmpty) inc.filter(!col("full_table_name").isin(exclude: _*)) else inc
+  }
+
+  /** R4/R6/R12: project the envelope into the flat warehouse shape —
+    * `primary_key`, `is_delete`, `seq`, plus `row_*`/`old_row_*` leaves.
+    */
+  def expanded(df: DataFrame): DataFrame = {
+    val base = Seq(
+      col("seq"),
+      col("data.primary_key").as("primary_key"),
+      coalesce(col("data.metadata.is_delete"), lit(false)).as("is_delete"))
+    val rows = Flatten.columns(df, "data.row", "row_")
+    val olds = Flatten.columns(df, "data.old_row", "old_row_")
+    df.select(base ++ rows ++ olds: _*)
+  }
+
+  /** R11 upsert semantics as a batch view: last event per key by `seq`.
+    * One hash shuffle on the key; ties broken by `seq` (strictly increasing
+    * per FIXTURES.md, which makes the result order-insensitive and
+    * streaming-restart-safe, SURVEY §7.4).
+    */
+  def latest(df: DataFrame, keys: Seq[String], seqCol: String = "seq"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** R14 hard delete: after last-write-wins, drop keys whose final event is
+    * a delete.
+    */
+  def hardDelete(latestDf: DataFrame, isDeleteCol: String = "is_delete"): DataFrame =
+    latestDf.filter(!coalesce(col(isDeleteCol), lit(false)))
+
+  /** R15 logical delete: keep all keys, expose a boolean `is_deleted`. */
+  def logicalDelete(latestDf: DataFrame, isDeleteCol: String = "is_delete"): DataFrame =
+    latestDf.withColumn("is_deleted", coalesce(col(isDeleteCol), lit(false)))
+
+  /** R8/R10: cast the string-typed `row_*` columns through the udt matrix.
+    * Arrays (DbVariant) stay typed `ArrayType` internally — `to_json` only
+    * at the sink boundary (SURVEY §1.3).
+    */
+  def typed(df: DataFrame, spec: TableSpec, prefix: String = "row_"): DataFrame = {
+    val casts = spec.cols.filter(c => df.columns.contains(prefix + c.name)).map { c =>
+      val src = col(prefix + c.name)
+      val m = c.mapped
+      val out =
+        if (m.isArray) transform(src, x => x.cast(m.sparkType))
+        else src.cast(m.sparkType)
+      out.as(prefix + c.name)
+    }
+    val keep = Seq("seq", "primary_key", "is_delete", "is_deleted")
+      .filter(df.columns.contains).map(col)
+    df.select(keep ++ casts: _*)
+  }
+
+  /** Whole per-table batch pipeline: filter → expand → cast → upsert view →
+    * delete mode. This is the reference's entire data-plane essence
+    * (SURVEY §7.3).
+    */
+  def materialize(
+      envelope: DataFrame,
+      spec: TableSpec,
+      logicalDeletes: Boolean = false): DataFrame = {
+    val flat = expanded(forTable(envelope, spec.fullTableName))
+    val last = latest(typed(flat, spec), Seq("primary_key"))
+    if (logicalDeletes) logicalDelete(last) else hardDelete(last)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.CdcPipeline
+import graft.inspect.Inspection
+import graft.model.TableSpec
+
+/** CDC semantics over the repo-owned fixtures — the reference's core
+  * (R2–R26), declared as t2 obligations Q60–Q68 (SURVEY §2.3). Engine side
+  * runs the graft.cdc library; oracle side reads the same JSONL via DuckDB
+  * `read_json` with explicit struct access.
+  */
+object Cdc {
+
+  /** Fixture paths resolve relative first (driver cwd = repo root), absolute
+    * as fallback; oracle SQL needs the literal absolute path.
+    */
+  object Fixtures {
+    private def resolve(name: String): String = {
+      val local = new java.io.File(s"fixtures/$name")
+      if (local.exists()) local.getAbsolutePath else s"/root/repo/fixtures/$name"
+    }
+    def eventsPath: String = resolve("cdc_events.jsonl")
+    def columnsPath: String = resolve("columns_file.csv")
+    val oracleEventsPath = "/root/repo/fixtures/cdc_events.jsonl"
+  }
+
+  private val ordersCols =
+    Seq("id", "amount", "qty", "note", "created", "active", "tags", "ext_id", "discount")
+
+  private def env(s: SparkSession): DataFrame =
+    CdcPipeline.readBatch(s, Fixtures.eventsPath)
+
+  private def ordersSpec: TableSpec =
+    TableSpec.loadCsv(Fixtures.columnsPath)("shop.orders")
+
+  // ---------------------------------------------------------------- oracle
+  // Shared DuckDB prologue: raw source + shop.orders filter via the derived
+  // full_table_name (R3 semantics, README.md:29-32).
+  private val SRC =
+    s"""WITH src AS (SELECT * FROM read_json('${Fixtures.oracleEventsPath}',
+       |  format='newline_delimited', union_by_name=true)),
+       |f AS (SELECT * FROM src
+       |      WHERE data['database_name'] || '.' ||
+       |            regexp_replace(data['table_name'], '_part_[0-9]+$$', '') = 'shop.orders')""".stripMargin
+
+  /** Final-state CTE: per-key last event by seq, row values normalized to
+    * the engine's wire-string form (VARCHAR casts; tags → sorted int JSON).
+    */
+  private val LASTSTATE =
+    s"""$SRC,
+       |r AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS primary_key,
+       |             CAST(data['row']['id'] AS VARCHAR) AS row_id,
+       |             CAST(data['row']['amount'] AS VARCHAR) AS row_amount,
+       |             CAST(data['row']['qty'] AS VARCHAR) AS row_qty,
+       |             CAST(data['row']['note'] AS VARCHAR) AS row_note,
+       |             CAST(data['row']['created'] AS VARCHAR) AS row_created,
+       |             CAST(data['row']['active'] AS VARCHAR) AS row_active,
+       |             to_json(list_sort(list_transform(data['row']['tags'],
+       |                                              x -> CAST(x AS INTEGER)))) AS row_tags,
+       |             CAST(data['row']['ext_id'] AS VARCHAR) AS row_ext_id,
+       |             CAST(data['row']['discount'] AS VARCHAR) AS row_discount,
+       |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
+       |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
+       |      FROM f)""".stripMargin
+
+  private val rowColsOut =
+    "primary_key, row_id, row_amount, row_qty, row_note, row_created, row_active, row_tags, row_ext_id, row_discount"
+
+  // Engine-side final-state frame with identical column names/values.
+  private def lastState(s: SparkSession): DataFrame = {
+    val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+    val latest = CdcPipeline.latest(flat, Seq("primary_key"))
+    latest.select(
+      col("primary_key"),
+      col("row_id"), col("row_amount"), col("row_qty"), col("row_note"),
+      col("row_created"), col("row_active"),
+      to_json(array_sort(transform(col("row_tags"), x => x.cast("int")))).as("row_tags"),
+      col("row_ext_id"), col("row_discount"),
+      col("is_delete"))
+  }
+
+  val all: Seq[QDef] = Seq(
+
+    // R2–R6: the README pipeline — derive full_table_name, filter, star-
+    // expand with row_/old_row_ prefixes; per-column non-null counts.
+    QDef.df("q60_readme_pipeline", {
+      val nn = ordersCols.flatMap(c => Seq(
+        s"count(data['row']['$c']) AS nn_row_$c",
+        s"count(data['old_row']['$c']) AS nn_old_row_$c"))
+      s"$SRC\nSELECT count(*) AS cnt,\n${nn.mkString(",\n")}\nFROM f"
+    }) { (s, _) =>
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      val aggs = count(lit(1)).as("cnt") +: ordersCols.flatMap(c => Seq(
+        count(col(s"row_$c")).as(s"nn_row_$c"),
+        count(col(s"old_row_$c")).as(s"nn_old_row_$c")))
+      flat.agg(aggs.head, aggs.tail: _*)
+    },
+
+    // R11: upsert view — latest event per key, all keys surviving.
+    QDef.df("q61_upsert_last_wins",
+      s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1") { (s, _) =>
+      lastState(s).drop("is_delete")
+    },
+
+    // R14: hard delete — drop keys whose final event is a delete.
+    QDef.df("q62_hard_delete",
+      s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1 AND NOT is_del") { (s, _) =>
+      CdcPipeline.hardDelete(lastState(s)).drop("is_delete")
+    },
+
+    // R15: logical delete — keep all keys, expose is_deleted.
+    QDef.df("q63_logical_delete",
+      s"$LASTSTATE\nSELECT $rowColsOut, is_del AS is_deleted FROM r WHERE rn = 1") { (s, _) =>
+      CdcPipeline.logicalDelete(lastState(s)).drop("is_delete")
+    },
+
+    // R23: schema evolution — epoch-2 events add row.discount; union-by-name
+    // yields nulls for epoch-1 rows.
+    QDef.df("q64_schema_evolution",
+      s"""$SRC
+         |SELECT count(*) AS cnt,
+         |       count(data['row']['discount']) AS nn_discount,
+         |       count(*) - count(data['row']['discount']) AS null_discount
+         |FROM f""".stripMargin) { (s, _) =>
+      CdcPipeline.forTable(env(s), "shop.orders").agg(
+        count(lit(1)).as("cnt"),
+        count(col("data.row.discount")).as("nn_discount"),
+        (count(lit(1)) - count(col("data.row.discount"))).as("null_discount"))
+    },
+
+    // R10: the full udt cast matrix on the materialized table (int→BIGINT,
+    // decimal→DOUBLE, datetime→TIMESTAMP, bit→BOOLEAN, _int4→sorted JSON,
+    // unknown uuid→STRING), canonicalized per QDef policy.
+    QDef.df("q65_udt_typed", {
+      s"""$LASTSTATE,
+         |last AS (SELECT * FROM r WHERE rn = 1 AND NOT is_del)
+         |SELECT primary_key,
+         |       CAST(row_id AS BIGINT) AS id,
+         |       CAST(CAST(row_amount AS DOUBLE) AS DECIMAL(18,4)) AS amount,
+         |       CAST(row_qty AS BIGINT) AS qty,
+         |       row_note AS note,
+         |       epoch_us(CAST(row_created AS TIMESTAMP)) AS created_us,
+         |       CAST(row_active AS BOOLEAN) AS active,
+         |       row_tags AS tags_json,
+         |       row_ext_id AS ext_id,
+         |       CAST(CAST(row_discount AS DOUBLE) AS DECIMAL(18,4)) AS discount
+         |FROM last""".stripMargin
+    }) { (s, _) =>
+      val typed = CdcPipeline.materialize(env(s), ordersSpec, logicalDeletes = false)
+      typed.select(
+        col("primary_key"),
+        col("row_id").as("id"),
+        col("row_amount").cast("decimal(18,4)").as("amount"),
+        col("row_qty").as("qty"),
+        col("row_note").as("note"),
+        unix_micros(col("row_created").cast("timestamp")).as("created_us"),
+        col("row_active").as("active"),
+        to_json(array_sort(col("row_tags"))).as("tags_json"),
+        col("row_ext_id").as("ext_id"),
+        col("row_discount").cast("decimal(18,4)").as("discount"))
+    },
+
+    // R20: field first-seen — min event time where the column is non-null,
+    // all columns in ONE aggregation pass (vs one API probe per column).
+    QDef.df("q66_first_seen", {
+      val parts = ordersCols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |       min(CASE WHEN data['row']['$c'] IS NOT NULL
+           |                THEN epoch_us(CAST(ts AS TIMESTAMPTZ)) END) AS first_seen_us
+           |FROM f""".stripMargin)
+      s"$SRC\n${parts.mkString("\nUNION ALL\n")}"
+    }) { (s, _) =>
+      val f = CdcPipeline.forTable(env(s), "shop.orders")
+      Inspection.firstSeen(
+        f, unix_micros(col("ts").cast("timestamp")),
+        ordersCols.map(c => c -> col(s"data.row.$c")))
+        .withColumnRenamed("first_seen", "first_seen_us")
+    },
+
+    // R21/R25: value distribution of the derived table name, take-capped.
+    QDef.df("q67_value_distribution",
+      s"""WITH src AS (SELECT * FROM read_json('${Fixtures.oracleEventsPath}',
+         |  format='newline_delimited', union_by_name=true)),
+         |t AS (SELECT data['database_name'] || '.' ||
+         |             regexp_replace(data['table_name'], '_part_[0-9]+$$', '') AS value
+         |      FROM src)
+         |SELECT value, count(*) AS cnt FROM t GROUP BY value
+         |ORDER BY cnt DESC, value LIMIT 20""".stripMargin) { (s, _) =>
+      Inspection.valueDistribution(
+        CdcPipeline.withFullTableName(env(s)), col("full_table_name"), 20)
+    },
+
+    // R26: include/exclude table filters on discovery.
+    QDef.df("q68_include_exclude",
+      s"""WITH src AS (SELECT * FROM read_json('${Fixtures.oracleEventsPath}',
+         |  format='newline_delimited', union_by_name=true)),
+         |t AS (SELECT DISTINCT data['database_name'] || '.' ||
+         |             regexp_replace(data['table_name'], '_part_[0-9]+$$', '') AS full_table_name
+         |      FROM src)
+         |SELECT full_table_name FROM t
+         |WHERE full_table_name IN ('shop.orders','shop.customers','crm.leads','shop.audit_log')
+         |  AND full_table_name NOT IN ('shop.audit_log')""".stripMargin) { (s, _) =>
+      CdcPipeline.includeExclude(
+        Inspection.tables(env(s)),
+        include = Seq("shop.orders", "shop.customers", "crm.leads", "shop.audit_log"),
+        exclude = Seq("shop.audit_log"))
+    }
+  )
+}

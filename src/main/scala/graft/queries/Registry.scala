@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   val groups: Seq[Seq[QDef]] = Seq(
     Relational.all,
-    StreamingBatch.all
+    StreamingBatch.all,
+    Cdc.all
   )
 
   lazy val all: Seq[QDef] = {

@@ -1,0 +1,66 @@
+package graft.sink
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.CdcPipeline
+
+/** Local-filesystem MERGE emulation over plain parquet (SURVEY §7.4): read
+  * current state, union-by-name with the batch (schema evolution ⇒ new
+  * columns null-backfilled), window-dedup by (keys, seq), atomic directory
+  * swap.
+  *
+  * Deleted keys are RETAINED internally as tombstones (`__is_deleted`) so
+  * merges stay idempotent and out-of-order-safe: a stale pre-delete event
+  * replayed later cannot resurrect a deleted row, because the tombstone
+  * still wins by `seq`. `read(Hard)` filters tombstones out; `read(Logical)`
+  * exposes them as `is_deleted`.
+  *
+  * Scale: the local impl rewrites the whole table per merge — correct but
+  * O(table). The interface is MERGE-shaped so the 100 TB path is a real
+  * warehouse MERGE (Snowflake COPY+MERGE via staged files, Delta MERGE) with
+  * identical semantics; see SnowflakeSqlGen.
+  */
+final class LocalParquetSink(dir: String) extends UpsertSink {
+
+  private def path: Path = Paths.get(dir)
+  private def exists: Boolean = Files.exists(path) && new File(dir).list() != null &&
+    new File(dir).list().exists(_.endsWith(".parquet"))
+
+  override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
+      isDeleteCol: String): Unit = synchronized {
+    val spark = batch.sparkSession
+    val incoming = batch.withColumn("__is_deleted",
+      coalesce(col(isDeleteCol), lit(false)))
+    val all =
+      if (exists)
+        spark.read.parquet(dir).unionByName(incoming, allowMissingColumns = true)
+      else incoming
+    val merged = CdcPipeline.latest(all, keys, seqCol)
+
+    val tmp = dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val old = dir + ".old"
+    if (Files.exists(path)) {
+      Files.move(path, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), path, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(new File(old))
+    } else {
+      Files.move(Paths.get(tmp), path, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  override def read(spark: SparkSession, mode: DeleteMode): DataFrame = {
+    val t = spark.read.parquet(dir)
+    mode match {
+      case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")
+      case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")
+    }
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Source-udt → engine type matrix (R10), mirroring the reference's behavior
+  * at add_output.py:43-57 (udt_map), :278-280 (leading `_` marks a Postgres
+  * array), :283-285 (unknown udt → string fallback), :286 (DbDate flag),
+  * :299-302 (arrays forced to DbVariant), :355-356 (`[]` logical suffix).
+  *
+  * Three layers (SURVEY §1.2): the source udt name, the engine's logical
+  * type (`number`/`string`/`boolean`, `[]`-suffixed for arrays) and the
+  * warehouse type (DbBigInt/DbString/DbDouble/DbTimestamp/DbBoolean/DbDate/
+  * DbVariant). `decimal`/`numeric`/`money` intentionally lose exactness
+  * (DbDouble) for reference compatibility.
+  */
+object UdtMapper {
+
+  final case class Mapped(
+      sparkType: DataType,
+      logicalType: String,
+      dbType: String,
+      isArray: Boolean,
+      isDate: Boolean,
+      known: Boolean) {
+    /** Element type as stored in Spark; arrays wrap it. */
+    def engineType: DataType = if (isArray) ArrayType(sparkType) else sparkType
+  }
+
+  private val bigints = Set("int2", "int4", "int", "int8", "bigint", "tinyint", "smallint")
+  private val doubles = Set("double", "float", "float4", "float8", "decimal", "numeric", "money")
+  private val strings = Set("varchar", "char", "bpchar", "text", "longtext", "mediumtext",
+    "enum", "json", "jsonb")
+  private val booleans = Set("bool", "bit")
+  private val timestamps = Set("timestamp", "timestamptz", "datetime", "time")
+
+  def map(udtRaw: String): Mapped = {
+    val isArray = udtRaw.startsWith("_")
+    val udt = if (isArray) udtRaw.substring(1) else udtRaw
+    val (dt, logical, db, known) = udt match {
+      case u if bigints(u)    => (LongType, "number", "DbBigInt", true)
+      case u if doubles(u)    => (DoubleType, "number", "DbDouble", true)
+      case u if strings(u)    => (StringType, "string", "DbString", true)
+      case u if booleans(u)   => (BooleanType, "boolean", "DbBoolean", true)
+      case "date"             => (DateType, "number", "DbDate", true)
+      case u if timestamps(u) => (TimestampType, "number", "DbTimestamp", true)
+      case _                  => (StringType, "string", "DbString", false) // unknown → string
+    }
+    Mapped(
+      sparkType = dt,
+      logicalType = if (isArray) logical + "[]" else logical,
+      dbType = if (isArray) "DbVariant" else db,
+      isArray = isArray,
+      isDate = db == "DbDate" && !isArray,
+      known = known)
+  }
+}
