@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north star):
+  * exact, token-set Jaccard, MinHash+LSH, SimHash, n-gram shingles.
+  *
+  * Scale design: exact dedup is one hash shuffle on the dedup key.
+  * Pairwise Jaccard is O(n²) and exists as the small-n oracle-checked
+  * baseline; the 100 TB path is MinHash signatures (one pass, 16 hashes per
+  * token) + LSH banding, which turns near-dup search into an equi-join on
+  * (band, bandKey) — only colliding candidates get exact verification.
+  */
+object Dedup {
+
+  /** Exact dedup — hash-groupBy on the key columns. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame = df.dropDuplicates(cols)
+
+  /** Distinct (id, token) pairs from whitespace-tokenized text. */
+  def tokenSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+
+  /** Pairwise token-set Jaccard ≥ threshold (Q81). Token-level self-join +
+    * count of shared tokens; |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokenSets(docs, idCol, textCol)
+    val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = t.as("a").join(t.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jaccard", col("c") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- MinHash
+  /** Universal-hash family over token codes: h_i(c) = (a_i·c + b_i) mod P.
+    * Constants are fixed so engine and oracle agree; see Llm queries for the
+    * generated oracle SQL using the same values.
+    */
+  val P = 2147483647L
+  val NumHashes = 16
+  val RowsPerBand = 4
+  def hashA(i: Int): Long = (2L * i + 1) * 104729L % P
+  def hashB(i: Int): Long = 7919L * i + 13L
+  /** In-band position weights for the order-sensitive band key. */
+  val BandPow: Seq[Long] = Seq(1L, 31L, 961L, 29791L)
+
+  /** Cross-engine-deterministic token codes: dense rank over the sorted
+    * distinct vocabulary. t2-parity path — at scale use [[hashCodes]]
+    * (xxhash64, no global sort, same downstream shape).
+    */
+  def dictionaryCodes(tokens: DataFrame): DataFrame = {
+    val vocab = tokens.select("tok").distinct()
+      .withColumn("code", dense_rank().over(Window.orderBy("tok")).cast("long"))
+    tokens.join(vocab, "tok").select(col("doc_id"), col("code"))
+  }
+
+  /** Scale-path token codes: 64-bit murmur folded into [0, P). */
+  def hashCodes(tokens: DataFrame): DataFrame =
+    tokens.select(col("doc_id"), pmod(xxhash64(col("tok")), lit(P)).as("code"))
+
+  /** MinHash signatures: (doc_id, hi, mh) — min of each hash function over
+    * the doc's token codes. One explode of NumHashes per token, one groupBy.
+    */
+  def minhashSignatures(tokenCodes: DataFrame): DataFrame = {
+    val hs = (0 until NumHashes).map(i =>
+      struct(lit(i).as("hi"), ((lit(hashA(i)) * col("code") + lit(hashB(i))) % P).as("hv")))
+    tokenCodes
+      .select(col("doc_id"), explode(array(hs: _*)).as("h"))
+      .groupBy(col("doc_id"), col("h.hi").as("hi"))
+      .agg(min(col("h.hv")).as("mh"))
+  }
+
+  /** LSH band keys: NumHashes/RowsPerBand bands; the band key is an
+    * order-weighted sum of the band's minhashes (deterministic, no
+    * collect_list ordering hazards).
+    */
+  def bandKeys(sig: DataFrame): DataFrame = {
+    val weight = element_at(array(BandPow.map(lit): _*), (col("hi") % RowsPerBand).cast("int") + 1)
+    sig.groupBy(col("doc_id"), (col("hi") / RowsPerBand).cast("int").as("band"))
+      .agg(sum(col("mh") * weight).as("bkey"))
+  }
+
+  /** Candidate pairs = docs sharing any band key (the LSH equi-join). */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+
+  /** Jaccard estimate for candidate pairs: fraction of agreeing minhashes. */
+  def minhashEstimates(sig: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(sig.select(col("doc_id").as("i"), col("hi"), col("mh").as("mi")), Seq("i"))
+      .join(sig.select(col("doc_id").as("j"), col("hi"), col("mh").as("mj")), Seq("j", "hi"))
+      .groupBy(col("i"), col("j"))
+      .agg((sum(when(col("mi") === col("mj"), 1).otherwise(0)) / NumHashes.toDouble).as("est"))
+
+  /** Full MinHash-LSH near-dup pipeline over raw docs. */
+  def minhashLsh(docs: DataFrame, dictionary: Boolean,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokenSets(docs, idCol, textCol)
+    val codes = if (dictionary) dictionaryCodes(toks) else hashCodes(toks)
+    val sig = minhashSignatures(codes)
+    minhashEstimates(sig, lshCandidates(bandKeys(sig)))
+  }
+
+  // ------------------------------------------------------------- SimHash
+  /** 16-bit SimHash over token codes: bit j of the fingerprint is the sign
+    * of Σ_tokens (2·bit_j(code) − 1). Near-dups differ in few bits; at scale
+    * group by fingerprint (or bit-sampled prefixes) instead of pairwise
+    * hamming.
+    */
+  def simhash16(tokenCodes: DataFrame): DataFrame = {
+    val sums = (0 until 16).map(j =>
+      sum(when(shiftright(col("code"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val fp = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tokenCodes.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  // ------------------------------------------------- n-gram shingles
+  /** Word n-gram shingles in document order: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // materialize the lead columns first — a window expression can't sit in
+    // a filter directly
+    val withLeads = (1 until n).foldLeft(toks) { (df, k) =>
+      df.withColumn(s"__t$k", lead(col("tok"), k).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(k => col(s"__t$k"))
+    withLeads
+      .filter(col(s"__t${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("sh"))
+  }
+
+  /** Pairwise Jaccard over distinct n-gram shingles (small-n baseline; the
+    * scale path feeds [[shingles]] into the MinHash pipeline instead).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val t = shingles(docs, n).distinct().withColumnRenamed("sh", "tok")
+    val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = t.as("a").join(t.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jaccard", col("c") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators (north-star surface, SURVEY §2.3
+  * Q82/Q83/Q89). The kernels are pure Catalyst higher-order functions
+  * (`zip_with` + `aggregate`) — whole-stage-codegen'd, no UDF, sequential
+  * left-fold accumulation in double (bit-identical to DuckDB's
+  * `list_dot_product`, which the oracles use).
+  *
+  * Scale path: brute-force top-k is a single broadcast-join + per-partition
+  * TakeOrdered (no shuffle of the corpus); the LSH variant buckets vectors
+  * by random-hyperplane signs so candidate generation is an equi-join on the
+  * bucket key — the standard sub-linear ANN layout for 10⁸+ vectors.
+  */
+object Similarity {
+
+  /** float[] → double[] view (embeddings are list<float>). */
+  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
+  }
+
+  /** Cosine of every row's `embCol` against one query vector frame
+    * (single row, column `qe`) — broadcast, so the corpus never shuffles.
+    */
+  def cosineAll(corpus: DataFrame, query: DataFrame, embCol: String = "embedding"): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .withColumn("cos", cosine(col(embCol), col("qe")))
+
+  /** Brute-force ANN: top-k neighbors per query vector, deterministic order
+    * by (rounded cosine DESC, id). Ranking on the rounded decimal makes ties
+    * well-defined (SURVEY Q83).
+    */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col(embCol), col("qe")).cast("decimal(38,4)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for LSH bucketing: plane p,
+    * dim d ↦ a fixed hash-derived weight in [-1, 1). No RNG state — the
+    * same planes on every executor and every run.
+    */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+    (h.toDouble / Int.MaxValue)
+  }
+
+  /** Random-hyperplane LSH bucket key: sign-bit signature of `nPlanes`
+    * projections packed into a long. Vectors in the same bucket are cosine-
+    * close with high probability; candidate generation is then an equi-join
+    * on `bucket` (scales linearly, vs the quadratic cross join).
+    */
+  def lshBucket(emb: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val weights = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dotD(asDouble(emb), weights) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact cosine only within matching buckets. Recall is
+    * tunable via nPlanes (fewer planes → bigger buckets → higher recall).
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nPlanes: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(embCol), dim, nPlanes))
+    val qb = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
+      .withColumn("bucket", lshBucket(col("qe"), dim, nPlanes))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .withColumn("cos", cosine(col(embCol), col("qe")).cast("decimal(38,4)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north star):
+  * tokenization, token frequency, quality scoring, language-ID heuristic,
+  * document fingerprinting, token counting. All pure Catalyst expressions —
+  * codegen'd, no UDFs, every aggregate map-side-combinable.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Global token frequency, top-N by (count DESC, word) — partial
+    * aggregation before the shuffle, TakeOrdered for the cap.
+    */
+  def tokenFrequency(docs: DataFrame, topN: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(topN)
+
+  /** A small function-word list used by the quality score's stopword ratio
+    * (matches the synthetic corpus vocabulary).
+    */
+  val Stopwords: Seq[String] = Seq("a", "the", "of", "and", "to", "in")
+
+  /** Per-document quality signals: char count, token count, average token
+    * length, stopword ratio, BPE-ish subword estimate (≈ chars/4).
+    */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nChars = length(col(textCol))
+    val stopHits = size(filter(t, x => x.isInCollection(Stopwords)))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nChars.cast("bigint").as("chars"),
+      nTok.cast("bigint").as("tokens"),
+      ((nChars - (nTok - lit(1))) / nTok).cast("decimal(38,4)").as("avg_tok_len"),
+      (stopHits / nTok).cast("decimal(38,4)").as("stop_ratio"),
+      ceil(nChars / lit(4.0)).cast("bigint").as("est_bpe_tokens"))
+  }
+
+  /** Character-bigram profiles for the language-ID heuristic. Toy-sized on
+    * purpose — the operator shape (profile scoring + argmax) is the real
+    * n-gram language-ID algorithm; profiles would be learned at scale.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "an"),
+    "de" -> Seq("ch", "ei", "er"),
+    "fr" -> Seq("le", "ou", "es"),
+    "es" -> Seq("os", "ar", "la"))
+
+  /** Occurrences of a substring via length arithmetic (expressible in any
+    * SQL dialect — the oracle uses the identical formula).
+    */
+  def occurrences(text: Column, sub: String): Column =
+    (length(text) - length(replace(text, lit(sub), lit("")))) / sub.length
+
+  /** n-gram heuristic language guess: argmax of profile scores, first-listed
+    * profile wins ties (deterministic).
+    */
+  def langGuess(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, grams) =>
+      lang -> grams.map(g => occurrences(text, g)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Order-sensitive rolling document fingerprint: Σ pos·(31·len(tok) +
+    * ascii(tok[0])). Token order matters (unlike bag-of-words hashes), the
+    * arithmetic is exact BIGINT, and the same formula runs on any engine.
+    * Scale twin: xxhash64 over the concatenated stream per partition.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg(sum((col("pos") + 1) *
+        (length(col("tok")) * 31 + ascii(col("tok")))).cast("bigint").as("fp"))
+}

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column design (north star): media travel as opaque `binary`
+  * columns next to a typed metadata struct; decode / feature-extract /
+  * resize / frame-sample are per-row transforms over the bytes.
+  *
+  * No image/audio codecs exist in this environment, so the DECODE STEP IS A
+  * STUB — `decodeStub` derives deterministic fake dimensions from a byte
+  * hash. Everything around it is the real engine surface: the schema
+  * contract, columnar-friendly projections, partition-preserving transforms
+  * and batch shapes are exactly what a codec-backed implementation (JNI or
+  * vectorized Python workers on a cluster) would plug into.
+  */
+object Multimodal {
+
+  /** Metadata contract carried beside every blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Test helper: packs a string column into the binary contract (stands in
+    * for real blobs — the engine only sees bytes either way).
+    */
+  def packFromText(df: DataFrame, textCol: String, mediaType: String): DataFrame =
+    df.withColumn("media", encode(col(textCol), "UTF-8"))
+      .withColumn("media_type", lit(mediaType))
+
+  /** STUBBED decode: deterministic pseudo-metadata from the bytes. A real
+    * implementation replaces ONLY the width/height/duration expressions with
+    * a codec call; the schema and plan shape stay identical.
+    */
+  def decodeStub(media: Column, mediaType: Column): Column = {
+    val h = abs(xxhash64(media))
+    struct(
+      mediaType.as("media_type"),
+      length(media).cast("long").as("n_bytes"),
+      (pmod(h, lit(1920)) + 1).cast("int").as("width"),
+      (pmod(h, lit(1080)) + 1).cast("int").as("height"),
+      when(mediaType.isin("audio", "video"), pmod(h, lit(600000L))).otherwise(lit(null))
+        .cast("long").as("duration_ms"))
+  }
+
+  def withMeta(df: DataFrame): DataFrame =
+    df.withColumn("meta", decodeStub(col("media"), col("media_type")))
+
+  /** STUBBED feature extraction: fixed-dim pseudo-embedding from byte hashes
+    * — the array<float> contract downstream similarity ops consume.
+    */
+  def featureStub(media: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(media, i), lit(2000L)).cast("double") / 1000.0 - 1.0).cast("float"))
+
+  /** Resize: at this layer just a metadata rewrite + byte passthrough (the
+    * codec stub has no pixels); keeps the partition-preserving narrow shape
+    * a real resize kernel would have.
+    */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("meta", col("meta")
+      .withField("width", lit(w).cast("int"))
+      .withField("height", lit(h).cast("int")))
+
+  /** Frame sampling for video rows: one output row per sampled frame offset
+    * — `explode(sequence(...))`, the generator shape a real frame extractor
+    * uses (bytes per frame would come from the codec).
+    */
+  def frameSample(df: DataFrame, everyMs: Long): DataFrame =
+    df.filter(col("meta.media_type") === "video" && col("meta.duration_ms").isNotNull)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
+}

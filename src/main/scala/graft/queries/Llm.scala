@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+/** LLM-data-pipeline operator surface (north star; SURVEY §2.3 Q80–Q85 plus
+  * the extended dedup/similarity/text-analysis set). Engine side runs the
+  * graft.llm library; oracles are DuckDB SQL generated from the SAME
+  * constants (hash parameters, profiles, stopwords) so both sides compute
+  * the identical function.
+  */
+object Llm {
+
+  /** DuckDB: embeddings as double lists (float accumulation would diverge). */
+  private val V =
+    """WITH v AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)""".stripMargin
+
+  private val cosExpr =
+    "list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe)))"
+
+  /** DuckDB: distinct (doc_id, tok) pairs under an id cap. */
+  private def toksCte(cap: Int) =
+    s"""t AS (SELECT DISTINCT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < $cap) x)""".stripMargin
+
+  /** DuckDB: dictionary token codes (dense rank over sorted vocabulary) —
+    * same construction as Dedup.dictionaryCodes.
+    */
+  private val dictCte =
+    """d AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS code
+      |      FROM (SELECT DISTINCT tok FROM t) vo),
+      |tc AS (SELECT t.doc_id, d.code FROM t JOIN d ON t.tok = d.tok)""".stripMargin
+
+  private def jaccardTail(threshold: Double) =
+    s"""s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT i, j, CAST(c / (sa.n + sb.n - c) AS DECIMAL(38,4)) AS jaccard
+       |FROM p JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+       |WHERE c / (sa.n + sb.n - c) >= $threshold""".stripMargin
+
+  val all: Seq[QDef] = Seq(
+
+    // ------------------------------------------------------------ dedup
+    QDef.shared(
+      "q80_exact_dedup",
+      """SELECT count(*) AS cnt, count(DISTINCT text) AS distinct_text,
+        |       coalesce((SELECT CAST(min(doc_id) AS BIGINT)
+        |                 FROM (SELECT text, min(doc_id) AS doc_id FROM documents
+        |                       GROUP BY text HAVING count(*) > 1) x), -1) AS min_dup_doc
+        |FROM documents""".stripMargin),
+
+    QDef.df("q81_jaccard_pairs",
+      s"WITH ${toksCte(50)},\n${jaccardTail(0.5)}") { (s, dir) =>
+      Dedup.jaccardPairs(Tables.table(s, dir, "documents").filter(col("doc_id") < 50), 0.5)
+        .select(col("i"), col("j"), col("jaccard").cast("decimal(38,4)").as("jaccard"))
+    },
+
+    QDef.df("q86_minhash_lsh", {
+      val params = (0 until Dedup.NumHashes)
+        .map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
+      val pow = Dedup.BandPow
+      s"""WITH ${toksCte(50)},
+         |$dictCte,
+         |h AS (SELECT doc_id, p.i AS hi, min((p.a * code + p.b) % ${Dedup.P}) AS mh
+         |      FROM tc, (VALUES $params) AS p(i, a, b) GROUP BY doc_id, p.i),
+         |bs AS (SELECT doc_id, hi // ${Dedup.RowsPerBand} AS band,
+         |              SUM(mh * CASE hi % 4 WHEN 0 THEN ${pow(0)} WHEN 1 THEN ${pow(1)}
+         |                       WHEN 2 THEN ${pow(2)} ELSE ${pow(3)} END) AS bkey
+         |       FROM h GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM bs a JOIN bs b ON a.band = b.band AND a.bkey = b.bkey
+         |                            AND a.doc_id < b.doc_id)
+         |SELECT c.i, c.j,
+         |       CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / ${Dedup.NumHashes}.0
+         |            AS DECIMAL(38,4)) AS est
+         |FROM cand c
+         |JOIN h ha ON ha.doc_id = c.i
+         |JOIN h hb ON hb.doc_id = c.j AND hb.hi = ha.hi
+         |GROUP BY c.i, c.j""".stripMargin
+    }) { (s, dir) =>
+      Dedup.minhashLsh(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 50), dictionary = true)
+        .select(col("i"), col("j"), col("est").cast("decimal(38,4)").as("est"))
+    },
+
+    QDef.df("q87_simhash", {
+      val terms = (0 until 16).map(j =>
+        s"(CASE WHEN SUM(CASE WHEN (code >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${toksCte(100)},
+         |$dictCte
+         |SELECT doc_id, CAST($terms AS BIGINT) AS fp FROM tc GROUP BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val toks = Dedup.tokenSets(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
+      Dedup.simhash16(Dedup.dictionaryCodes(toks))
+    },
+
+    QDef.df("q88_ngram_jaccard", {
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         |            FROM documents WHERE doc_id < 30),
+         |sh0 AS (SELECT doc_id,
+         |               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh,
+         |               lead(tok, 2) OVER w AS t2
+         |        FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |t AS (SELECT DISTINCT doc_id, sh AS tok FROM sh0 WHERE t2 IS NOT NULL),
+         |${jaccardTail(0.2)}""".stripMargin
+    }) { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 30), 3, 0.2)
+        .select(col("i"), col("j"), col("jaccard").cast("decimal(38,4)").as("jaccard"))
+    },
+
+    // ------------------------------------------------------- similarity
+    QDef.df("q82_cosine_all",
+      s"""$V,
+         |q AS (SELECT ve AS qe FROM v WHERE vec_id = 0)
+         |SELECT v.vec_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos FROM v, q""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        Similarity.cosineAll(e, q)
+          .select(col("vec_id"), col("cos").cast("decimal(38,4)").as("cos"))
+    },
+
+    QDef.df("q83_cosine_topk",
+      s"""$V,
+         |q AS (SELECT ve AS qe FROM v WHERE vec_id = 0)
+         |SELECT v.vec_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos FROM v, q
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Similarity.cosineAll(e, q)
+        .select(col("vec_id"), col("cos").cast("decimal(38,4)").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    },
+
+    QDef.df("q89_ann_topk",
+      s"""$V,
+         |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+         |sc AS (SELECT q.q_id, v.vec_id AS n_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos
+         |       FROM v, q),
+         |r AS (SELECT q_id, n_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |      FROM sc)
+         |SELECT q_id, n_id, cos FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      Similarity.annBruteForce(e, e.filter(col("vec_id") < 5), 3)
+    },
+
+    // ---------------------------------------------------- text analysis
+    QDef.df("q84_token_frequency",
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenFrequency(Tables.table(s, dir, "documents"), 20)
+    },
+
+    QDef.shared(
+      "q85_text_stats",
+      """SELECT lang, count(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(avg(CAST(length(text) AS DOUBLE)) AS DECIMAL(38,4)) AS avg_len
+        |FROM documents GROUP BY lang""".stripMargin),
+
+    QDef.df("q90_quality_score", {
+      val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS chars,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         |       CAST((length(text) - (len(string_split(text, ' ')) - 1))
+         |            / len(string_split(text, ' ')) AS DECIMAL(38,4)) AS avg_tok_len,
+         |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop)))
+         |            / len(string_split(text, ' ')) AS DECIMAL(38,4)) AS stop_ratio,
+         |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+         |FROM documents WHERE doc_id < 200""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.quality(Tables.table(s, dir, "documents").filter(col("doc_id") < 200))
+    },
+
+    QDef.df("q91_lang_id", {
+      def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
+      val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>
+        lang -> grams.map(occ).mkString(" + ")
+      }
+      val best = s"greatest(${scores.map(x => s"(${x._2})").mkString(", ")})"
+      val cases = scores.map { case (lang, e) =>
+        s"WHEN ($e) = $best AND ($e) > 0 THEN '$lang'"
+      }.mkString("\n            ")
+      s"""SELECT doc_id, lang,
+         |       CASE $cases
+         |            ELSE 'und' END AS guess
+         |FROM documents WHERE doc_id < 200""".stripMargin
+    }) { (s, dir) =>
+      Tables.table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), TextAnalysis.langGuess(col("text")).as("guess"))
+    },
+
+    QDef.df("q92_fingerprint",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |            FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(SUM(pos * (length(tok) * 31 + ascii(tok))) AS BIGINT) AS fp
+        |FROM tk GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.fingerprint(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
+    },
+
+    // ------------------------------------------------------- multimodal
+    // Binary-column plumbing with the stubbed decode (no codecs in this
+    // environment) — engine-only: byte hashes aren't oracle-expressible.
+    QDef.engineOnly("q95_multimodal_meta") { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 20)
+        .withColumn("media", encode(col("text"), "UTF-8"))
+        .withColumn("media_type",
+          when(col("doc_id") % 3 === 0, "video")
+            .when(col("doc_id") % 3 === 1, "image").otherwise("audio"))
+      Multimodal.withMeta(docs)
+        .withColumn("feat", Multimodal.featureStub(col("media"), 8))
+        .select(col("doc_id"), col("meta.media_type"), col("meta.n_bytes"),
+          col("meta.width"), col("meta.height"), col("meta.duration_ms"),
+          element_at(col("feat"), 1).as("f0"))
+    }
+  )
+}

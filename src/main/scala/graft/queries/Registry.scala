@@ -7,7 +7,8 @@ object Registry {
   val groups: Seq[Seq[QDef]] = Seq(
     Relational.all,
     StreamingBatch.all,
-    Cdc.all
+    Cdc.all,
+    Llm.all
   )
 
   lazy val all: Seq[QDef] = {
