@@ -32,7 +32,61 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val eps = cdcThroughput(spark)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"cdc_events_per_sec":$eps%.0f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** BASELINE.md protocol: CDC upsert throughput over a ≥1M-event generated
+    * stream (seeded, generation excluded) — full Q61 path: JSONL file read →
+    * parse → per-table filter → flatten → typed cast → last-write-wins →
+    * parquet sink merge. One warm-up run (codegen), then one timed run.
+    */
+  private def cdcThroughput(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.cdc.CdcPipeline
+    import graft.model.{ColSpec, TableSpec}
+    import graft.sink.LocalParquetSink
+    val n = 1000000L
+    val keys = 200000L
+    try {
+      val js = format_string(
+        """{"seq":%d,"data":{"database_name":"shop","table_name":"orders_part_%d","primary_key":"%d","metadata":{"is_delete":false},"row":{"id":"%d","amount":"%d.50","qty":"%d"}}}""",
+        col("id"), pmod(col("id"), lit(5)), pmod(col("id"), lit(keys)),
+        pmod(col("id"), lit(keys)), pmod(col("id"), lit(1000)), pmod(col("id"), lit(20)))
+      val envSchema = StructType(Seq(
+        StructField("seq", LongType),
+        StructField("data", StructType(Seq(
+          StructField("database_name", StringType),
+          StructField("table_name", StringType),
+          StructField("primary_key", StringType),
+          StructField("metadata", StructType(Seq(StructField("is_delete", BooleanType)))),
+          StructField("row", StructType(Seq(
+            StructField("id", StringType),
+            StructField("amount", StringType),
+            StructField("qty", StringType)))))))))
+      val spec = TableSpec("shop.orders", Seq(
+        ColSpec("id", "int", isPrimaryKey = true),
+        ColSpec("amount", "decimal", isPrimaryKey = false),
+        ColSpec("qty", "smallint", isPrimaryKey = false)))
+      val base = java.nio.file.Files.createTempDirectory("graft_cdc_bench").toString
+      val jsonDir = s"$base/events"
+      spark.range(n).select(js.as("value")).write.text(jsonDir) // untimed generation
+
+      def run(sinkDir: String): Unit = {
+        val env = spark.read.schema(envSchema).json(jsonDir)
+        val flat = CdcPipeline.expanded(CdcPipeline.forTable(env, "shop.orders"))
+        new LocalParquetSink(sinkDir)
+          .merge(CdcPipeline.typed(flat, spec), Seq("primary_key"), "seq", "is_delete")
+      }
+      run(s"$base/warm") // codegen warm-up
+      val t0 = System.nanoTime()
+      run(s"$base/timed")
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cdc throughput failed: $e")
+      -1.0
+    }
   }
 }

@@ -58,8 +58,12 @@ object CdcPipeline {
       col("seq"),
       col("data.primary_key").as("primary_key"),
       coalesce(col("data.metadata.is_delete"), lit(false)).as("is_delete"))
+    val dataSchema = df.schema("data").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     val rows = Flatten.columns(df, "data.row", "row_")
-    val olds = Flatten.columns(df, "data.old_row", "old_row_")
+    // insert-only streams may carry no old_row struct at all
+    val olds =
+      if (dataSchema.fieldNames.contains("old_row")) Flatten.columns(df, "data.old_row", "old_row_")
+      else Nil
     df.select(base ++ rows ++ olds: _*)
   }
 

@@ -4,7 +4,6 @@ import java.io.File
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.CdcPipeline
 
 /** Local-filesystem MERGE emulation over plain parquet (SURVEY §7.4): read
   * current state, union-by-name with the batch (schema evolution ⇒ new
@@ -31,13 +30,28 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
     val spark = batch.sparkSession
-    val incoming = batch.withColumn("__is_deleted",
-      coalesce(col(isDeleteCol), lit(false)))
-    val all =
-      if (exists)
-        spark.read.parquet(dir).unionByName(incoming, allowMissingColumns = true)
-      else incoming
-    val merged = CdcPipeline.latest(all, keys, seqCol)
+    // __gen = merge generation: on a (key, seq) tie — e.g. a schema-evolution
+    // backfill replaying an already-stored event with MORE columns — the
+    // newer merge wins deterministically instead of the window picking an
+    // arbitrary survivor.
+    val (current, gen) =
+      if (exists) {
+        val c = spark.read.parquet(dir)
+        val g = c.agg(max(col("__gen"))).collect().head.getLong(0) + 1L
+        (Some(c), g)
+      } else (None, 0L)
+    val incoming = batch
+      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+      .withColumn("__gen", lit(gen))
+    val all = current match {
+      case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
+      case None    => incoming
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col("__gen").desc)
+    val merged = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
 
     val tmp = dir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
@@ -52,7 +66,7 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
   }
 
   override def read(spark: SparkSession, mode: DeleteMode): DataFrame = {
-    val t = spark.read.parquet(dir)
+    val t = spark.read.parquet(dir).drop("__gen")
     mode match {
       case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")
       case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")

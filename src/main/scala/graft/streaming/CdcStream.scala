@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.cdc.CdcPipeline
+import graft.model.TableSpec
+import graft.sink.UpsertSink
+
+/** Where to start execution (R17/R18): the stream's beginning, or a replay
+  * point for backfill (`startExecutionFrom` InputStart / AtTime,
+  * add_output.py:442-448, 257-261, 663-667).
+  */
+sealed trait StartFrom
+object StartFrom {
+  case object InputStart extends StartFrom
+  final case class AtTime(ts: Timestamp) extends StartFrom
+}
+
+/** One per-table streaming pipeline (R30: one query per discovered table). */
+final case class CdcStreamSpec(
+    inputDir: String,
+    checkpointDir: String,
+    table: TableSpec,
+    sink: UpsertSink,
+    triggerInterval: String = "1 second", // R16 outputInterval (minutes in prod)
+    logicalDeletes: Boolean = false,
+    startFrom: StartFrom = StartFrom.InputStart)
+
+/** Structured-Streaming CDC pipeline (SURVEY §3.5): file-source JSONL
+  * envelope stream → per-table filter → flatten → typed cast →
+  * `foreachBatch` MERGE into the sink, micro-batched by the trigger
+  * interval, exactly-once via checkpoint + idempotent sink merge.
+  *
+  * A running query's schema is frozen — schema evolution mirrors the
+  * reference's edit-redeploy cycle (R23/R24): detect new columns, stop,
+  * extend the spec, restart from checkpoint with a batch backfill from
+  * `min(firstSeen) − 1 minute` (R19); see [[SchemaEvolution]].
+  */
+object CdcStream {
+
+  /** Envelope schema for a running query: inferred from data present at
+    * start (the reference also infers from data, SURVEY §1.1).
+    */
+  def inferSchema(spark: SparkSession, inputDir: String): StructType =
+    spark.read.json(inputDir).schema
+
+  /** The shared transform between batch backfill and the stream: per-table
+    * filter → expand → typed cast, plus the event-time column.
+    */
+  def transform(envelope: DataFrame, spec: CdcStreamSpec): DataFrame = {
+    val withTs = CdcPipeline.forTable(envelope, spec.table.fullTableName)
+      .withColumn("event_ts", col("ts").cast("timestamp"))
+    val replayed = spec.startFrom match {
+      case StartFrom.AtTime(t) => withTs.filter(col("event_ts") >= lit(t))
+      case StartFrom.InputStart => withTs
+    }
+    val flat = CdcPipeline.expanded(replayed.drop("event_ts"))
+    CdcPipeline.typed(flat, spec.table)
+  }
+
+  def start(spark: SparkSession, spec: CdcStreamSpec): StreamingQuery = {
+    val schema = inferSchema(spark, spec.inputDir)
+    val src = spark.readStream.schema(schema).json(spec.inputDir)
+    transform(src, spec).writeStream
+      .queryName(s"cdc_${spec.table.fullTableName.replace('.', '_')}")
+      .trigger(Trigger.ProcessingTime(spec.triggerInterval))
+      .option("checkpointLocation", spec.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        spec.sink.merge(batch, Seq("primary_key"), "seq", "is_delete")
+      }
+      .start()
+  }
+
+  /** One-shot batch backfill through the same transform — used for AtTime
+    * replay and schema-evolution catch-up.
+    */
+  def backfill(spark: SparkSession, spec: CdcStreamSpec): Unit = {
+    val batch = transform(CdcPipeline.readBatch(spark, spec.inputDir), spec)
+    spec.sink.merge(batch, Seq("primary_key"), "seq", "is_delete")
+  }
+}
+
+/** R19/R23/R24: schema-evolution orchestration. The reference's
+  * `check_and_update_output` (add_output.py:154-206) diffs source columns
+  * against the output and redeploys from `min(first_seen) − 1 minute`; here
+  * the diff is spec-vs-observed-data and the redeploy is stop → backfill →
+  * restart (fresh start point, same checkpoint-safe sink).
+  */
+object SchemaEvolution {
+
+  /** Columns present in the data's `row` struct but missing from the spec,
+    * with the earliest event time each was observed (one aggregation pass).
+    * The stream is multiplexed, so the inferred union schema carries other
+    * tables' fields too — only columns observed NON-NULL for THIS table
+    * count as new (a never-populated field has a null first-seen and is
+    * dropped, matching the reference's data-derived field inspection R20).
+    */
+  def missingColumns(spark: SparkSession, inputDir: String, spec: TableSpec): Seq[(String, Timestamp)] = {
+    val df = CdcPipeline.forTable(CdcPipeline.readBatch(spark, inputDir), spec.fullTableName)
+    val rowFields = df.select("data.row.*").schema.fieldNames.toSeq
+    val newCols = rowFields.filterNot(spec.colNames.contains)
+    if (newCols.isEmpty) Nil
+    else {
+      val fs = graft.inspect.Inspection.firstSeen(
+        df, col("ts").cast("timestamp"), newCols.map(c => c -> col(s"data.row.$c")))
+      fs.collect().toSeq
+        .filter(r => !r.isNullAt(1))
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+    }
+  }
+
+  /** Full evolution cycle: detect → stop → extend spec (new columns default
+    * to udt `varchar`, i.e. string, unless the caller supplies types) →
+    * backfill from min(firstSeen) − 1 minute → restart. Returns the new
+    * running query and spec; None if nothing changed.
+    */
+  def evolveAndRestart(
+      spark: SparkSession,
+      running: StreamingQuery,
+      spec: CdcStreamSpec,
+      udtOf: String => String = _ => "varchar"): Option[(StreamingQuery, CdcStreamSpec)] = {
+    val missing = missingColumns(spark, spec.inputDir, spec.table)
+    if (missing.isEmpty) None
+    else {
+      running.stop()
+      running.awaitTermination()
+      val extended = spec.table.copy(cols = spec.table.cols ++
+        missing.map { case (n, _) => graft.model.ColSpec(n, udtOf(n), isPrimaryKey = false) })
+      val earliest = missing.map(_._2.getTime).min - 60000L // − 1 minute (R19)
+      val newSpec = spec.copy(table = extended,
+        startFrom = StartFrom.AtTime(new Timestamp(earliest)))
+      CdcStream.backfill(spark, newSpec)
+      Some((CdcStream.start(spark, newSpec), newSpec))
+    }
+  }
+}

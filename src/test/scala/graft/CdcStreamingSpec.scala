@@ -1,0 +1,146 @@
+package graft
+
+import java.io.{File, PrintWriter}
+import org.apache.spark.sql.functions._
+import graft.cdc.CdcPipeline
+import graft.model.TableSpec
+import graft.queries.Cdc
+import graft.sink.{DeleteMode, LocalParquetSink}
+import graft.streaming.{CdcStream, CdcStreamSpec, SchemaEvolution, StartFrom}
+
+/** Streaming harness (SURVEY §5.4): file-source replay of the CDC fixtures,
+  * checkpoint recovery, AtTime replay, schema-evolution restart, watermark
+  * late-data drop. No oracle — these are the engine-only semantics.
+  */
+class CdcStreamingSpec extends SparkSpec {
+
+  private lazy val fixtureLines =
+    scala.io.Source.fromFile(Cdc.Fixtures.eventsPath).getLines().toVector
+
+  private def writeChunk(dir: String, name: String, lines: Seq[String]): Unit = {
+    val w = new PrintWriter(new File(dir, name), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  private def ordersSpec: TableSpec =
+    TableSpec.loadCsv(Cdc.Fixtures.columnsPath)("shop.orders")
+
+  /** Expected state = the batch pipeline over the same data (Q61/Q62). */
+  private def expectedKeys(inputDir: String): Set[String] =
+    CdcPipeline.materialize(CdcPipeline.readBatch(spark, inputDir), ordersSpec)
+      .select("primary_key").collect().map(_.getString(0)).toSet
+
+  test("streamed micro-batches converge to the batch materialization") {
+    val in = tmpDir("cdc_in"); val ckpt = tmpDir("cdc_ckpt")
+    val sinkDir = tmpDir("cdc_sink") + "/orders"
+    val chunks = fixtureLines.grouped(600).toSeq
+    writeChunk(in, "part0.jsonl", chunks.head)
+    val sink = new LocalParquetSink(sinkDir)
+    val spec = CdcStreamSpec(in, ckpt, ordersSpec, sink)
+    val q = CdcStream.start(spark, spec)
+    try {
+      q.processAllAvailable()
+      chunks.tail.zipWithIndex.foreach { case (c, i) =>
+        writeChunk(in, s"part${i + 1}.jsonl", c)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); q.awaitTermination() }
+    val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expectedKeys(in))
+  }
+
+  test("checkpoint recovery: kill between batches, restart, exactly-once state") {
+    val in = tmpDir("cdc_in"); val ckpt = tmpDir("cdc_ckpt")
+    val sinkDir = tmpDir("cdc_sink") + "/orders"
+    val chunks = fixtureLines.grouped(900).toSeq
+    writeChunk(in, "part0.jsonl", chunks.head)
+    val sink = new LocalParquetSink(sinkDir)
+    val spec = CdcStreamSpec(in, ckpt, ordersSpec, sink)
+
+    val q1 = CdcStream.start(spark, spec)
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+
+    chunks.tail.zipWithIndex.foreach { case (c, i) => writeChunk(in, s"part${i + 1}.jsonl", c) }
+    val q2 = CdcStream.start(spark, spec) // same checkpoint → resumes
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+
+    val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expectedKeys(in))
+  }
+
+  test("AtTime replay filters events before the start point (R18)") {
+    val in = tmpDir("cdc_in")
+    writeChunk(in, "all.jsonl", fixtureLines)
+    val sinkAll = new LocalParquetSink(tmpDir("s") + "/a")
+    val sinkReplay = new LocalParquetSink(tmpDir("s") + "/r")
+    CdcStream.backfill(spark, CdcStreamSpec(in, "", ordersSpec, sinkAll))
+    // replay from the fixture's midpoint (seq 865 ≈ 2024-02-01 + 865 min)
+    val mid = java.sql.Timestamp.from(java.time.Instant.parse("2024-02-01T00:00:00Z")
+      .plusSeconds(865 * 60))
+    CdcStream.backfill(spark, CdcStreamSpec(in, "", ordersSpec, sinkReplay,
+      startFrom = StartFrom.AtTime(mid)))
+    val nAll = sinkAll.read(spark, DeleteMode.Hard).count()
+    val nReplay = sinkReplay.read(spark, DeleteMode.Hard).count()
+    assert(nReplay > 0 && nReplay < nAll)
+  }
+
+  test("schema evolution: detect new column, backfill from firstSeen-1min, restart (R19/R23/R24)") {
+    val in = tmpDir("cdc_in"); val ckpt = tmpDir("cdc_ckpt")
+    val sink = new LocalParquetSink(tmpDir("cdc_sink") + "/orders")
+    // spec WITHOUT discount — the epoch-2 column is unknown to the pipeline
+    val base = ordersSpec
+    val withoutDiscount = base.copy(cols = base.cols.filterNot(_.name == "discount"))
+    writeChunk(in, "all.jsonl", fixtureLines)
+    val spec = CdcStreamSpec(in, ckpt, withoutDiscount, sink)
+    val q = CdcStream.start(spark, spec)
+    try q.processAllAvailable()
+    finally {} // evolveAndRestart stops it
+    assert(!sink.read(spark, DeleteMode.Hard).columns.contains("row_discount"))
+
+    val missing = SchemaEvolution.missingColumns(spark, in, withoutDiscount)
+    assert(missing.map(_._1) == Seq("discount"))
+
+    val evolved = SchemaEvolution.evolveAndRestart(spark, q, spec, _ => "float8")
+    assert(evolved.isDefined)
+    val (q2, newSpec) = evolved.get
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    assert(newSpec.table.colNames.contains("discount"))
+    val rows = sink.read(spark, DeleteMode.Hard)
+    assert(rows.columns.contains("row_discount"))
+    assert(rows.filter(col("row_discount").isNotNull).count() > 0)
+  }
+
+  test("watermark drops late events (tumbling window, append mode)") {
+    import spark.implicits._
+    val in = tmpDir("wm_in")
+    val schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+    def write(name: String, rows: Seq[String]): Unit = writeChunk(in, name, rows)
+    write("b0.jsonl", Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:10Z","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T10:00:20Z","value":1.0}"""))
+    val src = spark.readStream.schema(schema).json(in)
+    val agg = src.withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "1 minute"), lit(1).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window…
+      write("b1.jsonl", Seq("""{"event_id":3,"ts":"2024-01-01T10:10:00Z","value":1.0}"""))
+      q.processAllAvailable()
+      // …then a LATE event for 10:00 (behind watermark) + one to trigger emit
+      write("b2.jsonl", Seq(
+        """{"event_id":4,"ts":"2024-01-01T10:00:30Z","value":1.0}""",
+        """{"event_id":5,"ts":"2024-01-01T10:20:00Z","value":1.0}"""))
+      q.processAllAvailable()
+      val counts = spark.table("wm_out")
+        .select(col("window.start").cast("string"), col("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the 10:00 window emitted with the 2 on-time events; the late 4th was dropped
+      assert(counts.getOrElse("2024-01-01 10:00:00", 0L) == 2L)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different words entirely here now"),
+    (3L, "the quick brown fox jumps over the lazy dog") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val cos = Similarity.cosineAll(df, q).select($"vec_id", $"cos")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cos(0L) - 1.0) < 1e-12)
+    assert(math.abs(cos(1L)) < 1e-12)
+    assert(math.abs(cos(2L) - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN finds the same top-1 as brute force on separable data") {
+    val emb = Tables.embeddings(spark)
+    val queries = emb.filter($"vec_id" < 3)
+    val bf = Similarity.annBruteForce(emb, queries, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // top-1 is always the vector itself (cos=1) — LSH must agree since the
+    // query lands in its own bucket
+    val lsh = Similarity.annLsh(emb, queries, 1, dim = 64, nPlanes = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bf.keySet == lsh.keySet)
+    bf.keys.foreach(k => assert(bf(k) == k && lsh(k) == k))
+  }
+
+  private object Tables {
+    def embeddings(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+
+  test("minhash estimate is 1.0 for identical docs and low for disjoint docs") {
+    val est = Dedup.minhashLsh(docs, dictionary = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((0L, 3L)) == 1.0)         // exact dups always collide
+    assert(!est.contains((0L, 2L)) || est((0L, 2L)) < 0.3) // disjoint rarely candidates
+    // near-dups (8/9 shared tokens ⇒ J≈0.8): estimate should be high
+    assert(est.getOrElse((0L, 1L), 0.0) > 0.5)
+  }
+
+  test("simhash: identical docs get identical fingerprints, disjoint differ") {
+    val fp = Dedup.simhash16(Dedup.dictionaryCodes(Dedup.tokenSets(docs)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("3-gram shingles preserve order and count") {
+    val sh = Dedup.shingles(docs.filter($"doc_id" === 0), 3).collect().map(_.getString(1))
+    assert(sh.length == 7) // 9 tokens → 7 trigrams
+    assert(sh.contains("the quick brown") && sh.contains("the lazy dog"))
+  }
+
+  test("quality metrics") {
+    val q = TextAnalysis.quality(docs).filter($"doc_id" === 0).collect().head
+    assert(q.getAs[Long]("tokens") == 9L)
+    assert(q.getAs[Long]("chars") == 43L)
+    assert(q.getAs[java.math.BigDecimal]("stop_ratio").doubleValue() > 0.2) // 2×"the" / 9
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d2 = Seq((0L, "alpha beta"), (1L, "beta alpha")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) != fp(1L))
+  }
+
+  test("multimodal stub: schema contract, deterministic meta, frame sampling") {
+    val packed = Multimodal.packFromText(docs, "text", "video")
+    val meta = Multimodal.withMeta(packed)
+    val r = meta.filter($"doc_id" === 0).select("meta.*").collect().head
+    assert(r.getAs[Long]("n_bytes") == 43L)
+    assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 1920)
+    // deterministic: same bytes → same meta
+    val r2 = Multimodal.withMeta(packed).filter($"doc_id" === 3).select("meta.*").collect().head
+    assert(r.getAs[Int]("width") == r2.getAs[Int]("width")) // doc 3 is an exact dup of doc 0
+    val frames = Multimodal.frameSample(meta, everyMs = 60000L)
+    assert(frames.count() > 0)
+    val feat = packed.select(Multimodal.featureStub($"media", 8).as("f")).collect().head
+    assert(feat.getSeq[Float](0).length == 8)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{ColSpec, TableSpec}
+import graft.sink.SnowflakeSqlGen
+
+class SnowflakeSqlGenSpec extends AnyFunSuite {
+
+  private val spec = TableSpec("shop.orders", Seq(
+    ColSpec("id", "int", isPrimaryKey = true),
+    ColSpec("amount", "decimal", isPrimaryKey = false),
+    ColSpec("tags", "_int4", isPrimaryKey = false),
+    ColSpec("created", "datetime", isPrimaryKey = false)))
+
+  test("createTable: upper-cased identifiers, variant for arrays, IF NOT EXISTS") {
+    val ddl = SnowflakeSqlGen.createTable("db", "public", spec)
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS DB.PUBLIC.ORDERS"))
+    assert(ddl.contains("ID BIGINT"))
+    assert(ddl.contains("AMOUNT DOUBLE"))
+    assert(ddl.contains("TAGS VARIANT"))
+    assert(ddl.contains("CREATED TIMESTAMP_NTZ"))
+  }
+
+  test("merge: keyed on PK, hard delete clause, no insert of deletes") {
+    val m = SnowflakeSqlGen.merge("db", "public", spec)
+    assert(m.contains("ON t.ID = s.ID"))
+    assert(m.contains("WHEN MATCHED AND s.IS_DELETE THEN DELETE"))
+    assert(m.contains("WHEN NOT MATCHED AND NOT s.IS_DELETE"))
+  }
+
+  test("merge logical mode: IS_DELETED column instead of DELETE clause") {
+    val m = SnowflakeSqlGen.merge("db", "public", spec, logicalDeletes = true)
+    assert(!m.contains("THEN DELETE"))
+    assert(m.contains("t.IS_DELETED = s.IS_DELETE"))
+  }
+
+  test("merge requires an upsert key") {
+    val noPk = spec.copy(cols = spec.cols.map(_.copy(isPrimaryKey = false)))
+    intercept[IllegalArgumentException] { SnowflakeSqlGen.merge("db", "public", noPk) }
+  }
+}
