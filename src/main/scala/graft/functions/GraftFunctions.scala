@@ -1,0 +1,28 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Column/SQL bindings for the engine's native Catalyst expressions.
+  * Registration goes through the session's FunctionRegistry and the Column
+  * API through `call_function` — the public seams, so no reliance on
+  * Spark-internal Column↔Expression converters.
+  */
+object GraftFunctions {
+
+  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Idempotent per-session registration of all graft functions. */
+  def register(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    }
+
+  /** Codegen cosine similarity (see [[CosineSimilarity]]); requires
+    * [[register]] on the session first (Tables.ensure and the Similarity
+    * entry points do it).
+    */
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

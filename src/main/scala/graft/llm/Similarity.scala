@@ -24,7 +24,14 @@ object Similarity {
   def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine via the native codegen expression (one fused loop; see
+    * graft.functions.CosineSimilarity). [[cosineHof]] is the pure-builtin
+    * formulation — bit-identical results, kept as the composition reference.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
     dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
   }
@@ -32,9 +39,11 @@ object Similarity {
   /** Cosine of every row's `embCol` against one query vector frame
     * (single row, column `qe`) — broadcast, so the corpus never shuffles.
     */
-  def cosineAll(corpus: DataFrame, query: DataFrame, embCol: String = "embedding"): DataFrame =
+  def cosineAll(corpus: DataFrame, query: DataFrame, embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus.crossJoin(broadcast(query))
       .withColumn("cos", cosine(col(embCol), col("qe")))
+  }
 
   /** Brute-force ANN: top-k neighbors per query vector, deterministic order
     * by (rounded cosine DESC, id). Ranking on the rounded decimal makes ties
@@ -42,6 +51,7 @@ object Similarity {
     */
   def annBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
     val scored = corpus.crossJoin(broadcast(q))
       .withColumn("cos", cosine(col(embCol), col("qe")).cast("decimal(38,4)"))
@@ -77,6 +87,7 @@ object Similarity {
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nPlanes: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cb = corpus.withColumn("bucket", lshBucket(col(embCol), dim, nPlanes))
     val qb = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
       .withColumn("bucket", lshBucket(col("qe"), dim, nPlanes))
