@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import graft.queries.Registry
+
+/** Physical-plan regression guards: the properties that matter at 100 TB —
+  * pushdown, pruning, broadcast, map-side combine, top-k — asserted on the
+  * actual plans so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).build(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: count reads zero columns (ReadSchema pruned to empty)") {
+    assert(plan("q01_count").contains("ReadSchema: struct<>"))
+  }
+
+  test("q04: compound predicate is pushed to the parquet scan") {
+    val p = plan("q04_compound_predicate")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(l_returnflag,R)"))
+    assert(!p.contains("ReadSchema: struct<l_orderkey")) // pruned: no key columns read
+  }
+
+  test("q11: dimension join is a BroadcastHashJoin with pruned scans") {
+    val p = plan("q11_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"))
+  }
+
+  test("q12: merge hint produces a SortMergeJoin") {
+    assert(plan("q12_sortmerge_join").contains("SortMergeJoin"))
+  }
+
+  test("q20: aggregation is partial+final around one exchange (map-side combine)") {
+    val p = plan("q20_tpch_q1")
+    assert("HashAggregate".r.findAllIn(p.linesIterator.filter(_.contains("+- ")).mkString("\n")).size >= 2)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1)
+  }
+
+  test("q41: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q41_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.linesIterator.exists(_.trim.startsWith("+- Sort ")))
+  }
+
+  test("q82: similarity scan broadcasts the query side (corpus never shuffles)") {
+    val p = plan("q82_cosine_all")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+}
