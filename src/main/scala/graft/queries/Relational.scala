@@ -249,6 +249,26 @@ object Relational {
         |       count(*) AS cnt, count(DISTINCT o_custkey) AS dcust
         |FROM orders""".stripMargin),
 
+    QDef.sql(
+      "q29_percentile",
+      """SELECT l_returnflag,
+        |       CAST(percentile(l_quantity, 0.5) AS DECIMAL(38,4)) AS med_qty,
+        |       CAST(percentile(l_extendedprice, 0.9) AS DECIMAL(38,4)) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |       CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(38,4)) AS med_qty,
+        |       CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(38,4)) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
+    // count-distinct) — engine-only: HLL sketches differ across engines.
+    QDef.engineOnly("q21b_approx_distinct") { (s, dir) =>
+      Tables.table(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("cnt"))
+    },
+
     // ---------------------------------------------------------- windows
     QDef.shared(
       "q30_row_number",
@@ -323,6 +343,14 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
 
+    QDef.shared(
+      "q37_percent_rank",
+      """SELECT o_orderkey,
+        |       CAST(percent_rank() OVER w AS DECIMAL(38,6)) AS pr,
+        |       CAST(cume_dist() OVER w AS DECIMAL(38,6)) AS cd
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+
     // ------------------------------------------------- sort / limit / top-k
     QDef.shared(
       "q40_global_sort",
@@ -361,6 +389,53 @@ object Relational {
     QDef.shared(
       "q46_except",
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"),
+
+    QDef.shared(
+      "q47_recursive_cte",
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 10)
+        |SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS cnt FROM r""".stripMargin),
+
+    // generator: posexplode / LATERAL VIEW (oracle: zipped unnest)
+    QDef.sql(
+      "q57_posexplode",
+      """SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+        |FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        |WHERE doc_id < 5""".stripMargin,
+      """SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents WHERE doc_id < 5) x""".stripMargin),
+
+    // pivot (engine: relational pivot operator; oracle: FILTER aggregation)
+    QDef.df("q58_pivot",
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click
+        |FROM events WHERE user_id < 10 GROUP BY user_id""".stripMargin) { (s, dir) =>
+      Tables.ensure(s, dir)
+      s.table("events").filter(col("user_id") < 10)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("error", "signup", "purchase", "view", "click"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("error", "signup", "purchase", "view", "click"))
+    },
+
+    // unpivot via stack (oracle: UNION ALL)
+    QDef.sql(
+      "q59_unpivot",
+      """SELECT s_suppkey AS id, t.metric, CAST(t.val AS DECIMAL(18,4)) AS val
+        |FROM supplier
+        |LATERAL VIEW stack(2, 'acctbal', s_acctbal,
+        |                      'suppkey', CAST(s_suppkey AS DOUBLE)) t AS metric, val""".stripMargin,
+      """SELECT s_suppkey AS id, 'acctbal' AS metric, CAST(s_acctbal AS DECIMAL(18,4)) AS val
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, 'suppkey', CAST(CAST(s_suppkey AS DOUBLE) AS DECIMAL(18,4))
+        |FROM supplier""".stripMargin),
 
     // ----------------------------------------------------- scalar functions
     QDef.shared(
