@@ -106,12 +106,16 @@ object Dedup {
       .groupBy(col("i"), col("j"))
       .agg((sum(when(col("mi") === col("mj"), 1).otherwise(0)) / NumHashes.toDouble).as("est"))
 
-  /** Full MinHash-LSH near-dup pipeline over raw docs. */
+  /** Full MinHash-LSH near-dup pipeline over raw docs. Signatures come from
+    * the single-pass [[MinHashAggregator]] (same hash family — identical
+    * output to [[minhashSignatures]], O(docs) shuffle instead of
+    * O(tokens×hashes)).
+    */
   def minhashLsh(docs: DataFrame, dictionary: Boolean,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = tokenSets(docs, idCol, textCol)
     val codes = if (dictionary) dictionaryCodes(toks) else hashCodes(toks)
-    val sig = minhashSignatures(codes)
+    val sig = MinHashAggregator.signatures(codes)
     minhashEstimates(sig, lshCandidates(bandKeys(sig)))
   }
 

@@ -371,6 +371,47 @@ object Relational {
         |      FROM lineitem WHERE l_orderkey < 100) t
         |WHERE rn <= 3""".stripMargin),
 
+    // TPC-H Q3 shape: 3-way join, filtered, grouped, top-10 by revenue
+    QDef.sql(
+      "q48_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |       unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_us
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_custkey % 2 = 0
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |       epoch_us(o_orderdate) AS orderdate_us
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_custkey % 2 = 0
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // TPC-H Q5 shape: 6-way star join (supplier and customer in the same
+    // nation), revenue per region/nation
+    QDef.shared(
+      "q49_tpch_q5",
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |       count(*) AS cnt
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name, n_name""".stripMargin),
+
     // ---------------------------------------------------------- set ops
     QDef.shared(
       "q43_union_all",

@@ -52,6 +52,15 @@ class LlmSpec extends SparkSpec {
     assert(est.getOrElse((0L, 1L), 0.0) > 0.5)
   }
 
+  test("MinHashAggregator produces identical signatures to the explode formulation") {
+    val codes = Dedup.dictionaryCodes(Dedup.tokenSets(docs))
+    val viaExplode = Dedup.minhashSignatures(codes).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaAgg = graft.llm.MinHashAggregator.signatures(codes).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaExplode)
+  }
+
   test("simhash: identical docs get identical fingerprints, disjoint differ") {
     val fp = Dedup.simhash16(Dedup.dictionaryCodes(Dedup.tokenSets(docs)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
