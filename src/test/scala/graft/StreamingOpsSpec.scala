@@ -1,0 +1,77 @@
+package graft
+
+import java.io.{File, PrintWriter}
+import org.apache.spark.sql.functions._
+import graft.engine.Skew
+
+/** Streaming twins of Q72/Q73 (session windows, stateful dedup) plus the
+  * skew-salting utility — engine-only semantics (SURVEY §5.4).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(dir: String, name: String, lines: Seq[String]): Unit = {
+    val w = new PrintWriter(new File(dir, name), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  test("session_window streaming: 30-min gap merges a session, emits on watermark") {
+    val in = tmpDir("sess_in")
+    val schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    write(in, "b0.jsonl", Seq(
+      """{"event_id":1,"user_id":7,"ts":"2024-01-01T10:00:00Z"}""",
+      """{"event_id":2,"user_id":7,"ts":"2024-01-01T10:10:00Z"}""",
+      """{"event_id":3,"user_id":7,"ts":"2024-01-01T11:30:00Z"}"""))
+    val src = spark.readStream.schema(schema).json(in)
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past both sessions
+      write(in, "b1.jsonl", Seq("""{"event_id":9,"user_id":7,"ts":"2024-01-01T14:00:00Z"}"""))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(col("session_window.start").cast("string"), col("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // events 1+2 merged (10-min gap < 30), event 3 is its own session
+      assert(rows.get("2024-01-01 10:00:00").contains(2L))
+      assert(rows.get("2024-01-01 11:30:00").contains(1L))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
+    val in = tmpDir("dedup_in")
+    val schema = "event_id LONG, ts TIMESTAMP"
+    write(in, "b0.jsonl", Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00Z"}""",
+      """{"event_id":2,"ts":"2024-01-01T10:01:00Z"}"""))
+    val src = spark.readStream.schema(schema).json(in)
+    val dedup = src.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      write(in, "b1.jsonl", Seq(
+        """{"event_id":1,"ts":"2024-01-01T10:02:00Z"}""", // dup from batch 0
+        """{"event_id":3,"ts":"2024-01-01T10:03:00Z"}"""))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("salted join equals plain join (content), splitting key partitions") {
+    val big = (0 until 10000).map(i => (if (i % 10 == 0) 1L else i.toLong % 100, s"v$i"))
+      .toDF("k", "payload") // key 1 is hot
+    val dim = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = big.join(dim, "k")
+    val salted = Skew.saltedJoin(big, dim, "k", factor = 8)
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
