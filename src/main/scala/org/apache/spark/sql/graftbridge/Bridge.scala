@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal bridge into the `private[sql]` constructor for Datasets over
+  * custom logical plans — the one seam SparkSessionExtensions doesn't cover
+  * when building a DataFrame from an injected operator (standard extension-
+  * library pattern; everything else in graft uses public API only).
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

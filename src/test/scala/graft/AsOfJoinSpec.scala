@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.plans.{AsOf, AsOfJoinExec}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def purchases: DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table("events").filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+  }
+  private def views: DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.table("events").filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+  }
+
+  test("custom as-of join matches the compositional (pair-join + max_by) form") {
+    val got = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+      .filter($"v_id".isNotNull)
+      .select($"p_id", $"v_ts", $"v_id")
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+
+    val pairs = purchases.join(views, $"p_user" === $"v_user" && $"v_ts" < $"p_ts")
+    val mts = pairs.groupBy("p_id").agg(max("v_ts").as("mts"))
+    val expected = pairs.join(mts, "p_id").filter($"v_ts" === $"mts")
+      .groupBy($"p_id", $"mts").agg(max("v_id").as("vid"))
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+
+    assert(got == expected)
+  }
+
+  test("left-outer shape: every left row survives; unmatched get null right") {
+    val got = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+    assert(got.count() == purchases.count())
+    // the earliest purchase of each user precedes any view only sometimes —
+    // just assert the null-right rows are exactly those with no earlier view
+    val unmatched = got.filter($"v_id".isNull).count()
+    val noView = purchases.as("p").join(views.as("v"),
+        $"p_user" === $"v_user" && $"v_ts" < $"p_ts", "left_anti").count()
+    assert(unmatched == noView)
+  }
+
+  test("physical plan is AsOfJoinExec with one shuffle+sort per side, no pair blowup") {
+    val got = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+    got.collect() // finalize the adaptive plan
+    val s = got.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin"))
+    assert(s.contains("Sort") && s.contains("Exchange"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("SortMergeJoin"))
+  }
+}
