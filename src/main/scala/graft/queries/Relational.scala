@@ -287,6 +287,19 @@ object Relational {
         count(lit(1)).as("cnt"))
     },
 
+    // collection aggregates — sorted before serialization so the hash is
+    // order-insensitive (collect_list order is nondeterministic)
+    QDef.sql(
+      "q38_collect",
+      """SELECT o_custkey,
+        |       to_json(array_sort(collect_list(o_orderkey))) AS orders_json,
+        |       to_json(array_sort(collect_set(o_orderpriority))) AS prios_json
+        |FROM orders WHERE o_custkey < 30 GROUP BY o_custkey""".stripMargin,
+      """SELECT o_custkey,
+        |       to_json(list_sort(list(o_orderkey))) AS orders_json,
+        |       to_json(list_sort(list_distinct(list(o_orderpriority)))) AS prios_json
+        |FROM orders WHERE o_custkey < 30 GROUP BY o_custkey""".stripMargin),
+
     // ---------------------------------------------------------- windows
     QDef.shared(
       "q30_row_number",
@@ -565,6 +578,19 @@ object Relational {
         |       CAST(min(len(embedding)) AS BIGINT) AS min_dim,
         |       CAST(max(len(embedding)) AS BIGINT) AS max_dim
         |FROM embeddings GROUP BY label""".stripMargin),
+
+    QDef.sql(
+      "q54b_array_advanced",
+      """SELECT vec_id,
+        |       CAST(size(slice(embedding, 1, 8)) AS BIGINT) AS slice_len,
+        |       CAST(element_at(reverse(embedding), 1) AS DECIMAL(18,4)) AS last_elem,
+        |       CAST(size(array_distinct(transform(embedding, x -> CAST(x > 0 AS INT)))) AS BIGINT) AS sign_kinds
+        |FROM embeddings""".stripMargin,
+      """SELECT vec_id,
+        |       CAST(len(embedding[1:8]) AS BIGINT) AS slice_len,
+        |       CAST(list_reverse(embedding)[1] AS DECIMAL(18,4)) AS last_elem,
+        |       CAST(len(list_distinct(list_transform(embedding, x -> CAST(x > 0 AS INTEGER)))) AS BIGINT) AS sign_kinds
+        |FROM embeddings""".stripMargin),
 
     QDef.sql(
       "q55_json",
