@@ -154,6 +154,13 @@ object Llm {
       Similarity.annBruteForce(e, e.filter(col("vec_id") < 5), 3)
     },
 
+    // IVF ANN scale path (engine-only: k-means cells aren't oracle-stable).
+    QDef.engineOnly("q89b_ann_ivf") { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val model = graft.llm.Ivf.train(e, nCells = 8, iters = 2)
+      graft.llm.Ivf.search(model, e.filter(col("vec_id") < 5), k = 3, nProbe = 2)
+    },
+
     // ---------------------------------------------------- text analysis
     QDef.df("q84_token_frequency",
       """SELECT word, count(*) AS cnt

@@ -43,6 +43,25 @@ class LlmSpec extends SparkSpec {
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
   }
 
+  test("IVF ANN: self is always top-1; recall overlaps brute force") {
+    val emb = Tables.embeddings(spark)
+    val model = graft.llm.Ivf.train(emb, nCells = 8, iters = 2)
+    assert(model.centroids.count() == 8)
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = graft.llm.Ivf.search(model, queries, k = 3, nProbe = 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // a query's own cell is its nearest centroid's cell, so self (cos=1) is
+    // always among the candidates and must rank first
+    val top1 = graft.llm.Ivf.search(model, queries, k = 1, nProbe = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(q => assert(top1(q) == q, s"query $q"))
+    // probing 2 of 8 cells should still recover some true neighbors
+    val bf = Similarity.annBruteForce(emb, queries, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = (0L until 10L).map(q => (ivf(q) & bf(q)).size).sum / 30.0
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("minhash estimate is 1.0 for identical docs and low for disjoint docs") {
     val est = Dedup.minhashLsh(docs, dictionary = true).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
