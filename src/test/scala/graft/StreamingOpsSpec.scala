@@ -63,6 +63,57 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("mapGroupsWithState: running per-user stats accumulate across micro-batches") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.UserEvent
+    val in = tmpDir("state_in")
+    val schema = "user_id LONG, event_id LONG, value DOUBLE"
+    write(in, "b0.jsonl", Seq(
+      """{"user_id":1,"event_id":10,"value":5.0}""",
+      """{"user_id":1,"event_id":11,"value":7.0}""",
+      """{"user_id":2,"event_id":12,"value":1.0}"""))
+    val src = spark.readStream.schema(schema).json(in).as[UserEvent]
+    val q = Stateful.runningUserStats(src).writeStream
+      .outputMode(Stateful.outputMode).format("memory").queryName("stats_out")
+      .option("checkpointLocation", tmpDir("state_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // second batch updates existing state
+      write(in, "b1.jsonl", Seq("""{"user_id":1,"event_id":13,"value":3.0}"""))
+      q.processAllAvailable()
+      // memory+update mode appends each update; latest row per user wins
+      val rows = spark.table("stats_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(rows(1L) == ((3L, 15.0, 13L)))
+      assert(rows(2L) == ((1L, 1.0, 12L)))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("bucketed co-located join runs without any shuffle Exchange") {
+    import graft.engine.Bucketing
+    val dir = "/root/testdata/sf0.001"
+    val suffix = System.nanoTime() // in-memory catalog forgets, locations persist
+    Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet"), s"b_orders_$suffix", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      spark.read.parquet(s"$dir/lineitem.parquet"), s"b_lineitem_$suffix", "l_orderkey", 8)
+    // force the non-broadcast path: the point is that the SORT-MERGE join
+    // needs no shuffle because the bucketed scans already satisfy the
+    // required distribution
+    val joined = spark.table(s"b_lineitem_$suffix").hint("merge")
+      .join(spark.table(s"b_orders_$suffix"), col("l_orderkey") === col("o_orderkey"))
+    joined.collect() // finalize adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), s"expected shuffle-free bucketed join:\n$plan")
+    assert(joined.count() == spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey")).count())
+    spark.sql(s"DROP TABLE IF EXISTS b_orders_$suffix")
+    spark.sql(s"DROP TABLE IF EXISTS b_lineitem_$suffix")
+  }
+
   test("salted join equals plain join (content), splitting key partitions") {
     val big = (0 until 10000).map(i => (if (i % 10 == 0) 1L else i.toLong % 100, s"v$i"))
       .toDF("k", "payload") // key 1 is hot
