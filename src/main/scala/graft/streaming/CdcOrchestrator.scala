@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import graft.cdc.CdcPipeline
+import graft.inspect.Inspection
+import graft.model.TableSpec
+import graft.sink.LocalParquetSink
+
+/** Multi-table fan-out orchestration — the reference's two entry points
+  * re-expressed in-process (R30 `add_new_tables` add_output.py:458-561, R31
+  * `update_existing_tables` :564-669, R32 idempotence registry :512-516).
+  *
+  * One streaming query per discovered table (each with its own checkpoint
+  * and sink), discovery from the data itself (R25: distribution of the
+  * derived full table name), include/exclude filtering (R26), and the
+  * already-running registry check that makes repeated invocation a no-op.
+  */
+object CdcOrchestrator {
+
+  final case class Running(
+      table: String,
+      spec: CdcStreamSpec,
+      query: org.apache.spark.sql.streaming.StreamingQuery)
+
+  /** R25: tables present in the stream, via the derived full_table_name. */
+  def discoverTables(spark: SparkSession, inputDir: String): Seq[String] =
+    Inspection.tables(CdcPipeline.readBatch(spark, inputDir))
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** R30 + R32: start a pipeline for every discovered table that (a) passes
+    * include/exclude, (b) has a columns-file spec (the reference skips
+    * tables it can't type), and (c) isn't already running.
+    */
+  def addNewTables(
+      spark: SparkSession,
+      inputDir: String,
+      columnsPath: String,
+      sinkRoot: String,
+      checkpointRoot: String,
+      include: Seq[String],
+      exclude: Seq[String],
+      running: Map[String, Running] = Map.empty,
+      logicalDeletes: Boolean = false): Map[String, Running] = {
+    val specs = TableSpec.loadCsv(columnsPath)
+    val discovered = discoverTables(spark, inputDir)
+      .filter(t => include.isEmpty || include.contains(t))
+      .filterNot(exclude.contains)
+    val toStart = discovered
+      .filterNot(running.contains)       // R32: exists ⇒ skip
+      .filter(specs.contains)            // no spec ⇒ skip (reference behavior)
+    val started = toStart.map { t =>
+      val safe = t.replace('.', '_')
+      val spec = CdcStreamSpec(
+        inputDir, s"$checkpointRoot/$safe", specs(t),
+        new LocalParquetSink(s"$sinkRoot/$safe"),
+        logicalDeletes = logicalDeletes)
+      t -> Running(t, spec, CdcStream.start(spark, spec))
+    }
+    running ++ started
+  }
+
+  /** R31: evolution pass over every running table — stop/backfill/restart
+    * whichever ones grew new columns; others keep running untouched.
+    */
+  def updateExistingTables(
+      spark: SparkSession,
+      running: Map[String, Running],
+      udtOf: String => String = _ => "varchar"): Map[String, Running] =
+    running.map { case (t, r) =>
+      SchemaEvolution.evolveAndRestart(spark, r.query, r.spec, udtOf) match {
+        case Some((q2, spec2)) => t -> Running(t, spec2, q2)
+        case None              => t -> r
+      }
+    }
+
+  def stopAll(running: Map[String, Running]): Unit =
+    running.values.foreach { r => r.query.stop(); r.query.awaitTermination() }
+}

@@ -112,6 +112,33 @@ class CdcStreamingSpec extends SparkSpec {
     assert(rows.filter(col("row_discount").isNotNull).count() > 0)
   }
 
+  test("orchestrator: fan-out per discovered table, exclude + idempotence (R30/R32)") {
+    import graft.streaming.CdcOrchestrator
+    val in = tmpDir("orch_in")
+    writeChunk(in, "all.jsonl", fixtureLines)
+    val sinkRoot = tmpDir("orch_sink"); val ckptRoot = tmpDir("orch_ckpt")
+    val include = Seq("shop.orders", "shop.customers", "shop.audit_log", "crm.leads")
+    var running = CdcOrchestrator.addNewTables(
+      spark, in, Cdc.Fixtures.columnsPath, sinkRoot, ckptRoot,
+      include, exclude = Seq("shop.audit_log"))
+    try {
+      // audit_log excluded; orders/customers/leads have specs and start
+      assert(running.keySet == Set("shop.orders", "shop.customers", "crm.leads"))
+      running.values.foreach(_.query.processAllAvailable())
+      // R32: re-invoking starts nothing new
+      val again = CdcOrchestrator.addNewTables(
+        spark, in, Cdc.Fixtures.columnsPath, sinkRoot, ckptRoot,
+        include, Seq("shop.audit_log"), running)
+      assert(again.keySet == running.keySet &&
+        again.values.map(_.query.id).toSet == running.values.map(_.query.id).toSet)
+      // every started table materialized rows
+      for (t <- running.keys) {
+        val sink = running(t).spec.sink
+        assert(sink.read(spark, graft.sink.DeleteMode.Hard).count() > 0, t)
+      }
+    } finally CdcOrchestrator.stopAll(running)
+  }
+
   test("watermark drops late events (tumbling window, append mode)") {
     import spark.implicits._
     val in = tmpDir("wm_in")
