@@ -351,6 +351,24 @@ object Relational {
         |      FROM orders) t
         |GROUP BY tile""".stripMargin),
 
+    // q34's semantics through the distributed ranking path (engine-only —
+    // same oracle as q34; Ranking.ntileScalable avoids the single-partition
+    // global window that q34's ntile() OVER (ORDER BY ...) implies).
+    QDef.df("q34b_ntile_scalable",
+      """SELECT CAST(tile AS BIGINT) AS tile, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM (SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+        |      FROM orders) t
+        |GROUP BY tile""".stripMargin) { (s, dir) =>
+      val orders = Tables.table(s, dir, "orders")
+      graft.engine.Ranking
+        .ntileScalable(orders, 4, Seq(col("o_totalprice"), col("o_orderkey")))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+        .select(col("tile"), col("cnt"), col("total"))
+    },
+
     QDef.sql(
       "q35_moving_avg",
       """SELECT user_id, event_id,

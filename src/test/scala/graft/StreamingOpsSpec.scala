@@ -114,6 +114,19 @@ class StreamingOpsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS b_lineitem_$suffix")
   }
 
+  test("scalable ntile matches the window ntile exactly, without a global window") {
+    import graft.engine.Ranking
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val viaWindow = orders.select(col("o_orderkey"),
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long").as("tile"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScalable = Ranking.ntileScalable(orders, 4, Seq(col("o_totalprice"), col("o_orderkey")))
+      .select(col("o_orderkey"), col("tile"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaScalable == viaWindow)
+  }
+
   test("salted join equals plain join (content), splitting key partitions") {
     val big = (0 until 10000).map(i => (if (i % 10 == 0) 1L else i.toLong % 100, s"v$i"))
       .toDF("k", "payload") // key 1 is hot
