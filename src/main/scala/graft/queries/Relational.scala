@@ -71,6 +71,21 @@ object Relational {
         |WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
         |GROUP BY p_brand""".stripMargin),
 
+    QDef.sql(
+      "q08_null_safe_eq",
+      """SELECT count(*) AS matched FROM events e1 JOIN events e2
+        |  ON e1.event_id = e2.event_id AND e1.value <=> e2.value""".stripMargin,
+      """SELECT count(*) AS matched FROM events e1 JOIN events e2
+        |  ON e1.event_id = e2.event_id AND e1.value IS NOT DISTINCT FROM e2.value""".stripMargin),
+
+    QDef.shared(
+      "q09_conditionals",
+      """SELECT o_orderstatus,
+        |       count(nullif(o_orderpriority, '1-URGENT')) AS non_urgent,
+        |       CAST(SUM(CAST(greatest(o_totalprice, 100000) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_hi,
+        |       CAST(SUM(CAST(least(o_totalprice, 100000) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_lo
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+
     // ---------------------------------------------------------- joins
     QDef.shared(
       "q10_inner_join",
@@ -286,6 +301,15 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         count(lit(1)).as("cnt"))
     },
+
+    QDef.sql(
+      "q39_string_agg",
+      """SELECT n_regionkey,
+        |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey""".stripMargin),
 
     // collection aggregates — sorted before serialization so the hash is
     // order-insensitive (collect_list order is nondeterministic)
