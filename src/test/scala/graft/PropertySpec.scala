@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.types.UdtMapper
+
+/** Property-based coverage (SURVEY §5.3): the R3 calculated-field round
+  * trip, udt-mapper totality, and upsert order-invariance (the latter also
+  * exercised with concrete permutations in LocalParquetSinkSpec).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val tableName =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  test("R3 round-trip: regexp_replace(x || '_part_' || n, suffix, '') == x") {
+    check(Prop.forAll(tableName, Gen.choose(0, 9999)) { (name, n) =>
+      // holds unless the base name itself ends in _part_N — exactly the
+      // reference's documented stripping semantics
+      name.matches(".*_part_[0-9]+$") ||
+        s"${name}_part_$n".replaceAll("_part_[0-9]+$", "") == name
+    })
+  }
+
+  test("R3 round-trip holds through the engine expression too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val names = Seq("orders", "a", "x_part_y", "t2", "part", "audit_log")
+    val df = names.zipWithIndex.toDF("name", "shard")
+    val out = df.select(col("name"),
+        regexp_replace(concat(col("name"), lit("_part_"), col("shard")),
+          "_part_[0-9]+$", "").as("rt")).collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(0), r))
+  }
+
+  test("udt mapper is total: any string maps, arrays always variant, flags consistent") {
+    check(Prop.forAll(Gen.alphaStr, Gen.oneOf(true, false)) { (udt, arr) =>
+      val raw = if (arr) "_" + udt else udt
+      val m = UdtMapper.map(raw)
+      m.isArray == raw.startsWith("_") &&
+        (!m.isArray || (m.dbType == "DbVariant" && m.logicalType.endsWith("[]") && !m.isDate)) &&
+        Set("DbBigInt", "DbDouble", "DbString", "DbBoolean", "DbTimestamp", "DbDate", "DbVariant")
+          .contains(m.dbType) &&
+        m.isDate == (m.dbType == "DbDate")
+    })
+  }
+
+  test("last-write-wins is permutation-invariant (CdcPipeline.latest)") {
+    import spark.implicits._
+    // scalacheck generates the event set; Spark round-trips a shuffle of it
+    val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 100)))
+    val samples = Iterator.continually(gen.sample).flatten.take(8).toSeq
+    for (pairs <- samples if pairs.nonEmpty) {
+      val events = pairs.zipWithIndex.map { case ((k, v), seq) => (k.toString, seq.toLong, v) }
+      val expected = events.groupBy(_._1).view.mapValues(_.maxBy(_._2)._3).toMap
+      val shuffled = scala.util.Random.shuffle(events)
+      val got = graft.cdc.CdcPipeline
+        .latest(shuffled.toDF("primary_key", "seq", "v"), Seq("primary_key"))
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      assert(got == expected, s"events: $events")
+    }
+  }
+}
