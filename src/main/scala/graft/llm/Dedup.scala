@@ -134,6 +134,39 @@ object Dedup {
       .select(col("doc_id"), fp.as("fp"))
   }
 
+  // ------------------------------------------- embedding-cosine near-dup
+  /** Near-duplicate pairs by embedding cosine ≥ threshold — the semantic
+    * twin of token-based near-dup (catches paraphrases token methods miss).
+    * Exact pairwise baseline; at scale use [[embeddingNearDupLsh]].
+    */
+  def embeddingNearDupPairs(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val a = vectors.select(col(idCol).as("i"), col(embCol).as("ea"))
+    val b = vectors.select(col(idCol).as("j"), col(embCol).as("eb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  /** Scale path: random-hyperplane buckets first (near-identical vectors
+    * share all sign bits with high probability), exact cosine only within a
+    * bucket — candidate generation becomes an equi-join like minhash-LSH.
+    */
+  def embeddingNearDupLsh(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val bucketed = vectors.select(col(idCol), col(embCol),
+      Similarity.lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("i"), col(embCol).as("ea"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("j"), col(embCol).as("eb"))
+    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos")).distinct()
+  }
+
   // ------------------------------------------------- n-gram shingles
   /** Word n-gram shingles in document order: (doc_id, shingle). */
   def shingles(docs: DataFrame, n: Int,

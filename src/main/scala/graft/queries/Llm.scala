@@ -117,6 +117,25 @@ object Llm {
         .select(col("i"), col("j"), col("jaccard").cast("decimal(38,4)").as("jaccard"))
     },
 
+    // embedding-cosine near-dup (semantic dedup; vec_id<100, low threshold
+    // so the synthetic random vectors yield non-trivial pairs)
+    QDef.df("q93_embedding_neardup",
+      s"""$V,
+         |a AS (SELECT vec_id AS i, ve AS ea FROM v WHERE vec_id < 100),
+         |b AS (SELECT vec_id AS j, ve AS eb FROM v WHERE vec_id < 100)
+         |SELECT i, j,
+         |       CAST(list_dot_product(ea, eb) /
+         |            (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
+         |            AS DECIMAL(38,4)) AS cos
+         |FROM a JOIN b ON i < j
+         |WHERE list_dot_product(ea, eb) /
+         |      (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) >= 0.3""".stripMargin) {
+      (s, dir) =>
+        Dedup.embeddingNearDupPairs(
+            Tables.table(s, dir, "embeddings").filter(col("vec_id") < 100), 0.3)
+          .select(col("i"), col("j"), col("cos").cast("decimal(38,4)").as("cos"))
+    },
+
     // ------------------------------------------------------- similarity
     QDef.df("q82_cosine_all",
       s"""$V,

@@ -80,6 +80,20 @@ class LlmSpec extends SparkSpec {
     assert(viaAgg == viaExplode)
   }
 
+  test("embedding near-dup: exact duplicates found; LSH path is a subset with full recall on dups") {
+    val emb = Tables.embeddings(spark)
+    // plant an exact duplicate of vector 0
+    val dup = emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val withDup = emb.unionByName(dup)
+    val exact = graft.llm.Dedup.embeddingNearDupPairs(withDup, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 9999L)))
+    val lsh = graft.llm.Dedup.embeddingNearDupLsh(withDup, 0.999, dim = 64, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 9999L)))  // identical vectors always share a bucket
+    assert(lsh.subsetOf(exact))        // LSH never invents pairs
+  }
+
   test("simhash: identical docs get identical fingerprints, disjoint differ") {
     val fp = Dedup.simhash16(Dedup.dictionaryCodes(Dedup.tokenSets(docs)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
