@@ -245,6 +245,23 @@ object Relational {
       """SELECT o_custkey, count(*) AS cnt FROM orders
         |GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin),
 
+    QDef.shared(
+      "q25b_correlated_scalar",
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |       (SELECT CAST(coalesce(max(o_totalprice), 0) AS DECIMAL(18,2))
+        |        FROM orders WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer WHERE c_custkey < 50""".stripMargin),
+
+    // correlated LATERAL subquery: per-nation top customer by balance
+    QDef.shared(
+      "q49b_lateral",
+      """SELECT n_name, t.c_name, t.bal
+        |FROM nation,
+        |LATERAL (SELECT c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |         FROM customer WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t""".stripMargin),
+
     QDef.sql(
       "q26_filtered_agg",
       """SELECT event_type,
@@ -644,6 +661,19 @@ object Relational {
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin),
+
+    QDef.sql(
+      "q56b_map_functions",
+      """SELECT event_type,
+        |       to_json(map_keys(map('t', event_type, 'u', CAST(user_id AS STRING)))) AS mkeys,
+        |       element_at(map_values(map('t', event_type, 'u', CAST(user_id AS STRING))), 1) AS first_val,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+      """SELECT event_type,
+        |       to_json(map_keys(MAP {'t': event_type, 'u': CAST(user_id AS STRING)})) AS mkeys,
+        |       map_values(MAP {'t': event_type, 'u': CAST(user_id AS STRING)})[1] AS first_val,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin),
 
     QDef.sql(
       "q56_map_ops",
