@@ -384,6 +384,30 @@ object Relational {
         |            AS DECIMAL(38,4)) AS run_qty
         |FROM lineitem WHERE l_orderkey < 500""".stripMargin),
 
+    // RANGE frame (value-based, vs q33's ROWS): rolling 1h event count/sum
+    // per user over epoch-micro offsets — works identically in both dialects
+    // as a numeric range.
+    QDef.sql(
+      "q33b_range_frame",
+      """WITH e2 AS (SELECT user_id, event_id, unix_micros(ts) AS tus, value
+        |            FROM events WHERE user_id < 5)
+        |SELECT user_id, event_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+        |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_1h
+        |FROM e2
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |user_id, event_type, value, props FROM events),
+        |e2 AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+        |       FROM e WHERE user_id < 5)
+        |SELECT user_id, event_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+        |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_1h
+        |FROM e2
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+
     QDef.shared(
       "q34_ntile",
       """SELECT CAST(tile AS BIGINT) AS tile, count(*) AS cnt,
