@@ -40,6 +40,13 @@ object Relational {
       s.read.parquet(out).agg(count(lit(1)).as("cnt"))
     },
 
+    // seeded sampling (engine-only: sampling RNGs differ across engines;
+    // REPEATABLE makes it deterministic within Spark)
+    QDef.engineOnly("q99_tablesample") { (s, dir) =>
+      Tables.ensure(s, dir)
+      s.sql("SELECT count(*) AS cnt FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+    },
+
     // ------------------------------------------------- filters / predicates
     QDef.shared(
       "q04_compound_predicate",
