@@ -29,11 +29,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
+    // invalid JSON
+    def num(fmt: String, v: Double): String = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val eps = cdcThroughput(spark)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"cdc_events_per_sec":$eps%.0f,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qjson,"cdc_events_per_sec":${num("%.0f", eps)},"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -70,7 +73,13 @@ object Bench {
         ColSpec("id", "int", isPrimaryKey = true),
         ColSpec("amount", "decimal", isPrimaryKey = false),
         ColSpec("qty", "smallint", isPrimaryKey = false)))
-      val base = java.nio.file.Files.createTempDirectory("graft_cdc_bench").toString
+      // fixed, wiped base dir — fresh temp dirs would accumulate ~1M-row
+      // copies across bench runs
+      val base = sys.props("java.io.tmpdir") + "/graft_cdc_bench"
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(new java.io.File(base))
       val jsonDir = s"$base/events"
       spark.range(n).select(js.as("value")).write.text(jsonDir) // untimed generation
 

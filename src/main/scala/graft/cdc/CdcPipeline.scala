@@ -54,11 +54,16 @@ object CdcPipeline {
     * `primary_key`, `is_delete`, `seq`, plus `row_*`/`old_row_*` leaves.
     */
   def expanded(df: DataFrame): DataFrame = {
+    val dataSchema = df.schema("data").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    // insert-only feeds may carry neither metadata nor old_row structs
+    val isDelete =
+      if (dataSchema.fieldNames.contains("metadata"))
+        coalesce(col("data.metadata.is_delete"), lit(false))
+      else lit(false)
     val base = Seq(
       col("seq"),
       col("data.primary_key").as("primary_key"),
-      coalesce(col("data.metadata.is_delete"), lit(false)).as("is_delete"))
-    val dataSchema = df.schema("data").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      isDelete.as("is_delete"))
     val rows = Flatten.columns(df, "data.row", "row_")
     // insert-only streams may carry no old_row struct at all
     val olds =

@@ -20,7 +20,11 @@ object Ranking {
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // persist the sorted rows: zipWithIndex runs one extra job to learn
+    // partition sizes, and downstream consumers (ntileScalable's count +
+    // the final read) would otherwise re-run the whole shuffle+sort per pass
     val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withIdx = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(withIdx,
       sorted.schema.copy(fields = sorted.schema.fields :+ StructField("__idx", LongType, nullable = false)))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.Collections
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: don't pin stopped sessions (long-lived processes create many)
+  private val registered = Collections.synchronizedSet(
+    Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotent per-session registration of all graft functions. */
   def register(spark: SparkSession): Unit =

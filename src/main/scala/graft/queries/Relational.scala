@@ -33,7 +33,9 @@ object Relational {
     // writer path; oracle counts directly.
     QDef.df("q03_parquet_roundtrip",
       "SELECT count(*) AS cnt FROM lineitem WHERE l_discount > 0.05") { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_q03").toString
+      // fixed path + overwrite: a fresh temp dir per execution would
+      // accumulate a filtered lineitem copy on every run
+      val out = sys.props("java.io.tmpdir") + "/graft_q03_roundtrip"
       s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_discount") > 0.05)
         .write.mode("overwrite").parquet(out)
@@ -404,16 +406,15 @@ object Relational {
         |FROM e2
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
-      """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
-        |user_id, event_type, value, props FROM events),
-        |e2 AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
-        |       FROM e WHERE user_id < 5)
-        |SELECT user_id, event_id,
-        |       CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
-        |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_1h
-        |FROM e2
-        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+      s"""$E,
+         |e2 AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+         |       FROM e WHERE user_id < 5)
+         |SELECT user_id, event_id,
+         |       CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+         |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_1h
+         |FROM e2
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     QDef.shared(
       "q34_ntile",

@@ -37,8 +37,11 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
     val (current, gen) =
       if (exists) {
         val c = spark.read.parquet(dir)
-        val g = c.agg(max(col("__gen"))).collect().head.getLong(0) + 1L
-        (Some(c), g)
+        // max over an empty table (schema-only parquet from an all-filtered
+        // micro-batch) is null — start generations at 0 in that case
+        val maxGen = Option(c.agg(max(col("__gen"))).collect().head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(-1L)
+        (Some(c), maxGen + 1L)
       } else (None, 0L)
     val incoming = batch
       .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))

@@ -130,9 +130,14 @@ object SchemaEvolution {
       val extended = spec.table.copy(cols = spec.table.cols ++
         missing.map { case (n, _) => graft.model.ColSpec(n, udtOf(n), isPrimaryKey = false) })
       val earliest = missing.map(_._2.getTime).min - 60000L // − 1 minute (R19)
-      val newSpec = spec.copy(table = extended,
+      // the AtTime bound applies to the ONE-SHOT backfill only; the restarted
+      // continuous query must keep the original start point, otherwise every
+      // future late-arriving event older than the evolution moment would be
+      // silently dropped by the replay filter
+      val backfillSpec = spec.copy(table = extended,
         startFrom = StartFrom.AtTime(new Timestamp(earliest)))
-      CdcStream.backfill(spark, newSpec)
+      CdcStream.backfill(spark, backfillSpec)
+      val newSpec = spec.copy(table = extended)
       Some((CdcStream.start(spark, newSpec), newSpec))
     }
   }

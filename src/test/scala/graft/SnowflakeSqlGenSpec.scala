@@ -12,19 +12,23 @@ class SnowflakeSqlGenSpec extends AnyFunSuite {
     ColSpec("tags", "_int4", isPrimaryKey = false),
     ColSpec("created", "datetime", isPrimaryKey = false)))
 
-  test("createTable: upper-cased identifiers, variant for arrays, IF NOT EXISTS") {
+  test("createTable: upper-cased identifiers, variant for arrays, SEQ column, IF NOT EXISTS") {
     val ddl = SnowflakeSqlGen.createTable("db", "public", spec)
     assert(ddl.contains("CREATE TABLE IF NOT EXISTS DB.PUBLIC.ORDERS"))
     assert(ddl.contains("ID BIGINT"))
     assert(ddl.contains("AMOUNT DOUBLE"))
     assert(ddl.contains("TAGS VARIANT"))
     assert(ddl.contains("CREATED TIMESTAMP_NTZ"))
+    assert(ddl.contains("SEQ BIGINT"))
   }
 
-  test("merge: keyed on PK, hard delete clause, no insert of deletes") {
+  test("merge: per-key dedup source, SEQ replay guard, hard delete, no insert of deletes") {
     val m = SnowflakeSqlGen.merge("db", "public", spec)
     assert(m.contains("ON t.ID = s.ID"))
-    assert(m.contains("WHEN MATCHED AND s.IS_DELETE THEN DELETE"))
+    assert(m.contains("QUALIFY ROW_NUMBER() OVER (PARTITION BY ID ORDER BY SEQ DESC) = 1"))
+    assert(m.contains("WHEN MATCHED AND s.SEQ > t.SEQ AND s.IS_DELETE THEN DELETE"))
+    assert(m.contains("WHEN MATCHED AND s.SEQ > t.SEQ THEN UPDATE SET"))
+    assert(m.contains("t.SEQ = s.SEQ"))
     assert(m.contains("WHEN NOT MATCHED AND NOT s.IS_DELETE"))
   }
 
