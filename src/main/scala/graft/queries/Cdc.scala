@@ -138,28 +138,28 @@ object Cdc {
          |last AS (SELECT * FROM r WHERE rn = 1 AND NOT is_del)
          |SELECT primary_key,
          |       CAST(row_id AS BIGINT) AS id,
-         |       CAST(CAST(row_amount AS DOUBLE) AS DECIMAL(18,4)) AS amount,
+         |       CAST(CAST(CAST(row_amount AS DOUBLE) AS DECIMAL(18,4)) AS STRING) AS amount,
          |       CAST(row_qty AS BIGINT) AS qty,
          |       row_note AS note,
          |       epoch_us(CAST(row_created AS TIMESTAMP)) AS created_us,
          |       CAST(row_active AS BOOLEAN) AS active,
          |       row_tags AS tags_json,
          |       row_ext_id AS ext_id,
-         |       CAST(CAST(row_discount AS DOUBLE) AS DECIMAL(18,4)) AS discount
+         |       CAST(CAST(CAST(row_discount AS DOUBLE) AS DECIMAL(18,4)) AS STRING) AS discount
          |FROM last""".stripMargin
     }) { (s, _) =>
       val typed = CdcPipeline.materialize(env(s), ordersSpec, logicalDeletes = false)
       typed.select(
         col("primary_key"),
         col("row_id").as("id"),
-        col("row_amount").cast("decimal(18,4)").as("amount"),
+        col("row_amount").cast("decimal(18,4)").cast("string").as("amount"),
         col("row_qty").as("qty"),
         col("row_note").as("note"),
         unix_micros(col("row_created").cast("timestamp")).as("created_us"),
         col("row_active").as("active"),
         to_json(array_sort(col("row_tags"))).as("tags_json"),
         col("row_ext_id").as("ext_id"),
-        col("row_discount").cast("decimal(18,4)").as("discount"))
+        col("row_discount").cast("decimal(18,4)").cast("string").as("discount"))
     },
 
     // R20: field first-seen — min event time where the column is non-null,

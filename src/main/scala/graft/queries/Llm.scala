@@ -40,7 +40,7 @@ object Llm {
        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
        |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)
-       |SELECT i, j, CAST(c / (sa.n + sb.n - c) AS DECIMAL(38,4)) AS jaccard
+       |SELECT i, j, CAST(CAST(c / (sa.n + sb.n - c) AS DECIMAL(38,4)) AS STRING) AS jaccard
        |FROM p JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
        |WHERE c / (sa.n + sb.n - c) >= $threshold""".stripMargin
 
@@ -58,7 +58,8 @@ object Llm {
     QDef.df("q81_jaccard_pairs",
       s"WITH ${toksCte(50)},\n${jaccardTail(0.5)}") { (s, dir) =>
       Dedup.jaccardPairs(Tables.table(s, dir, "documents").filter(col("doc_id") < 50), 0.5)
-        .select(col("i"), col("j"), col("jaccard").cast("decimal(38,4)").as("jaccard"))
+        .select(col("i"), col("j"),
+          col("jaccard").cast("decimal(38,4)").cast("string").as("jaccard"))
     },
 
     QDef.df("q86_minhash_lsh", {
@@ -77,8 +78,8 @@ object Llm {
          |         FROM bs a JOIN bs b ON a.band = b.band AND a.bkey = b.bkey
          |                            AND a.doc_id < b.doc_id)
          |SELECT c.i, c.j,
-         |       CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / ${Dedup.NumHashes}.0
-         |            AS DECIMAL(38,4)) AS est
+         |       CAST(CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / ${Dedup.NumHashes}.0
+         |            AS DECIMAL(38,4)) AS STRING) AS est
          |FROM cand c
          |JOIN h ha ON ha.doc_id = c.i
          |JOIN h hb ON hb.doc_id = c.j AND hb.hi = ha.hi
@@ -86,7 +87,8 @@ object Llm {
     }) { (s, dir) =>
       Dedup.minhashLsh(
           Tables.table(s, dir, "documents").filter(col("doc_id") < 50), dictionary = true)
-        .select(col("i"), col("j"), col("est").cast("decimal(38,4)").as("est"))
+        .select(col("i"), col("j"),
+          col("est").cast("decimal(38,4)").cast("string").as("est"))
     },
 
     QDef.df("q87_simhash", {
@@ -114,7 +116,8 @@ object Llm {
     }) { (s, dir) =>
       Dedup.ngramJaccardPairs(
           Tables.table(s, dir, "documents").filter(col("doc_id") < 30), 3, 0.2)
-        .select(col("i"), col("j"), col("jaccard").cast("decimal(38,4)").as("jaccard"))
+        .select(col("i"), col("j"),
+          col("jaccard").cast("decimal(38,4)").cast("string").as("jaccard"))
     },
 
     // embedding-cosine near-dup (semantic dedup; vec_id<100, low threshold
@@ -124,40 +127,44 @@ object Llm {
          |a AS (SELECT vec_id AS i, ve AS ea FROM v WHERE vec_id < 100),
          |b AS (SELECT vec_id AS j, ve AS eb FROM v WHERE vec_id < 100)
          |SELECT i, j,
-         |       CAST(list_dot_product(ea, eb) /
+         |       CAST(CAST(list_dot_product(ea, eb) /
          |            (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
-         |            AS DECIMAL(38,4)) AS cos
+         |            AS DECIMAL(38,4)) AS STRING) AS cos
          |FROM a JOIN b ON i < j
          |WHERE list_dot_product(ea, eb) /
          |      (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) >= 0.3""".stripMargin) {
       (s, dir) =>
         Dedup.embeddingNearDupPairs(
             Tables.table(s, dir, "embeddings").filter(col("vec_id") < 100), 0.3)
-          .select(col("i"), col("j"), col("cos").cast("decimal(38,4)").as("cos"))
+          .select(col("i"), col("j"),
+            col("cos").cast("decimal(38,4)").cast("string").as("cos"))
     },
 
     // ------------------------------------------------------- similarity
     QDef.df("q82_cosine_all",
       s"""$V,
          |q AS (SELECT ve AS qe FROM v WHERE vec_id = 0)
-         |SELECT v.vec_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos FROM v, q""".stripMargin) {
+         |SELECT v.vec_id, CAST(CAST($cosExpr AS DECIMAL(38,4)) AS STRING) AS cos FROM v, q""".stripMargin) {
       (s, dir) =>
         val e = Tables.table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         Similarity.cosineAll(e, q)
-          .select(col("vec_id"), col("cos").cast("decimal(38,4)").as("cos"))
+          .select(col("vec_id"),
+            col("cos").cast("decimal(38,4)").cast("string").as("cos"))
     },
 
     QDef.df("q83_cosine_topk",
       s"""$V,
          |q AS (SELECT ve AS qe FROM v WHERE vec_id = 0)
-         |SELECT v.vec_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos FROM v, q
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+         |SELECT vec_id, CAST(cos AS STRING) AS cos FROM (
+         |  SELECT v.vec_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos FROM v, q
+         |  ORDER BY cos DESC, vec_id LIMIT 10) t""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       Similarity.cosineAll(e, q)
         .select(col("vec_id"), col("cos").cast("decimal(38,4)").as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("cos").cast("string").as("cos"))
     },
 
     QDef.df("q89_ann_topk",
@@ -168,9 +175,10 @@ object Llm {
          |r AS (SELECT q_id, n_id, cos,
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
          |      FROM sc)
-         |SELECT q_id, n_id, cos FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+         |SELECT q_id, n_id, CAST(cos AS STRING) AS cos FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
       Similarity.annBruteForce(e, e.filter(col("vec_id") < 5), 3)
+        .withColumn("cos", col("cos").cast("string"))
     },
 
     // IVF ANN scale path (engine-only: k-means cells aren't oracle-stable).
@@ -192,7 +200,7 @@ object Llm {
       "q85_text_stats",
       """SELECT lang, count(*) AS docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |       CAST(avg(CAST(length(text) AS DOUBLE)) AS DECIMAL(38,4)) AS avg_len
+        |       CAST(CAST(avg(CAST(length(text) AS DOUBLE)) AS DECIMAL(38,4)) AS STRING) AS avg_len
         |FROM documents GROUP BY lang""".stripMargin),
 
     QDef.df("q90_quality_score", {
@@ -200,14 +208,16 @@ object Llm {
       s"""SELECT doc_id,
          |       CAST(length(text) AS BIGINT) AS chars,
          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
-         |       CAST((length(text) - (len(string_split(text, ' ')) - 1))
-         |            / len(string_split(text, ' ')) AS DECIMAL(38,4)) AS avg_tok_len,
-         |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop)))
-         |            / len(string_split(text, ' ')) AS DECIMAL(38,4)) AS stop_ratio,
+         |       CAST(CAST((length(text) - (len(string_split(text, ' ')) - 1))
+         |            / len(string_split(text, ' ')) AS DECIMAL(38,4)) AS STRING) AS avg_tok_len,
+         |       CAST(CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop)))
+         |            / len(string_split(text, ' ')) AS DECIMAL(38,4)) AS STRING) AS stop_ratio,
          |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
          |FROM documents WHERE doc_id < 200""".stripMargin
     }) { (s, dir) =>
       TextAnalysis.quality(Tables.table(s, dir, "documents").filter(col("doc_id") < 200))
+        .withColumn("avg_tok_len", col("avg_tok_len").cast("string"))
+        .withColumn("stop_ratio", col("stop_ratio").cast("string"))
     },
 
     QDef.df("q91_lang_id", {

@@ -9,8 +9,15 @@ import graft.engine.Tables
   * and hash-compares canonical output (SURVEY §2.2).
   *
   * Canonicalization policy used by every query here:
-  *   - no raw doubles in output: cast to DECIMAL with explicit scale on BOTH
-  *     sides (double arithmetic itself is IEEE-identical across engines);
+  *   - NO decimal- or double-typed output columns at all: the driver's hash
+  *     canonicalizer formats decimals through a float conversion on one side,
+  *     so any value with trailing zeros at its scale (e.g. 44.0000)
+  *     hash-mismatches even when values are byte-identical. Numeric results
+  *     are computed in DECIMAL with explicit scale (double arithmetic itself
+  *     is IEEE-identical across engines, decimal arithmetic is exact) and
+  *     then CAST to STRING on BOTH sides — Spark and DuckDB render a
+  *     DECIMAL(p,s) identically at full declared scale. Ordering/ranking
+  *     always happens on the decimal value BEFORE the string cast;
   *   - no raw timestamps in output: epoch microseconds as BIGINT
   *     (`unix_micros` engine-side, `epoch_us` oracle-side);
   *   - integer-typed outputs normalized to BIGINT (DuckDB count/sum/length

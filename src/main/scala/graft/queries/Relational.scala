@@ -26,7 +26,7 @@ object Relational {
     QDef.shared(
       "q02_project_limit",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_quantity AS DECIMAL(18,4)) AS quantity
+        |       CAST(CAST(l_quantity AS DECIMAL(18,4)) AS STRING) AS quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
 
     // Engine writes a filtered parquet, re-reads, counts — exercises the
@@ -71,7 +71,7 @@ object Relational {
         |            WHEN o_totalprice > 50000 THEN 'mid'
         |            ELSE 'small' END AS bucket,
         |       count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9) AS DECIMAL(38,3)) AS disc_sum
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9) AS DECIMAL(38,3)) AS STRING) AS disc_sum
         |FROM orders GROUP BY 1""".stripMargin),
 
     QDef.shared(
@@ -91,15 +91,15 @@ object Relational {
       "q09_conditionals",
       """SELECT o_orderstatus,
         |       count(nullif(o_orderpriority, '1-URGENT')) AS non_urgent,
-        |       CAST(SUM(CAST(greatest(o_totalprice, 100000) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_hi,
-        |       CAST(SUM(CAST(least(o_totalprice, 100000) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_lo
+        |       CAST(CAST(SUM(CAST(greatest(o_totalprice, 100000) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_hi,
+        |       CAST(CAST(SUM(CAST(least(o_totalprice, 100000) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_lo
         |FROM orders GROUP BY o_orderstatus""".stripMargin),
 
     // ---------------------------------------------------------- joins
     QDef.shared(
       "q10_inner_join",
       """SELECT c_mktsegment, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin),
 
@@ -107,7 +107,7 @@ object Relational {
     // dimension → BroadcastHashJoin, no shuffle of lineitem.
     QDef.df("q11_broadcast_join",
       """SELECT p_brand, count(*) AS cnt,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin) { (s, dir) =>
       val li = Tables.table(s, dir, "lineitem")
@@ -117,7 +117,7 @@ object Relational {
         .agg(
           count(lit(1)).as("cnt"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_price"))
+            .cast(DecimalType(38, 2)).cast("string").as("sum_price"))
     },
 
     QDef.sql(
@@ -216,9 +216,9 @@ object Relational {
     QDef.shared(
       "q20_tpch_q1",
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS sum_price,
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS sum_disc_price,
         |       count(*) AS cnt
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin),
@@ -241,7 +241,7 @@ object Relational {
     QDef.shared(
       "q23_rollup",
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin),
 
     QDef.shared(
@@ -258,7 +258,7 @@ object Relational {
       "q25b_correlated_scalar",
       """SELECT c_custkey,
         |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
-        |       (SELECT CAST(coalesce(max(o_totalprice), 0) AS DECIMAL(18,2))
+        |       (SELECT CAST(CAST(coalesce(max(o_totalprice), 0) AS DECIMAL(18,2)) AS STRING)
         |        FROM orders WHERE o_custkey = c_custkey) AS max_price
         |FROM customer WHERE c_custkey < 50""".stripMargin),
 
@@ -267,7 +267,7 @@ object Relational {
       "q49b_lateral",
       """SELECT n_name, t.c_name, t.bal
         |FROM nation,
-        |LATERAL (SELECT c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |LATERAL (SELECT c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING) AS bal
         |         FROM customer WHERE c_nationkey = n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t""".stripMargin),
 
@@ -275,11 +275,11 @@ object Relational {
       "q26_filtered_agg",
       """SELECT event_type,
         |       count(*) FILTER (WHERE value > 100) AS cnt_big,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS DECIMAL(38,4)) AS even_sum
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS DECIMAL(38,4)) AS STRING) AS even_sum
         |FROM events GROUP BY event_type""".stripMargin,
       """SELECT event_type,
         |       count(*) FILTER (WHERE value > 100) AS cnt_big,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS DECIMAL(38,4)) AS even_sum
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS DECIMAL(38,4)) AS STRING) AS even_sum
         |FROM events GROUP BY event_type""".stripMargin),
 
     QDef.sql(
@@ -297,26 +297,26 @@ object Relational {
       "q28_global_stats",
       """SELECT unix_micros(CAST(min(o_orderdate) AS TIMESTAMP)) AS min_date_us,
         |       unix_micros(CAST(max(o_orderdate) AS TIMESTAMP)) AS max_date_us,
-        |       CAST(min(o_totalprice) AS DECIMAL(18,4)) AS min_price,
-        |       CAST(max(o_totalprice) AS DECIMAL(18,4)) AS max_price,
+        |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,4)) AS STRING) AS min_price,
+        |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,4)) AS STRING) AS max_price,
         |       count(*) AS cnt, count(DISTINCT o_custkey) AS dcust
         |FROM orders""".stripMargin,
       """SELECT epoch_us(min(o_orderdate)) AS min_date_us,
         |       epoch_us(max(o_orderdate)) AS max_date_us,
-        |       CAST(min(o_totalprice) AS DECIMAL(18,4)) AS min_price,
-        |       CAST(max(o_totalprice) AS DECIMAL(18,4)) AS max_price,
+        |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,4)) AS STRING) AS min_price,
+        |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,4)) AS STRING) AS max_price,
         |       count(*) AS cnt, count(DISTINCT o_custkey) AS dcust
         |FROM orders""".stripMargin),
 
     QDef.sql(
       "q29_percentile",
       """SELECT l_returnflag,
-        |       CAST(percentile(l_quantity, 0.5) AS DECIMAL(38,4)) AS med_qty,
-        |       CAST(percentile(l_extendedprice, 0.9) AS DECIMAL(38,4)) AS p90_price
+        |       CAST(CAST(percentile(l_quantity, 0.5) AS DECIMAL(38,4)) AS STRING) AS med_qty,
+        |       CAST(CAST(percentile(l_extendedprice, 0.9) AS DECIMAL(38,4)) AS STRING) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
       """SELECT l_returnflag,
-        |       CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(38,4)) AS med_qty,
-        |       CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(38,4)) AS p90_price
+        |       CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(38,4)) AS STRING) AS med_qty,
+        |       CAST(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(38,4)) AS STRING) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
     // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
@@ -387,10 +387,10 @@ object Relational {
     QDef.shared(
       "q33_running_sum",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
         |            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(38,4)) AS run_qty
+        |            AS DECIMAL(38,4)) AS STRING) AS run_qty
         |FROM lineitem WHERE l_orderkey < 500""".stripMargin),
 
     // RANGE frame (value-based, vs q33's ROWS): rolling 1h event count/sum
@@ -402,7 +402,7 @@ object Relational {
         |            FROM events WHERE user_id < 5)
         |SELECT user_id, event_id,
         |       CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
-        |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_1h
+        |       CAST(CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS STRING) AS sum_1h
         |FROM e2
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -411,7 +411,7 @@ object Relational {
          |       FROM e WHERE user_id < 5)
          |SELECT user_id, event_id,
          |       CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
-         |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_1h
+         |       CAST(CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS STRING) AS sum_1h
          |FROM e2
          |WINDOW w AS (PARTITION BY user_id ORDER BY tus
          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
@@ -419,7 +419,7 @@ object Relational {
     QDef.shared(
       "q34_ntile",
       """SELECT CAST(tile AS BIGINT) AS tile, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total
         |FROM (SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
         |      FROM orders) t
         |GROUP BY tile""".stripMargin),
@@ -429,7 +429,7 @@ object Relational {
     // global window that q34's ntile() OVER (ORDER BY ...) implies).
     QDef.df("q34b_ntile_scalable",
       """SELECT CAST(tile AS BIGINT) AS tile, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total
         |FROM (SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
         |      FROM orders) t
         |GROUP BY tile""".stripMargin) { (s, dir) =>
@@ -438,22 +438,23 @@ object Relational {
         .ntileScalable(orders, 4, Seq(col("o_totalprice"), col("o_orderkey")))
         .groupBy(col("tile"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast("string").as("total"))
         .select(col("tile"), col("cnt"), col("total"))
     },
 
     QDef.sql(
       "q35_moving_avg",
       """SELECT user_id, event_id,
-        |       CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       CAST(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(38,4)) AS mavg
+        |            AS DECIMAL(38,4)) AS STRING) AS mavg
         |FROM events WHERE user_id < 3""".stripMargin,
       s"""$E
          |SELECT user_id, event_id,
-         |       CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |       CAST(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-         |            AS DECIMAL(38,4)) AS mavg
+         |            AS DECIMAL(38,4)) AS STRING) AS mavg
          |FROM e WHERE user_id < 3""".stripMargin),
 
     QDef.shared(
@@ -468,8 +469,8 @@ object Relational {
     QDef.shared(
       "q37_percent_rank",
       """SELECT o_orderkey,
-        |       CAST(percent_rank() OVER w AS DECIMAL(38,6)) AS pr,
-        |       CAST(cume_dist() OVER w AS DECIMAL(38,6)) AS cd
+        |       CAST(CAST(percent_rank() OVER w AS DECIMAL(38,6)) AS STRING) AS pr,
+        |       CAST(CAST(cume_dist() OVER w AS DECIMAL(38,6)) AS STRING) AS cd
         |FROM orders WHERE o_custkey < 20
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin),
 
@@ -481,12 +482,12 @@ object Relational {
 
     QDef.shared(
       "q41_topk",
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
 
     QDef.shared(
       "q42_topk_per_group",
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING) AS price
         |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
         |             row_number() OVER (PARTITION BY l_orderkey
         |                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
@@ -496,35 +497,37 @@ object Relational {
     // TPC-H Q3 shape: 3-way join, filtered, grouped, top-10 by revenue
     QDef.sql(
       "q48_tpch_q3",
-      """SELECT l_orderkey,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
-        |       unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_us
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_custkey % 2 = 0
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-      """SELECT l_orderkey,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
-        |       epoch_us(o_orderdate) AS orderdate_us
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_custkey % 2 = 0
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      """SELECT l_orderkey, CAST(revenue AS STRING) AS revenue, orderdate_us FROM (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |         unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_us
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_custkey % 2 = 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate
+        |  ORDER BY revenue DESC, l_orderkey LIMIT 10) t""".stripMargin,
+      """SELECT l_orderkey, CAST(revenue AS STRING) AS revenue, orderdate_us FROM (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |         epoch_us(o_orderdate) AS orderdate_us
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_custkey % 2 = 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate
+        |  ORDER BY revenue DESC, l_orderkey LIMIT 10) t""".stripMargin),
 
     // TPC-H Q5 shape: 6-way star join (supplier and customer in the same
     // nation), revenue per region/nation
     QDef.shared(
       "q49_tpch_q5",
       """SELECT r_name, n_name,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS revenue,
         |       count(*) AS cnt
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -590,14 +593,14 @@ object Relational {
     // unpivot via stack (oracle: UNION ALL)
     QDef.sql(
       "q59_unpivot",
-      """SELECT s_suppkey AS id, t.metric, CAST(t.val AS DECIMAL(18,4)) AS val
+      """SELECT s_suppkey AS id, t.metric, CAST(CAST(t.val AS DECIMAL(18,4)) AS STRING) AS val
         |FROM supplier
         |LATERAL VIEW stack(2, 'acctbal', s_acctbal,
         |                      'suppkey', CAST(s_suppkey AS DOUBLE)) t AS metric, val""".stripMargin,
-      """SELECT s_suppkey AS id, 'acctbal' AS metric, CAST(s_acctbal AS DECIMAL(18,4)) AS val
+      """SELECT s_suppkey AS id, 'acctbal' AS metric, CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS STRING) AS val
         |FROM supplier
         |UNION ALL
-        |SELECT s_suppkey, 'suppkey', CAST(CAST(s_suppkey AS DOUBLE) AS DECIMAL(18,4))
+        |SELECT s_suppkey, 'suppkey', CAST(CAST(CAST(s_suppkey AS DOUBLE) AS DECIMAL(18,4)) AS STRING)
         |FROM supplier""".stripMargin),
 
     // ----------------------------------------------------- scalar functions
@@ -648,24 +651,24 @@ object Relational {
     QDef.shared(
       "q53_math_suite",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(abs(l_discount - 0.05) AS DECIMAL(18,6)) AS abs_disc,
-        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price2,
+        |       CAST(CAST(abs(l_discount - 0.05) AS DECIMAL(18,6)) AS STRING) AS abs_disc,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING) AS price2,
         |       CAST(floor(l_quantity) AS BIGINT) AS fl,
         |       CAST(ceil(l_quantity) AS BIGINT) AS ce,
-        |       CAST(power(l_discount, 2) AS DECIMAL(18,6)) AS pow2,
+        |       CAST(CAST(power(l_discount, 2) AS DECIMAL(18,6)) AS STRING) AS pow2,
         |       l_partkey % 7 AS mod7,
-        |       CAST(sqrt(l_quantity) AS DECIMAL(18,6)) AS sq
+        |       CAST(CAST(sqrt(l_quantity) AS DECIMAL(18,6)) AS STRING) AS sq
         |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
 
     QDef.sql(
       "q54_array_ops",
       """SELECT label, count(*) AS cnt,
-        |       CAST(SUM(CAST(element_at(embedding, 1) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_e1,
+        |       CAST(CAST(SUM(CAST(element_at(embedding, 1) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS sum_e1,
         |       CAST(min(size(embedding)) AS BIGINT) AS min_dim,
         |       CAST(max(size(embedding)) AS BIGINT) AS max_dim
         |FROM embeddings GROUP BY label""".stripMargin,
       """SELECT label, count(*) AS cnt,
-        |       CAST(SUM(CAST(embedding[1] AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_e1,
+        |       CAST(CAST(SUM(CAST(embedding[1] AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS sum_e1,
         |       CAST(min(len(embedding)) AS BIGINT) AS min_dim,
         |       CAST(max(len(embedding)) AS BIGINT) AS max_dim
         |FROM embeddings GROUP BY label""".stripMargin),
@@ -674,12 +677,12 @@ object Relational {
       "q54b_array_advanced",
       """SELECT vec_id,
         |       CAST(size(slice(embedding, 1, 8)) AS BIGINT) AS slice_len,
-        |       CAST(element_at(reverse(embedding), 1) AS DECIMAL(18,4)) AS last_elem,
+        |       CAST(CAST(element_at(reverse(embedding), 1) AS DECIMAL(18,4)) AS STRING) AS last_elem,
         |       CAST(size(array_distinct(transform(embedding, x -> CAST(x > 0 AS INT)))) AS BIGINT) AS sign_kinds
         |FROM embeddings""".stripMargin,
       """SELECT vec_id,
         |       CAST(len(embedding[1:8]) AS BIGINT) AS slice_len,
-        |       CAST(list_reverse(embedding)[1] AS DECIMAL(18,4)) AS last_elem,
+        |       CAST(CAST(list_reverse(embedding)[1] AS DECIMAL(18,4)) AS STRING) AS last_elem,
         |       CAST(len(list_distinct(list_transform(embedding, x -> CAST(x > 0 AS INTEGER)))) AS BIGINT) AS sign_kinds
         |FROM embeddings""".stripMargin),
 

@@ -19,11 +19,11 @@ object StreamingBatch {
     QDef.sql(
       "q70_tumbling_window",
       """SELECT unix_micros(window.start) AS ws, event_type, count(*) AS cnt,
-        |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_v
+        |       CAST(CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS sum_v
         |FROM events GROUP BY window(ts, '1 hour'), event_type""".stripMargin,
       s"""$E
          |SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt,
-         |       CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_v
+         |       CAST(CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS sum_v
          |FROM e GROUP BY 1, 2""".stripMargin),
 
     // Sliding 1h window, 30min hop: each event falls in exactly two windows.

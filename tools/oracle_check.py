@@ -35,6 +35,15 @@ def canon_result(cols, rows):
     lines = sorted(",".join(canon(r[i]) for i in order) for r in rows)
     return [cols[i] for i in order], lines
 
+def fragile_types(sql):
+    """Driver-hash-fragile output columns: the driver canonicalizes decimals
+    through a float conversion on one side, so DECIMAL/DOUBLE/FLOAT outputs
+    hash-mismatch whenever str(Decimal) != repr(float(v)) (trailing zeros).
+    Returns [(col, type), ...] for such columns."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows
+            if any(t in r[1].upper() for t in ("DECIMAL", "DOUBLE", "FLOAT", "REAL"))]
+
 oracle_sql = json.load(open(f"{OUT}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
 ok, bad, noora = 0, [], []
@@ -42,6 +51,9 @@ for name in names:
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
         bad.append((name, "engine produced no parquet")); continue
+    frag = fragile_types(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
+    if frag and name in oracle_sql:
+        bad.append((name, f"driver-fragile output types (decimal/double): {frag}")); continue
     cur = con.execute(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
     ecols = [d[0] for d in cur.description]; erows = cur.fetchall()
     if name not in oracle_sql:
