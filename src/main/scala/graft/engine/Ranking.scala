@@ -11,36 +11,47 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * (Spark samples boundaries), sort within partitions, then turn per-
   * partition positions into global positions with a tiny driver-side offset
   * table (one long per partition).
+  *
+  * Both operators need a persisted intermediate (zipWithIndex runs one extra
+  * job to learn partition sizes, and downstream consumers would otherwise
+  * re-run the whole shuffle+sort per pass), so they take the consumption as
+  * a thunk and unpersist on exit — a long-lived session leaks nothing.
   */
 object Ranking {
 
-  /** Appends `__idx` = 0-based global position under the given total order.
-    * Two jobs: one to count rows per range partition, one to emit. The sort
-    * columns should form a total order for a deterministic result.
+  /** Runs `consume` over a frame extended with `__idx` = 0-based global
+    * position under the given total order, releasing the internal cache
+    * afterwards. Work that must not be recomputed has to be materialized
+    * inside `consume` (the cached plan is dropped on exit). The sort columns
+    * should form a total order for a deterministic result.
     */
-  def withGlobalIndex(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+  def withGlobalIndex[T](df: DataFrame, sortCols: Seq[Column])(consume: DataFrame => T): T = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    // persist the sorted rows: zipWithIndex runs one extra job to learn
-    // partition sizes, and downstream consumers (ntileScalable's count +
-    // the final read) would otherwise re-run the whole shuffle+sort per pass
     val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withIdx = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(withIdx,
-      sorted.schema.copy(fields = sorted.schema.fields :+ StructField("__idx", LongType, nullable = false)))
+    try {
+      val withIdx = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+      val indexed = df.sparkSession.createDataFrame(withIdx,
+        sorted.schema.copy(fields = sorted.schema.fields :+ StructField("__idx", LongType, nullable = false)))
+      consume(indexed)
+    } finally {
+      sorted.unpersist()
+      ()
+    }
   }
 
   /** Exact SQL `ntile(n)` semantics without a single-partition window: the
-    * first (N mod n) tiles get ceil(N/n) rows, the rest floor(N/n).
+    * first (N mod n) tiles get ceil(N/n) rows, the rest floor(N/n). Same
+    * managed-scope contract as [[withGlobalIndex]].
     */
-  def ntileScalable(df: DataFrame, n: Int, sortCols: Seq[Column]): DataFrame = {
-    val indexed = withGlobalIndex(df, sortCols)
-    val total = indexed.count() // one extra count; cache `indexed` upstream if reused
-    val base = total / n
-    val rem = total % n
-    val cut = (base + 1) * rem // rows below this index sit in the bigger tiles
-    val tile = when(col("__idx") < cut, (col("__idx") / (base + 1)).cast("long") + 1)
-      .otherwise(lit(rem) + ((col("__idx") - cut) / math.max(base, 1)).cast("long") + 1)
-    indexed.withColumn("tile", tile).drop("__idx")
-  }
+  def ntileScalable[T](df: DataFrame, n: Int, sortCols: Seq[Column])(consume: DataFrame => T): T =
+    withGlobalIndex(df, sortCols) { indexed =>
+      val total = indexed.count() // cheap: runs over the cached sorted frame
+      val base = total / n
+      val rem = total % n
+      val cut = (base + 1) * rem // rows below this index sit in the bigger tiles
+      val tile = when(col("__idx") < cut, (col("__idx") / (base + 1)).cast("long") + 1)
+        .otherwise(lit(rem) + ((col("__idx") - cut) / math.max(base, 1)).cast("long") + 1)
+      consume(indexed.withColumn("tile", tile).drop("__idx"))
+    }
 }

@@ -58,17 +58,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = CodeGenerator.getValue(a, elemType(left), "i")
-      val rGet = CodeGenerator.getValue(b, elemType(right), "i")
+      // all locals via freshName: with non-nullable inputs nullSafeExec adds
+      // no brace scope, so two cosine_sim instances in one codegen scope
+      // would otherwise redeclare the same Java locals and fail to compile
+      // (silently falling back to interpreted eval)
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val lGet = CodeGenerator.getValue(a, elemType(left), i)
+      val rGet = CodeGenerator.getValue(b, elemType(right), i)
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $lGet;
-         |  double yv = (double) $rGet;
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $lGet;
+         |  double $yv = (double) $rGet;
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

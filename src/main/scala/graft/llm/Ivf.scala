@@ -18,7 +18,17 @@ import graft.functions.GraftFunctions
   */
 object Ivf {
 
-  final case class Model(centroids: DataFrame, assigned: DataFrame)
+  final case class Model(centroids: DataFrame, assigned: DataFrame) {
+    /** Releases the cached centroid and assignment datasets. Call when done
+      * searching; results still un-materialized at close() recompute from
+      * lineage (correct, slower).
+      */
+    def close(): Unit = {
+      centroids.unpersist()
+      assigned.unpersist()
+      ()
+    }
+  }
 
   private def bestCell(df: DataFrame, centroids: DataFrame, embCol: String): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))

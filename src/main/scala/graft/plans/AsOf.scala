@@ -18,7 +18,9 @@ object AsOf {
 
   /** For each left row: the latest right row of the same key strictly
     * earlier by timestamp (ties by `rightTie` descending preference),
-    * left-outer. Timestamp columns must be timestamp/long-typed, non-null.
+    * left-outer. Timestamp columns must be timestamp/long-typed. Null keys
+    * and null timestamps follow SQL equi-join semantics: they match nothing
+    * (null-key/ts left rows still surface with a null right side).
     */
   def join(
       left: DataFrame,

@@ -13,7 +13,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics: for every left row, attach the single right row with the same
   * key and the greatest `rightTs < leftTs` (strictly earlier); ties on
   * `rightTs` resolve by the greatest `tieBreak` value. Left rows with no
-  * match keep nulls on the right (left-outer shape).
+  * match keep nulls on the right (left-outer shape). Null keys and null
+  * timestamps follow SQL equi-join semantics: a null key or null ts on
+  * either side matches nothing (left rows still surface with null right).
   *
   * Why a custom plan: the compositional form (equi-join on key + range
   * predicate + max_by) materializes EVERY (left, earlier-right) pair before
@@ -98,22 +100,35 @@ final case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lts = lTsBound.eval(l).asInstanceOf[Long]
+          val ltsRaw = lTsBound.eval(l)
+          // SQL equi-join semantics: a null key or null ts matches nothing.
+          // Null-key rows sort first (NullsFirst), so returning before the
+          // pointer advances cannot skip rows a later left row needs.
+          if (lKey.anyNull || ltsRaw == null) {
+            return outProj(joiner(l, nullRight))
+          }
+          val lts = ltsRaw.asInstanceOf[Long]
           // advance the right pointer through rows that are (a) on smaller
-          // keys or (b) on this key but strictly earlier than lts; the last
-          // such row on this key is the as-of candidate (sorted by ts, tie).
+          // keys, (b) null-key/null-ts (unmatchable under equi-join rules),
+          // or (c) on this key but strictly earlier than lts; the last such
+          // row on this key is the as-of candidate (sorted by ts, tie).
           var advancing = true
           while (advancing && rRow != null) {
             val rKey = rKeyProj(rRow)
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0) {
-              rRow = if (rIter.hasNext) rIter.next().copy() else null
-            } else if (c == 0 && rTsBound.eval(rRow).asInstanceOf[Long] < lts) {
-              candidate = rRow
-              candidateKey = rKey.copy()
+            val rtsRaw = if (rKey.anyNull) null else rTsBound.eval(rRow)
+            if (rKey.anyNull || rtsRaw == null) {
               rRow = if (rIter.hasNext) rIter.next().copy() else null
             } else {
-              advancing = false
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) {
+                rRow = if (rIter.hasNext) rIter.next().copy() else null
+              } else if (c == 0 && rtsRaw.asInstanceOf[Long] < lts) {
+                candidate = rRow
+                candidateKey = rKey.copy()
+                rRow = if (rIter.hasNext) rIter.next().copy() else null
+              } else {
+                advancing = false
+              }
             }
           }
           val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0

@@ -185,7 +185,13 @@ object Llm {
     QDef.engineOnly("q89b_ann_ivf") { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
       val model = graft.llm.Ivf.train(e, nCells = 8, iters = 2)
-      graft.llm.Ivf.search(model, e.filter(col("vec_id") < 5), k = 3, nProbe = 2)
+      try {
+        // k·|queries| = 15 rows by construction — materialize before close()
+        // so the model's caches are released, not recomputed
+        val res = graft.llm.Ivf.search(model, e.filter(col("vec_id") < 5), k = 3, nProbe = 2)
+        val rows = res.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+      } finally model.close()
     },
 
     // ---------------------------------------------------- text analysis

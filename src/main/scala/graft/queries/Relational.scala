@@ -434,13 +434,18 @@ object Relational {
         |      FROM orders) t
         |GROUP BY tile""".stripMargin) { (s, dir) =>
       val orders = Tables.table(s, dir, "orders")
+      // the aggregate is n=4 rows by construction — materialize inside the
+      // managed scope so Ranking's internal cache is released on exit
       graft.engine.Ranking
-        .ntileScalable(orders, 4, Seq(col("o_totalprice"), col("o_orderkey")))
-        .groupBy(col("tile"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).cast("string").as("total"))
-        .select(col("tile"), col("cnt"), col("total"))
+        .ntileScalable(orders, 4, Seq(col("o_totalprice"), col("o_orderkey"))) { tiled =>
+          val agg = tiled.groupBy(col("tile"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .cast(DecimalType(38, 2)).cast("string").as("total"))
+            .select(col("tile"), col("cnt"), col("total"))
+          val rows = agg.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
+        }
     },
 
     QDef.sql(

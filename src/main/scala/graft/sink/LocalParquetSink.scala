@@ -27,8 +27,25 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
   private def exists: Boolean = Files.exists(path) && new File(dir).list() != null &&
     new File(dir).list().exists(_.endsWith(".parquet"))
 
+  /** Crash recovery for the two-move swap: a crash between moving dir→.old
+    * and tmp→dir leaves the table only under .old — restore it, otherwise
+    * the next merge would silently rebuild state from its batch alone. A
+    * crash after the second move but before cleanup leaves a stale .old
+    * alongside the live dir — drop it (it's the superseded generation, and
+    * it would make the next swap's ATOMIC_MOVE fail).
+    */
+  private def recover(): Unit = {
+    val old = Paths.get(dir + ".old")
+    if (Files.exists(old)) {
+      if (!Files.exists(path)) Files.move(old, path, StandardCopyOption.ATOMIC_MOVE)
+      else deleteRecursively(new File(dir + ".old"))
+    }
+    ()
+  }
+
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
+    recover()
     val spark = batch.sparkSession
     // __gen = merge generation: on a (key, seq) tie — e.g. a schema-evolution
     // backfill replaying an already-stored event with MORE columns — the
@@ -69,6 +86,7 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
   }
 
   override def read(spark: SparkSession, mode: DeleteMode): DataFrame = {
+    synchronized(recover())
     val t = spark.read.parquet(dir).drop("__gen")
     mode match {
       case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")

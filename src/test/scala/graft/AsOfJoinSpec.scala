@@ -47,6 +47,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(unmatched == noView)
   }
 
+  test("null keys and null timestamps match nothing (SQL equi-join semantics)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq(
+      (1L, Option(10L), Option(ts(100))), // normal: matches right seq 2
+      (2L, None, Option(ts(100))),        // null key: no match
+      (3L, Option(10L), None),            // null ts: no match
+      (4L, Option(99L), Option(ts(100)))  // key only present with null on right
+    ).toDF("p_id", "p_user", "p_ts")
+    val right = Seq(
+      (1L, Option(10L), Option(ts(50))),
+      (2L, Option(10L), Option(ts(80))),
+      (3L, Option.empty[Long], Option(ts(10))), // null key
+      (4L, Option(99L), None)             // null ts
+    ).toDF("v_id", "v_user", "v_ts")
+    val got = AsOf.join(left, right, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+      .select($"p_id", $"v_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(2L), 2L -> None, 3L -> None, 4L -> None))
+  }
+
   test("physical plan is AsOfJoinExec with one shuffle+sort per side, no pair blowup") {
     val got = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
     got.collect() // finalize the adaptive plan

@@ -43,6 +43,21 @@ class LlmSpec extends SparkSpec {
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
   }
 
+  test("two cosine_sim instances in one codegen scope compile (freshName locals)") {
+    graft.functions.GraftFunctions.register(spark)
+    // CODEGEN_ONLY turns a generated-code compile failure into a thrown
+    // error instead of a silent interpreted fallback
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val emb = Tables.embeddings(spark).limit(10)
+        .select($"vec_id", $"embedding".as("a"), $"embedding".as("b"))
+      val rows = emb.selectExpr("cosine_sim(a, b) AS c1", "cosine_sim(b, a) AS c2").collect()
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(0) - 1.0) < 1e-9 && math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("IVF ANN: self is always top-1; recall overlaps brute force") {
     val emb = Tables.embeddings(spark)
     val model = graft.llm.Ivf.train(emb, nCells = 8, iters = 2)
@@ -60,6 +75,9 @@ class LlmSpec extends SparkSpec {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recall = (0L until 10L).map(q => (ivf(q) & bf(q)).size).sum / 30.0
     assert(recall >= 0.3, s"recall $recall")
+    model.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "Model.close() must release the cached centroids and assignments")
   }
 
   test("minhash estimate is 1.0 for identical docs and low for disjoint docs") {

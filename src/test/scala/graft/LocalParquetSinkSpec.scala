@@ -55,6 +55,31 @@ class LocalParquetSinkSpec extends SparkSpec {
     }
   }
 
+  test("recovers a crash between the two swap moves (table only under .old)") {
+    val dir = tmpDir("sink") + "/t"
+    val sink = new LocalParquetSink(dir)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    // simulate a crash after dir -> .old but before tmp -> dir
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".old"))
+    sink.merge(batch(("b", 1, "b0", false)), Seq("primary_key"), "seq", "is_delete")
+    // without recovery the prior state would be silently lost
+    assert(state(sink, DeleteMode.Hard) == Map("a" -> (0L, "a0"), "b" -> (1L, "b0")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".old")))
+  }
+
+  test("drops a stale .old left by a crash after the swap completed") {
+    val dir = tmpDir("sink") + "/t"
+    val sink = new LocalParquetSink(dir)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    // simulate a crash after both moves but before the .old cleanup
+    val old = java.nio.file.Paths.get(dir + ".old")
+    java.nio.file.Files.createDirectory(old)
+    java.nio.file.Files.write(old.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    sink.merge(batch(("b", 1, "b0", false)), Seq("primary_key"), "seq", "is_delete")
+    assert(state(sink, DeleteMode.Hard) == Map("a" -> (0L, "a0"), "b" -> (1L, "b0")))
+    assert(!java.nio.file.Files.exists(old))
+  }
+
   test("schema evolution: new column null-backfilled for old rows") {
     val sink = new LocalParquetSink(tmpDir("sink") + "/t")
     sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")

@@ -121,10 +121,14 @@ class StreamingOpsSpec extends SparkSpec {
         ntile(4).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long").as("tile"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaScalable = Ranking.ntileScalable(orders, 4, Seq(col("o_totalprice"), col("o_orderkey")))
-      .select(col("o_orderkey"), col("tile"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScalable =
+      Ranking.ntileScalable(orders, 4, Seq(col("o_totalprice"), col("o_orderkey"))) { tiled =>
+        tiled.select(col("o_orderkey"), col("tile"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
     assert(viaScalable == viaWindow)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "ntileScalable must release its internal cache on exit")
   }
 
   test("salted join equals plain join (content), splitting key partitions") {
