@@ -35,4 +35,25 @@ object TableSpec {
       rows.groupBy(_._1).map { case (t, rs) => t -> TableSpec(t, rs.map(_._2)) }
     } finally src.close()
   }
+
+  /** R27 live-catalog read (add_output.py:312-343): the exact
+    * information_schema query the reference issues against the source
+    * database. This environment has no JDBC driver or network, so the SQL
+    * is generated (and unit-tested) for callers that bring their own
+    * connection; `fromCatalogRows` turns the fetched rows into a spec.
+    */
+  def informationSchemaSql(fullTableName: String): String = {
+    val schema = fullTableName.split('.').head
+    s"SELECT CONCAT(table_schema, '.', table_name) as table_name, column_name, data_type, " +
+      s"CASE WHEN column_key = 'PRI' THEN 'true' else 'false' end as is_primary_key " +
+      s"FROM information_schema.columns c " +
+      s"WHERE TABLE_SCHEMA = '$schema' and CONCAT(table_schema, '.', table_name) = '$fullTableName' " +
+      s"ORDER BY ordinal_position"
+  }
+
+  /** Rows as fetched by [[informationSchemaSql]]:
+    * (column_name, data_type, is_primary_key) in ordinal order.
+    */
+  def fromCatalogRows(fullTableName: String, rows: Seq[(String, String, Boolean)]): TableSpec =
+    TableSpec(fullTableName, rows.map { case (n, udt, pk) => ColSpec(n, udt, pk) })
 }

@@ -30,6 +30,13 @@ object CdcOrchestrator {
   /** R30 + R32: start a pipeline for every discovered table that (a) passes
     * include/exclude, (b) has a columns-file spec (the reference skips
     * tables it can't type), and (c) isn't already running.
+    *
+    * `extraPk` (R13, add_output.py:9-18,553-555): when configured, every
+    * started table gets the column appended to its spec as a primary key
+    * (the reference's `add_new_column(..., is_primary_key=True,
+    * **EXTRA_PK_COLUMN)` right after `add_output`), so the sink merges on
+    * (primary_key, row_<extraPk>). A column already present in the spec is
+    * promoted to PK instead of duplicated.
     */
   def addNewTables(
       spark: SparkSession,
@@ -40,7 +47,8 @@ object CdcOrchestrator {
       include: Seq[String],
       exclude: Seq[String],
       running: Map[String, Running] = Map.empty,
-      logicalDeletes: Boolean = false): Map[String, Running] = {
+      logicalDeletes: Boolean = false,
+      extraPk: Option[graft.model.ColSpec] = None): Map[String, Running] = {
     val specs = TableSpec.loadCsv(columnsPath)
     val discovered = discoverTables(spark, inputDir)
       .filter(t => include.isEmpty || include.contains(t))
@@ -48,12 +56,20 @@ object CdcOrchestrator {
     val toStart = discovered
       .filterNot(running.contains)       // R32: exists ⇒ skip
       .filter(specs.contains)            // no spec ⇒ skip (reference behavior)
+    def withExtraPk(table: TableSpec): TableSpec = extraPk match {
+      case None => table
+      case Some(pk) if table.colNames.contains(pk.name) =>
+        table.copy(cols = table.cols.map(c =>
+          if (c.name == pk.name) c.copy(isPrimaryKey = true) else c))
+      case Some(pk) => table.copy(cols = table.cols :+ pk.copy(isPrimaryKey = true))
+    }
     val started = toStart.map { t =>
       val safe = t.replace('.', '_')
       val spec = CdcStreamSpec(
-        inputDir, s"$checkpointRoot/$safe", specs(t),
+        inputDir, s"$checkpointRoot/$safe", withExtraPk(specs(t)),
         new LocalParquetSink(s"$sinkRoot/$safe"),
-        logicalDeletes = logicalDeletes)
+        logicalDeletes = logicalDeletes,
+        extraPk = extraPk.map(_.name))
       t -> Running(t, spec, CdcStream.start(spark, spec))
     }
     running ++ started

@@ -19,7 +19,15 @@ object StartFrom {
   final case class AtTime(ts: Timestamp) extends StartFrom
 }
 
-/** One per-table streaming pipeline (R30: one query per discovered table). */
+/** One per-table streaming pipeline (R30: one query per discovered table).
+  *
+  * `extraPk` (R13, add_output.py:9-18,553-555 `EXTRA_PK_COLUMN`): a row
+  * column appended to the merge key, so upserts key on
+  * (primary_key, row_<extraPk>) — e.g. a keyspace column in multi-tenant
+  * CDC. `watermarkDelay` bounds event-time state for any stateful op
+  * downstream of the transform (SURVEY §3.5) and surfaces watermark
+  * progress on the query.
+  */
 final case class CdcStreamSpec(
     inputDir: String,
     checkpointDir: String,
@@ -27,7 +35,12 @@ final case class CdcStreamSpec(
     sink: UpsertSink,
     triggerInterval: String = "1 second", // R16 outputInterval (minutes in prod)
     logicalDeletes: Boolean = false,
-    startFrom: StartFrom = StartFrom.InputStart)
+    startFrom: StartFrom = StartFrom.InputStart,
+    extraPk: Option[String] = None,
+    watermarkDelay: Option[String] = None) {
+  /** Merge key: envelope primary_key plus the optional R13 extra column. */
+  def mergeKeys: Seq[String] = "primary_key" +: extraPk.map("row_" + _).toSeq
+}
 
 /** Structured-Streaming CDC pipeline (SURVEY §3.5): file-source JSONL
   * envelope stream → per-table filter → flatten → typed cast →
@@ -57,7 +70,14 @@ object CdcStream {
       case StartFrom.AtTime(t) => withTs.filter(col("event_ts") >= lit(t))
       case StartFrom.InputStart => withTs
     }
-    val flat = CdcPipeline.expanded(replayed.drop("event_ts"))
+    // the EventTimeWatermark node stays in the plan after the column drop:
+    // it keeps advancing the query's watermark (bounding downstream state)
+    // without widening the sink schema
+    val marked = spec.watermarkDelay match {
+      case Some(d) if replayed.isStreaming => replayed.withWatermark("event_ts", d)
+      case _ => replayed
+    }
+    val flat = CdcPipeline.expanded(marked.drop("event_ts"))
     CdcPipeline.typed(flat, spec.table)
   }
 
@@ -69,7 +89,7 @@ object CdcStream {
       .trigger(Trigger.ProcessingTime(spec.triggerInterval))
       .option("checkpointLocation", spec.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        spec.sink.merge(batch, Seq("primary_key"), "seq", "is_delete")
+        spec.sink.merge(batch, spec.mergeKeys, "seq", "is_delete")
       }
       .start()
   }
@@ -79,7 +99,7 @@ object CdcStream {
     */
   def backfill(spark: SparkSession, spec: CdcStreamSpec): Unit = {
     val batch = transform(CdcPipeline.readBatch(spark, spec.inputDir), spec)
-    spec.sink.merge(batch, Seq("primary_key"), "seq", "is_delete")
+    spec.sink.merge(batch, spec.mergeKeys, "seq", "is_delete")
   }
 }
 

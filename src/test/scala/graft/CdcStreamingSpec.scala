@@ -139,6 +139,52 @@ class CdcStreamingSpec extends SparkSpec {
     } finally CdcOrchestrator.stopAll(running)
   }
 
+  test("extra-PK column widens the merge key to (primary_key, row_ext_id) (R13)") {
+    import graft.streaming.CdcOrchestrator
+    val in = tmpDir("xpk_in")
+    // same primary_key "1" under two ext_id values: with the R13 extra PK
+    // both survive; without it, last-wins would keep only seq 2
+    def ev(seq: Int, pk: String, ext: String) =
+      s"""{"seq":$seq,"ts":"2024-02-01T00:0$seq:00Z","data":{"database_name":"shop","table_name":"orders_part_0","primary_key":"$pk","metadata":{"is_delete":false},"row":{"id":"$pk","ext_id":"$ext"}}}"""
+    writeChunk(in, "all.jsonl", Seq(ev(1, "1", "a"), ev(2, "1", "b"), ev(3, "2", "a")))
+    val sinkRoot = tmpDir("xpk_sink"); val ckptRoot = tmpDir("xpk_ckpt")
+    val running = CdcOrchestrator.addNewTables(
+      spark, in, Cdc.Fixtures.columnsPath, sinkRoot, ckptRoot,
+      include = Seq("shop.orders"), exclude = Nil,
+      extraPk = Some(graft.model.ColSpec("ext_id", "varchar", isPrimaryKey = true)))
+    try {
+      running.values.foreach(_.query.processAllAvailable())
+      val spec = running("shop.orders").spec
+      assert(spec.mergeKeys == Seq("primary_key", "row_ext_id"))
+      assert(spec.table.pkCols.map(_.name).contains("ext_id"))
+      val rows = spec.sink.read(spark, graft.sink.DeleteMode.Hard)
+        .select("primary_key", "row_ext_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("1", "a"), ("1", "b"), ("2", "a")))
+    } finally CdcOrchestrator.stopAll(running)
+  }
+
+  test("CdcStream watermark advances with event time and preserves results") {
+    val in = tmpDir("cdcwm_in"); val ckpt = tmpDir("cdcwm_ckpt")
+    val sink = new LocalParquetSink(tmpDir("cdcwm_sink") + "/orders")
+    val chunks = fixtureLines.grouped(900).toSeq
+    writeChunk(in, "part0.jsonl", chunks.head)
+    val spec = CdcStreamSpec(in, ckpt, ordersSpec, sink,
+      watermarkDelay = Some("10 minutes"))
+    val q = CdcStream.start(spark, spec)
+    try {
+      q.processAllAvailable()
+      chunks.tail.zipWithIndex.foreach { case (c, i) =>
+        writeChunk(in, s"part${i + 1}.jsonl", c); q.processAllAvailable()
+      }
+      val wm = Option(q.lastProgress).map(_.eventTime.get("watermark")).orNull
+      assert(wm != null && wm.startsWith("2024-02"), s"watermark=$wm")
+    } finally { q.stop(); q.awaitTermination() }
+    val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expectedKeys(in))
+  }
+
   test("watermark drops late events (tumbling window, append mode)") {
     import spark.implicits._
     val in = tmpDir("wm_in")

@@ -38,6 +38,20 @@ class SnowflakeSqlGenSpec extends AnyFunSuite {
     assert(m.contains("t.IS_DELETED = s.IS_DELETE"))
   }
 
+  test("information_schema catalog SQL mirrors the reference's live read (R27)") {
+    val sql = TableSpec.informationSchemaSql("shop.orders")
+    assert(sql ==
+      "SELECT CONCAT(table_schema, '.', table_name) as table_name, column_name, data_type, " +
+        "CASE WHEN column_key = 'PRI' THEN 'true' else 'false' end as is_primary_key " +
+        "FROM information_schema.columns c " +
+        "WHERE TABLE_SCHEMA = 'shop' and CONCAT(table_schema, '.', table_name) = 'shop.orders' " +
+        "ORDER BY ordinal_position")
+    val fetched = TableSpec.fromCatalogRows("shop.orders",
+      Seq(("id", "int", true), ("amount", "decimal", false)))
+    assert(fetched.pkCols.map(_.name) == Seq("id"))
+    assert(fetched.cols.map(_.udt) == Seq("int", "decimal"))
+  }
+
   test("merge requires an upsert key") {
     val noPk = spec.copy(cols = spec.cols.map(_.copy(isPrimaryKey = false)))
     intercept[IllegalArgumentException] { SnowflakeSqlGen.merge("db", "public", noPk) }
