@@ -55,14 +55,32 @@ object Dedup {
   /** In-band position weights for the order-sensitive band key. */
   val BandPow: Seq[Long] = Seq(1L, 31L, 961L, 29791L)
 
-  /** Cross-engine-deterministic token codes: dense rank over the sorted
-    * distinct vocabulary. t2-parity path — at scale use [[hashCodes]]
-    * (xxhash64, no global sort, same downstream shape).
+  /** Cross-engine-deterministic token codes: 1-based rank in the sorted
+    * distinct vocabulary — the same value as
+    * `dense_rank() OVER (ORDER BY tok)` (the DuckDB oracle keeps that
+    * form), computed WITHOUT a global single-partition window. Tokens
+    * bucket by their 2-character prefix (a prefix's order is consistent
+    * with full lexicographic order), rank within each bucket in parallel,
+    * and each bucket adds a global offset — a driver-side cumulative sum
+    * over the per-bucket counts, O(alphabet²) rows by construction. The
+    * engine path stays distributed at 100 TB vocabularies; when
+    * cross-engine determinism isn't needed, [[hashCodes]] skips the
+    * vocabulary pass entirely.
     */
   def dictionaryCodes(tokens: DataFrame): DataFrame = {
     val vocab = tokens.select("tok").distinct()
-      .withColumn("code", dense_rank().over(Window.orderBy("tok")).cast("long"))
-    tokens.join(vocab, "tok").select(col("doc_id"), col("code"))
+      .withColumn("__b", substring(col("tok"), 1, 2))
+    val ranked = vocab.withColumn("__r",
+      row_number().over(Window.partitionBy("__b").orderBy("tok")).cast("long"))
+    val counts = vocab.groupBy("__b").agg(count(lit(1)).as("__n")).orderBy("__b").collect()
+    var off = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getString(0), off); off += r.getLong(1); o
+    }.toSeq
+    import tokens.sparkSession.implicits._
+    val coded = ranked.join(broadcast(offsets.toDF("__b", "__off")), "__b")
+      .select(col("tok"), (col("__off") + col("__r")).as("code"))
+    tokens.join(coded, "tok").select(col("doc_id"), col("code"))
   }
 
   /** Scale-path token codes: 64-bit murmur folded into [0, P). */

@@ -45,9 +45,21 @@ object Ivf {
       idCol: String = "vec_id", embCol: String = "embedding"): Model = {
     GraftFunctions.register(corpus.sparkSession)
     val base = corpus.select(col(idCol).as("vec_id"), col(embCol))
-    var centroids = base.orderBy("vec_id").limit(nCells)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cell"),
-        Similarity.asDouble(col(embCol)).as("centroid"))
+    // the init frame is ≤ nCells rows by the limit — number the cells on
+    // the driver instead of through a window (tiny by construction, and it
+    // keeps the log free of the global-window warning)
+    val spark = corpus.sparkSession
+    val initRows = base.orderBy("vec_id").limit(nCells)
+      .select(Similarity.asDouble(col(embCol)).as("centroid"))
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => org.apache.spark.sql.Row(i, r.getSeq[Double](0)) }
+    var centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(initRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       assigned = bestCell(base, centroids, embCol)

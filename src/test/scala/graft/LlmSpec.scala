@@ -98,6 +98,24 @@ class LlmSpec extends SparkSpec {
     assert(viaAgg == viaExplode)
   }
 
+  test("dictionaryCodes equals the global dense_rank, with no global-window operator") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.tokenSets(docs)
+    val got = Dedup.dictionaryCodes(toks)
+    val expected = toks.join(
+        toks.select("tok").distinct()
+          .withColumn("code", dense_rank().over(Window.orderBy("tok")).cast("long")),
+        "tok").select(col("doc_id"), col("code"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      expected.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // the engine path must not contain a single-partition (global) window
+    got.collect() // finalize adaptive plan
+    val globalWindows = got.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty)
+  }
+
   test("embedding near-dup: exact duplicates found; LSH path is a subset with full recall on dups") {
     val emb = Tables.embeddings(spark)
     // plant an exact duplicate of vector 0
