@@ -93,15 +93,22 @@ object CdcPipeline {
     latestDf.withColumn("is_deleted", coalesce(col(isDeleteCol), lit(false)))
 
   /** R8/R10: cast the string-typed `row_*` columns through the udt matrix.
-    * Arrays (DbVariant) stay typed `ArrayType` internally — `to_json` only
-    * at the sink boundary (SURVEY §1.3).
+    * Arrays (DbVariant) stay typed `ArrayType` internally by default —
+    * `to_json` only at the sink boundary (SURVEY §1.3). With
+    * `variantArrays`, DbVariant columns become Spark-4 `VariantType`
+    * instead: values carry their own type tags, so heterogeneous or
+    * evolving element types survive without a frozen array element type
+    * (`variant_get` extracts, `to_json` serializes — same sink boundary).
     */
-  def typed(df: DataFrame, spec: TableSpec, prefix: String = "row_"): DataFrame = {
+  def typed(df: DataFrame, spec: TableSpec, prefix: String = "row_",
+      variantArrays: Boolean = false): DataFrame = {
     val casts = spec.cols.filter(c => df.columns.contains(prefix + c.name)).map { c =>
       val src = col(prefix + c.name)
       val m = c.mapped
       val out =
-        if (m.isArray) transform(src, x => x.cast(m.sparkType))
+        if (m.isArray && variantArrays)
+          parse_json(to_json(transform(src, x => x.cast(m.sparkType))))
+        else if (m.isArray) transform(src, x => x.cast(m.sparkType))
         else src.cast(m.sparkType)
       out.as(prefix + c.name)
     }

@@ -24,6 +24,11 @@ object UdtMapper {
       known: Boolean) {
     /** Element type as stored in Spark; arrays wrap it. */
     def engineType: DataType = if (isArray) ArrayType(sparkType) else sparkType
+    /** Spark-4 variant representation for DbVariant columns (SURVEY §1.3):
+      * semi-structured values carry their own type tags instead of a frozen
+      * array element type.
+      */
+    def variantType: DataType = if (dbType == "DbVariant") VariantType else engineType
   }
 
   private val bigints = Set("int2", "int4", "int", "int8", "bigint", "tinyint", "smallint")

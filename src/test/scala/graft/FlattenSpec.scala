@@ -20,6 +20,31 @@ class FlattenSpec extends SparkSpec {
     assert(out.columns.toSet == Set("a", "s_x", "s_n_y", "t_z"))
   }
 
+  test("typed(variantArrays): DbVariant columns become VariantType, same JSON at the boundary") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.VariantType
+    import graft.cdc.CdcPipeline
+    import graft.model.TableSpec
+    import graft.queries.Cdc
+    val env = CdcPipeline.readBatch(spark, Cdc.Fixtures.eventsPath)
+    val flat = CdcPipeline.expanded(CdcPipeline.forTable(env, "shop.orders"))
+    val spec = TableSpec.loadCsv(Cdc.Fixtures.columnsPath)("shop.orders")
+    val variant = CdcPipeline.typed(flat, spec, variantArrays = true)
+    assert(variant.schema("row_tags").dataType == VariantType)
+    // element extraction through the variant path
+    val first = variant.filter(col("row_tags").isNotNull)
+      .select(expr("variant_get(row_tags, '$[0]', 'long')").as("t0")).limit(1).collect()
+    assert(first.nonEmpty && !first.head.isNullAt(0))
+    // sink boundary: identical JSON to the ArrayType representation
+    val arrayJson = CdcPipeline.typed(flat, spec)
+      .select(col("seq"), to_json(col("row_tags")).as("j")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val variantJson = variant
+      .select(col("seq"), to_json(col("row_tags")).as("j")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(variantJson == arrayJson)
+  }
+
   test("missing struct path throws") {
     intercept[IllegalArgumentException] { Flatten.columns(df, "nope", "p_") }
   }

@@ -49,6 +49,14 @@ class UdtMapperSpec extends AnyFunSuite {
     assert(m.dbType == "DbVariant" && !m.isDate)
   }
 
+  test("variantType: DbVariant maps to Spark-4 VariantType, scalars unchanged") {
+    import org.apache.spark.sql.types._
+    assert(UdtMapper.map("_int4").variantType == VariantType)
+    assert(UdtMapper.map("_date").variantType == VariantType)
+    assert(UdtMapper.map("int4").variantType == LongType)
+    assert(UdtMapper.map("varchar").variantType == StringType)
+  }
+
   test("unknown udt falls back to string") {
     val m = UdtMapper.map("uuid")
     assert(m.sparkType == StringType && m.dbType == "DbString" && !m.known)
