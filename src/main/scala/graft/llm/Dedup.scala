@@ -137,6 +137,49 @@ object Dedup {
     minhashEstimates(sig, lshCandidates(bandKeys(sig)))
   }
 
+  // ------------------------------------------- near-dup cluster resolution
+  /** Connected components over a near-dup pair graph — the step that turns
+    * pairwise matches into "keep one document per duplicate cluster". Each
+    * node's cluster id is the minimum doc_id reachable from it.
+    *
+    * Algorithm: BSP min-label propagation — each iteration every node takes
+    * the min of its own label and its neighbors' labels (one equi-join +
+    * grouped min, all distributed), converging in graph-diameter rounds;
+    * near-dup components are small, so the diameter (and `maxIters`) stays
+    * tiny. Each round's labels are persisted so iteration k doesn't replay
+    * rounds 1..k−1; the managed scope releases every cached round on exit —
+    * materialize final results inside `consume`.
+    */
+  def connectedComponents[T](pairs: DataFrame, nodes: DataFrame, maxIters: Int = 20)
+      (consume: DataFrame => T): T = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+    try {
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("b"), col("cluster").as("nc")), "b")
+          .groupBy(col("a").as("doc_id")).agg(min("nc").as("nmin"))
+        val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += updated
+        changed = labels.select(col("doc_id"), col("cluster").as("old"))
+          .join(updated, "doc_id").filter(col("cluster") < col("old")).count()
+        labels = updated
+        it += 1
+      }
+      consume(labels)
+    } finally {
+      cached.foreach(_.unpersist())
+      ()
+    }
+  }
+
   // ------------------------------------------------------------- SimHash
   /** 16-bit SimHash over token codes: bit j of the fingerprint is the sign
     * of Σ_tokens (2·bit_j(code) − 1). Near-dups differ in few bits; at scale

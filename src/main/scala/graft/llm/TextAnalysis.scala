@@ -82,4 +82,50 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum((col("pos") + 1) *
         (length(col("tok")) * 31 + ascii(col("tok")))).cast("bigint").as("fp"))
+
+  /** Within-document repetition (a Gopher-style quality filter): the share
+    * of word n-gram occurrences that are repeats of an earlier n-gram in
+    * the same document — `1 − distinct/total`. High values flag boilerplate
+    * and degenerate generations. One explode + one grouped aggregation;
+    * every aggregate map-side-combinable.
+    */
+  def repetitionRatio(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.shingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("total_ngrams"),
+        countDistinct(col("sh")).cast("bigint").as("distinct_ngrams"))
+      .withColumn("rep_ratio",
+        (lit(1.0) - col("distinct_ngrams") / col("total_ngrams")).cast("decimal(38,4)"))
+
+  /** Deterministic train/val/test assignment: a multiplicative hash of the
+    * id into [0, 100), thresholded by the cumulative percentages. Pure
+    * integer arithmetic (Knuth's 2654435761 multiplier) — any engine
+    * computes the identical split, so the partition is reproducible across
+    * reruns and engines without storing membership anywhere.
+    */
+  val SplitMultiplier = 2654435761L
+  def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = pmod(col(idCol) * SplitMultiplier, lit(100))
+    docs.withColumn("split",
+      when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test"))
+  }
+
+  /** Sequence-length histogram for batch packing: token counts bucketed by
+    * `bucketTokens`, capped at `maxBucket` (the overflow bucket). The
+    * shape a packing scheduler needs to pick batch geometry at 100 TB —
+    * one narrow projection + one grouped count.
+    */
+  def lengthHistogram(docs: DataFrame, bucketTokens: Int = 32, maxBucket: Int = 15,
+      textCol: String = "text"): DataFrame = {
+    val nTok = size(tokens(col(textCol)))
+    docs.select(
+        least(floor(nTok / lit(bucketTokens)), lit(maxBucket)).cast("bigint").as("bucket"),
+        nTok.cast("bigint").as("tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("tokens")).as("min_tokens"),
+        max(col("tokens")).as("max_tokens"))
+  }
 }

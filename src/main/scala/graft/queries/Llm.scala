@@ -253,6 +253,83 @@ object Llm {
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
     },
 
+    // Gopher-style repetition quality signal: share of repeated 3-grams.
+    QDef.df("q94_repetition",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |            FROM documents WHERE doc_id < 200),
+        |sh0 AS (SELECT doc_id,
+        |               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh,
+        |               lead(tok, 2) OVER w AS t2
+        |        FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT doc_id, sh FROM sh0 WHERE t2 IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |       CAST(count(DISTINCT sh) AS BIGINT) AS distinct_ngrams,
+        |       CAST(CAST(1.0 - count(DISTINCT sh) / count(*) AS DECIMAL(38,4)) AS STRING) AS rep_ratio
+        |FROM sh GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionRatio(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 200), 3)
+        .withColumn("rep_ratio", col("rep_ratio").cast("string"))
+    },
+
+    // Near-dup cluster resolution: connected components over the Jaccard
+    // pair graph — "keep one doc per duplicate cluster". Oracle computes
+    // min-reachable-id via a recursive CTE; the engine runs BSP min-label
+    // propagation (diameter-bounded rounds of join+min).
+    QDef.df("q96_dedup_clusters",
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50) x),
+        |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM p
+        |       JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+        |       WHERE c / (sa.n + sb.n - c) >= 0.5),
+        |nd AS (SELECT DISTINCT doc_id FROM t),
+        |e AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j, i FROM pr),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM nd
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
+      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
+        labels =>
+          // ≤ 50 rows by construction — materialize inside the managed scope
+          val rows = labels.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), labels.schema)
+      }
+    },
+
+    // Deterministic train/val/test split: multiplicative-hash membership,
+    // reproducible across engines and reruns with no stored state.
+    QDef.df("q97_split",
+      s"""SELECT split, count(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM (SELECT doc_id,
+         |             CASE WHEN (doc_id * ${TextAnalysis.SplitMultiplier}) % 100 < 80 THEN 'train'
+         |                  WHEN (doc_id * ${TextAnalysis.SplitMultiplier}) % 100 < 90 THEN 'val'
+         |                  ELSE 'test' END AS split
+         |      FROM documents) t
+         |GROUP BY split""".stripMargin) { (s, dir) =>
+      TextAnalysis.deterministicSplit(Tables.table(s, dir, "documents"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+
+    // Sequence-length histogram for batch packing.
+    QDef.df("q98_length_hist",
+      """SELECT CAST(least(floor(len(string_split(text, ' ')) / 32), 15) AS BIGINT) AS bucket,
+        |       count(*) AS cnt,
+        |       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        |       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      TextAnalysis.lengthHistogram(Tables.table(s, dir, "documents"))
+    },
+
     // ------------------------------------------------------- multimodal
     // Binary-column plumbing with the stubbed decode (no codecs in this
     // environment) — engine-only: byte hashes aren't oracle-expressible.

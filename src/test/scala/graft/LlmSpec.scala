@@ -98,6 +98,52 @@ class LlmSpec extends SparkSpec {
     assert(viaAgg == viaExplode)
   }
 
+  test("connectedComponents: min-reachable-id clusters, singletons kept, cache released") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val nodes = (1L to 7L).toDF("doc_id")
+    val clusters = Dedup.connectedComponents(pairs, nodes) { labels =>
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "connectedComponents must release every cached round on exit")
+    // a chain needs diameter rounds: 1-2-3-4 collapses to 1
+    val chain = Seq((3L, 4L), (2L, 3L), (1L, 2L)).toDF("i", "j")
+    val chainClusters = Dedup.connectedComponents(chain, (1L to 4L).toDF("doc_id")) { labels =>
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(chainClusters.values.toSet == Set(1L))
+  }
+
+  test("repetitionRatio: repeated trigrams counted, fully-unique docs score 0") {
+    val d = Seq((0L, "a b a b a b"), (1L, "u v w x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatio(d, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue)).toMap
+    // "a b a b a b" trigrams: [a b a, b a b, a b a, b a b] -> 4 total, 2 distinct
+    assert(got(0L) == ((4L, 2L, 0.5)))
+    assert(got(1L) == ((4L, 4L, 0.0)))
+  }
+
+  test("deterministicSplit partitions completely and reproducibly") {
+    val split1 = TextAnalysis.deterministicSplit(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val split2 = TextAnalysis.deterministicSplit(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split1 == split2 && split1.keySet == Set(0L, 1L, 2L, 3L))
+    assert(split1.values.forall(Set("train", "val", "test")))
+  }
+
+  test("lengthHistogram buckets by token count with an overflow bucket") {
+    val d = Seq((0L, Seq.fill(10)("t").mkString(" ")),   // 10 tokens -> bucket 0
+      (1L, Seq.fill(40)("t").mkString(" ")),             // 40 -> bucket 1
+      (2L, Seq.fill(600)("t").mkString(" "))             // 600 -> capped at 15
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthHistogram(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(0L -> ((1L, 10L, 10L)), 1L -> ((1L, 40L, 40L)), 15L -> ((1L, 600L, 600L))))
+  }
+
   test("dictionaryCodes equals the global dense_rank, with no global-window operator") {
     import org.apache.spark.sql.expressions.Window
     val toks = Dedup.tokenSets(docs)
