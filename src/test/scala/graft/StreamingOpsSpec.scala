@@ -63,6 +63,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("dropDuplicatesWithinWatermark: dedups within the delay, then evicts state") {
+    import graft.streaming.StreamingDedup
+    val in = tmpDir("dedupwm_in")
+    val schema = "event_id LONG, ts TIMESTAMP"
+    write(in, "b0.jsonl", Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00Z"}""",
+      """{"event_id":2,"ts":"2024-01-01T10:01:00Z"}"""))
+    val src = spark.readStream.schema(schema).json(in)
+    val dedup = StreamingDedup.withinWatermark(src, "ts", "10 minutes", Seq("event_id"))
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("dedupwm_out").start()
+    try {
+      q.processAllAvailable()
+      // a duplicate within the delay is dropped
+      write(in, "b1.jsonl", Seq(
+        """{"event_id":1,"ts":"2024-01-01T10:02:00Z"}""",
+        """{"event_id":3,"ts":"2024-01-01T10:03:00Z"}"""))
+      q.processAllAvailable()
+      assert(spark.table("dedupwm_out").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val stateAfterB1 = q.lastProgress.stateOperators.head.numRowsTotal
+      // advance the watermark far past every key's event time -> eviction
+      write(in, "b2.jsonl", Seq("""{"event_id":4,"ts":"2024-01-01T12:00:00Z"}"""))
+      q.processAllAvailable()
+      write(in, "b3.jsonl", Seq("""{"event_id":5,"ts":"2024-01-01T12:30:00Z"}"""))
+      q.processAllAvailable()
+      val stateAtEnd = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateAfterB1 >= 3, s"state rows after dup batch: $stateAfterB1")
+      assert(stateAtEnd < stateAfterB1,
+        s"state must shrink after watermark passes old keys: $stateAtEnd vs $stateAfterB1")
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("mapGroupsWithState: running per-user stats accumulate across micro-batches") {
     import graft.streaming.Stateful
     import graft.streaming.Stateful.UserEvent
