@@ -52,4 +52,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Exchange hashpartitioning"))
   }
+
+  test("q98: histogram reads only the text column, partial+final aggregation") {
+    val p = plan("q98_length_hist")
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // map-side combine
+  }
+
+  test("q97: split assignment reads only doc_id, single exchange") {
+    val p = plan("q97_split")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange""")) == 1, p)
+  }
 }
