@@ -62,9 +62,12 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes for LSH bucketing: plane p,
     * dim d ↦ a fixed hash-derived weight in [-1, 1). No RNG state — the
-    * same planes on every executor and every run.
+    * same planes on every executor and every run. Public: the t2 oracle
+    * embeds these exact values as SQL literals (shortest-round-trip double
+    * formatting parses back to the identical bits), so bucket signatures
+    * agree bit-for-bit across engines.
     */
-  private def planeWeight(p: Int, d: Int): Double = {
+  def planeWeight(p: Int, d: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((p, d))
     (h.toDouble / Int.MaxValue)
   }

@@ -253,6 +253,34 @@ object Llm {
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
     },
 
+    // The LSH scale path of q93, oracle-checked: the deterministic
+    // hyperplane weights are injected into the oracle SQL as literals
+    // (shortest-round-trip doubles parse back to identical bits), so both
+    // engines compute bit-identical bucket signatures, then exact cosine
+    // only within buckets.
+    QDef.df("q93b_neardup_lsh", {
+      def plane(p: Int) =
+        (0 until 64).map(d => Similarity.planeWeight(p, d).toString).mkString("[", ", ", "]")
+      val bucketExpr = (0 until 8).map(p =>
+        s"(CASE WHEN list_dot_product(ve, ${plane(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""$V,
+         |b AS (SELECT vec_id, ve, CAST($bucketExpr AS BIGINT) AS bucket
+         |      FROM v WHERE vec_id < 100),
+         |pr AS (SELECT x.vec_id AS i, y.vec_id AS j,
+         |              list_dot_product(x.ve, y.ve) /
+         |              (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve))) AS cos
+         |       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT i, j, CAST(CAST(cos AS DECIMAL(38,4)) AS STRING) AS cos
+         |FROM pr WHERE cos >= 0.3""".stripMargin
+    }) { (s, dir) =>
+      Dedup.embeddingNearDupLsh(
+          Tables.table(s, dir, "embeddings").filter(col("vec_id") < 100), 0.3,
+          dim = 64, nPlanes = 8)
+        .select(col("i"), col("j"),
+          col("cos").cast("decimal(38,4)").cast("string").as("cos"))
+    },
+
     // Gopher-style repetition quality signal: share of repeated 3-grams.
     QDef.df("q94_repetition",
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
