@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library entry point for `spark.sql.extensions` (SURVEY §7.5): installs
+  * every graft Catalyst extension at session build time, so a deployment
+  * enables the whole engine with one conf —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Installed: the codegen `cosine_sim` expression (SQL + Column via
+  * `call_function`) and the as-of join planner strategy. The in-process
+  * alternatives remain for sessions built without the conf
+  * (`GraftFunctions.register`, `AsOf.join`'s experimental-strategy patch).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
+}

@@ -181,6 +181,33 @@ object Llm {
         .withColumn("cos", col("cos").cast("string"))
     },
 
+    // The LSH-bucketed ANN scale path of q89, oracle-checked via the same
+    // literal-plane-injection trick as q93b: candidates restricted to the
+    // query's bucket, exact cosine + top-k within it.
+    QDef.df("q89c_ann_lsh", {
+      def plane(p: Int) =
+        (0 until 64).map(d => Similarity.planeWeight(p, d).toString).mkString("[", ", ", "]")
+      val bucketExpr = (0 until 4).map(p =>
+        s"(CASE WHEN list_dot_product(ve, ${plane(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""$V,
+         |b AS (SELECT vec_id, ve, CAST($bucketExpr AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id AS q_id, ve AS qe, bucket FROM b WHERE vec_id < 5),
+         |sc AS (SELECT q.q_id, c.vec_id AS n_id,
+         |              CAST(list_dot_product(c.ve, q.qe) /
+         |                   (sqrt(list_dot_product(c.ve, c.ve)) * sqrt(list_dot_product(q.qe, q.qe)))
+         |                   AS DECIMAL(38,4)) AS cos
+         |       FROM b c JOIN q ON c.bucket = q.bucket),
+         |r AS (SELECT q_id, n_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |      FROM sc)
+         |SELECT q_id, n_id, CAST(cos AS STRING) AS cos FROM r WHERE rn <= 3""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      Similarity.annLsh(e, e.filter(col("vec_id") < 5), k = 3, dim = 64, nPlanes = 4)
+        .withColumn("cos", col("cos").cast("string"))
+    },
+
     // IVF ANN scale path (engine-only: k-means cells aren't oracle-stable).
     QDef.engineOnly("q89b_ann_ivf") { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")

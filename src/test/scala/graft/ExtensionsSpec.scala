@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.sql.extensions=graft.GraftExtensions` must install the engine's
+  * Catalyst extensions at session build — no imperative register calls.
+  * The suite builds its own session (sharing the JVM's SparkContext) and
+  * restores the default session afterwards.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("extensions conf installs cosine_sim and the as-of planner strategy") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // withExtensions exercises the same injection seam the
+    // spark.sql.extensions conf resolves to; the conf string itself is only
+    // read when the SparkContext is first created, which a shared-JVM test
+    // suite can't control deterministically.
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val c = s2.sql(
+        "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c").head.getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+      assert(s2.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+}
