@@ -308,6 +308,23 @@ object Relational {
         |       count(*) AS cnt, count(DISTINCT o_custkey) AS dcust
         |FROM orders""".stripMargin),
 
+    // Statistical aggregates the scale-correct way: variance from EXACT
+    // decimal power sums (one pass, map-side combinable, no float
+    // accumulation-order dependence — Spark's builtin stddev merges partial
+    // moments in double and is not cross-engine-stable). The final formula
+    // runs in double over the same exact decimal inputs on both engines.
+    QDef.shared(
+      "q28b_exact_stats",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(CAST(SUM(q) AS DECIMAL(38,4)) AS STRING) AS sum_q,
+        |       CAST(CAST(SUM(q * q) AS DECIMAL(38,8)) AS STRING) AS sum_q2,
+        |       CAST(CAST((CAST(count(*) AS DOUBLE) * CAST(SUM(q * q) AS DOUBLE)
+        |                  - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE))
+        |                 / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1))
+        |            AS DECIMAL(38,4)) AS STRING) AS variance
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,4)) AS q FROM lineitem) t
+        |GROUP BY l_returnflag""".stripMargin),
+
     QDef.sql(
       "q29_percentile",
       """SELECT l_returnflag,
@@ -470,6 +487,26 @@ object Relational {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+
+    // Forward-fill (time-series gap fill): last non-null value per user up
+    // to each event — last_value IGNORE NULLS with a running frame.
+    QDef.sql(
+      "q36b_forward_fill",
+      """SELECT user_id, event_id,
+        |       CAST(coalesce(
+        |         last_value(CAST(value AS DECIMAL(18,4))) IGNORE NULLS OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         CAST(-1 AS DECIMAL(18,4))) AS STRING) AS filled
+        |FROM events WHERE user_id < 5""".stripMargin,
+      s"""$E
+         |SELECT user_id, event_id,
+         |       CAST(coalesce(
+         |         last_value(CAST(value AS DECIMAL(18,4)) IGNORE NULLS) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         CAST(-1 AS DECIMAL(18,4))) AS STRING) AS filled
+         |FROM e WHERE user_id < 5""".stripMargin),
 
     QDef.shared(
       "q37_percent_rank",
