@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * still wins by `seq`. `read(Hard)` filters tombstones out; `read(Logical)`
   * exposes them as `is_deleted`.
   *
-  * Scale: the local impl rewrites the whole table per merge — correct but
-  * O(table). The interface is MERGE-shaped so the 100 TB path is a real
-  * warehouse MERGE (Snowflake COPY+MERGE via staged files, Delta MERGE) with
-  * identical semantics; see SnowflakeSqlGen.
+  * Scale: this impl rewrites the whole table per merge — correct but
+  * O(table). [[PartitionedParquetSink]] is the scalable local twin
+  * (hash-bucketed layout, rewrites only affected buckets); the 100 TB path
+  * is a real warehouse MERGE (Snowflake COPY+MERGE via staged files, Delta
+  * MERGE) with identical semantics; see SnowflakeSqlGen.
   */
 final class LocalParquetSink(dir: String) extends UpsertSink {
 

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import graft.sink.{DeleteMode, LocalParquetSink, PartitionedParquetSink}
+
+/** The bucket-partitioned sink must agree with LocalParquetSink on every
+  * merge semantic while touching only the buckets a batch hits.
+  */
+class PartitionedParquetSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, Long, String, Boolean)*): DataFrame =
+    rows.toSeq.toDF("primary_key", "seq", "val", "is_delete")
+
+  private def state(sink: graft.sink.UpsertSink, mode: DeleteMode): Map[String, (Long, String)] =
+    sink.read(spark, mode).collect()
+      .map(r => r.getAs[String]("primary_key") ->
+        (r.getAs[Long]("seq"), r.getAs[String]("val"))).toMap
+
+  test("agrees with LocalParquetSink across an insert/update/delete sequence") {
+    val part = new PartitionedParquetSink(tmpDir("psink") + "/t", nBuckets = 4)
+    val local = new LocalParquetSink(tmpDir("lsink") + "/t")
+    val batches = Seq(
+      batch(("a", 0, "a0", false), ("b", 1, "b0", false), ("c", 2, "c0", false)),
+      batch(("a", 3, "a1", false), ("b", 4, "del", true)),
+      batch(("b", 2, "stale", false)), // stale post-delete event: tombstone wins
+      batch(("d", 5, "d0", false)))
+    batches.foreach { b =>
+      part.merge(b, Seq("primary_key"), "seq", "is_delete")
+      local.merge(b, Seq("primary_key"), "seq", "is_delete")
+    }
+    assert(state(part, DeleteMode.Hard) == state(local, DeleteMode.Hard))
+    assert(state(part, DeleteMode.Hard) ==
+      Map("a" -> (3L, "a1"), "c" -> (2L, "c0"), "d" -> (5L, "d0")))
+    val logical = part.read(spark, DeleteMode.Logical).collect()
+      .map(r => r.getAs[String]("primary_key") -> r.getAs[Boolean]("is_deleted")).toMap
+    assert(logical("b") && !logical("a"))
+  }
+
+  test("merge is idempotent under batch replay") {
+    val sink = new PartitionedParquetSink(tmpDir("psink") + "/t", nBuckets = 4)
+    val b = batch(("a", 0, "a0", false), ("a", 1, "a1", false))
+    sink.merge(b, Seq("primary_key"), "seq", "is_delete")
+    val first = state(sink, DeleteMode.Hard)
+    sink.merge(b, Seq("primary_key"), "seq", "is_delete")
+    assert(state(sink, DeleteMode.Hard) == first && first == Map("a" -> (1L, "a1")))
+  }
+
+  test("a merge rewrites only the buckets its batch touches") {
+    val dir = tmpDir("psink") + "/t"
+    val sink = new PartitionedParquetSink(dir, nBuckets = 8)
+    // spread keys over several buckets
+    val keys = (0 until 32).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    val bucketDirs = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.contains("__bucket=")).sorted
+    assert(bucketDirs.length > 1, s"expected multiple buckets, got $bucketDirs")
+    val before = bucketDirs.map(d => d -> Files.list(Paths.get(d)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq).toMap
+    // a single-key merge must leave every other bucket's files untouched
+    sink.merge(batch(("k0", 1L, "k0-v1", false)), Seq("primary_key"), "seq", "is_delete")
+    val touched = bucketDirs.filter { d =>
+      val now = Files.list(Paths.get(d)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+      now != before(d)
+    }
+    assert(touched.length == 1, s"expected exactly one rewritten bucket, got $touched")
+    assert(state(sink, DeleteMode.Hard)("k0") == ((1L, "k0-v1")))
+    assert(state(sink, DeleteMode.Hard).size == 32)
+  }
+
+  test("schema evolution: new column null-backfilled, old buckets not rewritten") {
+    val sink = new PartitionedParquetSink(tmpDir("psink") + "/t", nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    val evolved = Seq(("zz", 1L, "z0", false, "extra"))
+      .toDF("primary_key", "seq", "val", "is_delete", "new_col")
+    sink.merge(evolved, Seq("primary_key"), "seq", "is_delete")
+    val rows = sink.read(spark, DeleteMode.Hard).collect()
+      .map(r => r.getAs[String]("primary_key") -> Option(r.getAs[String]("new_col"))).toMap
+    assert(rows == Map("a" -> None, "zz" -> Some("extra")))
+  }
+
+  test("last-write-wins is invariant under event-order permutation") {
+    val events = Seq(("k", 0L, "v0", false), ("k", 1L, "v1", false),
+      ("k", 2L, "v2", false), ("j", 3L, "w0", false))
+    val expected = Map("k" -> (2L, "v2"), "j" -> (3L, "w0"))
+    for (perm <- Seq(events, events.reverse)) {
+      val sink = new PartitionedParquetSink(tmpDir("psink") + "/t", nBuckets = 4)
+      perm.foreach(e => sink.merge(batch(e), Seq("primary_key"), "seq", "is_delete"))
+      assert(state(sink, DeleteMode.Hard) == expected, s"order: $perm")
+    }
+  }
+}
