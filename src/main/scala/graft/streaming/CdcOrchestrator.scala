@@ -48,7 +48,11 @@ object CdcOrchestrator {
       exclude: Seq[String],
       running: Map[String, Running] = Map.empty,
       logicalDeletes: Boolean = false,
-      extraPk: Option[graft.model.ColSpec] = None): Map[String, Running] = {
+      extraPk: Option[graft.model.ColSpec] = None,
+      // sink per table directory — default local parquet; pass e.g.
+      // `new PartitionedParquetSink(_, nBuckets = 128)` for the bucketed
+      // layout, or a warehouse-backed implementation
+      sinkFactory: String => graft.sink.UpsertSink = new LocalParquetSink(_)): Map[String, Running] = {
     val specs = TableSpec.loadCsv(columnsPath)
     val discovered = discoverTables(spark, inputDir)
       .filter(t => include.isEmpty || include.contains(t))
@@ -67,7 +71,7 @@ object CdcOrchestrator {
       val safe = t.replace('.', '_')
       val spec = CdcStreamSpec(
         inputDir, s"$checkpointRoot/$safe", withExtraPk(specs(t)),
-        new LocalParquetSink(s"$sinkRoot/$safe"),
+        sinkFactory(s"$sinkRoot/$safe"),
         logicalDeletes = logicalDeletes,
         extraPk = extraPk.map(_.name))
       t -> Running(t, spec, CdcStream.start(spark, spec))

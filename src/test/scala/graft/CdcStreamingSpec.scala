@@ -164,6 +164,22 @@ class CdcStreamingSpec extends SparkSpec {
     } finally CdcOrchestrator.stopAll(running)
   }
 
+  test("orchestrator fan-out through the bucket-partitioned sink converges identically") {
+    import graft.streaming.CdcOrchestrator
+    val in = tmpDir("psink_orch_in")
+    writeChunk(in, "all.jsonl", fixtureLines)
+    val running = CdcOrchestrator.addNewTables(
+      spark, in, Cdc.Fixtures.columnsPath, tmpDir("psink_orch_sink"), tmpDir("psink_orch_ckpt"),
+      include = Seq("shop.orders"), exclude = Nil,
+      sinkFactory = new graft.sink.PartitionedParquetSink(_, nBuckets = 8))
+    try {
+      running.values.foreach(_.query.processAllAvailable())
+      val got = running("shop.orders").spec.sink.read(spark, DeleteMode.Hard)
+        .select("primary_key").collect().map(_.getString(0)).toSet
+      assert(got == expectedKeys(in))
+    } finally CdcOrchestrator.stopAll(running)
+  }
+
   test("CdcStream watermark advances with event time and preserves results") {
     val in = tmpDir("cdcwm_in"); val ckpt = tmpDir("cdcwm_ckpt")
     val sink = new LocalParquetSink(tmpDir("cdcwm_sink") + "/orders")
