@@ -74,4 +74,23 @@ object Multimodal {
     df.filter(col("meta.media_type") === "video" && col("meta.duration_ms").isNotNull)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
+
+  /** Inference batch shape: rows grouped into fixed-size batches keyed by
+    * `id div batchSize` — one output row per batch with id-aligned feature
+    * arrays, ready to hand a vectorized model runner one tensor per row.
+    * The batch key is a pure function of the id: batching is deterministic
+    * across runs, and data written/bucketed by id range keeps the groupBy
+    * shuffle-light. The struct array is sorted so ids[i] ↔ features[i]
+    * alignment never depends on arrival order.
+    */
+  def inferenceBatches(df: DataFrame, idCol: String, featCol: String,
+      batchSize: Int): DataFrame = {
+    val packed = sort_array(collect_list(struct(col(idCol).as("id"), col(featCol).as("f"))))
+    df.groupBy(floor(col(idCol) / batchSize).cast("long").as("batch_id"))
+      .agg(packed.as("packed"))
+      .select(col("batch_id"),
+        transform(col("packed"), _.getField("id")).as("ids"),
+        transform(col("packed"), _.getField("f")).as("features"),
+        size(col("packed")).cast("long").as("n"))
+  }
 }

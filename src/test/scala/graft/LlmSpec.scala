@@ -216,4 +216,20 @@ class LlmSpec extends SparkSpec {
     val feat = packed.select(Multimodal.featureStub($"media", 8).as("f")).collect().head
     assert(feat.getSeq[Float](0).length == 8)
   }
+
+  test("inference batches: fixed-size, id-aligned feature arrays") {
+    val emb = Tables.embeddings(spark).limit(25)
+      .select($"vec_id", $"embedding")
+    val batches = Multimodal.inferenceBatches(emb, "vec_id", "embedding", batchSize = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1),
+          r.getSeq[scala.collection.Seq[Float]](2).map(_.toVector), r.getLong(3))).toMap
+    assert(batches.keySet == Set(0L, 1L, 2L))
+    assert(batches(0L)._3 == 10L && batches(1L)._3 == 10L && batches(2L)._3 == 5L)
+    // ids sorted and aligned with features: ids[i]'s embedding is features[i]
+    val (ids, feats, _) = batches(1L)
+    assert(ids == ids.sorted)
+    val lookup = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
+  }
 }
