@@ -129,4 +129,33 @@ object CdcPipeline {
     val last = latest(typed(flat, spec), Seq("primary_key"))
     if (logicalDeletes) logicalDelete(last) else hardDelete(last)
   }
+
+  /** Time travel: the table state as of `maxSeq` — replay the log up to the
+    * cutoff, then the normal upsert view. With an event log retained (as
+    * the CDC sink's tombstone design already does), any historical state is
+    * one filtered pass away; the seq predicate pushes into the source scan.
+    */
+  def stateAsOf(
+      envelope: DataFrame,
+      spec: TableSpec,
+      maxSeq: Long,
+      seqCol: String = "seq",
+      logicalDeletes: Boolean = false): DataFrame =
+    materialize(envelope.filter(col(seqCol) <= maxSeq), spec, logicalDeletes)
+
+  /** SCD Type 2: one validity-interval row per non-delete event —
+    * `valid_from_seq` = the event's seq, `valid_to_seq` = the next event's
+    * seq on the same key (null = still current; a delete event closes the
+    * last version without opening one). The window partitions by key, so
+    * the computation distributes like any keyed window.
+    */
+  def scd2(flat: DataFrame, keys: Seq[String], seqCol: String = "seq",
+      isDeleteCol: String = "is_delete"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    flat
+      .withColumn("valid_to_seq", lead(col(seqCol), 1).over(w))
+      .filter(!coalesce(col(isDeleteCol), lit(false)))
+      .withColumn("is_current", col("valid_to_seq").isNull)
+      .withColumnRenamed(seqCol, "valid_from_seq")
+  }
 }

@@ -47,8 +47,10 @@ object Cdc {
 
   /** Final-state CTE: per-key last event by seq, row values normalized to
     * the engine's wire-string form (VARCHAR casts; tags → sorted int JSON).
+    * `eventFilter` restricts the replayed log (e.g. " WHERE seq <= N" for
+    * time travel).
     */
-  private val LASTSTATE =
+  private def lastStateSql(eventFilter: String): String =
     s"""$SRC,
        |r AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS primary_key,
        |             CAST(data['row']['id'] AS VARCHAR) AS row_id,
@@ -63,14 +65,17 @@ object Cdc {
        |             CAST(data['row']['discount'] AS VARCHAR) AS row_discount,
        |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
        |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
-       |      FROM f)""".stripMargin
+       |      FROM f$eventFilter)""".stripMargin
+
+  private val LASTSTATE = lastStateSql("")
 
   private val rowColsOut =
     "primary_key, row_id, row_amount, row_qty, row_note, row_created, row_active, row_tags, row_ext_id, row_discount"
 
   // Engine-side final-state frame with identical column names/values.
-  private def lastState(s: SparkSession): DataFrame = {
-    val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+  private def lastState(s: SparkSession, cutoff: Option[Long] = None): DataFrame = {
+    val e0 = cutoff.map(c => env(s).filter(col("seq") <= c)).getOrElse(env(s))
+    val flat = CdcPipeline.expanded(CdcPipeline.forTable(e0, "shop.orders"))
     val latest = CdcPipeline.latest(flat, Seq("primary_key"))
     latest.select(
       col("primary_key"),
@@ -102,6 +107,43 @@ object Cdc {
     QDef.df("q61_upsert_last_wins",
       s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1") { (s, _) =>
       lastState(s).drop("is_delete")
+    },
+
+    // Time travel: the table state as of seq 900 (mid-log cutoff) — replay
+    // the retained event log up to the cutoff, then the normal upsert view.
+    QDef.df("q61b_time_travel",
+      s"${lastStateSql(" WHERE seq <= 900")}\nSELECT $rowColsOut FROM r WHERE rn = 1 AND NOT is_del") {
+      (s, _) =>
+        CdcPipeline.hardDelete(lastState(s, cutoff = Some(900L))).drop("is_delete")
+    },
+
+    // SCD Type 2: per-key validity intervals — valid_from/valid_to seq per
+    // version, delete events close the last version without opening one.
+    QDef.df("q61c_scd2",
+      s"""$SRC,
+         |v AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS primary_key,
+         |             CAST(data['row']['amount'] AS VARCHAR) AS row_amount,
+         |             CAST(data['row']['qty'] AS VARCHAR) AS row_qty,
+         |             seq,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM f),
+         |s2 AS (SELECT primary_key, row_amount, row_qty, seq AS valid_from_seq,
+         |              lead(seq) OVER (PARTITION BY primary_key ORDER BY seq) AS valid_to_seq,
+         |              is_del
+         |       FROM v)
+         |SELECT primary_key, row_amount, row_qty, valid_from_seq,
+         |       coalesce(valid_to_seq, -1) AS valid_to_seq,
+         |       (valid_to_seq IS NULL) AS is_current
+         |FROM s2 WHERE NOT is_del""".stripMargin) { (s, _) =>
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      CdcPipeline.scd2(
+          flat.select(col("primary_key"), col("row_amount"), col("row_qty"),
+            col("seq"), col("is_delete")),
+          Seq("primary_key"))
+        .select(col("primary_key"), col("row_amount"), col("row_qty"),
+          col("valid_from_seq"),
+          coalesce(col("valid_to_seq"), lit(-1L)).as("valid_to_seq"),
+          col("is_current"))
     },
 
     // R14: hard delete — drop keys whose final event is a delete.
