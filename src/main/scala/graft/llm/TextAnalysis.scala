@@ -112,6 +112,22 @@ object TextAnalysis {
       when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test"))
   }
 
+  /** PII scrubbing: redact email-like and phone-like spans, reporting per-doc
+    * redaction counts. Patterns use only portable character classes
+    * (`[0-9]`, `[a-z]`) so any regex engine matches identically; a real
+    * deployment swaps in its full pattern set — the operator shape (count +
+    * chained replace, one narrow projection) is the 100 TB-relevant part.
+    */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("bigint").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+
   /** Sequence-length histogram for batch packing: token counts bucketed by
     * `bucketTokens`, capped at `maxBucket` (the overflow bucket). The
     * shape a packing scheduler needs to pick batch geometry at 100 TB —

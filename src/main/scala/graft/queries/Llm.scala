@@ -253,6 +253,25 @@ object Llm {
         .withColumn("stop_ratio", col("stop_ratio").cast("string"))
     },
 
+    // PII scrub: the synthetic corpus carries no PII, so both sides append
+    // a deterministic doc_id-derived email + phone before scrubbing — the
+    // counts and redacted text must round-trip identically.
+    QDef.df("q90b_pii_scrub",
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-0100 now'
+         |  AS text FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |                 '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM t""".stripMargin) { (s, dir) =>
+      val withPii = Tables.table(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("text", concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or 555-0100 now")))
+      TextAnalysis.scrubPii(withPii)
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>

@@ -125,6 +125,15 @@ class LlmSpec extends SparkSpec {
     assert(got(1L) == ((4L, 4L, 0.0)))
   }
 
+  test("scrubPii redacts all email/phone spans and counts them") {
+    val d = Seq((0L, "write a@b.co or c.d@e.org call 555-1234"),
+      (1L, "no pii here")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) == ((2L, 1L, "write <EMAIL> or <EMAIL> call <PHONE>")))
+    assert(got(1L) == ((0L, 0L, "no pii here")))
+  }
+
   test("deterministicSplit partitions completely and reproducibly") {
     val split1 = TextAnalysis.deterministicSplit(docs).select("doc_id", "split")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
