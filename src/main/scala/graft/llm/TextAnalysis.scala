@@ -128,6 +128,21 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
 
+  /** Stratified deterministic downsampling: per-stratum keep-fractions
+    * applied through the same multiplicative id hash as
+    * [[deterministicSplit]] — class rebalancing that is reproducible across
+    * engines and reruns with no RNG state, and a pushdown-friendly filter
+    * (no shuffle, no sampling operator).
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, keepPct: Map[String, Int],
+      defaultPct: Int = 100, idCol: String = "doc_id"): DataFrame = {
+    val h = pmod(col(idCol) * SplitMultiplier, lit(100))
+    val pct = keepPct.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, p).otherwise(acc)
+    }
+    docs.filter(h < pct)
+  }
+
   /** Sequence-length histogram for batch packing: token counts bucketed by
     * `bucketTokens`, capped at `maxBucket` (the overflow bucket). The
     * shape a packing scheduler needs to pick batch geometry at 100 TB —

@@ -394,6 +394,20 @@ object Llm {
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).cast("bigint").as("id_sum"))
     },
 
+    // Deterministic stratified downsampling: rebalance classes (keep 50% of
+    // 'en', everything else) with the pure-arithmetic id hash — no RNG.
+    QDef.df("q97b_stratified_sample",
+      s"""SELECT lang, count(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM documents
+         |WHERE (doc_id * ${TextAnalysis.SplitMultiplier}) % 100 <
+         |      CASE WHEN lang = 'en' THEN 50 ELSE 100 END
+         |GROUP BY lang""".stripMargin) { (s, dir) =>
+      TextAnalysis.stratifiedSample(
+          Tables.table(s, dir, "documents"), "lang", Map("en" -> 50))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+
     // Sequence-length histogram for batch packing.
     QDef.df("q98_length_hist",
       """SELECT CAST(least(floor(len(string_split(text, ' ')) / 32), 15) AS BIGINT) AS bucket,
