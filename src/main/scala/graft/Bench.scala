@@ -55,6 +55,10 @@ object Bench {
     spark.stop()
   }
 
+  private def wipe(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+  }
+
   /** BASELINE.md protocol: CDC upsert throughput over a ≥1M-event generated
     * stream (seeded, generation excluded) — full Q61 path: JSONL file read →
     * parse → per-table filter → flatten → typed cast → last-write-wins →
@@ -98,9 +102,6 @@ object Bench {
       // collide) — fresh temp dirs would accumulate ~1M-row copies across
       // bench runs
       val base = sys.props("java.io.tmpdir") + "/graft_cdc_bench_" + ProcessHandle.current().pid()
-      def wipe(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
-      }
       wipe(new java.io.File(base))
       val jsonDir = s"$base/events"
       spark.range(n).select(js.as("value")).write.text(jsonDir) // untimed generation
@@ -144,9 +145,6 @@ object Bench {
     import graft.sink.{LocalParquetSink, PartitionedParquetSink, UpsertSink}
     try {
       val base = sys.props("java.io.tmpdir") + "/graft_cdc_incr_" + ProcessHandle.current().pid()
-      def wipe(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
-      }
       wipe(new java.io.File(base))
       def seed(n: Long, offset: Long) = spark.range(n)
         .select((col("id") + offset).cast("string").as("primary_key"),

@@ -23,7 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

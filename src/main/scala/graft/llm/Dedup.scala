@@ -67,20 +67,34 @@ object Dedup {
     * cross-engine determinism isn't needed, [[hashCodes]] skips the
     * vocabulary pass entirely.
     */
-  def dictionaryCodes(tokens: DataFrame): DataFrame = {
+  def dictionaryCodes(tokens: DataFrame): DataFrame =
+    withDictionaryCodes(tokens)(identity)
+
+  /** Managed-scope variant: the distinct vocabulary — the dominant shuffle
+    * at large corpora — is computed ONCE (persisted for the offsets pass
+    * and the rank join) and released when `consume` returns; results that
+    * must outlive the scope have to be materialized inside it.
+    */
+  def withDictionaryCodes[T](tokens: DataFrame)(consume: DataFrame => T): T = {
     val vocab = tokens.select("tok").distinct()
       .withColumn("__b", substring(col("tok"), 1, 2))
-    val ranked = vocab.withColumn("__r",
-      row_number().over(Window.partitionBy("__b").orderBy("tok")).cast("long"))
-    val counts = vocab.groupBy("__b").agg(count(lit(1)).as("__n")).orderBy("__b").collect()
-    var off = 0L
-    val offsets = counts.map { r =>
-      val o = (r.getString(0), off); off += r.getLong(1); o
-    }.toSeq
-    import tokens.sparkSession.implicits._
-    val coded = ranked.join(broadcast(offsets.toDF("__b", "__off")), "__b")
-      .select(col("tok"), (col("__off") + col("__r")).as("code"))
-    tokens.join(coded, "tok").select(col("doc_id"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ranked = vocab.withColumn("__r",
+        row_number().over(Window.partitionBy("__b").orderBy("tok")).cast("long"))
+      val counts = vocab.groupBy("__b").agg(count(lit(1)).as("__n")).orderBy("__b").collect()
+      var off = 0L
+      val offsets = counts.map { r =>
+        val o = (r.getString(0), off); off += r.getLong(1); o
+      }.toSeq
+      import tokens.sparkSession.implicits._
+      val coded = ranked.join(broadcast(offsets.toDF("__b", "__off")), "__b")
+        .select(col("tok"), (col("__off") + col("__r")).as("code"))
+      consume(tokens.join(coded, "tok").select(col("doc_id"), col("code")))
+    } finally {
+      vocab.unpersist()
+      ()
+    }
   }
 
   /** Scale-path token codes: 64-bit murmur folded into [0, P). */
@@ -127,14 +141,18 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline over raw docs. Signatures come from
     * the single-pass [[MinHashAggregator]] (same hash family — identical
     * output to [[minhashSignatures]], O(docs) shuffle instead of
-    * O(tokens×hashes)).
+    * O(tokens×hashes)). Managed scope: the dictionary path's vocabulary
+    * cache is released when `consume` returns — materialize inside.
     */
-  def minhashLsh(docs: DataFrame, dictionary: Boolean,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def minhashLsh[T](docs: DataFrame, dictionary: Boolean,
+      idCol: String = "doc_id", textCol: String = "text")(consume: DataFrame => T): T = {
     val toks = tokenSets(docs, idCol, textCol)
-    val codes = if (dictionary) dictionaryCodes(toks) else hashCodes(toks)
-    val sig = MinHashAggregator.signatures(codes)
-    minhashEstimates(sig, lshCandidates(bandKeys(sig)))
+    def pipeline(codes: DataFrame): DataFrame = {
+      val sig = MinHashAggregator.signatures(codes)
+      minhashEstimates(sig, lshCandidates(bandKeys(sig)))
+    }
+    if (dictionary) withDictionaryCodes(toks)(codes => consume(pipeline(codes)))
+    else consume(pipeline(hashCodes(toks)))
   }
 
   // ------------------------------------------- near-dup cluster resolution
@@ -172,6 +190,15 @@ object Dedup {
           .join(updated, "doc_id").filter(col("cluster") < col("old")).count()
         labels = updated
         it += 1
+      }
+      // no silent caps: labels still moving at the iteration limit means a
+      // component wider than maxIters hops would be reported as several
+      // clusters — make the truncation loud
+      if (changed > 0) {
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIters iterations " +
+            s"($changed labels still changing) — raise maxIters (components need " +
+            "graph-diameter rounds)")
       }
       consume(labels)
     } finally {

@@ -100,14 +100,20 @@ object TextAnalysis {
 
   /** Deterministic train/val/test assignment: a multiplicative hash of the
     * id into [0, 100), thresholded by the cumulative percentages. Pure
-    * integer arithmetic (Knuth's 2654435761 multiplier) — any engine
-    * computes the identical split, so the partition is reproducible across
-    * reruns and engines without storing membership anywhere.
+    * integer arithmetic (Knuth's 2654435761 multiplier, then a 16-bit
+    * right-shift so the bucket draws on mixed HIGH bits — `(id*K) % 100`
+    * alone is a bijection of `id % 100` and degenerates on strided id
+    * spaces). Any engine computes the identical split, so the partition is
+    * reproducible across reruns and engines without storing membership.
+    * Contract: non-negative ids below 2^31 (no i64 overflow in id*K).
     */
   val SplitMultiplier = 2654435761L
+  /** `((id * K) >> 16) % 100` as a Column — shared by split and sampling. */
+  def splitHash(id: Column): Column =
+    pmod(shiftright(id * SplitMultiplier, 16), lit(100))
   def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
       idCol: String = "doc_id"): DataFrame = {
-    val h = pmod(col(idCol) * SplitMultiplier, lit(100))
+    val h = splitHash(col(idCol))
     docs.withColumn("split",
       when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test"))
   }
@@ -136,7 +142,7 @@ object TextAnalysis {
     */
   def stratifiedSample(docs: DataFrame, strataCol: String, keepPct: Map[String, Int],
       defaultPct: Int = 100, idCol: String = "doc_id"): DataFrame = {
-    val h = pmod(col(idCol) * SplitMultiplier, lit(100))
+    val h = splitHash(col(idCol))
     val pct = keepPct.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
       when(col(strataCol) === k, p).otherwise(acc)
     }

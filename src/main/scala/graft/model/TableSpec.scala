@@ -43,11 +43,14 @@ object TableSpec {
     * connection; `fromCatalogRows` turns the fetched rows into a spec.
     */
   def informationSchemaSql(fullTableName: String): String = {
-    val schema = fullTableName.split('.').head
+    // table names come from operator config / CSV — escape quotes so a
+    // hostile or malformed name can't break out of the SQL string literal
+    val safe = fullTableName.replace("'", "''")
+    val schema = safe.split('.').head
     s"SELECT CONCAT(table_schema, '.', table_name) as table_name, column_name, data_type, " +
       s"CASE WHEN column_key = 'PRI' THEN 'true' else 'false' end as is_primary_key " +
       s"FROM information_schema.columns c " +
-      s"WHERE TABLE_SCHEMA = '$schema' and CONCAT(table_schema, '.', table_name) = '$fullTableName' " +
+      s"WHERE TABLE_SCHEMA = '$schema' and CONCAT(table_schema, '.', table_name) = '$safe' " +
       s"ORDER BY ordinal_position"
   }
 

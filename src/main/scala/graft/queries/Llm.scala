@@ -86,9 +86,13 @@ object Llm {
          |GROUP BY c.i, c.j""".stripMargin
     }) { (s, dir) =>
       Dedup.minhashLsh(
-          Tables.table(s, dir, "documents").filter(col("doc_id") < 50), dictionary = true)
-        .select(col("i"), col("j"),
-          col("est").cast("decimal(38,4)").cast("string").as("est"))
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 50),
+          dictionary = true) { est =>
+        // candidate pairs are small by construction — materialize inside
+        // the managed scope so the vocabulary cache is released
+        QDef.localized(s, est.select(col("i"), col("j"),
+          col("est").cast("decimal(38,4)").cast("string").as("est")))
+      }
     },
 
     QDef.df("q87_simhash", {
@@ -100,7 +104,9 @@ object Llm {
          |SELECT doc_id, CAST($terms AS BIGINT) AS fp FROM tc GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
       val toks = Dedup.tokenSets(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
-      Dedup.simhash16(Dedup.dictionaryCodes(toks))
+      Dedup.withDictionaryCodes(toks) { codes =>
+        QDef.localized(s, Dedup.simhash16(codes)) // ≤ 100 rows by construction
+      }
     },
 
     QDef.df("q88_ngram_jaccard", {
@@ -215,9 +221,8 @@ object Llm {
       try {
         // k·|queries| = 15 rows by construction — materialize before close()
         // so the model's caches are released, not recomputed
-        val res = graft.llm.Ivf.search(model, e.filter(col("vec_id") < 5), k = 3, nProbe = 2)
-        val rows = res.collect().toIndexedSeq
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+        QDef.localized(s,
+          graft.llm.Ivf.search(model, e.filter(col("vec_id") < 5), k = 3, nProbe = 2))
       } finally model.close()
     },
 
@@ -372,23 +377,22 @@ object Llm {
       val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
       val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
       Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
-        labels =>
-          // ≤ 50 rows by construction — materialize inside the managed scope
-          val rows = labels.collect().toIndexedSeq
-          s.createDataFrame(s.sparkContext.parallelize(rows, 1), labels.schema)
+        labels => QDef.localized(s, labels) // ≤ 50 rows by construction
       }
     },
 
     // Deterministic train/val/test split: multiplicative-hash membership,
     // reproducible across engines and reruns with no stored state.
-    QDef.df("q97_split",
+    QDef.df("q97_split", {
+      val h = s"(((doc_id * ${TextAnalysis.SplitMultiplier}) >> 16) % 100)"
       s"""SELECT split, count(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM (SELECT doc_id,
-         |             CASE WHEN (doc_id * ${TextAnalysis.SplitMultiplier}) % 100 < 80 THEN 'train'
-         |                  WHEN (doc_id * ${TextAnalysis.SplitMultiplier}) % 100 < 90 THEN 'val'
+         |             CASE WHEN $h < 80 THEN 'train'
+         |                  WHEN $h < 90 THEN 'val'
          |                  ELSE 'test' END AS split
          |      FROM documents) t
-         |GROUP BY split""".stripMargin) { (s, dir) =>
+         |GROUP BY split""".stripMargin
+    }) { (s, dir) =>
       TextAnalysis.deterministicSplit(Tables.table(s, dir, "documents"))
         .groupBy("split")
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).cast("bigint").as("id_sum"))
@@ -399,7 +403,7 @@ object Llm {
     QDef.df("q97b_stratified_sample",
       s"""SELECT lang, count(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM documents
-         |WHERE (doc_id * ${TextAnalysis.SplitMultiplier}) % 100 <
+         |WHERE ((doc_id * ${TextAnalysis.SplitMultiplier}) >> 16) % 100 <
          |      CASE WHEN lang = 'en' THEN 50 ELSE 100 END
          |GROUP BY lang""".stripMargin) { (s, dir) =>
       TextAnalysis.stratifiedSample(

@@ -50,4 +50,13 @@ object QDef {
     */
   def engineOnly(name: String)(build: (SparkSession, String) => DataFrame): QDef =
     QDef(name, (s, dir) => { Tables.ensure(s, dir); build(s, dir) }, None)
+
+  /** Materializes a small-by-construction result into a local frame so a
+    * managed cache (Ranking/Dedup/Ivf thunk scopes) can be released before
+    * the caller consumes the rows.
+    */
+  def localized(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect().toIndexedSeq
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), df.schema)
+  }
 }

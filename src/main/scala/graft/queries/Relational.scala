@@ -460,8 +460,7 @@ object Relational {
               sum(col("o_totalprice").cast(DecimalType(18, 2)))
                 .cast(DecimalType(38, 2)).cast("string").as("total"))
             .select(col("tile"), col("cnt"), col("total"))
-          val rows = agg.collect().toIndexedSeq
-          s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
+          QDef.localized(s, agg)
         }
     },
 

@@ -29,47 +29,100 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
   private def bucketOf(keys: Seq[String]) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
 
+  private def backupRoot = Paths.get(dir + ".backup")
+
+  /** Crash recovery: the dynamic-partition-overwrite commit replaces each
+    * affected bucket directory non-atomically (delete, then move staged
+    * files in), so a crash mid-commit can leave a bucket missing. Before
+    * every overwrite the affected buckets are copied to `<dir>.backup`;
+    * on open, any bucket present in the backup but missing from the live
+    * table is restored (a bucket present in both means the commit got at
+    * least that far — the live copy wins), then the backup is dropped.
+    */
+  private def recover(): Unit = {
+    if (Files.exists(backupRoot)) {
+      Files.list(backupRoot).forEach { saved =>
+        val live = Paths.get(dir).resolve(saved.getFileName)
+        if (!Files.exists(live)) copyTree(saved, live)
+      }
+      deleteTree(backupRoot)
+    }
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    Files.createDirectories(to)
+    Files.list(from).forEach { f =>
+      if (Files.isDirectory(f)) copyTree(f, to.resolve(f.getFileName))
+      else { Files.copy(f, to.resolve(f.getFileName)); () }
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(deleteTree)
+    Files.deleteIfExists(p)
+    ()
+  }
+
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
+    recover()
     val spark = batch.sparkSession
+    // persisted: the affected-bucket probe below and the union+write would
+    // otherwise execute the batch's full lineage twice per micro-batch
     val incoming0 = batch
       .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
       .withColumn("__bucket", bucketOf(keys))
-    // ≤ nBuckets values by construction — the driver-side list is what lets
-    // the read below prune to affected buckets only
-    val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
-    if (affected.isEmpty) return
-    val existingDirs = affected.map(b => s"$dir/__bucket=$b")
-      .filter(p => Files.exists(Paths.get(p)))
-    val (current, gen) =
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ≤ nBuckets values by construction — the driver-side list is what
+      // lets the read below prune to affected buckets only
+      val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return
+      val existingDirs = affected.map(b => s"$dir/__bucket=$b")
+        .filter(p => Files.exists(Paths.get(p)))
+      val (current, gen) =
+        if (existingDirs.nonEmpty) {
+          val c = spark.read.option("mergeSchema", "true").option("basePath", dir)
+            .parquet(existingDirs.toIndexedSeq: _*)
+          val maxGen = Option(c.agg(max(col("__gen"))).collect().head.get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(-1L)
+          (Some(c), maxGen + 1L)
+        } else (None, 0L)
+      val incoming = incoming0.withColumn("__gen", lit(gen))
+      val all = current match {
+        case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
+        case None    => incoming
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(seqCol).desc, col("__gen").desc)
+      val merged = all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // save the pre-image of every bucket this commit will replace
       if (existingDirs.nonEmpty) {
-        val c = spark.read.option("mergeSchema", "true").option("basePath", dir)
-          .parquet(existingDirs.toIndexedSeq: _*)
-        val maxGen = Option(c.agg(max(col("__gen"))).collect().head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(-1L)
-        (Some(c), maxGen + 1L)
-      } else (None, 0L)
-    val incoming = incoming0.withColumn("__gen", lit(gen))
-    val all = current match {
-      case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
-      case None    => incoming
+        Files.createDirectories(backupRoot)
+        existingDirs.foreach { d =>
+          val p = Paths.get(d)
+          copyTree(p, backupRoot.resolve(p.getFileName))
+        }
+      }
+      // one output file per bucket: without this, every bucket directory
+      // gets a file per shuffle partition and the layout degenerates into
+      // nBuckets × partitions small files, swamping the pruning win
+      merged.repartition(affected.length, col("__bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(dir)
+      deleteTree(backupRoot)
+    } finally {
+      incoming0.unpersist()
+      ()
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col("__gen").desc)
-    val merged = all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    // one output file per bucket: without this, every bucket directory gets
-    // a file per shuffle partition and the layout degenerates into
-    // nBuckets × partitions small files, swamping the pruning win
-    merged.repartition(affected.length, col("__bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(dir)
   }
 
   override def read(spark: SparkSession, mode: DeleteMode): DataFrame = {
+    synchronized(recover())
     val t = spark.read.option("mergeSchema", "true").parquet(dir).drop("__gen", "__bucket")
     mode match {
       case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")

@@ -89,17 +89,26 @@ object CdcStream {
       .trigger(Trigger.ProcessingTime(spec.triggerInterval))
       .option("checkpointLocation", spec.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        spec.sink.merge(batch, spec.mergeKeys, "seq", "is_delete")
+        spec.sink.merge(batch, presentMergeKeys(spec, batch), "seq", "is_delete")
       }
       .start()
   }
+
+  /** The extra-PK column is global config applied to every table (R13); a
+    * table whose events never carry it would otherwise crash the merge on a
+    * nonexistent column — degrade that table to its primary key alone, the
+    * same outcome the reference's warehouse-side column add yields for a
+    * source that never populates the field.
+    */
+  private def presentMergeKeys(spec: CdcStreamSpec, batch: DataFrame): Seq[String] =
+    spec.mergeKeys.filter(batch.columns.contains)
 
   /** One-shot batch backfill through the same transform — used for AtTime
     * replay and schema-evolution catch-up.
     */
   def backfill(spark: SparkSession, spec: CdcStreamSpec): Unit = {
     val batch = transform(CdcPipeline.readBatch(spark, spec.inputDir), spec)
-    spec.sink.merge(batch, spec.mergeKeys, "seq", "is_delete")
+    spec.sink.merge(batch, presentMergeKeys(spec, batch), "seq", "is_delete")
   }
 }
 

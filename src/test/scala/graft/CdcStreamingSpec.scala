@@ -164,6 +164,24 @@ class CdcStreamingSpec extends SparkSpec {
     } finally CdcOrchestrator.stopAll(running)
   }
 
+  test("extra-PK over a table whose events lack the column degrades to primary key") {
+    import graft.streaming.CdcOrchestrator
+    val in = tmpDir("xpk2_in")
+    writeChunk(in, "all.jsonl", fixtureLines)
+    // shop.customers events carry no ext_id field — the stream must still
+    // run, merging on primary_key alone instead of crashing on row_ext_id
+    val running = CdcOrchestrator.addNewTables(
+      spark, in, Cdc.Fixtures.columnsPath, tmpDir("xpk2_sink"), tmpDir("xpk2_ckpt"),
+      include = Seq("shop.customers"), exclude = Nil,
+      extraPk = Some(graft.model.ColSpec("ext_id", "varchar", isPrimaryKey = true)))
+    try {
+      running.values.foreach(_.query.processAllAvailable())
+      val sink = running("shop.customers").spec.sink
+      assert(sink.read(spark, DeleteMode.Hard).count() > 0)
+      assert(running("shop.customers").query.exception.isEmpty)
+    } finally CdcOrchestrator.stopAll(running)
+  }
+
   test("orchestrator fan-out through the bucket-partitioned sink converges identically") {
     import graft.streaming.CdcOrchestrator
     val in = tmpDir("psink_orch_in")

@@ -81,7 +81,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("minhash estimate is 1.0 for identical docs and low for disjoint docs") {
-    val est = Dedup.minhashLsh(docs, dictionary = true).collect()
+    val est = Dedup.minhashLsh(docs, dictionary = true)(_.collect())
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(est((0L, 3L)) == 1.0)         // exact dups always collide
     assert(!est.contains((0L, 2L)) || est((0L, 2L)) < 0.3) // disjoint rarely candidates
