@@ -49,6 +49,48 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("splitHash maps any id range onto well-spread percent buckets") {
+    import org.apache.spark.sql.functions._
+    // strided ids are exactly the adversarial input for the naive
+    // (id*K) % 100 formulation — every bucket must still be hit
+    for (stride <- Seq(1L, 100L, 1000L)) {
+      val ids = spark.range(0, 10000).select((col("id") * stride).as("doc_id"))
+      val buckets = ids.select(graft.llm.TextAnalysis.splitHash(col("doc_id")).as("h"))
+        .groupBy("h").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(buckets.size == 100, s"stride $stride hit only ${buckets.size} buckets")
+      assert(buckets.values.max <= 300 && buckets.values.min >= 20,
+        s"stride $stride skew: min=${buckets.values.min} max=${buckets.values.max}")
+    }
+  }
+
+  test("scd2 intervals tile the per-key event sequence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = Gen.listOfN(40, for {
+      key <- Gen.choose(0, 5)
+      del <- Gen.prob(0.2)
+    } yield (key.toString, del))
+    check(Prop.forAll(gen) { events =>
+      val numbered = events.zipWithIndex.map { case ((k, d), i) => (k, i.toLong, d) }
+      val df = numbered.toDF("primary_key", "seq", "is_delete")
+      val scd = graft.cdc.CdcPipeline.scd2(df, Seq("primary_key"))
+        .select("primary_key", "valid_from_seq", "valid_to_seq", "is_current").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_ => r.getLong(2)),
+          r.getBoolean(3)))
+      val byKey = scd.groupBy(_._1)
+      byKey.forall { case (k, versions) =>
+        val allEvents = numbered.filter(_._1 == k).map(_._2).sorted
+        val sortedV = versions.sortBy(_._2)
+        // each version closes at the NEXT event on the key (any kind);
+        // at most one open (is_current) version, and only as the last one
+        sortedV.zipWithIndex.forall { case ((_, from, to, current), i) =>
+          val nextEvent = allEvents.find(_ > from)
+          to == nextEvent && current == to.isEmpty
+        } && sortedV.count(_._4) <= 1
+      }
+    })
+  }
+
   test("last-write-wins is permutation-invariant (CdcPipeline.latest)") {
     import spark.implicits._
     // scalacheck generates the event set; Spark round-trips a shuffle of it
