@@ -32,7 +32,8 @@ final case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightTie: Seq[Expression]) extends BinaryNode {
+    rightTie: Seq[Expression],
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
     copy(left = l, right = r)
@@ -40,8 +41,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, tol) :: Nil
     case _ => Nil
   }
 }
@@ -53,7 +54,8 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightTie: Seq[Expression]) extends BinaryExecNode {
+    rightTie: Seq[Expression],
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
@@ -78,6 +80,7 @@ final case class AsOfJoinExec(
     val rOut = right.output
     val lTsExpr = leftTs
     val rTsExpr = rightTs
+    val tol = tolerance
     val allOut = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -131,7 +134,9 @@ final case class AsOfJoinExec(
               }
             }
           }
-          val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0
+          // tolerance: a candidate older than the allowed gap is no match
+          val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
+            tol.forall(t => lts - rTsBound.eval(candidate).asInstanceOf[Long] <= t)
           outProj(joiner(l, if (matched) candidate else nullRight))
         }
       }

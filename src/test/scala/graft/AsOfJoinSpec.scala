@@ -47,6 +47,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(unmatched == noView)
   }
 
+  test("tolerance bounds the lookback: stale matches turn into null right") {
+    val tolUs = 3600L * 1000000L // 1 hour
+    val got = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts",
+        Seq("v_id"), tolerance = Some(tolUs))
+      .filter($"v_id".isNotNull)
+      .select($"p_id", $"v_ts", $"v_id")
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+
+    // compositional oracle with the same gap bound
+    val pairs = purchases.join(views,
+      $"p_user" === $"v_user" && $"v_ts" < $"p_ts" &&
+        unix_micros($"p_ts") - unix_micros($"v_ts") <= tolUs)
+    val mts = pairs.groupBy("p_id").agg(max("v_ts").as("mts"))
+    val expected = pairs.join(mts, "p_id").filter($"v_ts" === $"mts")
+      .groupBy($"p_id", $"mts").agg(max("v_id").as("vid"))
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the bound must actually bite: unbounded finds strictly more matches
+    val unbounded = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+      .filter($"v_id".isNotNull).count()
+    assert(got.size < unbounded)
+  }
+
+  test("forward direction: earliest strictly-later right row (pandas direction='forward')") {
+    val got = AsOf.joinForward(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+      .filter($"v_id".isNotNull)
+      .select($"p_id", $"v_ts", $"v_id")
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+
+    val pairs = purchases.join(views, $"p_user" === $"v_user" && $"v_ts" > $"p_ts")
+    val mts = pairs.groupBy("p_id").agg(min("v_ts").as("mts"))
+    val expected = pairs.join(mts, "p_id").filter($"v_ts" === $"mts")
+      .groupBy($"p_id", $"mts").agg(max("v_id").as("vid"))
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("null keys and null timestamps match nothing (SQL equi-join semantics)") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
