@@ -222,6 +222,30 @@ object Dedup {
       .select(col("doc_id"), fp.as("fp"))
   }
 
+  /** SimHash near-duplicate pairs: hamming(fp_a, fp_b) ≤ maxHamming over
+    * 16-bit fingerprints. Candidate generation is EXACT pigeonhole banding,
+    * not probabilistic LSH: the fingerprint splits into `maxHamming + 1`
+    * bands, and any pair within the hamming budget must agree on at least
+    * one whole band — so candidates come from an equi-join on
+    * (band index, band value) and only they pay the bit_count check.
+    * O(n) per band instead of the O(n²) cross join, with zero recall loss.
+    */
+  def simhashNearDup(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 16 / nBands
+    val bands = fps.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("fp"), b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1)): _*)).as(Seq("band", "bval")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
   /** Near-duplicate pairs by embedding cosine ≥ threshold — the semantic
     * twin of token-based near-dup (catches paraphrases token methods miss).

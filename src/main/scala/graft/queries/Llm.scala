@@ -109,6 +109,28 @@ object Llm {
       }
     },
 
+    // SimHash near-dup pairs: exact pigeonhole banding engine-side (equi-join
+    // on fingerprint bands, zero recall loss), plain pairwise oracle-side
+    // (small n). Same dictionary fingerprints as q87.
+    QDef.df("q87b_simhash_neardup", {
+      val terms = (0 until 16).map(j =>
+        s"(CASE WHEN SUM(CASE WHEN (code >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${toksCte(100)},
+         |$dictCte,
+         |fp AS (SELECT doc_id, CAST($terms AS BIGINT) AS fp FROM tc GROUP BY doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+    }) { (s, dir) =>
+      val toks = Dedup.tokenSets(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
+      Dedup.withDictionaryCodes(toks) { codes =>
+        QDef.localized(s,
+          Dedup.simhashNearDup(Dedup.simhash16(codes), maxHamming = 3))
+      }
+    },
+
     QDef.df("q88_ngram_jaccard", {
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
          |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos

@@ -192,6 +192,26 @@ class LlmSpec extends SparkSpec {
     assert(fp(0L) != fp(2L))
   }
 
+  test("simhashNearDup banding equals brute-force hamming (pigeonhole, zero recall loss)") {
+    import spark.implicits._
+    // fingerprints engineered around the hamming boundary
+    val fps = Seq(
+      (0L, 0x0000L), (1L, 0x0001L),      // hamming 1
+      (2L, 0x0007L),                     // hamming 3 from 0, 2 from 1
+      (3L, 0x00FFL),                     // hamming 8 from 0 — out
+      (4L, 0xF0F0L), (5L, 0xF0F1L)       // hamming 1
+    ).toDF("doc_id", "fp")
+    val got = Dedup.simhashNearDup(fps, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = fps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      h = java.lang.Long.bitCount(a ^ b) if h <= 3
+    } yield (i, j) -> h.toLong).toMap
+    assert(got == brute)
+    assert(got((0L, 1L)) == 1L && got((0L, 2L)) == 3L && !got.contains((0L, 3L)))
+  }
+
   test("3-gram shingles preserve order and count") {
     val sh = Dedup.shingles(docs.filter($"doc_id" === 0), 3).collect().map(_.getString(1))
     assert(sh.length == 7) // 9 tokens → 7 trigrams
