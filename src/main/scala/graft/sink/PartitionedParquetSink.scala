@@ -129,4 +129,32 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
       case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")
     }
   }
+
+  /** Point lookup: current state of ONE key, reading only its bucket
+    * directory — the read-side payoff of the hash layout (a key lookup
+    * opens 1/nBuckets of the table's files). `keyValues` pairs with the
+    * merge `keys` used at write time; the bucket is derived with the same
+    * hash expression, so it always lands where merge put it.
+    */
+  def lookup(spark: SparkSession, keys: Seq[String], keyValues: Seq[Any],
+      mode: DeleteMode = DeleteMode.Hard): DataFrame = {
+    synchronized(recover())
+    require(keys.length == keyValues.length, "one value per key column")
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(keyValues.map(lit): _*), lit(nBuckets)).cast("int"))
+      .collect().head.getInt(0)
+    val bucketDir = s"$dir/__bucket=$bucket"
+    if (!Files.exists(Paths.get(bucketDir))) {
+      // no bucket directory ⇒ the key was never written
+      return read(spark, mode).limit(0)
+    }
+    val t = spark.read.option("mergeSchema", "true").option("basePath", dir)
+      .parquet(bucketDir)
+      .drop("__gen", "__bucket")
+    val keyed = keys.zip(keyValues).foldLeft(t) { case (df, (k, v)) => df.filter(col(k) === v) }
+    mode match {
+      case DeleteMode.Hard    => keyed.filter(!col("__is_deleted")).drop("__is_deleted")
+      case DeleteMode.Logical => keyed.withColumnRenamed("__is_deleted", "is_deleted")
+    }
+  }
 }

@@ -82,6 +82,22 @@ class PartitionedParquetSinkSpec extends SparkSpec {
     assert(rows == Map("a" -> None, "zz" -> Some("extra")))
   }
 
+  test("point lookup reads only the key's bucket and agrees with the full read") {
+    val dir = tmpDir("psink") + "/t"
+    val sink = new PartitionedParquetSink(dir, nBuckets = 8)
+    val keys = (0 until 32).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    for (k <- Seq("k0", "k17", "k31")) {
+      val row = sink.lookup(spark, Seq("primary_key"), Seq(k)).collect()
+      assert(row.length == 1 && row.head.getAs[String]("val") == s"$k-v", k)
+    }
+    assert(sink.lookup(spark, Seq("primary_key"), Seq("absent")).isEmpty)
+    // a deleted key resolves to nothing under Hard mode
+    sink.merge(batch(("k0", 1L, "gone", true)), Seq("primary_key"), "seq", "is_delete")
+    assert(sink.lookup(spark, Seq("primary_key"), Seq("k0")).isEmpty)
+  }
+
   test("last-write-wins is invariant under event-order permutation") {
     val events = Seq(("k", 0L, "v0", false), ("k", 1L, "v1", false),
       ("k", 2L, "v2", false), ("j", 3L, "w0", false))
