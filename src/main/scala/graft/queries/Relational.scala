@@ -34,8 +34,10 @@ object Relational {
     QDef.df("q03_parquet_roundtrip",
       "SELECT count(*) AS cnt FROM lineitem WHERE l_discount > 0.05") { (s, dir) =>
       // fixed path + overwrite: a fresh temp dir per execution would
-      // accumulate a filtered lineitem copy on every run
-      val out = sys.props("java.io.tmpdir") + "/graft_q03_roundtrip"
+      // accumulate a filtered lineitem copy on every run; pid suffix keeps
+      // concurrent sessions from clobbering each other's write
+      val out = sys.props("java.io.tmpdir") + "/graft_q03_roundtrip_" +
+        ProcessHandle.current().pid()
       s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_discount") > 0.05)
         .write.mode("overwrite").parquet(out)
