@@ -34,4 +34,36 @@ object Stateful {
 
   /** Output mode required by mapGroupsWithState. */
   val outputMode: OutputMode = OutputMode.Update()
+
+  /** The same semantics on Spark 4's `transformWithState` — the successor
+    * API with explicit typed state handles (ValueState here; List/Map state
+    * and timers for richer machines). Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[UserStats]("stats",
+        Encoders.product[UserStats], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      val prev = if (state.exists()) state.get() else UserStats(key, 0L, 0.0, Long.MinValue)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        UserStats(key, s.n_events + 1, s.sum_value + e.value, math.max(s.max_event_id, e.event_id))
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserStats] =
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())(
+        Encoders.product[UserStats])
 }

@@ -123,6 +123,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("transformWithState (Spark 4 API) matches the mapGroupsWithState semantics") {
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.UserEvent
+    val in = tmpDir("tws_in")
+    val schema = "user_id LONG, event_id LONG, value DOUBLE"
+    write(in, "b0.jsonl", Seq(
+      """{"user_id":1,"event_id":10,"value":5.0}""",
+      """{"user_id":1,"event_id":11,"value":7.0}""",
+      """{"user_id":2,"event_id":12,"value":1.0}"""))
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema(schema).json(in).as[UserEvent]
+      val q = Stateful.runningUserStatsTws(src).writeStream
+        .outputMode(Stateful.outputMode).format("memory").queryName("tws_out")
+        .option("checkpointLocation", tmpDir("tws_ckpt")).start()
+      try {
+        q.processAllAvailable()
+        write(in, "b1.jsonl", Seq("""{"user_id":1,"event_id":13,"value":3.0}"""))
+        q.processAllAvailable()
+        val rows = spark.table("tws_out").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+        assert(rows(1L) == ((3L, 15.0, 13L)))
+        assert(rows(2L) == ((1L, 1.0, 12L)))
+      } finally { q.stop(); q.awaitTermination() }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("bucketed co-located join runs without any shuffle Exchange") {
     import graft.engine.Bucketing
     val dir = "/root/testdata/sf0.001"
