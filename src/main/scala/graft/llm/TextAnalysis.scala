@@ -118,6 +118,16 @@ object TextAnalysis {
       when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test"))
   }
 
+  /** BPE-style pre-tokenization: alphanumeric runs and single punctuation
+    * marks, the split a byte-pair tokenizer sees before merges (a portable
+    * `[a-z0-9]` regex so any engine extracts identical pre-tokens). Counts
+    * approximate real tokenizer token counts far better than whitespace
+    * splits on punctuation-heavy text.
+    */
+  val PreTokenRe = "[a-z0-9]+|[^a-z0-9 ]"
+  def preTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PreTokenRe), lit(0))).cast("bigint")
+
   /** PII scrubbing: redact email-like and phone-like spans, reporting per-doc
     * redaction counts. Patterns use only portable character classes
     * (`[0-9]`, `[a-z]`) so any regex engine matches identically; a real

@@ -256,6 +256,18 @@ object Llm {
       TextAnalysis.tokenFrequency(Tables.table(s, dir, "documents"), 20)
     },
 
+    // BPE-style pre-token counts vs whitespace tokens per doc.
+    QDef.df("q84b_pretokenize",
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.PreTokenRe}')) AS BIGINT) AS pre_tokens
+         |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+          TextAnalysis.preTokenCount(col("text")).as("pre_tokens"))
+    },
+
     QDef.shared(
       "q85_text_stats",
       """SELECT lang, count(*) AS docs,
