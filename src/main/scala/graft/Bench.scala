@@ -25,6 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the sink comparison runs FIRST: after the full query suite the JVM
+    // carries enough codegen/GC pressure to inflate per-job overheads and
+    // drown the signal of the many-small-jobs partitioned path
+    val incr = cdcIncrementalMergeSpeedup(spark)
+
     val qs = SparkEntry.queries
     // warm-up: session init + codegen + parquet footer cache
     try qs.get("q01_count").foreach(_(spark, sfDir).count()) catch { case _: Throwable => }
@@ -45,7 +50,6 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val eps = cdcThroughput(spark)
-    val incr = cdcIncrementalMergeSpeedup(spark)
     val json =
       s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qjson,"failed":$failed,"cdc_events_per_sec":${num("%.0f", eps)},"cdc_incremental_merge_speedup":${num("%.1f", incr)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
@@ -130,15 +134,16 @@ object Bench {
     }
   }
 
-  /** Incremental-merge scale story: with a 2.5M-key, 64-char-payload table
+  /** Incremental-merge scale story: with a 4M-key, 64-char-payload table
     * in place, merge a 10-key micro-batch (a hot-key update — the realistic
     * steady-state CDC trigger) through the whole-table-rewrite sink vs the
     * bucket-partitioned sink. The partitioned merge reads and rewrites
     * ≤ 10 of 128 buckets, so its cost tracks the affected fraction of the
-    * table, not its size — the gap widens with table volume (measured ~3×
-    * at 4M rows, and the full-rewrite side is O(table)). A batch whose keys
-    * hash across every bucket degrades to a full rewrite — hash layout
-    * prunes by key count, not key range.
+    * table, not its size — the full-rewrite side is O(table), so the gap
+    * widens with volume (below ~2M rows scheduler fixed costs swamp the
+    * signal, which is why the table here is 4M). A batch whose keys hash
+    * across every bucket degrades to a full rewrite — hash layout prunes
+    * by key count, not key range.
     */
   private def cdcIncrementalMergeSpeedup(spark: org.apache.spark.sql.SparkSession): Double = {
     import org.apache.spark.sql.functions._
@@ -151,19 +156,24 @@ object Bench {
           (col("id") + offset).as("seq"),
           sha2(concat(lit("v"), col("id")), 256).as("val"), // 64-char payload
           lit(false).as("is_delete"))
-      def timedMerge(sink: UpsertSink): Double = {
-        sink.merge(seed(2500000, 0), Seq("primary_key"), "seq", "is_delete") // untimed load
-        val hotKeys = seed(10, 50000) // 10 existing keys updated
+      val local = new LocalParquetSink(s"$base/local")
+      val part = new PartitionedParquetSink(s"$base/part", nBuckets = 128)
+      val hotKeys = seed(10, 50000) // 10 existing keys updated
+      for (sink <- Seq[UpsertSink](local, part)) {
+        sink.merge(seed(4000000, 0), Seq("primary_key"), "seq", "is_delete") // untimed load
         sink.merge(hotKeys, Seq("primary_key"), "seq", "is_delete") // warm-up (codegen)
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          sink.merge(hotKeys, Seq("primary_key"), "seq", "is_delete")
-          (System.nanoTime() - t0) / 1e9
-        }
-        times.sorted.apply(1) // median
       }
-      val tLocal = timedMerge(new LocalParquetSink(s"$base/local"))
-      val tPart = timedMerge(new PartitionedParquetSink(s"$base/part", nBuckets = 128))
+      // interleaved timings so environment drift (page cache, GC) hits both
+      // sinks equally; medians of three each
+      def timed(sink: UpsertSink): Double = {
+        val t0 = System.nanoTime()
+        sink.merge(hotKeys, Seq("primary_key"), "seq", "is_delete")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pairs = (1 to 3).map(_ => (timed(local), timed(part)))
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val tLocal = median(pairs.map(_._1))
+      val tPart = median(pairs.map(_._2))
       wipe(new java.io.File(base))
       tLocal / tPart
     } catch { case e: Throwable =>
