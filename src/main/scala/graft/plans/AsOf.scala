@@ -62,6 +62,10 @@ object AsOf {
       tolerance: Option[Long] = None): DataFrame = {
     // narrow import: functions.left/right would shadow the parameters
     import org.apache.spark.sql.functions.{col, unix_micros}
+    // the scratch columns are replaced-then-dropped — refuse inputs that
+    // already carry them rather than silently destroying user data
+    require(!left.columns.contains("__l_negts") && !right.columns.contains("__r_negts"),
+      "joinForward reserves the __l_negts/__r_negts column names")
     def negated(df: DataFrame, ts: String, out: String): DataFrame = {
       val asLong = df.schema(ts).dataType match {
         case org.apache.spark.sql.types.LongType => col(ts)

@@ -35,6 +35,14 @@ object Llm {
       |      FROM (SELECT DISTINCT tok FROM t) vo),
       |tc AS (SELECT t.doc_id, d.code FROM t JOIN d ON t.tok = d.tok)""".stripMargin
 
+  /** DuckDB: the 16-term SimHash fingerprint expression over token codes —
+    * shared by q87 and q87b so the majority rule can never diverge between
+    * their oracles.
+    */
+  private val simhashFpTerms: String = (0 until 16).map(j =>
+    s"(CASE WHEN SUM(CASE WHEN (code >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
   private def jaccardTail(threshold: Double) =
     s"""s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
@@ -96,12 +104,9 @@ object Llm {
     },
 
     QDef.df("q87_simhash", {
-      val terms = (0 until 16).map(j =>
-        s"(CASE WHEN SUM(CASE WHEN (code >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH ${toksCte(100)},
          |$dictCte
-         |SELECT doc_id, CAST($terms AS BIGINT) AS fp FROM tc GROUP BY doc_id""".stripMargin
+         |SELECT doc_id, CAST($simhashFpTerms AS BIGINT) AS fp FROM tc GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
       val toks = Dedup.tokenSets(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
       Dedup.withDictionaryCodes(toks) { codes =>
@@ -113,12 +118,9 @@ object Llm {
     // on fingerprint bands, zero recall loss), plain pairwise oracle-side
     // (small n). Same dictionary fingerprints as q87.
     QDef.df("q87b_simhash_neardup", {
-      val terms = (0 until 16).map(j =>
-        s"(CASE WHEN SUM(CASE WHEN (code >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH ${toksCte(100)},
          |$dictCte,
-         |fp AS (SELECT doc_id, CAST($terms AS BIGINT) AS fp FROM tc GROUP BY doc_id)
+         |fp AS (SELECT doc_id, CAST($simhashFpTerms AS BIGINT) AS fp FROM tc GROUP BY doc_id)
          |SELECT a.doc_id AS i, b.doc_id AS j,
          |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id

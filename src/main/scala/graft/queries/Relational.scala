@@ -13,6 +13,22 @@ import graft.engine.Tables
   */
 object Relational {
 
+  /** q03's scratch dir: fixed within a JVM (overwrite keeps repeated runs
+    * from accumulating copies), pid-suffixed against concurrent sessions,
+    * and deleted on JVM exit so sessions don't leak tmp disk across runs.
+    */
+  private lazy val q03Out: String = {
+    val out = sys.props("java.io.tmpdir") + "/graft_q03_roundtrip_" +
+      ProcessHandle.current().pid()
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(new java.io.File(out))
+    }
+    out
+  }
+
   /** DuckDB-side canonical events view (engine side has the `events` view). */
   private val E =
     """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
@@ -33,15 +49,10 @@ object Relational {
     // writer path; oracle counts directly.
     QDef.df("q03_parquet_roundtrip",
       "SELECT count(*) AS cnt FROM lineitem WHERE l_discount > 0.05") { (s, dir) =>
-      // fixed path + overwrite: a fresh temp dir per execution would
-      // accumulate a filtered lineitem copy on every run; pid suffix keeps
-      // concurrent sessions from clobbering each other's write
-      val out = sys.props("java.io.tmpdir") + "/graft_q03_roundtrip_" +
-        ProcessHandle.current().pid()
       s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_discount") > 0.05)
-        .write.mode("overwrite").parquet(out)
-      s.read.parquet(out).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(q03Out)
+      s.read.parquet(q03Out).agg(count(lit(1)).as("cnt"))
     },
 
     // seeded sampling (engine-only: sampling RNGs differ across engines;

@@ -133,28 +133,50 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
   /** Point lookup: current state of ONE key, reading only its bucket
     * directory — the read-side payoff of the hash layout (a key lookup
     * opens 1/nBuckets of the table's files). `keyValues` pairs with the
-    * merge `keys` used at write time; the bucket is derived with the same
-    * hash expression, so it always lands where merge put it.
+    * merge `keys` used at write time.
+    *
+    * Bucket derivation must be BIT-IDENTICAL to the write path, and
+    * xxhash64 hashes the same logical value differently per data type — so
+    * the literals are first cast to the STORED key column types (schema
+    * read from one existing bucket's footers, not a table scan) and the
+    * hash is evaluated driver-side (no Spark job). A sink that was never
+    * merged yields an empty zero-column frame.
     */
   def lookup(spark: SparkSession, keys: Seq[String], keyValues: Seq[Any],
       mode: DeleteMode = DeleteMode.Hard): DataFrame = {
     synchronized(recover())
     require(keys.length == keyValues.length, "one value per key column")
-    val bucket = spark.range(1)
-      .select(pmod(xxhash64(keyValues.map(lit): _*), lit(nBuckets)).cast("int"))
-      .collect().head.getInt(0)
-    val bucketDir = s"$dir/__bucket=$bucket"
-    if (!Files.exists(Paths.get(bucketDir))) {
-      // no bucket directory ⇒ the key was never written
-      return read(spark, mode).limit(0)
+    def shaped(df: DataFrame): DataFrame = mode match {
+      case DeleteMode.Hard    => df.filter(!col("__is_deleted")).drop("__is_deleted")
+      case DeleteMode.Logical => df.withColumnRenamed("__is_deleted", "is_deleted")
     }
-    val t = spark.read.option("mergeSchema", "true").option("basePath", dir)
-      .parquet(bucketDir)
-      .drop("__gen", "__bucket")
-    val keyed = keys.zip(keyValues).foldLeft(t) { case (df, (k, v)) => df.filter(col(k) === v) }
-    mode match {
-      case DeleteMode.Hard    => keyed.filter(!col("__is_deleted")).drop("__is_deleted")
-      case DeleteMode.Logical => keyed.withColumnRenamed("__is_deleted", "is_deleted")
+    val anyBucket = {
+      val p = Paths.get(dir)
+      if (!Files.exists(p)) None
+      else {
+        val it = Files.list(p).filter(_.getFileName.toString.startsWith("__bucket=")).findFirst()
+        if (it.isPresent) Some(it.get) else None
+      }
+    }
+    anyBucket match {
+      case None => spark.emptyDataFrame // never merged ⇒ nothing to look up
+      case Some(sample) =>
+        val sampleDf = spark.read.option("basePath", dir).parquet(sample.toString)
+          .drop("__gen", "__bucket")
+        val schema = sampleDf.schema
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+        val castLits = keys.zip(keyValues).map { case (k, v) =>
+          Cast(Literal(v), schema(k).dataType, Some("UTC")): org.apache.spark.sql.catalyst.expressions.Expression
+        }
+        val h = new XxHash64(castLits.toIndexedSeq).eval(null).asInstanceOf[Long]
+        val bucket = (h % nBuckets + nBuckets) % nBuckets
+        val bucketDir = s"$dir/__bucket=$bucket"
+        if (!Files.exists(Paths.get(bucketDir))) shaped(sampleDf.limit(0))
+        else {
+          val t = spark.read.option("mergeSchema", "true").option("basePath", dir)
+            .parquet(bucketDir).drop("__gen", "__bucket")
+          shaped(keys.zip(keyValues).foldLeft(t) { case (df, (k, v)) => df.filter(col(k) === v) })
+        }
     }
   }
 }

@@ -98,6 +98,20 @@ class PartitionedParquetSinkSpec extends SparkSpec {
     assert(sink.lookup(spark, Seq("primary_key"), Seq("k0")).isEmpty)
   }
 
+  test("lookup casts the probe value to the stored key type (no silent bucket miss)") {
+    val sink = new PartitionedParquetSink(tmpDir("psink") + "/t", nBuckets = 8)
+    // numeric-looking STRING keys: probing with an Int must still find them
+    sink.merge(batch(("42", 0L, "v42", false), ("7", 1L, "v7", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    val viaInt = sink.lookup(spark, Seq("primary_key"), Seq(42)).collect()
+    assert(viaInt.length == 1 && viaInt.head.getAs[String]("val") == "v42")
+  }
+
+  test("lookup on a never-merged sink returns empty without throwing") {
+    val sink = new PartitionedParquetSink(tmpDir("psink") + "/untouched", nBuckets = 8)
+    assert(sink.lookup(spark, Seq("primary_key"), Seq("x")).isEmpty)
+  }
+
   test("last-write-wins is invariant under event-order permutation") {
     val events = Seq(("k", 0L, "v0", false), ("k", 1L, "v1", false),
       ("k", 2L, "v2", false), ("j", 3L, "w0", false))
