@@ -185,6 +185,26 @@ object Relational {
          | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
          |GROUP BY e1.event_type""".stripMargin),
 
+    // q18's semantics through the bin-bucketed range join: same oracle, but
+    // the engine joins on (user, time-bin) instead of materializing every
+    // within-user pair — the scale path for dense keys.
+    QDef.df("q18b_range_binned",
+      s"""$E
+         |SELECT e1.event_type, count(*) AS cnt
+         |FROM e e1 JOIN e e2
+         |  ON e1.user_id = e2.user_id
+         | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+         |GROUP BY e1.event_type""".stripMargin) { (s, dir) =>
+      Tables.ensure(s, dir)
+      val e = s.table("events")
+      val l = e.select(col("user_id").as("l_user"), col("event_type"),
+        unix_micros(col("ts")).as("l_us"))
+      val r = e.select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_us"))
+      graft.engine.RangeJoin
+        .binned(l, r, "l_user", "r_user", "l_us", "r_us", windowUs = 3600L * 1000000L)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    },
+
     QDef.sql(
       "q19_asof_join",
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -199,6 +199,25 @@ class StreamingOpsSpec extends SparkSpec {
       "ntileScalable must release its internal cache on exit")
   }
 
+  test("binned range join equals the plain range join as an equi-join plan") {
+    import graft.engine.RangeJoin
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"event_id", ($"ts" / 1000).cast("long").as("us"))
+    val l = e.select($"user_id".as("l_user"), $"event_id".as("l_id"), $"us".as("l_us"))
+    val r = e.select($"user_id".as("r_user"), $"event_id".as("r_id"), $"us".as("r_us"))
+    val w = 3600L * 1000000L
+    val binned = RangeJoin.binned(l, r, "l_user", "r_user", "l_us", "r_us", w)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val plain = l.join(r, $"l_user" === $"r_user" && $"r_us" > $"l_us" && $"r_us" <= $"l_us" + w)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(binned == plain && binned.nonEmpty)
+    // the physical plan must be a keyed equi-join, not a nested loop
+    val df = RangeJoin.binned(l, r, "l_user", "r_user", "l_us", "r_us", w)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("salted join equals plain join (content), splitting key partitions") {
     val big = (0 until 10000).map(i => (if (i % 10 == 0) 1L else i.toLong % 100, s"v$i"))
       .toDF("k", "payload") // key 1 is hot
