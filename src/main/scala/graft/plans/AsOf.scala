@@ -36,6 +36,10 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(AsOfColumnPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfColumnPruning
+    }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     Bridge.ofRows(spark, AsOfJoinPlan(

@@ -105,6 +105,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Map(1L -> Some(2L), 2L -> None, 3L -> None, 4L -> None))
   }
 
+  test("column pruning pushes through the custom plan: unused columns never shuffle") {
+    // wide sides: only p_id/v_id are selected downstream, so every other
+    // non-key/ts column must be pruned from the exec's children
+    val wideP = purchases.withColumn("p_pad1", lit("x")).withColumn("p_pad2", lit(1.0))
+    val wideV = views.withColumn("v_pad1", lit("y")).withColumn("v_pad2", lit(2.0))
+    val joined = AsOf.join(wideP, wideV, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+      .select($"p_id", $"v_id")
+    val plans = joined.queryExecution.optimizedPlan.collect {
+      case j: graft.plans.AsOfJoinPlan => j
+    }
+    assert(plans.nonEmpty)
+    val leftCols = plans.head.left.output.map(_.name).toSet
+    val rightCols = plans.head.right.output.map(_.name).toSet
+    assert(!leftCols.contains("p_pad1") && !leftCols.contains("p_pad2"), leftCols)
+    assert(!rightCols.contains("v_pad1") && !rightCols.contains("v_pad2"), rightCols)
+    // and results are unaffected by pruning
+    val got = joined.filter($"v_id".isNotNull).count()
+    val reference = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+      .filter($"v_id".isNotNull).count()
+    assert(got == reference)
+  }
+
   test("physical plan is AsOfJoinExec with one shuffle+sort per side, no pair blowup") {
     val got = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
     got.collect() // finalize the adaptive plan
