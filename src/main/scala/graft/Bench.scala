@@ -8,8 +8,12 @@ package graft
   * map and listed under "failed" instead of contributing a bogus timing.
   *
   * JVM is warmed with one throwaway Q01 run (BASELINE.md protocol); each
-  * query is then timed wall-clock once, drained via count() so the full plan
-  * executes.
+  * query is then timed wall-clock THREE times and the MEDIAN is reported,
+  * drained via count() so the full plan executes. Timing once let background
+  * machine load write garbage into the official artifact (BENCH_r02 recorded
+  * a 30-minute suite for a binary that runs in 51 s idle); the median of
+  * three absorbs a contended run, and the emitted "spread_max_sec" (largest
+  * per-query max−min) lets a reader see contention directly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,24 +38,33 @@ object Bench {
     // warm-up: session init + codegen + parquet footer cache
     try qs.get("q01_count").foreach(_(spark, sfDir).count()) catch { case _: Throwable => }
 
-    val results: Seq[(String, Option[Double])] = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
+    val runs = 3
+    val suiteT0 = System.nanoTime()
+    // per query: `runs` timings, median reported; (median, max−min) on success
+    val results: Seq[(String, Option[(Double, Double)])] = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
+        }
       }
-      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      // any throwing run marks the query failed — a partially-failing query
+      // must not masquerade as a timing
+      name -> (if (times.size == runs) Some((times.sorted.apply(runs / 2), times.max - times.min)) else None)
     }
+    val suiteWall = (System.nanoTime() - suiteT0) / 1e9
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
     // invalid JSON
     def num(fmt: String, v: Double): String = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val qjson = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(num("%.3f", _)).getOrElse("null")
+      "\"" + k + "\":" + v.map(m => num("%.3f", m._1)).getOrElse("null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.map(_._1)).sum
+    val spreadMax = (0.0 +: results.flatMap(_._2.map(_._2))).max
     val eps = cdcThroughput(spark)
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qjson,"failed":$failed,"cdc_events_per_sec":${num("%.0f", eps)},"cdc_incremental_merge_speedup":${num("%.1f", incr)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","runs":$runs,"spread_max_sec":${num("%.3f", spreadMax)},"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"failed":$failed,"cdc_events_per_sec":${num("%.0f", eps)},"cdc_incremental_merge_speedup":${num("%.1f", incr)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
@@ -164,13 +177,14 @@ object Bench {
         sink.merge(hotKeys, Seq("primary_key"), "seq", "is_delete") // warm-up (codegen)
       }
       // interleaved timings so environment drift (page cache, GC) hits both
-      // sinks equally; medians of three each
+      // sinks equally; medians of five each (three was within-noise between
+      // driver runs — BASELINE.md states the observed 1.9–5.3x range)
       def timed(sink: UpsertSink): Double = {
         val t0 = System.nanoTime()
         sink.merge(hotKeys, Seq("primary_key"), "seq", "is_delete")
         (System.nanoTime() - t0) / 1e9
       }
-      val pairs = (1 to 3).map(_ => (timed(local), timed(part)))
+      val pairs = (1 to 5).map(_ => (timed(local), timed(part)))
       def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
       val tLocal = median(pairs.map(_._1))
       val tPart = median(pairs.map(_._2))

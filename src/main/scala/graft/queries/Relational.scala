@@ -34,6 +34,21 @@ object Relational {
     """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
       |user_id, event_type, value, props FROM events)""".stripMargin
 
+  /** Shared by q19 (compositional as-of) and q19b (custom AsOfJoinExec) —
+    * the two are row-identical by construction, so one oracle verifies both.
+    */
+  private val asofOracleSql =
+    s"""$E,
+       |     p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+       |     v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+       |     j AS (SELECT p.event_id AS pid, v.ts AS vts, v.event_id AS vid
+       |           FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts),
+       |     m AS (SELECT pid, max(vts) AS mts FROM j GROUP BY pid)
+       |SELECT m.pid AS event_id, epoch_us(m.mts) AS view_ts_us,
+       |       max(j.vid) AS view_event_id
+       |FROM m JOIN j ON j.pid = m.pid AND j.vts = m.mts
+       |GROUP BY m.pid, m.mts""".stripMargin
+
   val all: Seq[QDef] = Seq(
 
     // ---------------------------------------------------------- scans
@@ -216,22 +231,17 @@ object Relational {
         |       max(j.vid) AS view_event_id
         |FROM m JOIN j ON j.pid = m.pid AND j.vts = m.mts
         |GROUP BY m.pid, m.mts""".stripMargin,
-      s"""$E,
-         |     p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
-         |     v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
-         |     j AS (SELECT p.event_id AS pid, v.ts AS vts, v.event_id AS vid
-         |           FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts),
-         |     m AS (SELECT pid, max(vts) AS mts FROM j GROUP BY pid)
-         |SELECT m.pid AS event_id, epoch_us(m.mts) AS view_ts_us,
-         |       max(j.vid) AS view_event_id
-         |FROM m JOIN j ON j.pid = m.pid AND j.vts = m.mts
-         |GROUP BY m.pid, m.mts""".stripMargin),
+      asofOracleSql),
 
     // Q19's semantics through the custom AsOfJoinExec operator (LogicalPlan
-    // + Strategy + SparkPlan; graft.plans). Engine-only: the operator's
-    // results equal q19_asof_join's oracle semantics (AsOfJoinSpec proves
-    // equivalence); measured 8.6x over the compositional form at 1M events.
-    QDef.engineOnly("q19b_asof_custom") { (s, dir) =>
+    // + Strategy + SparkPlan; graft.plans). Row-identical to q19 by
+    // construction — the operator's right side sorts by (key, ts, tie) and
+    // keeps the last candidate, so ts-ties resolve to max(v_id), exactly the
+    // oracle's max(vid) — hence it shares q19's DuckDB oracle, which verifies
+    // the CUSTOM plan, not just ScalaTest (AsOfJoinSpec still pins
+    // row-identity vs the compositional form); measured 8.6x over the
+    // compositional form at 1M events.
+    QDef.df("q19b_asof_custom", asofOracleSql) { (s, dir) =>
       Tables.ensure(s, dir)
       val e = s.table("events")
       val p = e.filter(col("event_type") === "purchase")
