@@ -208,43 +208,67 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** 16-bit SimHash over token codes: bit j of the fingerprint is the sign
-    * of Σ_tokens (2·bit_j(code) − 1). Near-dups differ in few bits; at scale
-    * group by fingerprint (or bit-sampled prefixes) instead of pairwise
-    * hamming.
+  /** Fingerprint width. 64 bits matters for the banding path: with
+    * `maxHamming = 3` the fingerprint splits into 4 bands, and band-value
+    * cardinality is what keeps the candidate equi-join sub-quadratic — 16-bit
+    * bands give 65,536 distinct values per band (vs 16 values at a 16-bit
+    * fingerprint, which degenerated toward n²/16 candidate pairs).
     */
-  def simhash16(tokenCodes: DataFrame): DataFrame = {
-    val sums = (0 until 16).map(j =>
-      sum(when(shiftright(col("code"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
-    val fp = (0 until 16).map(j =>
+  val SimBits = 64
+
+  /** 64-bit SimHash over token codes: bit j of the fingerprint is the sign
+    * of Σ_tokens (2·bit_j(token) − 1). Token codes carry only ~31 bits of
+    * entropy (they live in [0, P)), so each fingerprint bit projects through
+    * its own universal hash — bit_j(code) = ((a_j·code + b_j) mod P) & 1 —
+    * the same (a, b) family as MinHash, exactly reproducible in the DuckDB
+    * oracle with plain integer arithmetic (products stay < 2^55, no
+    * overflow). One groupBy with 64 map-side-combinable sums; no UDF.
+    */
+  def simhash64(tokenCodes: DataFrame): DataFrame = {
+    val sums = (0 until SimBits).map(j =>
+      sum(when(((lit(hashA(j)) * col("code") + lit(hashB(j))) % P).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    // distinct powers of two: the sum is the bit pattern; the j=63 term is
+    // Long.MinValue and the total stays in range (two's complement), so ANSI
+    // overflow checking never fires
+    val fp = (0 until SimBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     tokenCodes.groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), fp.as("fp"))
   }
 
-  /** SimHash near-duplicate pairs: hamming(fp_a, fp_b) ≤ maxHamming over
-    * 16-bit fingerprints. Candidate generation is EXACT pigeonhole banding,
-    * not probabilistic LSH: the fingerprint splits into `maxHamming + 1`
-    * bands, and any pair within the hamming budget must agree on at least
-    * one whole band — so candidates come from an equi-join on
-    * (band index, band value) and only they pay the bit_count check.
-    * O(n) per band instead of the O(n²) cross join, with zero recall loss.
+  /** Candidate pairs for [[simhashNearDup]]: EXACT pigeonhole banding, not
+    * probabilistic LSH. The fingerprint splits into `maxHamming + 1` bands;
+    * any pair within the hamming budget must agree on at least one whole
+    * band (pigeonhole), so candidates come from an equi-join on
+    * (band index, band value) with zero recall loss. Unsigned shift: band
+    * extraction must not sign-extend fingerprints with bit 63 set.
     */
-  def simhashNearDup(fps: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashBandCandidates(fps: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
-    val bandBits = 16 / nBands
+    val bandBits = SimBits / nBands
     val bands = fps.select(col("doc_id"), col("fp"),
       posexplode(array((0 until nBands).map(b =>
-        shiftright(col("fp"), b * bandBits)
-          .bitwiseAND((1L << bandBits) - 1)): _*)).as(Seq("band", "bval")))
+        shiftrightunsigned(col("fp"), b * bandBits)
+          .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1)): _*))
+        .as(Seq("band", "bval")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+        col("a.fp").as("fpi"), col("b.fp").as("fpj"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-duplicate pairs: hamming(fp_a, fp_b) ≤ maxHamming over
+    * 64-bit fingerprints. Only band-collision candidates pay the bit_count
+    * check — O(n) per band instead of the O(n²) cross join.
+    */
+  def simhashNearDup(fps: DataFrame, maxHamming: Int): DataFrame =
+    simhashBandCandidates(fps, maxHamming)
+      .select(col("i"), col("j"),
+        bit_count(col("fpi").bitwiseXOR(col("fpj"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
 
   // ------------------------------------------- embedding-cosine near-dup
   /** Near-duplicate pairs by embedding cosine ≥ threshold — the semantic

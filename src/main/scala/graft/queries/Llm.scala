@@ -35,12 +35,16 @@ object Llm {
       |      FROM (SELECT DISTINCT tok FROM t) vo),
       |tc AS (SELECT t.doc_id, d.code FROM t JOIN d ON t.tok = d.tok)""".stripMargin
 
-  /** DuckDB: the 16-term SimHash fingerprint expression over token codes —
-    * shared by q87 and q87b so the majority rule can never diverge between
-    * their oracles.
+  /** DuckDB SimHash fingerprint expression over token codes — shared by q87
+    * and q87b so the majority rule can never diverge between their oracles.
+    * 64-bit terms (mirrors Dedup.simhash64): bit j
+    * projects the token code through its own universal hash — plain BIGINT
+    * arithmetic both engines compute identically (products < 2^55). The
+    * j = 63 term is BIGINT min; DuckDB sums in HUGEINT and the CAST back to
+    * BIGINT is exact because the total is a 64-bit two's-complement pattern.
     */
-  private val simhashFpTerms: String = (0 until 16).map(j =>
-    s"(CASE WHEN SUM(CASE WHEN (code >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+  private val simhashFpTerms: String = (0 until Dedup.SimBits).map(j =>
+    s"(CASE WHEN SUM(CASE WHEN ((${Dedup.hashA(j)} * code + ${Dedup.hashB(j)}) % ${Dedup.P}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
     .mkString(" + ")
 
   private def jaccardTail(threshold: Double) =
@@ -110,7 +114,7 @@ object Llm {
     }) { (s, dir) =>
       val toks = Dedup.tokenSets(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
       Dedup.withDictionaryCodes(toks) { codes =>
-        QDef.localized(s, Dedup.simhash16(codes)) // ≤ 100 rows by construction
+        QDef.localized(s, Dedup.simhash64(codes)) // ≤ 100 rows by construction
       }
     },
 
@@ -129,7 +133,7 @@ object Llm {
       val toks = Dedup.tokenSets(Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
       Dedup.withDictionaryCodes(toks) { codes =>
         QDef.localized(s,
-          Dedup.simhashNearDup(Dedup.simhash16(codes), maxHamming = 3))
+          Dedup.simhashNearDup(Dedup.simhash64(codes), maxHamming = 3))
       }
     },
 

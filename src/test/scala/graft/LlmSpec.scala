@@ -186,10 +186,34 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhash: identical docs get identical fingerprints, disjoint differ") {
-    val fp = Dedup.simhash16(Dedup.dictionaryCodes(Dedup.tokenSets(docs)))
+    val fp = Dedup.simhash64(Dedup.dictionaryCodes(Dedup.tokenSets(docs)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(0L) == fp(3L))
     assert(fp(0L) != fp(2L))
+  }
+
+  test("simhash banding: candidate count stays ~linear on spread fingerprints") {
+    import spark.implicits._
+    // 2000 spread 64-bit fingerprints (xxhash64 of the id — deterministic).
+    // With 16-bit bands, expected band collisions ≈ 4·C(2000,2)/65536 ≈ 122;
+    // the r2 16-bit fingerprint (4-bit bands, 16 values) would have produced
+    // ~500k candidates here. The 2500 bound (1.25·n) is the scale guard: a
+    // band-cardinality regression blows past it by orders of magnitude.
+    val n = 2000
+    val fps = spark.range(n).select(col("id").as("doc_id"), xxhash64(col("id")).as("fp"))
+    val cands = Dedup.simhashBandCandidates(fps, maxHamming = 3).count()
+    assert(cands < 2500, s"banding produced $cands candidates for $n docs — quadratic blowup")
+  }
+
+  test("simhash64 bit-63 band: negative fingerprints extract unsigned bands") {
+    import spark.implicits._
+    // fps with the sign bit set: arithmetic shift would sign-extend band 3
+    // into values outside [0, 2^16) and merge distinct high bands
+    val fps = Seq((0L, 0x8000000000000000L), (1L, 0x8000000000000001L),
+      (2L, 0x7FFF000000000000L)).toDF("doc_id", "fp")
+    val got = Dedup.simhashNearDup(fps, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 1L) -> 1L)) // 0↔2 differ in 17 bits, excluded
   }
 
   test("simhashNearDup banding equals brute-force hamming (pigeonhole, zero recall loss)") {
