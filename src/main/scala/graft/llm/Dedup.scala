@@ -58,42 +58,30 @@ object Dedup {
   /** Cross-engine-deterministic token codes: 1-based rank in the sorted
     * distinct vocabulary — the same value as
     * `dense_rank() OVER (ORDER BY tok)` (the DuckDB oracle keeps that
-    * form), computed WITHOUT a global single-partition window. Tokens
-    * bucket by their 2-character prefix (a prefix's order is consistent
-    * with full lexicographic order), rank within each bucket in parallel,
-    * and each bucket adds a global offset — a driver-side cumulative sum
-    * over the per-bucket counts, O(alphabet²) rows by construction. The
-    * engine path stays distributed at 100 TB vocabularies; when
-    * cross-engine determinism isn't needed, [[hashCodes]] skips the
-    * vocabulary pass entirely.
+    * form), computed WITHOUT a global single-partition window: the distinct
+    * vocabulary is range-repartitioned by token (Spark's RangePartitioner
+    * SAMPLES real boundaries, so a natural-language vocabulary whose mass
+    * concentrates in a few prefixes still splits evenly — the earlier
+    * fixed 2-char-prefix buckets inherited that skew), sorted within
+    * partitions, and per-partition positions become global ranks through
+    * zipWithIndex's partition-size offsets (one long per partition on the
+    * driver). Distributed at 100 TB vocabularies; when cross-engine
+    * determinism isn't needed, [[hashCodes]] skips the vocabulary pass
+    * entirely.
     */
   def dictionaryCodes(tokens: DataFrame): DataFrame =
     withDictionaryCodes(tokens)(identity)
 
-  /** Managed-scope variant: the distinct vocabulary — the dominant shuffle
-    * at large corpora — is computed ONCE (persisted for the offsets pass
-    * and the rank join) and released when `consume` returns; results that
-    * must outlive the scope have to be materialized inside it.
+  /** Managed-scope variant: the ranked vocabulary — the dominant shuffle at
+    * large corpora — is persisted for the rank join and released when
+    * `consume` returns; results that must outlive the scope have to be
+    * materialized inside it.
     */
   def withDictionaryCodes[T](tokens: DataFrame)(consume: DataFrame => T): T = {
     val vocab = tokens.select("tok").distinct()
-      .withColumn("__b", substring(col("tok"), 1, 2))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ranked = vocab.withColumn("__r",
-        row_number().over(Window.partitionBy("__b").orderBy("tok")).cast("long"))
-      val counts = vocab.groupBy("__b").agg(count(lit(1)).as("__n")).orderBy("__b").collect()
-      var off = 0L
-      val offsets = counts.map { r =>
-        val o = (r.getString(0), off); off += r.getLong(1); o
-      }.toSeq
-      import tokens.sparkSession.implicits._
-      val coded = ranked.join(broadcast(offsets.toDF("__b", "__off")), "__b")
-        .select(col("tok"), (col("__off") + col("__r")).as("code"))
+    graft.engine.Ranking.withGlobalIndex(vocab, Seq(col("tok"))) { indexed =>
+      val coded = indexed.select(col("tok"), (col("__idx") + 1L).as("code"))
       consume(tokens.join(coded, "tok").select(col("doc_id"), col("code")))
-    } finally {
-      vocab.unpersist()
-      ()
     }
   }
 

@@ -153,6 +153,24 @@ class LlmSpec extends SparkSpec {
     assert(got == Map(0L -> ((1L, 10L, 10L)), 1L -> ((1L, 40L, 40L)), 15L -> ((1L, 600L, 600L))))
   }
 
+  test("dictionary ranking balances a prefix-skewed vocabulary") {
+    // 8000 tokens all sharing the prefix "th" — natural-language mass
+    // concentration. The 2-char-prefix bucketing this replaced put every one
+    // of them through a single window task; range partitioning samples real
+    // boundaries, so the rank work spreads across all partitions.
+    val toks = spark.range(8000).select(format_string("th%05d", col("id")).as("tok"))
+    graft.engine.Ranking.withGlobalIndex(toks.distinct(), Seq(col("tok"))) { indexed =>
+      val sizes = indexed.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+      assert(sizes.count(_ > 0) == 4, s"expected 4 busy partitions, got ${sizes.mkString(",")}")
+      assert(sizes.max <= 3000, s"skewed partition sizes: ${sizes.mkString(",")}")
+    }
+    // and the codes are still the exact 1-based dense rank
+    val docs1 = toks.select(lit(0L).as("doc_id"), col("tok"))
+    val codes = Dedup.dictionaryCodes(docs1)
+    assert(codes.agg(max("code"), min("code"), count(lit(1))).collect().head.toSeq ==
+      Seq(8000L, 1L, 8000L))
+  }
+
   test("dictionaryCodes equals the global dense_rank, with no global-window operator") {
     import org.apache.spark.sql.expressions.Window
     val toks = Dedup.tokenSets(docs)
