@@ -621,6 +621,82 @@ object Relational {
         |JOIN region ON r_regionkey = n_regionkey
         |GROUP BY r_name, n_name""".stripMargin),
 
+    // TPC-H Q4 shape: correlated EXISTS + date-range scan — orders in one
+    // quarter having at least one late-shipping lineitem. The subquery
+    // decorrelates to a left-semi join in Catalyst.
+    QDef.shared(
+      "q48b_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT * FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // TPC-H Q7 shape: volume shipped between two nations, either direction —
+    // double nation join with a symmetric pair predicate, yearly rollup
+    QDef.shared(
+      "q48c_tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS revenue,
+        |       count(*) AS cnt
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // TPC-H Q8 shape: 7-way join + conditional aggregation (market share of
+    // one supplier nation within a customer region, per year). Numerator and
+    // denominator emitted as exact decimals — decimal division scale rules
+    // differ between engines, the ratio is the consumer's one division.
+    QDef.shared(
+      "q48d_tpch_q8",
+      """SELECT o_year,
+        |       CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+        |                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS STRING) AS nation_volume,
+        |       CAST(CAST(SUM(volume) AS DECIMAL(38,4)) AS STRING) AS total_volume
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |         n2.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |) all_nations
+        |GROUP BY o_year""".stripMargin),
+
+    // TPC-H Q16 shape: NOT IN (anti-join) + count(DISTINCT) per group.
+    // lineitem stands in for partsupp as the part↔supplier association
+    // (the driver testdata has no partsupp table).
+    QDef.shared(
+      "q48e_tpch_q16",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin),
+
     // ---------------------------------------------------------- set ops
     QDef.shared(
       "q43_union_all",

@@ -59,6 +59,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // map-side combine
   }
 
+  test("q48b: correlated EXISTS decorrelates to a semi join with pushed date range") {
+    val p = plan("q48b_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p) // date range at the scan
+  }
+
+  test("q48d: dimension tables broadcast in the 7-way join") {
+    val p = plan("q48d_tpch_q8")
+    // part/supplier/customer/nation/region sides all broadcast; lineitem and
+    // orders are the only fact-sized inputs
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
   test("q97: split assignment reads only doc_id, single exchange") {
     val p = plan("q97_split")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
