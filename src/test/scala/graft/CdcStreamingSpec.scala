@@ -70,6 +70,50 @@ class CdcStreamingSpec extends SparkSpec {
     assert(got == expectedKeys(in))
   }
 
+  test("mid-batch crash over the partitioned sink: replayed batch + bucket restore = exactly-once") {
+    import graft.sink.PartitionedParquetSink
+    val in = tmpDir("cdc_in"); val ckpt = tmpDir("cdc_ckpt")
+    val sinkDir = tmpDir("cdc_sink") + "/orders"
+    val chunks = fixtureLines.grouped(900).toSeq
+    writeChunk(in, "part0.jsonl", chunks.head)
+    val sink = new PartitionedParquetSink(sinkDir, nBuckets = 8)
+    val spec = CdcStreamSpec(in, ckpt, ordersSpec, sink)
+
+    val q1 = CdcStream.start(spark, spec)
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+
+    // Simulate a crash DURING the last micro-batch's commit window — the
+    // sink merge ran but the checkpoint commit marker never landed — by
+    // deleting the newest commit file: the restarted query must REPLAY that
+    // batch into the sink a second time (foreachBatch is at-least-once; the
+    // exactly-once effect is the sink's idempotent merge).
+    val commits = new File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the local FS keeps a hidden checksum twin; leaving it behind makes the
+    // re-commit's rename fail as if another query owned the checkpoint
+    new File(commits.last.getParentFile, s".${commits.last.getName}.crc").delete()
+
+    // ...and additionally interrupt the sink itself mid-overwrite: move one
+    // live bucket into the backup dir (the crash point after the pre-image
+    // copy, before the staged bucket landed) — recover() must restore it.
+    val liveBuckets = new File(sinkDir).listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(liveBuckets.nonEmpty)
+    val backup = new File(sinkDir + ".backup")
+    backup.mkdirs()
+    java.nio.file.Files.move(liveBuckets.head.toPath,
+      backup.toPath.resolve(liveBuckets.head.getName))
+
+    chunks.tail.zipWithIndex.foreach { case (c, i) => writeChunk(in, s"part${i + 1}.jsonl", c) }
+    val q2 = CdcStream.start(spark, spec) // same checkpoint → replays, recovers, continues
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+
+    val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expectedKeys(in))
+  }
+
   test("AtTime replay filters events before the start point (R18)") {
     val in = tmpDir("cdc_in")
     writeChunk(in, "all.jsonl", fixtureLines)
