@@ -119,6 +119,50 @@ object FixtureGen {
     finally csv.close()
   }
 
-  def main(args: Array[String]): Unit =
-    generate(if (args.nonEmpty) args(0) else "fixtures")
+  /** Deterministic binary media blobs (the multimodal fixture): pure
+    * formulas of (id, byte position), covering all 256 byte values — real
+    * non-UTF-8 binary, so the parquet BINARY round-trip is actually
+    * exercised on both engines (the driver's DuckDB side reads the same
+    * file with `read_parquet`).
+    */
+  def mediaRows: Seq[(Long, String, Array[Byte])] =
+    (0 until 24).map { i =>
+      val mediaType = Seq("image", "audio", "video")(i % 3)
+      val len = 64 + (i * 37) % 200
+      val bytes = Array.tabulate(len)(j => ((i * 31 + j * 7 + (j * j) % 11) % 256).toByte)
+      (i.toLong, mediaType, bytes)
+    }
+
+  /** Writes `media.parquet` as a SINGLE parquet file (not a directory) so
+    * DuckDB's `read_parquet('<path>')` takes it verbatim.
+    */
+  def generateMedia(spark: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(mediaRows.map { case (id, mt, b) => Row(id, mt, b) }, 1),
+      schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_media_fix")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("no parquet part written"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(outDir, "media.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(tmp)
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "fixtures"
+    generate(out)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try generateMedia(spark, out) finally spark.stop()
+  }
 }

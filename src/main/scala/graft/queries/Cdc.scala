@@ -23,7 +23,9 @@ object Cdc {
     }
     def eventsPath: String = resolve("cdc_events.jsonl")
     def columnsPath: String = resolve("columns_file.csv")
+    def mediaPath: String = resolve("media.parquet")
     val oracleEventsPath = "/root/repo/fixtures/cdc_events.jsonl"
+    val oracleMediaPath = "/root/repo/fixtures/media.parquet"
   }
 
   private val ordersCols =

@@ -463,19 +463,22 @@ object Llm {
     },
 
     // ------------------------------------------------------- multimodal
-    // Binary-column plumbing with the stubbed decode (no codecs in this
-    // environment) — engine-only: byte hashes aren't oracle-expressible.
-    QDef.engineOnly("q95_multimodal_meta") { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 20)
-        .withColumn("media", encode(col("text"), "UTF-8"))
-        .withColumn("media_type",
-          when(col("doc_id") % 3 === 0, "video")
-            .when(col("doc_id") % 3 === 1, "image").otherwise("audio"))
-      Multimodal.withMeta(docs)
-        .withColumn("feat", Multimodal.featureStub(col("media"), 8))
-        .select(col("doc_id"), col("meta.media_type"), col("meta.n_bytes"),
-          col("meta.width"), col("meta.height"), col("meta.duration_ms"),
-          element_at(col("feat"), 1).as("f0"))
+    // Binary-column plumbing over the repo-owned media.parquet fixture —
+    // REAL non-UTF-8 blobs through a parquet BINARY round-trip on both
+    // engines. The decode stub's meta struct supplies media_type/n_bytes
+    // (the oracle-able slice of the contract); content equality is pinned
+    // byte-for-byte via hex(media). The stub-only fields (width/height/
+    // duration, feature vectors, frame sampling, inference batches) stay
+    // ScalaTest-covered — a byte-hash can't be oracle-expressed.
+    QDef.df("q95_multimodal_meta",
+      s"""SELECT media_id, media_type,
+         |       CAST(octet_length(media) AS BIGINT) AS n_bytes,
+         |       hex(media) AS content_hex
+         |FROM read_parquet('${Cdc.Fixtures.oracleMediaPath}')""".stripMargin) { (s, dir) =>
+      val m = s.read.parquet(Cdc.Fixtures.mediaPath)
+      Multimodal.withMeta(m)
+        .select(col("media_id"), col("meta.media_type").as("media_type"),
+          col("meta.n_bytes").as("n_bytes"), hex(col("media")).as("content_hex"))
     }
   )
 }

@@ -153,6 +153,14 @@ class LlmSpec extends SparkSpec {
     assert(got == Map(0L -> ((1L, 10L, 10L)), 1L -> ((1L, 40L, 40L)), 15L -> ((1L, 600L, 600L))))
   }
 
+  test("media fixture: committed parquet matches its generator byte-for-byte") {
+    val onDisk = spark.read.parquet(graft.queries.Cdc.Fixtures.mediaPath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1).toSeq
+    val expected = graft.fixtures.FixtureGen.mediaRows.map { case (i, t, b) => (i, t, b.toSeq) }
+    assert(onDisk == expected)
+  }
+
   test("dictionary ranking balances a prefix-skewed vocabulary") {
     // 8000 tokens all sharing the prefix "th" — natural-language mass
     // concentration. The 2-char-prefix bucketing this replaced put every one
