@@ -37,9 +37,14 @@ final case class CdcStreamSpec(
     logicalDeletes: Boolean = false,
     startFrom: StartFrom = StartFrom.InputStart,
     extraPk: Option[String] = None,
-    watermarkDelay: Option[String] = None) {
+    watermarkDelay: Option[String] = None,
+    source: Option[CdcSource] = None) {
   /** Merge key: envelope primary_key plus the optional R13 extra column. */
   def mergeKeys: Seq[String] = "primary_key" +: extraPk.map("row_" + _).toSeq
+  /** The transport (R1): explicit [[CdcSource]] if given, else the
+    * file-JSONL source over `inputDir` — the Kafka swap-in point.
+    */
+  def cdcSource: CdcSource = source.getOrElse(FileJsonlSource(inputDir))
 }
 
 /** Structured-Streaming CDC pipeline (SURVEY §3.5): file-source JSONL
@@ -58,7 +63,7 @@ object CdcStream {
     * start (the reference also infers from data, SURVEY §1.1).
     */
   def inferSchema(spark: SparkSession, inputDir: String): StructType =
-    spark.read.json(inputDir).schema
+    FileJsonlSource(inputDir).inferSchema(spark)
 
   /** The shared transform between batch backfill and the stream: per-table
     * filter → expand → typed cast, plus the event-time column.
@@ -82,8 +87,8 @@ object CdcStream {
   }
 
   def start(spark: SparkSession, spec: CdcStreamSpec): StreamingQuery = {
-    val schema = inferSchema(spark, spec.inputDir)
-    val src = spark.readStream.schema(schema).json(spec.inputDir)
+    val source = spec.cdcSource
+    val src = source.stream(spark, source.inferSchema(spark))
     transform(src, spec).writeStream
       .queryName(s"cdc_${spec.table.fullTableName.replace('.', '_')}")
       .trigger(Trigger.ProcessingTime(spec.triggerInterval))
@@ -107,7 +112,7 @@ object CdcStream {
     * replay and schema-evolution catch-up.
     */
   def backfill(spark: SparkSession, spec: CdcStreamSpec): Unit = {
-    val batch = transform(CdcPipeline.readBatch(spark, spec.inputDir), spec)
+    val batch = transform(spec.cdcSource.batch(spark), spec)
     spec.sink.merge(batch, presentMergeKeys(spec, batch), "seq", "is_delete")
   }
 }
@@ -127,8 +132,11 @@ object SchemaEvolution {
     * count as new (a never-populated field has a null first-seen and is
     * dropped, matching the reference's data-derived field inspection R20).
     */
-  def missingColumns(spark: SparkSession, inputDir: String, spec: TableSpec): Seq[(String, Timestamp)] = {
-    val df = CdcPipeline.forTable(CdcPipeline.readBatch(spark, inputDir), spec.fullTableName)
+  def missingColumns(spark: SparkSession, inputDir: String, spec: TableSpec): Seq[(String, Timestamp)] =
+    missingColumns(spark, FileJsonlSource(inputDir), spec)
+
+  def missingColumns(spark: SparkSession, source: CdcSource, spec: TableSpec): Seq[(String, Timestamp)] = {
+    val df = CdcPipeline.forTable(source.batch(spark), spec.fullTableName)
     val rowFields = df.select("data.row.*").schema.fieldNames.toSeq
     val newCols = rowFields.filterNot(spec.colNames.contains)
     if (newCols.isEmpty) Nil
@@ -151,7 +159,7 @@ object SchemaEvolution {
       running: StreamingQuery,
       spec: CdcStreamSpec,
       udtOf: String => String = _ => "varchar"): Option[(StreamingQuery, CdcStreamSpec)] = {
-    val missing = missingColumns(spark, spec.inputDir, spec.table)
+    val missing = missingColumns(spark, spec.cdcSource, spec.table)
     if (missing.isEmpty) None
     else {
       running.stop()

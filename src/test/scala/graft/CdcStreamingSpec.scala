@@ -17,6 +17,28 @@ class CdcStreamingSpec extends SparkSpec {
   private lazy val fixtureLines =
     scala.io.Source.fromFile(Cdc.Fixtures.eventsPath).getLines().toVector
 
+  /** MemoryStream-backed [[graft.streaming.CdcSource]]: the proof that the
+    * pipeline is transport-agnostic — what a Kafka source would be, minus
+    * the broker. Envelope documents arrive as raw JSON strings and parse
+    * against the inferred schema, exactly like a Kafka `value` column.
+    */
+  final class MemoryCdcSource(spark: org.apache.spark.sql.SparkSession)
+      extends graft.streaming.CdcSource {
+    private val buffer = scala.collection.mutable.ArrayBuffer[String]()
+    private implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    private val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    def add(lines: Seq[String]): Unit = { buffer ++= lines; mem.addData(lines); () }
+    override def inferSchema(spark: org.apache.spark.sql.SparkSession) =
+      spark.read.json(spark.createDataset(buffer.toSeq)).schema
+    override def stream(spark: org.apache.spark.sql.SparkSession,
+        schema: org.apache.spark.sql.types.StructType) =
+      mem.toDF().select(from_json(col("value"), schema).as("e")).select("e.*")
+    override def batch(spark: org.apache.spark.sql.SparkSession) =
+      spark.read.json(spark.createDataset(buffer.toSeq))
+  }
+
   private def writeChunk(dir: String, name: String, lines: Seq[String]): Unit = {
     val w = new PrintWriter(new File(dir, name), "UTF-8")
     try lines.foreach(w.println) finally w.close()
@@ -68,6 +90,28 @@ class CdcStreamingSpec extends SparkSpec {
     val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
       .collect().map(_.getString(0)).toSet
     assert(got == expectedKeys(in))
+  }
+
+  test("CdcSource seam: the same pipeline runs over a memory transport (Kafka swap-in shape)") {
+    val ckpt = tmpDir("cdc_ckpt")
+    val sinkDir = tmpDir("cdc_sink") + "/orders"
+    val chunks = fixtureLines.grouped(900).toSeq
+    val src = new MemoryCdcSource(spark)
+    src.add(chunks.head)
+    val sink = new LocalParquetSink(sinkDir)
+    val spec = CdcStreamSpec("", ckpt, ordersSpec, sink, source = Some(src))
+    val q = CdcStream.start(spark, spec)
+    try {
+      q.processAllAvailable()
+      chunks.tail.foreach { c => src.add(c); q.processAllAvailable() }
+    } finally { q.stop(); q.awaitTermination() }
+    val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
+      .collect().map(_.getString(0)).toSet
+    // same convergence target as the file transport: the batch pipeline
+    // over the full fixture (computed via the source's own batch replay)
+    val expected = CdcPipeline.materialize(src.batch(spark), ordersSpec)
+      .select("primary_key").collect().map(_.getString(0)).toSet
+    assert(got == expected && got.nonEmpty)
   }
 
   test("mid-batch crash over the partitioned sink: replayed batch + bucket restore = exactly-once") {
