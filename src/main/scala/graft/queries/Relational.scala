@@ -683,6 +683,33 @@ object Relational {
         |) all_nations
         |GROUP BY o_year""".stripMargin),
 
+    // TPC-H Q13 shape: outer-join fan-out then distribution of the count —
+    // two stacked aggregations, the classic "customers per order-count"
+    QDef.shared(
+      "q48f_tpch_q13",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin),
+
+    // TPC-H Q22 shape: scalar subquery + NOT EXISTS anti-join. The original
+    // compares c_acctbal > avg(...); engines may differ in the last ulp of a
+    // double avg (summation order), so the comparison is cross-multiplied
+    // into exact decimal arithmetic — same predicate, no division.
+    QDef.shared(
+      "q48g_tpch_q22",
+      """SELECT cntrycode, count(*) AS numcust,
+        |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS totacctbal
+        |FROM (
+        |  SELECT substring(c_name, 10, 2) AS cntrycode, c_acctbal
+        |  FROM customer
+        |  WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+        |        > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer WHERE c_acctbal > 0)
+        |    AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)
+        |) custsale
+        |GROUP BY cntrycode""".stripMargin),
+
     // TPC-H Q16 shape: NOT IN (anti-join) + count(DISTINCT) per group.
     // lineitem stands in for partsupp as the part↔supplier association
     // (the driver testdata has no partsupp table).
