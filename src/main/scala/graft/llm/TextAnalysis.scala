@@ -159,6 +159,29 @@ object TextAnalysis {
     docs.filter(h < pct)
   }
 
+  /** Train/test contamination detection (the decontamination pass every
+    * eval-clean training pipeline needs): test-split documents sharing at
+    * least one word n-gram with any train-split document, via the
+    * deterministic [[splitHash]] split. Per contaminated test doc: the
+    * number of distinct shared n-grams and the smallest offending train
+    * doc. Scale: distinct per-doc shingles feed an equi-join on the shingle
+    * (candidate generation like MinHash banding — never pairwise over
+    * docs); at 100 TB the shingle column would be a 64-bit hash instead of
+    * the string (same join shape, 8-byte keys).
+    */
+  def contamination(docs: DataFrame, n: Int, trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val split = deterministicSplit(docs, trainPct, valPct, idCol)
+    val shTrain = Dedup.shingles(split.filter(col("split") === "train"), n, idCol, textCol)
+      .distinct().select(col("doc_id").as("train_doc"), col("sh"))
+    val shTest = Dedup.shingles(split.filter(col("split") === "test"), n, idCol, textCol)
+      .distinct().select(col("doc_id").as("test_doc"), col("sh"))
+    shTest.join(shTrain, "sh")
+      .groupBy(col("test_doc"))
+      .agg(count_distinct(col("sh")).as("shared_ngrams"),
+        min(col("train_doc")).as("min_train_doc"))
+  }
+
   /** Sequence-length histogram for batch packing: token counts bucketed by
     * `bucketTokens`, capped at `maxBucket` (the overflow bucket). The
     * shape a packing scheduler needs to pick batch geometry at 100 TB —

@@ -438,6 +438,32 @@ object Llm {
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).cast("bigint").as("id_sum"))
     },
 
+    // Train/test contamination: test docs sharing a 3-gram with any train
+    // doc under the q97 deterministic split — the decontamination pass an
+    // eval-clean pipeline runs before training. Candidate generation is an
+    // equi-join on the shingle, never pairwise over documents.
+    QDef.df("q97c_contamination", {
+      val h = s"(((doc_id * ${TextAnalysis.SplitMultiplier}) >> 16) % 100)"
+      s"""WITH base AS (SELECT doc_id, text, $h AS h
+         |              FROM documents WHERE doc_id < 300),
+         |tk AS (SELECT doc_id, h, unnest(string_split(text, ' ')) AS tok,
+         |              unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM base),
+         |sh0 AS (SELECT doc_id, h,
+         |               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh,
+         |               lead(tok, 2) OVER w AS t2
+         |        FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sh AS (SELECT DISTINCT doc_id, h, sh FROM sh0 WHERE t2 IS NOT NULL),
+         |tr AS (SELECT doc_id AS train_doc, sh FROM sh WHERE h < 80),
+         |te AS (SELECT doc_id AS test_doc, sh FROM sh WHERE h >= 90)
+         |SELECT test_doc, CAST(count(DISTINCT sh) AS BIGINT) AS shared_ngrams,
+         |       min(train_doc) AS min_train_doc
+         |FROM te JOIN tr USING (sh)
+         |GROUP BY test_doc""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.contamination(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 300), 3)
+    },
+
     // Deterministic stratified downsampling: rebalance classes (keep 50% of
     // 'en', everything else) with the pure-arithmetic id hash — no RNG.
     QDef.df("q97b_stratified_sample",
