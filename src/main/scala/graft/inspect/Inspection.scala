@@ -32,6 +32,26 @@ object Inspection {
       .orderBy(col("cnt").desc, col("value"))
       .limit(take)
 
+  /** Per-column data-quality profile: row, null, and distinct counts for
+    * each listed column — the table-health read a schema-evolution or
+    * data-quality monitor runs (R21-adjacent: the reference's field
+    * inspection reports distributions per field; this is the one-pass
+    * whole-table variant). All counts come from a single aggregate (the
+    * distinct counts expand map-side), then unpivot to one row per column.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__n_$c"),
+        count_distinct(col(c)).as(s"__d_$c"))
+    } :+ count(lit(1)).as("__total")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
+    wide.selectExpr(
+        s"stack(${cols.size}, $stackExpr) AS (column_name, n_nulls, n_distinct)",
+        "__total AS n_rows")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+  }
+
   /** R25: table discovery = distribution of the derived full table name. */
   def tables(envelope: DataFrame): DataFrame =
     graft.cdc.CdcPipeline.withFullTableName(envelope)

@@ -724,6 +724,21 @@ object Relational {
         |  AND p_size IN (1, 5, 10, 15, 20, 25)
         |GROUP BY p_brand, p_type, p_size""".stripMargin),
 
+    // Per-column profile of the events table (null rates + cardinalities) —
+    // the R21-adjacent table-health read, one aggregate pass engine-side
+    QDef.df("q67b_null_profile", {
+      val cols = Seq("event_type", "props", "user_id", "value")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$E\n$arms"
+    }) { (s, dir) =>
+      graft.inspect.Inspection.nullProfile(
+        s.table("events"), Seq("event_type", "props", "user_id", "value"))
+    },
+
     // ---------------------------------------------------------- set ops
     QDef.shared(
       "q43_union_all",
