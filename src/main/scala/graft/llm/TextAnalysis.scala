@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north star):
@@ -157,6 +158,26 @@ object TextAnalysis {
       when(col(strataCol) === k, p).otherwise(acc)
     }
     docs.filter(h < pct)
+  }
+
+  /** Distinctive terms per document — the TF-IDF shape with integer-only
+    * ordering (tf DESC, rarest df, then token): tf = occurrences in the
+    * doc, df = docs containing the token, top-k per doc. Float-free ranking
+    * keeps the result engine-reproducible bit-for-bit; a real idf weight
+    * changes only the ORDER BY, not the two-aggregation + per-doc-window
+    * shape. No global window — ranking partitions by doc.
+    */
+  def topTermsPerDoc(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("tok"))
+    tf.join(idf, "tok")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rk"))
   }
 
   /** Train/test contamination detection (the decontamination pass every

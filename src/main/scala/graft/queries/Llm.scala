@@ -438,6 +438,24 @@ object Llm {
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).cast("bigint").as("id_sum"))
     },
 
+    // Distinctive terms per doc: the TF-IDF shape with float-free ranking
+    // (tf DESC, rarest df, token) — two aggregations + a per-doc window
+    QDef.df("q84c_top_terms",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |                                ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rk
+        |      FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      TextAnalysis.topTermsPerDoc(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 100), 5)
+    },
+
     // Train/test contamination: test docs sharing a 3-gram with any train
     // doc under the q97 deterministic split — the decontamination pass an
     // eval-clean pipeline runs before training. Candidate generation is an

@@ -530,6 +530,15 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
 
+    QDef.shared(
+      "q36c_nth_value",
+      """SELECT DISTINCT o_custkey,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok,
+        |       nth_value(o_orderkey, 5) OVER w AS fifth_ok
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+
     // Forward-fill (time-series gap fill): last non-null value per user up
     // to each event — last_value IGNORE NULLS with a running frame.
     QDef.sql(
