@@ -169,14 +169,16 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("doc_id").as("b"), col("cluster").as("nc")), "b")
           .groupBy(col("a").as("doc_id")).agg(min("nc").as("nmin"))
-        val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+        // old label kept beside the new one: the convergence count below
+        // reads it off this same persisted frame instead of re-joining the
+        // previous round (one job, no extra join per iteration)
+        val step = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster").as("__old"),
             least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached += updated
-        changed = labels.select(col("doc_id"), col("cluster").as("old"))
-          .join(updated, "doc_id").filter(col("cluster") < col("old")).count()
-        labels = updated
+        cached += step
+        changed = step.filter(col("cluster") < col("__old")).count()
+        labels = step.drop("__old")
         it += 1
       }
       // no silent caps: labels still moving at the iteration limit means a
