@@ -70,6 +70,14 @@ final case class AsOfJoinExec(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
     (rightKeys ++ (rightTs +: rightTie)).map(SortOrder(_, Ascending)))
 
+  /** The merge emits left rows in place, so the left child's hash
+    * partitioning survives — declaring it lets a downstream aggregation or
+    * join on the as-of key reuse the exchange instead of re-shuffling
+    * (same contract SortMergeJoin declares for its streamed side).
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override def outputOrdering: Seq[SortOrder] = (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {

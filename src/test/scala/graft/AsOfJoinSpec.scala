@@ -135,4 +135,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(s.contains("Sort") && s.contains("Exchange"))
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("SortMergeJoin"))
   }
+
+  test("downstream aggregation on the as-of key reuses the join's partitioning (no extra shuffle)") {
+    val agg = AsOf.join(purchases, views, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+      .groupBy($"p_user").agg(org.apache.spark.sql.functions.count($"v_id").as("n"))
+    agg.collect()
+    // exactly the two join-input exchanges; the groupBy must NOT add a third
+    // (count only the AQE final plan — the printed initial plan repeats them)
+    val planStr = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, planStr)
+  }
 }
