@@ -42,12 +42,12 @@ object Bench {
     val suiteT0 = System.nanoTime()
     // per query: `runs` timings, median reported; (median, max−min) on success
     val results: Seq[(String, Option[(Double, Double)])] = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      val times = (1 to runs).iterator.map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
         }
-      }
+      }.takeWhile(_.isDefined).flatten.toSeq // one failure condemns the query — stop re-running it
       // any throwing run marks the query failed — a partially-failing query
       // must not masquerade as a timing
       name -> (if (times.size == runs) Some((times.sorted.apply(runs / 2), times.max - times.min)) else None)

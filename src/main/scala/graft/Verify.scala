@@ -6,15 +6,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Optional third arg: comma-separated query-name prefixes — runs only the
-  * matching subset (local iteration aid; the driver passes two args and gets
-  * the full suite).
+  * Optional trailing args: query-name prefixes (comma- or space-separated)
+  * — runs only the matching subset (local iteration aid; the driver passes
+  * two args and gets the full suite).
   */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(',').toSeq) else None
+      if (args.length > 2) Some(args.drop(2).toSeq.flatMap(_.split(','))) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -112,6 +112,11 @@ object TextAnalysis {
   /** `((id * K) >> 16) % 100` as a Column — shared by split and sampling. */
   def splitHash(id: Column): Column =
     pmod(shiftright(id * SplitMultiplier, 16), lit(100))
+  /** The same hash as an SQL fragment — the ONE copy every split-family
+    * oracle embeds, so the oracles can never diverge from [[splitHash]].
+    */
+  def splitHashSql(idExpr: String): String =
+    s"((($idExpr * $SplitMultiplier) >> 16) % 100)"
   def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
       idCol: String = "doc_id"): DataFrame = {
     val h = splitHash(col(idCol))

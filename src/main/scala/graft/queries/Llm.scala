@@ -424,7 +424,7 @@ object Llm {
     // Deterministic train/val/test split: multiplicative-hash membership,
     // reproducible across engines and reruns with no stored state.
     QDef.df("q97_split", {
-      val h = s"(((doc_id * ${TextAnalysis.SplitMultiplier}) >> 16) % 100)"
+      val h = TextAnalysis.splitHashSql("doc_id")
       s"""SELECT split, count(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM (SELECT doc_id,
          |             CASE WHEN $h < 80 THEN 'train'
@@ -461,7 +461,7 @@ object Llm {
     // eval-clean pipeline runs before training. Candidate generation is an
     // equi-join on the shingle, never pairwise over documents.
     QDef.df("q97c_contamination", {
-      val h = s"(((doc_id * ${TextAnalysis.SplitMultiplier}) >> 16) % 100)"
+      val h = TextAnalysis.splitHashSql("doc_id")
       s"""WITH base AS (SELECT doc_id, text, $h AS h
          |              FROM documents WHERE doc_id < 300),
          |tk AS (SELECT doc_id, h, unnest(string_split(text, ' ')) AS tok,
@@ -487,7 +487,7 @@ object Llm {
     QDef.df("q97b_stratified_sample",
       s"""SELECT lang, count(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM documents
-         |WHERE ((doc_id * ${TextAnalysis.SplitMultiplier}) >> 16) % 100 <
+         |WHERE ${TextAnalysis.splitHashSql("doc_id")} <
          |      CASE WHEN lang = 'en' THEN 50 ELSE 100 END
          |GROUP BY lang""".stripMargin) { (s, dir) =>
       TextAnalysis.stratifiedSample(

@@ -242,7 +242,6 @@ object Relational {
     // row-identity vs the compositional form); measured 8.6x over the
     // compositional form at 1M events.
     QDef.df("q19b_asof_custom", asofOracleSql) { (s, dir) =>
-      Tables.ensure(s, dir)
       val e = s.table("events")
       val p = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
@@ -711,7 +710,7 @@ object Relational {
       """SELECT cntrycode, count(*) AS numcust,
         |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS totacctbal
         |FROM (
-        |  SELECT substring(c_name, 10, 2) AS cntrycode, c_acctbal
+        |  SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode, c_acctbal
         |  FROM customer
         |  WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
         |        > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer WHERE c_acctbal > 0)

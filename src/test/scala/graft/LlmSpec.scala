@@ -239,7 +239,7 @@ class LlmSpec extends SparkSpec {
       (2L, 0x7FFF000000000000L)).toDF("doc_id", "fp")
     val got = Dedup.simhashNearDup(fps, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(got == Map((0L, 1L) -> 1L)) // 0↔2 differ in 17 bits, excluded
+    assert(got == Map((0L, 1L) -> 1L)) // 0↔2 differ in 16 bits, excluded
   }
 
   test("simhashNearDup banding equals brute-force hamming (pigeonhole, zero recall loss)") {
