@@ -72,6 +72,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
   }
 
+  test("q48e: NOT IN resolves to a hash anti join, not a nested-loop scan") {
+    val p = plan("q48e_tpch_q16")
+    // s_suppkey is non-null, so the null-aware anti join must stay a
+    // broadcast HASH join — a BroadcastNestedLoopJoin here would be
+    // O(lineitem × suppliers) at scale
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q97: split assignment reads only doc_id, single exchange") {
     val p = plan("q97_split")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
