@@ -732,6 +732,236 @@ object Relational {
         |  AND p_size IN (1, 5, 10, 15, 20, 25)
         |GROUP BY p_brand, p_type, p_size""".stripMargin),
 
+    // TPC-H Q2 shape: min-cost supplier per part in a region, expressed as a
+    // correlated scalar-min subquery over the same 3-way join. lineitem is the
+    // part↔supplier association (no partsupp table); s_acctbal stands in for
+    // ps_supplycost as the minimized measure.
+    QDef.shared(
+      "q48h_tpch_q2",
+      """SELECT acctbal, s_name, n_name, p_partkey FROM (
+        |  SELECT DISTINCT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS STRING) AS acctbal,
+        |         s_name, n_name, p_partkey, s_acctbal AS bal
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'LARGE' AND p_size <= 25 AND r_name = 'EUROPE'
+        |    AND s_acctbal = (SELECT min(s2.s_acctbal)
+        |                     FROM supplier s2
+        |                     JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+        |                     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |                     JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |                     WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |  ORDER BY bal DESC, n_name, s_name, p_partkey LIMIT 100) t""".stripMargin),
+
+    // TPC-H Q6 shape: forecasting-revenue change — a pure scan-side filter
+    // (date range + discount band + quantity cap) into one global aggregate.
+    // The whole predicate should reach the parquet scan as pushed filters.
+    QDef.shared(
+      "q48i_tpch_q6",
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS STRING) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin),
+
+    // TPC-H Q9 shape: product-type profit by nation and year — 5-way join,
+    // profit = revenue minus a cost proxy (p_retailprice * 0.1 * qty; the
+    // testdata has no ps_supplycost). Double arithmetic is IEEE-identical on
+    // both engines; the decimal cast happens on the same text on both sides.
+    QDef.shared(
+      "q48j_tpch_q9",
+      """SELECT nation, o_year,
+        |       CAST(CAST(SUM(amount) AS DECIMAL(38,4)) AS STRING) AS sum_profit,
+        |       count(*) AS cnt
+        |FROM (
+        |  SELECT n_name AS nation,
+        |         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |           - CAST(p_retailprice * 0.1 * l_quantity AS DECIMAL(18,4)) AS amount
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE p_type LIKE 'PROMO%'
+        |) profit
+        |GROUP BY nation, o_year""".stripMargin),
+
+    // TPC-H Q10 shape: returned-item revenue loss — top-20 customers by
+    // revenue of 'R'-flagged lineitems in one quarter; 4-way join, group,
+    // order-by-decimal then top-k (TakeOrderedAndProject, no global sort).
+    QDef.shared(
+      "q48k_tpch_q10",
+      """SELECT c_custkey, c_name, CAST(rev AS STRING) AS revenue,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING) AS acctbal, n_name
+        |FROM (
+        |  SELECT c_custkey, c_name,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev,
+        |         c_acctbal, n_name
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |  ORDER BY rev DESC, c_custkey LIMIT 20) t""".stripMargin),
+
+    // TPC-H Q11 shape: important-stock fraction-of-total — per-part value vs
+    // a scalar-subquery grand total. Both sides are exact decimal sums; the
+    // fraction comparison converts to double (deterministic conversion +
+    // identical IEEE multiply on both engines) to dodge cross-engine decimal
+    // overflow-rescale rules at precision 38.
+    QDef.shared(
+      "q48l_tpch_q11",
+      """SELECT p_partkey, CAST(val AS STRING) AS value FROM (
+        |  SELECT l_partkey AS p_partkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey) t
+        |WHERE CAST(val AS DOUBLE) * 500 > (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_3')""".stripMargin),
+
+    // TPC-H Q12 shape: shipping-priority buckets — join + conditional counts
+    // per category (l_returnflag stands in for l_shipmode; the testdata has
+    // no shipmode column).
+    QDef.shared(
+      "q48m_tpch_q12",
+      """SELECT l_returnflag AS shipmode,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('R', 'A')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin),
+
+    // TPC-H Q14 shape: promotion-revenue share in one month. Numerator and
+    // denominator emitted as separate exact decimals (decimal division scale
+    // rules differ between engines; the ratio is the consumer's one division).
+    QDef.shared(
+      "q48n_tpch_q14",
+      """SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS STRING) AS promo_revenue,
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS total_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — a reused grouped
+    // CTE plus a scalar-max subquery over it; exact decimal equality picks
+    // the winner(s).
+    QDef.shared(
+      "q48o_tpch_q15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS STRING) AS total_revenue
+        |FROM supplier
+        |JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — per-part average
+    // quantity threshold, cross-multiplied (qty * 5 * cnt < sum_qty means
+    // qty < 0.2 * avg) so no double average is ever compared across engines.
+    QDef.shared(
+      "q48p_tpch_q17",
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS total_price,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN (SELECT l_partkey AS agg_partkey, count(*) AS cnt_qty,
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_partkey) agg ON agg_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |  AND l_quantity * 5 * cnt_qty < sum_qty""".stripMargin),
+
+    // TPC-H Q18 shape: large-volume orders — grouped-HAVING IN-subquery
+    // (decorrelates to a semi join on the grouped aggregate), then re-group.
+    QDef.shared(
+      "q48q_tpch_q18",
+      """SELECT c_custkey, o_orderkey, CAST(sum_qty AS STRING) AS sum_qty FROM (
+        |  SELECT c_custkey, o_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey
+        |                       HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+        |  GROUP BY c_custkey, o_orderkey) t""".stripMargin),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity brackets — an OR of
+    // conjunctive predicates over a part join; Catalyst extracts the common
+    // join key so this stays one hash join, not a union of three.
+    QDef.shared(
+      "q48r_tpch_q19",
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // TPC-H Q20 shape: suppliers with excess shipped quantity of a part
+    // class — nested IN subqueries, the inner one a grouped-HAVING aggregate
+    // (availqty has no testdata analogue; shipped-quantity plays its role).
+    QDef.shared(
+      "q48s_tpch_q20",
+      """SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (
+        |     SELECT l_suppkey FROM lineitem
+        |     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'STA%')
+        |       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |     GROUP BY l_suppkey
+        |     HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200)""".stripMargin),
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — one EXISTS (another
+    // supplier on the same order) and one NOT EXISTS (no OTHER supplier was
+    // also late), both correlated self-joins on lineitem; lateness is
+    // shipdate > orderdate + 30 days (no commit/receipt dates in testdata).
+    QDef.shared(
+      "q48t_tpch_q21",
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND n_name = 'NATION_2'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND EXISTS (SELECT * FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT * FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY s_name""".stripMargin),
+
     // Per-column profile of the events table (null rates + cardinalities) —
     // the R21-adjacent table-health read, one aggregate pass engine-side
     QDef.df("q67b_null_profile", {
