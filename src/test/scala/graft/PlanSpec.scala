@@ -81,6 +81,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q48i: the whole Q6 predicate reaches the parquet scan, pruned columns") {
+    val p = plan("q48i_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("q48r: disjunctive brackets stay ONE hash join with pushed per-side filters") {
+    val p = plan("q48r_tpch_q19")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the OR-of-brackets pushes a per-table disjunction into each scan
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#1)"), p)
+  }
+
+  test("q48t: both correlated subqueries decorrelate to hash semi/anti joins") {
+    val p = plan("q48t_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q48k: quarterly top-20 is TakeOrderedAndProject with the date range at the scan") {
+    val p = plan("q48k_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-10-01"), p)
+  }
+
   test("q97: split assignment reads only doc_id, single exchange") {
     val p = plan("q97_split")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
