@@ -119,18 +119,49 @@ object FixtureGen {
     finally csv.close()
   }
 
-  /** Deterministic binary media blobs (the multimodal fixture): pure
-    * formulas of (id, byte position), covering all 256 byte values — real
-    * non-UTF-8 binary, so the parquet BINARY round-trip is actually
-    * exercised on both engines (the driver's DuckDB side reads the same
-    * file with `read_parquet`).
+  /** Real container signatures (public file-format magic numbers) prepended
+    * to each blob so the format sniffer has something true to detect. The
+    * RIFF container carries its chunk size little-endian after the tag.
+    */
+  private def intLE(v: Int): Array[Byte] =
+    Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+
+  private def magic(fmt: String, bodyLen: Int): Array[Byte] = fmt match {
+    case "jpeg" => Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+    case "png" => Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    case "gif" => "GIF89a".getBytes("US-ASCII")
+    case "mp3" => Array(0x49, 0x44, 0x33, 0x04).map(_.toByte) // ID3v2.4 tag
+    case "wav" => "RIFF".getBytes("US-ASCII") ++ intLE(bodyLen + 4) ++ "WAVE".getBytes("US-ASCII")
+    case "flac" => "fLaC".getBytes("US-ASCII")
+    case "mp4" => Array[Byte](0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII")
+    case "mkv" => Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) // EBML header
+    case "avi" => "RIFF".getBytes("US-ASCII") ++ intLE(bodyLen + 4) ++ "AVI ".getBytes("US-ASCII")
+    case _ => Array.empty[Byte]
+  }
+
+  private val mediaFormats =
+    Vector("jpeg", "png", "gif", "mp3", "wav", "flac", "mp4", "mkv", "avi", "unknown")
+
+  /** Deterministic binary media blobs (the multimodal fixture): a real
+    * container signature followed by a pure formula of (id, byte position)
+    * covering all 256 byte values — real non-UTF-8 binary, so the parquet
+    * BINARY round-trip is actually exercised on both engines (the driver's
+    * DuckDB side reads the same file with `read_parquet`). `media_type` is
+    * the CLAIMED type; the three `unknown` rows claim "image" with no
+    * signature, so sniff-vs-claim disagreement has fixture coverage.
     */
   def mediaRows: Seq[(Long, String, Array[Byte])] =
-    (0 until 24).map { i =>
-      val mediaType = Seq("image", "audio", "video")(i % 3)
+    (0 until 30).map { i =>
+      val fmt = mediaFormats(i % 10)
+      val mediaType = fmt match {
+        case "jpeg" | "png" | "gif" => "image"
+        case "mp3" | "wav" | "flac" => "audio"
+        case "mp4" | "mkv" | "avi" => "video"
+        case _ => "image"
+      }
       val len = 64 + (i * 37) % 200
-      val bytes = Array.tabulate(len)(j => ((i * 31 + j * 7 + (j * j) % 11) % 256).toByte)
-      (i.toLong, mediaType, bytes)
+      val body = Array.tabulate(len)(j => ((i * 31 + j * 7 + (j * j) % 11) % 256).toByte)
+      (i.toLong, mediaType, magic(fmt, len) ++ body)
     }
 
   /** Writes `media.parquet` as a SINGLE parquet file (not a directory) so

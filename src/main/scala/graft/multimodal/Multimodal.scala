@@ -75,6 +75,53 @@ object Multimodal {
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
 
+  /** Magic-number format sniffing: detects the container format from the
+    * first bytes (public file-format signatures: JPEG/PNG/GIF, ID3/RIFF-WAVE/
+    * fLaC, ftyp/EBML/RIFF-AVI). The crawl-pipeline truth check for a claimed
+    * media_type — declared-vs-actual mismatches flag corrupt or mislabeled
+    * blobs before any decode is attempted. Reads at most 12 bytes per row
+    * (every signature fits), so the scan stays narrow no matter the blob size.
+    */
+  def sniffType(media: Column): Column = {
+    val h = hex(substring(media, 1, 12)) // 24 hex chars cover every signature
+    when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("89504E470D0A1A0A"), "png")
+      .when(h.startsWith("47494638"), "gif")
+      .when(h.startsWith("494433"), "mp3")
+      .when(h.startsWith("664C6143"), "flac")
+      .when(h.startsWith("1A45DFA3"), "mkv")
+      .when(substring(h, 9, 8) === "66747970", "mp4") // "ftyp" at byte offset 4
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "wav")
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "41564920", "avi")
+      .otherwise("unknown")
+  }
+
+  /** Maps a sniffed container format to its media category — comparable
+    * against the claimed `media_type` column.
+    */
+  def sniffCategory(sniffed: Column): Column =
+    when(sniffed.isin("jpeg", "png", "gif"), "image")
+      .when(sniffed.isin("mp3", "wav", "flac"), "audio")
+      .when(sniffed.isin("mp4", "mkv", "avi"), "video")
+      .otherwise("unknown")
+
+  /** Fixed-size blob chunking: one output row per `chunkBytes` slice, with
+    * the chunk index alongside. At 100 TB this is the row-size bound — a
+    * multi-GB video as ONE parquet cell breaks row-group sizing, shuffle
+    * block limits and task balance; sharded to bounded chunks the table
+    * partitions and shuffles like any other. The generator (explode over a
+    * computed offset sequence) is the same shape frameSample uses; the slice
+    * is a codegen'd substring, no UDF.
+    */
+  def chunk(df: DataFrame, mediaCol: String, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    val nChunks = ceil(length(col(mediaCol)).cast("double") / chunkBytes).cast("int")
+    df.withColumn("chunk_idx", explode(sequence(lit(0), greatest(nChunks, lit(1)) - 1)))
+      .withColumn("chunk",
+        expr(s"substring($mediaCol, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
   /** Inference batch shape: rows grouped into fixed-size batches keyed by
     * `id div batchSize` — one output row per batch with id-aligned feature
     * arrays, ready to hand a vectorized model runner one tensor per row.

@@ -523,6 +523,51 @@ object Llm {
       Multimodal.withMeta(m)
         .select(col("media_id"), col("meta.media_type").as("media_type"),
           col("meta.n_bytes").as("n_bytes"), hex(col("media")).as("content_hex"))
+    },
+
+    // Fixed-size blob chunking (32-byte chunks here; MBs in production) —
+    // the row-size-bounding shard step. DuckDB can't slice BLOBs, but a
+    // byte-slice-then-hex equals a hex-then-char-slice at doubled offsets,
+    // so the oracle verifies every chunk boundary and byte exactly.
+    QDef.df("q95b_media_chunks",
+      s"""SELECT media_id, chunk_idx,
+         |       substring(h, CAST(chunk_idx * 64 + 1 AS BIGINT), 64) AS chunk_hex
+         |FROM (SELECT media_id, hex(media) AS h,
+         |             unnest(range(0, CAST(ceil(octet_length(media) / 32.0) AS BIGINT))) AS chunk_idx
+         |      FROM read_parquet('${Cdc.Fixtures.oracleMediaPath}')) t""".stripMargin) { (s, dir) =>
+      val m = s.read.parquet(Cdc.Fixtures.mediaPath)
+      Multimodal.chunk(m, "media", chunkBytes = 32)
+        .select(col("media_id"), col("chunk_idx"), hex(col("chunk")).as("chunk_hex"))
+    },
+
+    // Magic-number format sniffing + claim verification: detected container
+    // format from real signatures, compared against the declared media_type.
+    // The oracle re-derives the same decision tree over hex(media) prefixes.
+    QDef.df("q95c_media_sniff",
+      s"""SELECT media_id, media_type,
+         |       sniffed,
+         |       CASE WHEN sniffed IN ('jpeg', 'png', 'gif') THEN 'image'
+         |            WHEN sniffed IN ('mp3', 'wav', 'flac') THEN 'audio'
+         |            WHEN sniffed IN ('mp4', 'mkv', 'avi') THEN 'video'
+         |            ELSE 'unknown' END = media_type AS claim_ok
+         |FROM (
+         |  SELECT media_id, media_type,
+         |         CASE WHEN h LIKE 'FFD8FF%' THEN 'jpeg'
+         |              WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
+         |              WHEN h LIKE '47494638%' THEN 'gif'
+         |              WHEN h LIKE '494433%' THEN 'mp3'
+         |              WHEN h LIKE '664C6143%' THEN 'flac'
+         |              WHEN h LIKE '1A45DFA3%' THEN 'mkv'
+         |              WHEN substring(h, 9, 8) = '66747970' THEN 'mp4'
+         |              WHEN h LIKE '52494646%' AND substring(h, 17, 8) = '57415645' THEN 'wav'
+         |              WHEN h LIKE '52494646%' AND substring(h, 17, 8) = '41564920' THEN 'avi'
+         |              ELSE 'unknown' END AS sniffed
+         |  FROM (SELECT media_id, media_type, substring(hex(media), 1, 24) AS h
+         |        FROM read_parquet('${Cdc.Fixtures.oracleMediaPath}')) raw) t""".stripMargin) { (s, dir) =>
+      val m = s.read.parquet(Cdc.Fixtures.mediaPath)
+      m.withColumn("sniffed", Multimodal.sniffType(col("media")))
+        .select(col("media_id"), col("media_type"), col("sniffed"),
+          (Multimodal.sniffCategory(col("sniffed")) === col("media_type")).as("claim_ok"))
     }
   )
 }

@@ -296,6 +296,37 @@ class LlmSpec extends SparkSpec {
     assert(feat.getSeq[Float](0).length == 8)
   }
 
+  test("sniffType detects real signatures; short and empty blobs are unknown") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val rows = Seq(
+      (0L, b(0xFF, 0xD8, 0xFF, 0xE0, 1, 2)), // jpeg
+      (1L, "RIFF1234WAVEdata".getBytes("US-ASCII")), // wav
+      (2L, "RIFF1234AVI LIST".getBytes("US-ASCII")), // avi
+      (3L, b(0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII")), // mp4
+      (4L, b(0x1A, 0x45, 0xDF, 0xA3, 9)), // mkv
+      (5L, "RIFF".getBytes("US-ASCII")), // truncated RIFF: no subtype -> unknown
+      (6L, b(0xFF)), // 1 byte, prefix of nothing
+      (7L, Array.empty[Byte]))
+    val got = rows.toDF("id", "media")
+      .select($"id", Multimodal.sniffType($"media").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "jpeg", 1L -> "wav", 2L -> "avi", 3L -> "mp4",
+      4L -> "mkv", 5L -> "unknown", 6L -> "unknown", 7L -> "unknown"))
+  }
+
+  test("chunk: exact 32-byte slices with a ragged tail; empty blob keeps one empty chunk") {
+    val blob = Array.tabulate(70)(_.toByte)
+    val d = Seq((0L, blob), (1L, Array.empty[Byte])).toDF("id", "media")
+    val got = Multimodal.chunk(d, "media", chunkBytes = 32)
+      .select($"id", $"chunk_idx", $"chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L)))
+    assert(got((0L, 0L)) == blob.slice(0, 32).toSeq)
+    assert(got((0L, 1L)) == blob.slice(32, 64).toSeq)
+    assert(got((0L, 2L)) == blob.slice(64, 70).toSeq) // 6-byte tail, not padded
+    assert(got((1L, 0L)).isEmpty) // zero-length media is kept, not dropped
+  }
+
   test("inference batches: fixed-size, id-aligned feature arrays") {
     val emb = Tables.embeddings(spark).limit(25)
       .select($"vec_id", $"embedding")
