@@ -88,6 +88,32 @@ object Cdc {
       col("is_delete"))
   }
 
+  /** Scratch snapshot-sink dir: wiped per build (bench re-runs a query three
+    * times — accumulated commits would change the result), pid-suffixed
+    * against concurrent sessions (q03's scratch pattern).
+    */
+  private def freshSnapshotSink(tag: String): graft.sink.SnapshotParquetSink = {
+    val base = sys.props("java.io.tmpdir") + s"/graft_${tag}_" +
+      ProcessHandle.current().pid()
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(new java.io.File(base))
+    new graft.sink.SnapshotParquetSink(base, nBuckets = 8)
+  }
+
+  /** The q61-family output projection over a merged-state frame: same
+    * columns and tag normalization as `lastState`, so the sink queries share
+    * the upsert oracles verbatim.
+    */
+  private def normalizedRowCols(df: DataFrame): DataFrame =
+    df.select(
+      col("primary_key"),
+      col("row_id"), col("row_amount"), col("row_qty"), col("row_note"),
+      col("row_created"), col("row_active"),
+      to_json(array_sort(transform(col("row_tags"), x => x.cast("int")))).as("row_tags"),
+      col("row_ext_id"), col("row_discount"))
+
   val all: Seq[QDef] = Seq(
 
     // R2–R6: the README pipeline — derive full_table_name, filter, star-
@@ -146,6 +172,33 @@ object Cdc {
           col("valid_from_seq"),
           coalesce(col("valid_to_seq"), lit(-1L)).as("valid_to_seq"),
           col("is_current"))
+    },
+
+    // Snapshot-isolated sink (the table-format layer): the full CDC log
+    // merged in two commits through SnapshotParquetSink — immutable data
+    // files, atomic manifest publication, bucket-pruned incremental merge.
+    // The latest snapshot must equal the plain upsert view (q61's oracle).
+    QDef.df("q61d_snapshot_upsert",
+      s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1") { (s, _) =>
+      val sink = freshSnapshotSink("q61d")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      sink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
+      sink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
+      normalizedRowCols(sink.read(s, graft.sink.DeleteMode.Logical).drop("is_deleted"))
+    },
+
+    // Time travel on the snapshot sink: version 0 (the first commit, log
+    // cutoff seq<=900) read back AFTER the second commit superseded it —
+    // must equal the replay-to-cutoff view (q61b's oracle). Snapshot
+    // isolation is what makes the superseded state still readable.
+    QDef.df("q61e_snapshot_time_travel",
+      s"${lastStateSql(" WHERE seq <= 900")}\nSELECT $rowColsOut FROM r WHERE rn = 1 AND NOT is_del") {
+      (s, _) =>
+        val sink = freshSnapshotSink("q61e")
+        val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        sink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
+        sink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
+        normalizedRowCols(sink.readAt(s, 0L, graft.sink.DeleteMode.Hard))
     },
 
     // R14: hard delete — drop keys whose final event is a delete.

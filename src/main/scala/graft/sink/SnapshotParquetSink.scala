@@ -1,0 +1,191 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated MERGE sink over immutable parquet files — the
+  * table-format layer (the pattern Delta Lake / Apache Iceberg use): data
+  * files are written once and never modified; a commit is the ATOMIC
+  * publication of a new manifest that lists, per hash bucket, the file
+  * holding that bucket's current state. Readers resolve the highest
+  * published manifest, so they always see a complete committed snapshot:
+  *
+  *   - NO crash window: a crash anywhere before the manifest rename leaves
+  *     orphan data files and an intact table at the previous version — no
+  *     backup/restore protocol needed (contrast [[LocalParquetSink]]'s
+  *     two-move swap and [[PartitionedParquetSink]]'s bucket backups);
+  *   - incremental merges: unaffected buckets carry their manifest entries
+  *     forward untouched — merge cost is O(affected fraction), same as
+  *     [[PartitionedParquetSink]];
+  *   - time travel for free: every previous manifest remains readable
+  *     (`readAt`) until `vacuum` expires it;
+  *   - concurrent-writer safety: the manifest rename is the optimistic
+  *     lock — publishing version N+1 fails if another writer got there
+  *     first, and the merge recomputes against the new state and retries.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   data/<commit-uuid>/__bucket=<b>/part-*.parquet   immutable
+  *   manifests/v<%08d>.manifest                       text, atomic rename
+  * }}}
+  *
+  * Manifest format (line-oriented, no parser dependency):
+  * `version=N`, `nBuckets=B`, then one `b <bucket> <relative-path>` per
+  * bucket present. Merge semantics (last-write-wins by seq, `__gen`
+  * tie-break = the committing version, tombstoned deletes) match the other
+  * sinks; `__gen` strictly increases per commit, so replaying a batch is
+  * idempotent and out-of-order-safe.
+  */
+final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertSink {
+
+  private def manifestsDir: Path = Paths.get(dir, "manifests")
+  private def manifestPath(v: Long): Path = manifestsDir.resolve(f"v$v%08d.manifest")
+
+  private def bucketOf(keys: Seq[String]) =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+
+  /** All published versions, ascending; empty before the first commit. */
+  def versions: Seq[Long] =
+    if (!Files.exists(manifestsDir)) Seq.empty
+    else Files.list(manifestsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .toSeq.sorted
+
+  def currentVersion: Option[Long] = versions.lastOption
+
+  /** bucket → path relative to `dir`. */
+  private def readManifest(v: Long): Map[Int, String] =
+    Files.readAllLines(manifestPath(v)).asScala.iterator
+      .filter(_.startsWith("b "))
+      .map { line =>
+        val Array(_, b, rel) = line.split(" ", 3)
+        b.toInt -> rel
+      }.toMap
+
+  override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
+      isDeleteCol: String): Unit = synchronized {
+    val spark = batch.sparkSession
+    val incoming0 = batch
+      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+      .withColumn("__bucket", bucketOf(keys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ≤ nBuckets values by construction — this driver-side list is what
+      // limits the read and rewrite to affected buckets only
+      val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return
+
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        attempts += 1
+        val base = currentVersion
+        val entries = base.map(readManifest).getOrElse(Map.empty)
+        val version = base.map(_ + 1L).getOrElse(0L)
+
+        // existing state of the affected buckets, grouped by commit root:
+        // each root was written with partitionBy("__bucket"), so reading
+        // with basePath=root recovers the bucket column; roots from
+        // different commits may differ in schema (evolution) — union by name
+        val existing = affected.flatMap(b => entries.get(b).map(rel => (b, rel)))
+          .groupBy { case (_, rel) => rel.substring(0, rel.indexOf("/__bucket=")) }
+        val current = existing.values.toSeq.sortBy(_.head._2).map { group =>
+          val root = s"$dir/${group.head._2.substring(0, group.head._2.indexOf("/__bucket="))}"
+          spark.read.option("mergeSchema", "true").option("basePath", root)
+            .parquet(group.map { case (_, rel) => s"$dir/$rel" }: _*)
+        }.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+        val incoming = incoming0.withColumn("__gen", lit(version))
+        val all = current match {
+          case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
+          case None    => incoming
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc, col("__gen").desc)
+        val merged = all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+
+        val commitId = UUID.randomUUID().toString
+        // one output file per bucket — a file per shuffle partition per
+        // bucket would swamp the manifest's pruning win with small files
+        merged.repartition(affected.length, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$dir/data/$commitId")
+
+        val newEntries = entries ++ affected.map(b => b -> s"data/$commitId/__bucket=$b")
+        Files.createDirectories(manifestsDir)
+        val tmp = manifestsDir.resolve(s".tmp-$commitId")
+        val body = (Seq(s"version=$version", s"nBuckets=$nBuckets") ++
+          newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
+          .mkString("", "\n", "\n")
+        Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          // the optimistic lock: rename fails if another writer published
+          // this version first; recompute against the new state and retry
+          Files.move(tmp, manifestPath(version), StandardCopyOption.ATOMIC_MOVE)
+          committed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            deleteTree(Paths.get(s"$dir/data/$commitId")) // orphaned attempt
+            if (attempts >= 5)
+              sys.error(s"snapshot commit lost the race $attempts times at $dir")
+        }
+      }
+    } finally {
+      incoming0.unpersist()
+      ()
+    }
+  }
+
+  override def read(spark: SparkSession, mode: DeleteMode): DataFrame =
+    readAt(spark, currentVersion.getOrElse(sys.error(s"no snapshot published at $dir")), mode)
+
+  /** The committed state AS OF `version` — time travel. Fails loudly if the
+    * manifest was vacuumed or never existed.
+    */
+  def readAt(spark: SparkSession, version: Long, mode: DeleteMode): DataFrame = {
+    require(Files.exists(manifestPath(version)),
+      s"snapshot v$version does not exist at $dir (vacuumed or never published)")
+    val paths = readManifest(version).toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
+    val t = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .drop("__gen", "__bucket")
+    mode match {
+      case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")
+      case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")
+    }
+  }
+
+  /** Expires history: keeps the newest `keepLast` manifests, deletes older
+    * ones plus every data directory no kept manifest references (including
+    * orphans from crashed or lost-race commits). Returns (manifests deleted,
+    * data roots deleted).
+    */
+  def vacuum(keepLast: Int = 1): (Int, Int) = synchronized {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val vs = versions
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val referencedRoots = keep.flatMap(v => readManifest(v).values)
+      .map(rel => rel.substring(0, rel.indexOf("/__bucket="))).toSet
+    val dataDir = Paths.get(dir, "data")
+    val orphans =
+      if (!Files.exists(dataDir)) Seq.empty
+      else Files.list(dataDir).iterator().asScala.toSeq
+        .filterNot(p => referencedRoots.contains(s"data/${p.getFileName}"))
+    orphans.foreach(deleteTree)
+    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    (drop.size, orphans.size)
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(deleteTree)
+    Files.deleteIfExists(p)
+    ()
+  }
+}

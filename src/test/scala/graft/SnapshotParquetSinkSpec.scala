@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import graft.sink.{DeleteMode, LocalParquetSink, SnapshotParquetSink}
+
+/** The snapshot sink must agree with LocalParquetSink on every merge
+  * semantic while adding what the manifest layer is for: atomic commits
+  * (orphan data never surfaces), time travel, manifest reuse for untouched
+  * buckets, and vacuum.
+  */
+class SnapshotParquetSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, Long, String, Boolean)*): DataFrame =
+    rows.toSeq.toDF("primary_key", "seq", "val", "is_delete")
+
+  private def state(sink: graft.sink.UpsertSink, mode: DeleteMode): Map[String, (Long, String)] =
+    sink.read(spark, mode).collect()
+      .map(r => r.getAs[String]("primary_key") ->
+        (r.getAs[Long]("seq"), r.getAs[String]("val"))).toMap
+
+  test("agrees with LocalParquetSink across an insert/update/delete sequence") {
+    val snap = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 4)
+    val local = new LocalParquetSink(tmpDir("lsink") + "/t")
+    val batches = Seq(
+      batch(("a", 0, "a0", false), ("b", 1, "b0", false), ("c", 2, "c0", false)),
+      batch(("a", 3, "a1", false), ("b", 4, "del", true)),
+      batch(("b", 2, "stale", false)), // stale post-delete event: tombstone wins
+      batch(("d", 5, "d0", false)))
+    batches.foreach { b =>
+      snap.merge(b, Seq("primary_key"), "seq", "is_delete")
+      local.merge(b, Seq("primary_key"), "seq", "is_delete")
+    }
+    assert(state(snap, DeleteMode.Hard) == state(local, DeleteMode.Hard))
+    assert(snap.versions == Seq(0L, 1L, 2L, 3L))
+    val logical = snap.read(spark, DeleteMode.Logical).collect()
+      .map(r => r.getAs[String]("primary_key") -> r.getAs[Boolean]("is_deleted")).toMap
+    assert(logical("b") && !logical("a"))
+  }
+
+  test("time travel: every committed version stays readable until vacuumed") {
+    val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("a", 2, "a1", false)), Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("b", 3, "del", true)), Seq("primary_key"), "seq", "is_delete")
+    def at(v: Long) = sink.readAt(spark, v, DeleteMode.Hard).collect()
+      .map(r => r.getAs[String]("primary_key") -> r.getAs[String]("val")).toMap
+    assert(at(0) == Map("a" -> "a0", "b" -> "b0"))
+    assert(at(1) == Map("a" -> "a1", "b" -> "b0"))
+    assert(at(2) == Map("a" -> "a1"))
+  }
+
+  test("merge is idempotent under batch replay") {
+    val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 4)
+    val b = batch(("a", 0, "a0", false), ("a", 1, "a1", false))
+    sink.merge(b, Seq("primary_key"), "seq", "is_delete")
+    val first = state(sink, DeleteMode.Hard)
+    sink.merge(b, Seq("primary_key"), "seq", "is_delete")
+    assert(state(sink, DeleteMode.Hard) == first && first == Map("a" -> (1L, "a1")))
+  }
+
+  test("untouched buckets keep their manifest entries (no rewrite)") {
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8)
+    val keys = (0 until 32).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("k0", 1L, "k0-v1", false)), Seq("primary_key"), "seq", "is_delete")
+    def entries(v: Long): Map[String, String] =
+      Files.readAllLines(Paths.get(dir, "manifests", f"v$v%08d.manifest")).asScala
+        .filter(_.startsWith("b ")).map { l =>
+          val Array(_, b, rel) = l.split(" ", 3); (b, rel)
+        }.toMap
+    val (v0, v1) = (entries(0), entries(1))
+    val changed = v1.filter { case (b, rel) => v0.get(b).contains(rel) == false }
+    assert(changed.size == 1, s"exactly k0's bucket should move, got $changed")
+    assert((v1 -- changed.keys) == (v0 -- changed.keys)) // rest carried forward verbatim
+    // and the rewrite read only k0's bucket worth of data
+    assert(state(sink, DeleteMode.Hard).apply("k0") == (1L, "k0-v1"))
+  }
+
+  test("a crashed commit (orphan data, no manifest) never surfaces; vacuum removes it") {
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    val good = state(sink, DeleteMode.Hard)
+    // simulate a crash after data write, before manifest publication
+    val orphan = Paths.get(dir, "data", "deadbeef-orphan")
+    Files.createDirectories(orphan.resolve("__bucket=0"))
+    Files.write(orphan.resolve("__bucket=0").resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    assert(state(sink, DeleteMode.Hard) == good) // reader never looks at orphans
+    val (manifestsDropped, rootsDropped) = sink.vacuum(keepLast = 1)
+    assert(manifestsDropped == 0 && rootsDropped == 1)
+    assert(!Files.exists(orphan))
+    assert(state(sink, DeleteMode.Hard) == good)
+  }
+
+  test("vacuum keeps the newest manifests and drops unreferenced data") {
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 2)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("a", 1, "a1", false)), Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("a", 2, "a2", false)), Seq("primary_key"), "seq", "is_delete")
+    val (manifestsDropped, rootsDropped) = sink.vacuum(keepLast = 1)
+    assert(manifestsDropped == 2 && rootsDropped == 2)
+    assert(sink.versions == Seq(2L))
+    assert(state(sink, DeleteMode.Hard) == Map("a" -> (2L, "a2")))
+    intercept[IllegalArgumentException](sink.readAt(spark, 0L, DeleteMode.Hard))
+  }
+
+  test("schema evolution: new columns null-backfill older buckets") {
+    val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    val evolved = Seq(("a", 2L, "a1", false, "extra"))
+      .toDF("primary_key", "seq", "val", "is_delete", "note")
+    sink.merge(evolved, Seq("primary_key"), "seq", "is_delete")
+    val rows = sink.read(spark, DeleteMode.Hard).collect()
+      .map(r => r.getAs[String]("primary_key") ->
+        Option(r.getAs[String]("note"))).toMap
+    assert(rows == Map("a" -> Some("extra"), "b" -> None))
+  }
+}
