@@ -42,6 +42,65 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("streaming as-of join: latest prior right wins, even when it arrives late") {
+    import graft.streaming.StreamJoin
+    val inL = tmpDir("asof_l"); val inR = tmpDir("asof_r")
+    val schema = "key LONG, id LONG, ts TIMESTAMP"
+    // batch 0: left l1@10:20 and one right r11@10:00
+    write(inL, "b0.jsonl", Seq("""{"key":7,"id":1,"ts":"2024-01-01T10:20:00Z"}"""))
+    write(inR, "b0.jsonl", Seq("""{"key":7,"id":11,"ts":"2024-01-01T10:00:00Z"}"""))
+    val asof = StreamJoin.asOf(
+      spark.readStream.schema(schema).json(inL).as[StreamJoin.AsOfEvent],
+      spark.readStream.schema(schema).json(inR).as[StreamJoin.AsOfEvent],
+      lookbackMs = 60L * 60 * 1000, watermarkDelay = "10 minutes")
+    val q = asof.writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    try {
+      q.processAllAvailable()
+      // watermark is still behind l1 — nothing resolved yet, so a LATER
+      // right with an EARLIER timestamp can still claim the match
+      assert(spark.table("asof_out").count() == 0)
+      write(inR, "b1.jsonl", Seq("""{"key":7,"id":12,"ts":"2024-01-01T10:12:00Z"}"""))
+      q.processAllAvailable()
+      // push the watermark past l1 (10:45 - 10min > 10:20): resolve
+      write(inR, "b2.jsonl", Seq("""{"key":9,"id":99,"ts":"2024-01-01T10:45:00Z"}"""))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .select("left_id", "right_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      // r12 (10:12) beats r11 (10:00) as the latest right <= 10:20 — and it
+      // arrived a micro-batch AFTER the left: event-time, not arrival-time
+      assert(got == Map(1L -> Some(12L)))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("streaming as-of join: unmatched left emits None; out-of-lookback right ignored") {
+    import graft.streaming.StreamJoin
+    val inL = tmpDir("asof2_l"); val inR = tmpDir("asof2_r")
+    val schema = "key LONG, id LONG, ts TIMESTAMP"
+    // r21 is 2h before l2 — outside the 1h lookback
+    write(inL, "b0.jsonl", Seq("""{"key":5,"id":2,"ts":"2024-01-01T12:00:00Z"}"""))
+    write(inR, "b0.jsonl", Seq("""{"key":5,"id":21,"ts":"2024-01-01T10:00:00Z"}"""))
+    val asof = StreamJoin.asOf(
+      spark.readStream.schema(schema).json(inL).as[StreamJoin.AsOfEvent],
+      spark.readStream.schema(schema).json(inR).as[StreamJoin.AsOfEvent],
+      lookbackMs = 60L * 60 * 1000, watermarkDelay = "10 minutes")
+    val q = asof.writeStream.outputMode("append").format("memory")
+      .queryName("asof2_out").start()
+    try {
+      q.processAllAvailable()
+      write(inL, "b1.jsonl", Seq("""{"key":6,"id":9,"ts":"2024-01-01T13:00:00Z"}"""))
+      q.processAllAvailable()
+      // one more batch so the watermark (13:00 - 10min) resolves l2@12:00
+      write(inL, "b2.jsonl", Seq("""{"key":6,"id":10,"ts":"2024-01-01T13:30:00Z"}"""))
+      q.processAllAvailable()
+      val got = spark.table("asof2_out")
+        .select("left_id", "right_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(got.get(2L).contains(None)) // within watermark, no in-lookback right
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("stream-stream interval join: pairs within the window, across micro-batches") {
     val inL = tmpDir("ssj_l"); val inR = tmpDir("ssj_r")
     val ls = "l_id LONG, l_user LONG, l_ts TIMESTAMP"
