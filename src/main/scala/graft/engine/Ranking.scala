@@ -40,6 +40,48 @@ object Ranking {
     }
   }
 
+  /** Global EXCLUSIVE prefix sum of `valueCol` under a total order, without
+    * a single-partition window: range-repartition by the sort key, cumsum
+    * within each partition (a window PARTITIONED by the physical partition
+    * id — every partition sums in parallel), then lift local sums to global
+    * ones with a driver-side offset table (one long per partition, the same
+    * trick [[withGlobalIndex]] plays with row counts). Adds `__psum` =
+    * sum of `valueCol` over all STRICTLY-PRECEDING rows (0 for the first).
+    * Same managed-scope contract as [[withGlobalIndex]].
+    */
+  def prefixSum[T](df: DataFrame, valueCol: Column, sortCols: Seq[Column])(
+      consume: DataFrame => T): T = {
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol.cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-partition totals -> exclusive offsets; ≤ numShufflePartitions
+      // rows by construction, so the collect is bounded
+      val totals = sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = totals.keys.toSeq.sorted
+      val offsetOf: Map[Int, Long] =
+        pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)).init).toMap
+      // running (inclusive) local sum minus own value = local exclusive sum
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(sortCols: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val offsetExpr = offsetOf.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+        when(col("__pid") === pid, off).otherwise(acc)
+      }
+      val out = sorted
+        .withColumn("__psum", sum(col("__v")).over(w) - col("__v") + offsetExpr)
+        .drop("__pid", "__v")
+      consume(out)
+    } finally {
+      sorted.unpersist()
+      ()
+    }
+  }
+
   /** Exact SQL `ntile(n)` semantics without a single-partition window: the
     * first (N mod n) tiles get ceil(N/n) rows, the rest floor(N/n). Same
     * managed-scope contract as [[withGlobalIndex]].

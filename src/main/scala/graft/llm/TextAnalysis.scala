@@ -165,6 +165,30 @@ object TextAnalysis {
     docs.filter(h < pct)
   }
 
+  /** Sequence packing for pretraining: documents concatenated in id order
+    * and cut into fixed `budgetTokens` sequences — each doc reports the
+    * global token offset where it starts, the sequence (bin) containing
+    * that offset, and whether it straddles a sequence boundary (the
+    * cross-document attention-mask case). The global offset is an exclusive
+    * prefix sum over doc order — computed via [[graft.engine.Ranking.prefixSum]]
+    * (range partition + per-partition window + driver offset table), NOT an
+    * empty-PARTITION-BY window, which would collapse 100 TB into one task.
+    */
+  def packSequences[T](docs: DataFrame, budgetTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text")(
+      consume: DataFrame => T): T = {
+    val withTokens = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
+    graft.engine.Ranking.prefixSum(withTokens, col("n_tokens"), Seq(col("doc_id"))) { p =>
+      val bin = expr(s"__psum DIV $budgetTokens") // exact integer division
+      consume(p.select(
+        col("doc_id"), col("n_tokens"),
+        col("__psum").as("start_offset"),
+        bin.as("bin"),
+        (col("__psum") + col("n_tokens") > (bin + 1) * budgetTokens).as("straddles")))
+    }
+  }
+
   /** Distinctive terms per document — the TF-IDF shape with integer-only
     * ordering (tf DESC, rarest df, then token): tf = occurrences in the
     * doc, df = docs containing the token, top-k per doc. Float-free ranking

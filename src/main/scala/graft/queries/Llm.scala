@@ -506,6 +506,28 @@ object Llm {
       TextAnalysis.lengthHistogram(Tables.table(s, dir, "documents"))
     },
 
+    // Sequence packing (pretraining prep): docs concatenated in id order,
+    // cut into 512-token sequences; per doc its global start offset, its
+    // sequence id, and whether it straddles a boundary. Engine side is the
+    // distributed prefix sum (no single-partition window); oracle is the
+    // plain window cumsum DuckDB can afford at this scale.
+    QDef.df("q98b_sequence_packing",
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |      FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 512 AS bin,
+        |       (start_offset + n_tokens) > (start_offset // 512 + 1) * 512 AS straddles
+        |FROM c""".stripMargin) { (s, dir) =>
+      TextAnalysis.packSequences(Tables.table(s, dir, "documents"), 512L) { packed =>
+        QDef.localized(s, packed)
+      }
+    },
+
     // ------------------------------------------------------- multimodal
     // Binary-column plumbing over the repo-owned media.parquet fixture —
     // REAL non-UTF-8 blobs through a parquet BINARY round-trip on both

@@ -291,6 +291,38 @@ class StreamingOpsSpec extends SparkSpec {
       "ntileScalable must release its internal cache on exit")
   }
 
+  test("distributed prefix sum matches the global-window cumsum exactly") {
+    import graft.engine.Ranking
+    // strided values over many partitions; exclusive cumsum reference
+    val df = spark.range(0, 5000).select($"id",
+      (($"id" * 37) % 101).as("v"))
+    val expected = df.select($"id",
+        (sum($"v").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"id").rowsBetween(Long.MinValue, 0)) - $"v").as("ps"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranking.prefixSum(df, $"v", Seq($"id")) { p =>
+      p.select($"id", $"__psum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got == expected)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "prefixSum must release its internal cache on exit")
+  }
+
+  test("sequence packing: offsets, bins and boundary straddles") {
+    import graft.llm.TextAnalysis
+    // 3 + 4 + 2 tokens, budget 5: doc1 starts at 3 and crosses the bin edge
+    val docs = Seq((0L, "a b c"), (1L, "d e f g"), (2L, "h i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, budgetTokens = 5L) { p =>
+      p.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    }
+    assert(got == Map(
+      0L -> ((3L, 0L, 0L, false)),
+      1L -> ((4L, 3L, 0L, true)), // tokens 3..6 cross the bin-0/bin-1 edge at 5
+      2L -> ((2L, 7L, 1L, false))))
+  }
+
   test("binned range join equals the plain range join as an equi-join plan") {
     import graft.engine.RangeJoin
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
