@@ -262,6 +262,21 @@ object Llm {
       TextAnalysis.tokenFrequency(Tables.table(s, dir, "documents"), 20)
     },
 
+    // The sketch-first scale path of q84: Misra-Gries candidates (k=2000
+    // counters bound the shuffle — the Zipf tail never shuffles) + an exact
+    // broadcast-semi-join recount of candidates only. Exact whenever the
+    // m-th frequency exceeds n/(k+1) (here 888 vs ~14 at sf0.01), so it
+    // shares q84's oracle verbatim — same answer, tail-free plan.
+    QDef.df("q84d_heavy_hitters_topk",
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+      graft.llm.HeavyHitters.topExact(toks, col("word"), m = 20, k = 2000)
+        .withColumnRenamed("item", "word")
+    },
+
     // BPE-style pre-token counts vs whitespace tokens per doc.
     QDef.df("q84b_pretokenize",
       s"""SELECT doc_id,

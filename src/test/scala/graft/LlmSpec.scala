@@ -327,6 +327,32 @@ class LlmSpec extends SparkSpec {
     assert(got((1L, 0L)).isEmpty) // zero-length media is kept, not dropped
   }
 
+  test("heavy hitters: Misra-Gries guarantees and the exact two-pass top-m") {
+    import graft.llm.HeavyHitters
+    // 3 hot items (600/500/400 of n=2500) over a 1000-item tail
+    val rows =
+      Seq.fill(600)("alpha") ++ Seq.fill(500)("beta") ++ Seq.fill(400)("gamma") ++
+        (0 until 1000).map(i => s"tail_$i")
+    val df = rows.toDF("item").repartition(8) // force multi-partition merges
+    val n = rows.size
+    val k = 20
+    val sk = HeavyHitters.sketch(df, $"item", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.size <= k)
+    // every item with true freq > n/(k+1) must be present...
+    assert(Set("alpha", "beta", "gamma").subsetOf(sk.keySet))
+    // ...and estimates underestimate by at most n/(k+1)
+    val bound = n / (k + 1)
+    for ((item, truth) <- Seq("alpha" -> 600L, "beta" -> 500L, "gamma" -> 400L)) {
+      assert(sk(item) <= truth && sk(item) >= truth - bound,
+        s"$item est ${sk(item)} outside [${truth - bound}, $truth]")
+    }
+    // the exact second pass returns true counts in true order
+    val top = HeavyHitters.topExact(df, $"item", m = 3, k = k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("alpha", 600L), ("beta", 500L), ("gamma", 400L)))
+  }
+
   test("inference batches: fixed-size, id-aligned feature arrays") {
     val emb = Tables.embeddings(spark).limit(25)
       .select($"vec_id", $"embedding")
