@@ -157,6 +157,26 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin),
 
+    // Salted skew join sharing the plain join's oracle: the large side
+    // scatters into 8 salt buckets, the small side replicates 8x, the key
+    // becomes (key, salt) — a dominant hot key's partition splits 8 ways.
+    // The tool for skew so heavy even AQE's split partitions blow executor
+    // memory (or where AQE is off, e.g. inside foreachBatch). Same rows out.
+    QDef.df("q12b_salted_join",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.engine.Skew.saltedJoin(li, ord, "l_orderkey", factor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+            .cast("string").as("qty"))
+    },
+
     QDef.shared(
       "q13_left_outer_join",
       """SELECT c_custkey, count(o_orderkey) AS cnt
@@ -1112,6 +1132,28 @@ object Relational {
         |       CAST(min(len(embedding)) AS BIGINT) AS min_dim,
         |       CAST(max(len(embedding)) AS BIGINT) AS max_dim
         |FROM embeddings GROUP BY label""".stripMargin),
+
+    // Per-label centroid accumulators: element-wise sums + counts over the
+    // 64-dim embeddings (the k-means/class-prototype building block; the
+    // caller's one division yields the mean). posexplode + groupBy(label,
+    // idx) — partial aggregation combines map-side, shuffle carries
+    // labels × dims rows, never the corpus. Elements quantize to 1e-4
+    // fixed-point via floor (round-free: decimal CASTs of raw floats split
+    // on half-up vs half-even at expansion boundaries; floor of an
+    // IEEE-identical double multiply cannot), so the sums are exact BIGINTs.
+    QDef.df("q54c_label_centroids",
+      """SELECT label, CAST(idx AS BIGINT) AS idx, count(*) AS cnt,
+        |       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS sum_x4
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS idx
+        |      FROM embeddings) t
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("idx"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("x").cast("double") * 10000).cast("long")).as("sum_x4"))
+    },
 
     QDef.sql(
       "q54b_array_advanced",
