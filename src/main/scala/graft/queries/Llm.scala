@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
 import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
@@ -433,6 +434,59 @@ object Llm {
       val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
       Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
         labels => QDef.localized(s, labels) // ≤ 50 rows by construction
+      }
+    },
+
+    // The production dedup ENDGAME on top of q96's clusters: keep ONE
+    // canonical document per near-dup cluster — the longest (integer token
+    // count, so the ranking is engine-exact), ties to the smallest id.
+    // Cluster → rank-within-cluster → representative + member count: the
+    // keep-list a 100 TB dedup pass actually emits.
+    QDef.df("q96b_canonical_docs",
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50) x),
+        |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM p
+        |       JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+        |       WHERE c / (sa.n + sb.n - c) >= 0.5),
+        |nd AS (SELECT DISTINCT doc_id FROM t),
+        |e AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j, i FROM pr),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM nd
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |      FROM documents WHERE doc_id < 50),
+        |jq AS (SELECT cl.cluster, cl.doc_id, q.tokens,
+        |              row_number() OVER (PARTITION BY cl.cluster
+        |                                 ORDER BY q.tokens DESC, cl.doc_id) AS rn
+        |       FROM cl JOIN q ON q.doc_id = cl.doc_id),
+        |n AS (SELECT cluster, count(*) AS n_docs FROM jq GROUP BY cluster)
+        |SELECT CAST(n.cluster AS BIGINT) AS cluster, n.n_docs AS n_docs,
+        |       jq.doc_id AS rep_doc, jq.tokens AS rep_tokens
+        |FROM n JOIN jq ON jq.cluster = n.cluster AND jq.rn = 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
+      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
+        labels =>
+          val toks = docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("tokens"))
+          val j = labels.join(toks, "doc_id")
+          val w = Window.partitionBy("cluster")
+            .orderBy(col("tokens").desc, col("doc_id"))
+          val reps = j.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("cluster"), col("doc_id").as("rep_doc"),
+              col("tokens").as("rep_tokens"))
+          val counts = j.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+          QDef.localized(s, counts.join(reps, "cluster")
+            .select(col("cluster").cast("bigint").as("cluster"), col("n_docs"),
+              col("rep_doc"), col("rep_tokens")))
       }
     },
 
