@@ -92,6 +92,34 @@ class CdcStreamingSpec extends SparkSpec {
     assert(got == expectedKeys(in))
   }
 
+  test("snapshot sink streams: micro-batch commits version history, replay stays exactly-once") {
+    import graft.sink.SnapshotParquetSink
+    val in = tmpDir("cdc_in"); val ckpt = tmpDir("cdc_ckpt")
+    val sinkDir = tmpDir("cdc_snap") + "/orders"
+    val chunks = fixtureLines.grouped(900).toSeq
+    writeChunk(in, "part0.jsonl", chunks.head)
+    val sink = new SnapshotParquetSink(sinkDir, nBuckets = 8)
+    val spec = CdcStreamSpec(in, ckpt, ordersSpec, sink)
+
+    val q1 = CdcStream.start(spark, spec)
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    val afterFirst = sink.currentVersion.get
+
+    // kill-and-restart on the same checkpoint: replayed micro-batches may
+    // commit MORE versions, but last-write-wins keeps content exactly-once
+    chunks.tail.zipWithIndex.foreach { case (c, i) => writeChunk(in, s"part${i + 1}.jsonl", c) }
+    val q2 = CdcStream.start(spark, spec)
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+
+    val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expectedKeys(in))
+    // the sink kept the whole commit history: the first streamed version is
+    // still time-travel-readable after later micro-batches superseded it
+    assert(sink.versions.head == 0L && sink.currentVersion.get > afterFirst)
+    assert(sink.readAt(spark, afterFirst, DeleteMode.Hard).count() > 0)
+  }
+
   test("CdcSource seam: the same pipeline runs over a memory transport (Kafka swap-in shape)") {
     val ckpt = tmpDir("cdc_ckpt")
     val sinkDir = tmpDir("cdc_sink") + "/orders"
