@@ -165,6 +165,16 @@ object TextAnalysis {
     docs.filter(h < pct)
   }
 
+  /** Text normalization — the canonical-form pass run BEFORE exact/fuzzy
+    * dedup so trivial variants (case, runs of whitespace, stray
+    * non-printable bytes) hash identically: lowercase, strip characters
+    * outside printable ASCII, collapse whitespace runs, trim. Portable
+    * regex classes only (`[ -~]` is space..tilde on any engine), so the
+    * oracle computes the identical canonical form.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^ -~]", ""), "  +", " "))
+
   /** Sequence packing for pretraining: documents concatenated in id order
     * and cut into fixed `budgetTokens` sequences — each doc reports the
     * global token offset where it starts, the sequence (bin) containing

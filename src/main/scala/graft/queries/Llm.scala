@@ -575,6 +575,36 @@ object Llm {
       TextAnalysis.lengthHistogram(Tables.table(s, dir, "documents"))
     },
 
+    // Canonical-form normalization before dedup: lowercase, strip
+    // non-printable, collapse whitespace, trim — then count how many docs
+    // changed and how many distinct texts the corpus collapses to. Both
+    // sides synthesize the same dirty variants (upper-cased + doubled
+    // spaces for doc_id%3==0) so the normalizer has real work.
+    QDef.df("q85b_normalize",
+      """WITH d AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 3 = 0
+        |                       THEN upper(text) || '  trailing   run '
+        |                       ELSE text END AS text
+        |           FROM documents),
+        |n AS (SELECT doc_id, text,
+        |             trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ''),
+        |                                 '  +', ' ')) AS norm
+        |      FROM d)
+        |SELECT count(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS distinct_raw,
+        |       CAST(count(DISTINCT norm) AS BIGINT) AS distinct_norm
+        |FROM n""".stripMargin) { (s, dir) =>
+      val dirty = Tables.table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(upper(col("text")), lit("  trailing   run ")))
+          .otherwise(col("text")).as("text"))
+      dirty.select(col("text"), TextAnalysis.normalizeText(col("text")).as("norm"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("text"), 1L).otherwise(0L)).cast("bigint").as("n_changed"),
+          countDistinct(col("text")).cast("bigint").as("distinct_raw"),
+          countDistinct(col("norm")).cast("bigint").as("distinct_norm"))
+    },
+
     // Sequence packing (pretraining prep): docs concatenated in id order,
     // cut into 512-token sequences; per doc its global start offset, its
     // sequence id, and whether it straddles a boundary. Engine side is the
