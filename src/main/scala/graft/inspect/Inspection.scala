@@ -56,4 +56,29 @@ object Inspection {
   def tables(envelope: DataFrame): DataFrame =
     graft.cdc.CdcPipeline.withFullTableName(envelope)
       .select(col("full_table_name")).distinct()
+
+  /** One drift finding between two schema epochs. */
+  final case class SchemaDrift(column: String, change: String,
+      beforeType: Option[String], afterType: Option[String])
+
+  /** Schema drift report between two table epochs (the decision input for
+    * the R19/R23 evolution loop): columns added, removed, or re-typed,
+    * top-level by name. `added` is what triggers a backfill-and-restart in
+    * [[graft.streaming.CdcStream]]'s SchemaEvolution; `retyped` is the case
+    * warehouses reject (surface it, don't guess a cast); `removed` columns
+    * stay in the sink (null-filled) under union-by-name semantics.
+    */
+  def schemaDrift(before: org.apache.spark.sql.types.StructType,
+      after: org.apache.spark.sql.types.StructType): Seq[SchemaDrift] = {
+    val b = before.fields.map(f => f.name -> f.dataType.sql).toMap
+    val a = after.fields.map(f => f.name -> f.dataType.sql).toMap
+    val added = (a.keySet -- b.keySet).toSeq.sorted
+      .map(c => SchemaDrift(c, "added", None, Some(a(c))))
+    val removed = (b.keySet -- a.keySet).toSeq.sorted
+      .map(c => SchemaDrift(c, "removed", Some(b(c)), None))
+    val retyped = (a.keySet & b.keySet).toSeq.sorted
+      .filter(c => a(c) != b(c))
+      .map(c => SchemaDrift(c, "retyped", Some(b(c)), Some(a(c))))
+    added ++ removed ++ retyped
+  }
 }

@@ -162,6 +162,42 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     }
   }
 
+  /** Point lookup against the LATEST snapshot, reading only the key's
+    * bucket file — manifest + hash layout turn a key probe into one
+    * 1/nBuckets-of-the-table read. Bucket derivation is bit-identical to
+    * the write path ([[PartitionedParquetSink.lookup]]'s contract): literals
+    * cast to the STORED key types, xxhash64 evaluated driver-side, no Spark
+    * job for the routing decision. A never-merged sink yields an empty
+    * zero-column frame.
+    */
+  def lookup(spark: SparkSession, keys: Seq[String], keyValues: Seq[Any],
+      mode: DeleteMode = DeleteMode.Hard): DataFrame = {
+    require(keys.length == keyValues.length, "one value per key column")
+    def shaped(df: DataFrame): DataFrame = mode match {
+      case DeleteMode.Hard    => df.filter(!col("__is_deleted")).drop("__is_deleted")
+      case DeleteMode.Logical => df.withColumnRenamed("__is_deleted", "is_deleted")
+    }
+    currentVersion match {
+      case None => spark.emptyDataFrame
+      case Some(v) =>
+        val entries = readManifest(v)
+        val sample = spark.read.parquet(s"$dir/${entries.head._2}").drop("__gen")
+        val schema = sample.schema
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+        val castLits = keys.zip(keyValues).map { case (k, kv) =>
+          Cast(Literal(kv), schema(k).dataType, Some("UTC")): org.apache.spark.sql.catalyst.expressions.Expression
+        }
+        val h = new XxHash64(castLits.toIndexedSeq).eval(null).asInstanceOf[Long]
+        val bucket = ((h % nBuckets) + nBuckets) % nBuckets
+        entries.get(bucket.toInt) match {
+          case None => shaped(sample.limit(0))
+          case Some(rel) =>
+            val t = spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel").drop("__gen")
+            shaped(keys.zip(keyValues).foldLeft(t) { case (df, (k, kv)) => df.filter(col(k) === kv) })
+        }
+    }
+  }
+
   /** Expires history: keeps the newest `keepLast` manifests, deletes older
     * ones plus every data directory no kept manifest references (including
     * orphans from crashed or lost-race commits). Returns (manifests deleted,

@@ -186,6 +186,24 @@ class CdcStreamingSpec extends SparkSpec {
     assert(got == expectedKeys(in))
   }
 
+  test("schema drift report: added, removed, and retyped columns by name") {
+    import org.apache.spark.sql.types._
+    import graft.inspect.Inspection
+    val before = StructType(Seq(
+      StructField("id", LongType), StructField("amount", StringType),
+      StructField("qty", IntegerType), StructField("gone", StringType)))
+    val after = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("qty", IntegerType), StructField("discount", StringType)))
+    val drift = Inspection.schemaDrift(before, after)
+      .map(d => (d.column, d.change, d.beforeType, d.afterType))
+    assert(drift == Seq(
+      ("discount", "added", None, Some("STRING")),
+      ("gone", "removed", Some("STRING"), None),
+      ("amount", "retyped", Some("STRING"), Some("DOUBLE"))))
+    assert(Inspection.schemaDrift(before, before).isEmpty)
+  }
+
   test("AtTime replay filters events before the start point (R18)") {
     val in = tmpDir("cdc_in")
     writeChunk(in, "all.jsonl", fixtureLines)

@@ -111,6 +111,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-10-01"), p)
   }
 
+  test("q54c: centroid accumulation is partial+final (map-side combine before the shuffle)") {
+    val p = plan("q54c_label_centroids")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange""")) == 1, p)
+  }
+
+  test("q84d: candidate recount joins through a broadcast, not a shuffle of the tail") {
+    val p = plan("q84d_heavy_hitters_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 never globally sorts
+  }
+
   test("q97: split assignment reads only doc_id, single exchange") {
     val p = plan("q97_split")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)

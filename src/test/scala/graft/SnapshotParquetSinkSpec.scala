@@ -111,6 +111,22 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](sink.readAt(spark, 0L, DeleteMode.Hard))
   }
 
+  test("lookup reads one bucket of the latest snapshot, bit-identical routing") {
+    val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 8)
+    val keys = (0 until 32).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("k3", 1L, "k3-v1", false), ("k9", 2L, "del", true)),
+      Seq("primary_key"), "seq", "is_delete")
+    val hit = sink.lookup(spark, Seq("primary_key"), Seq("k3")).collect()
+    assert(hit.map(r => r.getAs[String]("val")).toSeq == Seq("k3-v1"))
+    // hard mode hides the tombstoned key; logical mode surfaces it
+    assert(sink.lookup(spark, Seq("primary_key"), Seq("k9")).isEmpty)
+    val logical = sink.lookup(spark, Seq("primary_key"), Seq("k9"), DeleteMode.Logical).collect()
+    assert(logical.length == 1 && logical.head.getAs[Boolean]("is_deleted"))
+    assert(sink.lookup(spark, Seq("primary_key"), Seq("nope")).isEmpty)
+  }
+
   test("schema evolution: new columns null-backfill older buckets") {
     val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 4)
     sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
