@@ -111,6 +111,22 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](sink.readAt(spark, 0L, DeleteMode.Hard))
   }
 
+  test("two writer handles on one table interleave through the manifest without losing commits") {
+    // the cross-process shape the manifest protocol exists for: a second
+    // handle (no shared in-JVM lock) commits in between, and the first
+    // handle's next merge discovers that state and builds on it
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    val other = new SnapshotParquetSink(dir, nBuckets = 4)
+    other.merge(batch(("b", 1, "b0", false)), Seq("primary_key"), "seq", "is_delete")
+    assert(sink.versions == Seq(0L, 1L))
+    sink.merge(batch(("c", 2, "c0", false)), Seq("primary_key"), "seq", "is_delete")
+    assert(sink.versions == Seq(0L, 1L, 2L))
+    assert(state(sink, DeleteMode.Hard) ==
+      Map("a" -> (0L, "a0"), "b" -> (1L, "b0"), "c" -> (2L, "c0")))
+  }
+
   test("lookup reads one bucket of the latest snapshot, bit-identical routing") {
     val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 8)
     val keys = (0 until 32).map(i => s"k$i")
