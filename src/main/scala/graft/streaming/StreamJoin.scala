@@ -34,6 +34,25 @@ object StreamJoin {
     l.join(r, cond)
   }
 
+  /** Left-outer interval join: like [[interval]], but a left row with no
+    * right match inside the window still emits (right columns null) — once
+    * the watermark proves no match can arrive. Structured Streaming REQUIRES
+    * the time bound for outer stream-stream joins (without it the unmatched
+    * side could never be declared final); the inner form merely hoards
+    * state without it. Unmatched-row emission latency is therefore the
+    * watermark delay plus the window.
+    */
+  def intervalOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      window: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val cond: Column = col(leftKey) === col(rightKey) &&
+      col(rightTs) > col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window")
+    l.join(r, cond, "leftOuter")
+  }
+
   /** One input event for the streaming as-of join (either side). */
   final case class AsOfEvent(key: Long, id: Long, ts: java.sql.Timestamp)
 

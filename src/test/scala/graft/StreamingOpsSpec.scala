@@ -134,6 +134,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("outer interval join: unmatched left emits nulls once the watermark proves no match") {
+    val inL = tmpDir("soj_l"); val inR = tmpDir("soj_r")
+    val ls = "l_id LONG, l_user LONG, l_ts TIMESTAMP"
+    val rs = "r_id LONG, r_user LONG, r_ts TIMESTAMP"
+    write(inL, "b0.jsonl", Seq(
+      """{"l_id":1,"l_user":7,"l_ts":"2024-01-01T10:00:00Z"}""",
+      """{"l_id":2,"l_user":8,"l_ts":"2024-01-01T10:00:00Z"}""")) // 8 never matches
+    write(inR, "b0.jsonl", Seq(
+      """{"r_id":11,"r_user":7,"r_ts":"2024-01-01T10:30:00Z"}"""))
+    val joined = graft.streaming.StreamJoin.intervalOuter(
+      spark.readStream.schema(ls).json(inL),
+      spark.readStream.schema(rs).json(inR),
+      "l_user", "r_user", "l_ts", "r_ts", window = "1 HOUR", watermarkDelay = "10 minutes")
+    val q = joined.select("l_id", "r_id").writeStream.outputMode("append")
+      .format("memory").queryName("soj_out").start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks far past l2's window end (11:00 + delay)
+      write(inL, "b1.jsonl", Seq("""{"l_id":9,"l_user":9,"l_ts":"2024-01-01T13:00:00Z"}"""))
+      write(inR, "b1.jsonl", Seq("""{"r_id":99,"r_user":9,"r_ts":"2024-01-01T13:00:00Z"}"""))
+      q.processAllAvailable()
+      write(inL, "b2.jsonl", Seq("""{"l_id":10,"l_user":9,"l_ts":"2024-01-01T14:00:00Z"}"""))
+      write(inR, "b2.jsonl", Seq("""{"r_id":100,"r_user":9,"r_ts":"2024-01-01T14:00:00Z"}"""))
+      q.processAllAvailable()
+      val got = spark.table("soj_out").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(got.get(1L).contains(Some(11L)))  // matched inside the window
+      assert(got.get(2L).contains(None))       // unmatched -> emitted with null right
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
