@@ -244,14 +244,29 @@ object Llm {
     },
 
     // IVF ANN scale path (engine-only: k-means cells aren't oracle-stable).
-    QDef.engineOnly("q89b_ann_ivf") { (s, dir) =>
+    // IVF neighbor sets depend on the trained cells (not oracle-
+    // reproducible), but the INDEX CONTRACT is: emit the query/result
+    // counts (oracle-knowable) plus a boolean asserting recall@3 against
+    // the exact brute-force top-3 clears a 0.6 floor. Training is
+    // deterministic (hash-seeded init, fixed iters), so the recall is a
+    // constant of the data and the boolean is stable, not flaky.
+    QDef.df("q89b_ann_ivf",
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(15 AS BIGINT) AS n_results,
+        |       true AS recall_ok""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
       val model = graft.llm.Ivf.train(e, nCells = 8, iters = 2)
       try {
-        // k·|queries| = 15 rows by construction — materialize before close()
-        // so the model's caches are released, not recomputed
-        QDef.localized(s,
-          graft.llm.Ivf.search(model, e.filter(col("vec_id") < 5), k = 3, nProbe = 2))
+        val ivf = graft.llm.Ivf.search(model, queries, k = 3, nProbe = 2)
+          .select(col("q_id"), col("n_id"))
+        val brute = graft.llm.Similarity.annBruteForce(e, queries, k = 3)
+          .select(col("q_id"), col("n_id"))
+        val nQueries = ivf.select("q_id").distinct().count()
+        val nResults = ivf.count()
+        val hits = ivf.join(brute, Seq("q_id", "n_id")).count()
+        s.sql(s"""SELECT CAST($nQueries AS BIGINT) AS n_queries,
+                 |       CAST($nResults AS BIGINT) AS n_results,
+                 |       ${hits * 5 >= nResults * 3} AS recall_ok""".stripMargin)
       } finally model.close()
     },
 

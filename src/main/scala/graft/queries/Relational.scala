@@ -72,9 +72,18 @@ object Relational {
 
     // seeded sampling (engine-only: sampling RNGs differ across engines;
     // REPEATABLE makes it deterministic within Spark)
-    QDef.engineOnly("q99_tablesample") { (s, dir) =>
+    // Sample membership differs per engine RNG, but the sampling CONTRACT
+    // is oracle-checkable: emit the total (oracle-knowable) plus a boolean
+    // asserting the Bernoulli 10% draw landed within [5%, 15%] of the
+    // table — ±3sigma at sf0.01 is well inside that.
+    QDef.df("q99_tablesample",
+      "SELECT count(*) AS total, true AS sample_ok FROM lineitem") { (s, dir) =>
       Tables.ensure(s, dir)
-      s.sql("SELECT count(*) AS cnt FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      s.sql(
+        """SELECT total, sampled BETWEEN total * 0.05 AND total * 0.15 AS sample_ok
+          |FROM (SELECT (SELECT count(*) FROM lineitem) AS total,
+          |             (SELECT count(*) FROM lineitem
+          |              TABLESAMPLE (10 PERCENT) REPEATABLE (42)) AS sampled)""".stripMargin)
     },
 
     // ------------------------------------------------- filters / predicates
@@ -400,11 +409,29 @@ object Relational {
 
     // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
     // count-distinct) — engine-only: HLL sketches differ across engines.
-    QDef.engineOnly("q21b_approx_distinct") { (s, dir) =>
-      Tables.table(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        count(lit(1)).as("cnt"))
+    // HLL sketch values aren't oracle-reproducible, but the sketch's CLAIM
+    // is: the engine emits exact distinct counts (oracle-knowable) plus
+    // booleans asserting the HLL estimates land within 3x the configured
+    // 5% rsd — so the driver verifies the approximation contract, not just
+    // row counts.
+    QDef.df("q21b_approx_distinct",
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_suppkey) AS exact_supps,
+        |       count(*) AS cnt,
+        |       true AS parts_ok, true AS supps_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          count(lit(1)).as("cnt"))
+        .select(col("exact_parts"), col("exact_supps"), col("cnt"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("parts_ok"),
+          (abs(col("approx_supps") - col("exact_supps"))
+            <= col("exact_supps") * 0.15).as("supps_ok"))
     },
 
     QDef.sql(
