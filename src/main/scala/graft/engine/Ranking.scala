@@ -1,5 +1,6 @@
 package graft.engine
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
@@ -45,17 +46,21 @@ object Ranking {
     * within each partition (a window PARTITIONED by the physical partition
     * id — every partition sums in parallel), then lift local sums to global
     * ones with a driver-side offset table (one long per partition, the same
-    * trick [[withGlobalIndex]] plays with row counts). Adds `__psum` =
-    * sum of `valueCol` over all STRICTLY-PRECEDING rows (0 for the first).
+    * trick [[withGlobalIndex]] plays with row counts), attached back via a
+    * broadcast join on the partition id — O(1) per row at any partition
+    * count (a per-partition CASE chain would be O(P) per row and overflow
+    * codegen at cluster-sized P). Adds `__psum` = sum of `valueCol` over
+    * all STRICTLY-PRECEDING rows (0 for the first). Null values count as 0.
     * Same managed-scope contract as [[withGlobalIndex]].
     */
   def prefixSum[T](df: DataFrame, valueCol: Column, sortCols: Seq[Column])(
       consume: DataFrame => T): T = {
-    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", valueCol.cast(LongType))
+      .withColumn("__v", coalesce(valueCol.cast(LongType), lit(0L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // per-partition totals -> exclusive offsets; ≤ numShufflePartitions
@@ -63,18 +68,19 @@ object Ranking {
       val totals = sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val pids = totals.keys.toSeq.sorted
-      val offsetOf: Map[Int, Long] =
-        pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)).init).toMap
+      val offsets = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)).init)
+      val offsetsDf = spark.createDataFrame(offsets.map { case (p, o) => Row(p, o) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField("__pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("__off", LongType, nullable = false))))
       // running (inclusive) local sum minus own value = local exclusive sum
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__pid")).orderBy(sortCols: _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val offsetExpr = offsetOf.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-        when(col("__pid") === pid, off).otherwise(acc)
-      }
       val out = sorted
-        .withColumn("__psum", sum(col("__v")).over(w) - col("__v") + offsetExpr)
-        .drop("__pid", "__v")
+        .join(broadcast(offsetsDf), "__pid")
+        .withColumn("__psum", sum(col("__v")).over(w) - col("__v") + col("__off"))
+        .drop("__pid", "__v", "__off")
       consume(out)
     } finally {
       sorted.unpersist()

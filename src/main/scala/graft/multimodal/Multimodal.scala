@@ -90,9 +90,12 @@ object Multimodal {
       .when(h.startsWith("494433"), "mp3")
       .when(h.startsWith("664C6143"), "flac")
       .when(h.startsWith("1A45DFA3"), "mkv")
-      .when(substring(h, 9, 8) === "66747970", "mp4") // "ftyp" at byte offset 4
+      // RIFF branches BEFORE the offset-4 "ftyp" probe: a RIFF container's
+      // little-endian size field occupies bytes 4-7, and for certain sizes
+      // spells "ftyp" — the prefix check must win over the offset check
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "wav")
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "41564920", "avi")
+      .when(substring(h, 9, 8) === "66747970", "mp4") // "ftyp" at byte offset 4
       .otherwise("unknown")
   }
 

@@ -74,18 +74,23 @@ object Cdc {
   private val rowColsOut =
     "primary_key, row_id, row_amount, row_qty, row_note, row_created, row_active, row_tags, row_ext_id, row_discount"
 
+  /** The q61-family output projection (wire-normalized row columns) — ONE
+    * copy shared by `lastState` and the sink-backed queries, so the shape
+    * they compare against the upsert oracles can never diverge.
+    */
+  private def normalizedProjection: Seq[org.apache.spark.sql.Column] = Seq(
+    col("primary_key"),
+    col("row_id"), col("row_amount"), col("row_qty"), col("row_note"),
+    col("row_created"), col("row_active"),
+    to_json(array_sort(transform(col("row_tags"), x => x.cast("int")))).as("row_tags"),
+    col("row_ext_id"), col("row_discount"))
+
   // Engine-side final-state frame with identical column names/values.
   private def lastState(s: SparkSession, cutoff: Option[Long] = None): DataFrame = {
     val e0 = cutoff.map(c => env(s).filter(col("seq") <= c)).getOrElse(env(s))
     val flat = CdcPipeline.expanded(CdcPipeline.forTable(e0, "shop.orders"))
     val latest = CdcPipeline.latest(flat, Seq("primary_key"))
-    latest.select(
-      col("primary_key"),
-      col("row_id"), col("row_amount"), col("row_qty"), col("row_note"),
-      col("row_created"), col("row_active"),
-      to_json(array_sort(transform(col("row_tags"), x => x.cast("int")))).as("row_tags"),
-      col("row_ext_id"), col("row_discount"),
-      col("is_delete"))
+    latest.select(normalizedProjection :+ col("is_delete"): _*)
   }
 
   /** Scratch snapshot-sink dir: wiped per build (bench re-runs a query three
@@ -102,17 +107,9 @@ object Cdc {
     new graft.sink.SnapshotParquetSink(base, nBuckets = 8)
   }
 
-  /** The q61-family output projection over a merged-state frame: same
-    * columns and tag normalization as `lastState`, so the sink queries share
-    * the upsert oracles verbatim.
-    */
+  /** The q61-family output projection over a merged-state frame. */
   private def normalizedRowCols(df: DataFrame): DataFrame =
-    df.select(
-      col("primary_key"),
-      col("row_id"), col("row_amount"), col("row_qty"), col("row_note"),
-      col("row_created"), col("row_active"),
-      to_json(array_sort(transform(col("row_tags"), x => x.cast("int")))).as("row_tags"),
-      col("row_ext_id"), col("row_discount"))
+    df.select(normalizedProjection: _*)
 
   val all: Seq[QDef] = Seq(
 

@@ -669,7 +669,7 @@ object Llm {
       s"""SELECT media_id, chunk_idx,
          |       substring(h, CAST(chunk_idx * 64 + 1 AS BIGINT), 64) AS chunk_hex
          |FROM (SELECT media_id, hex(media) AS h,
-         |             unnest(range(0, CAST(ceil(octet_length(media) / 32.0) AS BIGINT))) AS chunk_idx
+         |             unnest(range(0, greatest(CAST(ceil(octet_length(media) / 32.0) AS BIGINT), 1))) AS chunk_idx
          |      FROM read_parquet('${Cdc.Fixtures.oracleMediaPath}')) t""".stripMargin) { (s, dir) =>
       val m = s.read.parquet(Cdc.Fixtures.mediaPath)
       Multimodal.chunk(m, "media", chunkBytes = 32)
@@ -694,9 +694,9 @@ object Llm {
          |              WHEN h LIKE '494433%' THEN 'mp3'
          |              WHEN h LIKE '664C6143%' THEN 'flac'
          |              WHEN h LIKE '1A45DFA3%' THEN 'mkv'
-         |              WHEN substring(h, 9, 8) = '66747970' THEN 'mp4'
          |              WHEN h LIKE '52494646%' AND substring(h, 17, 8) = '57415645' THEN 'wav'
          |              WHEN h LIKE '52494646%' AND substring(h, 17, 8) = '41564920' THEN 'avi'
+         |              WHEN substring(h, 9, 8) = '66747970' THEN 'mp4'
          |              ELSE 'unknown' END AS sniffed
          |  FROM (SELECT media_id, media_type, substring(hex(media), 1, 24) AS h
          |        FROM read_parquet('${Cdc.Fixtures.oracleMediaPath}')) raw) t""".stripMargin) { (s, dir) =>

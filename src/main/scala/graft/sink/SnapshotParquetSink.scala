@@ -47,14 +47,23 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
   private def bucketOf(keys: Seq[String]) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
 
+  /** Lists a directory's children eagerly, closing the stream (Files.list
+    * holds an open directory fd until closed — leaking one per merge would
+    * exhaust the ulimit on a long-running stream).
+    */
+  private def children(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   /** All published versions, ascending; empty before the first commit. */
   def versions: Seq[Long] =
     if (!Files.exists(manifestsDir)) Seq.empty
-    else Files.list(manifestsDir).iterator().asScala
+    else children(manifestsDir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .toSeq.sorted
+      .sorted
 
   def currentVersion: Option[Long] = versions.lastOption
 
@@ -126,9 +135,13 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
           .mkString("", "\n", "\n")
         Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         try {
-          // the optimistic lock: rename fails if another writer published
-          // this version first; recompute against the new state and retry
-          Files.move(tmp, manifestPath(version), StandardCopyOption.ATOMIC_MOVE)
+          // the optimistic lock: HARD-LINK the fully-written temp file to
+          // the versioned name — link(2) atomically fails with EEXIST if
+          // another writer published this version first. (A rename would
+          // NOT lock: POSIX rename silently REPLACES an existing target,
+          // so ATOMIC_MOVE here would lose the other writer's commit.)
+          Files.createLink(manifestPath(version), tmp)
+          Files.deleteIfExists(tmp)
           committed = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -169,6 +182,12 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     * cast to the STORED key types, xxhash64 evaluated driver-side, no Spark
     * job for the routing decision. A never-merged sink yields an empty
     * zero-column frame.
+    *
+    * Contract (shared with the write path): key columns must keep a STABLE
+    * type across merges. xxhash64 hashes the same logical value differently
+    * per data type, so a retyped key column would scatter one logical key
+    * across buckets at WRITE time already — schema evolution is supported
+    * for value columns only, never the merge keys.
     */
   def lookup(spark: SparkSession, keys: Seq[String], keyValues: Seq[Any],
       mode: DeleteMode = DeleteMode.Hard): DataFrame = {
@@ -199,28 +218,35 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
   }
 
   /** Expires history: keeps the newest `keepLast` manifests, deletes older
-    * ones plus every data directory no kept manifest references (including
-    * orphans from crashed or lost-race commits). Returns (manifests deleted,
-    * data roots deleted).
+    * ones plus every data directory no kept manifest references. Unreferenced
+    * roots are deleted only when older than `minOrphanAgeMs` — an
+    * unreferenced NEW directory may be another writer's in-flight commit
+    * (fully written, manifest not yet published); deleting it would corrupt
+    * the commit the moment it publishes. The default hour dwarfs any real
+    * write-to-publish window; crashed-commit orphans are collected on the
+    * next vacuum after aging out. Returns (manifests deleted, data roots
+    * deleted).
     */
-  def vacuum(keepLast: Int = 1): (Int, Int) = synchronized {
+  def vacuum(keepLast: Int = 1, minOrphanAgeMs: Long = 3600000L): (Int, Int) = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     val referencedRoots = keep.flatMap(v => readManifest(v).values)
       .map(rel => rel.substring(0, rel.indexOf("/__bucket="))).toSet
     val dataDir = Paths.get(dir, "data")
+    val now = System.currentTimeMillis()
     val orphans =
       if (!Files.exists(dataDir)) Seq.empty
-      else Files.list(dataDir).iterator().asScala.toSeq
+      else children(dataDir)
         .filterNot(p => referencedRoots.contains(s"data/${p.getFileName}"))
+        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= minOrphanAgeMs)
     orphans.foreach(deleteTree)
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
     (drop.size, orphans.size)
   }
 
   private def deleteTree(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(deleteTree)
+    if (Files.isDirectory(p)) children(p).foreach(deleteTree)
     Files.deleteIfExists(p)
     ()
   }

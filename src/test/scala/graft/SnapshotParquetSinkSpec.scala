@@ -92,7 +92,7 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     Files.createDirectories(orphan.resolve("__bucket=0"))
     Files.write(orphan.resolve("__bucket=0").resolve("junk.parquet"), Array[Byte](1, 2, 3))
     assert(state(sink, DeleteMode.Hard) == good) // reader never looks at orphans
-    val (manifestsDropped, rootsDropped) = sink.vacuum(keepLast = 1)
+    val (manifestsDropped, rootsDropped) = sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
     assert(manifestsDropped == 0 && rootsDropped == 1)
     assert(!Files.exists(orphan))
     assert(state(sink, DeleteMode.Hard) == good)
@@ -104,7 +104,7 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
     sink.merge(batch(("a", 1, "a1", false)), Seq("primary_key"), "seq", "is_delete")
     sink.merge(batch(("a", 2, "a2", false)), Seq("primary_key"), "seq", "is_delete")
-    val (manifestsDropped, rootsDropped) = sink.vacuum(keepLast = 1)
+    val (manifestsDropped, rootsDropped) = sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
     assert(manifestsDropped == 2 && rootsDropped == 2)
     assert(sink.versions == Seq(2L))
     assert(state(sink, DeleteMode.Hard) == Map("a" -> (2L, "a2")))
