@@ -162,7 +162,7 @@ object FixtureGen {
       val len = 64 + (i * 37) % 200
       val body = Array.tabulate(len)(j => ((i * 31 + j * 7 + (j * j) % 11) % 256).toByte)
       (i.toLong, mediaType, magic(fmt, len) ++ body)
-    }
+    } :+ ((30L, "image", Array.empty[Byte])) // zero-length blob: the chunk/sniff edge case
 
   /** Writes `media.parquet` as a SINGLE parquet file (not a directory) so
     * DuckDB's `read_parquet('<path>')` takes it verbatim.
