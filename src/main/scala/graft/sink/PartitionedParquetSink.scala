@@ -39,9 +39,21 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
     * table is restored (a bucket present in both means the commit got at
     * least that far — the live copy wins), then the backup is dropped.
     */
+  /** Eager, stream-closing directory listing — recover() runs once per
+    * micro-batch merge, so an unclosed Files.list stream here would leak
+    * one directory fd per merge and exhaust the ulimit on a long-running
+    * streaming query.
+    */
+  private def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try { val it = s.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
+      while (it.hasNext) b += it.next(); b.result()
+    } finally s.close()
+  }
+
   private def recover(): Unit = {
     if (Files.exists(backupRoot)) {
-      Files.list(backupRoot).forEach { saved =>
+      children(backupRoot).foreach { saved =>
         val live = Paths.get(dir).resolve(saved.getFileName)
         if (!Files.exists(live)) copyTree(saved, live)
       }
@@ -51,14 +63,14 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
 
   private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     Files.createDirectories(to)
-    Files.list(from).forEach { f =>
+    children(from).foreach { f =>
       if (Files.isDirectory(f)) copyTree(f, to.resolve(f.getFileName))
       else { Files.copy(f, to.resolve(f.getFileName)); () }
     }
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(deleteTree)
+    if (Files.isDirectory(p)) children(p).foreach(deleteTree)
     Files.deleteIfExists(p)
     ()
   }
@@ -153,10 +165,7 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
     val anyBucket = {
       val p = Paths.get(dir)
       if (!Files.exists(p)) None
-      else {
-        val it = Files.list(p).filter(_.getFileName.toString.startsWith("__bucket=")).findFirst()
-        if (it.isPresent) Some(it.get) else None
-      }
+      else children(p).find(_.getFileName.toString.startsWith("__bucket="))
     }
     anyBucket match {
       case None => spark.emptyDataFrame // never merged ⇒ nothing to look up
