@@ -396,6 +396,36 @@ object Relational {
         |FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,4)) AS q FROM lineitem) t
         |GROUP BY l_returnflag""".stripMargin),
 
+    // Bivariate exact-arithmetic stats (the q28b pattern in two variables):
+    // n, Σx, Σy, Σxy, Σx², Σy² as exact decimal power sums — map-side
+    // combinable, accumulation-order-independent — then sample covariance
+    // and Pearson correlation derived in double from those exact sums (the
+    // conversions and IEEE ops are identical text on both engines, so the
+    // derived values match bit-for-bit).
+    QDef.shared(
+      "q28c_covariance",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(CAST(SUM(x * y) AS DECIMAL(38,6)) AS STRING) AS sum_xy,
+        |       CAST(CAST(SUM(x) AS DECIMAL(38,4)) AS STRING) AS sum_x,
+        |       CAST(CAST(SUM(y) AS DECIMAL(38,2)) AS STRING) AS sum_y,
+        |       CAST(CAST((CAST(count(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+        |                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+        |                 / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1))
+        |            AS DECIMAL(38,4)) AS STRING) AS covar_samp,
+        |       CAST(CAST((CAST(count(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+        |                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+        |                 / (sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+        |                    * sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(y * y) AS DOUBLE)
+        |                           - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)))
+        |            AS DECIMAL(38,6)) AS STRING) AS corr
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,4)) AS x,
+        |             -- price at its native scale 2: a scale-4 cast would put the
+        |             -- scaled int64 near 1e9 and price*price past int64 in
+        |             -- DuckDB's width-18 multiply path
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem) t
+        |GROUP BY l_returnflag""".stripMargin),
+
     QDef.sql(
       "q29_percentile",
       """SELECT l_returnflag,

@@ -73,6 +73,58 @@ object StreamingBatch {
     QDef.shared(
       "q73_dedup_exact",
       """SELECT count(*) AS total, count(DISTINCT event_id) AS uniq
-        |FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events) t""".stripMargin)
+        |FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events) t""".stripMargin),
+
+    // Funnel analysis: strictly-ordered step progression per user (first
+    // view, first click AFTER that view, first purchase AFTER that click)
+    // — the event-analytics staple. Each step is a grouped min over a
+    // time-bounded join against the previous step; counts per step are the
+    // funnel. No windows over all events per user — each stage shuffles by
+    // user_id once.
+    QDef.sql(
+      "q74_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS step_view,
+        |       (SELECT count(*) FROM c) AS step_click,
+        |       (SELECT count(*) FROM p) AS step_purchase""".stripMargin,
+      s"""$E,
+         |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+         |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+         |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+         |      FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+         |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         |SELECT (SELECT count(*) FROM v) AS step_view,
+         |       (SELECT count(*) FROM c) AS step_click,
+         |       (SELECT count(*) FROM p) AS step_purchase""".stripMargin),
+
+    // Weekly retention cohorts: per user the first-active week is the
+    // cohort; report distinct active users per (cohort, week offset) — the
+    // engagement matrix every product-analytics pipeline computes. Integer
+    // epoch-week arithmetic on both engines.
+    QDef.sql(
+      "q74b_retention",
+      """WITH w AS (SELECT user_id, unix_micros(ts) DIV 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+        |SELECT c.cohort, w.wk - c.cohort AS week_offset,
+        |       CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY c.cohort, w.wk - c.cohort""".stripMargin,
+      s"""$E,
+         |w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM e),
+         |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+         |SELECT c.cohort, w.wk - c.cohort AS week_offset,
+         |       CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+         |FROM w JOIN c ON w.user_id = c.user_id
+         |GROUP BY c.cohort, w.wk - c.cohort""".stripMargin)
   )
 }
