@@ -165,6 +165,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("materialized aggregate: sink view converges to the batch aggregate across micro-batches") {
+    import graft.sink.{DeleteMode, LocalParquetSink}
+    import graft.streaming.MaterializedAgg
+    val in = tmpDir("magg_in"); val ckpt = tmpDir("magg_ckpt")
+    val sinkDir = tmpDir("magg_sink") + "/view"
+    val schema = "event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"
+    write(in, "b0.jsonl", Seq(
+      """{"event_id":1,"event_type":"view","value":10.0,"ts":"2024-01-01T10:00:00Z"}""",
+      """{"event_id":2,"event_type":"view","value":5.0,"ts":"2024-01-01T10:05:00Z"}""",
+      """{"event_id":3,"event_type":"click","value":1.0,"ts":"2024-01-01T10:06:00Z"}"""))
+    val sink = new LocalParquetSink(sinkDir)
+    val q = MaterializedAgg.start(
+      spark.readStream.schema(schema).json(in),
+      keyCols = Seq("event_type"), valueCol = "value",
+      watermarkCol = "ts", watermarkDelay = "1 hour",
+      sink = sink, checkpoint = ckpt)
+    def view(): Map[String, (Long, Double)] =
+      sink.read(spark, DeleteMode.Hard).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toMap
+    try {
+      q.processAllAvailable()
+      assert(view() == Map("view" -> ((2L, 15.0)), "click" -> ((1L, 1.0))))
+      // a later micro-batch updates ONLY the touched group
+      write(in, "b1.jsonl", Seq(
+        """{"event_id":4,"event_type":"view","value":2.5,"ts":"2024-01-01T10:10:00Z"}"""))
+      q.processAllAvailable()
+      assert(view() == Map("view" -> ((3L, 17.5)), "click" -> ((1L, 1.0))))
+    } finally { q.stop(); q.awaitTermination() }
+    // restart on the same checkpoint: state resumes, more data still lands
+    write(in, "b2.jsonl", Seq(
+      """{"event_id":5,"event_type":"click","value":4.0,"ts":"2024-01-01T10:20:00Z"}"""))
+    val q2 = MaterializedAgg.start(
+      spark.readStream.schema(schema).json(in),
+      keyCols = Seq("event_type"), valueCol = "value",
+      watermarkCol = "ts", watermarkDelay = "1 hour",
+      sink = sink, checkpoint = ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(view() == Map("view" -> ((3L, 17.5)), "click" -> ((2L, 5.0))))
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
