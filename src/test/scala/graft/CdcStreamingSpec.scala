@@ -332,6 +332,22 @@ class CdcStreamingSpec extends SparkSpec {
     } finally CdcOrchestrator.stopAll(running)
   }
 
+  test("orchestrator fan-out through the snapshot sink converges identically") {
+    import graft.streaming.CdcOrchestrator
+    val in = tmpDir("ssink_orch_in")
+    writeChunk(in, "all.jsonl", fixtureLines)
+    val running = CdcOrchestrator.addNewTables(
+      spark, in, Cdc.Fixtures.columnsPath, tmpDir("ssink_orch_sink"), tmpDir("ssink_orch_ckpt"),
+      include = Seq("shop.orders"), exclude = Nil,
+      sinkFactory = new graft.sink.SnapshotParquetSink(_, nBuckets = 8))
+    try {
+      running.values.foreach(_.query.processAllAvailable())
+      val got = running("shop.orders").spec.sink.read(spark, DeleteMode.Hard)
+        .select("primary_key").collect().map(_.getString(0)).toSet
+      assert(got == expectedKeys(in))
+    } finally CdcOrchestrator.stopAll(running)
+  }
+
   test("CdcStream watermark advances with event time and preserves results") {
     val in = tmpDir("cdcwm_in"); val ckpt = tmpDir("cdcwm_ckpt")
     val sink = new LocalParquetSink(tmpDir("cdcwm_sink") + "/orders")
