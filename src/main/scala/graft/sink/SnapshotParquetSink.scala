@@ -217,6 +217,53 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     }
   }
 
+  /** Rewrites the whole current state as ONE fresh commit: every bucket's
+    * file moves under a single new root, so after history expires
+    * (`vacuum`) the table holds exactly nBuckets files regardless of how
+    * many incremental commits built it — the periodic maintenance step of
+    * any log-structured table format (small-file and manifest-spread
+    * control). Publishes through the same hard-link lock as merge; a lost
+    * race (someone merged concurrently) recomputes from their state.
+    * Returns the published version.
+    */
+  def compact(spark: SparkSession): Long = synchronized {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = currentVersion.getOrElse(sys.error(s"nothing to compact at $dir"))
+      val entries = readManifest(base)
+      val version = base + 1L
+      val full = entries.toSeq.sortBy(_._1)
+        .groupBy { case (_, rel) => rel.substring(0, rel.indexOf("/__bucket=")) }
+        .toSeq.sortBy(_._1).map { case (root, group) =>
+          spark.read.option("mergeSchema", "true").option("basePath", s"$dir/$root")
+            .parquet(group.map { case (_, rel) => s"$dir/$rel" }: _*)
+        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      val commitId = UUID.randomUUID().toString
+      full.repartition(entries.size, col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$dir/data/$commitId")
+      val newEntries = entries.keys.map(b => b -> s"data/$commitId/__bucket=$b")
+      Files.createDirectories(manifestsDir)
+      val tmp = manifestsDir.resolve(s".tmp-$commitId")
+      val body = (Seq(s"version=$version", s"nBuckets=$nBuckets") ++
+        newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
+        .mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        Files.createLink(manifestPath(version), tmp)
+        Files.deleteIfExists(tmp)
+        return version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          deleteTree(Paths.get(s"$dir/data/$commitId"))
+          if (attempts >= 5) sys.error(s"compaction lost the race $attempts times at $dir")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Expires history: keeps the newest `keepLast` manifests, deletes older
     * ones plus every data directory no kept manifest references. Unreferenced
     * roots are deleted only when older than `minOrphanAgeMs` — an

@@ -111,6 +111,26 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](sink.readAt(spark, 0L, DeleteMode.Hard))
   }
 
+  test("compact folds all buckets into one commit root; vacuum then reclaims every old root") {
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    val keys = (0 until 16).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("k0", 1L, "k0-v1", false)), Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("k5", 2L, "k5-v1", false)), Seq("primary_key"), "seq", "is_delete")
+    val before = state(sink, DeleteMode.Hard)
+    val v = sink.compact(spark)
+    assert(v == 3L && state(sink, DeleteMode.Hard) == before) // content unchanged
+    // post-compact manifest references exactly ONE commit root
+    val roots = Files.readAllLines(Paths.get(dir, "manifests", f"v$v%08d.manifest")).asScala
+      .filter(_.startsWith("b ")).map(_.split(" ", 3)(2).split("/")(1)).toSet
+    assert(roots.size == 1, s"expected one root, got $roots")
+    val (_, dropped) = sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    assert(dropped == 3) // the three pre-compaction commit roots
+    assert(state(sink, DeleteMode.Hard) == before)
+  }
+
   test("two writer handles on one table interleave through the manifest without losing commits") {
     // the cross-process shape the manifest protocol exists for: a second
     // handle (no shared in-JVM lock) commits in between, and the first
