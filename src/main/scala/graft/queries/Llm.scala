@@ -270,6 +270,48 @@ object Llm {
       } finally model.close()
     },
 
+    // Deterministic fixed-point k-means (semantic clustering for data-mix
+    // curation): the ENTIRE training loop — quantization, both Lloyd steps,
+    // final assignment — is exact integer arithmetic, so the oracle replays
+    // it verbatim and hash-matches per-cluster sizes, id checksums and
+    // inertia. Distances expand to three integer dot products on the oracle
+    // side (list_dot_product of int lists is exact below 2^53); the floored
+    // mean is the mode-free (s − ((s%n+n)%n))/n on both engines.
+    QDef.df("q89d_kmeans", {
+      val dist = "CAST(list_dot_product(qv, qv) AS BIGINT) " +
+        "- 2 * CAST(list_dot_product(qv, cv) AS BIGINT) " +
+        "+ CAST(list_dot_product(cv, cv) AS BIGINT)"
+      def assignCte(csrc: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, cell, d2 FROM (
+           |    SELECT q.vec_id, $csrc.cell, $dist AS d2,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |                              ORDER BY $dist ASC, $csrc.cell ASC) AS rn
+           |    FROM q CROSS JOIN $csrc) t WHERE rn = 1)""".stripMargin
+      def lloydCte(asrc: String, out: String) =
+        s"""e$out AS (SELECT $asrc.cell, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS pos
+           |       FROM q JOIN $asrc USING (vec_id)),
+           |m$out AS (SELECT cell, pos, SUM(v) AS s, count(*) AS n FROM e$out GROUP BY 1, 2),
+           |$out AS (SELECT cell, list(CAST((s - ((s % n + n) % n)) / n AS BIGINT) ORDER BY pos) AS cv
+           |       FROM m$out GROUP BY cell)""".stripMargin
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, qv AS cv
+         |       FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8) i),
+         |${assignCte("c0", "a1")},
+         |${lloydCte("a1", "c1")},
+         |${assignCte("c1", "a2")},
+         |${lloydCte("a2", "c2")},
+         |${assignCte("c2", "a3")}
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS cnt,
+         |       CAST(SUM(vec_id) AS BIGINT) AS id_sum, CAST(SUM(d2) AS BIGINT) AS inertia
+         |FROM a3 GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.KMeans.clusterStats(
+        graft.llm.KMeans.train(Tables.table(s, dir, "embeddings"), k = 8, iters = 2))
+    },
+
     // ---------------------------------------------------- text analysis
     QDef.df("q84_token_frequency",
       """SELECT word, count(*) AS cnt

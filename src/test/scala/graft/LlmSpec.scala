@@ -368,4 +368,41 @@ class LlmSpec extends SparkSpec {
     val lookup = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
     ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
   }
+
+  test("fixed-point k-means: separable clusters recovered; exact determinism under repartition") {
+    import graft.llm.KMeans
+    // two tight groups in 4-d; ids interleaved so the lowest-id init picks
+    // one point from each group
+    val pts = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Array(-1.0f, -1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 1.1f, 0.1f, -0.1f)),
+      (3L, Array(-1.1f, -0.9f, -0.1f, 0.1f)),
+      (4L, Array(1.1f, 0.9f, -0.1f, 0.1f)),
+      (5L, Array(-0.9f, -1.1f, 0.1f, -0.1f))).toDF("vec_id", "embedding")
+    val m = KMeans.train(pts, k = 2, iters = 2)
+    val cells = m.assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(Seq(0L, 2L, 4L).map(cells).distinct.size == 1, "even ids split across cells")
+    assert(Seq(1L, 3L, 5L).map(cells).distinct.size == 1, "odd ids split across cells")
+    assert(cells(0L) != cells(1L), "groups collapsed into one cell")
+    // bit-exact determinism: a different physical partitioning must produce
+    // the identical assignment AND distances (no accumulation-order drift)
+    val m2 = KMeans.train(pts.repartition(7), k = 2, iters = 2)
+    val a1 = m.assigned.select("vec_id", "cell", "d2").collect().map(_.toSeq).toSet
+    val a2 = m2.assigned.select("vec_id", "cell", "d2").collect().map(_.toSeq).toSet
+    assert(a1 == a2)
+  }
+
+  test("k-means floored mean matches Math.floorDiv on negative non-divisible sums") {
+    import graft.llm.KMeans
+    // quantized: floor(-1.0*4096) = -4096, floor(-0.3*4096) = -1229,
+    // floor(0.4*4096) = 1638 → sum -3687 over n=3: floorDiv = -1229
+    // (truncating division would give -1228 and break oracle parity)
+    val pts = Seq((0L, Array(-1.0f)), (1L, Array(-0.3f)), (2L, Array(0.4f)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.train(pts, k = 1, iters = 1)
+    val centroid = m.centroids.collect()(0).getSeq[Long](1)
+    assert(centroid == Seq(Math.floorDiv(-4096L - 1229L + 1638L, 3L)))
+    assert(centroid == Seq(-1229L))
+  }
 }
