@@ -125,6 +125,23 @@ object Multimodal {
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
   }
 
+  /** Every-`everyN`th chunk of [[chunk]]'s shard space — the strided access
+    * pattern of video keyframe sampling and audio analysis windows, over
+    * bytes (a codec-backed frame extractor swaps the slice for a decode
+    * call; the generator and offsets stay identical). Sampled offsets are
+    * generated directly as a stepped sequence, so skipped chunks are never
+    * materialized — output-proportional work no matter the stride.
+    */
+  def sampleChunks(df: DataFrame, mediaCol: String, chunkBytes: Int, everyN: Int): DataFrame = {
+    require(chunkBytes > 0 && everyN > 0, "chunkBytes and everyN must be positive")
+    val nChunks = ceil(length(col(mediaCol)).cast("double") / chunkBytes).cast("int")
+    df.withColumn("chunk_idx",
+        explode(sequence(lit(0), greatest(nChunks, lit(1)) - 1, lit(everyN))))
+      .withColumn("chunk",
+        expr(s"substring($mediaCol, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
   /** Inference batch shape: rows grouped into fixed-size batches keyed by
     * `id div batchSize` — one output row per batch with id-aligned feature
     * arrays, ready to hand a vectorized model runner one tensor per row.

@@ -718,6 +718,21 @@ object Llm {
         .select(col("media_id"), col("chunk_idx"), hex(col("chunk")).as("chunk_hex"))
     },
 
+    // Strided chunk sampling (the video-keyframe / audio-window access
+    // pattern): every 3rd 32-byte chunk, offsets generated directly so
+    // skipped chunks never materialize. Oracle = the q95b hex-slice trick
+    // with a stepped range.
+    QDef.df("q95d_frame_sample",
+      s"""SELECT media_id, chunk_idx,
+         |       substring(h, CAST(chunk_idx * 64 + 1 AS BIGINT), 64) AS chunk_hex
+         |FROM (SELECT media_id, hex(media) AS h,
+         |             unnest(range(0, greatest(CAST(ceil(octet_length(media) / 32.0) AS BIGINT), 1), 3)) AS chunk_idx
+         |      FROM read_parquet('${Cdc.Fixtures.oracleMediaPath}')) t""".stripMargin) { (s, dir) =>
+      val m = s.read.parquet(Cdc.Fixtures.mediaPath)
+      Multimodal.sampleChunks(m, "media", chunkBytes = 32, everyN = 3)
+        .select(col("media_id"), col("chunk_idx"), hex(col("chunk")).as("chunk_hex"))
+    },
+
     // Magic-number format sniffing + claim verification: detected container
     // format from real signatures, compared against the declared media_type.
     // The oracle re-derives the same decision tree over hex(media) prefixes.

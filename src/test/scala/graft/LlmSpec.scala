@@ -369,6 +369,20 @@ class LlmSpec extends SparkSpec {
     ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
   }
 
+  test("sampleChunks: stride-3 indices, byte-identical to the full chunking at those offsets") {
+    val df = Seq((1L, ("x" * 100).getBytes), (2L, Array[Byte]()))
+      .toDF("media_id", "media")
+    val full = Multimodal.chunk(df, "media", 16).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[Array[Byte]]("chunk").toSeq).toMap
+    val sampled = Multimodal.sampleChunks(df, "media", chunkBytes = 16, everyN = 3).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[Array[Byte]]("chunk").toSeq).toMap
+    // 100 bytes / 16 = 7 chunks → sampled indices 0, 3, 6; empty blob keeps chunk 0
+    assert(sampled.keySet == Set((1L, 0L), (1L, 3L), (1L, 6L), (2L, 0L)))
+    sampled.foreach { case (k, bytes) => assert(bytes == full(k), s"chunk $k differs") }
+  }
+
   test("fixed-point k-means: separable clusters recovered; exact determinism under repartition") {
     import graft.llm.KMeans
     // two tight groups in 4-d; ids interleaved so the lowest-id init picks
