@@ -24,6 +24,25 @@ object Similarity {
   def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** L2 norm of an embedding column (double view, sequential fold). */
+  def l2Norm(emb: Column): Column = {
+    val d = asDouble(emb)
+    sqrt(dotD(d, d))
+  }
+
+  /** L2-normalizes an embedding column to unit length — the standard prep
+    * before dot-product-as-cosine ANN, LSH bucketing or quantization. Pure
+    * higher-order functions (one fold + one transform), codegen'd, and the
+    * per-element division is a single IEEE op — any engine normalizing the
+    * same floats produces bit-identical unit vectors (q82b pins this).
+    * Zero vectors pass through unchanged instead of dividing by zero.
+    */
+  def normalize(emb: Column): Column = {
+    val d = asDouble(emb)
+    val n = l2Norm(emb)
+    when(n === 0.0, d).otherwise(transform(d, x => x / n))
+  }
+
   /** Cosine via the native codegen expression (one fused loop; see
     * graft.functions.CosineSimilarity). [[cosineHof]] is the pure-builtin
     * formulation — bit-identical results, kept as the composition reference.

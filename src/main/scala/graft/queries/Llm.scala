@@ -202,6 +202,26 @@ object Llm {
         .select(col("vec_id"), col("cos").cast("string").as("cos"))
     },
 
+    // L2 normalization contract, pinned bit-for-bit: the pre-norm and the
+    // self-dot of the normalized vector are floor-quantized from doubles
+    // both engines compute through the identical IEEE op sequence (fold,
+    // sqrt, per-element divide), so the hashes must agree exactly.
+    QDef.df("q82b_l2_normalize",
+      s"""$V,
+         |n AS (SELECT vec_id, sqrt(list_dot_product(ve, ve)) AS nrm,
+         |             list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) AS nv
+         |      FROM v)
+         |SELECT vec_id,
+         |       CAST(floor(nrm * 10000) AS BIGINT) AS pre_q,
+         |       CAST(floor(list_dot_product(nv, nv) * 100000000) AS BIGINT) AS post_q
+         |FROM n""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val nv = Similarity.normalize(col("embedding"))
+      e.select(col("vec_id"),
+        floor(Similarity.l2Norm(col("embedding")) * 10000).cast("bigint").as("pre_q"),
+        floor(Similarity.dotD(nv, nv) * 100000000).cast("bigint").as("post_q"))
+    },
+
     QDef.df("q89_ann_topk",
       s"""$V,
          |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),

@@ -369,6 +369,18 @@ class LlmSpec extends SparkSpec {
     ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
   }
 
+  test("normalize: unit length after, zero vectors pass through") {
+    val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.normalize($"embedding").as("nv"),
+        Similarity.l2Norm($"embedding").as("nrm"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+    assert(rows(0L)._2 == 5.0)
+    assert(rows(0L)._1 == Seq(0.6, 0.8))
+    assert(rows(1L)._1 == Seq(0.0, 0.0)) // no NaN from 0/0
+  }
+
   test("sampleChunks: stride-3 indices, byte-identical to the full chunking at those offsets") {
     val df = Seq((1L, ("x" * 100).getBytes), (2L, Array[Byte]()))
       .toDF("media_id", "media")
