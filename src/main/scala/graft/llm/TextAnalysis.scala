@@ -242,6 +242,29 @@ object TextAnalysis {
         min(col("train_doc")).as("min_train_doc"))
   }
 
+  /** Rare-token mass per document — a corpus-level quality signal the
+    * per-doc filters ([[quality]], [[repetitionRatio]]) can't see: documents
+    * dominated by tokens that barely occur elsewhere (OCR garbage, random
+    * identifiers, mojibake) have high rare-token counts even when their
+    * local statistics look clean. Two aggregations + one equi-join on the
+    * token: corpus frequency is a grouped count (map-side combinable), the
+    * join key is the token — Zipf skew concentrates on HIGH-frequency
+    * tokens, which are exactly the ones AQE-salted or broadcast from the
+    * (small) head of the frequency table at scale. Thresholds are counts,
+    * so the whole result is exact integers.
+    */
+  def rareTokenStats(docs: DataFrame, rareMax: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val corpusFreq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    toks.join(corpusFreq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(when(col("cf") <= rareMax, 1L).otherwise(0L)).cast("bigint").as("n_rare"),
+        count_distinct(when(col("cf") <= rareMax, col("tok"))).cast("bigint").as("rare_types"))
+  }
+
   /** Sequence-length histogram for batch packing: token counts bucketed by
     * `bucketTokens`, capped at `maxBucket` (the overflow bucket). The
     * shape a packing scheduler needs to pick batch geometry at 100 TB —

@@ -410,6 +410,20 @@ object Llm {
       TextAnalysis.scrubPii(withPii)
     },
 
+    // Corpus-level rarity signal: per-doc count of token occurrences whose
+    // CORPUS frequency is ≤ 3 (hapax-ish mass flags OCR garbage and random
+    // identifiers that per-doc stats miss). Exact integers end to end.
+    QDef.df("q90c_rare_tokens",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cf AS (SELECT tok, count(*) AS cf FROM tk GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN cf <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(count(DISTINCT CASE WHEN cf <= 3 THEN tok END) AS BIGINT) AS rare_types
+        |FROM tk JOIN cf USING (tok)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.rareTokenStats(Tables.table(s, dir, "documents"), rareMax = 3)
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>

@@ -369,6 +369,18 @@ class LlmSpec extends SparkSpec {
     ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
   }
 
+  test("rareTokenStats counts occurrences and types of corpus-rare tokens") {
+    val docs = Seq(
+      (1L, "the the qzx"),     // 'the' cf=4, 'qzx' cf=1
+      (2L, "the wvu wvu qpr"), // 'wvu' cf=2, 'qpr' cf=1
+      (3L, "the")).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenStats(docs, rareMax = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 1L, 1L))) // qzx
+    assert(out(2L) == ((4L, 3L, 2L))) // wvu ×2 + qpr, 2 distinct rare types
+    assert(out(3L) == ((1L, 0L, 0L)))
+  }
+
   test("normalize: unit length after, zero vectors pass through") {
     val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
