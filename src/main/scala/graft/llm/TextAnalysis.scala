@@ -165,6 +165,40 @@ object TextAnalysis {
     docs.filter(h < pct)
   }
 
+  /** Target-mix rebalancing (data-mix curation): keep exactly `scale · w_s`
+    * documents of stratum s, where the integer weights `w_s` state the
+    * desired ratio and `scale = min_s floor(cnt_s / w_s)` is the largest
+    * multiple the corpus supports — the output realizes the target mix
+    * EXACTLY, bottlenecked by the scarcest stratum. Strata not listed are
+    * dropped. Selection is deterministic (per stratum, smallest
+    * ([[splitHash]], id) first), so the sample is reproducible across
+    * engines and reruns. Two bounded side-frames (per-stratum counts, the
+    * scalar scale) broadcast back; the per-stratum rank is a window over
+    * the stratum — strata counts are bounded (sources, languages), and a
+    * degenerate single giant stratum would swap in the
+    * [[graft.engine.Ranking.prefixSum]] pattern unchanged.
+    */
+  def mixSample(docs: DataFrame, strataCol: String, weights: Map[String, Int],
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val spark = docs.sparkSession
+    val w = spark.createDataFrame(weights.toSeq).toDF(strataCol, "__w")
+    val withW = docs.join(broadcast(w), strataCol)
+    val counts = withW.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__cnt"), min(col("__w")).as("__wt"))
+    val scale = counts.agg(
+      min(floor(col("__cnt") / col("__wt")).cast("long")).as("__scale"))
+    val keep = counts.crossJoin(broadcast(scale))
+      .select(col(strataCol), (col("__scale") * col("__wt")).as("__keep"))
+    val rn = row_number().over(
+      Window.partitionBy(col(strataCol)).orderBy(splitHash(col(idCol)), col(idCol)))
+    withW.withColumn("__rn", rn)
+      .join(broadcast(keep), strataCol)
+      .filter(col("__rn") <= col("__keep"))
+      .drop("__rn", "__keep", "__w")
+  }
+
   /** Text normalization — the canonical-form pass run BEFORE exact/fuzzy
     * dedup so trivial variants (case, runs of whitespace, stray
     * non-printable bytes) hash identically: lowercase, strip characters

@@ -656,6 +656,30 @@ object Llm {
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).cast("bigint").as("id_sum"))
     },
 
+    // Target-mix rebalancing: realize a 4:2:1:1 source mix exactly, capped
+    // by the scarcest stratum; unlisted sources drop. Selection order is the
+    // deterministic split hash, so kept-counts AND the id checksum of WHICH
+    // docs were kept must match the oracle.
+    QDef.df("q97d_mix_sample", {
+      val h = TextAnalysis.splitHashSql("doc_id")
+      s"""WITH w AS (SELECT * FROM (VALUES ('src0', 4), ('src1', 2), ('src2', 1), ('src3', 1))
+         |           t(source, wt)),
+         |d AS (SELECT doc_id, source, wt, $h AS h FROM documents JOIN w USING (source)),
+         |c AS (SELECT source, count(*) AS cnt, min(wt) AS wt FROM d GROUP BY source),
+         |sc AS (SELECT CAST(min(floor(cnt / wt)) AS BIGINT) AS scale FROM c),
+         |r AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM d),
+         |k AS (SELECT c.source, sc.scale * c.wt AS keep FROM c, sc)
+         |SELECT r.source, count(*) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM r JOIN k ON r.source = k.source AND r.rn <= k.keep
+         |GROUP BY r.source""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.mixSample(Tables.table(s, dir, "documents"), "source",
+          Map("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+
     // Sequence-length histogram for batch packing.
     QDef.df("q98_length_hist",
       """SELECT CAST(least(floor(len(string_split(text, ' ')) / 32), 15) AS BIGINT) AS bucket,

@@ -369,6 +369,22 @@ class LlmSpec extends SparkSpec {
     ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
   }
 
+  test("mixSample realizes the exact target ratio, bottlenecked by the scarcest stratum") {
+    // a: 10 docs, b: 9 docs; weights 2:3 → scale = min(10/2, 9/3) = 3 → keep 6 a + 9 b
+    val docs = (0L until 10L).map(i => (i, "a")) ++ (100L until 109L).map(i => (i, "b")) ++
+      Seq((500L, "dropped"))
+    val df = docs.toDF("doc_id", "source")
+    val out = TextAnalysis.mixSample(df, "source", Map("a" -> 2, "b" -> 3))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 6L, "b" -> 9L))
+    // deterministic: rerun over a different partitioning keeps the same ids
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.mixSample(df.repartition(5), "source", Map("a" -> 2, "b" -> 3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("rareTokenStats counts occurrences and types of corpus-rare tokens") {
     val docs = Seq(
       (1L, "the the qzx"),     // 'the' cf=4, 'qzx' cf=1
