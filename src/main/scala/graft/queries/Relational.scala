@@ -426,6 +426,28 @@ object Relational {
         |             CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem) t
         |GROUP BY l_returnflag""".stripMargin),
 
+    // Per-group outlier detection from exact power sums — |x − mean| > 2σ
+    // (population), cross-multiplied into pure integers so no float or
+    // decimal division ever happens: (n·q − Σq)² > 4·(n·Σq² − (Σq)²) is the
+    // z² > 4 test scaled by n². Two passes (grouped sums, then the flagging
+    // join back) — both map-side combinable, the join key is the group.
+    // l_quantity is uniform (zero natural outliers), so both sides inject
+    // one quantity-500 anomaly for every 10th supplier — the q90b
+    // synthesize-the-phenomenon pattern — and exactly those must flag.
+    QDef.shared(
+      "q28d_outliers",
+      """WITH t AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |           UNION ALL
+        |           SELECT s_suppkey, 500 FROM supplier WHERE s_suppkey % 10 = 0),
+        |s AS (SELECT l_suppkey, count(*) AS n, CAST(SUM(q) AS BIGINT) AS sq,
+        |             CAST(SUM(q * q) AS BIGINT) AS sq2
+        |      FROM t GROUP BY l_suppkey)
+        |SELECT l_suppkey, n,
+        |       CAST(SUM(CASE WHEN (n * q - sq) * (n * q - sq) > 4 * (n * sq2 - sq * sq)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM t JOIN s USING (l_suppkey)
+        |GROUP BY l_suppkey, n""".stripMargin),
+
     QDef.sql(
       "q29_percentile",
       """SELECT l_returnflag,
