@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic fixed-point k-means over embedding columns — the semantic
@@ -18,12 +17,16 @@ import org.apache.spark.sql.functions._
   * or rerun, so a DuckDB oracle replays the WHOLE training loop and
   * hash-matches (q89d).
   *
-  * Scale shape: each Lloyd step broadcasts k centroids (k·dim longs), then
-  * one narrow per-row argmin (no corpus shuffle) + one (cell, pos) grouped
-  * sum — map-side combinable, 64·k·dim partial-agg rows per task. Overflow
-  * bounds at the default scale 4096 with |x| ≤ 1 inputs: per-element
-  * distance terms ≤ (2·4096)², per-(cell,pos) sums stay inside int64 to
-  * ~10^14 rows per cell.
+  * Scale shape: assignment is a NARROW per-row argmin — the k centroids
+  * (k·dim longs, driver-local between steps) enter the plan as an array
+  * literal and `array_min(transform(...))` picks the (d2, cell)-minimal
+  * struct inside the row, so the corpus is never shuffled, crossed or
+  * windowed (at k·dim beyond literal-tree comfort, the same expression runs
+  * against a broadcast variable). Each Lloyd step then needs one
+  * (cell, pos) grouped sum — map-side combinable, ≤ k·dim rows per task
+  * partial. Overflow bounds at the default scale 4096 with |x| ≤ 1 inputs:
+  * per-element distance terms ≤ (2·4096)², per-(cell, pos) sums stay inside
+  * int64 to ~10^14 rows per cell.
   */
 object KMeans {
 
@@ -41,17 +44,31 @@ object KMeans {
     */
   final case class Model(centroids: DataFrame, assigned: DataFrame)
 
-  private def assign(q: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cell"), col("d2"))
-  }
+  private type Centroids = IndexedSeq[(Int, IndexedSeq[Long])]
+
+  /** The centroid set as one array-of-struct literal column. */
+  private def centroidArray(cents: Centroids): Column =
+    array(cents.map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+
+  /** Narrow argmin: struct ordering is lexicographic, so the array_min of
+    * (d2, cell) structs IS "nearest centroid, ties to the lowest cell" —
+    * one codegen'd expression per row, no join, no shuffle, no window.
+    */
+  private def assign(q: DataFrame, cents: Centroids): DataFrame =
+    q.withColumn("__best", array_min(transform(centroidArray(cents),
+        c => struct(dist2(col("qv"), c.getField("cv")).as("d2"),
+          c.getField("cell").as("cell")))))
+      .select(col("vec_id"), col("qv"),
+        col("__best").getField("cell").as("cell"),
+        col("__best").getField("d2").as("d2"))
 
   /** Floored per-dimension mean of each cell's members: floor(s/n) written
     * mode-free as (s − pmod(s, n)) / n, so it computes identically on
     * engines that truncate integer division and engines that floor it.
+    * A cell that loses every member drops out (k shrinks), same as the
+    * textbook Lloyd formulation.
     */
   private def recompute(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
@@ -64,31 +81,30 @@ object KMeans {
 
   /** `iters` Lloyd steps from the deterministic init (the k lowest-id
     * vectors, numbered 0..k−1 in id order), then a final assignment.
-    * Centroids are materialized between steps (≤ k·dim longs by
-    * construction) so every step is a fresh broadcast over a shallow plan.
+    * Centroids live on the driver between steps (≤ k·dim longs by
+    * construction), so every step is one narrow pass over the corpus.
     */
   def train(corpus: DataFrame, k: Int, iters: Int, scale: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): Model = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val spark = corpus.sparkSession
     val q = corpus.select(col(idCol).as("vec_id"), quantize(col(embCol), scale).as("qv"))
-    def localized(rows: IndexedSeq[Row], schema: org.apache.spark.sql.types.StructType) =
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     // init frame is ≤ k rows by the limit — numbered on the driver
-    val initSchema = org.apache.spark.sql.types.StructType(Seq(
+    var cents: Centroids = q.orderBy("vec_id").limit(k).collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toIndexedSeq) }
+    for (_ <- 0 until iters) {
+      cents = recompute(assign(q, cents)).collect().toIndexedSeq // ≤ k rows
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq)).sortBy(_._1)
+    }
+    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("cv",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
-    var centroids = localized(
-      q.orderBy("vec_id").limit(k).collect().toIndexedSeq.zipWithIndex
-        .map { case (r, i) => Row(i, r.getSeq[Long](1)) },
-      initSchema)
-    for (_ <- 0 until iters) {
-      val next = recompute(assign(q, centroids))
-      centroids = localized(next.collect().toIndexedSeq, next.schema) // ≤ k rows
-    }
-    Model(centroids, assign(q, centroids))
+    val centroidDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.map { case (c, v) => Row(c, v) }, 1),
+      centroidSchema)
+    Model(centroidDf, assign(q, cents))
   }
 
   /** Per-cluster summary of a trained model: size, id checksum, inertia. */

@@ -128,4 +128,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
     assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange""")) == 1, p)
   }
+
+  test("k-means assignment is narrow: no join, no exchange, no window over the corpus") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = graft.llm.KMeans.train(emb, k = 4, iters = 1)
+    val p = m.assigned.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
