@@ -165,6 +165,22 @@ object TextAnalysis {
     docs.filter(h < pct)
   }
 
+  /** Unigram concentration per document, exact integers: occurrence count,
+    * type count, and Σ cnt² — the Simpson/Gini numerator, so repeated-token
+    * mass needs no float division (1 − Σcnt²/n² is derivable downstream).
+    * Complements [[repetitionRatio]] (n-gram repeats) with single-token
+    * concentration: "the the the ..." maxes Σcnt² while its 3-gram set can
+    * still look diverse. Two grouped counts, both map-side combinable.
+    */
+  def tokenDiversity(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(col("cnt") * col("cnt")).cast("bigint").as("sum_cnt2"))
+
   /** Target-mix rebalancing (data-mix curation): keep exactly `scale · w_s`
     * documents of stratum s, where the integer weights `w_s` state the
     * desired ratio and `scale = min_s floor(cnt_s / w_s)` is the largest

@@ -424,6 +424,19 @@ object Llm {
       TextAnalysis.rareTokenStats(Tables.table(s, dir, "documents"), rareMax = 3)
     },
 
+    // Unigram concentration (Simpson numerator): exact-integer repeated-
+    // token mass — the single-token complement of q94's n-gram repetition.
+    QDef.df("q90d_token_diversity",
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS cnt
+        |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents) t
+        |           GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |       CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cnt2
+        |FROM tf GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenDiversity(Tables.table(s, dir, "documents"))
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>

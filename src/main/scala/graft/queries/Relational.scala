@@ -459,6 +459,29 @@ object Relational {
         |       CAST(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(38,4)) AS STRING) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
+    // The sketch path of q29 (exact percentile sorts each group; the
+    // GK-summary sketch is the 100 TB answer), oracle-checked as an
+    // accuracy-contract invariant per the q21b pattern: the sketch's median
+    // element must sit between the exact 45th and 55th percentile ranks —
+    // oracle-knowable group sizes plus a boolean that is a constant of the
+    // data, far inside percentile_approx's rank-error guarantee.
+    QDef.df("q29b_approx_percentile",
+      """SELECT l_returnflag, count(*) AS n, true AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))
+      val sketch = li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(q, 0.5, 1000)").as("approx"),
+          count(lit(1)).as("n"))
+      li.join(broadcast(sketch), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(sum(when(col("q") < col("approx"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("q") <= col("approx"), 1L).otherwise(0L)).as("le"))
+        .select(col("l_returnflag"), col("n"),
+          (col("lt") <= ceil(col("n") * 0.55) &&
+            col("le") >= floor(col("n") * 0.45)).as("within_bounds"))
+    },
+
     // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
     // count-distinct) — engine-only: HLL sketches differ across engines.
     // HLL sketch values aren't oracle-reproducible, but the sketch's CLAIM

@@ -369,6 +369,14 @@ class LlmSpec extends SparkSpec {
     ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
   }
 
+  test("tokenDiversity: Simpson numerator separates repeated from diverse docs") {
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenDiversity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 1L, 16L))) // maximal concentration: Σcnt² = n²
+    assert(out(2L) == ((4L, 4L, 4L)))  // maximal diversity: Σcnt² = n
+  }
+
   test("mixSample realizes the exact target ratio, bottlenecked by the scarcest stratum") {
     // a: 10 docs, b: 9 docs; weights 2:3 → scale = min(10/2, 9/3) = 3 → keep 6 a + 9 b
     val docs = (0L until 10L).map(i => (i, "a")) ++ (100L until 109L).map(i => (i, "b")) ++
