@@ -694,6 +694,36 @@ object Relational {
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY r_name DESC, n_name ASC""".stripMargin),
 
+    // Z-order data layout: the Morton key interleaves the bits of two
+    // dimensions, so every 4096-cell z-tile is a 64×64 square — the output
+    // pins per-tile counts AND the tightness of both dims' min/max
+    // envelopes (the property that makes parquet row-group stats prunable
+    // on EITHER predicate after a z-sorted write). Exact bit arithmetic,
+    // identical on both engines.
+    QDef.df("q40b_zorder_layout", {
+      val terms = (0 until 10).map(j =>
+        s"((x >> $j) & 1) * ${1L << (2 * j)} + ((y >> $j) & 1) * ${1L << (2 * j + 1)}")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem),
+         |z AS (SELECT x, y, $terms AS zkey FROM t)
+         |SELECT zkey >> 12 AS zbucket, count(*) AS cnt,
+         |       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         |       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+         |       (max(x) - min(x) <= 63 AND max(y) - min(y) <= 63) AS tile_tight
+         |FROM z GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      import graft.engine.ZOrder
+      val t = Tables.table(s, dir, "lineitem")
+        .select((col("l_orderkey") % 1024).as("x"), (col("l_partkey") % 1024).as("y"))
+      t.withColumn("zkey", ZOrder.interleave2(col("x"), col("y"), 10))
+        .groupBy(shiftright(col("zkey"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min("x").cast("bigint").as("min_x"), max("x").cast("bigint").as("max_x"),
+          min("y").cast("bigint").as("min_y"), max("y").cast("bigint").as("max_y"),
+          (max(col("x")) - min(col("x")) <= 63 &&
+            max(col("y")) - min(col("y")) <= 63).as("tile_tight"))
+    },
+
     QDef.shared(
       "q41_topk",
       """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price

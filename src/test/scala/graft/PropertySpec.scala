@@ -106,4 +106,22 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"events: $events")
     }
   }
+
+  test("z-order interleave matches the bit-math reference on random coordinates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(a: Long, b: Long): Long =
+      (0 until 10).map(j => (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1)))
+        .reduce(_ | _)
+    assert(ref(5L, 3L) == 27L) // 101 ⋈ 011 = 011011
+    val gen = Gen.zip(Gen.choose(0L, 1023L), Gen.choose(0L, 1023L))
+    val pairs = (Iterator.continually(gen.sample).flatten.take(40).toSeq ++
+      Seq((0L, 0L), (1023L, 1023L), (512L, 1L))).distinct
+    val got = pairs.toDF("x", "y")
+      .withColumn("z", graft.engine.ZOrder.interleave2(col("x"), col("y"), 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) => assert(got((x, y)) == ref(x, y), s"($x, $y)") }
+    // injectivity over the sampled set (interleaving is a bijection)
+    assert(got.values.toSeq.distinct.size == pairs.size)
+  }
 }
