@@ -18,4 +18,21 @@ object StreamingDedup {
   def withinWatermark(df: DataFrame, tsCol: String, delay: String,
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming NEAR-dup suppression over an embedding column: exact dedup
+    * on the random-hyperplane LSH bucket key — the first vector landing in
+    * a bucket is kept as its representative, later cosine-similar arrivals
+    * are dropped, and state stays watermark-bounded like any
+    * `dropDuplicatesWithinWatermark`. The same bucket→candidate contract as
+    * the batch [[graft.llm.Dedup.embeddingNearDupLsh]] (recall tunable via
+    * nPlanes), trading its exact-cosine verify join for an O(1) per-row
+    * streaming decision — the batch pass stays the precision backstop.
+    */
+  def nearDupLshWithinWatermark(df: DataFrame, embCol: String, dim: Int,
+      nPlanes: Int, tsCol: String, delay: String): DataFrame =
+    df.withColumn("__bucket",
+        graft.llm.Similarity.lshBucket(org.apache.spark.sql.functions.col(embCol), dim, nPlanes))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("__bucket"))
+      .drop("__bucket")
 }

@@ -262,6 +262,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("streaming LSH near-dup: cosine-identical arrivals suppressed across batches") {
+    import graft.streaming.StreamingDedup
+    val in = tmpDir("neardup_in")
+    val schema = "vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP"
+    write(in, "b0.jsonl", Seq(
+      """{"vec_id":1,"embedding":[1.0,0.0,0.0,0.0],"ts":"2024-01-01T10:00:00Z"}""",
+      """{"vec_id":2,"embedding":[-1.0,0.0,0.0,0.0],"ts":"2024-01-01T10:01:00Z"}"""))
+    val src = spark.readStream.schema(schema).json(in)
+    val dedup = StreamingDedup.nearDupLshWithinWatermark(
+      src, "embedding", dim = 4, nPlanes = 4, tsCol = "ts", delay = "10 minutes")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      // same-direction vectors land in the representative's bucket → dropped
+      write(in, "b1.jsonl", Seq(
+        """{"vec_id":3,"embedding":[2.0,0.0,0.0,0.0],"ts":"2024-01-01T10:02:00Z"}""",
+        """{"vec_id":4,"embedding":[-0.5,0.0,0.0,0.0],"ts":"2024-01-01T10:03:00Z"}"""))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_out").select("vec_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"got $ids")
+      assert(!spark.table("neardup_out").columns.contains("__bucket"))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("mapGroupsWithState: running per-user stats accumulate across micro-batches") {
     import graft.streaming.Stateful
     import graft.streaming.Stateful.UserEvent
