@@ -129,6 +129,18 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange""")) == 1, p)
   }
 
+  test("q97d: mix-sample side frames broadcast; the corpus is never shuffle-joined") {
+    val p = plan("q97d_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q40b: z-order tiling is one partial+final aggregation around one exchange") {
+    val p = plan("q40b_zorder_layout")
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange""")) == 1, p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), p)
+  }
+
   test("k-means assignment is narrow: no join, no exchange, no window over the corpus") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val m = graft.llm.KMeans.train(emb, k = 4, iters = 1)
