@@ -52,6 +52,24 @@ object Inspection {
       .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
   }
 
+  /** The sketch twin of [[nullProfile]] for 100 TB tables: per-column
+    * APPROXIMATE cardinalities via HLL (`approx_count_distinct`) — one pass,
+    * fixed sketch memory per column, no per-column distinct expansion (the
+    * exact profile's `count_distinct` grows its partial state with the
+    * cardinality itself; the sketch stays at ~1.5 KB/column regardless).
+    * q67c pins every estimate within 3·rsd of exact.
+    */
+  def cardinalityProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    val aggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"__a_$c")) :+
+      count(lit(1)).as("__total")
+    val stackExpr = cols.map(c => s"'$c', `__a_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackExpr) AS (column_name, approx_distinct)",
+        "__total AS n_rows")
+      .select(col("column_name"), col("n_rows"), col("approx_distinct"))
+  }
+
   /** R25: table discovery = distribution of the derived full table name. */
   def tables(envelope: DataFrame): DataFrame =
     graft.cdc.CdcPipeline.withFullTableName(envelope)

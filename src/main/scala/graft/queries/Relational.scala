@@ -1129,6 +1129,34 @@ object Relational {
         s.table("events"), Seq("event_type", "props", "user_id", "value"))
     },
 
+    // The q67b profile's 100 TB path: HLL cardinalities per column instead
+    // of exact distincts, oracle-checked as an accuracy contract (q21b
+    // pattern) — the oracle computes the exact counts, the engine asserts
+    // every estimate lands within 3·rsd of them.
+    QDef.df("q67c_cardinality_profile", {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS exact_distinct,
+           |       true AS within_bound FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }) { (s, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+      val o = Tables.table(s, dir, "orders")
+      val prof = graft.inspect.Inspection.cardinalityProfile(o, cols, rsd = 0.05)
+      val exactStack = o
+        .agg(count_distinct(col(cols.head)).as(s"__e_${cols.head}"),
+          cols.tail.map(c => count_distinct(col(c)).as(s"__e_$c")): _*)
+        .selectExpr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', `__e_$c`").mkString(", ") +
+          ") AS (column_name, exact_distinct)")
+      prof.join(exactStack, "column_name")
+        .select(col("column_name"), col("n_rows"),
+          col("exact_distinct").cast("bigint").as("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.15).as("within_bound"))
+    },
+
     // ---------------------------------------------------------- set ops
     QDef.shared(
       "q43_union_all",
