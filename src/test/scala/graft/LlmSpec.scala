@@ -369,6 +369,37 @@ class LlmSpec extends SparkSpec {
     ids.zip(feats).foreach { case (id, f) => assert(f == lookup(id), s"id $id misaligned") }
   }
 
+  test("incremental corpus dedup: fingerprint store in the snapshot sink filters re-ingestion") {
+    // the continuous-ingestion composition: the historical fingerprint set
+    // lives in a snapshot-sink table; each incoming batch anti-joins it,
+    // survivors' fingerprints are upserted — dedup against EVERYTHING ever
+    // ingested with per-batch work O(batch), and replay-idempotent via the
+    // sink's merge semantics.
+    import graft.sink.{DeleteMode, SnapshotParquetSink}
+    val sink = new SnapshotParquetSink(tmpDir("fp_store"), nBuckets = 4)
+    def ingest(docs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val fps = TextAnalysis.fingerprint(docs) // (doc_id, fp), fp text-derived
+      val fresh =
+        if (sink.currentVersion.isEmpty) fps
+        else fps.join(sink.read(spark, DeleteMode.Hard).select("fp"), Seq("fp"), "left_anti")
+      val kept = fresh.select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (kept.nonEmpty) sink.merge(
+        kept.toDF("doc_id", "fp")
+          .select($"fp", $"doc_id", lit(0L).as("seq"), lit(false).as("is_delete")),
+        Seq("fp"), "seq", "is_delete")
+      kept.map(_._1).toSet
+    }
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    assert(ingest(b0) == Set(1L, 2L))
+    // doc 3 re-ingests doc 1's text (identical fingerprint); doc 4 is new
+    val b1 = Seq((3L, "alpha beta gamma"), (4L, "zeta eta")).toDF("doc_id", "text")
+    assert(ingest(b1) == Set(4L))
+    // replaying the whole batch is a no-op — everything is fingerprinted now
+    assert(ingest(b1) == Set.empty[Long])
+    assert(sink.read(spark, DeleteMode.Hard).count() == 3)
+  }
+
   test("tokenDiversity: Simpson numerator separates repeated from diverse docs") {
     val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
     val out = TextAnalysis.tokenDiversity(docs).collect()
