@@ -738,6 +738,28 @@ object Relational {
         |      FROM lineitem WHERE l_orderkey < 100) t
         |WHERE rn <= 3""".stripMargin),
 
+    // The no-window scale path of q42, sharing its oracle verbatim: a
+    // bounded-state Aggregator keeps ≤ k entries per group, so partial
+    // aggregation caps shuffle volume at O(groups·k) — the window
+    // formulation shuffles every row of every group. Prices ride as exact
+    // cents so the long-typed aggregator loses nothing.
+    QDef.df("q42b_topk_agg",
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING) AS price
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |             row_number() OVER (PARTITION BY l_orderkey
+        |                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |      FROM lineitem WHERE l_orderkey < 100) t
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          col("l_linenumber").cast("long").as("ln"))
+      graft.engine.TopKAggregator.topKPerGroup(li, "l_orderkey", col("cents"), col("ln"), 3)
+        .select(col("l_orderkey"), col("tie").cast("int").as("l_linenumber"),
+          (col("value").cast("decimal(38,4)") / 100).cast("decimal(18,2)")
+            .cast("string").as("price"))
+    },
+
     // TPC-H Q3 shape: 3-way join, filtered, grouped, top-10 by revenue
     QDef.sql(
       "q48_tpch_q3",

@@ -107,6 +107,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k aggregator equals the window formulation on random groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 9L), Gen.choose(0L, 500L)))
+    val rows = Iterator.continually(gen.sample).flatten.take(1).next()
+      .zipWithIndex.map { case ((g, v, _), i) => (g, v, i.toLong) } // unique tie ids
+    val df = rows.toDF("g", "v", "tie").repartition(7)
+    val got = graft.engine.TopKAggregator.topKPerGroup(df, "g", col("v"), col("tie"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, es) =>
+      es.map(e => (e._2, e._3)).sortBy { case (v, t) => (-v, t) }.take(3)
+        .map { case (v, t) => (g, v, t) }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("z-order interleave matches the bit-math reference on random coordinates") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
