@@ -314,6 +314,24 @@ object Dedup {
   /** Pairwise Jaccard over distinct n-gram shingles (small-n baseline; the
     * scale path feeds [[shingles]] into the MinHash pipeline instead).
     */
+  /** Exact repeated-span detection (the substring-dedup pass of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022,
+    * at word-shingle granularity): `k`-token spans occurring verbatim in
+    * more than one document, with document frequency and the offending id
+    * range. Candidate generation is a grouped count keyed on the span — ONE
+    * hash shuffle, never pairwise over documents; at 100 TB the shuffle key
+    * would be `xxhash64(span)` (8-byte keys, identical plan shape) with an
+    * equality re-check on collision-suspect groups.
+    */
+  def spanDedup(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingles(docs, k, idCol, textCol).distinct()
+      .groupBy(col("sh").as("span"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val t = shingles(docs, n).distinct().withColumnRenamed("sh", "tok")
     val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -315,6 +315,59 @@ object TextAnalysis {
         count_distinct(when(col("cf") <= rareMax, col("tok"))).cast("bigint").as("rare_types"))
   }
 
+  /** RAG-style chunking: each document's token stream cut into chunks of
+    * `chunkTokens` tokens starting every `strideTokens` (overlap =
+    * chunk − stride); the final chunks truncate at the document end. Pure
+    * per-row array arithmetic (`sequence` + `explode` + `slice`) — no
+    * window, no shuffle: chunking 100 TB is embarrassingly parallel and
+    * stays inside whole-stage codegen. Chunk identity is the md5 of the
+    * joined token span, so chunk-level dedup/indexing downstream joins on a
+    * fixed-width key instead of the text.
+    */
+  def chunkWithOverlap(docs: DataFrame, chunkTokens: Int, strideTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(strideTokens > 0 && chunkTokens >= strideTokens,
+      s"stride must be in (0, chunk]; got chunk=$chunkTokens stride=$strideTokens")
+    val s = strideTokens.toLong
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("__n"),
+        // n ≥ 1 always (split yields [""] for empty text), so the double
+        // division truncates to the exact floor for any real doc length
+        explode(sequence(lit(0L),
+          ((size(col("__toks")).cast("long") - 1) / s).cast("long"))).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * s).as("start_tok"),
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_idx") * s).as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), (col("chunk_idx") * s + 1).cast("int"),
+            lit(chunkTokens)))).as("chunk_md5"))
+  }
+
+  /** Inverted-index posting lists: per token, document frequency and the
+    * sorted posting list, for tokens with df in [minDf, maxDf]. The df
+    * bound is applied BEFORE postings are collected (grouped count →
+    * filter → semi-join back), so per-group aggregation state is bounded
+    * by maxDf — an unguarded `collect_set` over a Zipf head token would
+    * hold millions of ids in one group at 100 TB. Real index builds shard
+    * the unbounded head separately; this operator is the bounded tail.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long, maxDf: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val dfs = t.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    t.join(dfs, "tok")
+      .groupBy("tok", "df")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_set(col("doc_id"))), _.cast("string"))).as("postings"))
+      .select(col("tok"), col("df").cast("bigint").as("df"), col("postings"))
+  }
+
   /** Sequence-length histogram for batch packing: token counts bucketed by
     * `bucketTokens`, capped at `maxBucket` (the overflow bucket). The
     * shape a packing scheduler needs to pick batch geometry at 100 TB —

@@ -155,6 +155,27 @@ object Llm {
           col("jaccard").cast("decimal(38,4)").cast("string").as("jaccard"))
     },
 
+    // Exact repeated-span detection (word-shingle substring dedup, the Lee
+    // et al. pass): 8-token spans verbatim-shared across documents. Engine
+    // = one grouped count on the span (Dedup.spanDedup); oracle = the q88
+    // shingle CTE shape at k=8 plus the same grouped count.
+    QDef.df("q88b_span_dedup", {
+      val k = 8
+      val leads = (1 until k).map(i => s"lead(tok, $i) OVER w").toList
+      val parts = ("tok" :: leads).mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         |            FROM documents WHERE doc_id < 200),
+         |sh0 AS (SELECT doc_id, $parts AS sh, lead(tok, ${k - 1}) OVER w AS tl
+         |        FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE tl IS NOT NULL)
+         |SELECT sh AS span, CAST(count(*) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM sh GROUP BY sh HAVING count(*) >= 2""".stripMargin
+    }) { (s, dir) =>
+      Dedup.spanDedup(Tables.table(s, dir, "documents").filter(col("doc_id") < 200), k = 8)
+    },
+
     // embedding-cosine near-dup (semantic dedup; vec_id<100, low threshold
     // so the synthetic random vectors yield non-trivial pairs)
     QDef.df("q93_embedding_neardup",
@@ -353,6 +374,23 @@ object Llm {
         .select(explode(split(col("text"), " ")).as("word"))
       graft.llm.HeavyHitters.topExact(toks, col("word"), m = 20, k = 2000)
         .withColumnRenamed("item", "word")
+    },
+
+    // Inverted-index posting lists over the rare-token tail (df in [2,4],
+    // so postings are bounded by construction — the df filter runs BEFORE
+    // collection; see TextAnalysis.invertedIndex scale note).
+    QDef.df("q84e_inverted_index",
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200) x),
+        |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY tok
+        |      HAVING count(*) BETWEEN 2 AND 4)
+        |SELECT d.tok, d.df,
+        |       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+        |FROM t JOIN d ON t.tok = d.tok
+        |GROUP BY d.tok, d.df""".stripMargin) { (s, dir) =>
+      TextAnalysis.invertedIndex(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 200), minDf = 2, maxDf = 4)
     },
 
     // BPE-style pre-token counts vs whitespace tokens per doc.
@@ -753,6 +791,26 @@ object Llm {
       TextAnalysis.packSequences(Tables.table(s, dir, "documents"), 512L) { packed =>
         QDef.localized(s, packed)
       }
+    },
+
+    // RAG chunking: 64-token chunks every 48 tokens (16-token overlap).
+    // Engine is pure per-row array arithmetic (no shuffle — PlanSpec pins
+    // it); the oracle re-derives every boundary and the md5 of every chunk
+    // via list_slice at the same offsets.
+    QDef.df("q98c_chunk_overlap",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |            FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, arr,
+        |             unnest(range(0, 1 + (len(arr) - 1) // 48)) AS chunk_idx
+        |      FROM tk)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+        |       CAST(least(64, len(arr) - chunk_idx * 48) AS BIGINT) AS n_toks,
+        |       md5(array_to_string(list_slice(arr, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+        |FROM c""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunkWithOverlap(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 100),
+        chunkTokens = 64, strideTokens = 48)
     },
 
     // ------------------------------------------------------- multimodal

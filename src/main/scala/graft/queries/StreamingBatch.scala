@@ -125,6 +125,28 @@ object StreamingBatch {
          |SELECT c.cohort, w.wk - c.cohort AS week_offset,
          |       CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
          |FROM w JOIN c ON w.user_id = c.user_id
-         |GROUP BY c.cohort, w.wk - c.cohort""".stripMargin)
+         |GROUP BY c.cohort, w.wk - c.cohort""".stripMargin),
+
+    // Event-type transition matrix (the Markov-chain view of user paths):
+    // consecutive event pairs per user via lag over (ts, event_id), counted
+    // per (prev, next). One per-user window partitioned by user_id — the
+    // partition key carries the shuffle; no global window anywhere.
+    QDef.sql(
+      "q74c_transitions",
+      """WITH t AS (SELECT user_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS prev_type
+        |           FROM events)
+        |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin,
+      s"""$E,
+         |t AS (SELECT user_id, event_type,
+         |             lag(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) AS prev_type
+         |      FROM e)
+         |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS cnt
+         |FROM t WHERE prev_type IS NOT NULL
+         |GROUP BY prev_type, event_type""".stripMargin)
   )
 }

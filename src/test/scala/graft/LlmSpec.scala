@@ -498,4 +498,45 @@ class LlmSpec extends SparkSpec {
     assert(centroid == Seq(Math.floorDiv(-4096L - 1229L + 1638L, 3L)))
     assert(centroid == Seq(-1229L))
   }
+
+  test("spanDedup: cross-doc spans surface once, within-doc repeats don't count") {
+    val d = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "a quick brown fox jumps"),
+      (2L, "p q p q p q"), // repeats its own spans, shares none
+      (3L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d, k = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("quick brown fox" -> ((2L, 0L, 1L))))
+  }
+
+  test("chunkWithOverlap: stride-aligned starts, truncated tail, md5 of the joined span") {
+    val d = Seq((0L, (0 until 10).map(i => s"t$i").mkString(" ")), (1L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWithOverlap(d, chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc0 = got.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10 tokens, starts 0,3,6,9; last chunk truncates to 1 token
+    assert(doc0.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val last = got.filter(r => r.getLong(0) == 0L && r.getLong(1) == 3L).head
+    assert(last.getString(4) == md5hex("t9"))
+    // empty text = one chunk holding the single empty token (tokens() convention)
+    val doc1 = got.filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getLong(3)))
+    assert(doc1.toSeq == Seq((0L, 1L)))
+    assert(got.filter(_.getLong(0) == 1L).head.getString(4) == md5hex(""))
+  }
+
+  test("invertedIndex: df-bounded postings, sorted ids, head tokens excluded") {
+    val d = Seq((0L, "a b"), (1L, "a c"), (2L, "a d"), (3L, "b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(d, minDf = 2, maxDf = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // df(a)=3 exceeds maxDf, df(c)=df(d)=1 below minDf; b appears in docs 0,3
+    // (twice in doc 3 — postings are per-doc distinct)
+    assert(got == Map("b" -> ((2L, "0,3"))))
+  }
 }

@@ -141,6 +141,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), p)
   }
 
+  test("q98c: chunking is narrow per-row work — no exchange, no window, pruned scan") {
+    val p = plan("q98c_chunk_overlap")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // sequence-explode, not a per-token shuffle
+  }
+
   test("k-means assignment is narrow: no join, no exchange, no window over the corpus") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val m = graft.llm.KMeans.train(emb, k = 4, iters = 1)
