@@ -18,8 +18,21 @@ object GraftFunctions {
   /** Idempotent per-session registration of all graft functions. */
   def register(spark: SparkSession): Unit =
     if (registered.add(spark)) {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      // Runtime-filter primitives (the same Catalyst expressions Spark's
+      // InjectRuntimeFilter composes, exposed as functions so the engine can
+      // build join-pruning blooms on ITS schedule — see engine.BloomPrune):
+      // bloom_build(key, estimatedItems) aggregates xxhash64(key) into a
+      // serialized bloom; bloom_might_contain(bloomBinary, key) probes it.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_build",
+        exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs(0))), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_might_contain",
+        exprs => BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))), "built-in")
     }
 
   /** Codegen cosine similarity (see [[CosineSimilarity]]); requires

@@ -157,6 +157,29 @@ object Relational {
             .cast(DecimalType(38, 2)).cast("string").as("sum_price"))
     },
 
+    // Bloom-pruned join (runtime-filter pattern, driven explicitly): the
+    // lineitem side is filtered through a bloom of the selective part-key
+    // set BEFORE any exchange; the exact join then removes false positives,
+    // so the result is row-identical to the plain join the oracle runs.
+    QDef.df("q11b_bloom_join",
+      """SELECT p_brand, count(*) AS cnt,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+      val p = Tables.table(s, dir, "part").filter(col("p_size") === 1)
+      // expectedItems sized to the selective key set (p_size=1 ≈ 2% of
+      // part), keeping the bloom literal KBs instead of the 1M default's MB
+      graft.engine.BloomPrune.prunedJoin(li, p, "l_partkey", "p_partkey",
+        expectedItems = 1L << 16)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast("string").as("sum_qty"))
+    },
+
     QDef.sql(
       "q12_sortmerge_join",
       """SELECT /*+ MERGE(lineitem) */ o_orderstatus, count(*) AS cnt

@@ -453,4 +453,20 @@ class StreamingOpsSpec extends SparkSpec {
     val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("bloom-pruned join: row-identical to the plain join, actually prunes, empty dim safe") {
+    import graft.engine.BloomPrune
+    val big = (0 until 20000).map(i => (i.toLong % 1000, s"v$i")).toDF("k", "payload")
+    val dim = Seq((7L, "a"), (13L, "b"), (999L, "c")).toDF("dk", "d")
+    val plain = big.join(dim, big("k") === dim("dk"))
+    val pruned = BloomPrune.prunedJoin(big, dim, "k", "dk", expectedItems = 1000)
+    assert(pruned.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // the semi filter really drops non-matching rows before the join
+    val kept = BloomPrune.semiFilter(big, $"k", dim, $"dk", expectedItems = 1000).count()
+    assert(kept < 20000, s"bloom kept $kept of 20000 — no pruning happened")
+    assert(kept >= 60, "bloom must never drop true matches (3 keys x 20 rows)")
+    // empty small side: empty result, schema preserved
+    val emptyDim = dim.filter($"dk" < 0)
+    assert(BloomPrune.prunedJoin(big, emptyDim, "k", "dk").count() == 0)
+  }
 }
