@@ -115,6 +115,29 @@ object CdcStream {
     val batch = transform(spec.cdcSource.batch(spark), spec)
     spec.sink.merge(batch, presentMergeKeys(spec, batch), "seq", "is_delete")
   }
+
+  /** Snapshot bootstrap — the initial-sync → streaming handoff every CDC
+    * replication starts with (Debezium's "initial snapshot" mode; the
+    * reference's outputs likewise begin from a consistent source extract
+    * before consuming the change stream). `snapshot` is a FULL-TABLE
+    * extract already in sink shape (`primary_key`, `row_*` columns, plus a
+    * per-row `seq` carrying the log position the extract observed — NOT a
+    * CDC event envelope): it is merged first, then the continuous query
+    * starts with the spec's own start point. The handoff needs no exact
+    * cutover coordination: replayed change events at-or-below the
+    * snapshot's seq lose last-write-wins, later events win — overlap is
+    * idempotent, gaps are impossible as long as the stream replays from
+    * at-or-before the extract moment.
+    */
+  def bootstrap(spark: SparkSession, spec: CdcStreamSpec, snapshot: DataFrame): StreamingQuery = {
+    require(snapshot.columns.contains("seq"),
+      "snapshot must carry the per-row log position as `seq` (the extract's read point)")
+    val withDelete =
+      if (snapshot.columns.contains("is_delete")) snapshot
+      else snapshot.withColumn("is_delete", lit(false))
+    spec.sink.merge(withDelete, presentMergeKeys(spec, withDelete), "seq", "is_delete")
+    start(spark, spec)
+  }
 }
 
 /** R19/R23/R24: schema-evolution orchestration. The reference's

@@ -92,6 +92,27 @@ class CdcStreamingSpec extends SparkSpec {
     assert(got == expectedKeys(in))
   }
 
+  test("snapshot bootstrap: initial extract + partial-history stream converge gap-free") {
+    // History split: the extract covers lines [0, 1200); the stream only
+    // ever sees lines [900, end) — a 300-line overlap and an 900-line gap
+    // the snapshot alone must supply. Converging to the full-history batch
+    // materialization proves the handoff is gap-free and overlap-idempotent
+    // (replayed events at-or-below the snapshot's seq lose last-write-wins).
+    val snapIn = tmpDir("cdc_snap_src"); val in = tmpDir("cdc_in")
+    val ckpt = tmpDir("cdc_ckpt"); val sinkDir = tmpDir("cdc_sink") + "/orders"
+    writeChunk(snapIn, "full.jsonl", fixtureLines.take(1200))
+    writeChunk(in, "tail.jsonl", fixtureLines.drop(900))
+    val snapshot = CdcPipeline.materialize(CdcPipeline.readBatch(spark, snapIn), ordersSpec)
+    val sink = new LocalParquetSink(sinkDir)
+    val q = CdcStream.bootstrap(spark, CdcStreamSpec(in, ckpt, ordersSpec, sink), snapshot)
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    val got = sink.read(spark, DeleteMode.Hard).select("primary_key")
+      .collect().map(_.getString(0)).toSet
+    val full = tmpDir("cdc_full")
+    writeChunk(full, "all.jsonl", fixtureLines)
+    assert(got == expectedKeys(full))
+  }
+
   test("snapshot sink streams: micro-batch commits version history, replay stays exactly-once") {
     import graft.sink.SnapshotParquetSink
     val in = tmpDir("cdc_in"); val ckpt = tmpDir("cdc_ckpt")
