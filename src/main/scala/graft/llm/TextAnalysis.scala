@@ -315,6 +315,49 @@ object TextAnalysis {
         count_distinct(when(col("cf") <= rareMax, col("tok"))).cast("bigint").as("rare_types"))
   }
 
+  /** End-to-end keep/drop filter decision (the Gopher/C4-style quality
+    * gate): every rule is integer-exact (thresholds cross-multiplied, no
+    * ratio ever materialized) and every signal — token count, average
+    * token length, stopword hits, distinct-trigram repetition — is pure
+    * per-row array arithmetic. No shuffle anywhere: the 100 TB filter pass
+    * is scan-bound and embarrassingly parallel. `reason` is the FIRST
+    * failing rule in documented order (short → long → tok_len →
+    * low_stopwords → repetitive), so drop reasons are stable for
+    * monitoring; `keepCols` passes corpus columns (e.g. source, lang)
+    * through to downstream rollups without a join.
+    */
+  def filterPipeline(docs: DataFrame, minTokens: Long = 10, maxTokens: Long = 5000,
+      keepCols: Seq[String] = Nil,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val passthrough = keepCols.map(col)
+    val staged = docs
+      .select(col(idCol).as("doc_id") +: col(textCol).as("__text") +:
+        tokens(col(textCol)).as("__toks") +: passthrough: _*)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__chars", length(col("__text")).cast("long"))
+      .withColumn("__stop",
+        size(filter(col("__toks"), x => x.isInCollection(Stopwords))).cast("long"))
+      .withColumn("__tri_distinct",
+        when(col("__n") >= 3,
+          size(array_distinct(transform(sequence(lit(0L), col("__n") - 3),
+            i => concat_ws(" ", slice(col("__toks"), (i + 1).cast("int"), lit(3))))))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("__tri_total", greatest(col("__n") - 2, lit(0L)))
+    // avg token length ∈ [2, 12] as integers: chars−(n−1) vs 2n / 12n;
+    // stop_ratio ≥ 2% as stop·50 ≥ n; repetition < 50% as 2·distinct ≥ total
+    val reason = when(col("__n") < minTokens, "too_short")
+      .when(col("__n") > maxTokens, "too_long")
+      .when((col("__chars") - (col("__n") - 1)) < col("__n") * 2 ||
+        (col("__chars") - (col("__n") - 1)) > col("__n") * 12, "tok_len")
+      .when(col("__stop") * 50 < col("__n"), "low_stopwords")
+      .when(col("__tri_total") > 0 && col("__tri_distinct") * 2 < col("__tri_total"),
+        "repetitive")
+      .otherwise("ok")
+    staged.select(col("doc_id") +: col("__n").as("tokens") +: reason.as("reason") +:
+      (reason === "ok").as("keep") +: passthrough: _*)
+  }
+
   /** RAG-style chunking: each document's token stream cut into chunks of
     * `chunkTokens` tokens starting every `strideTokens` (overlap =
     * chunk − stride); the final chunks truncate at the document end. Pure

@@ -475,6 +475,74 @@ object Llm {
       TextAnalysis.tokenDiversity(Tables.table(s, dir, "documents"))
     },
 
+    // End-to-end keep/drop decision: the Gopher/C4-style rule gate with
+    // every threshold cross-multiplied into exact integers (see
+    // TextAnalysis.filterPipeline). Oracle re-derives every rule.
+    QDef.df("q90e_filter_pipeline", {
+      val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      val caseExpr =
+        """CASE WHEN n < 10 THEN 'too_short'
+          |     WHEN n > 5000 THEN 'too_long'
+          |     WHEN (chars - (n - 1)) < 2 * n OR (chars - (n - 1)) > 12 * n THEN 'tok_len'
+          |     WHEN stop * 50 < n THEN 'low_stopwords'
+          |     WHEN tri_total > 0 AND tri_distinct * 2 < tri_total THEN 'repetitive'
+          |     ELSE 'ok' END""".stripMargin
+      s"""WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS arr FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(arr) AS BIGINT) AS n,
+         |        CAST(length(text) AS BIGINT) AS chars,
+         |        CAST(len(list_filter(arr, x -> x IN ($stop))) AS BIGINT) AS stop,
+         |        CASE WHEN len(arr) >= 3
+         |          THEN CAST(len(list_distinct(list_transform(range(1, len(arr) - 1),
+         |               i -> array_to_string(list_slice(arr, i, i + 2), ' ')))) AS BIGINT)
+         |          ELSE 0 END AS tri_distinct,
+         |        greatest(CAST(len(arr) AS BIGINT) - 2, 0) AS tri_total
+         |      FROM s)
+         |SELECT doc_id, n AS tokens, $caseExpr AS reason, ($caseExpr = 'ok') AS keep
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.filterPipeline(Tables.table(s, dir, "documents"))
+    },
+
+    // Per-source corpus health (the domain-level filter view a web-corpus
+    // pipeline ranks sources by): docs, kept docs, drop-reason spread,
+    // token volume — one grouped pass over the per-row decisions.
+    QDef.df("q90f_source_rollup", {
+      val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      val caseExpr =
+        """CASE WHEN n < 10 THEN 'too_short'
+          |     WHEN n > 5000 THEN 'too_long'
+          |     WHEN (chars - (n - 1)) < 2 * n OR (chars - (n - 1)) > 12 * n THEN 'tok_len'
+          |     WHEN stop * 50 < n THEN 'low_stopwords'
+          |     WHEN tri_total > 0 AND tri_distinct * 2 < tri_total THEN 'repetitive'
+          |     ELSE 'ok' END""".stripMargin
+      s"""WITH s AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS arr
+         |           FROM documents),
+         |m AS (SELECT doc_id, source, lang,
+         |        CAST(len(arr) AS BIGINT) AS n,
+         |        CAST(length(text) AS BIGINT) AS chars,
+         |        CAST(len(list_filter(arr, x -> x IN ($stop))) AS BIGINT) AS stop,
+         |        CASE WHEN len(arr) >= 3
+         |          THEN CAST(len(list_distinct(list_transform(range(1, len(arr) - 1),
+         |               i -> array_to_string(list_slice(arr, i, i + 2), ' ')))) AS BIGINT)
+         |          ELSE 0 END AS tri_distinct,
+         |        greatest(CAST(len(arr) AS BIGINT) - 2, 0) AS tri_total
+         |      FROM s)
+         |SELECT source, count(*) AS docs,
+         |       CAST(SUM(CASE WHEN $caseExpr = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+         |       CAST(SUM(n) AS BIGINT) AS total_tokens
+         |FROM m GROUP BY source""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.filterPipeline(Tables.table(s, dir, "documents"),
+          keepCols = Seq("source", "lang"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("kept"),
+          count_distinct(col("lang")).cast("bigint").as("langs"),
+          sum(col("tokens")).cast("bigint").as("total_tokens"))
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>

@@ -530,6 +530,23 @@ class LlmSpec extends SparkSpec {
     assert(got.filter(_.getLong(0) == 1L).head.getString(4) == md5hex(""))
   }
 
+  test("filterPipeline: first-failing-rule reasons, exact integer thresholds") {
+    val ok = "the " + (0 until 30).map(i => s"word$i of").mkString(" ") // stopwords + varied
+    val d = Seq(
+      (0L, "tiny doc"),                        // 2 tokens < 10 → too_short
+      (1L, (0 until 20).map(_ => "abcdefghijklmnopqrstuvwxyz").mkString(" ")), // avg len 26 → tok_len
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")), // no stopwords → low_stopwords
+      (3L, "the cat sat " * 30),                // trigram-repetitive but stopword-rich
+      (4L, ok)).toDF("doc_id", "text")
+    val got = TextAnalysis.filterPipeline(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == (("too_short", false)))
+    assert(got(1L) == (("tok_len", false)))
+    assert(got(2L) == (("low_stopwords", false)))
+    assert(got(3L) == (("repetitive", false)))
+    assert(got(4L) == (("ok", true)))
+  }
+
   test("invertedIndex: df-bounded postings, sorted ids, head tokens excluded") {
     val d = Seq((0L, "a b"), (1L, "a c"), (2L, "a d"), (3L, "b b"))
       .toDF("doc_id", "text")

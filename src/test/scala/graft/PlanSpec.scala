@@ -148,6 +148,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // sequence-explode, not a per-token shuffle
   }
 
+  test("q90e: the whole filter gate is per-row — no exchange, no join, no window") {
+    val p = plan("q90e_filter_pipeline")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("k-means assignment is narrow: no join, no exchange, no window over the corpus") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val m = graft.llm.KMeans.train(emb, k = 4, iters = 1)
