@@ -393,6 +393,26 @@ object Llm {
         Tables.table(s, dir, "documents").filter(col("doc_id") < 200), minDf = 2, maxDf = 4)
     },
 
+    // BPE vocab induction, step 1: the top-5 merge candidates (adjacent
+    // symbol pairs weighted by pre-token corpus frequency, ties broken
+    // lexicographically) over the distinct pre-token table — the ranking
+    // the first real merge is picked from. The iterative learn() loop is
+    // ScalaTest-covered (each later ranking depends on applied merges,
+    // which static SQL can't express).
+    QDef.df("q84f_bpe_pairs",
+      s"""WITH pt AS (SELECT unnest(regexp_extract_all(text, '${TextAnalysis.PreTokenRe}')) AS pt
+         |            FROM documents),
+         |f AS (SELECT pt, count(*) AS freq FROM pt GROUP BY pt),
+         |ix AS (SELECT pt, freq, unnest(range(1, length(pt))) AS i FROM f),
+         |c AS (SELECT substring(pt, i, 1) AS a, substring(pt, i + 1, 1) AS b,
+         |             CAST(SUM(freq) AS BIGINT) AS cnt
+         |      FROM ix GROUP BY 1, 2)
+         |SELECT a, b, cnt FROM c ORDER BY cnt DESC, a, b LIMIT 5""".stripMargin) { (s, dir) =>
+      graft.llm.Bpe.pairCounts(
+          graft.llm.Bpe.preTokenTable(Tables.table(s, dir, "documents")))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(5)
+    },
+
     // BPE-style pre-token counts vs whitespace tokens per doc.
     QDef.df("q84b_pretokenize",
       s"""SELECT doc_id,

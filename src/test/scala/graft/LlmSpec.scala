@@ -547,6 +547,32 @@ class LlmSpec extends SparkSpec {
     assert(got(4L) == (("ok", true)))
   }
 
+  test("BPE learn: textbook merge sequence with lexicographic tie-breaks") {
+    import graft.llm.Bpe
+    val d = Seq(
+      (0L, "low low low low low"), (1L, "lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val (merges, table) = Bpe.learn(d, iters = 3)
+    // pair counts: e-s 9 ties s-t 9 → 'e'<'s'; then es-t 9; then l-o 7 ties o-w 7
+    assert(merges.map(m => (m.a, m.b, m.cnt)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
+    val sym = table.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(sym("newest") == Seq("n", "e", "w", "est"))
+    assert(sym("widest") == Seq("w", "i", "d", "est"))
+    assert(sym("low") == Seq("lo", "w"))
+  }
+
+  test("BPE merge application is greedy left-to-right (overlapping pairs)") {
+    import graft.llm.Bpe
+    val d = Seq((Seq("a", "a", "a"), 0), (Seq("x", "a", "a", "y"), 1))
+      .toDF("symbols", "id")
+    val got = d.withColumn("m", expr(Bpe.mergeExpr("symbols", "a", "a")))
+      .orderBy("id").collect().map(_.getSeq[String](2))
+    assert(got(0) == Seq("aa", "a")) // greedy: first pair merges, tail survives
+    assert(got(1) == Seq("x", "aa", "y"))
+  }
+
   test("invertedIndex: df-bounded postings, sorted ids, head tokens excluded") {
     val d = Seq((0L, "a b"), (1L, "a c"), (2L, "a d"), (3L, "b b"))
       .toDF("doc_id", "text")
