@@ -119,4 +119,32 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
   }
+
+  /** Symmetric int8 quantization profile — the vector-DB compression pass
+    * (4× over float32) with an engine-reproducible contract: codes are
+    * `floor(x·127 / absmax)` in IEEE double (multiply, divide, floor are
+    * all correctly-rounded, so both engines produce identical integers —
+    * never round-half, which splits up/even across engines). Emits the
+    * floor-quantized scale plus exact-integer code aggregates (sum,
+    * position-weighted sum, min, max) — the checksum view a migration
+    * validates against, element order pinned by the weighted sum. Pure
+    * per-row array arithmetic; zero-vector rows quantize to all-zero codes.
+    */
+  def quantizeInt8Profile(vectors: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val d = asDouble(col(embCol))
+    val absmax = array_max(transform(d, x => abs(x)))
+    val codes = when(absmax === 0.0, transform(d, _ => lit(0L)))
+      .otherwise(transform(d, x => floor(x * 127.0 / absmax).cast("long")))
+    vectors.select(
+      col(idCol),
+      floor(absmax * 10000).cast("bigint").as("scale_q"),
+      aggregate(codes, lit(0L), (acc, x) => acc + x).as("code_sum"),
+      aggregate(
+        zip_with(codes, sequence(lit(0L), size(col(embCol)).cast("long") - 1),
+          (c, i) => c * i),
+        lit(0L), (acc, x) => acc + x).as("code_wsum"),
+      array_min(codes).cast("bigint").as("code_min"),
+      array_max(codes).cast("bigint").as("code_max"))
+  }
 }

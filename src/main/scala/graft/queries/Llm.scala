@@ -243,6 +243,30 @@ object Llm {
         floor(Similarity.dotD(nv, nv) * 100000000).cast("bigint").as("post_q"))
     },
 
+    // Symmetric int8 quantization (vector-DB compression): codes are
+    // floor(x·127/absmax) in IEEE double — multiply/divide/floor are
+    // correctly rounded, so the integer codes match across engines exactly
+    // (round-half would split up/even). Order pinned by the weighted sum.
+    QDef.df("q82c_int8_quantize",
+      s"""$V,
+         |m AS (SELECT vec_id, ve,
+         |             list_max(list_transform(ve, x -> abs(x))) AS absmax FROM v),
+         |q AS (SELECT vec_id, absmax,
+         |             CASE WHEN absmax = 0 THEN list_transform(ve, x -> CAST(0 AS BIGINT))
+         |                  ELSE list_transform(ve, x -> CAST(floor(x * 127 / absmax) AS BIGINT))
+         |             END AS codes
+         |      FROM m)
+         |SELECT vec_id,
+         |       CAST(floor(absmax * 10000) AS BIGINT) AS scale_q,
+         |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |       CAST(list_sum(list_transform(range(1, len(codes) + 1),
+         |            i -> codes[i] * (i - 1))) AS BIGINT) AS code_wsum,
+         |       CAST(list_min(codes) AS BIGINT) AS code_min,
+         |       CAST(list_max(codes) AS BIGINT) AS code_max
+         |FROM q""".stripMargin) { (s, dir) =>
+      Similarity.quantizeInt8Profile(Tables.table(s, dir, "embeddings"))
+    },
+
     QDef.df("q89_ann_topk",
       s"""$V,
          |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),

@@ -547,6 +547,18 @@ class LlmSpec extends SparkSpec {
     assert(got(4L) == (("ok", true)))
   }
 
+  test("int8 quantize: exact codes, order-pinning weighted sum, zero-vector safe") {
+    val d = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8Profile(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // absmax=1.0 → codes floor([127, -63.5, 31.75]) = [127, -64, 31]
+    assert(got(0L) == ((10000L, 127L - 64L + 31L, -64L + 62L, -64L, 127L)))
+    assert(got(1L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("BPE learn: textbook merge sequence with lexicographic tie-breaks") {
     import graft.llm.Bpe
     val d = Seq(
