@@ -102,4 +102,51 @@ object Ranking {
         .otherwise(lit(rem) + ((col("__idx") - cut) / math.max(base, 1)).cast("long") + 1)
       consume(indexed.withColumn("tile", tile).drop("__idx"))
     }
+
+  /** EXACT lower (discrete) quantile at scale. Spark's built-in
+    * `percentile` buffers every value of the aggregation in memory — fatal
+    * on a 100 TB column; `approx_percentile` is bounded but approximate.
+    * This returns the exact order statistic at rank
+    * `floor((n−1)·q) + 1` in a bounded number of distributed passes:
+    *
+    *   1. approx sketch brackets the answer — rank error ≤ n/accuracy by
+    *      the GK guarantee, so the bracket holds ~n/accuracy·4 rows;
+    *   2. one count below the bracket fixes the subset's rank offset;
+    *   3. the subset ranks distributedly via [[withGlobalIndex]] (range
+    *      partition + zipWithIndex — never one task) and row
+    *      `r − below − 1` is the answer.
+    *
+    * The bracket is verified against the counts and widened (×4) if the
+    * sketch under-delivered — at the documented accuracy that loop does not
+    * trigger; it is a correctness backstop, not a hot path. Returns None on
+    * an empty / all-null column.
+    */
+  def exactQuantile(df0: DataFrame, valueCol: Column, q: Double,
+      accuracy: Int = 10000): Option[Any] = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]; got $q")
+    val df = df0.select(valueCol.as("__v")).filter(col("__v").isNotNull)
+    val n = df.count()
+    if (n == 0) return None
+    val r = math.floor((n - 1) * q).toLong + 1 // 1-based lower-quantile rank
+    var epsRanks = math.max(n / accuracy, 1L)
+    var attempt = 0
+    while (attempt < 20) {
+      val qlo = math.max(0.0, q - epsRanks.toDouble * 2 / n)
+      val qhi = math.min(1.0, q + epsRanks.toDouble * 2 / n)
+      val b = df.agg(percentile_approx(col("__v"),
+        array(lit(qlo), lit(qhi)), lit(accuracy)).as("b")).head.getSeq[Any](0)
+      val (lo, hi) = (b(0), b(1))
+      val below = df.filter(col("__v") < lit(lo)).count()
+      val subset = df.filter(col("__v") >= lit(lo) && col("__v") <= lit(hi))
+      val inCount = subset.count()
+      if (below < r && below + inCount >= r)
+        return Some(withGlobalIndex(subset, Seq(col("__v"))) { idx =>
+          idx.filter(col("__idx") === (r - below - 1)).head.get(0)
+        })
+      epsRanks *= 4
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"exactQuantile bracket never converged (n=$n, q=$q) — sketch misbehaving")
+  }
 }

@@ -505,6 +505,32 @@ object Relational {
             col("le") >= floor(col("n") * 0.45)).as("within_bounds"))
     },
 
+    // EXACT quantiles through the scalable path (Ranking.exactQuantile:
+    // approx bracket → below-count → distributed rank inside the bracket) —
+    // Spark's built-in percentile buffers whole columns per group, this
+    // never holds more than the bracket. Oracle derives the same order
+    // statistic rank by window arithmetic; values are exact decimals.
+    QDef.df("q29c_exact_quantile",
+      """WITH s AS (SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |                  count(*) OVER () AS n FROM orders)
+        |SELECT '0.5' AS p, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS v FROM s
+        |WHERE rn = floor((n - 1) * 0.5) + 1
+        |UNION ALL
+        |SELECT '0.9' AS p, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS v FROM s
+        |WHERE rn = floor((n - 1) * 0.9) + 1""".stripMargin) { (s, dir) =>
+      val price = Tables.table(s, dir, "orders").select(col("o_totalprice"))
+      val rows = Seq("0.5", "0.9").map { p =>
+        val v = graft.engine.Ranking
+          .exactQuantile(price, col("o_totalprice"), p.toDouble).get
+        (p, v.asInstanceOf[Double])
+      }
+      import s.implicits._
+      // money-valued doubles round to 2 decimals identically on both
+      // engines (no exact .005 boundary exists in binary64)
+      rows.toDF("p", "__v")
+        .select(col("p"), col("__v").cast("decimal(18,2)").cast("string").as("v"))
+    },
+
     // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
     // count-distinct) — engine-only: HLL sketches differ across engines.
     // HLL sketch values aren't oracle-reproducible, but the sketch's CLAIM

@@ -454,6 +454,20 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exactQuantile: matches the sorted order statistic, edges and duplicates included") {
+    import graft.engine.Ranking
+    // deterministic values with heavy duplicates and a skewed tail
+    val vals = (0 until 5000).map(i => ((i * 2654435761L) % 97) * ((i % 7) + 1))
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val expected = sorted(math.floor((vals.size - 1) * q).toInt)
+      val got = Ranking.exactQuantile(df, $"v", q).get.asInstanceOf[Long]
+      assert(got == expected, s"q=$q")
+    }
+    assert(Ranking.exactQuantile(df.filter($"v" < 0), $"v", 0.5).isEmpty)
+  }
+
   test("bloom-pruned join: row-identical to the plain join, actually prunes, empty dim safe") {
     import graft.engine.BloomPrune
     val big = (0 until 20000).map(i => (i.toLong % 1000, s"v$i")).toDF("k", "payload")
