@@ -28,6 +28,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
         graft.functions.CosineSimilarity(exprs(0), exprs(1))
       }))
+    // runtime-filter primitives (see GraftFunctions.register / BloomPrune)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_build"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"bloom_build(key, estimatedItems): got ${exprs.length} args")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.LongType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"bloom_might_contain(bloom, key): got ${exprs.length} args")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }

@@ -29,7 +29,10 @@ object BloomPrune {
 
   /** `big` minus the rows whose `bigKey` is provably absent from
     * `small`'s `smallKey` set. An empty small side yields an empty result
-    * (the aggregate returns no bloom to probe).
+    * (the aggregate returns no bloom to probe). The two key columns must
+    * share a data type — the bloom stores xxhash64 of the key, and INT
+    * and BIGINT (or INT and STRING) hash differently, exactly like any
+    * hash-join key contract.
     */
   def semiFilter(big: DataFrame, bigKey: Column, small: DataFrame, smallKey: Column,
       expectedItems: Long = 1L << 20): DataFrame = {

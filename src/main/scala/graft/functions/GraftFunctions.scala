@@ -29,7 +29,11 @@ object GraftFunctions {
       // serialized bloom; bloom_might_contain(bloomBinary, key) probes it.
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bloom_build",
-        exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs(0))), exprs(1)), "built-in")
+        exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs(0))),
+          // int literals coerce to the required BIGINT (cast of a literal
+          // stays foldable, which the aggregate requires)
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.LongType)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bloom_might_contain",
         exprs => BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))), "built-in")

@@ -28,6 +28,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c").head.getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
       assert(s2.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy))
+      // runtime-filter pair round-trips through SQL: build a bloom over
+      // 0..99, probe a member and a non-member (probe type must match the
+      // build side's — xxhash64 of INT and BIGINT differ, same as any
+      // hash-join key contract)
+      val probes = s2.sql(
+        """SELECT bloom_might_contain((SELECT bloom_build(id, 100) FROM range(100)),
+          |                           CAST(50 AS BIGINT)) AS yes,
+          |       bloom_might_contain((SELECT bloom_build(id, 100) FROM range(100)),
+          |                           CAST(12345 AS BIGINT)) AS no
+          |""".stripMargin).head
+      assert(probes.getBoolean(0))
+      assert(!probes.getBoolean(1))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
