@@ -294,22 +294,22 @@ object Dedup {
   }
 
   // ------------------------------------------------- n-gram shingles
-  /** Word n-gram shingles in document order: (doc_id, shingle). */
+  /** Word n-gram shingles in document order: (doc_id, shingle). Pure
+    * per-row array arithmetic (slice over the token array) — NO window and
+    * no exchange: the earlier posexplode + per-doc-window form shuffled and
+    * sorted the entire exploded token table just to look ahead n−1 rows,
+    * a full-corpus exchange this formulation never pays. Documents shorter
+    * than n yield no shingles (and the size guard keeps `sequence`
+    * ascending).
+    */
   def shingles(docs: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    // materialize the lead columns first — a window expression can't sit in
-    // a filter directly
-    val withLeads = (1 until n).foldLeft(toks) { (df, k) =>
-      df.withColumn(s"__t$k", lead(col("tok"), k).over(w))
-    }
-    val parts = col("tok") +: (1 until n).map(k => col(s"__t$k"))
-    withLeads
-      .filter(col(s"__t${n - 1}").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("sh"))
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("sh"))
 
   /** Pairwise Jaccard over distinct n-gram shingles (small-n baseline; the
     * scale path feeds [[shingles]] into the MinHash pipeline instead).

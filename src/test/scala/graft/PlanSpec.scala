@@ -148,6 +148,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // sequence-explode, not a per-token shuffle
   }
 
+  test("q88b: shingle construction is per-row — no window; only the dedup/count exchanges") {
+    val p = plan("q88b_span_dedup")
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange""")) <= 2, p)
+  }
+
   test("q90e: the whole filter gate is per-row — no exchange, no join, no window") {
     val p = plan("q90e_filter_pipeline")
     assert(!p.contains("Exchange"), p)
