@@ -147,6 +147,32 @@ object StreamingBatch {
          |      FROM e)
          |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS cnt
          |FROM t WHERE prev_type IS NOT NULL
-         |GROUP BY prev_type, event_type""".stripMargin)
+         |GROUP BY prev_type, event_type""".stripMargin),
+
+    // User-journey path mining (q74c's higher-order sibling): top-10
+    // 3-step event-type paths across all users. Per-user ordered sequences
+    // via sort_array(collect_list(struct(ts, event_id, type))) — state is
+    // bounded by per-user event counts (at 100 TB a heavy-user cap or a
+    // session_window pre-split bounds the group before collection); path
+    // extraction is the windowless array-slice shingle.
+    QDef.sql(
+      "q74d_top_paths",
+      """WITH u AS (SELECT user_id,
+        |             transform(sort_array(collect_list(struct(ts, event_id, event_type))),
+        |                       e -> e.event_type) AS types
+        |           FROM events GROUP BY user_id),
+        |p AS (SELECT explode(transform(sequence(1, size(types) - 2),
+        |               i -> concat_ws('>', slice(types, i, 3)))) AS path
+        |      FROM u WHERE size(types) >= 3)
+        |SELECT path, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
+      s"""$E,
+         |u AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+         |      FROM e GROUP BY user_id),
+         |ix AS (SELECT types, unnest(range(1, len(types) - 1)) AS i
+         |       FROM u WHERE len(types) >= 3),
+         |p AS (SELECT array_to_string(list_slice(types, i, i + 2), '>') AS path FROM ix)
+         |SELECT path, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 10""".stripMargin)
   )
 }
