@@ -1264,6 +1264,23 @@ object Relational {
         |         unnest(range(0, len(string_split(text, ' ')))) AS pos
         |  FROM documents WHERE doc_id < 5) x""".stripMargin),
 
+    // explode_outer: generator breadth — rows with EMPTY arrays survive
+    // with a null element (27 of the 100 docs have no >6-char token at
+    // sf0.01), where plain explode would drop them. DuckDB's unnest always
+    // drops, so the oracle reconstructs the outer half with a UNION ALL.
+    QDef.df("q57b_explode_outer",
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), t -> length(t) > 6) AS l
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, unnest(l) AS tok FROM d WHERE len(l) > 0
+        |UNION ALL
+        |SELECT doc_id, NULL AS tok FROM d WHERE len(l) = 0""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "),
+            t => length(t) > 6)).as("tok"))
+    },
+
     // pivot (engine: relational pivot operator; oracle: FILTER aggregation)
     QDef.df("q58_pivot",
       """SELECT user_id,
@@ -1349,6 +1366,28 @@ object Relational {
         |       CAST(CAST(power(l_discount, 2) AS DECIMAL(18,6)) AS STRING) AS pow2,
         |       l_partkey % 7 AS mod7,
         |       CAST(CAST(sqrt(l_quantity) AS DECIMAL(18,6)) AS STRING) AS sq
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+
+    // bitwise suite: &, |, xor, shifts, popcount — the hash/bucket/bitmap
+    // primitives (DuckDB spells xor/shifts differently, so dialect texts
+    // differ while the arithmetic is identical).
+    QDef.sql(
+      "q53b_bitwise",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_partkey & l_suppkey AS BIGINT) AS band,
+        |       CAST(l_partkey | l_suppkey AS BIGINT) AS bor,
+        |       CAST(l_partkey ^ l_suppkey AS BIGINT) AS bxor,
+        |       CAST(shiftleft(l_linenumber, 3) AS BIGINT) AS shl,
+        |       CAST(shiftright(l_partkey, 2) AS BIGINT) AS shr,
+        |       CAST(bit_count(l_partkey) AS BIGINT) AS bcnt
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_partkey & l_suppkey AS BIGINT) AS band,
+        |       CAST(l_partkey | l_suppkey AS BIGINT) AS bor,
+        |       CAST(xor(l_partkey, l_suppkey) AS BIGINT) AS bxor,
+        |       CAST(l_linenumber << 3 AS BIGINT) AS shl,
+        |       CAST(l_partkey >> 2 AS BIGINT) AS shr,
+        |       CAST(bit_count(l_partkey) AS BIGINT) AS bcnt
         |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
 
     QDef.sql(
