@@ -314,6 +314,27 @@ object Dedup {
   /** Pairwise Jaccard over distinct n-gram shingles (small-n baseline; the
     * scale path feeds [[shingles]] into the MinHash pipeline instead).
     */
+  /** End-to-end dedup verdict — the call a corpus pipeline actually makes:
+    * near-dup pairs → connected components → canonical member per cluster
+    * (most tokens, id tie-break) → per-document keep/drop. `pairs` come
+    * from any candidate generator (exact Jaccard for the bounded oracle,
+    * MinHash-LSH at scale — same (i, j) contract), so the expensive
+    * all-pairs step is pluggable while clustering and selection stay
+    * identical.
+    */
+  def dedupVerdict[T](docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")(consume: DataFrame => T): T =
+    connectedComponents(pairs.select(col("i"), col("j")),
+        docs.select(col(idCol).as("doc_id"))) { labels =>
+      val toks = docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("bigint").as("tokens"))
+      val w = Window.partitionBy("cluster").orderBy(col("tokens").desc, col("doc_id"))
+      consume(labels.join(toks, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
+          col("tokens"), (col("rn") === 1).as("keep")))
+    }
+
   /** Exact repeated-span detection (the substring-dedup pass of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", ACL 2022,
     * at word-shingle granularity): `k`-token spans occurring verbatim in

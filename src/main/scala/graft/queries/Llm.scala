@@ -744,6 +744,39 @@ object Llm {
       }
     },
 
+    // Per-document dedup verdict — q96b's final form: every doc gets
+    // (cluster, keep), keep = the cluster's canonical member. One call
+    // (Dedup.dedupVerdict) with a pluggable candidate generator.
+    QDef.df("q96c_dedup_verdict",
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50) x),
+        |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM p
+        |       JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+        |       WHERE c / (sa.n + sb.n - c) >= 0.5),
+        |nd AS (SELECT DISTINCT doc_id FROM t),
+        |e AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j, i FROM pr),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM nd
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |      FROM documents WHERE doc_id < 50),
+        |jq AS (SELECT cl.doc_id, CAST(cl.cluster AS BIGINT) AS cluster, q.tokens,
+        |              row_number() OVER (PARTITION BY cl.cluster
+        |                                 ORDER BY q.tokens DESC, cl.doc_id) AS rn
+        |       FROM cl JOIN q ON q.doc_id = cl.doc_id)
+        |SELECT doc_id, cluster, tokens, (rn = 1) AS keep FROM jq""".stripMargin) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
+      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      Dedup.dedupVerdict(docs, pairs) { v => QDef.localized(s, v) }
+    },
+
     // Deterministic train/val/test split: multiplicative-hash membership,
     // reproducible across engines and reruns with no stored state.
     QDef.df("q97_split", {
