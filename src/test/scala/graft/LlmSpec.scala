@@ -585,6 +585,26 @@ class LlmSpec extends SparkSpec {
     assert(got(1) == Seq("x", "aa", "y"))
   }
 
+  test("filter gate runs unchanged on a stream and matches the batch decisions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixtures = Seq(
+      (0L, "tiny doc"),
+      (1L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (2L, "the " + (0 until 30).map(i => s"word$i of").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val gate = TextAnalysis.filterPipeline(mem.toDF().toDF("doc_id", "text"))
+    val q = gate.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try { mem.addData(fixtures: _*); q.processAllAvailable() }
+    finally { q.stop(); q.awaitTermination() }
+    val streamed = spark.table("gate_out").collect().map(_.toSeq).toSet
+    val batch = TextAnalysis.filterPipeline(fixtures.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("invertedIndex: df-bounded postings, sorted ids, head tokens excluded") {
     val d = Seq((0L, "a b"), (1L, "a c"), (2L, "a d"), (3L, "b b"))
       .toDF("doc_id", "text")
