@@ -314,6 +314,33 @@ object Dedup {
   /** Pairwise Jaccard over distinct n-gram shingles (small-n baseline; the
     * scale path feeds [[shingles]] into the MinHash pipeline instead).
     */
+  /** Edit-distance near-dup pairs — the third dedup family next to
+    * set-similarity (Jaccard/MinHash) and bit-similarity (SimHash):
+    * `levenshtein ≤ maxDist` pairs via EXACT length-bin banding. Bins are
+    * `floor(len / (maxDist+1))`; a distance-≤ maxDist pair differs in
+    * length by ≤ maxDist, so its bins differ by ≤ 1 — one side explodes to
+    * (bin−1, bin, bin+1) and candidates are an equi-join on the bin, never
+    * all-pairs (and each pair meets in exactly one bin: zero recall loss,
+    * no duplicate candidates). The exact levenshtein verifies candidates
+    * only. At corpus scale the banding key would extend with a character
+    * n-gram sketch; the join shape is unchanged.
+    */
+  def editDistanceNearDup(df: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", strCol: String = "text"): DataFrame = {
+    val binW = maxDist + 1
+    val a = df.select(col(idCol).as("i"), col(strCol).as("sa"),
+      (length(col(strCol)) / binW).cast("long").as("bin"))
+    val b = df.select(col(idCol).as("j"), col(strCol).as("sb"),
+        (length(col(strCol)) / binW).cast("long").as("bin0"))
+      .select(col("j"), col("sb"),
+        explode(array(col("bin0") - 1, col("bin0"), col("bin0") + 1)).as("bin"))
+    a.join(b, Seq("bin")).filter(col("i") < col("j"))
+      .filter(abs(length(col("sa")) - length(col("sb"))) <= maxDist)
+      .filter(levenshtein(col("sa"), col("sb")) <= maxDist)
+      .select(col("i"), col("j"),
+        levenshtein(col("sa"), col("sb")).cast("bigint").as("dist"))
+  }
+
   /** End-to-end dedup verdict — the call a corpus pipeline actually makes:
     * near-dup pairs → connected components → canonical member per cluster
     * (most tokens, id tie-break) → per-document keep/drop. `pairs` come

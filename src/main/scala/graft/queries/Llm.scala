@@ -155,6 +155,20 @@ object Llm {
           col("jaccard").cast("decimal(38,4)").cast("string").as("jaccard"))
     },
 
+    // Edit-distance near-dup (the third dedup family): levenshtein ≤ 2
+    // pairs over part names; engine candidates via exact length-bin
+    // banding (see Dedup.editDistanceNearDup), oracle plain pairwise.
+    QDef.df("q88c_edit_distance",
+      """SELECT a.p_partkey AS i, b.p_partkey AS j,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 300 AND b.p_partkey < 300
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin) { (s, dir) =>
+      Dedup.editDistanceNearDup(
+        Tables.table(s, dir, "part").filter(col("p_partkey") < 300),
+        maxDist = 2, idCol = "p_partkey", strCol = "p_name")
+    },
+
     // Exact repeated-span detection (word-shingle substring dedup, the Lee
     // et al. pass): 8-token spans verbatim-shared across documents. Engine
     // = one grouped count on the span (Dedup.spanDedup); oracle = the q88

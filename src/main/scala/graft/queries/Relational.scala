@@ -1324,6 +1324,18 @@ object Relational {
         |       p_brand || '.' || p_type AS cat
         |FROM part""".stripMargin),
 
+    // split_part + levenshtein: the tokenize-by-delimiter and edit-distance
+    // primitives (both engines implement unit-cost Levenshtein identically;
+    // the distance to the type string is a deterministic integer).
+    QDef.shared(
+      "q50b_fuzzy_strings",
+      """SELECT p_partkey,
+        |       split_part(p_type, ' ', 1) AS type_head,
+        |       split_part(p_type, ' ', 3) AS type_tail,
+        |       CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_name_type,
+        |       CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev_brand
+        |FROM part WHERE p_partkey < 500""".stripMargin),
+
     // R3's calculated-field expression (README.md:29-32) must round-trip;
     // '[0-9]' avoids backslash-escape dialect differences.
     QDef.shared(

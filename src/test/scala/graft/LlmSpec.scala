@@ -499,6 +499,27 @@ class LlmSpec extends SparkSpec {
     assert(centroid == Seq(-1229L))
   }
 
+  test("editDistanceNearDup: bin banding finds every boundary-straddling pair (brute-force parity)") {
+    val strs = Seq("ab", "abcd", "abce", "xyz", "xy", "abcdef", "qqqqqqqqq", "qqqqqqqq")
+    val d = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDup(d, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val brute = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      dist = lev(strs(i), strs(j)) if dist <= 2
+    } yield (i.toLong, j.toLong, dist.toLong)).toSet
+    assert(got == brute)
+    // the boundary-straddling pair ("ab" len 2 bin 0, "abcd" len 4 bin 1) is present
+    assert(brute.contains((0L, 1L, 2L)) && got.contains((0L, 1L, 2L)))
+  }
+
   test("spanDedup: cross-doc spans surface once, within-doc repeats don't count") {
     val d = Seq(
       (0L, "the quick brown fox"),
