@@ -791,6 +791,36 @@ object Llm {
       Dedup.dedupVerdict(docs, pairs) { v => QDef.localized(s, v) }
     },
 
+    // Triangle count over the near-dup graph — the graph-analytics health
+    // check on a dedup pass (triangle-dense clusters ⇒ transitive near-dup
+    // mass; sparse triangles ⇒ chain-y borderline pairs). Edges are
+    // already oriented (i < j), so each triangle joins exactly once —
+    // e(a,b)⋈e(b,c)⋈e(a,c), the standard oriented two-path + closure
+    // check that keeps distributed triangle counting linear in wedges.
+    QDef.df("q96d_triangles",
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50) x),
+        |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM p
+        |       JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+        |       WHERE c / (sa.n + sb.n - c) >= 0.5)
+        |SELECT CAST(count(*) AS BIGINT) AS triangles,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM pr) AS edges
+        |FROM pr e1 JOIN pr e2 ON e2.i = e1.j
+        |           JOIN pr e3 ON e3.i = e1.i AND e3.j = e2.j""".stripMargin) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
+      val pr = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      val e1 = pr.as("e1"); val e2 = pr.as("e2"); val e3 = pr.as("e3")
+      val tri = e1.join(e2, col("e2.i") === col("e1.j"))
+        .join(e3, col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
+        .agg(count(lit(1)).as("triangles"))
+      QDef.localized(s, tri.crossJoin(pr.agg(count(lit(1)).as("edges"))))
+    },
+
     // Deterministic train/val/test split: multiplicative-hash membership,
     // reproducible across engines and reruns with no stored state.
     QDef.df("q97_split", {

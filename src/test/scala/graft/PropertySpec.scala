@@ -140,4 +140,50 @@ class PropertySpec extends SparkSpec {
     // injectivity over the sampled set (interleaving is a bijection)
     assert(got.values.toSeq.distinct.size == pairs.size)
   }
+
+  test("chunkWithOverlap: full coverage, stride-aligned starts, tail truncation — random docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random token counts, incl. the 1-token edge
+    val lens = Seq(1, 2, 47, 48, 49, 63, 64, 65, 96, 97, 113, 200)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (0 until n).map(k => s"t$k").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val chunks = graft.llm.TextAnalysis
+      .chunkWithOverlap(docs, chunkTokens = 64, strideTokens = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val cs = chunks(i.toLong).sortBy(_._2)
+      // starts are 0, 48, 96, ... and every start is < n
+      assert(cs.map(_._3).toSeq == cs.indices.map(_ * 48L), s"doc $i")
+      assert(cs.forall(c => c._3 < n), s"doc $i start beyond end")
+      // full coverage: union of [start, start+n_toks) is [0, n)
+      val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0L until n.toLong).toSet, s"doc $i coverage")
+      // every chunk truncates at the document end: length = min(64, n − start)
+      assert(cs.forall(c => c._4 == math.min(64L, n - c._3)), s"doc $i chunk lengths")
+    }
+  }
+
+  test("spanDedup parity with brute force on pseudo-random small corpora") {
+    import spark.implicits._
+    // deterministic corpus with engineered overlaps: token vocab of 6, so
+    // 3-spans repeat across docs by construction
+    val rng = new scala.util.Random(42)
+    val docs = (0 until 20).map { i =>
+      (i.toLong, (0 until 8 + rng.nextInt(8)).map(_ => s"w${rng.nextInt(6)}").mkString(" "))
+    }
+    val got = graft.llm.Dedup.spanDedup(docs.toDF("doc_id", "text"), k = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val spansByDoc = docs.map { case (id, text) =>
+      id -> text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val brute = spansByDoc.flatMap { case (id, spans) => spans.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+      .filter(_._2.size >= 2)
+      .map { case (sp, ids) => sp -> ((ids.size.toLong, ids.min, ids.max)) }.toMap
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture must actually produce shared spans")
+  }
 }
