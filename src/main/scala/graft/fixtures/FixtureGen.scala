@@ -150,8 +150,8 @@ object FixtureGen {
     * the CLAIMED type; the three `unknown` rows claim "image" with no
     * signature, so sniff-vs-claim disagreement has fixture coverage.
     */
-  def mediaRows: Seq[(Long, String, Array[Byte])] =
-    (0 until 30).map { i =>
+  def mediaRows: Seq[(Long, String, Array[Byte])] = {
+    val base = (0 until 30).map { i =>
       val fmt = mediaFormats(i % 10)
       val mediaType = fmt match {
         case "jpeg" | "png" | "gif" => "image"
@@ -162,7 +162,20 @@ object FixtureGen {
       val len = 64 + (i * 37) % 200
       val body = Array.tabulate(len)(j => ((i * 31 + j * 7 + (j * j) % 11) % 256).toByte)
       (i.toLong, mediaType, magic(fmt, len) ++ body)
-    } :+ ((30L, "image", Array.empty[Byte])) // zero-length blob: the chunk/sniff edge case
+    }
+    // near-dup family for content-chunk media dedup (q95e): 31 = blob 1
+    // with only its final byte flipped (shares every full leading 32-byte
+    // chunk); 32 = blob 1 with its first two chunks swapped (same chunk
+    // CONTENT at different positions); 33 = unrelated control.
+    val (_, t1, b1) = base(1)
+    val b31 = b1.clone(); b31(b31.length - 1) = (b31(b31.length - 1) ^ 0x7f).toByte
+    val b32 = b1.clone()
+    for (k <- 0 until 32) { val t = b32(k); b32(k) = b32(32 + k); b32(32 + k) = t }
+    val b33 = Array.tabulate(100)(j => ((j * 131 + 17) % 256).toByte)
+    base :+
+      ((30L, "image", Array.empty[Byte])) :+ // zero-length blob: chunk/sniff edge
+      ((31L, t1, b31)) :+ ((32L, t1, b32)) :+ ((33L, "image", b33))
+  }
 
   /** Writes `media.parquet` as a SINGLE parquet file (not a directory) so
     * DuckDB's `read_parquet('<path>')` takes it verbatim.

@@ -125,6 +125,26 @@ object Multimodal {
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
   }
 
+  /** Content-chunk media near-dup — the binary twin of token-set dedup:
+    * blobs sharing identical `chunkBytes`-aligned chunk CONTENT (position-
+    * independent), with the shared-distinct-chunk count per pair. Candidate
+    * generation is an equi-join on the chunk bytes — one shuffle keyed by
+    * content, never pairwise over blobs; at 100 TB the join key would be
+    * `xxhash64(chunk)` (8-byte keys, same plan shape) with a byte-equality
+    * re-check. Catches re-encodes-with-tail-edits, partial copies and
+    * chunk reorders that a whole-file hash misses.
+    */
+  def chunkNearDup(df: DataFrame, mediaCol: String, chunkBytes: Int,
+      minShared: Long = 1L, idCol: String = "media_id"): DataFrame = {
+    val c = chunk(df, mediaCol, chunkBytes)
+      .select(col(idCol).as("media_id"), col("chunk")).distinct()
+    c.as("a").join(c.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("i"), col("b.media_id").as("j"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   /** Every-`everyN`th chunk of [[chunk]]'s shard space — the strided access
     * pattern of video keyframe sampling and audio analysis windows, over
     * bytes (a codec-backed frame extractor swaps the slice for a decode

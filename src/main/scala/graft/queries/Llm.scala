@@ -1051,6 +1051,24 @@ object Llm {
         .select(col("media_id"), col("chunk_idx"), hex(col("chunk")).as("chunk_hex"))
     },
 
+    // Content-chunk media near-dup: blobs sharing identical 32-byte chunk
+    // content at ANY position (tail edits, partial copies, chunk reorders —
+    // what a whole-file hash misses). Candidates = equi-join on chunk
+    // bytes, never pairwise; the fixture's engineered triad (31 = blob 1
+    // tail-flipped, 32 = blob 1 chunk-swapped) must surface exactly.
+    QDef.df("q95e_media_neardup",
+      s"""WITH x AS (SELECT media_id, hex(media) AS h,
+         |             unnest(range(0, greatest(CAST(ceil(octet_length(media) / 32.0) AS BIGINT), 1))) AS ci
+         |           FROM read_parquet('${Cdc.Fixtures.oracleMediaPath}')),
+         |c AS (SELECT DISTINCT media_id, substring(h, ci * 64 + 1, 64) AS ch FROM x)
+         |SELECT a.media_id AS i, b.media_id AS j,
+         |       CAST(count(*) AS BIGINT) AS shared_chunks
+         |FROM c a JOIN c b ON a.ch = b.ch AND a.media_id < b.media_id
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val m = s.read.parquet(Cdc.Fixtures.mediaPath)
+      Multimodal.chunkNearDup(m, "media", chunkBytes = 32)
+    },
+
     // Magic-number format sniffing + claim verification: detected container
     // format from real signatures, compared against the declared media_type.
     // The oracle re-derives the same decision tree over hex(media) prefixes.
