@@ -358,6 +358,42 @@ object TextAnalysis {
       (reason === "ok").as("keep") +: passthrough: _*)
   }
 
+  /** Collocation extraction — adjacent token pairs occurring above
+    * independence (the log-free PMI criterion): keep bigrams with
+    * `cnt_ab ≥ minCount` and `cnt_ab·N·liftDenom ≥ liftNumer·cnt_a·cnt_b`
+    * (lift ≥ liftNumer/liftDenom as an exact integer cross-product — PMI's
+    * log changes only the threshold's shape, not the ranking). Bigram
+    * generation is the windowless array-slice pattern; the unigram join
+    * keys are the words themselves — Zipf-head keys arrive pre-aggregated
+    * (one row per distinct word), so the join is vocabulary-sized, not
+    * corpus-sized. Counts fit BIGINT here; a 100 TB corpus promotes the
+    * cross-products to DECIMAL(38,0) — same plan, wider arithmetic.
+    */
+  def collocations(docs: DataFrame, minCount: Long,
+      liftNumer: Long = 1L, liftDenom: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val bi = docs
+      .select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minCount)
+    bi
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("cnt_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("cnt_b")), "w2")
+      .crossJoin(broadcast(total))
+      .filter(col("cnt_ab") * col("total") * liftDenom >=
+        lit(liftNumer) * col("cnt_a") * col("cnt_b"))
+      .select(col("w1"), col("w2"), col("cnt_ab"),
+        col("cnt_a").cast("bigint").as("cnt_a"), col("cnt_b").cast("bigint").as("cnt_b"))
+  }
+
   /** RAG-style chunking: each document's token stream cut into chunks of
     * `chunkTokens` tokens starting every `strideTokens` (overlap =
     * chunk − stride); the final chunks truncate at the document end. Pure

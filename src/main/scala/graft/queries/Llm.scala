@@ -451,6 +451,26 @@ object Llm {
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(5)
     },
 
+    // Collocations: bigrams above independence (lift ≥ 1 as an exact
+    // integer cross-product — the log-free PMI criterion), min count 5.
+    QDef.df("q84g_collocations",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |bi0 AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |        FROM (SELECT arr, unnest(range(1, len(arr))) AS i
+        |              FROM tk WHERE len(arr) >= 2) x),
+        |bi AS (SELECT w1, w2, count(*) AS cnt_ab FROM bi0 GROUP BY 1, 2),
+        |uni AS (SELECT tok, count(*) AS cnt FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |        GROUP BY tok),
+        |n AS (SELECT count(*) AS total FROM (
+        |        SELECT unnest(string_split(text, ' ')) FROM documents) t)
+        |SELECT bi.w1, bi.w2, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+        |       CAST(a.cnt AS BIGINT) AS cnt_a, CAST(b.cnt AS BIGINT) AS cnt_b
+        |FROM bi JOIN uni a ON a.tok = bi.w1 JOIN uni b ON b.tok = bi.w2, n
+        |WHERE cnt_ab >= 5 AND cnt_ab * total >= a.cnt * b.cnt""".stripMargin) { (s, dir) =>
+      TextAnalysis.collocations(Tables.table(s, dir, "documents"), minCount = 5)
+    },
+
     // BPE-style pre-token counts vs whitespace tokens per doc.
     QDef.df("q84b_pretokenize",
       s"""SELECT doc_id,
