@@ -273,6 +273,35 @@ object Cdc {
         .withColumnRenamed("first_seen", "first_seen_us")
     },
 
+    // Replication freshness / lag — the monitoring view next to the
+    // reference's field inspection: per table, event volume, newest seq and
+    // event time, and how far the table trails the stream head (a table
+    // whose seq_lag grows is a stalled pipeline). One grouped pass + a
+    // broadcast of the one-row global max.
+    QDef.df("q66b_freshness",
+      s"""$SRC,
+         |t AS (SELECT data['database_name'] || '.' ||
+         |             regexp_replace(data['table_name'], '_part_[0-9]+$$', '') AS full_table_name,
+         |             CAST(seq AS BIGINT) AS seq,
+         |             epoch_us(CAST(ts AS TIMESTAMPTZ)) AS ts_us
+         |      FROM src),
+         |g AS (SELECT max(seq) AS gmax FROM t)
+         |SELECT full_table_name, CAST(count(*) AS BIGINT) AS events,
+         |       CAST(max(seq) AS BIGINT) AS max_seq,
+         |       CAST(max(ts_us) AS BIGINT) AS max_ts_us,
+         |       CAST(g.gmax - max(seq) AS BIGINT) AS seq_lag
+         |FROM t, g GROUP BY full_table_name, g.gmax""".stripMargin) { (s, _) =>
+      val e = CdcPipeline.withFullTableName(env(s))
+      val g = e.agg(max(col("seq")).as("gmax"))
+      e.groupBy(col("full_table_name"))
+        .agg(count(lit(1)).as("events"),
+          max(col("seq")).cast("bigint").as("max_seq"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_us"))
+        .crossJoin(broadcast(g))
+        .select(col("full_table_name"), col("events"), col("max_seq"),
+          col("max_ts_us"), (col("gmax") - col("max_seq")).cast("bigint").as("seq_lag"))
+    },
+
     // R21/R25: value distribution of the derived table name, take-capped.
     QDef.df("q67_value_distribution",
       s"""WITH src AS (SELECT * FROM read_json('${Fixtures.oracleEventsPath}',
