@@ -78,10 +78,11 @@ object Bpe {
     * pre-token table (symbols rewritten through every merge). The driver
     * holds one row per iteration; all heavy work stays distributed.
     */
-  def learn(docs: DataFrame, iters: Int, textCol: String = "text"): (Seq[Merge], DataFrame) = {
+  def learn(docs: DataFrame, iters: Int, textCol: String = "text",
+      checkpointEvery: Int = 16): (Seq[Merge], DataFrame) = {
     var table = preTokenTable(docs, textCol)
     val merges = Seq.newBuilder[Merge]
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val top = pairCounts(table)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
       if (top.nonEmpty) {
@@ -89,6 +90,10 @@ object Bpe {
         val m = Merge(r.getString(0), r.getString(1), r.getLong(2))
         merges += m
         table = table.withColumn("symbols", expr(mergeExpr("symbols", m.a, m.b)))
+        // each merge nests another aggregate HOF into the plan — truncate
+        // lineage periodically or a real vocab run (thousands of merges)
+        // drowns in analysis time long before it runs out of compute
+        if ((it + 1) % checkpointEvery == 0) table = table.localCheckpoint()
       }
     }
     (merges.result(), table)

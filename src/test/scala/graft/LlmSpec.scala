@@ -596,6 +596,20 @@ class LlmSpec extends SparkSpec {
     assert(sym("low") == Seq("lo", "w"))
   }
 
+  test("BPE learn runs past the lineage-checkpoint boundary to full collapse") {
+    import graft.llm.Bpe
+    val d = Seq(
+      (0L, "low low low low low"), (1L, "lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    // enough iterations to cross the localCheckpoint boundary several
+    // times AND exhaust every pair: each pre-token collapses to one symbol
+    val (merges, table) = Bpe.learn(d, iters = 25, checkpointEvery = 4)
+    val sym = table.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(sym.forall { case (pt, ss) => ss == Seq(pt) }, sym)
+    assert(merges.size >= 8 && merges.size <= 25, merges.size.toString)
+  }
+
   test("BPE merge application is greedy left-to-right (overlapping pairs)") {
     import graft.llm.Bpe
     val d = Seq((Seq("a", "a", "a"), 0), (Seq("x", "a", "a", "y"), 1))
