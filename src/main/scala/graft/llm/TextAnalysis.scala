@@ -374,7 +374,9 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // N = Σ unigram counts — derived from the (vocabulary-sized) unigram
+    // table, not a second corpus scan
+    val total = uni.agg(sum(col("cnt")).as("total"))
     val bi = docs
       .select(tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2)

@@ -292,12 +292,14 @@ object Cdc {
          |       CAST(g.gmax - max(seq) AS BIGINT) AS seq_lag
          |FROM t, g GROUP BY full_table_name, g.gmax""".stripMargin) { (s, _) =>
       val e = CdcPipeline.withFullTableName(env(s))
-      val g = e.agg(max(col("seq")).as("gmax"))
-      e.groupBy(col("full_table_name"))
+      val perTable = e.groupBy(col("full_table_name"))
         .agg(count(lit(1)).as("events"),
           max(col("seq")).cast("bigint").as("max_seq"),
           max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_us"))
-        .crossJoin(broadcast(g))
+      // stream head = max over the per-table heads — derived from the
+      // (table-count-sized) grouped frame, not a second envelope scan
+      val g = perTable.agg(max(col("max_seq")).as("gmax"))
+      perTable.crossJoin(broadcast(g))
         .select(col("full_table_name"), col("events"), col("max_seq"),
           col("max_ts_us"), (col("gmax") - col("max_seq")).cast("bigint").as("seq_lag"))
     },
