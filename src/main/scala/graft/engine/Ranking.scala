@@ -149,4 +149,24 @@ object Ranking {
     throw new IllegalStateException(
       s"exactQuantile bracket never converged (n=$n, q=$q) — sketch misbehaving")
   }
+
+  /** [[exactQuantile]] per group, for LOW-cardinality group columns
+    * (flags, statuses, languages — the cases where per-group percentiles
+    * are actually read by humans). The group list is collected (bounded by
+    * `maxGroups` — the call REFUSES high-cardinality columns rather than
+    * silently looping thousands of jobs) and each group's quantile runs
+    * through the bounded-memory exact path; partition pruning/pushdown
+    * makes each per-group pass a filtered scan. High-cardinality grouped
+    * quantiles belong to `approx_percentile` + the q29b-style contract.
+    */
+  def exactQuantileByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+      q: Double, maxGroups: Int = 64): Seq[(Any, Any)] = {
+    val groups = df.select(groupCol.as("__g")).filter(col("__g").isNotNull)
+      .distinct().limit(maxGroups + 1).collect().map(_.get(0)).toSeq
+    require(groups.size <= maxGroups,
+      s"more than $maxGroups groups — use approx_percentile for high-cardinality grouping")
+    groups.sortBy(_.toString).flatMap { g =>
+      exactQuantile(df.filter(groupCol === lit(g)), valueCol, q).map(v => (g, v))
+    }
+  }
 }

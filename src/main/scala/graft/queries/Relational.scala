@@ -531,6 +531,27 @@ object Relational {
         .select(col("p"), col("__v").cast("decimal(18,2)").cast("string").as("v"))
     },
 
+    // Per-group exact medians through the same bounded path (group count
+    // low and checked — the refuse-don't-loop contract): median l_quantity
+    // per returnflag.
+    QDef.df("q29d_group_quantile",
+      """WITH s AS (SELECT l_returnflag, l_quantity,
+        |                  row_number() OVER (PARTITION BY l_returnflag
+        |                                     ORDER BY l_quantity) AS rn,
+        |                  count(*) OVER (PARTITION BY l_returnflag) AS n
+        |           FROM lineitem)
+        |SELECT l_returnflag, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING) AS med
+        |FROM s WHERE rn = floor((n - 1) * 0.5) + 1""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+      val meds = graft.engine.Ranking.exactQuantileByGroup(
+        li, col("l_returnflag"), col("l_quantity"), 0.5)
+      import s.implicits._
+      meds.map { case (g, v) => (g.asInstanceOf[String], v.asInstanceOf[Double]) }
+        .toDF("l_returnflag", "__v")
+        .select(col("l_returnflag"),
+          col("__v").cast("decimal(18,2)").cast("string").as("med"))
+    },
+
     // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
     // count-distinct) — engine-only: HLL sketches differ across engines.
     // HLL sketch values aren't oracle-reproducible, but the sketch's CLAIM
