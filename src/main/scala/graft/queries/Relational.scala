@@ -306,6 +306,36 @@ object Relational {
           col("v_id").as("view_event_id"))
     },
 
+    // Tolerance as-of through the CUSTOM operator: latest view within
+    // [p.ts − 1h, p.ts) — the bounded-lookback form every finance/telemetry
+    // as-of actually runs (an unbounded as-of joins against arbitrarily
+    // stale rows). Same custom exec, tolerance pushed into the merge; the
+    // oracle adds the window bound to q19's shape.
+    QDef.df("q19c_asof_tolerance",
+      s"""$E,
+         |     p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+         |     v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+         |     j AS (SELECT p.event_id AS pid, v.ts AS vts, v.event_id AS vid
+         |           FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+         |                        AND v.ts >= p.ts - INTERVAL 1 HOUR),
+         |     m AS (SELECT pid, max(vts) AS mts FROM j GROUP BY pid)
+         |SELECT m.pid AS event_id, epoch_us(m.mts) AS view_ts_us,
+         |       max(j.vid) AS view_event_id
+         |FROM m JOIN j ON j.pid = m.pid AND j.vts = m.mts
+         |GROUP BY m.pid, m.mts""".stripMargin) { (s, dir) =>
+      val e = s.table("events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      graft.plans.AsOf.join(p, v, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"),
+          tolerance = Some(3600L * 1000000L)) // 1 hour in event-time micros
+        .filter(col("v_id").isNotNull)
+        .select(col("p_id").as("event_id"),
+          unix_micros(col("v_ts")).as("view_ts_us"),
+          col("v_id").as("view_event_id"))
+    },
+
     // ---------------------------------------------------------- aggregations
     QDef.shared(
       "q20_tpch_q1",
