@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.cdc.CdcPipeline
 import graft.inspect.Inspection
@@ -302,6 +303,35 @@ object Cdc {
       perTable.crossJoin(broadcast(g))
         .select(col("full_table_name"), col("events"), col("max_seq"),
           col("max_ts_us"), (col("gmax") - col("max_seq")).cast("bigint").as("seq_lag"))
+    },
+
+    // Log-integrity check: sequence gaps per table — a missing seq in a
+    // CDC log means lost changes (the replication bug every operator of
+    // the reference eventually debugs). Per-table lag window (partitioned
+    // by table — the shuffle key carries it), exact missing-count arith.
+    QDef.df("q66c_seq_gaps",
+      s"""$SRC,
+         |t AS (SELECT data['database_name'] || '.' ||
+         |             regexp_replace(data['table_name'], '_part_[0-9]+$$', '') AS full_table_name,
+         |             CAST(seq AS BIGINT) AS seq
+         |      FROM src),
+         |g AS (SELECT full_table_name, seq,
+         |             lag(seq) OVER (PARTITION BY full_table_name ORDER BY seq) AS prev
+         |      FROM t)
+         |SELECT full_table_name,
+         |       CAST(SUM(CASE WHEN prev IS NOT NULL AND seq - prev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         |       CAST(SUM(CASE WHEN prev IS NOT NULL AND seq - prev > 1 THEN seq - prev - 1 ELSE 0 END) AS BIGINT) AS missing_seqs
+         |FROM g GROUP BY full_table_name""".stripMargin) { (s, _) =>
+      val t = CdcPipeline.withFullTableName(env(s))
+        .select(col("full_table_name"), col("seq").cast("bigint").as("seq"))
+      val w = Window.partitionBy("full_table_name").orderBy("seq")
+      t.withColumn("prev", lag(col("seq"), 1).over(w))
+        .groupBy("full_table_name")
+        .agg(
+          sum(when(col("prev").isNotNull && col("seq") - col("prev") > 1, 1L)
+            .otherwise(0L)).cast("bigint").as("n_gaps"),
+          sum(when(col("prev").isNotNull && col("seq") - col("prev") > 1,
+            col("seq") - col("prev") - 1).otherwise(0L)).cast("bigint").as("missing_seqs"))
     },
 
     // R21/R25: value distribution of the derived table name, take-capped.
