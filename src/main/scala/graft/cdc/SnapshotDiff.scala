@@ -1,0 +1,61 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row-level diff between two versions of a keyed table — the audit read a
+  * replication pipeline runs to answer "what did this sync change?" (the
+  * reference's update path re-reads the warehouse to decide what to alter;
+  * add_output.py:564-669 diffs table STRUCTURE — this is the companion diff
+  * over table CONTENT).
+  *
+  * Scale shape: ONE full-outer shuffle join on the key (both sides hash-
+  * partition once); per-column comparison is a codegen'd null-safe equality
+  * per row — no window, no second pass. At 100 TB the join key is the
+  * table's primary key, so AQE handles size imbalance and the verdict
+  * column prunes to a counts-only rollup without rescanning either side.
+  */
+object SnapshotDiff {
+
+  /** One row per key present in either version:
+    *   - `verdict`: added | removed | changed | unchanged
+    *   - `changed_cols`: sorted comma-joined names of differing value
+    *     columns (empty unless changed)
+    * Value columns are the non-key columns SHARED by both sides (a column
+    * added or dropped between versions is schema evolution, reported by
+    * `Inspection.schemaDrift`, not row change). Comparison is null-safe.
+    */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols =
+      before.columns.filterNot(keys.contains).filter(after.columns.contains).sorted.toSeq
+    val b = before.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__b", lit(true))
+      .toDF(keys.map(k => s"__bk_$k") ++ valueCols.map(c => s"__bv_$c") :+ "__b": _*)
+    val a = after.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__a", lit(true))
+      .toDF(keys.map(k => s"__ak_$k") ++ valueCols.map(c => s"__av_$c") :+ "__a": _*)
+    val cond = keys.map(k => col(s"__bk_$k") <=> col(s"__ak_$k")).reduce(_ && _)
+    val joined = b.join(a, cond, "full_outer")
+    val diffs = valueCols.map(c =>
+      when(!(col(s"__bv_$c") <=> col(s"__av_$c")), lit(c)))
+    val changed =
+      if (diffs.isEmpty) lit("") else concat_ws(",", array(diffs: _*))
+    val keyOut = keys.map(k => coalesce(col(s"__bk_$k"), col(s"__ak_$k")).as(k))
+    joined.select(keyOut ++ Seq(
+      when(col("__b").isNull, lit("added"))
+        .when(col("__a").isNull, lit("removed"))
+        .when(changed =!= "", lit("changed"))
+        .otherwise(lit("unchanged")).as("verdict"),
+      when(col("__b").isNotNull && col("__a").isNotNull, changed)
+        .otherwise(lit("")).as("changed_cols")): _*)
+  }
+
+  /** The rollup a sync report actually prints: row counts and a key
+    * checksum per (verdict, changed_cols) class.
+    */
+  def summary(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame =
+    diff(before, after, keys)
+      .groupBy(col("verdict"), col("changed_cols"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(keys.head)).cast("bigint").as("key_sum"))
+}

@@ -70,6 +70,27 @@ object Inspection {
       .select(col("column_name"), col("n_rows"), col("approx_distinct"))
   }
 
+  /** Key-distribution skew profile — the diagnostic a partition planner
+    * reads before choosing a join strategy for a 100 TB key: total rows,
+    * distinct keys, the heaviest key's count, and the mass held by the
+    * top-k keys, all exact integers (no ratios — consumers cross-multiply,
+    * e.g. hot-key test `max_cnt * n_keys > 8 * n_rows`). Two aggregations:
+    * per-key counts (one shuffle), then a global rollup whose top-k arm is
+    * a TakeOrdered (bounded driver memory at any key cardinality). A
+    * `max_cnt` far above `n_rows / n_keys` is the signal to reach for
+    * [[graft.engine.Skew.saltedJoin]] or AQE skew splitting.
+    */
+  def skewProfile(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("k")).limit(topK)
+      .agg(sum(col("cnt")).cast("bigint").as(s"top${topK}_mass"))
+    counts.agg(
+        sum(col("cnt")).cast("bigint").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).cast("bigint").as("max_cnt"))
+      .crossJoin(top)
+  }
+
   /** R25: table discovery = distribution of the derived full table name. */
   def tables(envelope: DataFrame): DataFrame =
     graft.cdc.CdcPipeline.withFullTableName(envelope)

@@ -380,6 +380,56 @@ object Dedup {
         max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Per-document novelty: of a doc's DISTINCT word n-grams, how many occur
+    * in NO earlier document (first occurrence = this doc, "earlier" = lower
+    * id)? The decayed-novelty signal a crawl pipeline uses to drop
+    * boilerplate-heavy additions; exact integers, so cross-engine stable.
+    * Shape: shingle (per-row array slicing, no window) → grouped
+    * min(doc_id) per shingle (one shuffle) → join back on shingle (second
+    * shuffle, same key — one exchange under reuse) → per-doc counts. Never
+    * pairwise; linear in corpus shingle volume.
+    */
+  def noveltyScore(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol).distinct()
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+  }
+
+  /** Sorted-neighborhood candidate generation — the fourth dedup family
+    * next to set- (MinHash), bit- (SimHash), and edit-distance banding:
+    * sort the corpus by a blocking key, slide a window of `w`, pair rows
+    * whose ranks differ by ≤ w. Global rank comes from
+    * [[graft.engine.Ranking.withGlobalIndex]] (range partition +
+    * zipWithIndex — distributed, never a single-partition window); the
+    * neighborhood join is an equi-join on `floor(rank/w)` with the left
+    * side exploded to (block, block+1) — a pair within w spans at most one
+    * block boundary, so recall is exact and no pair duplicates. Emits
+    * (i, j, rank_dist) with i,j in id order; callers verify candidates
+    * with their exact similarity of choice.
+    */
+  def sortedNeighborhood[T](docs: DataFrame, sortKey: Column, w: Int,
+      idCol: String = "doc_id")(consume: DataFrame => T): T = {
+    require(w > 0, "window must be positive")
+    graft.engine.Ranking.withGlobalIndex(
+      docs.select(col(idCol).as("__id"), sortKey.as("__sk")),
+      Seq(col("__sk"), col("__id"))) { ranked =>
+      val a = ranked.select(col("__id").as("ia"), col("__idx").as("ra"))
+        .select(col("ia"), col("ra"),
+          explode(array(expr(s"ra DIV $w"), expr(s"ra DIV $w + 1"))).as("blk"))
+      val b = ranked.select(col("__id").as("ib"), col("__idx").as("rb"),
+        expr(s"__idx DIV $w").as("blk"))
+      consume(a.join(b, "blk")
+        .filter(col("rb") > col("ra") && col("rb") - col("ra") <= w)
+        .select(least(col("ia"), col("ib")).as("i"),
+          greatest(col("ia"), col("ib")).as("j"),
+          (col("rb") - col("ra")).cast("bigint").as("rank_dist")))
+    }
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val t = shingles(docs, n).distinct().withColumnRenamed("sh", "tok")
     val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -215,6 +215,25 @@ object TextAnalysis {
       .drop("__rn", "__keep", "__w")
   }
 
+  /** Per-group document cap — "at most k docs per source/domain", the
+    * over-represented-domain guard a pretraining mix applies before
+    * weighting. Deterministic: the k SMALLEST ids per group survive.
+    * Scale path: selection runs through [[graft.engine.TopKAggregator]]
+    * (bounded k-entry state per group, map-side partials shrink every
+    * task to ≤ k rows per group BEFORE the shuffle) — a
+    * `row_number() OVER (PARTITION BY group)` would shuffle and sort the
+    * whole corpus and collapse a hot domain into one task. Survivor ids
+    * then semi-join back (broadcast when k·groups is small).
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val kept = graft.engine.TopKAggregator
+      .topKPerGroup(docs.select(col(groupCol), col(idCol)), groupCol,
+        -col(idCol), col(idCol), k)
+      .select(col("tie").as(idCol))
+    docs.join(broadcast(kept), Seq(idCol), "left_semi")
+  }
+
   /** Text normalization — the canonical-form pass run BEFORE exact/fuzzy
     * dedup so trivial variants (case, runs of whitespace, stray
     * non-printable bytes) hash identically: lowercase, strip characters

@@ -169,6 +169,26 @@ object Llm {
         maxDist = 2, idCol = "p_partkey", strCol = "p_name")
     },
 
+    // Sorted-neighborhood candidate generation (the FOURTH dedup family):
+    // global rank under a normalized-prefix blocking key (distributed —
+    // range partition + zipWithIndex, never a one-partition window), pairs
+    // within a rank window of 4 via a block equi-join. Oracle re-derives
+    // the identical total order with a window rank.
+    QDef.df("q88d_sorted_neighborhood",
+      """WITH n AS (SELECT doc_id,
+        |            substr(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ''),
+        |                                       '  +', ' ')), 1, 16) AS sk
+        |           FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 AS rk FROM n)
+        |SELECT least(a.doc_id, b.doc_id) AS i, greatest(a.doc_id, b.doc_id) AS j,
+        |       CAST(b.rk - a.rk AS BIGINT) AS rank_dist
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 4""".stripMargin) { (s, dir) =>
+      Dedup.sortedNeighborhood(
+        Tables.table(s, dir, "documents"),
+        substring(TextAnalysis.normalizeText(col("text")), 1, 16), w = 4)(
+        pairs => QDef.localized(s, pairs))
+    },
+
     // Exact repeated-span detection (word-shingle substring dedup, the Lee
     // et al. pass): 8-token spans verbatim-shared across documents. Engine
     // = one grouped count on the span (Dedup.spanDedup); oracle = the q88
@@ -695,6 +715,26 @@ object Llm {
         .withColumn("rep_ratio", col("rep_ratio").cast("string"))
     },
 
+    // Per-document n-gram novelty: distinct 3-gram count + how many first
+    // occur in THIS doc (min doc_id over the corpus = this doc) — the
+    // boilerplate/crawl-novelty signal. Linear shapes only: shingle →
+    // grouped min → join back on shingle → per-doc counts; exact integers.
+    QDef.df("q94b_novelty",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |            FROM documents),
+        |sh0 AS (SELECT doc_id,
+        |               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh,
+        |               lead(tok, 2) OVER w AS t2
+        |        FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE t2 IS NOT NULL),
+        |f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |       count(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel
+        |FROM s JOIN f USING (sh) GROUP BY s.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.noveltyScore(Tables.table(s, dir, "documents"), 3)
+    },
+
     // Near-dup cluster resolution: connected components over the Jaccard
     // pair graph — "keep one doc per duplicate cluster". Oracle computes
     // min-reachable-id via a recursive CTE; the engine runs BSP min-label
@@ -938,6 +978,24 @@ object Llm {
           Map("src0" -> 4, "src1" -> 2, "src2" -> 1, "src3" -> 1))
         .groupBy("source")
         .agg(count(lit(1)).as("kept"), sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+
+    // Per-source document cap (over-represented-domain guard): at most 10
+    // docs per source, smallest ids win. Engine selects through the
+    // bounded-state TopKAggregator (≤ k rows per group leave each map
+    // task — no corpus-wide window); oracle is the window formulation.
+    QDef.df("q97e_source_cap",
+      """WITH r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |           FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       max(doc_id) AS max_id
+        |FROM r WHERE rn <= 10 GROUP BY source""".stripMargin) { (s, dir) =>
+      TextAnalysis.capPerGroup(Tables.table(s, dir, "documents"), "source", k = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          max(col("doc_id")).as("max_id"))
     },
 
     // Sequence-length histogram for batch packing.

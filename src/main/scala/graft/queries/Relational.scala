@@ -1279,6 +1279,63 @@ object Relational {
             col("exact_distinct") * 0.15).as("within_bound"))
     },
 
+    // Key-skew profile of lineitem's supplier key — the diagnostic read
+    // before picking a join strategy (salting / AQE skew split); exact
+    // integers only, top-k arm is a TakeOrdered (bounded at any key count).
+    QDef.df("q67d_skew_profile",
+      """WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |       (SELECT CAST(sum(cnt) AS BIGINT) FROM
+        |          (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10) x) AS top10_mass
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.inspect.Inspection.skewProfile(
+        Tables.table(s, dir, "lineitem"), col("l_suppkey"), topK = 10)
+    },
+
+    // Snapshot content diff (CDC audit read): synthesize an "after" version
+    // of orders with deterministic removals (%13), two change classes (%7
+    // status, %11 price — overlapping keys exercise multi-column
+    // changed_cols) and additions (%31, shifted keys), then verdict-classify
+    // via ONE full-outer key join (SnapshotDiff) and roll up.
+    QDef.df("q69_table_diff",
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders),
+        |a AS (SELECT o_orderkey,
+        |             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+        |             o_orderpriority
+        |      FROM b WHERE o_orderkey % 13 <> 0
+        |      UNION ALL
+        |      SELECT o_orderkey + 100000000, 'N', o_totalprice, o_orderpriority
+        |      FROM b WHERE o_orderkey % 31 = 0),
+        |j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS k,
+        |             b.o_orderkey IS NULL AS is_add, a.o_orderkey IS NULL AS is_rm,
+        |             concat_ws(',',
+        |               CASE WHEN NOT (b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority) THEN 'o_orderpriority' END,
+        |               CASE WHEN NOT (b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus) THEN 'o_orderstatus' END,
+        |               CASE WHEN NOT (b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice) THEN 'o_totalprice' END) AS chg
+        |      FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT CASE WHEN is_add THEN 'added' WHEN is_rm THEN 'removed'
+        |            WHEN chg <> '' THEN 'changed' ELSE 'unchanged' END AS verdict,
+        |       CASE WHEN is_add OR is_rm THEN '' ELSE chg END AS changed_cols,
+        |       count(*) AS cnt, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM j GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val b = Tables.table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val kept = b.filter(col("o_orderkey") % 13 =!= 0).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+      val added = b.filter(col("o_orderkey") % 31 === 0).select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      graft.cdc.SnapshotDiff.summary(b, kept.unionByName(added), Seq("o_orderkey"))
+        .select("verdict", "changed_cols", "cnt", "key_sum")
+    },
+
     // ---------------------------------------------------------- set ops
     QDef.shared(
       "q43_union_all",

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.SnapshotDiff
+import graft.inspect.Inspection
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SnapshotDiff: verdicts, multi-column changed_cols, null-safe compares") {
+    val before = Seq(
+      (1L, Option("a"), Option(10)),
+      (2L, Option("b"), Option(20)),
+      (3L, Option("c"), None),
+      (4L, None, Option(40)),
+      (5L, Option("e"), Option(50))
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Option("a"), Option(10)),  // unchanged
+      (2L, Option("B"), Option(21)),  // both columns changed
+      (3L, Option("c"), Option(30)),  // null -> value counts as change
+      (4L, None, Option(40)),         // null == null: unchanged
+      (6L, Option("f"), Option(60))   // added; 5 removed
+    ).toDF("k", "s", "v")
+    val got = SnapshotDiff.diff(before, after, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> (("unchanged", "")),
+      2L -> (("changed", "s,v")),
+      3L -> (("changed", "v")),
+      4L -> (("unchanged", "")),
+      5L -> (("removed", "")),
+      6L -> (("added", ""))))
+    val sum = SnapshotDiff.summary(before, after, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sum(("changed", "s,v")) == ((1L, 2L)))
+    assert(sum(("removed", "")) == ((1L, 5L)))
+    assert(sum(("added", "")) == ((1L, 6L)))
+    assert(sum(("unchanged", "")) == ((2L, 5L)))
+  }
+
+  test("SnapshotDiff: a column present on only one side is schema drift, not row change") {
+    val before = Seq((1L, "a", 1)).toDF("k", "s", "extra")
+    val after = Seq((1L, "a")).toDF("k", "s")
+    val got = SnapshotDiff.diff(before, after, Seq("k")).collect()
+    assert(got.length == 1 && got(0).getString(1) == "unchanged")
+  }
+
+  test("skewProfile: exact counts and top-k mass with deterministic ties") {
+    val rows = Seq.fill(10)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L, 5L, 6L)
+    val df = rows.toDF("k")
+    val r = Inspection.skewProfile(df, col("k"), topK = 2).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_rows")) == 17L)
+    assert(r.getLong(r.fieldIndex("n_keys")) == 6L)
+    assert(r.getLong(r.fieldIndex("max_cnt")) == 10L)
+    assert(r.getLong(r.fieldIndex("top2_mass")) == 13L)
+  }
+}

@@ -649,4 +649,43 @@ class LlmSpec extends SparkSpec {
     // (twice in doc 3 — postings are per-doc distinct)
     assert(got == Map("b" -> ((2L, "0,3"))))
   }
+
+  test("noveltyScore: shingle is novel only in its min-doc_id document") {
+    val d = Seq(
+      (0L, "a b c d"),   // shingles: "a b c", "b c d" — both first here
+      (1L, "a b c x"),   // "a b c" seen in 0; "b c x" novel
+      (2L, "a b c d"),   // exact dup of 0 — zero novel
+      (3L, "z")          // too short for a 3-gram — absent from output
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScore(d, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((2L, 1L)), 2L -> ((2L, 0L))))
+  }
+
+  test("sortedNeighborhood: brute-force parity on the rank window, no duplicate pairs") {
+    // sort key with ties and ids deliberately out of sort order
+    val d = Seq((10L, "cc"), (11L, "aa"), (12L, "bb"), (13L, "aa"), (14L, "dd"),
+      (15L, "ee"), (16L, "ab")).toDF("doc_id", "text")
+    val rows = Dedup.sortedNeighborhood(d, col("text"), w = 2)(p => p.collect().toSeq)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.size == got.toSet.size, "duplicate candidate pairs")
+    // expected: rank order by (text, id) = 11,13,16,12,10,14,15
+    val order = Seq(11L, 13L, 16L, 12L, 10L, 14L, 15L)
+    val brute = (for {
+      a <- order.indices; b <- order.indices if b > a && b - a <= 2
+    } yield (math.min(order(a), order(b)), math.max(order(a), order(b)), (b - a).toLong)).toSet
+    assert(got.toSet == brute)
+  }
+
+  test("capPerGroup: k smallest ids survive per group, short groups intact") {
+    val d = (0L until 9L).map(i => (i, if (i < 6) "big" else "small", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.capPerGroup(d, "source", k = 4)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(kept.collect { case ("big", id) => id }.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(kept.collect { case ("small", id) => id }.sorted.toSeq == Seq(6L, 7L, 8L))
+    // full rows survive the semi-join (text column intact)
+    assert(TextAnalysis.capPerGroup(d, "source", k = 4).columns.toSeq ==
+      Seq("doc_id", "source", "text"))
+  }
 }
