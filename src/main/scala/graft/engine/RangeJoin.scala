@@ -39,4 +39,37 @@ object RangeJoin {
           r(rightUs) > l(leftUs) && r(rightUs) <= l(leftUs) + windowUs)
       .drop(l("__bin")).drop(r("__bin"))
   }
+
+  /** Two-sided INTERVAL overlap join: pairs with the same key whose closed
+    * intervals `[leftStart, leftEnd]` and `[rightStart, rightEnd]` overlap
+    * (`max(starts) <= min(ends)`). Both sides explode to every bin their
+    * interval touches and the join is an equi-join on (key, bin); a
+    * qualifying pair meets in every SHARED bin, so it is counted only in
+    * the bin holding the overlap's start (`floor(max(starts)/bin)` — by
+    * definition inside both intervals): exact, no dedup pass, no
+    * duplicates. Explode factor per row is interval-length/binWidth + 1 —
+    * bounded when intervals are (the caller picks `binWidth` near the
+    * typical interval length; sub-linear blowup vs the all-pairs theta
+    * join a planner would otherwise run).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin", explode(sequence(
+      floor(col(leftStart) / binWidth).cast("long"),
+      floor(col(leftEnd) / binWidth).cast("long"))))
+    val r = right.withColumn("__bin", explode(sequence(
+      floor(col(rightStart) / binWidth).cast("long"),
+      floor(col(rightEnd) / binWidth).cast("long"))))
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("__bin") === r("__bin") &&
+          greatest(l(leftStart), r(rightStart)) <= least(l(leftEnd), r(rightEnd)) &&
+          floor(greatest(l(leftStart), r(rightStart)) / binWidth).cast("long") === l("__bin"))
+      .drop(l("__bin")).drop(r("__bin"))
+  }
 }

@@ -765,6 +765,48 @@ object Llm {
       }
     },
 
+    // Fixed-point PageRank over the near-dup pair graph — centrality-based
+    // canonical-doc scoring next to q96b's length rule. Scaled-integer
+    // arithmetic with floor division at every step, so the oracle replays
+    // the exact iterations (doubles would drift with summation order);
+    // engine = BSP rounds over a cached edge+degree frame, oracle = one
+    // generated CTE per iteration.
+    QDef.df("q96e_pagerank", {
+      val S = 1000000000000L
+      val iters = 3
+      val steps = (1 to iters).map { k =>
+        s"""r$k AS (SELECT nd.node,
+           |  CAST((($S // c.n) * 15) // 100 + coalesce(s$k.v, 0) AS BIGINT) AS r
+           |  FROM nd CROSS JOIN c LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(((r${k - 1}.r // d.deg) * 85) // 100) AS v
+           |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node JOIN d ON d.src = e.src
+           |    GROUP BY e.dst) s$k ON nd.node = s$k.node)""".stripMargin
+      }
+      s"""WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id < 50) x),
+         |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |pr AS (SELECT i, j FROM p
+         |       JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+         |       WHERE c / (sa.n + sb.n - c) >= 0.5),
+         |e AS (SELECT i AS src, j AS dst FROM pr UNION ALL SELECT j, i FROM pr),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nd AS (SELECT DISTINCT dst AS node FROM e),
+         |c AS (SELECT count(*) AS n FROM nd),
+         |r0 AS (SELECT node, CAST($S // n AS BIGINT) AS r FROM nd CROSS JOIN c),
+         |${steps.mkString(",\n")}
+         |SELECT node AS doc_id, r AS rank_fp FROM r$iters""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
+      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      graft.engine.Graph.pageRank(pairs, iters = 3)(ranks =>
+        QDef.localized(s,
+          ranks.select(col("node").as("doc_id"), col("r").as("rank_fp"))))
+    },
+
     // The production dedup ENDGAME on top of q96's clusters: keep ONE
     // canonical document per near-dup cluster — the longest (integer token
     // count, so the ranking is engine-exact), ties to the smallest id.

@@ -209,6 +209,34 @@ object Relational {
             .cast("string").as("qty"))
     },
 
+    // Bucketed co-located join: both sides are written bucketed on the join
+    // key FIRST (the ingest-time shuffle a 100 TB fact table pays once),
+    // then the sort-merge join runs with ZERO Exchange — the bucketed scans
+    // already satisfy the distribution (shuffle-freedom pinned by the
+    // StreamingOpsSpec plan test). Same rows as the plain-join oracle.
+    QDef.df("q12c_bucketed_join",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.ensure(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q12c").toString
+      s.sql("DROP TABLE IF EXISTS bq12c_lineitem")
+      s.sql("DROP TABLE IF EXISTS bq12c_orders")
+      s.table("lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet").option("path", s"$tmp/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bq12c_lineitem")
+      s.table("orders").select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet").option("path", s"$tmp/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bq12c_orders")
+      s.table("bq12c_lineitem").hint("merge")
+        .join(s.table("bq12c_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+            .cast("string").as("qty"))
+    },
+
     QDef.shared(
       "q13_left_outer_join",
       """SELECT c_custkey, count(o_orderkey) AS cnt
@@ -270,6 +298,42 @@ object Relational {
       graft.engine.RangeJoin
         .binned(l, r, "l_user", "r_user", "l_us", "r_us", windowUs = 3600L * 1000000L)
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    },
+
+    // Two-sided interval OVERLAP join (vs q18's point-in-window): view and
+    // purchase events carry closed intervals of event-id-derived length;
+    // pairs with the same user and overlapping intervals. Engine explodes
+    // BOTH sides to touched time bins and counts each pair only in the bin
+    // holding the overlap's start — equi-join on (user, bin), exact, no
+    // dedup pass; oracle is the plain theta join.
+    QDef.df("q18c_interval_overlap",
+      s"""$E,
+         |a AS (SELECT user_id, event_id, epoch_us(ts) AS s0,
+         |             epoch_us(ts) + (event_id % 3600) * 1000000 AS e0
+         |      FROM e WHERE event_type = 'view'),
+         |b AS (SELECT user_id, event_id, epoch_us(ts) AS s0,
+         |             epoch_us(ts) + (event_id % 3600) * 1000000 AS e0
+         |      FROM e WHERE event_type = 'purchase')
+         |SELECT a.user_id, count(*) AS n_pairs,
+         |       CAST(sum(a.event_id + b.event_id) AS BIGINT) AS id_sum
+         |FROM a JOIN b ON a.user_id = b.user_id
+         |              AND greatest(a.s0, b.s0) <= least(a.e0, b.e0)
+         |GROUP BY a.user_id""".stripMargin) { (s, dir) =>
+      Tables.ensure(s, dir)
+      val ev = s.table("events")
+      def side(tpe: String, u: String, id: String, s0: String, e0: String) =
+        ev.filter(col("event_type") === tpe).select(
+          col("user_id").as(u), col("event_id").as(id),
+          unix_micros(col("ts")).as(s0),
+          (unix_micros(col("ts")) + (col("event_id") % 3600) * 1000000L).as(e0))
+      graft.engine.RangeJoin.intervalOverlap(
+          side("view", "user_id", "aid", "as0", "ae0"),
+          side("purchase", "bu", "bid", "bs0", "be0"),
+          "user_id", "bu", "as0", "ae0", "bs0", "be0",
+          binWidth = 3600L * 1000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("aid") + col("bid")).cast("bigint").as("id_sum"))
     },
 
     QDef.sql(

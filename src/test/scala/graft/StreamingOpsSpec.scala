@@ -483,4 +483,37 @@ class StreamingOpsSpec extends SparkSpec {
     val emptyDim = dim.filter($"dk" < 0)
     assert(BloomPrune.prunedJoin(big, emptyDim, "k", "dk").count() == 0)
   }
+
+  test("intervalOverlap: brute-force parity, one row per pair across bin boundaries") {
+    import graft.engine.RangeJoin
+    // intervals engineered to span 0–3 bins at binWidth=10, with ties,
+    // touching endpoints (closed-interval overlap), and disjoint pairs
+    val la = Seq((1L, 101L, 0L, 5L), (1L, 102L, 8L, 31L), (1L, 103L, 40L, 40L),
+      (2L, 104L, 0L, 100L), (3L, 105L, 5L, 6L))
+    val rb = Seq((1L, 201L, 5L, 9L), (1L, 202L, 30L, 45L), (2L, 203L, 99L, 120L),
+      (2L, 204L, 101L, 110L), (3L, 205L, 7L, 8L))
+    val a = la.toDF("u", "aid", "as0", "ae0")
+    val b = rb.toDF("bu", "bid", "bs0", "be0")
+    val got = RangeJoin.intervalOverlap(a, b, "u", "bu", "as0", "ae0", "bs0", "be0", 10L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.toSet.size, s"duplicate pairs: $got")
+    val brute = (for {
+      (u, ai, s1, e1) <- la; (v, bi, s2, e2) <- rb
+      if u == v && math.max(s1, s2) <= math.min(e1, e2)
+    } yield (ai, bi)).toSet
+    assert(got.toSet == brute)
+    assert(brute.contains((101L, 201L)) && brute.contains((103L, 202L))) // endpoint touches
+  }
+
+  test("pageRank: hand-computed fixed-point iterations on a path graph") {
+    import graft.engine.Graph
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2; scale=300 -> r0=100, tele=15
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val r2 = Graph.pageRank(pairs, iters = 2, scale = 300L)(
+      _.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // it1: r=(57,185,57); it2: contribs 2->{78,78}, 1,3->{48}
+    assert(r2 == Map(1L -> 93L, 2L -> 111L, 3L -> 93L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "pageRank must release its caches on exit")
+  }
 }
