@@ -208,6 +208,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q2.stop(); q2.awaitTermination() }
   }
 
+  test("materialized join: per-batch incremental enrichment, dim updates apply to future facts") {
+    import graft.sink.{DeleteMode, LocalParquetSink}
+    import graft.streaming.MaterializedJoin
+    val in = tmpDir("mj_in"); val ckpt = tmpDir("mj_ckpt")
+    val sinkDir = tmpDir("mj_sink") + "/view"
+    val schema = "fact_id LONG, dim_key LONG, amount DOUBLE"
+    var dimRows = Seq((1L, "gold"), (2L, "silver"))
+    def dim() = { import spark.implicits._; dimRows.toDF("dim_key", "tier") }
+    write(in, "b0.jsonl", Seq(
+      """{"fact_id":100,"dim_key":1,"amount":5.0}""",
+      """{"fact_id":101,"dim_key":2,"amount":7.0}""",
+      """{"fact_id":102,"dim_key":9,"amount":1.0}""")) // no dim row yet
+    val sink = new LocalParquetSink(sinkDir)
+    def view(): Map[Long, Option[String]] =
+      sink.read(spark, DeleteMode.Hard).collect()
+        .map(r => r.getAs[Long]("fact_id") -> Option(r.getAs[String]("tier"))).toMap
+    val q = MaterializedJoin.startStreamStatic(
+      spark.readStream.schema(schema).json(in), dim _, "dim_key", "fact_id", sink, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(view() == Map(100L -> Some("gold"), 101L -> Some("silver"), 102L -> None))
+      // dimension gains the missing key: FUTURE facts see it, history is stable
+      dimRows = dimRows :+ (9L, "bronze")
+      write(in, "b1.jsonl", Seq(
+        """{"fact_id":103,"dim_key":9,"amount":2.0}"""))
+      q.processAllAvailable()
+      assert(view() == Map(100L -> Some("gold"), 101L -> Some("silver"),
+        102L -> None, 103L -> Some("bronze")))
+    } finally { q.stop(); q.awaitTermination() }
+    // checkpoint restart: only new data processes, the view survives
+    write(in, "b2.jsonl", Seq("""{"fact_id":104,"dim_key":1,"amount":3.0}"""))
+    val q2 = MaterializedJoin.startStreamStatic(
+      spark.readStream.schema(schema).json(in), dim _, "dim_key", "fact_id", sink, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(view()(104L) == Some("gold") && view().size == 5)
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
