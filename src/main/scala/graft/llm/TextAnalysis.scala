@@ -234,6 +234,43 @@ object TextAnalysis {
     docs.join(broadcast(kept), Seq(idCol), "left_semi")
   }
 
+  /** Set-containment filter: documents whose token set contains EVERY term
+    * in `terms`. For a single query set this is a pure per-row predicate —
+    * `array_intersect` against a literal, zero shuffle, zero explode, fully
+    * codegen'd, and the filter pushes into the scan's row-group pruning
+    * envelope. (Many query sets at once would instead join an inverted
+    * index — the q84e posting-list shape — grouped by set id; this is the
+    * degenerate single-set case done optimally.)
+    */
+  def containingAll(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    docs.filter(
+      size(array_intersect(array_distinct(split(col(textCol), " ")),
+        lit(terms.distinct.toArray))) === terms.distinct.size)
+  }
+
+  /** Weighted systematic sampling — deterministic "one doc per `step`
+    * weight units": docs are laid on a line in id order at their weight
+    * (token/char count), and a doc is selected iff its span
+    * `[psum, psum+w)` crosses a multiple of `step`. Inclusion probability
+    * ∝ weight (docs with w ≥ step are always selected), zero randomness,
+    * exact integers — reruns and engines agree bit-for-bit. The cumulative
+    * position is [[graft.engine.Ranking.prefixSum]] (range partition +
+    * per-partition window + broadcast offsets), never a global window.
+    */
+  def weightedSystematicSample[T](docs: DataFrame, weight: Column, step: Long,
+      idCol: String = "doc_id")(consume: DataFrame => T): T = {
+    require(step > 0, "step must be positive")
+    graft.engine.Ranking.prefixSum(
+      docs.select(col(idCol), weight.cast("long").as("__w")),
+      col("__w"), Seq(col(idCol))) { p =>
+      consume(p
+        .filter(expr(s"(__psum + __w) DIV $step") > expr(s"__psum DIV $step"))
+        .select(col(idCol), col("__w").as("weight"), col("__psum").as("offset")))
+    }
+  }
+
   /** Text normalization — the canonical-form pass run BEFORE exact/fuzzy
     * dedup so trivial variants (case, runs of whitespace, stray
     * non-printable bytes) hash identically: lowercase, strip characters

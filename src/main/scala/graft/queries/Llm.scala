@@ -1040,6 +1040,43 @@ object Llm {
           max(col("doc_id")).as("max_id"))
     },
 
+    // Deterministic weighted systematic sampling: one doc per 1000 chars of
+    // cumulative weight, selected iff the doc's weight span crosses a step
+    // multiple — inclusion ∝ weight, zero randomness, exact integers. The
+    // cumulative position is the distributed prefix sum (range partition +
+    // broadcast offsets), the oracle's window cumsum is the small-data twin.
+    QDef.df("q97f_weighted_sample",
+      """WITH p AS (SELECT doc_id, n_chars AS w,
+        |             coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ps
+        |           FROM documents)
+        |SELECT count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(w) AS BIGINT) AS w_sum
+        |FROM p WHERE (ps + w) // 1000 > ps // 1000""".stripMargin) { (s, dir) =>
+      TextAnalysis.weightedSystematicSample(
+          Tables.table(s, dir, "documents"), col("n_chars"), step = 1000L) { sample =>
+        QDef.localized(s, sample.agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          sum(col("weight")).cast("bigint").as("w_sum")))
+      }
+    },
+
+    // Set-containment filter: docs whose token set holds ALL query terms —
+    // a pure per-row array_intersect predicate (zero shuffle, zero explode;
+    // the multi-set generalization is an inverted-index join, q84e).
+    QDef.df("q84h_containing_all",
+      """WITH t AS (SELECT doc_id, count(DISTINCT tok) AS hits FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x
+        |  WHERE tok IN ('table', 'key', 'merge') GROUP BY doc_id)
+        |SELECT count(*) AS n_docs, CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM t WHERE hits = 3""".stripMargin) { (s, dir) =>
+      TextAnalysis.containingAll(
+          Tables.table(s, dir, "documents"), Seq("table", "key", "merge"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast("bigint").as("id_sum"))
+    },
+
     // Sequence-length histogram for batch packing.
     QDef.df("q98_length_hist",
       """SELECT CAST(least(floor(len(string_split(text, ' ')) / 32), 15) AS BIGINT) AS bucket,

@@ -400,6 +400,33 @@ object Relational {
           col("v_id").as("view_event_id"))
     },
 
+    // FORWARD as-of through the custom operator (earliest view AFTER each
+    // purchase): both event times negate and the backward two-pointer merge
+    // exec runs unchanged — direction is a view transform, not a second
+    // operator. Oracle mirrors q19 with min-after instead of max-before.
+    QDef.df("q19d_asof_forward",
+      s"""$E,
+         |     p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+         |     v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+         |     j AS (SELECT p.event_id AS pid, v.ts AS vts, v.event_id AS vid
+         |           FROM p JOIN v ON p.user_id = v.user_id AND v.ts > p.ts),
+         |     m AS (SELECT pid, min(vts) AS mts FROM j GROUP BY pid)
+         |SELECT m.pid AS event_id, epoch_us(m.mts) AS view_ts_us,
+         |       max(j.vid) AS view_event_id
+         |FROM m JOIN j ON j.pid = m.pid AND j.vts = m.mts
+         |GROUP BY m.pid, m.mts""".stripMargin) { (s, dir) =>
+      val e = s.table("events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      graft.plans.AsOf.joinForward(p, v, "p_user", "v_user", "p_ts", "v_ts", Seq("v_id"))
+        .filter(col("v_id").isNotNull)
+        .select(col("p_id").as("event_id"),
+          unix_micros(col("v_ts")).as("view_ts_us"),
+          col("v_id").as("view_event_id"))
+    },
+
     // ---------------------------------------------------------- aggregations
     QDef.shared(
       "q20_tpch_q1",
@@ -578,6 +605,34 @@ object Relational {
 
     // The sketch path of q29 (exact percentile sorts each group; the
     // GK-summary sketch is the 100 TB answer), oracle-checked as an
+    // Winsorization: clamp order totals at the EXACT p05/p95 order
+    // statistics (rank floor((n−1)q)+1 over integer cents — floor of the
+    // IEEE double·100 product is engine-identical) computed through the
+    // bounded-memory exact-quantile path, then sum the clamped column.
+    // The outlier-capping pass run before training-statistics extraction.
+    QDef.df("q28e_winsorize",
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v),
+        |lo AS (SELECT c FROM r CROSS JOIN n WHERE rk = CAST(floor((n - 1) * 0.05) AS BIGINT) + 1),
+        |hi AS (SELECT c FROM r CROSS JOIN n WHERE rk = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1)
+        |SELECT (SELECT c FROM lo) AS p05_cents, (SELECT c FROM hi) AS p95_cents,
+        |       count(*) AS cnt,
+        |       CAST(sum(least(greatest(v.c, (SELECT c FROM lo)), (SELECT c FROM hi))) AS BIGINT) AS wsum
+        |FROM v""".stripMargin) { (s, dir) =>
+      val cents = Tables.table(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+      val p05 = graft.engine.Ranking.exactQuantile(cents, col("c"), 0.05)
+        .get.asInstanceOf[Long]
+      val p95 = graft.engine.Ranking.exactQuantile(cents, col("c"), 0.95)
+        .get.asInstanceOf[Long]
+      cents
+        .agg(count(lit(1)).as("cnt"),
+          sum(least(greatest(col("c"), lit(p05)), lit(p95))).cast("bigint").as("wsum"))
+        .select(lit(p05).as("p05_cents"), lit(p95).as("p95_cents"),
+          col("cnt"), col("wsum"))
+    },
+
     // accuracy-contract invariant per the q21b pattern: the sketch's median
     // element must sit between the exact 45th and 55th percentile ranks —
     // oracle-knowable group sizes plus a boolean that is a constant of the

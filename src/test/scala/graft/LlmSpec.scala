@@ -677,6 +677,30 @@ class LlmSpec extends SparkSpec {
     assert(got.toSet == brute)
   }
 
+  test("weightedSystematicSample: span-crossing selection, heavy docs always in") {
+    val d = Seq((1L, 500L), (2L, 600L), (3L, 100L), (4L, 1000L), (5L, 2500L))
+      .toDF("doc_id", "w")
+    val got = TextAnalysis.weightedSystematicSample(d, $"w", step = 1000L) { s =>
+      s.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // prefix sums: 1->0, 2->500, 3->1100, 4->1200, 5->2200; spans crossing
+    // a multiple of 1000: doc 2 (500..1100), doc 4 (1200..2200), doc 5
+    // (2200..4700, w >= step is always selected)
+    assert(got == Set((2L, 600L, 500L), (4L, 1000L, 1200L), (5L, 2500L, 2200L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("containingAll: all-terms predicate, duplicates in query collapse") {
+    val d = Seq(
+      (0L, "the table has a key to merge on"),
+      (1L, "key merge"),                       // missing 'table'
+      (2L, "merge table merge key table")      // duplicates inside the doc
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.containingAll(d, Seq("table", "key", "merge", "merge"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 2L))
+  }
+
   test("capPerGroup: k smallest ids survive per group, short groups intact") {
     val d = (0L until 9L).map(i => (i, if (i < 6) "big" else "small", s"t$i"))
       .toDF("doc_id", "source", "text")
