@@ -91,6 +91,30 @@ object Inspection {
       .crossJoin(top)
   }
 
+  /** Per-column numeric profile: min / max / sum / null count for each
+    * listed numeric column in ONE aggregate pass, unpivoted to a row per
+    * column (the [[nullProfile]] shape for range/volume health). Sums run
+    * in DECIMAL at the given scale — a double sum's value depends on
+    * partition-order association, so it can never be compared across
+    * engines or reruns; min/max are order-free and stay exact.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    val dt = org.apache.spark.sql.types.DecimalType(38, scale)
+    val in = org.apache.spark.sql.types.DecimalType(18, scale)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast(dt)).as(s"__min_$c"),
+        max(col(c).cast(dt)).as(s"__max_$c"),
+        sum(col(c).cast(in)).cast(dt).as(s"__sum_$c"),
+        count(when(col(c).isNull, 1)).as(s"__n_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', CAST(`__min_$c` AS STRING), CAST(`__max_$c` AS STRING), " +
+        s"CAST(`__sum_$c` AS STRING), `__n_$c`").mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stackExpr) AS " +
+      "(column_name, min_v, max_v, sum_v, n_nulls)")
+  }
+
   /** R25: table discovery = distribution of the derived full table name. */
   def tables(envelope: DataFrame): DataFrame =
     graft.cdc.CdcPipeline.withFullTableName(envelope)

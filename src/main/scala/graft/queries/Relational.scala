@@ -1412,6 +1412,27 @@ object Relational {
         Tables.table(s, dir, "lineitem"), col("l_suppkey"), topK = 10)
     },
 
+    // Numeric range/volume profile of lineitem's measure columns — one
+    // aggregate pass, a row per column. Sums in exact DECIMAL (a double
+    // sum's value depends on partition-order association); min/max are
+    // order-free. Per-value half-up vs half-even cast ties cannot occur:
+    // no finite double sits exactly on a 1e-4 grid midpoint.
+    QDef.df("q67e_numeric_profile", {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(CAST(min($c) AS DECIMAL(38,4)) AS VARCHAR) AS min_v,
+           |  CAST(CAST(max($c) AS DECIMAL(38,4)) AS VARCHAR) AS max_v,
+           |  CAST(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_v,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }) { (s, dir) =>
+      graft.inspect.Inspection.numericProfile(
+        Tables.table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
     // Snapshot content diff (CDC audit read): synthesize an "after" version
     // of orders with deterministic removals (%13), two change classes (%7
     // status, %11 price — overlapping keys exercise multi-column
