@@ -728,6 +728,37 @@ object Relational {
             <= col("exact_supps") * 0.15).as("supps_ok"))
     },
 
+    // Mergeable-sketch pattern (the 100 TB incremental path for q21b):
+    // per-group Datasketches HLL sketches built independently, then merged
+    // with hll_union_agg — exactly how a 1000-executor cluster (or an
+    // incremental pipeline) computes a global cardinality without ever
+    // re-reading history. Sketch bytes aren't oracle-reproducible, so the
+    // output is the sketch's CLAIM: exact distincts (oracle-knowable) plus
+    // booleans asserting (a) the merged estimate lands within 5% of exact
+    // (lgK=12 ⇒ ~1.6% rsd, 3σ margin) and (b) union-of-partials agrees
+    // with a direct whole-table sketch to 5% — the mergeability contract.
+    QDef.df("q21c_hll_union",
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_returnflag) AS n_groups,
+        |       true AS union_ok, true AS merge_consistent
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem")
+      val partials = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      val merged = partials.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("union_est"),
+        count(lit(1)).as("n_groups"))
+      val direct = li.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))).as("direct_est"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      merged.crossJoin(direct).select(
+        col("exact_parts"), col("n_groups"),
+        (abs(col("union_est") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("union_ok"),
+        (abs(col("union_est") - col("direct_est"))
+          <= col("exact_parts") * 0.05).as("merge_consistent"))
+    },
+
     QDef.sql(
       "q39_string_agg",
       """SELECT n_regionkey,

@@ -46,6 +46,19 @@ class DiffSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getString(1) == "unchanged")
   }
 
+  test("numericProfile: one row per column; nulls counted; sums exact in decimal") {
+    val df = Seq(
+      (Option(1.5), Option(10L)),
+      (Option(-2.25), None),
+      (None, Option(30L))
+    ).toDF("a", "b")
+    val got = Inspection.numericProfile(df, Seq("a", "b"), scale = 2).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))).toMap
+    assert(got("a") == (("-2.25", "1.50", "-0.75", 1L)))
+    assert(got("b") == (("10.00", "30.00", "40.00", 1L)))
+  }
+
   test("skewProfile: exact counts and top-k mass with deterministic ties") {
     val rows = Seq.fill(10)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L, 5L, 6L)
     val df = rows.toDF("k")

@@ -161,6 +161,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("directory-partitioned layout prunes at planning: one partition scanned of six") {
+    // The storage-layout contract PartitionedParquetSink sells: an equality
+    // predicate on the partition column must resolve to PartitionFilters
+    // (directory pruning — Spark never lists the other partitions' files),
+    // not PushedFilters (row-group skipping inside files already opened).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    try {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.partitionBy("o_orderpriority").parquet(s"$tmp/orders_p")
+      val scan = spark.read.parquet(s"$tmp/orders_p")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = scan.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters:") && p.contains("1-URGENT"), p)
+      // the partition predicate must NOT degrade into a data filter
+      assert(!p.linesIterator.exists(l =>
+        l.contains("PushedFilters:") && l.contains("o_orderpriority")), p)
+      scan.collect() // execute so scan metrics populate
+      val exec = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      val allFiles = spark.read.parquet(s"$tmp/orders_p").inputFiles.length
+      assert(exec.metrics("numFiles").value < allFiles,
+        s"pruned scan read ${exec.metrics("numFiles").value} of $allFiles files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("k-means assignment is narrow: no join, no exchange, no window over the corpus") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val m = graft.llm.KMeans.train(emb, k = 4, iters = 1)
