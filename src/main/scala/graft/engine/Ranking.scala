@@ -122,51 +122,146 @@ object Ranking {
     * an empty / all-null column.
     */
   def exactQuantile(df0: DataFrame, valueCol: Column, q: Double,
-      accuracy: Int = 10000): Option[Any] = {
-    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]; got $q")
+      accuracy: Int = 10000): Option[Any] =
+    exactQuantiles(df0, valueCol, Seq(q), accuracy).head
+
+  /** Multi-quantile [[exactQuantile]]: ALL requested quantiles come off one
+    * shared set of scans — one count, ONE sketch call bracketing every q,
+    * one conditional-aggregation pass computing every bracket's below/in
+    * counts, and one distributed rank over the union of (tiny) brackets.
+    * Scan count is independent of `qs.size` — the per-q formulation pays
+    * ~5 full passes per quantile; this pays 4 total.
+    */
+  def exactQuantiles(df0: DataFrame, valueCol: Column, qs: Seq[Double],
+      accuracy: Int = 10000): Seq[Option[Any]] = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]; got $q"))
+    val k = qs.size
     val df = df0.select(valueCol.as("__v")).filter(col("__v").isNotNull)
     val n = df.count()
-    if (n == 0) return None
-    val r = math.floor((n - 1) * q).toLong + 1 // 1-based lower-quantile rank
-    var epsRanks = math.max(n / accuracy, 1L)
+    if (n == 0) return qs.map(_ => None)
+    val ranks = qs.map(q => math.floor((n - 1) * q).toLong + 1) // 1-based
+    val eps = scala.collection.mutable.ArraySeq.fill(k)(math.max(n / accuracy, 1L))
     var attempt = 0
     while (attempt < 20) {
-      val qlo = math.max(0.0, q - epsRanks.toDouble * 2 / n)
-      val qhi = math.min(1.0, q + epsRanks.toDouble * 2 / n)
+      val qlos = qs.indices.map(i => math.max(0.0, qs(i) - eps(i).toDouble * 2 / n))
+      val qhis = qs.indices.map(i => math.min(1.0, qs(i) + eps(i).toDouble * 2 / n))
       val b = df.agg(percentile_approx(col("__v"),
-        array(lit(qlo), lit(qhi)), lit(accuracy)).as("b")).head.getSeq[Any](0)
-      val (lo, hi) = (b(0), b(1))
-      val below = df.filter(col("__v") < lit(lo)).count()
-      val subset = df.filter(col("__v") >= lit(lo) && col("__v") <= lit(hi))
-      val inCount = subset.count()
-      if (below < r && below + inCount >= r)
-        return Some(withGlobalIndex(subset, Seq(col("__v"))) { idx =>
-          idx.filter(col("__idx") === (r - below - 1)).head.get(0)
-        })
-      epsRanks *= 4
+        array((qlos ++ qhis).map(lit): _*), lit(accuracy)).as("b")).head.getSeq[Any](0)
+      val (los, his) = (b.take(k), b.drop(k))
+      val inBracket = qs.indices.map(i =>
+        col("__v") >= lit(los(i)) && col("__v") <= lit(his(i)))
+      // every bracket's rank offsets in ONE pass
+      val aggs = qs.indices.flatMap(i => Seq(
+        sum(when(col("__v") < lit(los(i)), 1L).otherwise(0L)).as(s"__below_$i"),
+        sum(when(inBracket(i), 1L).otherwise(0L)).as(s"__in_$i")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      val belows = qs.indices.map(i => row.getLong(2 * i))
+      val ins = qs.indices.map(i => row.getLong(2 * i + 1))
+      val ok = qs.indices.forall(i => belows(i) < ranks(i) && belows(i) + ins(i) >= ranks(i))
+      if (ok) {
+        // tag each row with every bracket containing it (brackets may
+        // overlap; a row then ranks once per bracket) and resolve all k
+        // order statistics in one distributed rank over the bracket union
+        val tagged = df.select(explode(array_compact(array(
+          qs.indices.map(i => when(inBracket(i), lit(i))): _*))).as("__b"), col("__v"))
+        // bracket i's rows start at Σ_{j<i} in_j under the (__b, __v) order
+        val offsets = ins.scanLeft(0L)(_ + _)
+        val targets = qs.indices.map(i => i -> (offsets(i) + ranks(i) - belows(i) - 1)).toMap
+        return withGlobalIndex(tagged, Seq(col("__b"), col("__v"))) { idx =>
+          val hitCond = targets.map { case (i, t) =>
+            col("__b") === lit(i) && col("__idx") === lit(t)
+          }.reduce(_ || _)
+          val hits = idx.filter(hitCond).select(col("__b"), col("__v"))
+            .collect().map(r => r.getInt(0) -> r.get(1)).toMap // ≤ k rows
+          qs.indices.map(i => Some(hits(i)))
+        }
+      }
+      qs.indices.foreach { i =>
+        if (!(belows(i) < ranks(i) && belows(i) + ins(i) >= ranks(i))) eps(i) *= 4
+      }
       attempt += 1
     }
     throw new IllegalStateException(
-      s"exactQuantile bracket never converged (n=$n, q=$q) — sketch misbehaving")
+      s"exactQuantiles bracket never converged (n=$n, qs=$qs) — sketch misbehaving")
   }
 
   /** [[exactQuantile]] per group, for LOW-cardinality group columns
     * (flags, statuses, languages — the cases where per-group percentiles
-    * are actually read by humans). The group list is collected (bounded by
-    * `maxGroups` — the call REFUSES high-cardinality columns rather than
-    * silently looping thousands of jobs) and each group's quantile runs
-    * through the bounded-memory exact path; partition pruning/pushdown
-    * makes each per-group pass a filtered scan. High-cardinality grouped
-    * quantiles belong to `approx_percentile` + the q29b-style contract.
+    * are actually read by humans; the call REFUSES high-cardinality columns
+    * rather than silently collecting an unbounded bracket table — those
+    * belong to `approx_percentile` + the q29b-style contract).
+    *
+    * ALL groups resolve off three shared scans — no per-group driver loop:
+    *   1. one grouped agg: per-group count + sketch. The bracket half-width
+    *      is fixed in QUANTILE space (2/accuracy ≥ the GK rank-error n/a in
+    *      quantile units for every group size), so one foldable
+    *      percentile_approx percentage array serves every group;
+    *   2. one grouped conditional agg (bracket bounds broadcast back):
+    *      per-group below/in counts, verified against the target rank and
+    *      widened ×4 on the (backstop) miss;
+    *   3. one filtered scan keeps only in-bracket rows — ~4·n_g/accuracy
+    *      rows per group — and a window partitioned BY GROUP ranks them
+    *      (distributed across groups; within a group the bracket is tiny
+    *      by the sketch guarantee, so the per-partition sort is bounded).
     */
   def exactQuantileByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
-      q: Double, maxGroups: Int = 64): Seq[(Any, Any)] = {
-    val groups = df.select(groupCol.as("__g")).filter(col("__g").isNotNull)
-      .distinct().limit(maxGroups + 1).collect().map(_.get(0)).toSeq
-    require(groups.size <= maxGroups,
-      s"more than $maxGroups groups — use approx_percentile for high-cardinality grouping")
-    groups.sortBy(_.toString).flatMap { g =>
-      exactQuantile(df.filter(groupCol === lit(g)), valueCol, q).map(v => (g, v))
+      q: Double, maxGroups: Int = 64, accuracy: Int = 10000): Seq[(Any, Any)] = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]; got $q")
+    val spark = df.sparkSession
+    val base = df.select(groupCol.as("__g"), valueCol.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    var qeps = 2.0 / accuracy
+    var attempt = 0
+    while (attempt < 20) {
+      val qlo = math.max(0.0, q - qeps)
+      val qhi = math.min(1.0, q + qeps)
+      val stats = base.groupBy("__g")
+        .agg(count(lit(1)).as("__n"),
+          percentile_approx(col("__v"), array(lit(qlo), lit(qhi)), lit(accuracy)).as("__b"))
+        .limit(maxGroups + 1).collect()
+      require(stats.length <= maxGroups,
+        s"more than $maxGroups groups — use approx_percentile for high-cardinality grouping")
+      val bounds = stats.map { r =>
+        val b = r.getSeq[Any](2)
+        Row(r.get(0), r.getLong(1), math.floor((r.getLong(1) - 1) * q).toLong + 1, b(0), b(1))
+      }
+      val gType = base.schema("__g").dataType
+      val vType = base.schema("__v").dataType
+      val boundsDf = spark.createDataFrame(spark.sparkContext.parallelize(bounds.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField("__g", gType, nullable = false),
+          StructField("__n", LongType, nullable = false),
+          StructField("__r", LongType, nullable = false),
+          StructField("__lo", vType), StructField("__hi", vType))))
+      val joined = base.join(broadcast(boundsDf), "__g")
+      val counts = joined.groupBy(col("__g"), col("__r"))
+        .agg(sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).as("__below"),
+          sum(when(col("__v") >= col("__lo") && col("__v") <= col("__hi"), 1L)
+            .otherwise(0L)).as("__in"))
+        .collect() // ≤ maxGroups rows
+      val ok = counts.forall(r =>
+        r.getLong(2) < r.getLong(1) && r.getLong(2) + r.getLong(3) >= r.getLong(1))
+      if (ok) {
+        val belowDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(counts.map(r => Row(r.get(0), r.getLong(2))).toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            StructField("__g", gType, nullable = false),
+            StructField("__below", LongType, nullable = false))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__g")).orderBy(col("__v"))
+        return joined.filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+          .join(broadcast(belowDf), "__g")
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === col("__r") - col("__below"))
+          .select(col("__g"), col("__v"))
+          .collect().map(r => (r.get(0), r.get(1)))
+          .sortBy(_._1.toString).toSeq
+      }
+      qeps *= 4
+      attempt += 1
     }
+    throw new IllegalStateException(
+      s"exactQuantileByGroup bracket never converged (q=$q) — sketch misbehaving")
   }
 }

@@ -148,51 +148,94 @@ object Dedup {
     * pairwise matches into "keep one document per duplicate cluster". Each
     * node's cluster id is the minimum doc_id reachable from it.
     *
-    * Algorithm: BSP min-label propagation — each iteration every node takes
-    * the min of its own label and its neighbors' labels (one equi-join +
-    * grouped min, all distributed), converging in graph-diameter rounds;
-    * near-dup components are small, so the diameter (and `maxIters`) stays
-    * tiny. Each round's labels are persisted so iteration k doesn't replay
-    * rounds 1..k−1; the managed scope releases every cached round on exit —
-    * materialize final results inside `consume`.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014), the
+    * O(log n)-round replacement for BSP min-label propagation. Min-label
+    * needs graph-DIAMETER rounds — fine for shallow near-dup blobs, fatal
+    * for the chain-shaped candidate graphs [[sortedNeighborhood]] emits
+    * (rank adjacency: diameter ≈ component size, so a 10⁶-doc duplicate
+    * chain would need 10⁶ rounds). Each star round is the same distributed
+    * primitives (equi-join + grouped min + distinct), but it rewires edges
+    * toward the component minimum, halving effective diameter per round:
+    *   - large-star: every neighbor LARGER than u re-links to
+    *     min(Γ(u) ∪ u);
+    *   - small-star: every neighbor ≤ u (and u itself) re-links to
+    *     min(Γ(u)).
+    * At the fixpoint the edge set is a star forest centered on each
+    * component's minimum id. Only the current round's edge set stays
+    * persisted; the managed scope releases it on exit — materialize final
+    * results inside `consume`.
     */
-  def connectedComponents[T](pairs: DataFrame, nodes: DataFrame, maxIters: Int = 20)
-      (consume: DataFrame => T): T = {
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-    val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+  def connectedComponents[T](pairs: DataFrame, nodes: DataFrame, maxIters: Int = 50)
+      (consume: DataFrame => T): T =
+    connectedComponentsStats(pairs, nodes, maxIters) { (labels, _) => consume(labels) }
+
+  /** [[connectedComponents]] with the converged round count exposed to
+    * `consume` — the O(log n) convergence contract is testable.
+    */
+  def connectedComponentsStats[T](pairs: DataFrame, nodes: DataFrame, maxIters: Int = 50)
+      (consume: (DataFrame, Int) => T): T = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
+    // canonical (u > v) orientation, self-loops dropped — both star steps
+    // preserve the invariant (they always link toward a strictly smaller id)
+    var edges = pairs
+      .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(sl)
     try {
-      var changed = 1L
-      var it = 0
-      while (changed > 0 && it < maxIters) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("b"), col("cluster").as("nc")), "b")
-          .groupBy(col("a").as("doc_id")).agg(min("nc").as("nmin"))
-        // old label kept beside the new one: the convergence count below
-        // reads it off this same persisted frame instead of re-joining the
-        // previous round (one job, no extra join per iteration)
-        val step = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("cluster").as("__old"),
-            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached += step
-        changed = step.filter(col("cluster") < col("__old")).count()
-        labels = step.drop("__old")
-        it += 1
+      var cnt = edges.count()
+      var rounds = 0
+      var converged = cnt == 0L
+      while (!converged && rounds < maxIters) {
+        // large-star: from each node u, neighbors v > u re-link to
+        // min(Γ(u) ∪ u). Connectivity is preserved (v stays reachable from
+        // u through the new center) and every emitted edge points DOWN.
+        val sym = edges.union(edges.select(col("v"), col("u")).toDF("u", "v"))
+        val mins = sym.groupBy("u").agg(min("v").as("__mv"))
+          .select(col("u"), least(col("__mv"), col("u")).as("m"))
+        val large = sym.filter(col("v") > col("u")).join(mins, "u")
+          .select(col("v").as("u"), col("m").as("v")).distinct()
+        // small-star: edges now satisfy u > v, so Γ(u) here is exactly the
+        // ≤-u neighborhood — every v (and u itself) re-links to min(Γ(u)).
+        val minsS = large.groupBy("u").agg(min("v").as("m"))
+        val step = large.join(minsS, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .union(minsS.select(col("u"), col("m")))
+          .distinct()
+        // lineage cut: the round plan embeds the previous round's plan
+        // several times (union + two self-joins), so chaining Catalyst
+        // plans across rounds grows the tree ~8× per round — exponential
+        // planning cost that OOMs the driver near round 10 even though the
+        // DATA path is fine. Rebasing each round on its materialized RDD
+        // keeps every round's plan constant-size (the RDD lineage is a
+        // shared DAG, linear in rounds).
+        val small = spark.createDataFrame(step.rdd, step.schema).persist(sl)
+        val newCnt = small.count()
+        // fixpoint = star forest. Counts differ → surely not converged
+        // (skip the except); equal counts still need the exact set check.
+        converged = newCnt == cnt && small.except(edges).isEmpty
+        edges.unpersist()
+        edges = small
+        cnt = newCnt
+        rounds += 1
       }
-      // no silent caps: labels still moving at the iteration limit means a
-      // component wider than maxIters hops would be reported as several
-      // clusters — make the truncation loud
-      if (changed > 0) {
+      // no silent caps: an unconverged edge set would report one component
+      // as several clusters — make the truncation loud
+      if (!converged) {
         throw new IllegalStateException(
-          s"connectedComponents did not converge within $maxIters iterations " +
-            s"($changed labels still changing) — raise maxIters (components need " +
-            "graph-diameter rounds)")
+          s"connectedComponents did not converge within $maxIters star rounds — " +
+            "raise maxIters (alternating star converges in O(log n) rounds)")
       }
-      consume(labels)
+      // star forest: every non-center node carries exactly one (u, center)
+      // edge; centers and isolated nodes label themselves
+      val labels = nodes.select(col("doc_id"))
+        .join(edges.select(col("u").as("doc_id"), col("v").as("__m")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__m"), col("doc_id")).as("cluster"))
+      consume(labels, rounds)
     } finally {
-      cached.foreach(_.unpersist())
+      edges.unpersist()
       ()
     }
   }

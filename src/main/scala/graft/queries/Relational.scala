@@ -622,10 +622,11 @@ object Relational {
         |FROM v""".stripMargin) { (s, dir) =>
       val cents = Tables.table(s, dir, "orders")
         .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
-      val p05 = graft.engine.Ranking.exactQuantile(cents, col("c"), 0.05)
-        .get.asInstanceOf[Long]
-      val p95 = graft.engine.Ranking.exactQuantile(cents, col("c"), 0.95)
-        .get.asInstanceOf[Long]
+      // both quantiles off ONE shared scan set (count + sketch + bracket
+      // counts + rank) instead of two independent exactQuantile passes
+      val Seq(p05, p95) = graft.engine.Ranking
+        .exactQuantiles(cents, col("c"), Seq(0.05, 0.95))
+        .map(_.get.asInstanceOf[Long])
       cents
         .agg(count(lit(1)).as("cnt"),
           sum(least(greatest(col("c"), lit(p05)), lit(p95))).cast("bigint").as("wsum"))
@@ -668,11 +669,10 @@ object Relational {
         |SELECT '0.9' AS p, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS v FROM s
         |WHERE rn = floor((n - 1) * 0.9) + 1""".stripMargin) { (s, dir) =>
       val price = Tables.table(s, dir, "orders").select(col("o_totalprice"))
-      val rows = Seq("0.5", "0.9").map { p =>
-        val v = graft.engine.Ranking
-          .exactQuantile(price, col("o_totalprice"), p.toDouble).get
-        (p, v.asInstanceOf[Double])
-      }
+      val ps = Seq("0.5", "0.9")
+      val vs = graft.engine.Ranking
+        .exactQuantiles(price, col("o_totalprice"), ps.map(_.toDouble))
+      val rows = ps.zip(vs).map { case (p, v) => (p, v.get.asInstanceOf[Double]) }
       import s.implicits._
       // money-valued doubles round to 2 decimals identically on both
       // engines (no exact .005 boundary exists in binary64)

@@ -76,7 +76,7 @@ class LlmSpec extends SparkSpec {
     val recall = (0L until 10L).map(q => (ivf(q) & bf(q)).size).sum / 30.0
     assert(recall >= 0.3, s"recall $recall")
     model.close()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(leakedCaches.isEmpty,
       "Model.close() must release the cached centroids and assignments")
   }
 
@@ -106,14 +106,31 @@ class LlmSpec extends SparkSpec {
     }
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(leakedCaches.isEmpty,
       "connectedComponents must release every cached round on exit")
-    // a chain needs diameter rounds: 1-2-3-4 collapses to 1
+    // a chain spanning several hops still collapses to its minimum
     val chain = Seq((3L, 4L), (2L, 3L), (1L, 2L)).toDF("i", "j")
     val chainClusters = Dedup.connectedComponents(chain, (1L to 4L).toDF("doc_id")) { labels =>
       labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     assert(chainClusters.values.toSet == Set(1L))
+  }
+
+  test("connectedComponents: O(log n) star rounds on a diameter-10^4 path graph") {
+    // the q88d sorted-neighborhood chain shape: a path graph where diameter
+    // equals component size, so min-label propagation would need n rounds —
+    // alternating large-star/small-star must converge within 2·log2(n)
+    val n = 10000
+    val pairs = spark.range(1, n).selectExpr("id as i", "id + 1 as j")
+    val nodes = spark.range(1, n + 1L).toDF("doc_id")
+    val (clusters, rounds) = Dedup.connectedComponentsStats(pairs, nodes) { (labels, r) =>
+      (labels.select("cluster").distinct().collect().map(_.getLong(0)).toSet, r)
+    }
+    assert(clusters == Set(1L), "the whole path is one component labeled by its minimum")
+    val bound = 2 * math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    assert(rounds <= bound, s"took $rounds star rounds; O(log n) bound is $bound")
+    assert(leakedCaches.isEmpty,
+      "connectedComponentsStats must release the per-round cache on exit")
   }
 
   test("repetitionRatio: repeated trigrams counted, fully-unique docs score 0") {
@@ -687,7 +704,7 @@ class LlmSpec extends SparkSpec {
     // a multiple of 1000: doc 2 (500..1100), doc 4 (1200..2200), doc 5
     // (2200..4700, w >= step is always selected)
     assert(got == Set((2L, 600L, 500L), (4L, 1000L, 1200L), (5L, 2500L, 2200L)))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(leakedCaches.isEmpty)
   }
 
   test("containingAll: all-terms predicate, duplicates in query collapse") {

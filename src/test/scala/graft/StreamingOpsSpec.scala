@@ -426,7 +426,7 @@ class StreamingOpsSpec extends SparkSpec {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
     assert(viaScalable == viaWindow)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(leakedCaches.isEmpty,
       "ntileScalable must release its internal cache on exit")
   }
 
@@ -443,7 +443,7 @@ class StreamingOpsSpec extends SparkSpec {
       p.select($"id", $"__psum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     assert(got == expected)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(leakedCaches.isEmpty,
       "prefixSum must release its internal cache on exit")
   }
 
@@ -507,6 +507,63 @@ class StreamingOpsSpec extends SparkSpec {
     assert(Ranking.exactQuantile(df.filter($"v" < 0), $"v", 0.5).isEmpty)
   }
 
+  test("exactQuantiles: multi-q matches sorted order statistics in fewer jobs than per-q") {
+    import graft.engine.Ranking
+    val vals = (0 until 5000).map(i => ((i * 2654435761L) % 97) * ((i % 7) + 1))
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val qs = Seq(0.0, 0.05, 0.5, 0.95, 1.0)
+    def countJobs(work: => Unit): Int = {
+      var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        work
+        org.apache.spark.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs
+    }
+    var multi: Seq[Long] = Nil
+    val jobsMulti = countJobs {
+      multi = Ranking.exactQuantiles(df, $"v", qs).map(_.get.asInstanceOf[Long])
+    }
+    qs.zip(multi).foreach { case (q, got) =>
+      assert(got == sorted(math.floor((vals.size - 1) * q).toInt), s"q=$q")
+    }
+    var single: Seq[Long] = Nil
+    val jobsSingle = countJobs {
+      single = qs.map(q => Ranking.exactQuantile(df, $"v", q).get.asInstanceOf[Long])
+    }
+    assert(multi == single)
+    // the whole point of the multi-q API: scan count independent of qs.size
+    assert(jobsMulti < jobsSingle,
+      s"multi-q ran $jobsMulti jobs vs $jobsSingle for ${qs.size} per-q calls")
+  }
+
+  test("exactQuantileByGroup: per-group order statistics off shared scans, refusal intact") {
+    import graft.engine.Ranking
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 3}", ((i * 2654435761L) % 89) * ((i % 5) + 1))
+    }
+    val df = rows.toDF("g", "v")
+    val expected = rows.groupBy(_._1).map { case (g, grp) =>
+      val s = grp.map(_._2).sorted
+      g -> s(math.floor((s.size - 1) * 0.5).toInt)
+    }
+    val got = Ranking.exactQuantileByGroup(df, $"g", $"v", 0.5)
+      .map { case (g, v) => g.asInstanceOf[String] -> v.asInstanceOf[Long] }.toMap
+    assert(got == expected)
+    // high-cardinality refusal contract unchanged
+    val wide = (0 until 200).map(i => (s"u$i", i.toLong)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Ranking.exactQuantileByGroup(wide, $"g", $"v", 0.5, maxGroups = 64)
+    }
+    ()
+  }
+
   test("bloom-pruned join: row-identical to the plain join, actually prunes, empty dim safe") {
     import graft.engine.BloomPrune
     val big = (0 until 20000).map(i => (i.toLong % 1000, s"v$i")).toDF("k", "payload")
@@ -552,7 +609,7 @@ class StreamingOpsSpec extends SparkSpec {
       _.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     // it1: r=(57,185,57); it2: contribs 2->{78,78}, 1,3->{48}
     assert(r2 == Map(1L -> 93L, 2L -> 111L, 3L -> 93L))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(leakedCaches.isEmpty,
       "pageRank must release its caches on exit")
   }
 }
