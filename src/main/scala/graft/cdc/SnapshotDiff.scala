@@ -51,11 +51,20 @@ object SnapshotDiff {
   }
 
   /** The rollup a sync report actually prints: row counts and a key
-    * checksum per (verdict, changed_cols) class.
+    * checksum per (verdict, changed_cols) class. Numeric first keys sum
+    * directly (portable across engines — the q69 oracle replays it);
+    * non-numeric keys checksum through xxhash64 — a plain `sum(cast(...))`
+    * on a string key would cast to null and silently zero the checksum.
+    * The hashed form is run-to-run stable for THIS engine (the audit
+    * comparison a sync report needs), not cross-engine portable.
     */
-  def summary(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame =
+  def summary(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    val numericKey = before.schema(keys.head).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val chk = if (numericKey) col(keys.head) else xxhash64(col(keys.head))
     diff(before, after, keys)
       .groupBy(col("verdict"), col("changed_cols"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col(keys.head)).cast("bigint").as("key_sum"))
+        sum(chk).cast("bigint").as("key_sum"))
+  }
 }

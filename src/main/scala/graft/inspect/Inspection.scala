@@ -99,12 +99,16 @@ object Inspection {
     * engines or reruns; min/max are order-free and stay exact.
     */
   def numericProfile(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
     val dt = org.apache.spark.sql.types.DecimalType(38, scale)
-    val in = org.apache.spark.sql.types.DecimalType(18, scale)
+    // the sum input casts at FULL precision (38, scale): a narrower input
+    // cast (e.g. 18 digits) silently nulls any value with ≥ 18−scale
+    // integer digits under non-ANSI semantics — epoch micros or large
+    // money columns would drop out of the sum while min/max still see them
     val aggs = cols.flatMap { c =>
       Seq(min(col(c).cast(dt)).as(s"__min_$c"),
         max(col(c).cast(dt)).as(s"__max_$c"),
-        sum(col(c).cast(in)).cast(dt).as(s"__sum_$c"),
+        sum(col(c).cast(dt)).as(s"__sum_$c"),
         count(when(col(c).isNull, 1)).as(s"__n_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)

@@ -118,6 +118,51 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
 
+  // ------------------------------------------------- hot-bucket guard
+  /** What a [[capBuckets]] excision removed — surfaced to the caller so a
+    * capped run can never silently pass as a complete one.
+    */
+  final case class CapReport(droppedBuckets: Long, droppedRows: Long, cap: Int) {
+    def clean: Boolean = droppedBuckets == 0
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Drops bucket-join groups with more than `cap` members before candidate
+    * generation. Every LSH candidate path (minhash bands, simhash bands,
+    * hyperplane buckets) is an equi-join on the bucket key: a degenerate
+    * corpus slice — millions of empty or boilerplate documents sharing one
+    * fingerprint — turns ONE bucket quadratic and with it the whole join.
+    * Real pipelines pre-filter such slices; the operator still enforces the
+    * bound, and follows the no-silent-caps contract: the excision is
+    * counted eagerly, logged, and returned — never swallowed. (A bucket
+    * past `cap` contributes candidates quadratically while its duplicate
+    * mass is better handled by exact dedup first, so dropping it loses
+    * little recall and bounds the join at cap²/2 pairs per bucket.)
+    */
+  def capBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int): (DataFrame, CapReport) = {
+    require(cap > 1, s"bucket cap must be > 1; got $cap")
+    val keys = keyCols.map(col)
+    val hot = bucketed.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+    // one bounded job: one row per HOT bucket reaches the agg
+    val s = hot.agg(count(lit(1)), coalesce(sum(col("__n")), lit(0L))).head
+    val report = CapReport(s.getLong(0), s.getLong(1), cap)
+    if (!report.clean) {
+      log.warn(s"capBuckets: dropped ${report.droppedBuckets} hot buckets " +
+        s"(${report.droppedRows} rows) over cap=$cap on (${keyCols.mkString(", ")})")
+    }
+    (bucketed.join(hot.select(keys: _*), keyCols, "left_anti"), report)
+  }
+
+  /** [[lshCandidates]] with the hot-bucket guard: candidate volume is
+    * bounded by buckets·cap²/2 regardless of how degenerate the corpus is.
+    */
+  def lshCandidatesCapped(bands: DataFrame, cap: Int): (DataFrame, CapReport) = {
+    val (kept, report) = capBuckets(bands, Seq("band", "bkey"), cap)
+    (lshCandidates(kept), report)
+  }
+
   /** Jaccard estimate for candidate pairs: fraction of agreeing minhashes. */
   def minhashEstimates(sig: DataFrame, pairs: DataFrame): DataFrame =
     pairs
@@ -277,20 +322,36 @@ object Dedup {
     * (band index, band value) with zero recall loss. Unsigned shift: band
     * extraction must not sign-extend fingerprints with bit 63 set.
     */
-  def simhashBandCandidates(fps: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashBandCandidates(fps: DataFrame, maxHamming: Int): DataFrame =
+    simhashJoin(simhashBands(fps, maxHamming))
+
+  /** (doc_id, fp, band, bval) — one row per fingerprint per band. */
+  private def simhashBands(fps: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimBits / nBands
-    val bands = fps.select(col("doc_id"), col("fp"),
+    fps.select(col("doc_id"), col("fp"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("fp"), b * bandBits)
           .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1)): _*))
         .as(Seq("band", "bval")))
+  }
+
+  private def simhashJoin(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.fp").as("fpi"), col("b.fp").as("fpj"))
       .distinct()
+
+  /** [[simhashBandCandidates]] with the [[capBuckets]] hot-bucket guard —
+    * the pigeonhole recall guarantee then holds only for pairs whose
+    * agreeing band survived the cap; the report says exactly what was cut.
+    */
+  def simhashBandCandidatesCapped(fps: DataFrame, maxHamming: Int,
+      cap: Int): (DataFrame, CapReport) = {
+    val (kept, report) = capBuckets(simhashBands(fps, maxHamming), Seq("band", "bval"), cap)
+    (simhashJoin(kept), report)
   }
 
   /** SimHash near-duplicate pairs: hamming(fp_a, fp_b) ≤ maxHamming over
@@ -324,16 +385,34 @@ object Dedup {
     * bucket — candidate generation becomes an equi-join like minhash-LSH.
     */
   def embeddingNearDupLsh(vectors: DataFrame, threshold: Double, dim: Int, nPlanes: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    embeddingBucketJoin(embeddingBuckets(vectors, dim, nPlanes, idCol, embCol),
+      threshold, idCol, embCol)
+
+  private def embeddingBuckets(vectors: DataFrame, dim: Int, nPlanes: Int,
+      idCol: String, embCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val bucketed = vectors.select(col(idCol), col(embCol),
+    vectors.select(col(idCol), col(embCol),
       Similarity.lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+  }
+
+  private def embeddingBucketJoin(bucketed: DataFrame, threshold: Double,
+      idCol: String, embCol: String): DataFrame = {
     val a = bucketed.select(col("bucket"), col(idCol).as("i"), col(embCol).as("ea"))
     val b = bucketed.select(col("bucket"), col(idCol).as("j"), col(embCol).as("eb"))
     a.join(b, Seq("bucket")).filter(col("i") < col("j"))
       .withColumn("cos", graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos")).distinct()
+  }
+
+  /** [[embeddingNearDupLsh]] with the [[capBuckets]] hot-bucket guard. */
+  def embeddingNearDupLshCapped(vectors: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int, cap: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): (DataFrame, CapReport) = {
+    val (kept, report) =
+      capBuckets(embeddingBuckets(vectors, dim, nPlanes, idCol, embCol), Seq("bucket"), cap)
+    (embeddingBucketJoin(kept, threshold, idCol, embCol), report)
   }
 
   // ------------------------------------------------- n-gram shingles

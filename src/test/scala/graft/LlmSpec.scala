@@ -133,6 +133,45 @@ class LlmSpec extends SparkSpec {
       "connectedComponentsStats must release the per-round cache on exit")
   }
 
+  test("capBuckets: 10^3 identical fingerprints bound the candidate join, drop reported") {
+    // the degenerate slice: 1000 boilerplate docs sharing one fingerprint
+    // would make the band join quadratic (4 bands × ~500k pairs); the cap
+    // excises the hot buckets and says so
+    val fps = spark.range(0, 1000).selectExpr("id AS doc_id", "CAST(42 AS LONG) AS fp")
+      .union(Seq((2000L, 0L), (2001L, 1L)).toDF("doc_id", "fp")) // hamming 1 pair survives
+    val (cand, report) = Dedup.simhashBandCandidatesCapped(fps, maxHamming = 3, cap = 10)
+    assert(!report.clean && report.cap == 10)
+    // every populated bucket is hot here: (band0, 42) holds the 1000 clones,
+    // and the three high bands are 0 for ALL fingerprints (42 >> 16 = 0), so
+    // those buckets hold 1002 rows; docs 2000/2001 survive only in their
+    // singleton band-0 buckets — zero candidate pairs remain
+    val pairs = cand.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.isEmpty, s"hot-bucket pairs leaked: ${pairs.take(5).mkString(",")}")
+    assert(report.droppedRows > 1000, s"report undercounts: $report")
+    // a generous cap changes nothing: parity with the uncapped operator
+    val (candOpen, reportOpen) = Dedup.simhashBandCandidatesCapped(fps, 3, cap = 5000)
+    assert(reportOpen.clean)
+    assert(candOpen.select("i", "j").collect().toSet ==
+      Dedup.simhashBandCandidates(fps, 3).select("i", "j").collect().toSet)
+  }
+
+  test("capBuckets guards the minhash and embedding LSH paths too") {
+    // minhash: identical docs share every band key
+    val many = (0L until 200L).map(i => (i, "the same boilerplate text"))
+      .toDF("doc_id", "text")
+    val sig = graft.llm.MinHashAggregator.signatures(Dedup.hashCodes(Dedup.tokenSets(many)))
+    val bands = Dedup.bandKeys(sig)
+    val (cand, rep) = Dedup.lshCandidatesCapped(bands, cap = 10)
+    assert(cand.count() == 0 && !rep.clean && rep.droppedBuckets == 4)
+    val (candOpen, repOpen) = Dedup.lshCandidatesCapped(bands, cap = 500)
+    assert(repOpen.clean && candOpen.count() == 200L * 199 / 2)
+    // embedding: identical vectors share the hyperplane bucket
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val (ecand, erep) = Dedup.embeddingNearDupLshCapped(
+      vecs, threshold = 0.9, dim = 8, nPlanes = 4, cap = 10)
+    assert(ecand.count() == 0 && !erep.clean)
+  }
+
   test("repetitionRatio: repeated trigrams counted, fully-unique docs score 0") {
     val d = Seq((0L, "a b a b a b"), (1L, "u v w x y z")).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionRatio(d, 3).collect()

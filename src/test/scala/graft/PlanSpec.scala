@@ -198,4 +198,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q12c: bucketed sort-merge join is Exchange-free on the join key") {
+    graft.engine.Tables.ensureBucketed(spark, dir)
+    val j = spark.table("bq12c_lineitem").hint("merge")
+      .join(spark.table("bq12c_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+    val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin"), p)
+    // both scans are bucketed on the key: the join's distribution is already
+    // satisfied, so no Exchange may appear anywhere in the join subtree
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("IVF assignment is narrow: no join, no exchange, no window, no sort") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = graft.llm.Ivf.train(emb, nCells = 4, iters = 1)
+    try {
+      // nearest-cell selection must be a per-row expression against the
+      // centroid literal — the corpus is never crossed, shuffled, ranked
+      // or sorted (the earlier cross-join + row_number shape did all four)
+      val p = m.assigned.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Sort"), p)
+    } finally m.close()
+  }
 }

@@ -47,13 +47,18 @@ def fragile_types(sql):
 oracle_sql = json.load(open(f"{OUT}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
 ok, bad, noora = 0, [], []
-# A declared query whose output dir is absent means graft.Verify threw on it —
-# surface as FAIL instead of silently shrinking the denominator. (Partial runs
-# pass name prefixes to Verify; only flag when the run looks complete.)
-declared_missing = [q for q in oracle_sql if q not in names]
-if names and len(names) > len(oracle_sql) * 0.5:
-    for q in declared_missing:
-        bad.append((q, "declared in oracle_sql.json but engine wrote no output (query threw?)"))
+# A query graft.Verify ATTEMPTED (attempted.json manifest) whose output dir is
+# absent means it threw — surface as FAIL instead of silently shrinking the
+# denominator. Partial runs (name-prefix filters) list only the subset they
+# tried, so unattempted queries never false-fail. Older outputs without the
+# manifest fall back to "flag only when the run looks complete".
+try:
+    attempted = json.load(open(f"{OUT}/attempted.json"))
+except FileNotFoundError:
+    attempted = list(oracle_sql) if names and len(names) > len(oracle_sql) * 0.5 else []
+for q in attempted:
+    if q in oracle_sql and q not in names:
+        bad.append((q, "attempted but engine wrote no output (query threw?)"))
 for name in names:
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
