@@ -39,42 +39,79 @@ import org.apache.spark.sql.functions._
   * sinks; `__gen` strictly increases per commit, so replaying a batch is
   * idempotent and out-of-order-safe.
   */
-final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertSink {
-
-  private def manifestsDir: Path = Paths.get(dir, "manifests")
-  private def manifestPath(v: Long): Path = manifestsDir.resolve(f"v$v%08d.manifest")
-
-  private def bucketOf(keys: Seq[String]) =
-    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+/** Manifest-format and bucket-routing primitives, shared between the Scala
+  * sink API and the DSv2 read path ([[graft.sources.SnapshotTableProvider]])
+  * so neither re-learns the layout.
+  */
+object SnapshotParquetSink {
 
   /** Lists a directory's children eagerly, closing the stream (Files.list
     * holds an open directory fd until closed — leaking one per merge would
     * exhaust the ulimit on a long-running stream).
     */
-  private def children(p: Path): Seq[Path] = {
+  private[sink] def children(p: Path): Seq[Path] = {
     val s = Files.list(p)
     try s.iterator().asScala.toVector finally s.close()
   }
 
-  /** All published versions, ascending; empty before the first commit. */
-  def versions: Seq[Long] =
-    if (!Files.exists(manifestsDir)) Seq.empty
-    else children(manifestsDir)
+  def manifestsDir(dir: String): Path = Paths.get(dir, "manifests")
+  def manifestPath(dir: String, v: Long): Path =
+    manifestsDir(dir).resolve(f"v$v%08d.manifest")
+
+  /** All published versions at `dir`, ascending; empty before any commit. */
+  def versions(dir: String): Seq[Long] =
+    if (!Files.exists(manifestsDir(dir))) Seq.empty
+    else children(manifestsDir(dir))
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
       .sorted
 
+  /** (declared nBuckets, bucket → path relative to `dir`) at `version`. */
+  def manifest(dir: String, version: Long): (Int, Map[Int, String]) = {
+    val lines = Files.readAllLines(manifestPath(dir, version)).asScala.toSeq
+    val n = lines.collectFirst { case l if l.startsWith("nBuckets=") =>
+      l.stripPrefix("nBuckets=").toInt }
+      .getOrElse(sys.error(s"manifest v$version at $dir lacks nBuckets"))
+    val entries = lines.iterator.filter(_.startsWith("b ")).map { line =>
+      val Array(_, b, rel) = line.split(" ", 3)
+      b.toInt -> rel
+    }.toMap
+    (n, entries)
+  }
+
+  /** Driver-side bucket routing, bit-identical to the write path's
+    * `pmod(xxhash64(keys...), nBuckets)`: literals cast to the STORED key
+    * types, XxHash64 evaluated without a Spark job.
+    */
+  def bucketFor(keyValues: Seq[Any],
+      keyTypes: Seq[org.apache.spark.sql.types.DataType], nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val castLits = keyValues.zip(keyTypes).map { case (v, t) =>
+      Cast(Literal(v), t, Some("UTC")): org.apache.spark.sql.catalyst.expressions.Expression
+    }
+    val h = new XxHash64(castLits.toIndexedSeq).eval(null).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+}
+
+final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertSink {
+  import SnapshotParquetSink.children
+
+  private def manifestsDir: Path = SnapshotParquetSink.manifestsDir(dir)
+  private def manifestPath(v: Long): Path = SnapshotParquetSink.manifestPath(dir, v)
+
+  private def bucketOf(keys: Seq[String]) =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+
+  /** All published versions, ascending; empty before the first commit. */
+  def versions: Seq[Long] = SnapshotParquetSink.versions(dir)
+
   def currentVersion: Option[Long] = versions.lastOption
 
   /** bucket → path relative to `dir`. */
   private def readManifest(v: Long): Map[Int, String] =
-    Files.readAllLines(manifestPath(v)).asScala.iterator
-      .filter(_.startsWith("b "))
-      .map { line =>
-        val Array(_, b, rel) = line.split(" ", 3)
-        b.toInt -> rel
-      }.toMap
+    SnapshotParquetSink.manifest(dir, v)._2
 
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
@@ -202,12 +239,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         val entries = readManifest(v)
         val sample = spark.read.parquet(s"$dir/${entries.head._2}").drop("__gen")
         val schema = sample.schema
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
-        val castLits = keys.zip(keyValues).map { case (k, kv) =>
-          Cast(Literal(kv), schema(k).dataType, Some("UTC")): org.apache.spark.sql.catalyst.expressions.Expression
-        }
-        val h = new XxHash64(castLits.toIndexedSeq).eval(null).asInstanceOf[Long]
-        val bucket = ((h % nBuckets) + nBuckets) % nBuckets
+        val bucket = SnapshotParquetSink.bucketFor(
+          keyValues, keys.map(k => schema(k).dataType), nBuckets)
         entries.get(bucket.toInt) match {
           case None => shaped(sample.limit(0))
           case Some(rel) =>

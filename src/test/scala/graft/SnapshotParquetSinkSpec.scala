@@ -163,6 +163,72 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(sink.lookup(spark, Seq("primary_key"), Seq("nope")).isEmpty)
   }
 
+  test("DSv2 read: q61d/q61e semantics through spark.read.format, current and asOf") {
+    import org.apache.spark.sql.functions.{col, not}
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("a", 2, "a1", false)), Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("b", 3, "del", true)), Seq("primary_key"), "seq", "is_delete")
+    def viaSql(asOf: Option[Long]): Map[String, String] = {
+      val r = asOf.foldLeft(spark.read.format("graft-snapshot")) {
+        (rd, v) => rd.option("asOf", v.toString)
+      }.load(dir)
+      // SQL twin of DeleteMode.Hard: the logical-delete flag is a visible
+      // column, hard consumers filter it
+      r.filter(not(col("__is_deleted")))
+        .collect().map(x => x.getAs[String]("primary_key") -> x.getAs[String]("val")).toMap
+    }
+    // snapshot-upsert state (the q61d read) — latest version
+    assert(viaSql(None) == Map("a" -> "a1"))
+    // time travel (the q61e read) — every committed version
+    assert(viaSql(Some(0L)) == Map("a" -> "a0", "b" -> "b0"))
+    assert(viaSql(Some(1L)) == Map("a" -> "a1", "b" -> "b0"))
+    assert(viaSql(Some(2L)) == Map("a" -> "a1"))
+    // parity with the Scala API at every version
+    (0L to 2L).foreach { v =>
+      val api = sink.readAt(spark, v, DeleteMode.Hard).collect()
+        .map(r => r.getAs[String]("primary_key") -> r.getAs[String]("val")).toMap
+      assert(viaSql(Some(v)) == api, s"v$v")
+    }
+    // plain SQL over a registered view works too
+    spark.read.format("graft-snapshot").load(dir).createOrReplaceTempView("snap_t")
+    assert(spark.sql("SELECT count(*) AS n FROM snap_t WHERE NOT __is_deleted")
+      .head.getLong(0) == 1L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("asOf", "99").load(dir).collect()
+    }
+    ()
+  }
+
+  test("DSv2 read: key-equality filters prune the scan to one bucket file") {
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8)
+    val rows = (0 until 64).map(i => (s"k$i", i.toLong, s"v$i", false))
+    sink.merge(batch(rows: _*), Seq("primary_key"), "seq", "is_delete")
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // force planning + execution
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+          }
+      }.sum
+    }
+    val base = spark.read.format("graft-snapshot").option("keys", "primary_key").load(dir)
+    val full = scanFiles(base)
+    assert(full == 8, s"expected one file per bucket, saw $full")
+    val probe = base.filter($"primary_key" === "k13")
+    assert(scanFiles(probe) == 1, "key probe must plan exactly one bucket file")
+    assert(probe.select("val").head.getString(0) == "v13")
+    // a non-key filter must NOT prune (and must still be correct)
+    val wide = base.filter($"val" === "v13")
+    assert(scanFiles(wide) == 8)
+    assert(wide.select("primary_key").head.getString(0) == "k13")
+  }
+
   test("schema evolution: new columns null-backfill older buckets") {
     val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 4)
     sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),

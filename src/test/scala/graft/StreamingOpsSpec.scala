@@ -247,6 +247,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q2.stop(); q2.awaitTermination() }
   }
 
+  test("materialized join: CDC-updated sink table as the dimension (read-after-merge)") {
+    // the composition a real pipeline runs: the dimension is ITSELF a CDC
+    // sink kept current by upsert merges — every micro-batch's dim() read
+    // must see the state as of the latest completed merge
+    import graft.sink.{DeleteMode, LocalParquetSink}
+    import graft.streaming.MaterializedJoin
+    val in = tmpDir("mjc_in"); val ckpt = tmpDir("mjc_ckpt")
+    val dimSink = new LocalParquetSink(tmpDir("mjc_dim") + "/dim")
+    val factSink = new LocalParquetSink(tmpDir("mjc_sink") + "/view")
+    def dimBatch(rows: (Long, Long, String, Boolean)*) =
+      rows.toSeq.toDF("dim_key", "dseq", "tier", "ddel")
+    dimSink.merge(dimBatch((1L, 0L, "gold", false)), Seq("dim_key"), "dseq", "ddel")
+    def dim() = dimSink.read(spark, DeleteMode.Hard).select("dim_key", "tier")
+    def view(): Map[Long, Option[String]] =
+      factSink.read(spark, DeleteMode.Hard).collect()
+        .map(r => r.getAs[Long]("fact_id") -> Option(r.getAs[String]("tier"))).toMap
+    val schema = "fact_id LONG, dim_key LONG, amount DOUBLE"
+    write(in, "b0.jsonl", Seq(
+      """{"fact_id":100,"dim_key":1,"amount":5.0}""",
+      """{"fact_id":101,"dim_key":2,"amount":7.0}""")) // dim row not merged yet
+    val q = MaterializedJoin.startStreamStatic(
+      spark.readStream.schema(schema).json(in), dim _, "dim_key", "fact_id", factSink, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(view() == Map(100L -> Some("gold"), 101L -> None))
+      // CDC updates the dimension between micro-batches: an update, an
+      // insert, and a tombstone — the NEXT batch joins against all three
+      dimSink.merge(dimBatch((1L, 1L, "platinum", false), (2L, 1L, "silver", false)),
+        Seq("dim_key"), "dseq", "ddel")
+      write(in, "b1.jsonl", Seq(
+        """{"fact_id":102,"dim_key":1,"amount":2.0}""",
+        """{"fact_id":103,"dim_key":2,"amount":3.0}"""))
+      q.processAllAvailable()
+      // history keeps the values in force when joined; new facts see the merge
+      assert(view() == Map(100L -> Some("gold"), 101L -> None,
+        102L -> Some("platinum"), 103L -> Some("silver")))
+      dimSink.merge(dimBatch((2L, 2L, "gone", true)), Seq("dim_key"), "dseq", "ddel")
+      write(in, "b2.jsonl", Seq("""{"fact_id":104,"dim_key":2,"amount":1.0}"""))
+      q.processAllAvailable()
+      // hard-deleted dim row: the future fact left-joins to null, keeps flowing
+      assert(view()(104L).isEmpty && view()(103L) == Some("silver"))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
