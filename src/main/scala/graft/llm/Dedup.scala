@@ -193,75 +193,117 @@ object Dedup {
     * pairwise matches into "keep one document per duplicate cluster". Each
     * node's cluster id is the minimum doc_id reachable from it.
     *
-    * Algorithm: alternating large-star / small-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC 2014), the
-    * O(log n)-round replacement for BSP min-label propagation. Min-label
-    * needs graph-DIAMETER rounds — fine for shallow near-dup blobs, fatal
-    * for the chain-shaped candidate graphs [[sortedNeighborhood]] emits
-    * (rank adjacency: diameter ≈ component size, so a 10⁶-doc duplicate
-    * chain would need 10⁶ rounds). Each star round is the same distributed
-    * primitives (equi-join + grouped min + distinct), but it rewires edges
-    * toward the component minimum, halving effective diameter per round:
-    *   - large-star: every neighbor LARGER than u re-links to
-    *     min(Γ(u) ∪ u);
-    *   - small-star: every neighbor ≤ u (and u itself) re-links to
-    *     min(Γ(u)).
-    * At the fixpoint the edge set is a star forest centered on each
-    * component's minimum id. Only the current round's edge set stays
-    * persisted; the managed scope releases it on exit — materialize final
-    * results inside `consume`.
+    * Two-phase hybrid, each phase optimal for its regime:
+    *
+    *   1. BSP min-label propagation for up to `shallowRounds` rounds — ONE
+    *     cheap job per round (equi-join + grouped min). Real near-dup
+    *     components are shallow blobs (a cluster of mutual duplicates has
+    *     diameter 1–3), so this phase usually finishes the whole job at
+    *     diameter+1 rounds and nothing else runs.
+    *   2. If labels are still moving, the graph has deep components (the
+    *     chain-shaped candidate graphs [[sortedNeighborhood]] emits: rank
+    *     adjacency makes diameter ≈ component size, where min-label would
+    *     need one round PER HOP). The label quotient graph then switches to
+    *     alternating large-star / small-star (Kiveris et al., "Connected
+    *     Components in MapReduce and Beyond", SoCC 2014) — the same
+    *     join + grouped-min primitives, but each round re-wires edges
+    *     toward the component minimum, converging in O(log n) rounds:
+    *       - large-star: every neighbor LARGER than u re-links to
+    *         min(Γ(u) ∪ u);
+    *       - small-star: every neighbor ≤ u (and u itself) re-links to
+    *         min(Γ(u));
+    *     until the edge set is a fixpoint = star forest centered on each
+    *     component's minimum label; composing the two phases labels every
+    *     node with its component minimum id.
+    *
+    * Only the current round's frame stays persisted; the managed scope
+    * releases it on exit — materialize final results inside `consume`.
     */
   def connectedComponents[T](pairs: DataFrame, nodes: DataFrame, maxIters: Int = 50)
       (consume: DataFrame => T): T =
     connectedComponentsStats(pairs, nodes, maxIters) { (labels, _) => consume(labels) }
 
-  /** [[connectedComponents]] with the converged round count exposed to
+  /** [[connectedComponents]] with the total round count exposed to
     * `consume` — the O(log n) convergence contract is testable.
+    * `shallowRounds` = min-label budget before the star phase takes over
+    * (0 = pure star, for measuring the worst-case guarantee on its own).
     */
-  def connectedComponentsStats[T](pairs: DataFrame, nodes: DataFrame, maxIters: Int = 50)
-      (consume: (DataFrame, Int) => T): T = {
+  def connectedComponentsStats[T](pairs: DataFrame, nodes: DataFrame, maxIters: Int = 50,
+      shallowRounds: Int = 4)(consume: (DataFrame, Int) => T): T = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = pairs.sparkSession
-    // canonical (u > v) orientation, self-loops dropped — both star steps
-    // preserve the invariant (they always link toward a strictly smaller id)
-    var edges = pairs
-      .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist(sl)
+    // lineage cut: every iterative plan here embeds the previous round's
+    // plan at least twice (self-joins / join + union), so chaining Catalyst
+    // plans across rounds grows the tree exponentially — planning OOMs the
+    // driver near round 10 even though the DATA path is fine. Rebasing each
+    // round on its materialized RDD keeps every round's plan constant-size
+    // (the RDD lineage is a shared DAG, linear in rounds).
+    def rebase(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+    def persist(df: DataFrame): DataFrame = {
+      val p = df.persist(sl); cached += p; p
+    }
+    def release(df: DataFrame): Unit = { df.unpersist(); cached -= df; () }
     try {
-      var cnt = edges.count()
+      val sym = pairs.select(col("i").as("a"), col("j").as("b"))
+        .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      // ---- phase 1: min-label BSP, one job per round
+      var labels = persist(nodes.select(col("doc_id"), col("doc_id").as("cluster")))
+      var changed = 1L
       var rounds = 0
+      while (changed > 0 && rounds < shallowRounds) {
+        val nbrMin = sym
+          .join(labels.select(col("doc_id").as("b"), col("cluster").as("nc")), "b")
+          .groupBy(col("a").as("doc_id")).agg(min("nc").as("nmin"))
+        // old label kept beside the new one: the convergence count reads it
+        // off the same persisted frame — one job per round, no extra join
+        val step = persist(rebase(labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster").as("__old"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))))
+        changed = step.filter(col("cluster") < col("__old")).count()
+        release(labels)
+        labels = step.drop("__old")
+        rounds += 1
+      }
+      if (changed == 0) return consume(labels, rounds)
+
+      // ---- phase 2: alternating star on the label quotient graph.
+      // Connectivity is label-invariant: contracting every node to its
+      // current label preserves components, and component-min label =
+      // component-min id (labels are minima over k-hop windows).
+      val la = labels.select(col("doc_id").as("a"), col("cluster").as("__la"))
+      val lb = labels.select(col("doc_id").as("b"), col("cluster").as("__lb"))
+      var edges = persist(rebase(sym.join(la, "a").join(lb, "b")
+        .select(greatest(col("__la"), col("__lb")).as("u"),
+          least(col("__la"), col("__lb")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()))
+      var cnt = edges.count()
       var converged = cnt == 0L
-      while (!converged && rounds < maxIters) {
+      while (!converged && rounds < shallowRounds + maxIters) {
         // large-star: from each node u, neighbors v > u re-link to
         // min(Γ(u) ∪ u). Connectivity is preserved (v stays reachable from
         // u through the new center) and every emitted edge points DOWN.
-        val sym = edges.union(edges.select(col("v"), col("u")).toDF("u", "v"))
-        val mins = sym.groupBy("u").agg(min("v").as("__mv"))
+        // No distinct here: each undirected edge enters once from its
+        // smaller endpoint, and small-star's grouped min absorbs the rare
+        // duplicate (two emitters sharing a center) cheaper than a shuffle.
+        val esym = edges.union(edges.select(col("v"), col("u")).toDF("u", "v"))
+        val mins = esym.groupBy("u").agg(min("v").as("__mv"))
           .select(col("u"), least(col("__mv"), col("u")).as("m"))
-        val large = sym.filter(col("v") > col("u")).join(mins, "u")
-          .select(col("v").as("u"), col("m").as("v")).distinct()
+        val large = esym.filter(col("v") > col("u")).join(mins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
         // small-star: edges now satisfy u > v, so Γ(u) here is exactly the
         // ≤-u neighborhood — every v (and u itself) re-links to min(Γ(u)).
         val minsS = large.groupBy("u").agg(min("v").as("m"))
-        val step = large.join(minsS, "u")
+        val small = persist(rebase(large.join(minsS, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
           .union(minsS.select(col("u"), col("m")))
-          .distinct()
-        // lineage cut: the round plan embeds the previous round's plan
-        // several times (union + two self-joins), so chaining Catalyst
-        // plans across rounds grows the tree ~8× per round — exponential
-        // planning cost that OOMs the driver near round 10 even though the
-        // DATA path is fine. Rebasing each round on its materialized RDD
-        // keeps every round's plan constant-size (the RDD lineage is a
-        // shared DAG, linear in rounds).
-        val small = spark.createDataFrame(step.rdd, step.schema).persist(sl)
+          .distinct()))
         val newCnt = small.count()
         // fixpoint = star forest. Counts differ → surely not converged
         // (skip the except); equal counts still need the exact set check.
         converged = newCnt == cnt && small.except(edges).isEmpty
-        edges.unpersist()
+        release(edges)
         edges = small
         cnt = newCnt
         rounds += 1
@@ -273,14 +315,14 @@ object Dedup {
           s"connectedComponents did not converge within $maxIters star rounds — " +
             "raise maxIters (alternating star converges in O(log n) rounds)")
       }
-      // star forest: every non-center node carries exactly one (u, center)
-      // edge; centers and isolated nodes label themselves
-      val labels = nodes.select(col("doc_id"))
-        .join(edges.select(col("u").as("doc_id"), col("v").as("__m")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__m"), col("doc_id")).as("cluster"))
-      consume(labels, rounds)
+      // star forest over labels: every non-center label carries exactly one
+      // (label, center) edge; centers and singletons keep themselves
+      val out = labels
+        .join(edges.select(col("u").as("cluster"), col("v").as("__root")), Seq("cluster"), "left")
+        .select(col("doc_id"), coalesce(col("__root"), col("cluster")).as("cluster"))
+      consume(out, rounds)
     } finally {
-      edges.unpersist()
+      cached.foreach(_.unpersist())
       ()
     }
   }

@@ -123,7 +123,9 @@ class LlmSpec extends SparkSpec {
     val n = 10000
     val pairs = spark.range(1, n).selectExpr("id as i", "id + 1 as j")
     val nodes = spark.range(1, n + 1L).toDF("doc_id")
-    val (clusters, rounds) = Dedup.connectedComponentsStats(pairs, nodes) { (labels, r) =>
+    // shallowRounds = 0 measures the star guarantee on its own
+    val (clusters, rounds) = Dedup.connectedComponentsStats(pairs, nodes,
+      shallowRounds = 0) { (labels, r) =>
       (labels.select("cluster").distinct().collect().map(_.getLong(0)).toSet, r)
     }
     assert(clusters == Set(1L), "the whole path is one component labeled by its minimum")
@@ -131,6 +133,14 @@ class LlmSpec extends SparkSpec {
     assert(rounds <= bound, s"took $rounds star rounds; O(log n) bound is $bound")
     assert(leakedCaches.isEmpty,
       "connectedComponentsStats must release the per-round cache on exit")
+    // the default hybrid (min-label warm-up, then star on the label
+    // quotient) must produce the identical labeling on the same chain
+    val hybrid = Dedup.connectedComponentsStats(pairs, nodes) { (labels, r) =>
+      assert(r <= 4 + bound, s"hybrid took $r rounds")
+      labels.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    }
+    assert(hybrid == Set(1L))
+    assert(leakedCaches.isEmpty)
   }
 
   test("capBuckets: 10^3 identical fingerprints bound the candidate join, drop reported") {
