@@ -694,6 +694,37 @@ object Relational {
           col("__v").cast("decimal(18,2)").cast("string").as("med"))
     },
 
+    // The HIGH-cardinality side of the grouped-quantile decision boundary:
+    // exactQuantileByGroup REFUSES past 64 groups (q29d's bounded contract),
+    // so per-customer percentiles — thousands of groups — belong to the
+    // grouped percentile_approx sketch. Sketch values aren't
+    // oracle-reproducible, but the accuracy contract is (the q29b/q21b
+    // pattern): every group's sketch median must sit between its exact 45th
+    // and 55th percentile ranks (far inside the GK guarantee at accuracy
+    // 1000, rank error ≤ max(n/1000, 1) with per-customer n in the tens).
+    // One grouped sketch + one join back on the SAME key (the sketch side
+    // reuses its partitioning) + a final rollup — no per-group driver work
+    // at any cardinality.
+    QDef.df("q29e_group_approx_quantile",
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+        |       count(*) AS total_rows, true AS all_within_bounds
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val o = Tables.table(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val sketch = o.groupBy("o_custkey")
+        .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx"),
+          count(lit(1)).as("n"))
+      o.join(sketch, "o_custkey")
+        .groupBy(col("o_custkey"), col("n"))
+        .agg(sum(when(col("o_totalprice") < col("approx"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("o_totalprice") <= col("approx"), 1L).otherwise(0L)).as("le"))
+        .select(col("o_custkey"), col("n"),
+          (col("lt") <= ceil(col("n") * 0.55) &&
+            col("le") >= floor(col("n") * 0.45)).as("within"))
+        .agg(count(lit(1)).cast("bigint").as("n_groups"),
+          sum(col("n")).as("total_rows"),
+          min(col("within")).as("all_within_bounds"))
+    },
+
     // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
     // count-distinct) — engine-only: HLL sketches differ across engines.
     // HLL sketch values aren't oracle-reproducible, but the sketch's CLAIM
