@@ -163,6 +163,26 @@ object Dedup {
     (lshCandidates(kept), report)
   }
 
+  /** Incremental LSH admission — the crawl-ingest path: candidate pairs
+    * involving at least one NEW document, from (a) the new batch's bands
+    * equi-joined against a MATERIALIZED band store (the (doc_id, band,
+    * bkey) table an ingest pipeline maintains — the existing corpus is
+    * never re-tokenized, re-signed or re-scanned) and (b) pairs within the
+    * batch itself. Work is O(|batch|·bands + bucket fan-out), independent
+    * of corpus size; at 100 TB the store is written bucketed on
+    * (band, bkey) so (a) is a co-located join. Candidates that survive
+    * verification append their bands to the store — signatures never
+    * recompute because MinHash is per-document.
+    */
+  def incrementalLshCandidates(newBands: DataFrame, storeBands: DataFrame): DataFrame = {
+    val vsStore = newBands.as("a").join(storeBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+    vsStore.union(lshCandidates(newBands)).distinct()
+  }
+
   /** Jaccard estimate for candidate pairs: fraction of agreeing minhashes. */
   def minhashEstimates(sig: DataFrame, pairs: DataFrame): DataFrame =
     pairs

@@ -108,6 +108,49 @@ object Llm {
       }
     },
 
+    // Incremental admission (the crawl-ingest shape): docs < 30 are the
+    // standing corpus whose band STORE is already materialized; docs 30–49
+    // arrive as a batch. Candidates = new-vs-store band joins + new-vs-new
+    // — exactly the full-corpus LSH candidates restricted to pairs touching
+    // a new doc (pairs order i<j, and new ids are the high range, so that
+    // restriction is j >= 30 — the oracle replays q86's pipeline with that
+    // one filter). The standing corpus is never re-signed.
+    QDef.df("q86b_incremental_lsh", {
+      val params = (0 until Dedup.NumHashes)
+        .map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
+      val pow = Dedup.BandPow
+      s"""WITH ${toksCte(50)},
+         |$dictCte,
+         |h AS (SELECT doc_id, p.i AS hi, min((p.a * code + p.b) % ${Dedup.P}) AS mh
+         |      FROM tc, (VALUES $params) AS p(i, a, b) GROUP BY doc_id, p.i),
+         |bs AS (SELECT doc_id, hi // ${Dedup.RowsPerBand} AS band,
+         |              SUM(mh * CASE hi % 4 WHEN 0 THEN ${pow(0)} WHEN 1 THEN ${pow(1)}
+         |                       WHEN 2 THEN ${pow(2)} ELSE ${pow(3)} END) AS bkey
+         |       FROM h GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM bs a JOIN bs b ON a.band = b.band AND a.bkey = b.bkey
+         |                            AND a.doc_id < b.doc_id
+         |         WHERE b.doc_id >= 30)
+         |SELECT c.i, c.j,
+         |       CAST(CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / ${Dedup.NumHashes}.0
+         |            AS DECIMAL(38,4)) AS STRING) AS est
+         |FROM cand c
+         |JOIN h ha ON ha.doc_id = c.i
+         |JOIN h hb ON hb.doc_id = c.j AND hb.hi = ha.hi
+         |GROUP BY c.i, c.j""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
+      Dedup.withDictionaryCodes(Dedup.tokenSets(docs)) { codes =>
+        val sig = graft.llm.MinHashAggregator.signatures(codes)
+        val bands = Dedup.bandKeys(sig)
+        val cand = Dedup.incrementalLshCandidates(
+          bands.filter(col("doc_id") >= 30), bands.filter(col("doc_id") < 30))
+        QDef.localized(s, Dedup.minhashEstimates(sig, cand)
+          .select(col("i"), col("j"),
+            col("est").cast("decimal(38,4)").cast("string").as("est")))
+      }
+    },
+
     QDef.df("q87_simhash", {
       s"""WITH ${toksCte(100)},
          |$dictCte

@@ -143,6 +143,31 @@ class LlmSpec extends SparkSpec {
     assert(leakedCaches.isEmpty)
   }
 
+  test("incrementalLshCandidates: batch-vs-store equals full-corpus pairs touching the batch") {
+    // 60 docs built from 6 near-dup families (±noise) so bands actually
+    // collide; split 0-39 = standing corpus, 40-59 = incoming batch
+    val corpus = (0L until 60L).map { i =>
+      val fam = i % 6
+      val noise = if (i % 3 == 0) s" x$i" else ""
+      (i, s"family $fam shares almost all of its tokens with siblings$noise")
+    }.toDF("doc_id", "text")
+    val codes = Dedup.hashCodes(Dedup.tokenSets(corpus))
+    val bands = Dedup.bandKeys(graft.llm.MinHashAggregator.signatures(codes))
+    val full = Dedup.lshCandidates(bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (i, j) => i >= 40 || j >= 40 }
+    val got = Dedup.incrementalLshCandidates(
+      bands.filter(col("doc_id") >= 40), bands.filter(col("doc_id") < 40))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "fixture must produce batch-touching collisions")
+    // disjoint batch: only within-batch pairs remain
+    val onlyNew = Dedup.incrementalLshCandidates(
+      bands.filter(col("doc_id") >= 40), bands.filter(col("doc_id") < 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onlyNew == full.filter { case (i, j) => i >= 40 && j >= 40 })
+  }
+
   test("capBuckets: 10^3 identical fingerprints bound the candidate join, drop reported") {
     // the degenerate slice: 1000 boilerplate docs sharing one fingerprint
     // would make the band join quadratic (4 bands × ~500k pairs); the cap

@@ -229,6 +229,39 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(wide.select("primary_key").head.getString(0) == "k13")
   }
 
+  test("DSv2 read: schema evolution across commits, empty-bucket probes, pruning intact") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    val evolved = Seq(("a", 2L, "a1", false, "extra"))
+      .toDF("primary_key", "seq", "val", "is_delete", "note")
+    sink.merge(evolved, Seq("primary_key"), "seq", "is_delete")
+    val cur = spark.read.format("graft-snapshot").load(dir)
+    // mergeSchema across commit roots: the evolved column exists, older
+    // buckets null-backfill it
+    val notes = cur.collect()
+      .map(r => r.getAs[String]("primary_key") -> Option(r.getAs[String]("note"))).toMap
+    assert(notes == Map("a" -> Some("extra"), "b" -> None))
+    // time travel BEFORE the evolution: the column does not exist yet
+    val v0 = spark.read.format("graft-snapshot").option("asOf", "0").load(dir)
+    assert(!v0.schema.fieldNames.contains("note"))
+    assert(v0.count() == 2)
+    // a key probe routed to a bucket with no manifest entry yields an
+    // empty frame with the full schema (only 2 of 4 buckets have data)
+    val keyed = spark.read.format("graft-snapshot").option("keys", "primary_key").load(dir)
+    val present = Seq("a", "b").map(k =>
+      graft.sink.SnapshotParquetSink.bucketFor(Seq(k),
+        Seq(org.apache.spark.sql.types.StringType), 4)).toSet
+    val absentKey = Iterator.from(0).map(i => s"miss$i").find(k =>
+      !present.contains(graft.sink.SnapshotParquetSink.bucketFor(Seq(k),
+        Seq(org.apache.spark.sql.types.StringType), 4))).get
+    val probe = keyed.filter(col("primary_key") === absentKey)
+    assert(probe.count() == 0)
+    assert(probe.schema.fieldNames.contains("note"))
+  }
+
   test("schema evolution: new columns null-backfill older buckets") {
     val sink = new SnapshotParquetSink(tmpDir("ssink") + "/t", nBuckets = 4)
     sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
