@@ -166,6 +166,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactQuantiles parity with sorted order statistics on adversarial distributions") {
+    import spark.implicits._
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val rng = new scala.util.Random(7)
+    // constant column, two-point mass, heavy duplicates, skewed tail, tiny n
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq.fill(500)(42L),
+      Seq.fill(300)(1L) ++ Seq.fill(200)(2L),
+      (0 until 1000).map(_ => rng.nextInt(5).toLong),
+      (0 until 1000).map(i => if (i % 100 == 0) 1000000L + i else i.toLong % 50),
+      Seq(9L),
+      Seq(3L, 1L))
+    cases.zipWithIndex.foreach { case (vals, ci) =>
+      val sorted = vals.sorted
+      val got = graft.engine.Ranking.exactQuantiles(vals.toDF("v"),
+        org.apache.spark.sql.functions.col("v"), qs).map(_.get.asInstanceOf[Long])
+      qs.zip(got).foreach { case (q, g) =>
+        val want = sorted(math.floor((vals.size - 1) * q).toInt)
+        assert(g == want, s"case $ci q=$q: got $g want $want")
+      }
+    }
+  }
+
+  test("capBuckets invariants: kept-bucket sizes bounded, report partitions the input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      // Zipf-ish bucket assignment: bucket 0 hot, tail sparse
+      val b = if (rng.nextInt(4) == 0) 0L else rng.nextInt(200).toLong
+      (i.toLong, b)
+    }.toDF("doc_id", "bucket")
+    for (cap <- Seq(2, 5, 25, 1000)) {
+      val (kept, report) = graft.llm.Dedup.capBuckets(rows, Seq("bucket"), cap)
+      val sizes = kept.groupBy("bucket").count().collect().map(_.getLong(1))
+      assert(sizes.forall(_ <= cap), s"cap=$cap leaked a hot bucket")
+      // dropped rows + kept rows account for every input row
+      assert(report.droppedRows + kept.count() == 2000, s"cap=$cap report mismatch")
+      assert(report.clean == (report.droppedBuckets == 0L))
+      // monotonicity: a bucket over the cap is exactly one the input had over it
+      val hotInput = rows.groupBy("bucket").count().filter(col("count") > cap).count()
+      assert(report.droppedBuckets == hotInput)
+    }
+  }
+
   test("spanDedup parity with brute force on pseudo-random small corpora") {
     import spark.implicits._
     // deterministic corpus with engineered overlaps: token vocab of 6, so

@@ -291,6 +291,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("near-dup admission stream: cross-batch candidates come from the band store") {
+    import graft.sink.LocalParquetSink
+    import graft.streaming.NearDupAdmission
+    val in = tmpDir("nda_in"); val ckpt = tmpDir("nda_ckpt")
+    val bandStore = new LocalParquetSink(tmpDir("nda_bands") + "/t")
+    val sigStore = new LocalParquetSink(tmpDir("nda_sigs") + "/t")
+    val results = scala.collection.mutable.Map[Long, Map[(Long, Long), Double]]()
+    val dup = "the quick brown fox jumps over the lazy dog"
+    write(in, "b0.jsonl", Seq(
+      s"""{"doc_id":0,"text":"$dup"}""",
+      s"""{"doc_id":1,"text":"$dup"}""",
+      """{"doc_id":2,"text":"completely different words entirely in here"}"""))
+    val q = NearDupAdmission.start(
+      spark.readStream.schema("doc_id LONG, text STRING").json(in),
+      bandStore, sigStore, ckpt,
+      (est, id) => results(id) = est.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap)
+    try {
+      q.processAllAvailable()
+      // within-batch: the exact dup pair, estimate 1.0; the unrelated doc absent
+      assert(results(0L).get((0L, 1L)).contains(1.0), results.toString)
+      assert(!results(0L).keySet.exists { case (i, j) => i == 2L || j == 2L })
+      // batch 1: doc 10 duplicates doc 0 — the candidate MUST come from the
+      // band store (batch 1 never saw docs 0/1), with its estimate resolved
+      // through the signature store
+      write(in, "b1.jsonl", Seq(
+        s"""{"doc_id":10,"text":"$dup"}""",
+        """{"doc_id":11,"text":"unrelated payload words nothing shared here"}"""))
+      q.processAllAvailable()
+      assert(results(1L).get((0L, 10L)).contains(1.0), results.toString)
+      assert(results(1L).get((1L, 10L)).contains(1.0))
+      assert(!results(1L).keySet.exists { case (i, j) => i == 11L || j == 11L })
+    } finally { q.stop(); q.awaitTermination() }
+    // replay safety: the stores are keyed upserts — band rows stay unique
+    val bandRows = bandStore.read(spark, graft.sink.DeleteMode.Hard)
+    assert(bandRows.groupBy("doc_id", "band").count()
+      .filter($"count" > 1).count() == 0)
+    assert(bandRows.select("doc_id").distinct().count() == 5)
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
