@@ -98,14 +98,14 @@ object Cdc {
     * times — accumulated commits would change the result), pid-suffixed
     * against concurrent sessions (q03's scratch pattern).
     */
-  private def freshSnapshotSink(tag: String): graft.sink.SnapshotParquetSink = {
+  private def freshSnapshotSink(tag: String): (graft.sink.SnapshotParquetSink, String) = {
     val base = sys.props("java.io.tmpdir") + s"/graft_${tag}_" +
       ProcessHandle.current().pid()
     def del(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
     }
     del(new java.io.File(base))
-    new graft.sink.SnapshotParquetSink(base, nBuckets = 8)
+    (new graft.sink.SnapshotParquetSink(base, nBuckets = 8), base)
   }
 
   /** The q61-family output projection over a merged-state frame. */
@@ -178,11 +178,14 @@ object Cdc {
     // The latest snapshot must equal the plain upsert view (q61's oracle).
     QDef.df("q61d_snapshot_upsert",
       s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1") { (s, _) =>
-      val sink = freshSnapshotSink("q61d")
+      val (sink, dir) = freshSnapshotSink("q61d")
       val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
       sink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
       sink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
-      normalizedRowCols(sink.read(s, graft.sink.DeleteMode.Logical).drop("is_deleted"))
+      // read back through the DSv2 provider (plain-SQL surface) so the
+      // format sits behind the oracle gate, not just ScalaTest; the raw
+      // view keeps tombstones' last state like DeleteMode.Logical
+      normalizedRowCols(s.read.format("graft-snapshot").load(dir).drop("__is_deleted"))
     },
 
     // Time travel on the snapshot sink: version 0 (the first commit, log
@@ -192,11 +195,13 @@ object Cdc {
     QDef.df("q61e_snapshot_time_travel",
       s"${lastStateSql(" WHERE seq <= 900")}\nSELECT $rowColsOut FROM r WHERE rn = 1 AND NOT is_del") {
       (s, _) =>
-        val sink = freshSnapshotSink("q61e")
+        val (sink, dir) = freshSnapshotSink("q61e")
         val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
         sink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
         sink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
-        normalizedRowCols(sink.readAt(s, 0L, graft.sink.DeleteMode.Hard))
+        // DSv2 time travel: asOf the superseded first commit, hard-delete view
+        normalizedRowCols(s.read.format("graft-snapshot").option("asOf", "0").load(dir)
+          .filter(!col("__is_deleted")).drop("__is_deleted"))
     },
 
     // R14: hard delete — drop keys whose final event is a delete.
