@@ -477,6 +477,45 @@ object Dedup {
     (embeddingBucketJoin(kept, threshold, idCol, embCol), report)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
+    * semantic dedup — the scale path that makes embedding-cosine dedup
+    * feasible at corpus size. [[KMeans.train]] first partitions the corpus
+    * into k semantic cells (deterministic integer Lloyd, oracle-replayable),
+    * then the exact cosine check runs ONLY within a cell: the pair space
+    * drops from O(n²) to Σ|cell|² and the candidate join is an equi-join on
+    * the cell id — the same bucketed shape as LSH banding, but with buckets
+    * that carry semantic meaning (paraphrase pairs land together even when
+    * no token or hyperplane bucket would catch them).
+    *
+    * Pruning rule (deterministic, engine-independent): within a cell, a
+    * vector is dropped iff some LOWER-id vector in the same cell has cosine
+    * ≥ threshold with it. Returns one row per input vector:
+    * (idCol, cell, kept) — survivors are `kept`; a caller wanting the
+    * cluster summary aggregates by cell.
+    *
+    * 100 TB shape: per-cell membership is bounded by the clustering (k
+    * scales with corpus size; SemDeDup uses ~100k cells at web scale), so
+    * no cell is quadratic-hot; a skewed cell can additionally be guarded
+    * with [[capBuckets]] on the cell id before the self-join.
+    */
+  def semanticDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val model = KMeans.train(vectors, k, iters, idCol = idCol, embCol = embCol)
+    val withCell = vectors.select(col(idCol), col(embCol))
+      .join(model.assigned.select(col("vec_id").as(idCol), col("cell")), Seq(idCol))
+    val a = withCell.select(col("cell"), col(idCol).as("i"), col(embCol).as("ea"))
+    val b = withCell.select(col("cell"), col(idCol).as("j"), col(embCol).as("eb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("i") < col("j") &&
+        graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb")) >= threshold)
+      .select(col("j").as(idCol)).distinct()
+    withCell
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        not(coalesce(col("__drop"), lit(false))).as("kept"))
+  }
+
   // ------------------------------------------------- n-gram shingles
   /** Word n-gram shingles in document order: (doc_id, shingle). Pure
     * per-row array arithmetic (slice over the token array) — NO window and

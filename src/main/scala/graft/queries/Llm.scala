@@ -48,6 +48,41 @@ object Llm {
     s"(CASE WHEN SUM(CASE WHEN ((${Dedup.hashA(j)} * code + ${Dedup.hashB(j)}) % ${Dedup.P}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
     .mkString(" + ")
 
+  /** DuckDB replay of `KMeans.train(embeddings, k=8, iters=2)` — the CTE
+    * chain (q quantized, c0 init, a1..a3 assignments, c1/c2 Lloyd means)
+    * shared by q89d and q89e so the clustering can never diverge between
+    * their oracles. Ends at `a3` (the final assignment: vec_id, cell, d2);
+    * callers append their own CTEs/SELECT.
+    */
+  private val kmeansChain: String = {
+    val dist = "CAST(list_dot_product(qv, qv) AS BIGINT) " +
+      "- 2 * CAST(list_dot_product(qv, cv) AS BIGINT) " +
+      "+ CAST(list_dot_product(cv, cv) AS BIGINT)"
+    def assignCte(csrc: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cell, d2 FROM (
+         |    SELECT q.vec_id, $csrc.cell, $dist AS d2,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY $dist ASC, $csrc.cell ASC) AS rn
+         |    FROM q CROSS JOIN $csrc) t WHERE rn = 1)""".stripMargin
+    def lloydCte(asrc: String, out: String) =
+      s"""e$out AS (SELECT $asrc.cell, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS pos
+         |       FROM q JOIN $asrc USING (vec_id)),
+         |m$out AS (SELECT cell, pos, SUM(v) AS s, count(*) AS n FROM e$out GROUP BY 1, 2),
+         |$out AS (SELECT cell, list(CAST((s - ((s % n + n) % n)) / n AS BIGINT) ORDER BY pos) AS cv
+         |       FROM m$out GROUP BY cell)""".stripMargin
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, qv AS cv
+       |       FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8) i),
+       |${assignCte("c0", "a1")},
+       |${lloydCte("a1", "c1")},
+       |${assignCte("c1", "a2")},
+       |${lloydCte("a2", "c2")},
+       |${assignCte("c2", "a3")}""".stripMargin
+  }
+
   private def jaccardTail(threshold: Double) =
     s"""s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
@@ -419,39 +454,43 @@ object Llm {
     // inertia. Distances expand to three integer dot products on the oracle
     // side (list_dot_product of int lists is exact below 2^53); the floored
     // mean is the mode-free (s − ((s%n+n)%n))/n on both engines.
-    QDef.df("q89d_kmeans", {
-      val dist = "CAST(list_dot_product(qv, qv) AS BIGINT) " +
-        "- 2 * CAST(list_dot_product(qv, cv) AS BIGINT) " +
-        "+ CAST(list_dot_product(cv, cv) AS BIGINT)"
-      def assignCte(csrc: String, out: String) =
-        s"""$out AS (
-           |  SELECT vec_id, cell, d2 FROM (
-           |    SELECT q.vec_id, $csrc.cell, $dist AS d2,
-           |           row_number() OVER (PARTITION BY q.vec_id
-           |                              ORDER BY $dist ASC, $csrc.cell ASC) AS rn
-           |    FROM q CROSS JOIN $csrc) t WHERE rn = 1)""".stripMargin
-      def lloydCte(asrc: String, out: String) =
-        s"""e$out AS (SELECT $asrc.cell, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS pos
-           |       FROM q JOIN $asrc USING (vec_id)),
-           |m$out AS (SELECT cell, pos, SUM(v) AS s, count(*) AS n FROM e$out GROUP BY 1, 2),
-           |$out AS (SELECT cell, list(CAST((s - ((s % n + n) % n)) / n AS BIGINT) ORDER BY pos) AS cv
-           |       FROM m$out GROUP BY cell)""".stripMargin
-      s"""WITH q AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, qv AS cv
-         |       FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8) i),
-         |${assignCte("c0", "a1")},
-         |${lloydCte("a1", "c1")},
-         |${assignCte("c1", "a2")},
-         |${lloydCte("a2", "c2")},
-         |${assignCte("c2", "a3")}
+    QDef.df("q89d_kmeans",
+      s"""$kmeansChain
          |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS cnt,
          |       CAST(SUM(vec_id) AS BIGINT) AS id_sum, CAST(SUM(d2) AS BIGINT) AS inertia
-         |FROM a3 GROUP BY 1""".stripMargin
-    }) { (s, dir) =>
+         |FROM a3 GROUP BY 1""".stripMargin) { (s, dir) =>
       graft.llm.KMeans.clusterStats(
         graft.llm.KMeans.train(Tables.table(s, dir, "embeddings"), k = 8, iters = 2))
+    },
+
+    // SemDeDup (cluster-then-prune semantic dedup): k-means cells from the
+    // SAME oracle-replayed training loop as q89d, then exact cosine ONLY
+    // within a cell — the O(n²)→Σ|cell|² scale path for embedding dedup.
+    // Prune rule: drop a vector iff a lower-id cellmate has cosine ≥ 0.3
+    // (deterministic, engine-independent). Oracle replays clustering + the
+    // q93 double-cosine within cells and the same anti-join.
+    QDef.df("q89e_semdedup",
+      s"""$kmeansChain,
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |      FROM embeddings),
+         |m AS (SELECT a3.vec_id, a3.cell, v.ve FROM a3 JOIN v USING (vec_id)),
+         |dr AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+         |       ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       WHERE list_dot_product(a.ve, b.ve) /
+         |             (sqrt(list_dot_product(a.ve, a.ve)) *
+         |              sqrt(list_dot_product(b.ve, b.ve))) >= 0.3)
+         |SELECT CAST(m.cell AS BIGINT) AS cell, count(*) AS n_total,
+         |       CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN m.vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM m LEFT JOIN dr ON m.vec_id = dr.vec_id
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.semanticDedup(Tables.table(s, dir, "embeddings"),
+          k = 8, iters = 2, threshold = 0.3)
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          sum(when(col("kept"), col("vec_id")).otherwise(lit(0L)))
+            .cast("bigint").as("kept_id_sum"))
     },
 
     // ---------------------------------------------------- text analysis

@@ -302,6 +302,25 @@ class LlmSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))        // LSH never invents pairs
   }
 
+  test("semanticDedup: duplicates share a cell, exactly the lowest id survives") {
+    val emb = Tables.embeddings(spark)
+    // plant two exact duplicates of vector 0 — identical vectors quantize
+    // identically, so k-means MUST co-locate them, and cos=1 ≥ threshold
+    // means the greedy rule keeps only the lowest id of the three
+    val dups = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", explode(array(lit(9998L), lit(9999L))))
+    val verdict = graft.llm.Dedup.semanticDedup(
+      emb.unionByName(dups), k = 4, iters = 1, threshold = 0.999)
+    val rows = verdict.filter($"vec_id".isin(0L, 9998L, 9999L))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 9998L, 9999L))
+    assert(rows.map(_._2).distinct.length == 1)          // one shared cell
+    assert(rows.map(t => t._1 -> t._3).toMap == Map(     // only id 0 kept
+      0L -> true, 9998L -> false, 9999L -> false))
+    // verdict covers every input exactly once
+    assert(verdict.count() == emb.count() + 2)
+  }
+
   test("simhash: identical docs get identical fingerprints, disjoint differ") {
     val fp = Dedup.simhash64(Dedup.dictionaryCodes(Dedup.tokenSets(docs)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
