@@ -165,6 +165,36 @@ object TextAnalysis {
     docs.filter(h < pct)
   }
 
+  /** Deterministic epoch shuffle — the training-order stage between
+    * curation and the data loader: each epoch's seed yields a fresh
+    * pseudorandom permutation of the corpus, materialized as `nShards`
+    * shard files each internally ordered. No RNG state: shard and position
+    * fall out of a seeded multiplicative hash
+    * (`(id·K + seed·40503) mod 1000000007`), so any engine, rerun or
+    * partitioning reproduces the identical epoch order, and a resumed job
+    * re-derives where it was without a stored permutation.
+    *
+    * Scale shape: the within-shard `row_number` window partitions by shard
+    * (never global) — exactly the sort a shard writer pays anyway; the
+    * corpus is hash-scattered across shards so every sort is 1/nShards of
+    * the data. Same id contract as [[splitHash]]: non-negative, < 2^31.
+    * Returns (idCol, shard, pos) — pos is the 1-based order within shard.
+    */
+  def epochShuffle(docs: DataFrame, seed: Long, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = pmod(col(idCol) * SplitMultiplier + lit(seed) * lit(40503L),
+      lit(1000000007L))
+    docs.select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("bigint"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__h"), col(idCol))).cast("bigint"))
+      .drop("__h")
+  }
+  /** The same epoch hash as an SQL fragment (the one copy oracles embed). */
+  def epochShuffleSql(idExpr: String, seed: Long): String =
+    s"(($idExpr * $SplitMultiplier + $seed * 40503) % 1000000007)"
+
   /** Unigram concentration per document, exact integers: occurrence count,
     * type count, and Σ cnt² — the Simpson/Gini numerator, so repeated-token
     * mass needs no float division (1 − Σcnt²/n² is derivable downstream).

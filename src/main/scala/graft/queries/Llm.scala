@@ -1144,6 +1144,37 @@ object Llm {
       }
     },
 
+    // Deterministic epoch shuffle (training-order stage): seeded hash →
+    // shard + within-shard position; two epochs, 8 shards. ord_sum is the
+    // position-weighted id checksum — it matches ONLY if the oracle derives
+    // the byte-identical permutation (per-shard membership AND order), and
+    // it provably differs between the two epochs' seeds.
+    QDef.df("q97g_epoch_shuffle", {
+      def epochCte(seed: Long, tag: String) = {
+        val h = TextAnalysis.epochShuffleSql("doc_id", seed)
+        s"""r$tag AS (SELECT doc_id, $h % 8 AS shard,
+           |  row_number() OVER (PARTITION BY $h % 8 ORDER BY $h, doc_id) AS pos
+           |  FROM documents)""".stripMargin
+      }
+      s"""WITH ${epochCte(1L, "1")},
+         |${epochCte(2L, "2")},
+         |u AS (SELECT CAST(1 AS BIGINT) AS epoch, * FROM r1
+         |      UNION ALL SELECT CAST(2 AS BIGINT) AS epoch, * FROM r2)
+         |SELECT epoch, CAST(shard AS BIGINT) AS shard, count(*) AS n,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(SUM(pos * doc_id) AS BIGINT) AS ord_sum
+         |FROM u GROUP BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables.table(s, dir, "documents")
+      def epoch(seed: Long) =
+        TextAnalysis.epochShuffle(d, seed, nShards = 8).withColumn("epoch", lit(seed))
+      epoch(1L).unionByName(epoch(2L))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          sum(col("pos") * col("doc_id")).cast("bigint").as("ord_sum"))
+    },
+
     // Set-containment filter: docs whose token set holds ALL query terms —
     // a pure per-row array_intersect predicate (zero shuffle, zero explode;
     // the multi-set generalization is an inverted-index join, q84e).

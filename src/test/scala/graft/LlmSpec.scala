@@ -234,6 +234,29 @@ class LlmSpec extends SparkSpec {
     assert(split1.values.forall(Set("train", "val", "test")))
   }
 
+  test("epochShuffle: bijection, contiguous per-shard positions, seed changes the order") {
+    val ids = spark.range(0, 500).toDF("doc_id")
+    def perm(seed: Long) = TextAnalysis.epochShuffle(ids, seed, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e1 = perm(1L)
+    // every input id appears exactly once
+    assert(e1.map(_._1).sorted.toSeq == (0L until 500L))
+    // positions within each shard are contiguous 1..n
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong))
+    }
+    // reruns reproduce the identical permutation; a new seed does not
+    assert(perm(1L).sortBy(_._1).toSeq == e1.sortBy(_._1).toSeq)
+    assert(perm(2L).sortBy(_._1).toSeq != e1.sortBy(_._1).toSeq)
+    // the within-shard window is partitioned — never a global window
+    val plan = TextAnalysis.epochShuffle(ids, 1L, 4)
+    plan.collect()
+    val globalWindows = plan.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty)
+  }
+
   test("lengthHistogram buckets by token count with an overflow bucket") {
     val d = Seq((0L, Seq.fill(10)("t").mkString(" ")),   // 10 tokens -> bucket 0
       (1L, Seq.fill(40)("t").mkString(" ")),             // 40 -> bucket 1
