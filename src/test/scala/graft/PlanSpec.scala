@@ -212,6 +212,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("semanticDedup: candidate pairs meet on a cell equi-join, never a cartesian") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val verdict = graft.llm.Dedup.semanticDedup(emb, k = 4, iters = 1, threshold = 0.3)
+    verdict.collect()
+    val p = verdict.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the within-cell self-join must hash on the cell id — the whole point
+    // of cluster-then-prune is that the corpus is never all-paired
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("IVF assignment is narrow: no join, no exchange, no window, no sort") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val m = graft.llm.Ivf.train(emb, nCells = 4, iters = 1)

@@ -274,4 +274,42 @@ class SnapshotParquetSinkSpec extends SparkSpec {
         Option(r.getAs[String]("note"))).toMap
     assert(rows == Map("a" -> Some("extra"), "b" -> None))
   }
+
+  test("HllSketchStore: incremental append equals full rebuild; appends touch only their batch") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("hll") + "/s"
+    val store = new graft.sink.HllSketchStore(dir)
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") % 3).cast("string").as("g"), (col("id") % 500).as("v"))
+    store.append(rows(0, 4000), Seq("g"), "v", batchId = 0L)
+    store.append(rows(4000, 8000), Seq("g"), "v", batchId = 1L)
+    def est() = store.estimates(spark, Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val twoBatches = est()
+    assert(twoBatches.map(_._3).forall(_ == 2L))           // both batches merged
+    assert(twoBatches.map(_._4).sum == 8000L)              // row bookkeeping
+    // snapshot batch-0 partial files, then append batch 2: batch-0 files
+    // must be byte-identical afterwards (append never rewrites history)
+    def b0Files() = {
+      val d = new java.io.File(s"$dir/batch=0")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = b0Files()
+    store.append(rows(8000, 9000), Seq("g"), "v", batchId = 2L)
+    assert(b0Files() == before)
+    // merged store estimate == from-scratch single-sketch estimate (the
+    // associativity the store's whole design rests on — exact equality of
+    // the HLL estimate is not guaranteed across merge orders, so compare
+    // against the true distinct count within the lgK=12 band instead)
+    val merged = est().map(r => r._1 -> r._2).toMap
+    val exact = rows(0, 9000).groupBy("g").agg(countDistinct(col("v")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(merged(g) - d) <= d * 0.05, s"group $g: ${merged(g)} vs $d")
+    }
+    // re-appending the same batch id is an idempotent overwrite
+    store.append(rows(8000, 9000), Seq("g"), "v", batchId = 2L)
+    assert(est().map(r => r._1 -> r._2).toMap == merged)
+  }
 }
