@@ -331,6 +331,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(bandRows.select("doc_id").distinct().count() == 5)
   }
 
+  test("cardinality tracker stream: running estimates span batches, replay-stable") {
+    import graft.streaming.CardinalityTracker
+    val in = tmpDir("card_in"); val ckpt = tmpDir("card_ckpt")
+    val store = new graft.sink.HllSketchStore(tmpDir("card_store") + "/s")
+    val results = scala.collection.mutable.Map[Long, Map[String, (Long, Long)]]()
+    // batch 0: users 0..49 on 'click', 0..9 on 'view'
+    write(in, "b0.jsonl",
+      (0 until 50).map(u => s"""{"user_id":$u,"event_type":"click"}""") ++
+        (0 until 10).map(u => s"""{"user_id":$u,"event_type":"view"}"""))
+    val q = CardinalityTracker.start(
+      spark.readStream.schema("user_id LONG, event_type STRING").json(in),
+      store, Seq("event_type"), "user_id", ckpt,
+      (est, id) => results(id) = est.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+    try {
+      q.processAllAvailable()
+      assert(results(0L)("click")._1 == 50L)   // HLL exact at this cardinality
+      assert(results(0L)("view")._1 == 10L)
+      // batch 1: 25 repeat users + 25 new ones — the running estimate must
+      // merge against the STORED batch-0 partials, not recount from rows
+      write(in, "b1.jsonl",
+        (25 until 75).map(u => s"""{"user_id":$u,"event_type":"click"}"""))
+      q.processAllAvailable()
+      assert(results(1L)("click") == ((75L, 2L)), results.toString)
+      assert(results(1L)("view") == ((10L, 1L)))  // untouched group persists
+    } finally { q.stop(); q.awaitTermination() }
+    // replay safety: re-appending batch 1's rows under its id changes nothing
+    val b1 = spark.read.json(s"$in/b1.jsonl")
+    store.append(b1, Seq("event_type"), "user_id", batchId = 1L)
+    val after = store.estimates(spark, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(after == results(1L))
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
