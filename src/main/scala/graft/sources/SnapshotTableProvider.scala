@@ -37,8 +37,27 @@ import graft.sink.SnapshotParquetSink
   * filtering/pushdown delegates to Spark's own DSv2 parquet scan, so
   * vectorized reads, nested-column pruning and predicate pushdown behave
   * exactly as for any parquet table.
+  *
+  * Write path (MERGE, not blind append): the table deliberately does NOT
+  * implement `SupportsWrite`, so `DataFrameWriter` falls back to this
+  * class's [[CreatableRelationProvider]] — V2 `AppendData` would validate
+  * the incoming frame against the stored schema (which carries merge
+  * bookkeeping) and then append rows blindly, while this format's ONLY
+  * write semantic is last-write-wins upsert. The fallback routes the batch
+  * through [[SnapshotParquetSink.merge]] — atomic manifest commit,
+  * incremental affected-bucket rewrite, idempotent replay:
+  *
+  * {{{
+  *   df.write.format("graft-snapshot")
+  *     .option("keys", "id")             // merge keys (required)
+  *     .option("seqCol", "seq")          // last-write-wins order (default: seq)
+  *     .option("deleteCol", "is_delete") // optional tombstone flag
+  *     .option("nBuckets", 256)          // honored on the FIRST commit only
+  *     .mode("append").save("/path/to/sink")
+  * }}}
   */
-class SnapshotTableProvider extends TableProvider with DataSourceRegister {
+class SnapshotTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -48,6 +67,56 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new SnapshotTable(SnapshotState.resolve(new CaseInsensitiveStringMap(properties)), schema)
+
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val params = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val dir = params.getOrElse("path",
+      sys.error("graft-snapshot needs a path: .save(dir) or option(\"path\", dir)"))
+    val existing = SnapshotParquetSink.versions(dir)
+    mode match {
+      case SaveMode.Append => // merge is the append of a keyed table
+      case SaveMode.ErrorIfExists if existing.isEmpty =>
+      case SaveMode.ErrorIfExists =>
+        sys.error(s"snapshot table already published at $dir (v${existing.last})")
+      case other =>
+        sys.error(s"graft-snapshot is merge-structured: SaveMode.$other would " +
+          "blind-overwrite committed history; use mode(\"append\") (last-write-wins " +
+          "upsert) or the Scala API's compact/vacuum for maintenance")
+    }
+    val keys = params.getOrElse("keys",
+        sys.error("graft-snapshot writes need option(\"keys\", \"k1,k2\") — " +
+          "the merge keys of the table"))
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val seqCol = params.getOrElse("seqcol", "seq")
+    require(data.columns.contains(seqCol),
+      s"graft-snapshot: seq column '$seqCol' absent from the batch " +
+        "(option(\"seqCol\", ...) names the last-write-wins order column)")
+    // nBuckets: the manifest's value for an existing table (a mismatched
+    // writer would scatter keys across incompatible bucket layouts);
+    // the caller's choice (default 16) only on the very first commit
+    val nBuckets = existing.lastOption
+      .map(v => SnapshotParquetSink.manifest(dir, v)._1)
+      .getOrElse(params.get("nbuckets").map(_.toInt).getOrElse(16))
+    val (batch, delCol) = params.get("deletecol") match {
+      case Some(c) =>
+        require(data.columns.contains(c), s"delete column '$c' absent from the batch")
+        (data, c)
+      case None =>
+        // no tombstones in this feed: pre-seed the sink's own flag column
+        // (merge coalesces it in place), so no synthetic column is stored
+        (data.withColumn("__is_deleted",
+          org.apache.spark.sql.functions.lit(false)), "__is_deleted")
+    }
+    new SnapshotParquetSink(dir, nBuckets).merge(batch, keys, seqCol, delCol)
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 }
 
 /** One resolved (dir, version) view of a snapshot table. */
@@ -56,12 +125,18 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
 
   def bucketPaths: Seq[String] = entries.toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
 
-  /** Merged-across-commits schema minus internal bookkeeping. */
-  lazy val dataSchema: StructType = {
-    val spark = SparkSession.active
-    val full = spark.read.option("mergeSchema", "true").parquet(bucketPaths: _*).schema
-    StructType(full.fields.filterNot(_.name == "__gen"))
-  }
+  /** Merged-across-commits schema minus internal bookkeeping. Empty for a
+    * not-yet-published table (version −1): the writer fallback only needs
+    * table RESOLUTION to succeed on a fresh dir — reads still fail loudly
+    * at scan construction.
+    */
+  lazy val dataSchema: StructType =
+    if (entries.isEmpty) new StructType()
+    else {
+      val spark = SparkSession.active
+      val full = spark.read.option("mergeSchema", "true").parquet(bucketPaths: _*).schema
+      StructType(full.fields.filterNot(_.name == "__gen"))
+    }
 
   /** The file list a scan must read given the pushed filters: one bucket
     * when every declared key is pinned by an equality, all buckets else.
@@ -87,14 +162,19 @@ private[sources] object SnapshotState {
   def resolve(options: CaseInsensitiveStringMap): SnapshotState = {
     val dir = Option(options.get("path"))
       .getOrElse(sys.error("graft-snapshot needs a path: .load(dir) or option(\"path\", dir)"))
+    val keys = Option(options.get("keys")).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)
     val versions = SnapshotParquetSink.versions(dir)
-    require(versions.nonEmpty, s"no snapshot published at $dir")
+    if (versions.isEmpty) {
+      // unpublished table: resolvable (the write fallback needs this) but
+      // unreadable — SnapshotTable.newScanBuilder rejects version −1
+      require(options.get("asOf") == null, s"no snapshot published at $dir")
+      return SnapshotState(dir, -1L, 0, Map.empty, keys)
+    }
     val version = Option(options.get("asOf")).map(_.toLong).getOrElse(versions.last)
     require(versions.contains(version),
       s"snapshot v$version does not exist at $dir (vacuumed or never published); " +
         s"available: ${versions.mkString(", ")}")
     val (nBuckets, entries) = SnapshotParquetSink.manifest(dir, version)
-    val keys = Option(options.get("keys")).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)
     SnapshotState(dir, version, nBuckets, entries, keys)
   }
 }
@@ -105,8 +185,10 @@ private[sources] final class SnapshotTable(state: SnapshotState, schema0: Struct
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(state.version >= 0, s"no snapshot published at ${state.dir}")
     new SnapshotScanBuilder(state, schema0)
+  }
 }
 
 /** Collects pushed catalyst filters (all returned as residual — Spark

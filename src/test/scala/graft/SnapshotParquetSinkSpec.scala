@@ -275,6 +275,42 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(rows == Map("a" -> Some("extra"), "b" -> None))
   }
 
+  test("DSv2 write: DataFrameWriter merges through the manifest commit") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("dsv2w") + "/t"
+    // fresh dir, no deleteCol: first commit publishes v0
+    Seq(("a", 1L, "a0"), ("b", 2L, "b0")).toDF("primary_key", "seq", "val")
+      .write.format("graft-snapshot").option("keys", "primary_key")
+      .option("nBuckets", 4).mode("append").save(dir)
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    assert(sink.currentVersion.contains(0L))
+    // second writer-append: update 'a', tombstone 'b' — last-write-wins merge
+    Seq(("a", 3L, "a1", false), ("b", 4L, "bx", true))
+      .toDF("primary_key", "seq", "val", "is_delete")
+      .write.format("graft-snapshot").option("keys", "primary_key")
+      .option("deleteCol", "is_delete").mode("append").save(dir)
+    val got = spark.read.format("graft-snapshot").load(dir)
+      .filter(!col("__is_deleted")).select("primary_key", "val")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a1"))
+    // the Scala API sees the same state — one format, two front doors
+    assert(state(sink, DeleteMode.Hard) == Map("a" -> ((3L, "a1"))))
+    // the no-deleteCol write left no synthetic column behind
+    assert(!spark.read.format("graft-snapshot").load(dir).columns
+      .exists(c => c != "__is_deleted" && c.startsWith("__")))
+    // blind modes refuse: the format's only write semantic is merge
+    intercept[Exception] {
+      Seq(("c", 9L, "c0")).toDF("primary_key", "seq", "val")
+        .write.format("graft-snapshot").option("keys", "primary_key")
+        .mode("overwrite").save(dir)
+    }
+    intercept[Exception] {
+      Seq(("c", 9L, "c0")).toDF("primary_key", "seq", "val")
+        .write.format("graft-snapshot").option("keys", "primary_key")
+        .mode("errorifexists").save(dir)
+    }
+  }
+
   test("HllSketchStore: incremental append equals full rebuild; appends touch only their batch") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("hll") + "/s"
