@@ -40,7 +40,8 @@ object Verify {
     // attempted-but-absent outputs (query threw) without guessing from
     // coverage ratios whether a run was partial
     Files.writeString(Paths.get(s"$outDir/attempted.json"),
-      attempted.keys.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
+      if (attempted.isEmpty) "[]" // mkString would emit [""] — a phantom query
+      else attempted.keys.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

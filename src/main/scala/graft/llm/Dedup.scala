@@ -268,7 +268,12 @@ object Dedup {
       val sym = pairs.select(col("i").as("a"), col("j").as("b"))
         .union(pairs.select(col("j").as("a"), col("i").as("b")))
       // ---- phase 1: min-label BSP, one job per round
-      var labels = persist(nodes.select(col("doc_id"), col("doc_id").as("cluster")))
+      // `held` is the PERSISTED handle for the current round (labels is a
+      // projection of it after round 1 — unpersisting the projection would
+      // not uncache the underlying frame: CacheManager matches by
+      // sameResult, so rounds would pile up in the cache until exit)
+      var held = persist(nodes.select(col("doc_id"), col("doc_id").as("cluster")))
+      var labels = held
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < shallowRounds) {
@@ -281,7 +286,8 @@ object Dedup {
           .select(col("doc_id"), col("cluster").as("__old"),
             least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))))
         changed = step.filter(col("cluster") < col("__old")).count()
-        release(labels)
+        release(held)
+        held = step
         labels = step.drop("__old")
         rounds += 1
       }

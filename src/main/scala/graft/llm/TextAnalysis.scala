@@ -178,11 +178,19 @@ object TextAnalysis {
     * (never global) — exactly the sort a shard writer pays anyway; the
     * corpus is hash-scattered across shards so every sort is 1/nShards of
     * the data. Same id contract as [[splitHash]]: non-negative, < 2^31.
+    * Seeds are bounded too (0 ≤ seed < 8·10^13): id·K alone reaches
+    * ~5.7·10^18, so a larger seed·40503 term would overflow int64 —
+    * silently wrapping on non-ANSI Spark while erroring on engines that
+    * check, breaking the any-engine-identical-order contract. Epoch
+    * numbers (the intended seed) are nowhere near the bound; a
+    * hash-derived seed must be reduced below it first.
     * Returns (idCol, shard, pos) — pos is the 1-based order within shard.
     */
   def epochShuffle(docs: DataFrame, seed: Long, nShards: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    require(seed >= 0L && seed < 80000000000000L,
+      s"seed $seed outside [0, 8e13): seed*40503 + id*$SplitMultiplier must stay in int64")
     val h = pmod(col(idCol) * SplitMultiplier + lit(seed) * lit(40503L),
       lit(1000000007L))
     docs.select(col(idCol), h.as("__h"))

@@ -35,14 +35,32 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
         count(lit(1)).as("n_rows"))
       .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 
-  /** Merge every stored partial: per group, the unioned-sketch estimate
+  /** Batch dirs whose write COMMITTED (Spark's `_SUCCESS` marker landed).
+    * A crash mid-append leaves a partial `batch=<id>` without the marker —
+    * merging it would silently under-count, so readers treat it as
+    * not-yet-committed (replaying the append overwrites and commits it),
+    * the same uncommitted-data-never-surfaces contract as the snapshot
+    * sink's manifest.
+    */
+  def committedBatchPaths: Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getPath).sorted
+  }
+
+  /** Merge every COMMITTED partial: per group, the unioned-sketch estimate
     * plus batch/row bookkeeping. Reads only sketch rows — history's data
     * files are never touched.
     */
-  def estimates(spark: SparkSession, groupCols: Seq[String]): DataFrame =
-    spark.read.parquet(dir)
+  def estimates(spark: SparkSession, groupCols: Seq[String]): DataFrame = {
+    val paths = committedBatchPaths
+    require(paths.nonEmpty, s"no committed sketch batches at $dir")
+    spark.read.option("basePath", dir).parquet(paths: _*)
       .groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("estimate"),
         countDistinct(col("batch")).cast("bigint").as("n_batches"),
         sum(col("n_rows")).cast("bigint").as("n_rows"))
+  }
 }

@@ -80,6 +80,16 @@ object SnapshotParquetSink {
     (n, entries)
   }
 
+  /** The merge-key columns recorded at `version` (the columns the bucket
+    * hash routes on). Empty for manifests written before keys were
+    * recorded — consumers then fall back to caller-declared keys.
+    */
+  def manifestKeys(dir: String, version: Long): Seq[String] =
+    Files.readAllLines(manifestPath(dir, version)).asScala
+      .collectFirst { case l if l.startsWith("keys=") =>
+        l.stripPrefix("keys=").split(',').toSeq.map(_.trim).filter(_.nonEmpty) }
+      .getOrElse(Seq.empty)
+
   /** Driver-side bucket routing, bit-identical to the write path's
     * `pmod(xxhash64(keys...), nBuckets)`: literals cast to the STORED key
     * types, XxHash64 evaluated without a Spark job.
@@ -133,6 +143,20 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         val base = currentVersion
         val entries = base.map(readManifest).getOrElse(Map.empty)
         val version = base.map(_ + 1L).getOrElse(0L)
+        // layout guards: a writer with a different bucket count or key set
+        // would scatter keys across incompatible bucket routings — the
+        // corruption would be SILENT (wrong rows per bucket file), so both
+        // mismatches fail loudly instead
+        base.foreach { v =>
+          val declared = SnapshotParquetSink.manifest(dir, v)._1
+          require(declared == nBuckets,
+            s"sink nBuckets=$nBuckets but the table at $dir was committed with " +
+              s"nBuckets=$declared — construct the sink with the table's value")
+          val priorKeys = SnapshotParquetSink.manifestKeys(dir, v)
+          require(priorKeys.isEmpty || priorKeys == keys,
+            s"merge keys ${keys.mkString(",")} do not match the table's committed " +
+              s"keys ${priorKeys.mkString(",")} at $dir")
+        }
 
         // existing state of the affected buckets, grouped by commit root:
         // each root was written with partitionBy("__bucket"), so reading
@@ -167,7 +191,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         val newEntries = entries ++ affected.map(b => b -> s"data/$commitId/__bucket=$b")
         Files.createDirectories(manifestsDir)
         val tmp = manifestsDir.resolve(s".tmp-$commitId")
-        val body = (Seq(s"version=$version", s"nBuckets=$nBuckets") ++
+        val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
+          s"keys=${keys.mkString(",")}") ++
           newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
           .mkString("", "\n", "\n")
         Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -279,7 +304,11 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
       val newEntries = entries.keys.map(b => b -> s"data/$commitId/__bucket=$b")
       Files.createDirectories(manifestsDir)
       val tmp = manifestsDir.resolve(s".tmp-$commitId")
-      val body = (Seq(s"version=$version", s"nBuckets=$nBuckets") ++
+      // carry the recorded merge keys forward — compaction rewrites data
+      // files, never the key contract
+      val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
+      val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
+        s"keys=${baseKeys.mkString(",")}") ++
         newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
         .mkString("", "\n", "\n")
       Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

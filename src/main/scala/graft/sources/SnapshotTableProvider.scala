@@ -77,8 +77,14 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
     val dir = params.getOrElse("path",
       sys.error("graft-snapshot needs a path: .save(dir) or option(\"path\", dir)"))
     val existing = SnapshotParquetSink.versions(dir)
+    val noOp = new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
     mode match {
       case SaveMode.Append => // merge is the append of a keyed table
+      case SaveMode.Ignore if existing.nonEmpty => return noOp // contract: silent no-op
+      case SaveMode.Ignore =>
       case SaveMode.ErrorIfExists if existing.isEmpty =>
       case SaveMode.ErrorIfExists =>
         sys.error(s"snapshot table already published at $dir (v${existing.last})")
@@ -87,10 +93,12 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
           "blind-overwrite committed history; use mode(\"append\") (last-write-wins " +
           "upsert) or the Scala API's compact/vacuum for maintenance")
     }
-    val keys = params.getOrElse("keys",
-        sys.error("graft-snapshot writes need option(\"keys\", \"k1,k2\") — " +
-          "the merge keys of the table"))
-      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val keys = params.get("keys").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(existing.lastOption
+        .map(v => SnapshotParquetSink.manifestKeys(dir, v)).filter(_.nonEmpty))
+      .getOrElse(sys.error("graft-snapshot writes need option(\"keys\", \"k1,k2\") — " +
+        "the merge keys of the table (recorded in the manifest from the first " +
+        "commit onward, so only the first write needs the option)"))
     val seqCol = params.getOrElse("seqcol", "seq")
     require(data.columns.contains(seqCol),
       s"graft-snapshot: seq column '$seqCol' absent from the batch " +
@@ -175,7 +183,20 @@ private[sources] object SnapshotState {
       s"snapshot v$version does not exist at $dir (vacuumed or never published); " +
         s"available: ${versions.mkString(", ")}")
     val (nBuckets, entries) = SnapshotParquetSink.manifest(dir, version)
-    SnapshotState(dir, version, nBuckets, entries, keys)
+    // bucket-pruning keys: the manifest's RECORDED merge keys are the only
+    // columns the bucket hash actually routes on — a caller-supplied option
+    // naming any other columns would prune to the WRONG bucket and silently
+    // return rows missing, so a mismatch is an error, not a preference
+    val recorded = SnapshotParquetSink.manifestKeys(dir, version)
+    val effectiveKeys =
+      if (recorded.nonEmpty) {
+        require(keys.isEmpty || keys == recorded,
+          s"option keys=${keys.mkString(",")} does not match the table's committed " +
+            s"merge keys ${recorded.mkString(",")} at $dir — drop the option " +
+            "(pruning uses the recorded keys automatically)")
+        recorded
+      } else keys // pre-keys-recording manifest: trust the caller (documented)
+    SnapshotState(dir, version, nBuckets, entries, effectiveKeys)
   }
 }
 

@@ -50,17 +50,33 @@ object NearDupAdmission {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val bands = Dedup.bandKeys(sig)
-          // first batch: no store published yet — within-batch only
+          // first batch: no store published yet — within-batch only. ONLY
+          // the store-absent condition degrades; a transient read failure
+          // (IO, corrupt file) must propagate — silently falling back to
+          // within-batch candidates would admit every near-dup of the
+          // standing corpus with zero signal (the no-silent-caps contract)
           def readStore(s: UpsertSink, cols: Seq[String]): Option[DataFrame] =
             try Some(s.read(spark, DeleteMode.Hard).select(cols.map(col): _*))
-            catch { case _: Exception => None }
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage.contains("PATH_NOT_FOUND") ||
+                    e.getMessage.contains("Path does not exist") => None
+              case e: RuntimeException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("no snapshot published") => None
+            }
           val storedBands = readStore(bandStore, Seq("doc_id", "band", "bkey"))
           val cand = storedBands match {
             case Some(st) => Dedup.incrementalLshCandidates(bands, st)
             case None     => Dedup.lshCandidates(bands)
           }
+          // re-ingested docs (crawl re-fetch, crash replay): the batch's
+          // signature REPLACES the stored one — a plain union would carry
+          // both copies and double-count agreeing hashes in the estimate
           val allSigs = readStore(sigStore, Seq("doc_id", "hi", "mh"))
-            .map(_.unionByName(sig.select("doc_id", "hi", "mh"))).getOrElse(sig)
+            .map(_.join(sig.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+              .unionByName(sig.select("doc_id", "hi", "mh")))
+            .getOrElse(sig)
           onBatch(Dedup.minhashEstimates(allSigs, cand), batchId)
           // publish AFTER the verdict so a crash mid-batch replays cleanly:
           // idempotent upserts, seq = batch id

@@ -347,5 +347,38 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     // re-appending the same batch id is an idempotent overwrite
     store.append(rows(8000, 9000), Seq("g"), "v", batchId = 2L)
     assert(est().map(r => r._1 -> r._2).toMap == merged)
+    // a crashed append (no _SUCCESS marker) never surfaces: write a batch,
+    // strip its marker — estimates must be as if the batch never happened
+    val before2 = est().map(r => r._1 -> r._2).toMap
+    store.append(rows(9000, 9500), Seq("g"), "v", batchId = 3L)
+    assert(new java.io.File(s"$dir/batch=3/_SUCCESS").delete())
+    assert(est().map(r => r._1 -> r._2).toMap == before2)
+  }
+
+  test("layout guards: mismatched nBuckets or merge keys refuse loudly; keys recorded") {
+    val dir = tmpDir("guard") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestKeys(dir, 0L) == Seq("primary_key"))
+    // a writer with a different bucket count would scatter keys — refused
+    val wrongBuckets = new SnapshotParquetSink(dir, nBuckets = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      wrongBuckets.merge(batch(("b", 1, "b0", false)), Seq("primary_key"), "seq", "is_delete")
+    }
+    assert(e1.getMessage.contains("nBuckets"))
+    // different merge keys against the committed contract — refused
+    val e2 = intercept[IllegalArgumentException] {
+      sink.merge(batch(("b", 1, "b0", false)), Seq("val"), "seq", "is_delete")
+    }
+    assert(e2.getMessage.contains("committed"))
+    // compaction carries the recorded keys forward
+    sink.compact(spark)
+    assert(SnapshotParquetSink.manifestKeys(dir, 1L) == Seq("primary_key"))
+    // DSv2 read: pruning keys come from the manifest; a wrong option errors
+    val ok = spark.read.format("graft-snapshot").load(dir)
+    assert(ok.count() == 1)
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("keys", "val").load(dir).count()
+    }
   }
 }

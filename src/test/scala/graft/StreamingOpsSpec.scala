@@ -323,6 +323,13 @@ class StreamingOpsSpec extends SparkSpec {
       assert(results(1L).get((0L, 10L)).contains(1.0), results.toString)
       assert(results(1L).get((1L, 10L)).contains(1.0))
       assert(!results(1L).keySet.exists { case (i, j) => i == 11L || j == 11L })
+      // batch 2 RE-INGESTS doc 0 (crawl re-fetch / replay): its stored
+      // signature is REPLACED, not doubled — a plain union double-counts
+      // agreeing hashes and emits est 2.0/4.0 instead of fractions
+      write(in, "b2.jsonl", Seq(s"""{"doc_id":0,"text":"$dup"}"""))
+      q.processAllAvailable()
+      assert(results(2L).get((0L, 1L)).contains(1.0), results.toString)
+      assert(results.values.flatMap(_.values).forall(_ <= 1.0), results.toString)
     } finally { q.stop(); q.awaitTermination() }
     // replay safety: the stores are keyed upserts — band rows stay unique
     val bandRows = bandStore.read(spark, graft.sink.DeleteMode.Hard)
