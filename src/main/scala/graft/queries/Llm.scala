@@ -723,6 +723,37 @@ object Llm {
           sum(col("tokens")).cast("bigint").as("total_tokens"))
     },
 
+    // Cross-source duplication matrix: which sources duplicate each other —
+    // the crawl-curation view that decides which feed to drop. Near-dup
+    // pairs (exact Jaccard here, bounded; MinHash-LSH at scale — the
+    // matrix shape is generator-agnostic) joined back to each side's
+    // source, counted per unordered source pair.
+    QDef.df("q90g_cross_source_dups", {
+      s"""WITH ${toksCte(300)},
+         |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |jp AS (SELECT i, j FROM p JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+         |       WHERE c / (sa.n + sb.n - c) >= 0.5),
+         |src AS (SELECT doc_id, source FROM documents WHERE doc_id < 300)
+         |SELECT least(a.source, b.source) AS source_a,
+         |       greatest(a.source, b.source) AS source_b,
+         |       count(*) AS n_pairs, CAST(SUM(i + j) AS BIGINT) AS id_sum
+         |FROM jp JOIN src a ON jp.i = a.doc_id JOIN src b ON jp.j = b.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables.table(s, dir, "documents").filter(col("doc_id") < 300)
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.jaccardPairs(d, 0.5).select("i", "j")
+        .join(src.select(col("doc_id").as("i"), col("source").as("sa")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("sb")), "j")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("i") + col("j")).cast("bigint").as("id_sum"))
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>
