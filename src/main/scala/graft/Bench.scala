@@ -34,9 +34,15 @@ object Bench {
     // drown the signal of the many-small-jobs partitioned path
     val incr = cdcIncrementalMergeSpeedup(spark)
 
+    // optional comma-separated prefix filter (iteration aid — the driver
+    // runs unfiltered; a filtered artifact still carries every field)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
     val qs = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     // warm-up: session init + codegen + parquet footer cache
-    try qs.get("q01_count").foreach(_(spark, sfDir).count()) catch { case _: Throwable => }
+    try SparkEntry.queries.get("q01_count").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => }
 
     val runs = 3
     val suiteT0 = System.nanoTime()

@@ -211,6 +211,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup invariant: dropped <=> some lower-id cellmate above threshold") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with planted duplicate pairs so
+    // both verdict branches are exercised
+    val rng = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+    val dups = (0 until 10).map(i => (100L + i, base(i)._2)) // exact copies
+    val all = base ++ dups
+    val df = all.toDF("vec_id", "embedding")
+    val verdict = graft.llm.Dedup.semanticDedup(df, k = 4, iters = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(verdict.length == all.length)
+    // recompute the rule independently: cell from the returned assignment,
+    // cosine from scratch on the driver
+    val cellOf = verdict.map(v => v._1 -> v._2).toMap
+    val vecOf = all.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    verdict.foreach { case (id, cell, kept) =>
+      val hasLowerDup = all.exists { case (o, v) =>
+        o < id && cellOf(o) == cell && cos(v, vecOf(id)) >= 0.95
+      }
+      assert(kept == !hasLowerDup, s"vec $id: kept=$kept but lower-dup=$hasLowerDup")
+    }
+    // the planted copies actually exercised the drop branch
+    assert(verdict.count(!_._3) >= 10)
+  }
+
   test("spanDedup parity with brute force on pseudo-random small corpora") {
     import spark.implicits._
     // deterministic corpus with engineered overlaps: token vocab of 6, so
