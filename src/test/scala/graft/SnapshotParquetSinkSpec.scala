@@ -355,6 +355,32 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(est().map(r => r._1 -> r._2).toMap == before2)
   }
 
+  test("retention: dry-run previews, real run drops only below-cutoff partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.Retention
+    val dir = tmpDir("ret") + "/events_p"
+    spark.range(0, 300)
+      .withColumn("dt", concat(lit("2026-08-"),
+        lpad((col("id") % 3 + 1).cast("string"), 2, "0")))
+      .write.partitionBy("dt").parquet(dir)
+    assert(Retention.partitions(dir, "dt").keySet ==
+      Set("2026-08-01", "2026-08-02", "2026-08-03"))
+    // dry run: full preview, zero deletion
+    val preview = Retention.dropPartitionsBelow(dir, "dt", "2026-08-03")
+    assert(!preview.deleted && preview.dropped.map(_.value) ==
+      Seq("2026-08-01", "2026-08-02"))
+    assert(preview.droppedBytes > 0 && preview.droppedFiles > 0)
+    assert(spark.read.parquet(dir).count() == 300) // nothing touched
+    // real run: below-cutoff gone, cutoff day retained, data still readable
+    val report = Retention.dropPartitionsBelow(dir, "dt", "2026-08-03", dryRun = false)
+    assert(report.deleted && report.dropped.map(_.value) == preview.dropped.map(_.value))
+    assert(report.kept == Seq("2026-08-03"))
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 100)
+    assert(left.select(col("dt").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("2026-08-03"))
+  }
+
   test("layout guards: mismatched nBuckets or merge keys refuse loudly; keys recorded") {
     val dir = tmpDir("guard") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 4)
