@@ -355,6 +355,40 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(est().map(r => r._1 -> r._2).toMap == before2)
   }
 
+  test("concurrent writers: the manifest hard-link lock loses no commit") {
+    // two INDEPENDENT sink instances (separate `synchronized` monitors)
+    // race merges into the same table from two threads — the loser of each
+    // version's hard-link race must retry against the winner's state, so
+    // every row from both writers survives and versions are gap-free
+    val dir = tmpDir("race") + "/t"
+    val rows = 6
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def writer(tag: String): java.util.concurrent.Future[Unit] =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+          start.await(30, TimeUnit.SECONDS)
+          for (i <- 0 until rows)
+            sink.merge(batch((s"$tag$i", i.toLong, s"v$tag$i", false)),
+              Seq("primary_key"), "seq", "is_delete")
+        }
+      })
+    val a = writer("a"); val b = writer("b")
+    start.countDown()
+    a.get(120, TimeUnit.SECONDS); b.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    // every commit published: versions are contiguous 0..(2*rows-1)
+    assert(sink.versions == (0L until 2L * rows), sink.versions.toString)
+    // no lost update: both writers' full key sets present with their values
+    val state = sink.read(spark, DeleteMode.Hard).collect()
+      .map(r => r.getAs[String]("primary_key") -> r.getAs[String]("val")).toMap
+    assert(state.size == 2 * rows, state.keys.toSeq.sorted.mkString(","))
+    for (t <- Seq("a", "b"); i <- 0 until rows) assert(state(s"$t$i") == s"v$t$i")
+  }
+
   test("retention: dry-run previews, real run drops only below-cutoff partitions") {
     import org.apache.spark.sql.functions._
     import graft.sink.Retention
