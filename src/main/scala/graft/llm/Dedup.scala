@@ -570,6 +570,46 @@ object Dedup {
         levenshtein(col("sa"), col("sb")).cast("bigint").as("dist"))
   }
 
+  /** Two-table record linkage (entity resolution across sources) for
+    * FIXED-FORMAT keys (phones, codes, padded ids): candidate pairs via
+    * EXACT pigeonhole segment blocking — split the string into
+    * `maxDist + 1` equal segments; under a substitution-only edit model
+    * (aligned formats never insert/delete) any pair within `maxDist`
+    * differs in ≤ maxDist positions, so at least one segment matches
+    * verbatim — an equi-join on (segment index, segment text), zero recall
+    * loss, never a cross join. Candidates then verify by exact Hamming
+    * distance (per-position char compare, a codegen HOF — identical
+    * arithmetic on any engine; levenshtein would accept the unaligned
+    * edits the blocking can't see, so the verify matches the block model).
+    * The two-table twin of [[editDistanceNearDup]] (whose length-bin
+    * banding covers variable-length text within one table).
+    *
+    * Returns (left id, right id, dist ≤ maxDist). Strings of unequal
+    * length never match (fixed-format contract).
+    */
+  def hammingLink(left: DataFrame, right: DataFrame, maxDist: Int,
+      leftId: String, leftCol: String, rightId: String, rightCol: String): DataFrame = {
+    val nSeg = maxDist + 1
+    def seged(df: DataFrame, id: String, s: String, side: String): DataFrame =
+      df.select(col(id).as(s"${side}_id"), col(s).as(s"${side}_s"),
+          length(col(s)).as(s"${side}_len"),
+          explode(sequence(lit(0), lit(nSeg - 1))).as("seg"))
+        .withColumn("segtxt", expr(
+          s"substring(${side}_s, seg * CAST(ceil(${side}_len / $nSeg.0) AS INT) + 1, " +
+            s"CAST(ceil(${side}_len / $nSeg.0) AS INT))"))
+    val a = seged(left, leftId, leftCol, "l")
+    val b = seged(right, rightId, rightCol, "r")
+    val ham = expr(
+      "aggregate(sequence(1, length(l_s)), 0, " +
+        "(acc, i) -> acc + IF(substring(l_s, i, 1) = substring(r_s, i, 1), 0, 1))")
+    a.join(b, a("seg") === b("seg") && a("segtxt") === b("segtxt") &&
+        a("l_len") === b("r_len"))
+      .select(col("l_id"), col("r_id"), col("l_s"), col("r_s")).distinct()
+      .withColumn("dist", ham.cast("bigint"))
+      .filter(col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("dist"))
+  }
+
   /** End-to-end dedup verdict — the call a corpus pipeline actually makes:
     * near-dup pairs → connected components → canonical member per cluster
     * (most tokens, id tie-break) → per-document keep/drop. `pairs` come

@@ -267,6 +267,46 @@ object Llm {
         pairs => QDef.localized(s, pairs))
     },
 
+    // Two-table record linkage (cross-source entity resolution): customers
+    // matched to suppliers by near-identical fixed-width account codes
+    // (floor(acctbal·100) zero-padded to 10 — floor of an IEEE product is
+    // cross-engine exact, the q89d quantization rule) at Hamming ≤ 2;
+    // candidates via exact pigeonhole segment blocking (3 segments — any
+    // ≤2-substitution pair shares a verbatim segment, zero recall loss).
+    // The ORACLE brute-forces the full cross join, so a blocking bug that
+    // loses any pair hash-mismatches — the recall guarantee is itself
+    // what's oracle-checked.
+    QDef.df("q88e_record_linkage", {
+      val ham = (1 to 10).map(i =>
+        s"(CASE WHEN substring(l_s, $i, 1) = substring(r_s, $i, 1) THEN 0 ELSE 1 END)")
+        .mkString(" + ")
+      def code(c: String) =
+        s"lpad(CAST(CAST(floor($c * 100) AS BIGINT) AS VARCHAR), 10, '0')"
+      s"""WITH l AS (SELECT c_custkey AS l_id, ${code("c_acctbal")} AS l_s FROM customer),
+         |r AS (SELECT s_suppkey AS r_id, ${code("s_acctbal")} AS r_s FROM supplier),
+         |m AS (SELECT l_id, r_id, ($ham) AS dist FROM l, r)
+         |SELECT (SELECT count(*) FROM l) AS n_left,
+         |       (SELECT count(*) FROM r) AS n_right,
+         |       CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+         |       CAST(coalesce(SUM(CASE WHEN dist <= 2 THEN l_id + r_id ELSE 0 END), 0)
+         |            AS BIGINT) AS match_id_sum
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      def coded(t: String, id: String, bal: String) =
+        Tables.table(s, dir, t).select(col(id),
+          lpad(floor(col(bal) * 100).cast("bigint").cast("string"), 10, "0").as("code"))
+      val c = coded("customer", "c_custkey", "c_acctbal")
+      val su = coded("supplier", "s_suppkey", "s_acctbal")
+      val links = Dedup.hammingLink(c, su, maxDist = 2,
+        "c_custkey", "code", "s_suppkey", "code")
+      c.agg(count(lit(1)).as("n_left"))
+        .crossJoin(su.agg(count(lit(1)).as("n_right")))
+        .crossJoin(links.agg(
+          count(lit(1)).cast("bigint").as("n_matches"),
+          coalesce(sum(col("l_id") + col("r_id")), lit(0L))
+            .cast("bigint").as("match_id_sum")))
+    },
+
     // Exact repeated-span detection (word-shingle substring dedup, the Lee
     // et al. pass): 8-token spans verbatim-shared across documents. Engine
     // = one grouped count on the span (Dedup.spanDedup); oracle = the q88

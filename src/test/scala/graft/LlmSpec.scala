@@ -344,6 +344,19 @@ class LlmSpec extends SparkSpec {
     assert(verdict.count() == emb.count() + 2)
   }
 
+  test("hammingLink: planted typos found at exact distance, no cross-length matches") {
+    val left = Seq((1L, "ABCDEF"), (2L, "GHIJKL"), (3L, "SHORT")).toDF("lid", "s")
+    val right = Seq((10L, "ABCDEF"),   // exact: dist 0
+      (11L, "ABXDEF"),                 // one substitution: dist 1
+      (12L, "ABXDYF"),                 // two substitutions: dist 2
+      (13L, "QRXDYF"),                 // four: beyond maxDist
+      (14L, "SHORTY")                  // different length: never matches
+    ).toDF("rid", "s")
+    val got = graft.llm.Dedup.hammingLink(left, right, maxDist = 2, "lid", "s", "rid", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 10L) -> 0L, (1L, 11L) -> 1L, (1L, 12L) -> 2L))
+  }
+
   test("simhash: identical docs get identical fingerprints, disjoint differ") {
     val fp = Dedup.simhash64(Dedup.dictionaryCodes(Dedup.tokenSets(docs)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
