@@ -29,15 +29,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated prefix filter (iteration aid — the driver
+    // runs unfiltered; a filtered artifact still carries every field, the
+    // CDC benches as null: timing one query must not pay the million-event
+    // throughput protocol)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
+
     // the sink comparison runs FIRST: after the full query suite the JVM
     // carries enough codegen/GC pressure to inflate per-job overheads and
     // drown the signal of the many-small-jobs partitioned path
-    val incr = cdcIncrementalMergeSpeedup(spark)
-
-    // optional comma-separated prefix filter (iteration aid — the driver
-    // runs unfiltered; a filtered artifact still carries every field)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
+    val incr = if (only.isEmpty) Some(cdcIncrementalMergeSpeedup(spark)) else None
     val qs = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     // warm-up: session init + codegen + parquet footer cache
@@ -78,9 +80,11 @@ object Bench {
     // idle-box jitter) and a reader then trusts the min column — the best
     // run is the one closest to what the binary does on an idle box
     val contended = spreadMax > 3.0
-    val eps = cdcThroughput(spark)
+    val eps = if (only.isEmpty) Some(cdcThroughput(spark)) else None
+    val epsJson = eps.map(num("%.0f", _)).getOrElse("null")
+    val incrJson = incr.map(num("%.1f", _)).getOrElse("null")
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":${num("%.0f", eps)},"cdc_incremental_merge_speedup":${num("%.1f", incr)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
@@ -88,9 +92,7 @@ object Bench {
     spark.stop()
   }
 
-  private def wipe(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
-  }
+  private def wipe(f: java.io.File): Unit = { graft.engine.Fs.deleteTree(f); () }
 
   /** BASELINE.md protocol: CDC upsert throughput over a ≥1M-event generated
     * stream (seeded, generation excluded) — full Q61 path: JSONL file read →

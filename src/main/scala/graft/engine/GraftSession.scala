@@ -136,12 +136,7 @@ object Tables {
               org.apache.spark.sql.functions.col("l_orderkey"),
               org.apache.spark.sql.functions.lit(3)) === b),
             Seq("l_returnflag"), "l_partkey", b)
-        sys.addShutdownHook {
-          def del(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-          }
-          del(new java.io.File(out))
-        }
+        sys.addShutdownHook { Fs.deleteTree(new java.io.File(out)); () }
         sketchStoreFor = Some((spark, dir, out))
         out
     }

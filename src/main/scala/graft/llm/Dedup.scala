@@ -585,7 +585,15 @@ object Dedup {
     * banding covers variable-length text within one table).
     *
     * Returns (left id, right id, dist ≤ maxDist). Strings of unequal
-    * length never match (fixed-format contract).
+    * length never match (fixed-format contract). Segmentation is
+    * FLOOR-based with the last segment absorbing the remainder, so every
+    * segment of a length ≥ maxDist+1 string is non-empty — a ceil split
+    * would leave empty trailing segments on short strings, and the
+    * ("", "") equi-match would degrade that length class to all-pairs.
+    * Strings SHORTER than maxDist+1 carry empty middle segments by
+    * construction and do pair all-to-all within their length class —
+    * genuinely required there, since maxDist edits can touch every
+    * position of such a key.
     */
   def hammingLink(left: DataFrame, right: DataFrame, maxDist: Int,
       leftId: String, leftCol: String, rightId: String, rightCol: String): DataFrame = {
@@ -595,8 +603,9 @@ object Dedup {
           length(col(s)).as(s"${side}_len"),
           explode(sequence(lit(0), lit(nSeg - 1))).as("seg"))
         .withColumn("segtxt", expr(
-          s"substring(${side}_s, seg * CAST(ceil(${side}_len / $nSeg.0) AS INT) + 1, " +
-            s"CAST(ceil(${side}_len / $nSeg.0) AS INT))"))
+          s"substring(${side}_s, seg * (${side}_len DIV $nSeg) + 1, " +
+            s"IF(seg = $nSeg - 1, ${side}_len - ($nSeg - 1) * (${side}_len DIV $nSeg), " +
+            s"${side}_len DIV $nSeg))"))
     val a = seged(left, leftId, leftCol, "l")
     val b = seged(right, rightId, rightCol, "r")
     val ham = expr(

@@ -101,10 +101,7 @@ object Cdc {
   private def freshSnapshotSink(tag: String): (graft.sink.SnapshotParquetSink, String) = {
     val base = sys.props("java.io.tmpdir") + s"/graft_${tag}_" +
       ProcessHandle.current().pid()
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-    }
-    del(new java.io.File(base))
+    graft.engine.Fs.deleteTree(new java.io.File(base))
     (new graft.sink.SnapshotParquetSink(base, nBuckets = 8), base)
   }
 

@@ -20,12 +20,7 @@ object Relational {
   private lazy val q03Out: String = {
     val out = sys.props("java.io.tmpdir") + "/graft_q03_roundtrip_" +
       ProcessHandle.current().pid()
-    sys.addShutdownHook {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-      }
-      del(new java.io.File(out))
-    }
+    sys.addShutdownHook { graft.engine.Fs.deleteTree(new java.io.File(out)); () }
     out
   }
 

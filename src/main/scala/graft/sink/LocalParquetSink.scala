@@ -95,8 +95,5 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
     }
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: File): Unit = { graft.engine.Fs.deleteTree(f); () }
 }

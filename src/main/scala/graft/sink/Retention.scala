@@ -44,7 +44,9 @@ object Retention {
 
   /** Drops every partition whose encoded value sorts strictly BELOW
     * `cutoff` (exclusive — `cutoff` itself is retained). With the default
-    * `dryRun = true` nothing is touched; the report is the preview.
+    * `dryRun = true` nothing is touched; the report is the preview. A real
+    * run that cannot fully delete a partition (open handle, permissions)
+    * THROWS rather than returning a report that claims the data is gone.
     */
   def dropPartitionsBelow(dir: String, column: String, cutoff: String,
       dryRun: Boolean = true): RetentionReport = {
@@ -54,13 +56,7 @@ object Retention {
       val files = walk(d)
       PartitionInfo(v, files.size.toLong, files.map(_.length()).sum)
     }
-    if (!dryRun) drop.values.foreach(deleteTree)
+    if (!dryRun) drop.values.foreach(graft.engine.Fs.deleteTreeStrict)
     RetentionReport(column, cutoff, dropped, keep.keys.toSeq.sorted, deleted = !dryRun)
-  }
-
-  private def deleteTree(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteTree)
-    f.delete()
-    ()
   }
 }

@@ -209,8 +209,13 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
           case _: java.nio.file.FileAlreadyExistsException =>
             Files.deleteIfExists(tmp)
             deleteTree(Paths.get(s"$dir/data/$commitId")) // orphaned attempt
-            if (attempts >= 5)
+            if (attempts >= 10)
               sys.error(s"snapshot commit lost the race $attempts times at $dir")
+            // jittered backoff: two writers in lockstep (each merge takes
+            // about as long as the other's) can otherwise starve one side
+            // for many consecutive versions
+            Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(10L, 100L * attempts))
         }
       }
     } finally {
@@ -320,7 +325,9 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           deleteTree(Paths.get(s"$dir/data/$commitId"))
-          if (attempts >= 5) sys.error(s"compaction lost the race $attempts times at $dir")
+          if (attempts >= 10) sys.error(s"compaction lost the race $attempts times at $dir")
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(10L, 100L * attempts))
       }
     }
     -1L // unreachable
@@ -354,9 +361,5 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     (drop.size, orphans.size)
   }
 
-  private def deleteTree(p: Path): Unit = {
-    if (Files.isDirectory(p)) children(p).foreach(deleteTree)
-    Files.deleteIfExists(p)
-    ()
-  }
+  private def deleteTree(p: Path): Unit = { graft.engine.Fs.deleteTree(p.toFile); () }
 }

@@ -24,12 +24,17 @@ class CorpusPipelineSpec extends SparkSpec {
     // 1. canonical form before dedup (case/whitespace variants collapse)
     val normed = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
 
-    // 2. near-dup dedup at the LSH scale path; keep/drop verdict per doc
+    // 2. near-dup dedup at the LSH scale path; keep/drop verdict per doc —
+    // persisted AND materialized inside the managed scope (its contract:
+    // round caches release on exit, so late materialization would replay
+    // the whole iterative clustering from lineage)
     val keptDocs = Dedup.minhashLsh(normed, dictionary = false) { est =>
       val pairs = est.filter(col("est") >= 0.8).select("i", "j")
       Dedup.dedupVerdict(normed, pairs) { verdict =>
         val k = verdict.filter(col("keep")).select("doc_id")
-        normed.join(k, "doc_id").persist()
+        val p = normed.join(k, "doc_id").persist()
+        p.count()
+        p
       }
     }
     try {
@@ -63,19 +68,23 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(order.select("doc_id").distinct().count() == bySplit("train"))
 
       // 6. pack the ordered corpus into token-budget bins (continuous
-      // stream: docs may straddle bin boundaries, flagged as such)
+      // stream: docs may straddle bin boundaries, flagged as such).
+      // Verified against an INDEPENDENT driver-side re-pack: a running sum
+      // over doc order recomputes offset/bin/straddle from raw token
+      // counts, so a packing bug cannot hide behind its own formula.
       TextAnalysis.packSequences(train, budgetTokens = 512) { packed =>
-        val rows = packed.persist()
-        try {
-          assert(rows.count() == bySplit("train")) // every train doc packed once
-          val total = rows.agg(sum("n_tokens")).head().getLong(0)
-          // bins tile the token stream exactly: ceil(total/budget) bins
-          assert(rows.select("bin").distinct().count() == (total + 511) / 512)
-          // a doc not flagged as straddling fits inside its bin
-          val misflagged = rows.filter(!col("straddles") &&
-            col("start_offset") + col("n_tokens") > (col("bin") + 1) * 512).count()
-          assert(misflagged == 0L)
-        } finally { rows.unpersist(); () }
+        val rows = packed.select("doc_id", "n_tokens", "start_offset", "bin", "straddles")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+          .sortBy(_._1)
+        assert(rows.length == bySplit("train").toInt) // every train doc packed once
+        var run = 0L
+        rows.foreach { case (id, n, start, bin, straddles) =>
+          assert(start == run, s"doc $id: offset $start, independent cumsum $run")
+          assert(bin == run / 512, s"doc $id: bin $bin vs ${run / 512}")
+          assert(straddles == (run + n > (run / 512 + 1) * 512), s"doc $id straddle flag")
+          run += n
+        }
       }
 
       // whole pipeline is deterministic: rerunning the dedup+gate+split
