@@ -268,20 +268,25 @@ object Llm {
     },
 
     // Two-table record linkage (cross-source entity resolution): customers
-    // matched to suppliers by near-identical fixed-width account codes
-    // (floor(acctbal·100) zero-padded to 10 — floor of an IEEE product is
-    // cross-engine exact, the q89d quantization rule) at Hamming ≤ 2;
-    // candidates via exact pigeonhole segment blocking (3 segments — any
+    // matched to suppliers by near-identical fixed-width account codes —
+    // floor(acctbal·100) mod 10^6, zero-padded to SIX digits (floor of an
+    // IEEE product is cross-engine exact, the q89d quantization rule; the
+    // mod keeps every digit position entropic — an earlier 10-wide padding
+    // made the leading segment "000" for every row, degenerating the
+    // blocking to a 15M-pair cross join at sf0.1: a blocking key is only
+    // as good as its least-entropic segment) at Hamming ≤ 2; candidates
+    // via exact pigeonhole segment blocking (3 segments — any
     // ≤2-substitution pair shares a verbatim segment, zero recall loss).
     // The ORACLE brute-forces the full cross join, so a blocking bug that
     // loses any pair hash-mismatches — the recall guarantee is itself
     // what's oracle-checked.
     QDef.df("q88e_record_linkage", {
-      val ham = (1 to 10).map(i =>
+      val ham = (1 to 6).map(i =>
         s"(CASE WHEN substring(l_s, $i, 1) = substring(r_s, $i, 1) THEN 0 ELSE 1 END)")
         .mkString(" + ")
       def code(c: String) =
-        s"lpad(CAST(CAST(floor($c * 100) AS BIGINT) AS VARCHAR), 10, '0')"
+        s"lpad(CAST(((CAST(floor($c * 100) AS BIGINT) % 1000000) + 1000000) % 1000000" +
+          s" AS VARCHAR), 6, '0')"
       s"""WITH l AS (SELECT c_custkey AS l_id, ${code("c_acctbal")} AS l_s FROM customer),
          |r AS (SELECT s_suppkey AS r_id, ${code("s_acctbal")} AS r_s FROM supplier),
          |m AS (SELECT l_id, r_id, ($ham) AS dist FROM l, r)
@@ -294,7 +299,8 @@ object Llm {
     }) { (s, dir) =>
       def coded(t: String, id: String, bal: String) =
         Tables.table(s, dir, t).select(col(id),
-          lpad(floor(col(bal) * 100).cast("bigint").cast("string"), 10, "0").as("code"))
+          lpad(pmod(floor(col(bal) * 100).cast("bigint"), lit(1000000L))
+            .cast("string"), 6, "0").as("code"))
       val c = coded("customer", "c_custkey", "c_acctbal")
       val su = coded("supplier", "s_suppkey", "s_acctbal")
       val links = Dedup.hammingLink(c, su, maxDist = 2,
