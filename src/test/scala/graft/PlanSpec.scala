@@ -212,6 +212,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q88e: linkage candidates meet on a segment equi-join, never a cartesian") {
+    val p = plan("q88e_record_linkage")
+    // the blocking's entire value: candidates are a hash join on
+    // (seg, segtxt, len) — a constant segment (the dead-padding bug) or a
+    // lost join key would surface here as a nested-loop/cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    // the two single-row aggregate frames legitimately cross-join; the
+    // million-row candidate join must not be a nested loop over data rows
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q90g: duplication matrix joins sources by equi-key, never a cartesian") {
+    val p = plan("q90g_cross_source_dups")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semanticDedup: candidate pairs meet on a cell equi-join, never a cartesian") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val verdict = graft.llm.Dedup.semanticDedup(emb, k = 4, iters = 1, threshold = 0.3)
