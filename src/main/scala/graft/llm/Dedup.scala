@@ -143,9 +143,15 @@ object Dedup {
   def capBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int): (DataFrame, CapReport) = {
     require(cap > 1, s"bucket cap must be > 1; got $cap")
     val keys = keyCols.map(col)
+    // eager localCheckpoint: the grouped count over `bucketed` (whose
+    // lineage is the whole tokenize/sign/band pipeline) runs ONCE and the
+    // bounded result (≤ rows/cap buckets) serves both the report agg and
+    // the caller's anti-join — without it the corpus-sized agg re-executes
+    // per action. Blocks are ContextCleaner-managed (released on GC), so
+    // no managed scope is needed (the Bpe.learn pattern).
     val hot = bucketed.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
-    // one bounded job: one row per HOT bucket reaches the agg
+      .localCheckpoint(true)
     val s = hot.agg(count(lit(1)), coalesce(sum(col("__n")), lit(0L))).head
     val report = CapReport(s.getLong(0), s.getLong(1), cap)
     if (!report.clean) {

@@ -61,12 +61,32 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft-snapshot"
 
+  // resolve ONCE per provider instance for a given option set: Spark calls
+  // inferSchema then getTable on the same instance, and a concurrent
+  // commit between the two calls would otherwise hand the scan a NEWER
+  // version's files under the older version's schema (a column added by
+  // the interleaving commit silently vanishing from results)
+  @volatile private var resolved: Option[(Map[String, String], SnapshotState)] = None
+
+  private def resolveOnce(options: CaseInsensitiveStringMap): SnapshotState = {
+    import scala.jdk.CollectionConverters._
+    val key = options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    resolved match {
+      case Some((k, st)) if k == key => st
+      case _ =>
+        val st = SnapshotState.resolve(options)
+        resolved = Some((key, st))
+        st
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotState.resolve(options).dataSchema
+    resolveOnce(options).dataSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new SnapshotTable(SnapshotState.resolve(new CaseInsensitiveStringMap(properties)), schema)
+    new SnapshotTable(resolveOnce(new CaseInsensitiveStringMap(properties)), schema)
 
   override def createRelation(ctx: org.apache.spark.sql.SQLContext,
       mode: org.apache.spark.sql.SaveMode,
