@@ -189,6 +189,25 @@ object Dedup {
     vsStore.union(lshCandidates(newBands)).distinct()
   }
 
+  /** [[incrementalLshCandidates]] with the [[capBuckets]] guard on BOTH
+    * sides: the batch's hot buckets are excised as in [[lshCandidatesCapped]],
+    * and — the case unique to the incremental path — STORE buckets past the
+    * cap are excised too. A boilerplate fingerprint the standing corpus has
+    * accumulated for months would otherwise fan every new batch's matching
+    * band out against a million-row store bucket, making ingest cost grow
+    * with corpus degeneracy rather than batch size. The store-side count is
+    * one grouped agg over a table bucketed on (band, bkey) at scale — no
+    * corpus rescan, and the combined report keeps the excision loud.
+    */
+  def incrementalLshCandidatesCapped(newBands: DataFrame, storeBands: DataFrame,
+      cap: Int): (DataFrame, CapReport) = {
+    val (batchKept, batchReport) = capBuckets(newBands, Seq("band", "bkey"), cap)
+    val (storeKept, storeReport) = capBuckets(storeBands, Seq("band", "bkey"), cap)
+    (incrementalLshCandidates(batchKept, storeKept),
+      CapReport(batchReport.droppedBuckets + storeReport.droppedBuckets,
+        batchReport.droppedRows + storeReport.droppedRows, cap))
+  }
+
   /** Jaccard estimate for candidate pairs: fraction of agreeing minhashes. */
   def minhashEstimates(sig: DataFrame, pairs: DataFrame): DataFrame =
     pairs

@@ -33,10 +33,16 @@ object NearDupAdmission {
     * (i, j, est) frame per micro-batch — est = fraction of agreeing
     * minhashes; callers verify survivors exactly downstream. Materialize
     * inside the callback (batch state is released after it returns).
+    * `maxBucket` (recommended for long-running streams) caps band-bucket
+    * membership on BOTH the batch and the store: without it, a boilerplate
+    * fingerprint the store accumulates over months makes every later
+    * batch's matching band quadratic against it — the excision is logged
+    * per batch by [[graft.llm.Dedup.capBuckets]], never silent.
     */
   def start(docs: DataFrame, bandStore: UpsertSink, sigStore: UpsertSink,
       checkpoint: String, onBatch: (DataFrame, Long) => Unit,
       idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Option[Int] = None,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -66,9 +72,12 @@ object NearDupAdmission {
                     e.getMessage.contains("no snapshot published") => None
             }
           val storedBands = readStore(bandStore, Seq("doc_id", "band", "bkey"))
-          val cand = storedBands match {
-            case Some(st) => Dedup.incrementalLshCandidates(bands, st)
-            case None     => Dedup.lshCandidates(bands)
+          val cand = (storedBands, maxBucket) match {
+            case (Some(st), Some(cap)) =>
+              Dedup.incrementalLshCandidatesCapped(bands, st, cap)._1
+            case (Some(st), None) => Dedup.incrementalLshCandidates(bands, st)
+            case (None, Some(cap)) => Dedup.lshCandidatesCapped(bands, cap)._1
+            case (None, None)      => Dedup.lshCandidates(bands)
           }
           // re-ingested docs (crawl re-fetch, crash replay): the batch's
           // signature REPLACES the stored one — a plain union would carry

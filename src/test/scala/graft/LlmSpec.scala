@@ -168,6 +168,37 @@ class LlmSpec extends SparkSpec {
     assert(onlyNew == full.filter { case (i, j) => i >= 40 && j >= 40 })
   }
 
+  test("incrementalLshCandidatesCapped: a hot STORE bucket is excised, report combines sides") {
+    // the long-running-stream hazard: the standing corpus has accumulated
+    // 500 identical-fingerprint docs; a new batch touching that bucket
+    // would fan out 500-fold per matching band without the store-side cap
+    val corpus = (0L until 40L).map { i =>
+      (i, s"family ${i % 4} shares almost all of its tokens with siblings")
+    }.toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(graft.llm.MinHashAggregator.signatures(
+      Dedup.hashCodes(Dedup.tokenSets(corpus))))
+    val batch = bands.filter($"doc_id" >= 36)
+    val store = bands.filter($"doc_id" < 36)
+    // inflate one store bucket: clone doc 0's band rows under 500 fresh ids
+    val hotStore = store.unionByName(
+      store.filter($"doc_id" === 0).crossJoin(
+          spark.range(1000, 1500).select($"id".as("nid")))
+        .select($"nid".as("doc_id"), $"band", $"bkey"))
+    val (cand, report) = Dedup.incrementalLshCandidatesCapped(batch, hotStore, cap = 50)
+    assert(!report.clean && report.droppedRows >= 500, report.toString)
+    // no candidate references the cloned hot-bucket ids
+    val ids = cand.select("i", "j").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(!ids.exists(_ >= 1000L), s"hot store bucket leaked: ${ids.filter(_ >= 1000L).take(5).mkString(",")}")
+    // generous cap: parity with the uncapped operator on the same inputs
+    val (candOpen, reportOpen) =
+      Dedup.incrementalLshCandidatesCapped(batch, hotStore, cap = 100000)
+    assert(reportOpen.clean)
+    val open = candOpen.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.incrementalLshCandidates(batch, hotStore)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open == uncapped)
+  }
+
   test("capBuckets: 10^3 identical fingerprints bound the candidate join, drop reported") {
     // the degenerate slice: 1000 boilerplate docs sharing one fingerprint
     // would make the band join quadratic (4 bands × ~500k pairs); the cap
