@@ -78,6 +78,38 @@ object Bpe {
     * pre-token table (symbols rewritten through every merge). The driver
     * holds one row per iteration; all heavy work stays distributed.
     */
+  /** Encode a corpus through a learned (or fixed) merge sequence — the
+    * tokenize step a training pipeline actually runs over 100 TB. Shape:
+    * the merge folds are applied to the DISTINCT pre-token table of THIS
+    * corpus (vocabulary-sized, same trick as [[learn]]); the corpus then
+    * pays ONE equi-join (pre_token → encoded symbols; AQE broadcasts the
+    * vocab when small) and a per-doc ordered reassembly. Merges apply in
+    * sequence order — BPE's greedy semantics — so the same merges encode
+    * identically anywhere. Returns (idCol, tokens ARRAY<STRING>,
+    * n_tokens); concatenating `tokens` reproduces the pre-token text
+    * verbatim (merges are lossless — test-pinned).
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge], idCol: String = "doc_id",
+      textCol: String = "text", checkpointEvery: Int = 16): DataFrame = {
+    val pre = s"regexp_extract_all($textCol, '${TextAnalysis.PreTokenRe}', 0)"
+    var vocab = docs
+      .select(explode(expr(pre)).as("pt")).distinct()
+      .withColumn("symbols",
+        expr("transform(sequence(1, length(pt)), i -> substring(pt, i, 1))"))
+    merges.zipWithIndex.foreach { case (m, i) =>
+      vocab = vocab.withColumn("symbols", expr(mergeExpr("symbols", m.a, m.b)))
+      if ((i + 1) % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+    }
+    docs
+      .select(col(idCol), posexplode(expr(pre)).as(Seq("__pos", "pt")))
+      .join(vocab, "pt")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("symbols")))),
+        s => s.getField("symbols"))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
+  }
+
   def learn(docs: DataFrame, iters: Int, textCol: String = "text",
       checkpointEvery: Int = 16): (Seq[Merge], DataFrame) = {
     var table = preTokenTable(docs, textCol)

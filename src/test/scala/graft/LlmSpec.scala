@@ -787,6 +787,27 @@ class LlmSpec extends SparkSpec {
     assert(merges.size >= 8 && merges.size <= 25, merges.size.toString)
   }
 
+  test("BPE encode: learned merges tokenize a corpus losslessly, in doc order") {
+    import graft.llm.Bpe
+    val train = Seq(
+      (0L, "low low low low low"), (1L, "lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.learn(train, iters = 3)
+    // encode a DIFFERENT corpus (held-out words share subword structure)
+    val corpus = Seq((10L, "lowest low"), (11L, "newest widest"), (12L, "zzz"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(corpus, merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // merges: (e,s) (es,t) (l,o): "lowest" -> lo w est; "low" -> lo w
+    assert(got(10L) == Seq("lo", "w", "est", "lo", "w"), got(10L).toString)
+    assert(got(11L) == Seq("n", "e", "w", "est", "w", "i", "d", "est"))
+    assert(got(12L) == Seq("z", "z", "z")) // unseen word: char fallback
+    // lossless: concatenated tokens reproduce the pre-token stream verbatim
+    val roundTrip = got.map { case (id, toks) => id -> toks.mkString }
+    assert(roundTrip == Map(10L -> "lowestlow", 11L -> "newestwidest", 12L -> "zzz"))
+  }
+
   test("BPE merge application is greedy left-to-right (overlapping pairs)") {
     import graft.llm.Bpe
     val d = Seq((Seq("a", "a", "a"), 0), (Seq("x", "a", "a", "y"), 1))
