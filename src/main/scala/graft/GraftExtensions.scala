@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
         graft.functions.CosineSimilarity(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"hamming requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.HammingDistance(exprs(0), exprs(1))
+      }))
     // runtime-filter primitives (see GraftFunctions.register / BloomPrune)
     ext.injectFunction((
       FunctionIdentifier("bloom_build"),

@@ -22,6 +22,8 @@ object GraftFunctions {
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
       // Runtime-filter primitives (the same Catalyst expressions Spark's
       // InjectRuntimeFilter composes, exposed as functions so the engine can
       // build join-pruning blooms on ITS schedule — see engine.BloomPrune):
@@ -44,4 +46,5 @@ object GraftFunctions {
     * entry points do it).
     */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def hamming(a: Column, b: Column): Column = call_function("hamming", a, b)
 }

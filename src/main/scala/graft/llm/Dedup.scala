@@ -631,15 +631,18 @@ object Dedup {
           s"substring(${side}_s, seg * (${side}_len DIV $nSeg) + 1, " +
             s"IF(seg = $nSeg - 1, ${side}_len - ($nSeg - 1) * (${side}_len DIV $nSeg), " +
             s"${side}_len DIV $nSeg))"))
+    graft.functions.GraftFunctions.register(left.sparkSession)
     val a = seged(left, leftId, leftCol, "l")
     val b = seged(right, rightId, rightCol, "r")
-    val ham = expr(
-      "aggregate(sequence(1, length(l_s)), 0, " +
-        "(acc, i) -> acc + IF(substring(l_s, i, 1) = substring(r_s, i, 1), 0, 1))")
+    // verify via the codegen hamming expression — the aggregate-HOF form
+    // is CodegenFallback (interpreted lambda + a substring allocation per
+    // position per candidate); one fused byte loop keeps the verify stage
+    // inside whole-stage codegen
     a.join(b, a("seg") === b("seg") && a("segtxt") === b("segtxt") &&
         a("l_len") === b("r_len"))
       .select(col("l_id"), col("r_id"), col("l_s"), col("r_s")).distinct()
-      .withColumn("dist", ham.cast("bigint"))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.hamming(col("l_s"), col("r_s")).cast("bigint"))
       .filter(col("dist") <= maxDist)
       .select(col("l_id"), col("r_id"), col("dist"))
   }

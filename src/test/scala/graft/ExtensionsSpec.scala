@@ -40,6 +40,21 @@ class ExtensionsSpec extends AnyFunSuite {
           |""".stripMargin).head
       assert(probes.getBoolean(0))
       assert(!probes.getBoolean(1))
+      // codegen hamming: distance, zero, and the unequal-length null
+      val h = s2.sql(
+        "SELECT hamming('abcdef', 'abXdeY') AS d, hamming('a', 'a') AS z, " +
+          "hamming('ab', 'abc') AS n").head
+      assert(h.getInt(0) == 2 && h.getInt(1) == 0 && h.isNullAt(2))
+      // codegen and interpreted paths agree over a value sweep
+      import s2.implicits._
+      val sweep = (0 until 64).map(i => (f"v$i%02d-fixed", f"v${i ^ 9}%02d-fixed"))
+        .toDF("a", "b")
+      val viaExpr = sweep.selectExpr("hamming(a, b) AS d").collect().map(_.getInt(0))
+      val viaSubstr = sweep.selectExpr(
+        "aggregate(sequence(1, length(a)), 0, " +
+          "(acc, i) -> acc + IF(substring(a, i, 1) = substring(b, i, 1), 0, 1)) AS d")
+        .collect().map(_.getInt(0))
+      assert(viaExpr.toSeq == viaSubstr.toSeq)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
