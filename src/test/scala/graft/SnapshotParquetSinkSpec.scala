@@ -311,6 +311,26 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write: schema evolution through the writer null-backfills older commits") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("dsv2evo") + "/t"
+    Seq(("a", 1L, "a0"), ("b", 2L, "b0")).toDF("primary_key", "seq", "val")
+      .write.format("graft-snapshot").option("keys", "primary_key")
+      .mode("append").save(dir)
+    // evolved batch adds a column; keys come from the manifest (no option)
+    Seq(("a", 3L, "a1", "note-a"), ("c", 4L, "c0", "note-c"))
+      .toDF("primary_key", "seq", "val", "note")
+      .write.format("graft-snapshot").mode("append").save(dir)
+    val got = spark.read.format("graft-snapshot").load(dir)
+      .filter(!col("__is_deleted"))
+      .select("primary_key", "val", "note")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      "a" -> (("a1", Some("note-a"))),
+      "b" -> (("b0", None)),          // pre-evolution row null-backfills
+      "c" -> (("c0", Some("note-c")))))
+  }
+
   test("HllSketchStore: incremental append equals full rebuild; appends touch only their batch") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("hll") + "/s"
