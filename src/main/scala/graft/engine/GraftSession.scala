@@ -141,4 +141,28 @@ object Tables {
         out
     }
   }
+
+  @volatile private var hhStoreFor: Option[(SparkSession, String, String)] = None
+
+  /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
+    * document tokens, built ONCE per (session, dir) — same ingest-once
+    * contract as [[ensureSketchStore]].
+    */
+  def ensureHhStore(spark: SparkSession, dir: String): String = synchronized {
+    hhStoreFor match {
+      case Some((s, d, out)) if s == spark && d == dir => out
+      case _ =>
+        val out = sys.props("java.io.tmpdir") + "/graft_q84i_hh_" +
+          ProcessHandle.current().pid()
+        val store = new graft.sink.HeavyHitterStore(out, k = 2000)
+        import org.apache.spark.sql.functions.{col, explode, pmod, split, lit}
+        val toks = table(spark, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        for (b <- 0L until 3L)
+          store.append(toks.filter(pmod(col("doc_id"), lit(3)) === b), col("word"), b)
+        sys.addShutdownHook { Fs.deleteTree(new java.io.File(out)); () }
+        hhStoreFor = Some((spark, dir, out))
+        out
+    }
+  }
 }

@@ -579,6 +579,26 @@ object Llm {
         Tables.table(s, dir, "documents").filter(col("doc_id") < 200), minDf = 2, maxDf = 4)
     },
 
+    // PERSISTENT heavy-hitter store (the q84d two-pass made incremental,
+    // and the frequency leg of the q21d/q86b store triad): three ingest
+    // batches each commit a ≤k-row Misra-Gries partial; merged candidates
+    // (counter-wise sum keeps the N/(k+1) bound additive) feed the exact
+    // broadcast recount — equal to the exact top-20 whenever the 20th
+    // frequency clears the bound (hundreds vs ~dozens here). Store build
+    // is ingest-time cost, paid once via ensureHhStore (the q12c rule).
+    QDef.df("q84i_hh_store",
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.HeavyHitterStore(Tables.ensureHhStore(s, dir), k = 2000)
+      val (cand, _) = store.candidates(s)
+      Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(cand.select(col("item").as("word"))), "word")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+    },
+
     // BPE vocab induction, step 1: the top-5 merge candidates (adjacent
     // symbol pairs weighted by pre-token corpus frequency, ties broken
     // lexicographically) over the distinct pre-token table — the ranking

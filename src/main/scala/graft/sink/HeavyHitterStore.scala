@@ -1,0 +1,54 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent Misra–Gries partial store — the FREQUENCY leg of the
+  * incremental-analytics triad (LSH band store = similarity, [[HllSketchStore]]
+  * = cardinality, this = frequent items): each ingested batch commits its
+  * k-counter candidate summary plus the batch's item total under
+  * `batch=<id>`; "what's trending over all time" merges STORED partials —
+  * counter-wise sums keep the Misra–Gries guarantee additive, so after any
+  * number of batches every item with true total frequency > N/(k+1) is
+  * present among the merged candidates and each merged estimate
+  * under-counts by at most N/(k+1) (N = total items ever ingested). The
+  * Zipf tail never leaves its batch: a partial is ≤ k rows regardless of
+  * batch size.
+  *
+  * Same commit contract as [[HllSketchStore]]: `_SUCCESS`-gated batch dirs,
+  * idempotent per-batch overwrite, appends never touch history. For EXACT
+  * top-m the candidates feed the q84d two-pass recount (semi-join over the
+  * corpus) — the store alone answers with the bounded-error estimates.
+  */
+final class HeavyHitterStore(val dir: String, k: Int = 2000) {
+
+  /** Sketch one batch's items and commit the ≤ k-row partial. */
+  def append(batch: DataFrame, itemCol: Column, batchId: Long): Unit =
+    batch.agg(graft.llm.HeavyHitters.column(k, itemCol).as("hh"),
+        count(lit(1)).as("batch_n"))
+      .select(explode(col("hh")).as(Seq("item", "est")), col("batch_n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+
+  private def committedBatchPaths: Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getPath).sorted
+  }
+
+  /** Merged candidates from committed partials only: ((item, est) rows,
+    * error bound). True count of any returned item lies in
+    * [est, est + bound]; any item with true count > bound appears.
+    */
+  def candidates(spark: SparkSession): (DataFrame, Long) = {
+    val paths = committedBatchPaths
+    require(paths.nonEmpty, s"no committed heavy-hitter batches at $dir")
+    val raw = spark.read.option("basePath", dir).parquet(paths: _*)
+    // Σ_b n_b / (k+1): one row per batch feeds the driver scalar
+    val bound = raw.select(col("batch"), col("batch_n")).distinct()
+      .agg(sum(col("batch_n"))).head().getLong(0) / (k + 1L)
+    (raw.groupBy("item").agg(sum(col("est")).as("est")), bound)
+  }
+}

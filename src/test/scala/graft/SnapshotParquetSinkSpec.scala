@@ -435,6 +435,32 @@ class SnapshotParquetSinkSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("2026-08-03"))
   }
 
+  test("HeavyHitterStore: merged partials keep the additive MG guarantee across batches") {
+    import org.apache.spark.sql.functions._
+    val store = new graft.sink.HeavyHitterStore(tmpDir("hh") + "/s", k = 20)
+    // three batches over a skewed stream: 'hot' appears 300×/batch, tail
+    // items once each — k=20 counters cannot hold the tail
+    def batchDf(b: Long) = spark.range(0, 300).select(lit("hot").as("w"))
+      .union(spark.range(b * 500, b * 500 + 400).select(concat(lit("t"), col("id")).as("w")))
+    for (b <- 0L until 3L) store.append(batchDf(b), col("w"), b)
+    val (cand, bound) = store.candidates(spark)
+    val got = cand.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = 3·700 items; every item with true count > N/(k+1) = 100 surfaces
+    assert(got.contains("hot"), got.keys.take(5).toString)
+    // estimate within the additive bound of the true 900
+    assert(bound == 2100L / 21L)
+    assert(got("hot") <= 900L && got("hot") >= 900L - bound, s"${got("hot")} vs bound $bound")
+    // partial size is counter-bound, not batch-bound
+    assert(spark.read.parquet(store.dir).groupBy("batch").count()
+      .collect().forall(_.getLong(1) <= 20L))
+    // a partial without its commit marker never surfaces
+    store.append(batchDf(9L), col("w"), 9L)
+    assert(new java.io.File(s"${store.dir}/batch=9/_SUCCESS").delete())
+    val (cand2, bound2) = store.candidates(spark)
+    assert(bound2 == bound)
+    assert(cand2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
+  }
+
   test("layout guards: mismatched nBuckets or merge keys refuse loudly; keys recorded") {
     val dir = tmpDir("guard") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 4)
