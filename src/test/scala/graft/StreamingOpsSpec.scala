@@ -372,6 +372,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(after == results(1L))
   }
 
+  test("trend tracker stream: merged candidates accumulate, heavy item always present") {
+    import graft.streaming.TrendTracker
+    val in = tmpDir("trend_in"); val ckpt = tmpDir("trend_ckpt")
+    val store = new graft.sink.HeavyHitterStore(tmpDir("trend_store") + "/s", k = 10)
+    val results = scala.collection.mutable.Map[Long, (Map[String, Long], Long)]()
+    def lines(b: Int) =
+      (0 until 50).map(_ => """{"word":"hot"}""") ++
+        (0 until 30).map(i => s"""{"word":"t$b-$i"}""")   // fresh tail per batch
+    write(in, "b0.jsonl", lines(0))
+    val q = TrendTracker.start(
+      spark.readStream.schema("word STRING").json(in), store, $"word", ckpt,
+      (cand, bound, id) => results(id) =
+        (cand.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, bound))
+    try {
+      q.processAllAvailable()
+      write(in, "b1.jsonl", lines(1))
+      q.processAllAvailable()
+      val (cand, bound) = results(1L)
+      // 'hot' has true count 100 over 160 items; bound = 160/11 = 14 —
+      // guaranteed present, estimate within the additive bound
+      assert(cand.contains("hot"), cand.keys.take(5).toString)
+      assert(bound == 160L / 11L)
+      assert(cand("hot") <= 100L && cand("hot") >= 100L - bound,
+        s"${cand("hot")} vs bound $bound")
+      // running merge: batch 1's view strictly extends batch 0's estimate
+      assert(results(0L)._1("hot") < cand("hot"))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("streaming dropDuplicates: cross-batch duplicates removed within watermark") {
     val in = tmpDir("dedup_in")
     val schema = "event_id LONG, ts TIMESTAMP"
