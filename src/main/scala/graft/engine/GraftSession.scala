@@ -113,56 +113,51 @@ object Tables {
     }
   }
 
-  @volatile private var sketchStoreFor: Option[(SparkSession, String, String)] = None
+  /** Built-once tmp stores, keyed by (tag, session, sf dir): the ONE copy
+    * of the ensure-once pattern the bench/verify store queries share — the
+    * ingest a store pays at write time is paid once, repeated callers
+    * (bench timed runs, verify) measure only the merge-at-read path (the
+    * q12c bucketed-table rule). Store content is deterministic per sf dir;
+    * per-batch overwrite keeps any rebuild idempotent; one shutdown hook
+    * per built store reclaims the pid-suffixed tmp dir.
+    */
+  private val tmpStores =
+    scala.collection.mutable.Map[(String, SparkSession, String), String]()
+
+  private def ensureTmpStore(tag: String, spark: SparkSession, dir: String)(
+      build: String => Unit): String = synchronized {
+    tmpStores.getOrElseUpdate((tag, spark, dir), {
+      val out = sys.props("java.io.tmpdir") + s"/graft_${tag}_" +
+        ProcessHandle.current().pid()
+      build(out)
+      sys.addShutdownHook { Fs.deleteTree(new java.io.File(out)); () }
+      out
+    })
+  }
 
   /** q21d's persistent HLL store: three per-batch partial sets over
-    * lineitem, built ONCE per (session, dir) — the ingest a sketch store
-    * pays at write time; repeated callers (bench timed runs, verify)
-    * measure only the merge-at-read path, the q12c bucketed-table rule.
-    * Store content is deterministic per sf dir, and per-batch overwrite
-    * keeps a rebuild idempotent.
+    * lineitem, built once per (session, dir).
     */
-  def ensureSketchStore(spark: SparkSession, dir: String): String = synchronized {
-    sketchStoreFor match {
-      case Some((s, d, out)) if s == spark && d == dir => out
-      case _ =>
-        val out = sys.props("java.io.tmpdir") + "/graft_q21d_sketches_" +
-          ProcessHandle.current().pid()
-        val store = new graft.sink.HllSketchStore(out)
-        val li = table(spark, dir, "lineitem")
-        for (b <- 0L until 3L)
-          store.append(
-            li.filter(org.apache.spark.sql.functions.pmod(
-              org.apache.spark.sql.functions.col("l_orderkey"),
-              org.apache.spark.sql.functions.lit(3)) === b),
-            Seq("l_returnflag"), "l_partkey", b)
-        sys.addShutdownHook { Fs.deleteTree(new java.io.File(out)); () }
-        sketchStoreFor = Some((spark, dir, out))
-        out
+  def ensureSketchStore(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q21d_sketches", spark, dir) { out =>
+      val store = new graft.sink.HllSketchStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val li = table(spark, dir, "lineitem")
+      for (b <- 0L until 3L)
+        store.append(li.filter(pmod(col("l_orderkey"), lit(3)) === b),
+          Seq("l_returnflag"), "l_partkey", b)
     }
-  }
-
-  @volatile private var hhStoreFor: Option[(SparkSession, String, String)] = None
 
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
-    * document tokens, built ONCE per (session, dir) — same ingest-once
-    * contract as [[ensureSketchStore]].
+    * document tokens, built once per (session, dir).
     */
-  def ensureHhStore(spark: SparkSession, dir: String): String = synchronized {
-    hhStoreFor match {
-      case Some((s, d, out)) if s == spark && d == dir => out
-      case _ =>
-        val out = sys.props("java.io.tmpdir") + "/graft_q84i_hh_" +
-          ProcessHandle.current().pid()
-        val store = new graft.sink.HeavyHitterStore(out, k = 2000)
-        import org.apache.spark.sql.functions.{col, explode, pmod, split, lit}
-        val toks = table(spark, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        for (b <- 0L until 3L)
-          store.append(toks.filter(pmod(col("doc_id"), lit(3)) === b), col("word"), b)
-        sys.addShutdownHook { Fs.deleteTree(new java.io.File(out)); () }
-        hhStoreFor = Some((spark, dir, out))
-        out
+  def ensureHhStore(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q84i_hh", spark, dir) { out =>
+      val store = new graft.sink.HeavyHitterStore(out, k = 2000)
+      import org.apache.spark.sql.functions.{col, explode, lit, pmod, split}
+      val toks = table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      for (b <- 0L until 3L)
+        store.append(toks.filter(pmod(col("doc_id"), lit(3)) === b), col("word"), b)
     }
-  }
 }

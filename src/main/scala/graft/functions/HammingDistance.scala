@@ -16,11 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * pairs per second the difference is an allocation-bound scan vs a
   * CPU-bound one.
   *
-  * Semantics: byte-wise distance, NULL when lengths (in bytes) differ —
-  * fixed-format keys are ASCII, where byte = character; unequal-length
-  * inputs have no aligned Hamming distance, and null propagates the
-  * "no match" verdict through comparisons. Matches the per-position
-  * substring compare for ASCII inputs exactly.
+  * Semantics: BYTE-wise distance, NULL when byte lengths differ. For
+  * ASCII inputs (every fixed-format key this engine links on: digits,
+  * codes, phones) byte = character and this matches the per-position
+  * substring compare exactly. Non-ASCII strings are compared per UTF-8
+  * byte — a multi-byte substitution can count as 2-4, and equal char
+  * counts with different byte lengths return NULL (no aligned byte
+  * Hamming exists); callers needing char-Hamming over non-ASCII text
+  * should normalize or transliterate keys first, as real record-linkage
+  * pipelines do before blocking.
   */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {

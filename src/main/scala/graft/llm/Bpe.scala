@@ -91,22 +91,28 @@ object Bpe {
     */
   def encode(docs: DataFrame, merges: Seq[Merge], idCol: String = "doc_id",
       textCol: String = "text", checkpointEvery: Int = 16): DataFrame = {
-    val pre = s"regexp_extract_all($textCol, '${TextAnalysis.PreTokenRe}', 0)"
-    var vocab = docs
-      .select(explode(expr(pre)).as("pt")).distinct()
-      .withColumn("symbols",
-        expr("transform(sequence(1, length(pt)), i -> substring(pt, i, 1))"))
+    // the vocab IS preTokenTable minus the freq column — one source of the
+    // pre-token/symbol construction (and of the regex's lit() quoting)
+    var vocab = preTokenTable(docs, textCol).select(col("pt"), col("symbols"))
     merges.zipWithIndex.foreach { case (m, i) =>
       vocab = vocab.withColumn("symbols", expr(mergeExpr("symbols", m.a, m.b)))
       if ((i + 1) % checkpointEvery == 0) vocab = vocab.localCheckpoint()
     }
-    docs
-      .select(col(idCol), posexplode(expr(pre)).as(Seq("__pos", "pt")))
+    val encoded = docs
+      .select(col(idCol), posexplode(
+        regexp_extract_all(col(textCol), lit(TextAnalysis.PreTokenRe), lit(0)))
+        .as(Seq("__pos", "pt")))
       .join(vocab, "pt")
       .groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__pos"), col("symbols")))),
         s => s.getField("symbols"))).as("tokens"))
+    // a doc with zero pre-tokens (empty/whitespace text) has no exploded
+    // rows — rejoin so it surfaces with an empty token array, not silently
+    // dropped from the encoded corpus
+    docs.select(col(idCol)).join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
   }
 

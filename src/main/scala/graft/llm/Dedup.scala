@@ -202,7 +202,17 @@ object Dedup {
   def incrementalLshCandidatesCapped(newBands: DataFrame, storeBands: DataFrame,
       cap: Int): (DataFrame, CapReport) = {
     val (batchKept, batchReport) = capBuckets(newBands, Seq("band", "bkey"), cap)
-    val (storeKept, storeReport) = capBuckets(storeBands, Seq("band", "bkey"), cap)
+    // only buckets the BATCH touches can produce candidates, so the
+    // store-side count runs over the touched slice (a semi-join that
+    // co-locates on a (band, bkey)-bucketed store) — counting the whole
+    // accumulated store per micro-batch would make ingest cost O(store),
+    // the exact dependence the incremental path exists to avoid. Bucket
+    // membership within a touched bucket is unchanged by the semi-join,
+    // so the capping decision is identical to a full-store count.
+    val touched = newBands.select(col("band"), col("bkey")).distinct()
+    val (storeKept, storeReport) = capBuckets(
+      storeBands.join(touched, Seq("band", "bkey"), "left_semi"),
+      Seq("band", "bkey"), cap)
     (incrementalLshCandidates(batchKept, storeKept),
       CapReport(batchReport.droppedBuckets + storeReport.droppedBuckets,
         batchReport.droppedRows + storeReport.droppedRows, cap))
@@ -602,10 +612,12 @@ object Dedup {
     * (aligned formats never insert/delete) any pair within `maxDist`
     * differs in ≤ maxDist positions, so at least one segment matches
     * verbatim — an equi-join on (segment index, segment text), zero recall
-    * loss, never a cross join. Candidates then verify by exact Hamming
-    * distance (per-position char compare, a codegen HOF — identical
-    * arithmetic on any engine; levenshtein would accept the unaligned
-    * edits the blocking can't see, so the verify matches the block model).
+    * loss, never a cross join. Candidates then verify by exact BYTE-wise
+    * Hamming distance (the codegen `hamming` expression; = char-Hamming
+    * for the ASCII fixed-format keys this operator is for — normalize
+    * non-ASCII keys before linking; levenshtein would accept the
+    * unaligned edits the blocking can't see, so the verify matches the
+    * block model).
     * The two-table twin of [[editDistanceNearDup]] (whose length-bin
     * banding covers variable-length text within one table).
     *

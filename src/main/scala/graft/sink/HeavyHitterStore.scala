@@ -30,25 +30,20 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 
-  private def committedBatchPaths: Seq[String] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(f => new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getPath).sorted
-  }
-
   /** Merged candidates from committed partials only: ((item, est) rows,
     * error bound). True count of any returned item lies in
     * [est, est + bound]; any item with true count > bound appears.
+    * Empty-only partials (a store whose every committed batch had no
+    * items — explode of an empty summary writes zero rows) yield an empty
+    * frame and bound 0, not a null crash.
     */
   def candidates(spark: SparkSession): (DataFrame, Long) = {
-    val paths = committedBatchPaths
+    val paths = BatchStore.committedBatchPaths(dir)
     require(paths.nonEmpty, s"no committed heavy-hitter batches at $dir")
     val raw = spark.read.option("basePath", dir).parquet(paths: _*)
     // Σ_b n_b / (k+1): one row per batch feeds the driver scalar
     val bound = raw.select(col("batch"), col("batch_n")).distinct()
-      .agg(sum(col("batch_n"))).head().getLong(0) / (k + 1L)
+      .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0) / (k + 1L)
     (raw.groupBy("item").agg(sum(col("est")).as("est")), bound)
   }
 }

@@ -35,20 +35,11 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
         count(lit(1)).as("n_rows"))
       .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 
-  /** Batch dirs whose write COMMITTED (Spark's `_SUCCESS` marker landed).
-    * A crash mid-append leaves a partial `batch=<id>` without the marker —
-    * merging it would silently under-count, so readers treat it as
-    * not-yet-committed (replaying the append overwrites and commits it),
-    * the same uncommitted-data-never-surfaces contract as the snapshot
-    * sink's manifest.
+  /** Batch dirs whose write COMMITTED — [[BatchStore.committedBatchPaths]],
+    * the uncommitted-data-never-surfaces contract shared with
+    * [[HeavyHitterStore]] and mirroring the snapshot sink's manifest.
     */
-  def committedBatchPaths: Seq[String] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(f => new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getPath).sorted
-  }
+  def committedBatchPaths: Seq[String] = BatchStore.committedBatchPaths(dir)
 
   /** Merge every COMMITTED partial: per group, the unioned-sketch estimate
     * plus batch/row bookkeeping. Reads only sketch rows — history's data
