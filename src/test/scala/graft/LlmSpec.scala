@@ -806,6 +806,12 @@ class LlmSpec extends SparkSpec {
     // lossless: concatenated tokens reproduce the pre-token stream verbatim
     val roundTrip = got.map { case (id, toks) => id -> toks.mkString }
     assert(roundTrip == Map(10L -> "lowestlow", 11L -> "newestwidest", 12L -> "zzz"))
+    // a doc with zero pre-tokens surfaces with an empty array, never drops
+    val withEmpty = Bpe.encode(
+      Seq((20L, "low"), (21L, ""), (22L, "   ")).toDF("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))).sortBy(_._1)
+    assert(withEmpty.map(_._1).toSeq == Seq(20L, 21L, 22L))
+    assert(withEmpty.map(_._3).toSeq == Seq(2L, 0L, 0L))
   }
 
   test("BPE merge application is greedy left-to-right (overlapping pairs)") {

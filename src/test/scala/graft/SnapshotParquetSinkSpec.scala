@@ -459,6 +459,13 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     val (cand2, bound2) = store.candidates(spark)
     assert(bound2 == bound)
     assert(cand2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
+    // an empty micro-batch (the TrendTracker no-data replay case) commits a
+    // zero-row partial and candidates() survives — even when EVERY batch is
+    // empty (the null-sum guard)
+    val empty = new graft.sink.HeavyHitterStore(tmpDir("hh_empty") + "/s", k = 5)
+    empty.append(spark.range(0).select(lit("x").as("w")), col("w"), 0L)
+    val (cand3, bound3) = empty.candidates(spark)
+    assert(cand3.count() == 0L && bound3 == 0L)
   }
 
   test("layout guards: mismatched nBuckets or merge keys refuse loudly; keys recorded") {
