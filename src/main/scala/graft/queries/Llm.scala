@@ -493,6 +493,31 @@ object Llm {
       } finally model.close()
     },
 
+    // Product quantization ANN (engine-only codes, q89b's contract shape):
+    // the MEMORY path of billion-vector search — 8×16 integer codebooks
+    // from the SAME deterministic Lloyd machinery, ADC scoring via
+    // broadcast distance tables, corpus never shuffled. Codes aren't
+    // oracle-reproducible, so the oracle verifies the CLAIM: exact
+    // query/result counts plus recall@3 ≥ 0.3 vs brute force (measured
+    // 0.40-0.47 on this data; deterministic training makes it a constant,
+    // not a flaky sample — random vectors are PQ's hardest case).
+    QDef.df("q89f_pq_ann",
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(15 AS BIGINT) AS n_results,
+        |       true AS recall_ok""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      val model = graft.llm.Pq.train(e, dim = 64, nSub = 8, kSub = 16, iters = 2)
+      val pq = graft.llm.Pq.search(model, queries, k = 3).select("q_id", "n_id")
+      val brute = graft.llm.Similarity.annBruteForce(e, queries, k = 3)
+        .select("q_id", "n_id")
+      val nQueries = pq.select("q_id").distinct().count()
+      val nResults = pq.count()
+      val hits = pq.join(brute, Seq("q_id", "n_id")).count()
+      s.sql(s"""SELECT CAST($nQueries AS BIGINT) AS n_queries,
+               |       CAST($nResults AS BIGINT) AS n_results,
+               |       ${hits * 10 >= nResults * 3} AS recall_ok""".stripMargin)
+    },
+
     // Deterministic fixed-point k-means (semantic clustering for data-mix
     // curation): the ENTIRE training loop — quantization, both Lloyd steps,
     // final assignment — is exact integer arithmetic, so the oracle replays

@@ -375,6 +375,27 @@ class LlmSpec extends SparkSpec {
     assert(verdict.count() == emb.count() + 2)
   }
 
+  test("PQ: codes deterministic across reruns, duplicates code identically, ADC ranks self-dup first") {
+    val emb = Tables.embeddings(spark)
+    // plant an exact duplicate of vector 0 — identical vectors quantize to
+    // identical subvectors, so every subspace MUST assign the same code
+    val withDup = emb.unionByName(
+      emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L)))
+    def codesOf() = graft.llm.Pq.train(withDup, dim = 64, nSub = 8, kSub = 8, iters = 1)
+    val m1 = codesOf()
+    val c1 = m1.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1.values.forall(_.length == 8))
+    assert(c1(0L) == c1(9999L))                        // dup codes identically
+    val c2 = codesOf().codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2)                                   // rerun-deterministic
+    // ADC: querying with vector 0 puts its duplicate at the SAME (minimal)
+    // approximate distance — both carry identical codes
+    val res = graft.llm.Pq.search(m1, withDup.filter($"vec_id" === 0), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(res.map(_._1).toSet == Set(0L, 9999L), res.mkString(","))
+    assert(res.map(_._2).distinct.length == 1)         // equal adist
+  }
+
   test("hammingLink: planted typos found at exact distance, no cross-length matches") {
     val left = Seq((1L, "ABCDEF"), (2L, "GHIJKL"), (3L, "SHORT")).toDF("lid", "s")
     val right = Seq((10L, "ABCDEF"),   // exact: dist 0
