@@ -101,13 +101,19 @@ object Ivf {
     * genuinely top-k-per-group one over candidates already cut to
     * |corpus|·nProbe/nCells.
     */
-  def search(model: Model, queries: DataFrame, k: Int, nProbe: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
-    val qCells = q
+  /** (q_id, qe, cell) — each query's nProbe nearest cells, the narrow
+    * probe-selection expression shared by [[search]] and [[Pq.searchIvf]].
+    */
+  def probeCells(model: Model, queries: DataFrame, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
       .withColumn("__probe",
         slice(array_sort(scoredCells(col("qe"), model.cents)), 1, nProbe))
       .select(col("q_id"), col("qe"), explode(col("__probe.cell")).as("cell"))
+
+  def search(model: Model, queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qCells = probeCells(model, queries, nProbe, idCol, embCol)
     val cand = model.assigned.join(qCells, "cell")
       .withColumn("cos", GraftFunctions.cosine_sim(col(embCol), col("qe")).cast("decimal(38,4)"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))

@@ -73,6 +73,44 @@ object Pq {
       q.select(col("vec_id"), array(codeCols: _*).as("codes")))
   }
 
+  /** IVFPQ (the FAISS-style composition): [[Ivf]] prunes WHICH vectors are
+    * scored — only the nProbe probed cells' members — and PQ shrinks WHAT
+    * scoring reads — their codes, not raw vectors. At 10⁹ vectors this is
+    * the layout that fits an index in cluster memory: cells cut candidates
+    * by nProbe/nCells, codes cut bytes-per-candidate by ~32×. Candidate
+    * selection joins the IVF assignment on the probed cell (partition-
+    * pruned when the assignment is stored partitioned by cell); ADC then
+    * runs as in [[search]] over the candidate subset.
+    */
+  def searchIvf(model: Model, ivf: Ivf.Model, queries: DataFrame, k: Int,
+      nProbe: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val members = Ivf.probeCells(ivf, queries, nProbe, idCol, embCol)
+      .select(col("q_id"), col("cell"))
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), "cell")
+      .select(col("q_id"), col("vec_id"))
+    val spark = queries.sparkSession
+    val qs = quantized(queries, idCol, embCol, model.scale)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)) // ≤ nQ rows
+    val scored = qs.map { case (qid, qv) =>
+      val tables = (0 until model.nSub).map { s =>
+        val sub = qv.slice(s * model.subDim, (s + 1) * model.subDim)
+        model.codebooks(s).map { case (_, cv) =>
+          sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+      }
+      val dist = (0 until model.nSub).map { s =>
+        element_at(array(tables(s).map(lit): _*),
+          element_at(col("codes"), s + 1).cast("int") + 1)
+      }.reduce(_ + _)
+      members.filter(col("q_id") === qid)
+        .join(model.codes, "vec_id")
+        .select(col("q_id"), col("vec_id").as("n_id"), dist.cast("bigint").as("adist"))
+        .orderBy(col("adist").asc, col("n_id")).limit(k)
+    }
+    scored.reduce(_.unionByName(_))
+  }
+
   /** ADC top-k: per query, the exact integer distance table to every
     * subspace centroid is computed driver-side (nSub·kSub longs) and enters
     * the plan as a literal; a candidate's approximate distance is the sum

@@ -396,6 +396,27 @@ class LlmSpec extends SparkSpec {
     assert(res.map(_._2).distinct.length == 1)         // equal adist
   }
 
+  test("IVFPQ: probed-cell ADC results are a subset of full-ADC candidates, self-dup found") {
+    val emb = Tables.embeddings(spark)
+    val withDup = emb.unionByName(
+      emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L)))
+    val pq = graft.llm.Pq.train(withDup, dim = 64, nSub = 8, kSub = 8, iters = 1)
+    val ivf = graft.llm.Ivf.train(withDup, nCells = 4, iters = 1)
+    try {
+      val queries = withDup.filter($"vec_id" === 0)
+      val ivfpq = graft.llm.Pq.searchIvf(pq, ivf, queries, k = 2, nProbe = 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      // the exact duplicate shares the query's cell (identical vectors
+      // assign identically) AND its codes — minimal adist, always found
+      assert(ivfpq.map(_._1).toSet == Set(0L, 9999L), ivfpq.mkString(","))
+      // cell pruning never invents results: every IVFPQ hit also appears
+      // in the unpruned ADC ranking with the same approximate distance
+      val full = graft.llm.Pq.search(pq, queries, k = 20)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      ivfpq.foreach { case (id, d) => assert(full.get(id).contains(d)) }
+    } finally ivf.close()
+  }
+
   test("hammingLink: planted typos found at exact distance, no cross-length matches") {
     val left = Seq((1L, "ABCDEF"), (2L, "GHIJKL"), (3L, "SHORT")).toDF("lid", "s")
     val right = Seq((10L, "ABCDEF"),   // exact: dist 0
