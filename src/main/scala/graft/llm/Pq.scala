@@ -48,8 +48,15 @@ object Pq {
     }: _*)).getField("cell")
   }
 
-  /** Train one codebook per subspace (k-means over the subvector slice),
-    * then encode the corpus. `dim` must divide into `nSub` equal slices.
+  /** Train one codebook per subspace, then encode the corpus. ALL nSub
+    * subspace k-means run SIMULTANEOUSLY — one corpus pass per Lloyd step
+    * (assign every subspace with per-row expressions, one (sub, cell, pos)
+    * grouped mean for every codebook at once) instead of nSub sequential
+    * trainings: at 100 TB that is nSub× fewer scans, and at bench scale
+    * nSub× fewer job round-trips. Same deterministic integer arithmetic as
+    * [[KMeans]] (init = first kSub vectors' slices, floored means, lowest-
+    * cell tie-break), so codebooks are engine/rerun-exact. `dim` must
+    * divide into `nSub` equal slices.
     */
   def train(corpus: DataFrame, dim: Int, nSub: Int, kSub: Int, iters: Int,
       scale: Int = 4096, idCol: String = "vec_id",
@@ -57,20 +64,49 @@ object Pq {
     require(dim % nSub == 0, s"dim $dim must split into $nSub equal subspaces")
     val subDim = dim / nSub
     val q = quantized(corpus, idCol, embCol, scale)
-    val codebooks = (0 until nSub).map { s =>
-      // KMeans.train over the slice: reuse the exact machinery by viewing
-      // the subvector as the embedding (already-quantized ints pass
-      // through quantize(scale=1) unchanged)
-      val sliceDf = q.select(col("vec_id"),
-        expr(s"transform(slice(qv, ${s * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))")
-          .as("embedding"))
-      KMeans.train(sliceDf, k = kSub, iters = iters, scale = 1).centroids
-        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
-        .toIndexedSeq.sortBy(_._1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: subspace s's codebook = the first kSub vectors'
+      // s-slices, numbered 0..kSub-1 in id order (one ≤ kSub-row collect)
+      var cents: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Long])]] = {
+        val init = q.orderBy("vec_id").limit(kSub).collect()
+          .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+        (0 until nSub).map(s => init.zipWithIndex.map { case (qv, i) =>
+          (i, qv.slice(s * subDim, (s + 1) * subDim))
+        })
+      }
+      for (_ <- 0 until iters) {
+        // one pass: per row, per subspace, the assigned cell; then one
+        // (sub, cell, pos) grouped floored mean rebuilds EVERY codebook —
+        // ≤ nSub·kSub·subDim rows reach the driver
+        val codeCols = (0 until nSub).map(s => codeExpr(s, subDim, cents(s)))
+        val assigned = q.select(col("qv"), array(codeCols: _*).as("codes"))
+        val means = assigned
+          .select(explode(expr(s"transform(sequence(0, ${nSub - 1}), " +
+            s"s -> struct(s AS sub, element_at(codes, s + 1) AS cell, " +
+            s"slice(qv, s * $subDim + 1, $subDim) AS sv))")).as("e"))
+          .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+            posexplode(col("e.sv")).as(Seq("pos", "v")))
+          .groupBy("sub", "cell", "pos")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("c", ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+          .groupBy("sub", "cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cv"))
+          .collect()
+        val bySub = means.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
+          .groupBy(_._1)
+        cents = (0 until nSub).map(s =>
+          bySub.getOrElse(s, Array.empty).map(t => (t._2, t._3)).toIndexedSeq.sortBy(_._1))
+      }
+      val codeCols = (0 until nSub).map(s => codeExpr(s, subDim, cents(s)))
+      val codes = q.select(col("vec_id"), array(codeCols: _*).as("codes"))
+        .localCheckpoint(true) // materialize off the persisted qv before release
+      Model(nSub, subDim, scale, cents, codes)
+    } finally {
+      q.unpersist()
+      ()
     }
-    val codeCols = (0 until nSub).map(s => codeExpr(s, subDim, codebooks(s)))
-    Model(nSub, subDim, scale, codebooks,
-      q.select(col("vec_id"), array(codeCols: _*).as("codes")))
   }
 
   /** IVFPQ (the FAISS-style composition): [[Ivf]] prunes WHICH vectors are
