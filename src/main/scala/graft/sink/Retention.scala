@@ -1,13 +1,18 @@
 package graft.sink
 
-import java.io.File
+import org.apache.hadoop.fs.Path
+import graft.engine.Dfs
 
 /** Partition-lifecycle maintenance for directory-partitioned tables (the
   * `partitionBy("dt")` layout every 100 TB event table lands in): retention
   * enforcement is a DIRECTORY operation — dropping a day deletes one
   * `dt=<day>` subtree, never opens a data file, and costs O(partitions
   * dropped) regardless of table volume. The complement of planning-time
-  * partition pruning (reads skip old days; retention removes them).
+  * partition pruning (reads skip old days; retention removes them). All
+  * filesystem access goes through the Hadoop API ([[graft.engine.Dfs]]),
+  * so the table may live on local disk or object storage; footprint
+  * preview uses one ContentSummary call per dropped partition, never a
+  * client-side walk over data files.
   *
   * Deliberately report-first (the no-silent-caps contract): every call
   * returns exactly what was (or would be) removed — partition values, file
@@ -31,15 +36,11 @@ object Retention {
     def droppedFiles: Long = dropped.map(_.files).sum
   }
 
-  private def walk(f: File): Seq[File] =
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
-    else Seq(f)
-
   /** The table's partitions for `column`: encoded value → directory. */
-  def partitions(dir: String, column: String): Map[String, File] =
-    Option(new File(dir).listFiles()).getOrElse(Array.empty[File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$column="))
-      .map(f => f.getName.stripPrefix(s"$column=") -> f)
+  def partitions(dir: String, column: String): Map[String, Path] =
+    Dfs.list(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$column="))
+      .map(s => s.getPath.getName.stripPrefix(s"$column=") -> s.getPath)
       .toMap
 
   /** Drops every partition whose encoded value sorts strictly BELOW
@@ -53,10 +54,10 @@ object Retention {
     val parts = partitions(dir, column)
     val (drop, keep) = parts.partition { case (v, _) => v < cutoff }
     val dropped = drop.toSeq.sortBy(_._1).map { case (v, d) =>
-      val files = walk(d)
-      PartitionInfo(v, files.size.toLong, files.map(_.length()).sum)
+      val (files, bytes) = Dfs.contentSummary(d)
+      PartitionInfo(v, files, bytes)
     }
-    if (!dryRun) drop.values.foreach(graft.engine.Fs.deleteTreeStrict)
+    if (!dryRun) drop.values.foreach(Dfs.deleteTreeStrict)
     RetentionReport(column, cutoff, dropped, keep.keys.toSeq.sorted, deleted = !dryRun)
   }
 }

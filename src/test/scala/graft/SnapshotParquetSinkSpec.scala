@@ -435,6 +435,41 @@ class SnapshotParquetSinkSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("2026-08-03"))
   }
 
+  test("stores and retention resolve filesystems by scheme: file:-qualified dirs end-to-end") {
+    // the object-storage seam: store dirs go through the Hadoop FileSystem
+    // API, so an explicit scheme (here file:, on a cluster s3a:/hdfs:)
+    // must behave identically to a bare local path — listing, _SUCCESS
+    // gating, basePath reads, content summary, strict delete
+    import org.apache.spark.sql.functions._
+    val dir = "file:" + tmpDir("dfs_store") + "/s"
+    val store = new graft.sink.HllSketchStore(dir)
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") % 2).cast("string").as("g"), col("id").as("v"))
+    store.append(rows(0, 2000), Seq("g"), "v", batchId = 0L)
+    store.append(rows(2000, 3000), Seq("g"), "v", batchId = 1L)
+    val est = store.estimates(spark, Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(est.map(_._3).forall(_ == 2L), est.mkString(","))       // both batches merged
+    est.foreach { case (g, e, _) =>
+      assert(math.abs(e - 1500L) <= 1500L * 0.05, s"group $g: $e") }
+    // an uncommitted batch (marker stripped) stays invisible through the
+    // Hadoop listing too
+    store.append(rows(3000, 3500), Seq("g"), "v", batchId = 2L)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/batch=2/_SUCCESS")
+    assert(graft.engine.Dfs.fs(marker).delete(marker, false))
+    assert(store.committedBatchPaths.size == 2)
+
+    import graft.sink.Retention
+    val rdir = "file:" + tmpDir("dfs_ret") + "/t"
+    spark.range(0, 90)
+      .withColumn("dt", concat(lit("2026-08-0"), (col("id") % 3 + 1).cast("string")))
+      .write.partitionBy("dt").parquet(rdir)
+    val report = Retention.dropPartitionsBelow(rdir, "dt", "2026-08-03", dryRun = false)
+    assert(report.dropped.map(_.value) == Seq("2026-08-01", "2026-08-02"))
+    assert(report.droppedFiles > 0 && report.droppedBytes > 0)
+    assert(spark.read.parquet(rdir).count() == 30)
+  }
+
   test("HeavyHitterStore: merged partials keep the additive MG guarantee across batches") {
     import org.apache.spark.sql.functions._
     val store = new graft.sink.HeavyHitterStore(tmpDir("hh") + "/s", k = 20)
