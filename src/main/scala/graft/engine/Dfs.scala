@@ -58,4 +58,12 @@ object Dfs {
     val s = fs(p).getContentSummary(p)
     (s.getFileCount, s.getLength)
   }
+
+  /** Rename that refuses to lie: the Hadoop API signals failure by
+    * returning false (target exists, cross-filesystem move, permissions) —
+    * callers doing a directory swap must know it did not happen.
+    */
+  def rename(src: Path, dst: Path): Unit =
+    if (!fs(src).rename(src, dst))
+      sys.error(s"rename $src -> $dst failed")
 }

@@ -201,6 +201,42 @@ object Cdc {
           .filter(!col("__is_deleted")).drop("__is_deleted"))
     },
 
+    // Partition lifecycle, compaction half: orders written partitionBy(yr)
+    // with 6 writer tasks (6 small files per partition — the streaming-
+    // ingest pathology), compacted to ceil(bytes/target)=1 file each, read
+    // back and aggregated. The oracle checks content preservation against
+    // the raw table; the builder itself asserts the file-count collapse
+    // (dry-run report = real report, files actually reduced) — the half the
+    // oracle can't see.
+    QDef.df("q61f_partition_compact",
+      """SELECT CAST(year(o_orderdate) AS STRING) AS yr,
+        |       count(*) AS cnt,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin) { (s, _) =>
+      val base = sys.props("java.io.tmpdir") + "/graft_q61f_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(base))
+      s.table("orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("string"))
+        .repartition(6)
+        .write.partitionBy("yr").mode("overwrite").parquet(base)
+      val preview = graft.sink.Compaction.compactPartitions(
+        s, base, "yr", targetBytes = 1L << 30)
+      require(preview.compacted.nonEmpty && !preview.executed,
+        "compaction preview found no small-file partitions")
+      val report = graft.sink.Compaction.compactPartitions(
+        s, base, "yr", targetBytes = 1L << 30, dryRun = false)
+      require(report.compacted == preview.compacted,
+        "dry-run preview diverged from the executed plan")
+      require(report.filesAfter < report.filesBefore,
+        s"compaction did not reduce files: ${report.filesBefore} -> ${report.filesAfter}")
+      s.read.parquet(base)
+        .groupBy(col("yr").cast("string").as("yr"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("string").as("sum_price"))
+    },
+
     // R14: hard delete — drop keys whose final event is a delete.
     QDef.df("q62_hard_delete",
       s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1 AND NOT is_del") { (s, _) =>

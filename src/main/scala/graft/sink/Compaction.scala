@@ -1,0 +1,132 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import graft.engine.Dfs
+
+/** Small-file compaction for directory-partitioned tables — the other half
+  * of partition lifecycle next to [[Retention]]: retention drops old
+  * partitions, compaction fixes the file-count pathology inside the live
+  * ones. Streaming and incremental ingest land a file per micro-batch per
+  * partition; at 100 TB that is millions of KB-sized parquet files, and scan
+  * cost becomes task-scheduling and footer-reading overhead instead of IO.
+  * Rewriting each partition to ceil(bytes / targetBytes) files restores the
+  * large-sequential-read layout a columnar scan wants.
+  *
+  * Scale shape: planning is O(partitions) ContentSummary calls (never a
+  * data-file walk); each rewrite is a Spark job that reads ONLY that
+  * partition's directory. Partitions already at their target file count are
+  * skipped and reported — touching a compacted table twice is a no-op.
+  *
+  * Same report-first contract as [[Retention]]: `dryRun = true` is the
+  * default and returns exactly what would be rewritten (partition values,
+  * file counts, bytes). A real run verifies the rewritten row count against
+  * the source BEFORE swapping directories, and the swap is two renames
+  * (partition aside, rewrite in) so a crash never leaves a partition
+  * half-rewritten — at worst the original sits under a dot-prefixed name
+  * that the next run clears. The swap is directory-level, not
+  * snapshot-isolated: a reader listing files exactly between the two
+  * renames misses the partition. Pipelines needing concurrent-reader
+  * isolation use [[SnapshotParquetSink]] (whose `compact` rewrites under a
+  * manifest commit); this operator is for the plain `partitionBy("dt")`
+  * layout where maintenance windows are the norm.
+  */
+object Compaction {
+
+  /** One partition due for rewrite: its footprint and target file count. */
+  final case class PartitionPlan(value: String, filesBefore: Long, bytes: Long,
+      targetFiles: Int)
+
+  /** What a compaction pass rewrote (or would — `executed=false`) and what
+    * it left alone. `filesAfter` counts data files (the `_SUCCESS` marker a
+    * rewrite job leaves is not data).
+    */
+  final case class CompactionReport(column: String, compacted: Seq[PartitionPlan],
+      skipped: Seq[String], executed: Boolean) {
+    def filesBefore: Long = compacted.map(_.filesBefore).sum
+    def filesAfter: Long = compacted.map(_.targetFiles.toLong).sum
+  }
+
+  /** Partitions whose DATA file count exceeds ceil(bytes / targetBytes),
+    * plus the (sorted) values of those already at target. One listStatus
+    * call per partition (partition dirs are flat — `partitionBy` writes
+    * leaf files directly); markers and hidden files (`_SUCCESS`, dot-files)
+    * are not data, so a just-compacted partition plans as clean.
+    */
+  def plan(dir: String, column: String,
+      targetBytes: Long): (Seq[PartitionPlan], Seq[String]) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val plans = Retention.partitions(dir, column).toSeq.sortBy(_._1).map {
+      case (v, p) =>
+        val data = Dfs.list(p).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val bytes = data.map(_.getLen).sum
+        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        PartitionPlan(v, data.size.toLong, bytes, target.toInt)
+    }
+    val (cand, ok) = plans.partition(pl => pl.filesBefore > pl.targetFiles)
+    (cand, ok.map(_.value))
+  }
+
+  /** Scratch lives NEXT TO the table, not inside it: a non-partition
+    * directory under the table root would break Spark's partition
+    * discovery for concurrent readers, and a dot-prefixed one is filtered
+    * by the reader the verification step itself needs.
+    */
+  private def scratchRoot(dir: String): Path = new Path(dir + ".compact_scratch")
+
+  /** Repairs whatever a crashed prior run left in scratch. The swap order
+    * (partition aside as `old_<value>`, rewrite in, delete old) makes every
+    * state recoverable: a missing partition with an `old_` present means
+    * the crash hit mid-swap and the original is restored; an `old_` next
+    * to a live partition is post-swap garbage; `tmp_` is always garbage
+    * (the original was never touched before the swap).
+    */
+  def recover(dir: String, column: String): Unit =
+    Dfs.list(scratchRoot(dir)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("old_")) {
+        val part = new Path(dir, s"$column=${n.stripPrefix("old_")}")
+        if (!Dfs.exists(part)) Dfs.rename(s.getPath, part)
+        else Dfs.deleteTreeStrict(s.getPath)
+      } else Dfs.deleteTreeStrict(s.getPath)
+    }
+
+  /** Rewrites every partition of `dir` (laid out `column=value/`) that holds
+    * more files than its target to exactly ceil(bytes / targetBytes) files.
+    * Per candidate: read the partition directory, `repartition(target)`,
+    * write to the scratch sibling, verify the rewritten row count, then
+    * swap. A count mismatch THROWS with the original untouched. A real run
+    * starts with [[recover]], so a crashed predecessor never loses data or
+    * blocks the next pass.
+    */
+  def compactPartitions(spark: SparkSession, dir: String, column: String,
+      targetBytes: Long = 128L << 20, dryRun: Boolean = true): CompactionReport = {
+    if (!dryRun) recover(dir, column)
+    val (cand, skip) = plan(dir, column, targetBytes)
+    if (!dryRun) {
+      cand.foreach { pl =>
+        val part = new Path(dir, s"$column=${pl.value}")
+        val tmp  = new Path(scratchRoot(dir), s"tmp_${pl.value}")
+        val old  = new Path(scratchRoot(dir), s"old_${pl.value}")
+        val src = spark.read.parquet(part.toString)
+        val pre = src.count()
+        src.repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
+        val post = spark.read.parquet(tmp.toString).count()
+        if (post != pre) {
+          Dfs.deleteTreeStrict(tmp)
+          sys.error(s"compaction of $part rewrote $post rows, expected $pre — " +
+            "original left in place")
+        }
+        Dfs.rename(part, old)
+        Dfs.rename(tmp, part)
+        Dfs.deleteTreeStrict(old)
+      }
+      // every candidate swapped and cleaned — the scratch root is empty
+      Dfs.deleteTreeStrict(scratchRoot(dir))
+    }
+    CompactionReport(column, cand, skip, executed = !dryRun)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.engine.Dfs
+import graft.sink.Compaction
+
+/** Small-file compaction: report-first lifecycle contract on a
+  * directory-partitioned table — dry run touches nothing, a real run
+  * rewrites exactly the over-fragmented partitions to their target file
+  * count with content preserved, a second run is a no-op, and scratch
+  * directories never survive.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** dt-partitioned table: partition a fragmented into `filesA` files,
+    * partition b into one.
+    */
+  private def fragmented(filesA: Int): String = {
+    val dir = tmpDir("compact") + "/t"
+    (1 to 60).map(i => (i.toLong, s"v$i", "a")).toDF("id", "v", "dt")
+      .repartition(filesA)
+      .write.partitionBy("dt").parquet(dir)
+    Seq((100L, "b1", "b")).toDF("id", "v", "dt")
+      .write.mode("append").partitionBy("dt").parquet(dir)
+    dir
+  }
+
+  private def dataFiles(dir: String, part: String): Long =
+    Dfs.list(new Path(dir, part)).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+
+  test("dry run reports the fragmented partition and touches nothing") {
+    val dir = fragmented(filesA = 5)
+    val report = Compaction.compactPartitions(spark, dir, "dt", targetBytes = 1L << 30)
+    assert(!report.executed)
+    assert(report.compacted.map(_.value) == Seq("a"))
+    assert(report.compacted.head.filesBefore == 5 && report.compacted.head.targetFiles == 1)
+    assert(report.skipped == Seq("b"))
+    assert(dataFiles(dir, "dt=a") == 5) // untouched
+  }
+
+  test("real run rewrites to target, preserves content, and is idempotent") {
+    val dir = fragmented(filesA = 5)
+    val before = spark.read.parquet(dir).groupBy("dt").agg(sum("id"), count(lit(1)))
+      .collect().map(_.toSeq).toSet
+    val report = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    assert(report.executed && report.filesBefore == 5 && report.filesAfter == 1)
+    assert(dataFiles(dir, "dt=a") == 1 && dataFiles(dir, "dt=b") == 1)
+    val after = spark.read.parquet(dir).groupBy("dt").agg(sum("id"), count(lit(1)))
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+    // no scratch leftovers: the sibling scratch root is gone entirely
+    assert(!Dfs.exists(new Path(dir + ".compact_scratch")))
+    // already-compacted table: nothing to do, everything skipped
+    val again = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    assert(again.compacted.isEmpty && again.skipped == Seq("a", "b"))
+  }
+
+  test("recovers a crash mid-swap: partition aside in scratch is restored") {
+    val dir = fragmented(filesA = 5)
+    val before = spark.read.parquet(dir).count()
+    // simulate the worst crash window: partition renamed aside, rewrite
+    // never landed — the original lives ONLY in scratch
+    val scratch = new Path(dir + ".compact_scratch")
+    assert(Dfs.fs(scratch).mkdirs(scratch))
+    Dfs.rename(new Path(dir, "dt=a"), new Path(scratch, "old_a"))
+    assert(spark.read.parquet(dir).count() < before)
+    val report = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    // recovery restored dt=a, then the pass compacted it as usual
+    assert(report.compacted.map(_.value) == Seq("a"))
+    assert(spark.read.parquet(dir).count() == before)
+    assert(!Dfs.exists(scratch))
+  }
+
+  test("recovery clears post-swap garbage without touching the live partition") {
+    val dir = fragmented(filesA = 3)
+    val scratch = new Path(dir + ".compact_scratch")
+    assert(Dfs.fs(scratch).mkdirs(scratch))
+    // crash after swap-in, before cleanup: live partition + stale old_ copy
+    Seq((999L, "stale", "a")).toDF("id", "v", "dt")
+      .write.parquet(new Path(scratch, "old_a").toString)
+    Compaction.recover(dir, "dt")
+    assert(!Dfs.exists(new Path(scratch, "old_a")))
+    val ids = spark.read.parquet(dir).filter(col("dt") === "a")
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(999L) && ids.size == 60)
+  }
+
+  test("bytes-proportional target splits a large partition into several files") {
+    val dir = fragmented(filesA = 8)
+    val (_, bytesA) = Dfs.contentSummary(new Path(dir, "dt=a"))
+    // target a third of the partition: ceil gives 3 or 4 files, always >1 and <8
+    val target = bytesA / 3
+    val report = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = target, dryRun = false)
+    val planA = report.compacted.find(_.value == "a").get
+    assert(planA.targetFiles > 1 && planA.targetFiles < 8)
+    assert(dataFiles(dir, "dt=a") == planA.targetFiles)
+  }
+}
