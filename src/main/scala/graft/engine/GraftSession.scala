@@ -23,9 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS), unreadable by Spark 4.1.2
-      // without this flag (SURVEY §7.4); the canonical `events` view converts
-      // the resulting long to a microsecond timestamp.
+      // events.parquet has shipped ts as TIMESTAMP(NANOS) — unreadable by
+      // Spark 4.1.2 without this flag (SURVEY §7.4) — and as TIMESTAMP_MICROS
+      // (inert under the flag); `Tables.ensure` binds the canonical `events`
+      // view to whichever dtype the file actually carries.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(): SparkSession = {
@@ -46,9 +47,13 @@ object GraftSession {
 }
 
 /** Registers the driver-provided parquet tables as temp views, with the
-  * normative canonical `events` view (FIXTURES.md §1): raw nanosecond longs →
-  * `timestamp_micros(ts DIV 1000)`. Registration is cached per (session, dir)
-  * so the ~60 t2 queries don't re-read parquet footers.
+  * normative canonical `events` view (FIXTURES.md §1). The view binds to the
+  * OBSERVED dtype of `events_raw.ts` rather than a remembered one — the
+  * fixture generator has shipped both `timestamp[ns]` (read as BIGINT under
+  * `nanosAsLong`) and `timestamp[us]` (read natively as TIMESTAMP_NTZ), and
+  * at 100 TB an engine must bind to the data's actual schema. Registration is
+  * cached per (session, dir) so the ~60 t2 queries don't re-read parquet
+  * footers.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -63,12 +68,23 @@ object Tables {
       names.foreach { n =>
         spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
       }
-      spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events_raw")
+      val eventsRaw = spark.read.parquet(s"$dir/events.parquet")
+      eventsRaw.createOrReplaceTempView("events_raw")
+      // Canonical microsecond timestamp, per the observed physical type:
+      //  - BIGINT: nanosecond longs (timestamp[ns] parquet surfaced via
+      //    `nanosAsLong`) — integer-divide to micros (`DIV`, not `/`: double
+      //    division corrupts >2^53 ns values).
+      //  - TIMESTAMP_NTZ / TIMESTAMP: native parquet timestamps — cast
+      //    through (session TZ is UTC, so NTZ→LTZ is wall-clock identity).
+      val tsExpr = eventsRaw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+        case _                                   => "CAST(ts AS TIMESTAMP)"
+      }
       spark
         .sql(
-          """SELECT event_id, timestamp_micros(ts DIV 1000) AS ts, user_id,
-            |       event_type, value, props
-            |FROM events_raw""".stripMargin)
+          s"""SELECT event_id, $tsExpr AS ts, user_id,
+             |       event_type, value, props
+             |FROM events_raw""".stripMargin)
         .createOrReplaceTempView("events")
       last = Some((spark, dir))
     }

@@ -26,6 +26,12 @@ object Graph {
     * partitions by dst. Nodes are the edge endpoints (an isolated doc has
     * no rank to spread). `n` (node count) and the iteration count are the
     * only driver-side scalars.
+    *
+    * Lineage cut (same rule as `Dedup.connectedComponentsStats`): each
+    * iteration's frame is rebased on its RDD, so the Catalyst plan handed to
+    * the next iteration is constant-size — plan complexity is O(1) in
+    * `iters`, not O(iters). The RDD lineage stays a linear shared DAG that
+    * evaluates in one pass when `consume` acts on the final frame.
     */
   def pageRank[T](pairs: DataFrame, iters: Int, scale: Long = 1000000000000L)(
       consume: DataFrame => T): T = {
@@ -43,16 +49,18 @@ object Graph {
         require(n > 0, "pageRank needs a non-empty graph")
         val r0 = scale / n
         val tele = r0 * 15L / 100L
+        val spark = pairs.sparkSession
         var ranks = nodes.select(col("node"), lit(r0).as("r"))
         for (_ <- 0 until iters) {
           val contrib = withDeg
             .join(ranks.select(col("node").as("src"), col("r")), "src")
             .select(col("dst").as("node"),
               expr("((r DIV deg) * 85) DIV 100").as("c"))
-          ranks = nodes
+          val step = nodes
             .join(contrib.groupBy("node").agg(sum("c").as("s")), Seq("node"), "left")
             .select(col("node"),
               (lit(tele) + coalesce(col("s"), lit(0L))).cast("long").as("r"))
+          ranks = spark.createDataFrame(step.rdd, step.schema)
         }
         consume(ranks)
       } finally {

@@ -88,7 +88,7 @@ object Inspection {
         sum(col("cnt")).cast("bigint").as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("cnt")).cast("bigint").as("max_cnt"))
-      .crossJoin(top)
+      .crossJoin(broadcast(top)) // 1-row frame; explicit, not AQE-rescued
   }
 
   /** Per-column numeric profile: min / max / sum / null count for each

@@ -38,6 +38,17 @@ object Cdc {
   private def ordersSpec: TableSpec =
     TableSpec.loadCsv(Fixtures.columnsPath)("shop.orders")
 
+  /** One shutdown hook per tmp path, however many times q61f runs in the
+    * process (bench loops re-run the builder): the per-process orders copy
+    * under java.io.tmpdir is reclaimed at exit instead of leaking.
+    */
+  private val q61fHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def q61fHook(base: String): Unit =
+    if (q61fHooked.add(base)) {
+      sys.addShutdownHook { graft.engine.Fs.deleteTree(new java.io.File(base)); () }
+      ()
+    }
+
   // ---------------------------------------------------------------- oracle
   // Shared DuckDB prologue: raw source + shop.orders filter via the derived
   // full_table_name (R3 semantics, README.md:29-32).
@@ -215,6 +226,7 @@ object Cdc {
         |FROM orders GROUP BY 1""".stripMargin) { (s, _) =>
       val base = sys.props("java.io.tmpdir") + "/graft_q61f_" +
         ProcessHandle.current().pid()
+      q61fHook(base) // reclaim the per-process copy at JVM exit, hook once
       graft.engine.Fs.deleteTree(new java.io.File(base))
       s.table("orders")
         .withColumn("yr", year(col("o_orderdate")).cast("string"))

@@ -306,11 +306,11 @@ object Llm {
       val links = Dedup.hammingLink(c, su, maxDist = 2,
         "c_custkey", "code", "s_suppkey", "code")
       c.agg(count(lit(1)).as("n_left"))
-        .crossJoin(su.agg(count(lit(1)).as("n_right")))
-        .crossJoin(links.agg(
+        .crossJoin(broadcast(su.agg(count(lit(1)).as("n_right"))))
+        .crossJoin(broadcast(links.agg(
           count(lit(1)).cast("bigint").as("n_matches"),
           coalesce(sum(col("l_id") + col("r_id")), lit(0L))
-            .cast("bigint").as("match_id_sum")))
+            .cast("bigint").as("match_id_sum"))))
     },
 
     // Exact repeated-span detection (word-shingle substring dedup, the Lee
@@ -1124,7 +1124,7 @@ object Llm {
       val tri = e1.join(e2, col("e2.i") === col("e1.j"))
         .join(e3, col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
         .agg(count(lit(1)).as("triangles"))
-      QDef.localized(s, tri.crossJoin(pr.agg(count(lit(1)).as("edges"))))
+      QDef.localized(s, tri.crossJoin(broadcast(pr.agg(count(lit(1)).as("edges")))))
     },
 
     // Deterministic train/val/test split: multiplicative-hash membership,

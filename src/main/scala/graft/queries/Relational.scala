@@ -770,7 +770,7 @@ object Relational {
       val direct = li.agg(
         hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))).as("direct_est"),
         countDistinct(col("l_partkey")).as("exact_parts"))
-      merged.crossJoin(direct).select(
+      merged.crossJoin(broadcast(direct)).select(
         col("exact_parts"), col("n_groups"),
         (abs(col("union_est") - col("exact_parts"))
           <= col("exact_parts") * 0.05).as("union_ok"),

@@ -20,7 +20,10 @@ import graft.engine.Dfs
   *
   * Same report-first contract as [[Retention]]: `dryRun = true` is the
   * default and returns exactly what would be rewritten (partition values,
-  * file counts, bytes). A real run verifies the rewritten row count against
+  * file counts, bytes). Both modes first [[recover]] crash residue so the
+  * preview equals the plan a real run would execute even after a crash
+  * (repair restores data, it never rewrites any). A real run verifies the
+  * rewritten row count AND an order-insensitive content fingerprint against
   * the source BEFORE swapping directories, and the swap is two renames
   * (partition aside, rewrite in) so a crash never leaves a partition
   * half-rewritten — at worst the original sits under a dot-prefixed name
@@ -39,12 +42,15 @@ object Compaction {
 
   /** What a compaction pass rewrote (or would — `executed=false`) and what
     * it left alone. `filesAfter` counts data files (the `_SUCCESS` marker a
-    * rewrite job leaves is not data).
+    * rewrite job leaves is not data): MEASURED by re-listing the swapped-in
+    * partitions on an executed run, the planned target on a dry run.
     */
   final case class CompactionReport(column: String, compacted: Seq[PartitionPlan],
-      skipped: Seq[String], executed: Boolean) {
+      skipped: Seq[String], executed: Boolean,
+      measuredFilesAfter: Option[Long] = None) {
     def filesBefore: Long = compacted.map(_.filesBefore).sum
-    def filesAfter: Long = compacted.map(_.targetFiles.toLong).sum
+    def filesAfter: Long =
+      measuredFilesAfter.getOrElse(compacted.map(_.targetFiles.toLong).sum)
   }
 
   /** Partitions whose DATA file count exceeds ceil(bytes / targetBytes),
@@ -73,9 +79,12 @@ object Compaction {
   /** Scratch lives NEXT TO the table, not inside it: a non-partition
     * directory under the table root would break Spark's partition
     * discovery for concurrent readers, and a dot-prefixed one is filtered
-    * by the reader the verification step itself needs.
+    * by the reader the verification step itself needs. Trailing slashes are
+    * stripped first — `"t/" + suffix` would land the scratch INSIDE the
+    * table as `t/.compact_scratch`.
     */
-  private def scratchRoot(dir: String): Path = new Path(dir + ".compact_scratch")
+  private def scratchRoot(dir: String): Path =
+    new Path(dir.replaceAll("/+$", "") + ".compact_scratch")
 
   /** Repairs whatever a crashed prior run left in scratch. The swap order
     * (partition aside as `old_<value>`, rewrite in, delete old) makes every
@@ -84,7 +93,7 @@ object Compaction {
     * to a live partition is post-swap garbage; `tmp_` is always garbage
     * (the original was never touched before the swap).
     */
-  def recover(dir: String, column: String): Unit =
+  def recover(dir: String, column: String): Unit = {
     Dfs.list(scratchRoot(dir)).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith("old_")) {
@@ -93,32 +102,51 @@ object Compaction {
         else Dfs.deleteTreeStrict(s.getPath)
       } else Dfs.deleteTreeStrict(s.getPath)
     }
+    // the root itself is now empty — leaving it would make a repaired
+    // dry run look like an unfinished real run
+    if (Dfs.exists(scratchRoot(dir))) Dfs.deleteTreeStrict(scratchRoot(dir))
+  }
 
   /** Rewrites every partition of `dir` (laid out `column=value/`) that holds
     * more files than its target to exactly ceil(bytes / targetBytes) files.
     * Per candidate: read the partition directory, `repartition(target)`,
-    * write to the scratch sibling, verify the rewritten row count, then
-    * swap. A count mismatch THROWS with the original untouched. A real run
-    * starts with [[recover]], so a crashed predecessor never loses data or
-    * blocks the next pass.
+    * write to the scratch sibling, verify the rewritten (row count, content
+    * fingerprint) — xor of per-row xxhash64, order-insensitive, same single
+    * scan the count already paid — then swap. A mismatch THROWS with the
+    * original untouched. Every run (dry or real) starts with [[recover]]:
+    * recovery is crash REPAIR (restoring a partition renamed aside, clearing
+    * scratch garbage), never a rewrite, and without it a post-crash preview
+    * would under-report the partition held in scratch, breaking the
+    * preview == executed-plan invariant (q61f).
     */
   def compactPartitions(spark: SparkSession, dir: String, column: String,
       targetBytes: Long = 128L << 20, dryRun: Boolean = true): CompactionReport = {
-    if (!dryRun) recover(dir, column)
+    recover(dir, column)
     val (cand, skip) = plan(dir, column, targetBytes)
-    if (!dryRun) {
+    if (dryRun) CompactionReport(column, cand, skip, executed = false)
+    else {
+      import org.apache.spark.sql.functions.{coalesce, count, expr, lit, struct, xxhash64}
+      def countAndHash(path: Path): (Long, Long) = {
+        val df = spark.read.parquet(path.toString)
+        // xor has no builtin aggregate Column form pre-grouping; fold via
+        // SQL bit_xor over the per-row hash — one scan, no row collect
+        val row = df.select(xxhash64(struct(df.columns.sorted.map(df.col): _*)).as("h"))
+          .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+          .head()
+        (row.getLong(0), row.getLong(1))
+      }
       cand.foreach { pl =>
         val part = new Path(dir, s"$column=${pl.value}")
         val tmp  = new Path(scratchRoot(dir), s"tmp_${pl.value}")
         val old  = new Path(scratchRoot(dir), s"old_${pl.value}")
-        val src = spark.read.parquet(part.toString)
-        val pre = src.count()
-        src.repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
-        val post = spark.read.parquet(tmp.toString).count()
+        val pre = countAndHash(part)
+        spark.read.parquet(part.toString)
+          .repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
+        val post = countAndHash(tmp)
         if (post != pre) {
           Dfs.deleteTreeStrict(tmp)
-          sys.error(s"compaction of $part rewrote $post rows, expected $pre — " +
-            "original left in place")
+          sys.error(s"compaction of $part rewrote (rows, hash) $post, expected $pre" +
+            " — original left in place")
         }
         Dfs.rename(part, old)
         Dfs.rename(tmp, part)
@@ -126,7 +154,15 @@ object Compaction {
       }
       // every candidate swapped and cleaned — the scratch root is empty
       Dfs.deleteTreeStrict(scratchRoot(dir))
+      // measured, not planned: re-list the swapped-in partitions
+      val measured = cand.map { pl =>
+        Dfs.list(new Path(dir, s"$column=${pl.value}")).count { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.toLong
+      }.sum
+      CompactionReport(column, cand, skip, executed = true,
+        measuredFilesAfter = Some(measured))
     }
-    CompactionReport(column, cand, skip, executed = !dryRun)
   }
 }

@@ -90,6 +90,47 @@ class CompactionSpec extends SparkSpec {
     assert(!ids.contains(999L) && ids.size == 60)
   }
 
+  test("post-crash dry run repairs scratch and previews the FULL plan") {
+    val dir = fragmented(filesA = 5)
+    val before = spark.read.parquet(dir).count()
+    // crash window: dt=a renamed aside, rewrite never landed
+    val scratch = new Path(dir + ".compact_scratch")
+    assert(Dfs.fs(scratch).mkdirs(scratch))
+    Dfs.rename(new Path(dir, "dt=a"), new Path(scratch, "old_a"))
+    val preview = Compaction.compactPartitions(spark, dir, "dt", targetBytes = 1L << 30)
+    // without repair the preview would miss dt=a entirely; with it, the
+    // preview equals what a real run would then execute (q61f invariant)
+    assert(!preview.executed && preview.compacted.map(_.value) == Seq("a"))
+    assert(spark.read.parquet(dir).count() == before)
+    assert(!Dfs.exists(scratch))
+    val report = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    assert(report.compacted == preview.compacted)
+  }
+
+  test("executed filesAfter is measured from the swapped-in partitions") {
+    val dir = fragmented(filesA = 5)
+    val report = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    assert(report.measuredFilesAfter.contains(dataFiles(dir, "dt=a")))
+    // dry run has no measurement — filesAfter falls back to the plan
+    val dry = Compaction.compactPartitions(spark, dir, "dt", targetBytes = 1L << 30)
+    assert(dry.measuredFilesAfter.isEmpty)
+  }
+
+  test("trailing slash on the table dir keeps scratch OUTSIDE the table") {
+    val dir = fragmented(filesA = 4)
+    val report = Compaction.compactPartitions(spark, dir + "/", "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    assert(report.compacted.map(_.value) == Seq("a"))
+    assert(dataFiles(dir, "dt=a") == 1)
+    // no scratch residue inside OR beside the table
+    assert(!Dfs.exists(new Path(dir, ".compact_scratch")))
+    assert(!Dfs.exists(new Path(dir + ".compact_scratch")))
+    // partition discovery still clean: only dt=a / dt=b
+    assert(spark.read.parquet(dir).select("dt").distinct().count() == 2)
+  }
+
   test("bytes-proportional target splits a large partition into several files") {
     val dir = fragmented(filesA = 8)
     val (_, bytesA) = Dfs.contentSummary(new Path(dir, "dt=a"))

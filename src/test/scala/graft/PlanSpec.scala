@@ -256,4 +256,26 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Sort"), p)
     } finally m.close()
   }
+
+  test("every crossJoin in src/main is broadcast-wrapped or comment-bounded") {
+    // a bare crossJoin relies on AQE to notice the 1-row side at runtime;
+    // intent must be explicit — broadcast(...) — or the line must carry a
+    // `bounded` comment stating why the cross is safe at scale
+    val srcRoot = java.nio.file.Paths.get("src/main/scala")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val lines = java.nio.file.Files.readAllLines(p)
+        for (i <- 0 until lines.size()) {
+          val l = lines.get(i)
+          if (l.contains("crossJoin(") && !l.contains("crossJoin(broadcast(")
+              && !l.toLowerCase.contains("bounded"))
+            offenders += s"$p:${i + 1}: ${l.trim}"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "bare crossJoin (no broadcast hint, no `bounded` comment):\n" +
+        offenders.mkString("\n"))
+  }
 }

@@ -618,8 +618,10 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("binned range join equals the plain range join as an equi-join plan") {
     import graft.engine.RangeJoin
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select($"user_id", $"event_id", ($"ts" / 1000).cast("long").as("us"))
+    // canonical view, not a raw read: ts has shipped as both nanos-long and
+    // TIMESTAMP_MICROS across testdata regenerations (TablesDtypeSpec)
+    val e = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
     val l = e.select($"user_id".as("l_user"), $"event_id".as("l_id"), $"us".as("l_us"))
     val r = e.select($"user_id".as("r_user"), $"event_id".as("r_id"), $"us".as("r_us"))
     val w = 3600L * 1000000L
@@ -765,5 +767,19 @@ class StreamingOpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 93L, 2L -> 111L, 3L -> 93L))
     assert(leakedCaches.isEmpty,
       "pageRank must release its caches on exit")
+  }
+
+  test("pageRank plan size is O(1) in the iteration count (lineage rebased)") {
+    import graft.engine.Graph
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    def planChars(iters: Int): Int =
+      Graph.pageRank(pairs, iters, scale = 300L)(
+        _.queryExecution.optimizedPlan.toString.length)
+    val p2 = planChars(2)
+    val p10 = planChars(10)
+    // without the per-iteration rebase the plan grows with every round
+    // (join + agg stacked on the previous plan); rebased, both are one
+    // constant-size scan of an RDD
+    assert(p10 <= p2 + 64, s"plan grew with iters: $p2 chars @2 -> $p10 chars @10")
   }
 }
