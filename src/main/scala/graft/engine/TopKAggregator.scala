@@ -47,13 +47,22 @@ final class TopKAggregator(k: Int)
 
 object TopKAggregator {
 
+  /** One UDAF per k, built once per JVM: `udaf(...)` derives three
+    * ExpressionEncoders reflectively — repeated callers (bench timed runs)
+    * should pay that derivation once, not per query.
+    */
+  private val perK =
+    scala.collection.concurrent.TrieMap
+      .empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+
   /** Top-k rows per group: one row per kept (value, tie) entry, ranked by
     * (value DESC, tie ASC). Output columns: the group column, `value`,
     * `tie`.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, value: Column, tie: Column,
       k: Int): DataFrame = {
-    val agg = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Long)]())
+    val agg = perK.getOrElseUpdate(k,
+      udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Long)]()))
     df.groupBy(col(groupCol))
       .agg(agg(value, tie).as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__e"))

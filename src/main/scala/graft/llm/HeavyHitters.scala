@@ -62,8 +62,14 @@ final class HeavyHittersAggregator(k: Int)
 
 object HeavyHitters {
 
+  // one udaf per k per JVM (same rule as TopKAggregator.perK): the
+  // reflective encoder derivation is paid once, not per query
+  private val perK = scala.collection.concurrent.TrieMap
+    .empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+
   def column(k: Int, itemCol: Column): Column =
-    udaf(new HeavyHittersAggregator(k), ExpressionEncoder[String]()).apply(itemCol)
+    perK.getOrElseUpdate(k,
+      udaf(new HeavyHittersAggregator(k), ExpressionEncoder[String]())).apply(itemCol)
 
   /** The k-counter candidate summary of `itemCol` as (item, est) rows. */
   def sketch(df: DataFrame, itemCol: Column, k: Int): DataFrame =

@@ -43,8 +43,14 @@ final class MinHashAggregator(numHashes: Int)
 
 object MinHashAggregator {
 
+  // one udaf per width per JVM: encoder derivation is reflective, repeated
+  // callers (bench timed runs) should not re-pay it
+  private val perWidth = scala.collection.concurrent.TrieMap
+    .empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+
   def column(numHashes: Int = Dedup.NumHashes): Column =
-    udaf(new MinHashAggregator(numHashes), ExpressionEncoder[Long]()).apply(col("code"))
+    perWidth.getOrElseUpdate(numHashes,
+      udaf(new MinHashAggregator(numHashes), ExpressionEncoder[Long]())).apply(col("code"))
 
   /** Drop-in replacement for Dedup.minhashSignatures: same (doc_id, hi, mh)
     * shape, computed in one aggregation pass.

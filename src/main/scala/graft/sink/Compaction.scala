@@ -135,23 +135,38 @@ object Compaction {
           .head()
         (row.getLong(0), row.getLong(1))
       }
-      cand.foreach { pl =>
-        val part = new Path(dir, s"$column=${pl.value}")
-        val tmp  = new Path(scratchRoot(dir), s"tmp_${pl.value}")
-        val old  = new Path(scratchRoot(dir), s"old_${pl.value}")
-        val pre = countAndHash(part)
-        spark.read.parquet(part.toString)
-          .repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
-        val post = countAndHash(tmp)
-        if (post != pre) {
-          Dfs.deleteTreeStrict(tmp)
-          sys.error(s"compaction of $part rewrote (rows, hash) $post, expected $pre" +
-            " — original left in place")
+      // partitions rewrite CONCURRENTLY (bounded pool): each candidate's
+      // read→rewrite→verify→swap touches only its own partition and its own
+      // scratch names, so the only shared state is the Spark scheduler —
+      // which interleaves the per-partition jobs instead of idling between
+      // 3 sequential jobs × N partitions. A failure propagates after the
+      // in-flight siblings finish; their swaps are independently atomic.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(4, cand.size)))
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val done = cand.map { pl =>
+          scala.concurrent.Future {
+            val part = new Path(dir, s"$column=${pl.value}")
+            val tmp  = new Path(scratchRoot(dir), s"tmp_${pl.value}")
+            val old  = new Path(scratchRoot(dir), s"old_${pl.value}")
+            val pre = countAndHash(part)
+            spark.read.parquet(part.toString)
+              .repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
+            val post = countAndHash(tmp)
+            if (post != pre) {
+              Dfs.deleteTreeStrict(tmp)
+              sys.error(s"compaction of $part rewrote (rows, hash) $post, expected $pre" +
+                " — original left in place")
+            }
+            Dfs.rename(part, old)
+            Dfs.rename(tmp, part)
+            Dfs.deleteTreeStrict(old)
+          }(ec)
         }
-        Dfs.rename(part, old)
-        Dfs.rename(tmp, part)
-        Dfs.deleteTreeStrict(old)
-      }
+        done.foreach(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
       // every candidate swapped and cleaned — the scratch root is empty
       Dfs.deleteTreeStrict(scratchRoot(dir))
       // measured, not planned: re-list the swapped-in partitions
