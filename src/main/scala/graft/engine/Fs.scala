@@ -27,4 +27,18 @@ object Fs {
     if (f.exists())
       sys.error(s"failed to delete ${f.getPath} — data reported dropped is still on disk")
   }
+
+  private val reclaimHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** ONE shutdown hook per path, however many times a builder re-runs in
+    * the process: best-effort [[deleteTree]] at JVM exit. The single copy
+    * of the guard-set + `sys.addShutdownHook` pattern tmp-dir builders
+    * (Tables.ensureTmpStore, q61f) previously each re-implemented.
+    */
+  def reclaimAtExit(path: String): Unit =
+    if (reclaimHooked.add(path)) {
+      sys.addShutdownHook { deleteTree(new File(path)); () }
+      ()
+    }
 }

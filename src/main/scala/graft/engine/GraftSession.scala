@@ -146,7 +146,7 @@ object Tables {
       val out = sys.props("java.io.tmpdir") + s"/graft_${tag}_" +
         ProcessHandle.current().pid()
       build(out)
-      sys.addShutdownHook { Fs.deleteTree(new java.io.File(out)); () }
+      Fs.reclaimAtExit(out)
       out
     })
   }
@@ -164,6 +164,9 @@ object Tables {
 
   def ensureModel[T <: AnyRef](tag: String, spark: SparkSession, dir: String)(
       build: => T): T = synchronized {
+    // entries for stopped sessions can never be hit again but would pin the
+    // session and its checkpoint blocks for the JVM lifetime — evict first
+    models.filterInPlace { case ((_, s, _), _) => !s.sparkContext.isStopped }
     models.getOrElseUpdate((tag, spark, dir), build).asInstanceOf[T]
   }
 

@@ -38,16 +38,13 @@ object Cdc {
   private def ordersSpec: TableSpec =
     TableSpec.loadCsv(Fixtures.columnsPath)("shop.orders")
 
-  /** One shutdown hook per tmp path, however many times q61f runs in the
-    * process (bench loops re-run the builder): the per-process orders copy
-    * under java.io.tmpdir is reclaimed at exit instead of leaking.
+  /** Exit-time reclamation for q61f's per-process tmp table AND its
+    * compaction scratch sibling (present only if a run crashed mid-pass).
     */
-  private val q61fHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def q61fHook(base: String): Unit =
-    if (q61fHooked.add(base)) {
-      sys.addShutdownHook { graft.engine.Fs.deleteTree(new java.io.File(base)); () }
-      ()
-    }
+  private def q61fHook(base: String): Unit = {
+    graft.engine.Fs.reclaimAtExit(base)
+    graft.engine.Fs.reclaimAtExit(base + ".compact_scratch")
+  }
 
   // ---------------------------------------------------------------- oracle
   // Shared DuckDB prologue: raw source + shop.orders filter via the derived

@@ -107,17 +107,45 @@ object Compaction {
     if (Dfs.exists(scratchRoot(dir))) Dfs.deleteTreeStrict(scratchRoot(dir))
   }
 
+  /** (row count, content fingerprint) of a parquet directory in ONE scan:
+    * decimal-exact SUM of per-row xxhash64 over all columns (sorted name
+    * order, so physical column order is immaterial). Sum, not xor: xor
+    * cancels any corruption with even multiplicity ({A,A}→{B,B} passes an
+    * xor check); the sum is order-insensitive but multiplicity-sensitive,
+    * exact in decimal(38,0) (n·2^63 ≪ 10^38) and ANSI-overflow-free.
+    */
+  private[graft] def contentFingerprint(spark: SparkSession,
+      path: Path): (Long, BigDecimal) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, sum, xxhash64}
+    val df = spark.read.parquet(path.toString)
+    val row = df.select(xxhash64(struct(df.columns.sorted.map(df.col): _*))
+        .cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("c"),
+        coalesce(sum(col("h")), lit(java.math.BigDecimal.ZERO)).as("s"))
+      .head()
+    (row.getLong(0), BigDecimal(row.getDecimal(1)))
+  }
+
   /** Rewrites every partition of `dir` (laid out `column=value/`) that holds
     * more files than its target to exactly ceil(bytes / targetBytes) files.
     * Per candidate: read the partition directory, `repartition(target)`,
     * write to the scratch sibling, verify the rewritten (row count, content
-    * fingerprint) — xor of per-row xxhash64, order-insensitive, same single
-    * scan the count already paid — then swap. A mismatch THROWS with the
-    * original untouched. Every run (dry or real) starts with [[recover]]:
-    * recovery is crash REPAIR (restoring a partition renamed aside, clearing
-    * scratch garbage), never a rewrite, and without it a post-crash preview
-    * would under-report the partition held in scratch, breaking the
-    * preview == executed-plan invariant (q61f).
+    * fingerprint) — multiplicity-sensitive decimal sum of per-row xxhash64,
+    * order-insensitive, same single scan the count already paid — then swap.
+    * A mismatch THROWS with the original untouched. Every run (dry or real)
+    * starts with [[recover]]: recovery is crash REPAIR (restoring a
+    * partition renamed aside, clearing scratch garbage), never a rewrite,
+    * and without it a post-crash preview would under-report the partition
+    * held in scratch, breaking the preview == executed-plan invariant
+    * (q61f).
+    *
+    * Single-maintainer contract: at most ONE compaction call (dry or real)
+    * may run against a table at a time — recovery cannot distinguish a
+    * crashed predecessor's scratch from a LIVE sibling's, so a concurrent
+    * preview would repair (rename back / delete) state another run is
+    * actively swapping. Same directory-level non-isolation already stated
+    * above for readers; pipelines needing concurrent maintenance use
+    * [[SnapshotParquetSink]]'s manifest-committed compact.
     */
   def compactPartitions(spark: SparkSession, dir: String, column: String,
       targetBytes: Long = 128L << 20, dryRun: Boolean = true): CompactionReport = {
@@ -125,48 +153,43 @@ object Compaction {
     val (cand, skip) = plan(dir, column, targetBytes)
     if (dryRun) CompactionReport(column, cand, skip, executed = false)
     else {
-      import org.apache.spark.sql.functions.{coalesce, count, expr, lit, struct, xxhash64}
-      def countAndHash(path: Path): (Long, Long) = {
-        val df = spark.read.parquet(path.toString)
-        // xor has no builtin aggregate Column form pre-grouping; fold via
-        // SQL bit_xor over the per-row hash — one scan, no row collect
-        val row = df.select(xxhash64(struct(df.columns.sorted.map(df.col): _*)).as("h"))
-          .agg(count(lit(1)).as("c"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
-          .head()
-        (row.getLong(0), row.getLong(1))
-      }
+      def countAndHash(path: Path) = contentFingerprint(spark, path)
       // partitions rewrite CONCURRENTLY (bounded pool): each candidate's
       // read→rewrite→verify→swap touches only its own partition and its own
       // scratch names, so the only shared state is the Spark scheduler —
       // which interleaves the per-partition jobs instead of idling between
-      // 3 sequential jobs × N partitions. A failure propagates after the
-      // in-flight siblings finish; their swaps are independently atomic.
+      // 3 sequential jobs × N partitions. ALL futures complete before any
+      // failure propagates (first failure rethrown only after the await
+      // loop) — throwing mid-flight would hand control back to a caller
+      // whose retry/recover would race the still-running siblings.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(4, cand.size)))
       val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try {
-        val done = cand.map { pl =>
-          scala.concurrent.Future {
-            val part = new Path(dir, s"$column=${pl.value}")
-            val tmp  = new Path(scratchRoot(dir), s"tmp_${pl.value}")
-            val old  = new Path(scratchRoot(dir), s"old_${pl.value}")
-            val pre = countAndHash(part)
-            spark.read.parquet(part.toString)
-              .repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
-            val post = countAndHash(tmp)
-            if (post != pre) {
-              Dfs.deleteTreeStrict(tmp)
-              sys.error(s"compaction of $part rewrote (rows, hash) $post, expected $pre" +
-                " — original left in place")
-            }
-            Dfs.rename(part, old)
-            Dfs.rename(tmp, part)
-            Dfs.deleteTreeStrict(old)
-          }(ec)
-        }
-        done.foreach(f =>
-          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
+      val outcomes =
+        try {
+          val done = cand.map { pl =>
+            scala.concurrent.Future {
+              val part = new Path(dir, s"$column=${pl.value}")
+              val tmp  = new Path(scratchRoot(dir), s"tmp_${pl.value}")
+              val old  = new Path(scratchRoot(dir), s"old_${pl.value}")
+              val pre = countAndHash(part)
+              spark.read.parquet(part.toString)
+                .repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
+              val post = countAndHash(tmp)
+              if (post != pre) {
+                Dfs.deleteTreeStrict(tmp)
+                sys.error(s"compaction of $part rewrote (rows, hash) $post, expected $pre" +
+                  " — original left in place")
+              }
+              Dfs.rename(part, old)
+              Dfs.rename(tmp, part)
+              Dfs.deleteTreeStrict(old)
+            }(ec)
+          }
+          done.map(f => scala.util.Try(
+            scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+        } finally pool.shutdown()
+      outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
       // every candidate swapped and cleaned — the scratch root is empty
       Dfs.deleteTreeStrict(scratchRoot(dir))
       // measured, not planned: re-list the swapped-in partitions

@@ -6,7 +6,8 @@ import graft.engine.Dfs
 import graft.sink.Compaction
 
 /** Small-file compaction: report-first lifecycle contract on a
-  * directory-partitioned table — dry run touches nothing, a real run
+  * directory-partitioned table — dry run never rewrites data (it DOES
+  * repair crash residue first, so preview == executed plan), a real run
   * rewrites exactly the over-fragmented partitions to their target file
   * count with content preserved, a second run is a no-op, and scratch
   * directories never survive.
@@ -129,6 +130,29 @@ class CompactionSpec extends SparkSpec {
     assert(!Dfs.exists(new Path(dir + ".compact_scratch")))
     // partition discovery still clean: only dt=a / dt=b
     assert(spark.read.parquet(dir).select("dt").distinct().count() == 2)
+  }
+
+  test("content fingerprint: order-insensitive, multiplicity-sensitive") {
+    import Compaction.contentFingerprint
+    def write(rows: Seq[(Long, String)], parts: Int): Path = {
+      val d = new Path(tmpDir("fp"), "t")
+      rows.toDF("id", "v").repartition(parts).write.mode("overwrite").parquet(d.toString)
+      d
+    }
+    val base = Seq((1L, "a"), (1L, "a"), (2L, "b"))
+    // same rows, different file layout and order → same fingerprint
+    assert(contentFingerprint(spark, write(base, 1)) ==
+      contentFingerprint(spark, write(base.reverse, 3)))
+    // {A,A}→{B,B}: even-multiplicity corruption an XOR check cannot see
+    val swapped = Seq((9L, "z"), (9L, "z"), (2L, "b"))
+    assert(contentFingerprint(spark, write(base, 1)) !=
+      contentFingerprint(spark, write(swapped, 1)))
+    // duplicate-shift at equal count: {A,A,B} vs {A,B,B}
+    val shifted = Seq((1L, "a"), (2L, "b"), (2L, "b"))
+    assert(contentFingerprint(spark, write(base, 1)) !=
+      contentFingerprint(spark, write(shifted, 1)))
+    // empty directory is a defined fingerprint, not an NPE
+    assert(contentFingerprint(spark, write(base.take(0), 1))._1 == 0L)
   }
 
   test("bytes-proportional target splits a large partition into several files") {

@@ -263,17 +263,26 @@ class PlanSpec extends SparkSpec {
     // `bounded` comment stating why the cross is safe at scale
     val srcRoot = java.nio.file.Paths.get("src/main/scala")
     val offenders = scala.collection.mutable.ListBuffer[String]()
-    java.nio.file.Files.walk(srcRoot).forEach { p =>
+    val walk = java.nio.file.Files.walk(srcRoot)
+    try walk.forEach { p =>
       if (p.toString.endsWith(".scala")) {
-        val lines = java.nio.file.Files.readAllLines(p)
-        for (i <- 0 until lines.size()) {
-          val l = lines.get(i)
-          if (l.contains("crossJoin(") && !l.contains("crossJoin(broadcast(")
-              && !l.toLowerCase.contains("bounded"))
-            offenders += s"$p:${i + 1}: ${l.trim}"
+        // whole-file text with whitespace stripped: a scalafmt line-wrap
+        // between crossJoin( and broadcast( must not flip the verdict
+        val flat = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).replaceAll("\\s+", "")
+        var i = flat.indexOf("crossJoin(")
+        while (i >= 0) {
+          val rest = flat.substring(i + "crossJoin(".length)
+          // `bounded` within the following comment-distance marks a
+          // deliberately-unbroadcast cross (the writer must justify it)
+          if (!rest.startsWith("broadcast(")
+              && !flat.substring(i, math.min(flat.length, i + 160))
+                .toLowerCase.contains("bounded"))
+            offenders += s"$p: ...${flat.substring(math.max(0, i - 30), i + 40)}..."
+          i = flat.indexOf("crossJoin(", i + 1)
         }
       }
-    }
+    } finally walk.close()
     assert(offenders.isEmpty,
       "bare crossJoin (no broadcast hint, no `bounded` comment):\n" +
         offenders.mkString("\n"))
