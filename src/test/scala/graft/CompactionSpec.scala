@@ -132,6 +132,26 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("dt").distinct().count() == 2)
   }
 
+  test("concurrent rewrites: many fragmented partitions compact in one pass") {
+    // exercises the bounded-pool path with more candidates than threads
+    val dir = tmpDir("compact_par") + "/t"
+    val rows = for (p <- 'a' to 'f'; i <- 1 to 40)
+      yield (i.toLong + p, s"v$i", p.toString)
+    rows.toDF("id", "v", "dt").repartition(5)
+      .write.partitionBy("dt").parquet(dir)
+    val before = spark.read.parquet(dir).groupBy("dt")
+      .agg(sum("id"), count(lit(1))).collect().map(_.toSeq).toSet
+    val report = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    assert(report.compacted.map(_.value) == ('a' to 'f').map(_.toString))
+    ('a' to 'f').foreach(p => assert(dataFiles(dir, s"dt=$p") == 1))
+    assert(report.measuredFilesAfter.contains(6L))
+    val after = spark.read.parquet(dir).groupBy("dt")
+      .agg(sum("id"), count(lit(1))).collect().map(_.toSeq).toSet
+    assert(after == before)
+    assert(!Dfs.exists(new Path(dir + ".compact_scratch")))
+  }
+
   test("content fingerprint: order-insensitive, multiplicity-sensitive") {
     import Compaction.contentFingerprint
     def write(rows: Seq[(Long, String)], parts: Int): Path = {
