@@ -25,4 +25,40 @@ object Skew {
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The salt factor [[graft.inspect.Inspection.skewProfile]]'s numbers
+    * imply: how many ways the heaviest key must split so its share of one
+    * post-shuffle partition drops to ~the average key's load, capped (salt
+    * replicates the ENTIRE small side `factor`×, so an absurd factor turns
+    * the mitigation into the bottleneck). `1` = balanced data, salting
+    * unnecessary. Pure integer arithmetic on three profile scalars —
+    * callable on the driver with no extra scan beyond the profile the
+    * operator of a 100 TB join should have read anyway.
+    */
+  def saltFactorFor(nRows: Long, nKeys: Long, maxCnt: Long, cap: Int = 32): Int = {
+    require(nRows >= 0 && nKeys >= 0 && maxCnt >= 0, "profile counts must be non-negative")
+    if (nRows == 0L || nKeys == 0L || maxCnt == 0L) 1
+    else {
+      val avg = math.max(1L, nRows / nKeys)
+      math.min(cap.toLong, math.max(1L, (maxCnt + avg - 1L) / avg)).toInt
+    }
+  }
+
+  /** Measurement-driven salted join: profile the large side's key (two
+    * aggregations — the scan a planner pays ONCE and reuses), derive the
+    * factor with [[saltFactorFor]], then either join plainly (factor 1 —
+    * don't replicate the small side for balanced data) or salt. Returns the
+    * joined frame plus the decision, so callers can log/assert what the
+    * data made the engine do (the no-silent-decisions rule).
+    */
+  def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, key: String,
+      topK: Int = 10, cap: Int = 32): (DataFrame, Int) = {
+    val prof = graft.inspect.Inspection.skewProfile(large, col(key), topK)
+      .select("n_rows", "n_keys", "max_cnt").head() // 1-row profile
+    val factor = saltFactorFor(prof.getLong(0), prof.getLong(1), prof.getLong(2), cap)
+    val joined =
+      if (factor <= 1) large.join(small, key)
+      else saltedJoin(large, small, key, factor)
+    (joined, factor)
+  }
 }

@@ -204,6 +204,30 @@ object Relational {
             .cast("string").as("qty"))
     },
 
+    // Measurement-driven salting (q12b's decision made by the data): the
+    // engine profiles the large side's key — total rows, distinct keys,
+    // heaviest key — derives the factor that levels the hottest key to the
+    // average key's partition load, and joins plainly when the profile says
+    // the data is balanced. The 100 TB rule q12b leaves implicit: whether
+    // to salt is read off the data, never hardcoded. Same oracle rows; the
+    // chosen factor is part of the output so the decision is auditable.
+    QDef.df("q12d_adaptive_salted",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val li = Tables.table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val (joined, factor) =
+        graft.engine.Skew.adaptiveSaltedJoin(li, ord, "l_orderkey")
+      require(factor >= 1, s"adaptive salting chose an invalid factor $factor")
+      joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+            .cast("string").as("qty"))
+    },
+
     // Bucketed co-located join: both sides are written bucketed on the join
     // key FIRST (the ingest-time shuffle a 100 TB fact table pays once —
     // Tables.ensureBucketed builds them a single time per session/dir, so

@@ -649,6 +649,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("adaptive salting: skewed key salts, balanced key joins plain, content equal") {
+    // saltFactorFor: pure arithmetic cases first
+    assert(Skew.saltFactorFor(0, 0, 0) == 1)          // empty: nothing to split
+    assert(Skew.saltFactorFor(1000, 100, 10) == 1)    // max == avg: balanced
+    assert(Skew.saltFactorFor(1000, 100, 80) == 8)    // hot key 8x the average
+    assert(Skew.saltFactorFor(1000, 1, 1000) == 1)    // one key total: avg == max
+    assert(Skew.saltFactorFor(1000, 100, 1000) == 32) // capped
+    // skewed frame: key 1 holds ~10% of 10k rows over 100 keys → factor > 1
+    val big = (0 until 10000).map(i => (if (i % 10 == 0) 1L else i.toLong % 100, s"v$i"))
+      .toDF("k", "payload")
+    val dim = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "d")
+    val (skewJoined, skewFactor) = Skew.adaptiveSaltedJoin(big, dim, "k")
+    assert(skewFactor > 1, s"skewed key must salt, chose $skewFactor")
+    val plain = big.join(dim, "k")
+    assert(skewJoined.count() == plain.count())
+    assert(skewJoined.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // uniform frame: every key equally loaded → factor 1, no replication
+    val uniform = (0 until 10000).map(i => (i.toLong % 100, s"v$i")).toDF("k", "payload")
+    val (_, uniFactor) = Skew.adaptiveSaltedJoin(uniform, dim, "k")
+    assert(uniFactor == 1, s"balanced key must not salt, chose $uniFactor")
+  }
+
   test("exactQuantile: matches the sorted order statistic, edges and duplicates included") {
     import graft.engine.Ranking
     // deterministic values with heavy duplicates and a skewed tail

@@ -50,4 +50,28 @@ class TemporalDriftSpec extends SparkSpec {
       val rows = q.build(spark, dateDir).collect()
       assert(rows.nonEmpty, s"$name returned no rows on the DATE-typed fixture")
     }
+
+  test("embedding queries survive list<float> → list<double> drift") {
+    // the ANN stack casts per-element (quantize/asDouble/cosine_sim all
+    // accept float|double) — pin that a regeneration to double analyzes
+    // and executes for a similarity and a k-means representative
+    val dir = tmpDir("embedding_drift")
+    val src = "/root/testdata/sf0.001"
+    for (n <- graft.engine.Tables.names) {
+      val df = spark.read.parquet(s"$src/$n.parquet")
+      val out =
+        if (n == "embeddings")
+          df.withColumn("embedding", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        else df
+      out.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    spark.read.parquet(s"$src/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(spark.read.parquet(s"$dir/embeddings.parquet").schema("embedding")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.DoubleType)
+    for (name <- Seq("q82_cosine_all", "q89d_kmeans"))
+      assert(Registry.byName(name).build(spark, dir).collect().nonEmpty,
+        s"$name returned no rows on the double-typed embeddings")
+  }
 }
