@@ -44,18 +44,28 @@ object Skew {
     }
   }
 
-  /** Measurement-driven salted join: profile the large side's key (two
-    * aggregations — the scan a planner pays ONCE and reuses), derive the
-    * factor with [[saltFactorFor]], then either join plainly (factor 1 —
-    * don't replicate the small side for balanced data) or salt. Returns the
-    * joined frame plus the decision, so callers can log/assert what the
-    * data made the engine do (the no-silent-decisions rule).
+  /** Profile `large`'s key distribution and derive its salt factor: the
+    * statistics scan a planner pays ONCE per table (ANALYZE) and reuses
+    * across queries — callers that join the same table repeatedly should
+    * cache this (q12d does, via `Tables.ensureModel`).
     */
-  def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, key: String,
-      topK: Int = 10, cap: Int = 32): (DataFrame, Int) = {
+  def profileSaltFactor(large: DataFrame, key: String,
+      topK: Int = 10, cap: Int = 32): Int = {
     val prof = graft.inspect.Inspection.skewProfile(large, col(key), topK)
       .select("n_rows", "n_keys", "max_cnt").head() // 1-row profile
-    val factor = saltFactorFor(prof.getLong(0), prof.getLong(1), prof.getLong(2), cap)
+    saltFactorFor(prof.getLong(0), prof.getLong(1), prof.getLong(2), cap)
+  }
+
+  /** Measurement-driven salted join: [[profileSaltFactor]] then either join
+    * plainly (factor 1 — don't replicate the small side for balanced data)
+    * or salt. Returns the joined frame plus the decision, so callers can
+    * log/assert what the data made the engine do (the no-silent-decisions
+    * rule). `factorOverride` feeds a cached/profiled-elsewhere factor in.
+    */
+  def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, key: String,
+      topK: Int = 10, cap: Int = 32,
+      factorOverride: Option[Int] = None): (DataFrame, Int) = {
+    val factor = factorOverride.getOrElse(profileSaltFactor(large, key, topK, cap))
     val joined =
       if (factor <= 1) large.join(small, key)
       else saltedJoin(large, small, key, factor)
