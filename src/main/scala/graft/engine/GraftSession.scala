@@ -159,15 +159,18 @@ object Tables {
     * fresh one; state is bounded (codebooks ≤ nSub·kSub·subDim longs plus
     * a codes frame the size of one id+codes column pair).
     */
-  private val models =
-    scala.collection.mutable.Map[(String, SparkSession, String), AnyRef]()
+  private val models = new java.util.concurrent.ConcurrentHashMap[
+    (String, SparkSession, String), AnyRef]()
 
   def ensureModel[T <: AnyRef](tag: String, spark: SparkSession, dir: String)(
-      build: => T): T = synchronized {
+      build: => T): T = {
     // entries for stopped sessions can never be hit again but would pin the
     // session and its checkpoint blocks for the JVM lifetime — evict first
-    models.filterInPlace { case ((_, s, _), _) => !s.sparkContext.isStopped }
-    models.getOrElseUpdate((tag, spark, dir), build).asInstanceOf[T]
+    models.keySet.removeIf(k => k._2.sparkContext.isStopped)
+    // computeIfAbsent, NOT a Tables-wide synchronized: a build is multi-job
+    // Spark work (PQ training, key profiling) and must not block unrelated
+    // Tables.* callers; same-key callers still wait for the one build
+    models.computeIfAbsent((tag, spark, dir), _ => build).asInstanceOf[T]
   }
 
   /** q21d's persistent HLL store: three per-batch partial sets over

@@ -47,12 +47,18 @@ object Skew {
   /** Profile `large`'s key distribution and derive its salt factor: the
     * statistics scan a planner pays ONCE per table (ANALYZE) and reuses
     * across queries — callers that join the same table repeatedly should
-    * cache this (q12d does, via `Tables.ensureModel`).
+    * cache this (q12d does, via `Tables.ensureModel`). Only the three
+    * scalars the factor needs are computed (per-key counts → one global
+    * rollup), not `Inspection.skewProfile`'s top-k mass arm. An empty
+    * frame profiles as balanced (factor 1): the global agg's sum/max are
+    * null there, never fed to [[saltFactorFor]] unguarded.
     */
-  def profileSaltFactor(large: DataFrame, key: String,
-      topK: Int = 10, cap: Int = 32): Int = {
-    val prof = graft.inspect.Inspection.skewProfile(large, col(key), topK)
-      .select("n_rows", "n_keys", "max_cnt").head() // 1-row profile
+  def profileSaltFactor(large: DataFrame, key: String, cap: Int = 32): Int = {
+    val prof = large.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(max(col("cnt")), lit(0L)).cast("long").as("max_cnt"))
+      .head() // 1-row profile
     saltFactorFor(prof.getLong(0), prof.getLong(1), prof.getLong(2), cap)
   }
 
@@ -63,9 +69,8 @@ object Skew {
     * rule). `factorOverride` feeds a cached/profiled-elsewhere factor in.
     */
   def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, key: String,
-      topK: Int = 10, cap: Int = 32,
-      factorOverride: Option[Int] = None): (DataFrame, Int) = {
-    val factor = factorOverride.getOrElse(profileSaltFactor(large, key, topK, cap))
+      cap: Int = 32, factorOverride: Option[Int] = None): (DataFrame, Int) = {
+    val factor = factorOverride.getOrElse(profileSaltFactor(large, key, cap))
     val joined =
       if (factor <= 1) large.join(small, key)
       else saltedJoin(large, small, key, factor)

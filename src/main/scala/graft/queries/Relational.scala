@@ -226,7 +226,6 @@ object Relational {
         Int.box(graft.engine.Skew.profileSaltFactor(li, "l_orderkey"))).intValue
       val (joined, _) = graft.engine.Skew.adaptiveSaltedJoin(
         li, ord, "l_orderkey", factorOverride = Some(factor))
-      require(factor >= 1, s"adaptive salting chose an invalid factor $factor")
       joined.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DecimalType(38, 4))

@@ -19,10 +19,10 @@ import graft.engine.Dfs
   * skipped and reported — touching a compacted table twice is a no-op.
   *
   * Same report-first contract as [[Retention]]: `dryRun = true` is the
-  * default and returns exactly what would be rewritten (partition values,
-  * file counts, bytes). Both modes first [[recover]] crash residue so the
-  * preview equals the plan a real run would execute even after a crash
-  * (repair restores data, it never rewrites any). A real run verifies the
+  * default, touches nothing, and returns exactly what would be rewritten
+  * (partition values, file counts, bytes) — crash residue is planned
+  * through a read-only scratch overlay, so the preview equals the plan a
+  * real run (which first repairs) would execute. A real run verifies the
   * rewritten row count AND an order-insensitive content fingerprint against
   * the source BEFORE swapping directories, and the swap is two renames
   * (partition aside, rewrite in) so a crash never leaves a partition
@@ -58,11 +58,17 @@ object Compaction {
     * call per partition (partition dirs are flat — `partitionBy` writes
     * leaf files directly); markers and hidden files (`_SUCCESS`, dot-files)
     * are not data, so a just-compacted partition plans as clean.
+    * `overlay` maps a partition VALUE to an alternate directory to stat in
+    * place of (or in absence of) the live one — how a dry run plans a
+    * crashed predecessor's partition still sitting in scratch without
+    * mutating anything (see [[compactPartitions]]).
     */
-  def plan(dir: String, column: String,
-      targetBytes: Long): (Seq[PartitionPlan], Seq[String]) = {
+  def plan(dir: String, column: String, targetBytes: Long,
+      overlay: Map[String, Path] = Map.empty): (Seq[PartitionPlan], Seq[String]) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val plans = Retention.partitions(dir, column).toSeq.sortBy(_._1).map {
+    val live = Retention.partitions(dir, column)
+    val all = live ++ overlay.view.filterKeys(v => !live.contains(v)).toMap
+    val plans = all.toSeq.sortBy(_._1).map {
       case (v, p) =>
         val data = Dfs.list(p).filter { s =>
           val n = s.getPath.getName
@@ -107,6 +113,21 @@ object Compaction {
     if (Dfs.exists(scratchRoot(dir))) Dfs.deleteTreeStrict(scratchRoot(dir))
   }
 
+  /** Read-only view of crash residue: partition values whose live directory
+    * is MISSING but whose original sits in scratch as `old_<value>` (the
+    * mid-swap crash window). A dry run plans these from their scratch
+    * location so preview == the plan a real run (which first [[recover]]s)
+    * would execute — without the preview touching the filesystem.
+    */
+  private def crashOverlay(dir: String, column: String): Map[String, Path] =
+    Dfs.list(scratchRoot(dir)).flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("old_")) {
+        val v = n.stripPrefix("old_")
+        if (!Dfs.exists(new Path(dir, s"$column=$v"))) Some(v -> s.getPath) else None
+      } else None
+    }.toMap
+
   /** (row count, content fingerprint) of a parquet directory in ONE scan:
     * decimal-exact SUM of per-row xxhash64 over all columns (sorted name
     * order, so physical column order is immaterial). Sum, not xor: xor
@@ -132,27 +153,31 @@ object Compaction {
     * write to the scratch sibling, verify the rewritten (row count, content
     * fingerprint) — multiplicity-sensitive decimal sum of per-row xxhash64,
     * order-insensitive, same single scan the count already paid — then swap.
-    * A mismatch THROWS with the original untouched. Every run (dry or real)
-    * starts with [[recover]]: recovery is crash REPAIR (restoring a
-    * partition renamed aside, clearing scratch garbage), never a rewrite,
-    * and without it a post-crash preview would under-report the partition
-    * held in scratch, breaking the preview == executed-plan invariant
-    * (q61f).
+    * A mismatch THROWS with the original untouched.
     *
-    * Single-maintainer contract: at most ONE compaction call (dry or real)
-    * may run against a table at a time — recovery cannot distinguish a
-    * crashed predecessor's scratch from a LIVE sibling's, so a concurrent
-    * preview would repair (rename back / delete) state another run is
-    * actively swapping. Same directory-level non-isolation already stated
-    * above for readers; pipelines needing concurrent maintenance use
-    * [[SnapshotParquetSink]]'s manifest-committed compact.
+    * Crash residue: a REAL run starts with [[recover]] (restore the
+    * partition renamed aside, clear garbage — repair, never a rewrite). A
+    * DRY run touches NOTHING: it plans crash residue through a read-only
+    * [[crashOverlay]] (statting the scratch copy of a mid-swap partition in
+    * place of its missing live directory), so preview == the plan a real
+    * run would execute (the q61f invariant) while preview stays safe to
+    * issue while a real run on the same table is in flight.
+    *
+    * Single-maintainer contract for MUTATING runs: at most one real
+    * compaction per table at a time — recovery cannot distinguish a crashed
+    * predecessor's scratch from a live sibling's. Same directory-level
+    * non-isolation already stated above for readers; pipelines needing
+    * concurrent maintenance use [[SnapshotParquetSink]]'s
+    * manifest-committed compact.
     */
   def compactPartitions(spark: SparkSession, dir: String, column: String,
       targetBytes: Long = 128L << 20, dryRun: Boolean = true): CompactionReport = {
-    recover(dir, column)
-    val (cand, skip) = plan(dir, column, targetBytes)
-    if (dryRun) CompactionReport(column, cand, skip, executed = false)
-    else {
+    if (dryRun) {
+      val (cand, skip) = plan(dir, column, targetBytes, crashOverlay(dir, column))
+      CompactionReport(column, cand, skip, executed = false)
+    } else {
+      recover(dir, column)
+      val (cand, skip) = plan(dir, column, targetBytes)
       def countAndHash(path: Path) = contentFingerprint(spark, path)
       // partitions rewrite CONCURRENTLY (bounded pool): each candidate's
       // read→rewrite→verify→swap touches only its own partition and its own

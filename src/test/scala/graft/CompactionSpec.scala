@@ -6,11 +6,11 @@ import graft.engine.Dfs
 import graft.sink.Compaction
 
 /** Small-file compaction: report-first lifecycle contract on a
-  * directory-partitioned table — dry run never rewrites data (it DOES
-  * repair crash residue first, so preview == executed plan), a real run
-  * rewrites exactly the over-fragmented partitions to their target file
-  * count with content preserved, a second run is a no-op, and scratch
-  * directories never survive.
+  * directory-partitioned table — dry run touches nothing (crash residue is
+  * planned through a read-only scratch overlay, so preview == executed
+  * plan), a real run repairs then rewrites exactly the over-fragmented
+  * partitions to their target file count with content preserved, a second
+  * run is a no-op, and scratch directories never survive a real run.
   */
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
@@ -91,7 +91,7 @@ class CompactionSpec extends SparkSpec {
     assert(!ids.contains(999L) && ids.size == 60)
   }
 
-  test("post-crash dry run repairs scratch and previews the FULL plan") {
+  test("post-crash dry run previews the FULL plan without touching anything") {
     val dir = fragmented(filesA = 5)
     val before = spark.read.parquet(dir).count()
     // crash window: dt=a renamed aside, rewrite never landed
@@ -99,14 +99,18 @@ class CompactionSpec extends SparkSpec {
     assert(Dfs.fs(scratch).mkdirs(scratch))
     Dfs.rename(new Path(dir, "dt=a"), new Path(scratch, "old_a"))
     val preview = Compaction.compactPartitions(spark, dir, "dt", targetBytes = 1L << 30)
-    // without repair the preview would miss dt=a entirely; with it, the
-    // preview equals what a real run would then execute (q61f invariant)
+    // the preview plans the crashed partition FROM SCRATCH (read-only
+    // overlay) — same plan a real run would execute (q61f invariant)...
     assert(!preview.executed && preview.compacted.map(_.value) == Seq("a"))
-    assert(spark.read.parquet(dir).count() == before)
-    assert(!Dfs.exists(scratch))
+    // ...while mutating nothing: residue still in scratch, live still short
+    assert(Dfs.exists(new Path(scratch, "old_a")))
+    assert(spark.read.parquet(dir).count() < before)
+    // the real run repairs, then executes exactly the previewed plan
     val report = Compaction.compactPartitions(spark, dir, "dt",
       targetBytes = 1L << 30, dryRun = false)
     assert(report.compacted == preview.compacted)
+    assert(spark.read.parquet(dir).count() == before)
+    assert(!Dfs.exists(scratch))
   }
 
   test("executed filesAfter is measured from the swapped-in partitions") {

@@ -670,6 +670,11 @@ class StreamingOpsSpec extends SparkSpec {
     val uniform = (0 until 10000).map(i => (i.toLong % 100, s"v$i")).toDF("k", "payload")
     val (_, uniFactor) = Skew.adaptiveSaltedJoin(uniform, dim, "k")
     assert(uniFactor == 1, s"balanced key must not salt, chose $uniFactor")
+    // empty frame: the profile's sum/max are null — must coalesce to a
+    // plain join, not NPE
+    val empty = Seq.empty[(Long, String)].toDF("k", "payload")
+    val (emptyJoined, emptyFactor) = Skew.adaptiveSaltedJoin(empty, dim, "k")
+    assert(emptyFactor == 1 && emptyJoined.count() == 0)
   }
 
   test("exactQuantile: matches the sorted order statistic, edges and duplicates included") {
