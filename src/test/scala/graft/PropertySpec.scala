@@ -261,4 +261,24 @@ class PropertySpec extends SparkSpec {
     assert(got == brute)
     assert(brute.nonEmpty, "fixture must actually produce shared spans")
   }
+
+  test("saltFactorFor: bounded, balanced-is-1, hot-key coverage, monotone") {
+    import graft.engine.Skew.saltFactorFor
+    val counts = Gen.choose(0L, 1000000L)
+    check(Prop.forAll(counts, counts, counts, Gen.choose(1, 64)) {
+      (nRows, nKeys, maxCnt, cap) =>
+        val f = saltFactorFor(nRows, nKeys, maxCnt, cap)
+        val avg = if (nKeys == 0) 0L else math.max(1L, nRows / nKeys)
+        val degenerate = nRows == 0 || nKeys == 0 || maxCnt == 0
+        // always within [1, cap]
+        f >= 1 && f <= math.max(1, cap) &&
+        // degenerate or balanced input never salts
+        (!(degenerate || (!degenerate && maxCnt <= avg)) || f == 1) &&
+        // the factor levels the hot key to ~avg load, unless capped
+        (degenerate || f == cap || f.toLong * avg >= maxCnt) &&
+        // more skew never yields a smaller factor (monotone in maxCnt)
+        (degenerate || maxCnt == 0 ||
+          saltFactorFor(nRows, nKeys, math.min(maxCnt * 2, Long.MaxValue / 2), cap) >= f)
+    })
+  }
 }
