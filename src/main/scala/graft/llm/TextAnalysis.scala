@@ -367,6 +367,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rk"))
   }
 
+  /** BM25 keyword retrieval over the corpus — the query-time companion to
+    * [[topTermsPerDoc]]'s corpus-side scoring, and the lookup a curation
+    * pipeline runs ("which training docs match these eval keywords"). The
+    * classic Robertson formula with k1=1.2, b=0.75 expressed as EXACT
+    * integer arithmetic so any engine replays scores bit-for-bit (the
+    * TF-IDF rule at :353 — floats would drift across engines; `ln`-based
+    * idf would drift across libms):
+    *
+    *   idf(t)     = (scale · (N − df)) DIV (df + 1)        — rational idf
+    *   denom(d,t) = 10·tf·A + 3·A + 9·dl·N                 — ×(10·A) form of
+    *                tf + k1·(1 − b + b·dl/avgdl), avgdl = A/N
+    *   score(d)   = Σ_t (idf · tf · 22 · A) DIV denom      — ×22 = 10·(k1+1)
+    *
+    * N = corpus docs, A = total corpus tokens, dl = doc tokens, tf/df as
+    * usual. Magnitude bound: idf ≤ scale·N, so the numerator fits int64
+    * when scale·N·tf·22·A < 2^63 — the default scale=1000 holds to ~10⁵
+    * docs × 10⁷ corpus tokens; larger corpora lower `scale` (ordering is
+    * what matters) or move the numerator to DECIMAL.
+    *
+    * Scale shape: two aggregations over the token stream (tf per (doc,
+    * term), dl per doc), a broadcast of the query-sized df/idf side, one
+    * 1-row corpus-stats frame cross-joined broadcast, one grouped sum per
+    * doc — the corpus is scanned once and never pairwise-joined.
+    */
+  def bm25Search(docs: DataFrame, queryTokens: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      scale: Long = 1000L): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25Search needs at least one query token")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // corpus token total re-aggregates the (doc-count-sized) dl frame, not
+    // the token stream — one fewer pass over the exploded corpus
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))))
+    val q = queryTokens.distinct
+    val tf = toks.filter(col("tok").isin(q: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        expr(s"($scale * (n_docs - df)) DIV (df + 1)"))
+      .withColumn("contrib",
+        expr("(idf * tf * 22 * a_tokens) DIV " +
+          "(10 * tf * a_tokens + 3 * a_tokens + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Train/test contamination detection (the decontamination pass every
     * eval-clean training pipeline needs): test-split documents sharing at
     * least one word n-gram with any train-split document, via the

@@ -678,6 +678,33 @@ object Llm {
       TextAnalysis.collocations(Tables.table(s, dir, "documents"), minCount = 5)
     },
 
+    // BM25 keyword retrieval (k1=1.2, b=0.75) in EXACT integer arithmetic —
+    // rational idf (scale·(N−df)) DIV (df+1) instead of ln (libm-dependent
+    // across engines), the length-normalized denominator cross-multiplied
+    // by 10·A so every term contribution is one integer floor-division both
+    // engines replay bit-for-bit. Query mixes common terms with the rarest
+    // token in the vocabulary ('dup'), so idf weighting is actually load-
+    // bearing in the ranking the hash compares.
+    QDef.df("q84j_bm25_search",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT count(*) FROM toks) AS a_tokens),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(SUM(
+        |    (((1000 * (n_docs - df)) // (df + 1)) * tf * 22 * a_tokens)
+        |    // (10 * tf * a_tokens + 3 * a_tokens + 9 * dl.dl * n_docs)
+        |  ) AS BIGINT) AS score
+        |FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, st
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.bm25Search(Tables.table(s, dir, "documents"),
+          Seq("hash", "join", "dup"), k = 20)
+    },
+
     // BPE-style pre-token counts vs whitespace tokens per doc.
     QDef.df("q84b_pretokenize",
       s"""SELECT doc_id,

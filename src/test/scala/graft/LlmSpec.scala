@@ -958,4 +958,29 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.capPerGroup(d, "source", k = 4).columns.toSeq ==
       Seq("doc_id", "source", "text"))
   }
+
+  test("bm25Search: rare terms outweigh common, shorter docs outrank at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      // 'apple' appears ONLY here (rare → high idf); one banana
+      (1L, "apple banana pear pear"),
+      // many bananas, no apple — common-term bulk must not beat the rare hit
+      (2L, "banana banana banana banana banana banana banana banana"),
+      // same tf('pear')=2 as doc 1 but twice the length → length-normalized lower
+      (3L, "pear pear kiwi kiwi kiwi kiwi kiwi kiwi"),
+      (4L, "kiwi kiwi kiwi kiwi")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25Search(docs, Seq("apple", "banana"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 (rare apple + one banana) must outrank doc 2 (banana bulk)
+    assert(scores(1L) > scores(2L), scores.toString)
+    assert(!scores.contains(3L) && !scores.contains(4L)) // no query term → absent
+    // length normalization: equal tf, shorter doc scores strictly higher
+    val pear = TextAnalysis.bm25Search(docs, Seq("pear"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pear(1L) > pear(3L), pear.toString)
+    // determinism: identical call, identical scores (pure integer path)
+    val again = TextAnalysis.bm25Search(docs, Seq("apple", "banana"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == scores)
+  }
 }
