@@ -83,8 +83,16 @@ object Bench {
     val eps = if (only.isEmpty) Some(cdcThroughput(spark)) else None
     val epsJson = eps.map(num("%.0f", _)).getOrElse("null")
     val incrJson = incr.map(num("%.1f", _)).getOrElse("null")
+    // every capture is self-identifying: a wall-clock UTC timestamp plus a
+    // short id derived from it. SURVEY/BASELINE quote the id, so "which
+    // capture does this number come from" is answerable from the artifact
+    // alone (round 7 committed one capture and quoted another — untraceable
+    // after the fact without an id)
+    val captureMs = System.currentTimeMillis()
+    val captureTs = java.time.Instant.ofEpochMilli(captureMs).toString
+    val captureId = java.lang.Long.toHexString(captureMs)
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for heavy-hitter join keys (100 TB design note, SURVEY
@@ -14,17 +14,42 @@ object Skew {
   /** Salted equi-join: the large (skewed) side scatters each row into one of
     * `factor` salt buckets; the smaller side replicates each row `factor`
     * times. The join key becomes (key, salt), splitting every hot key's hash
-    * partition `factor` ways. Row-level scatter uses a hash of the whole row
-    * so it's deterministic under retries.
+    * partition `factor` ways.
+    *
+    * Scatter choice — the retry-determinism / duplicate-row trade-off:
+    * the default scatter is a hash of the WHOLE ROW, which is deterministic
+    * under task retries (a row always lands in the same bucket, so a retried
+    * task reproduces its partition exactly). The caveat: N IDENTICAL rows
+    * hash identically and land in ONE salt bucket — a hot key whose rows are
+    * also duplicate-heavy (real CDC / crawl data, where the hot key is often
+    * hot BECAUSE the same record repeats) defeats the split entirely.
+    * Callers with such data pass `scatter`: any stable, near-unique
+    * per-row column — an ingest-time sequence number (the snapshot sink's
+    * `seq`), a source offset, a pre-assigned row id. The scatter column is
+    * hashed then bucketed, so any orderable type works and non-uniform id
+    * distributions still spread. `monotonically_increasing_id()` /
+    * `rand()` are NOT valid scatter inputs: they change across retries, and
+    * a retried task would emit rows into different buckets than its first
+    * attempt (duplicate or lost join rows under speculative execution).
     */
-  def saltedJoin(large: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, factor: Int,
+      scatter: Option[Column] = None): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(factor.toLong)))
+    val salted = large.withColumn("__salt", saltColumn(large, factor, scatter))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The per-row salt bucket [[saltedJoin]] assigns — factored out so tests
+    * and skew diagnostics can observe the scatter a given input produces
+    * (the whole point of the `scatter` knob is WHICH bucket identical rows
+    * land in, and that is invisible in the joined output).
+    */
+  private[graft] def saltColumn(large: DataFrame, factor: Int,
+      scatter: Option[Column]): Column =
+    pmod(scatter.map(xxhash64(_))
+      .getOrElse(xxhash64(struct(large.columns.map(col): _*))), lit(factor.toLong))
 
   /** The salt factor [[graft.inspect.Inspection.skewProfile]]'s numbers
     * imply: how many ways the heaviest key must split so its share of one
@@ -69,11 +94,12 @@ object Skew {
     * rule). `factorOverride` feeds a cached/profiled-elsewhere factor in.
     */
   def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, key: String,
-      cap: Int = 32, factorOverride: Option[Int] = None): (DataFrame, Int) = {
+      cap: Int = 32, factorOverride: Option[Int] = None,
+      scatter: Option[Column] = None): (DataFrame, Int) = {
     val factor = factorOverride.getOrElse(profileSaltFactor(large, key, cap))
     val joined =
       if (factor <= 1) large.join(small, key)
-      else saltedJoin(large, small, key, factor)
+      else saltedJoin(large, small, key, factor, scatter)
     (joined, factor)
   }
 }

@@ -381,10 +381,15 @@ object TextAnalysis {
     *   score(d)   = Σ_t (idf · tf · 22 · A) DIV denom      — ×22 = 10·(k1+1)
     *
     * N = corpus docs, A = total corpus tokens, dl = doc tokens, tf/df as
-    * usual. Magnitude bound: idf ≤ scale·N, so the numerator fits int64
-    * when scale·N·tf·22·A < 2^63 — the default scale=1000 holds to ~10⁵
-    * docs × 10⁷ corpus tokens; larger corpora lower `scale` (ordering is
-    * what matters) or move the numerator to DECIMAL.
+    * usual. The per-term numerator and denominator are computed in
+    * DECIMAL(38,0): idf ≤ scale·N fits int64 comfortably, but idf·tf·22·A
+    * wraps int64 silently under non-ANSI arithmetic already at ~10⁵ docs ×
+    * 10⁷ corpus tokens (scale=1000) — score corruption with no error. In
+    * decimal the bound is 10³⁸: scale·N·tf·22·A < 10³⁸ holds past
+    * 10¹² docs × 10¹³ tokens, beyond any corpus this engine will see (an
+    * overflow there errors rather than wrapping). The quotient (integral
+    * DIV) and the final per-doc sum are exact longs either way, so scores
+    * are bit-identical to the int64 path wherever that path didn't wrap.
     *
     * Scale shape: two aggregations over the token stream (tf per (doc,
     * term), dl per doc), a broadcast of the query-sized df/idf side, one
@@ -412,8 +417,8 @@ object TextAnalysis {
       .withColumn("idf",
         expr(s"($scale * (n_docs - df)) DIV (df + 1)"))
       .withColumn("contrib",
-        expr("(idf * tf * 22 * a_tokens) DIV " +
-          "(10 * tf * a_tokens + 3 * a_tokens + 9 * dl * n_docs)"))
+        expr("(CAST(idf AS DECIMAL(38,0)) * tf * 22 * a_tokens) DIV " +
+          "(CAST(10 AS DECIMAL(38,0)) * tf * a_tokens + 3 * a_tokens + 9 * dl * n_docs)"))
       .groupBy("doc_id")
       .agg(sum(col("contrib")).cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id"))

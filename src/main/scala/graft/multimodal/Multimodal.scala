@@ -162,6 +162,107 @@ object Multimodal {
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
   }
 
+  // ------------------------------------------------------------------ BMP
+  // The one raster format this container CAN decode for real: BMP is
+  // header + raw pixels, no codec jar needed. The encoder/decoder below are
+  // byte-level (little-endian header fields, 4-byte-padded bottom-up pixel
+  // rows) and expression-only — the whole roundtrip stays inside
+  // whole-stage codegen, no UDF. This replaces `decodeStub` for BMP blobs:
+  // width/height/bpp/pixel reads come from the actual bytes.
+
+  /** hex of the low byte of `v`, always 2 chars. */
+  private def hexByte(v: Column): Column =
+    lpad(hex(pmod(v.cast("long"), lit(256L))), 2, "0")
+
+  /** 4-byte little-endian hex encoding of `v`. */
+  private def le32Hex(v: Column): Column = {
+    val x = v.cast("long")
+    concat(hexByte(x), hexByte(shiftright(x, 8)),
+      hexByte(shiftright(x, 16)), hexByte(shiftright(x, 24)))
+  }
+
+  /** BMP pixel rows are padded to 4-byte boundaries: stride = ceil(3w/4)·4. */
+  private def bmpStride(w: Column): Column =
+    shiftleft(shiftright(w.cast("long") * 3 + 3, 2), 2)
+
+  /** Encodes a REAL 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + raw
+    * BGR rows, bottom-up, 4-byte row padding) with a deterministic pixel
+    * pattern derived from (x, y, seed):
+    *   B = (3x + y) mod 251, G = (x + 7y) mod 251, R = (x + y + seed) mod 251
+    * The bytes are a valid image any BMP viewer opens; the pattern makes
+    * every pixel independently checkable by closed-form arithmetic — which
+    * is exactly what lets an external oracle verify [[bmpChannelSum]]'s
+    * byte-level decode without itself parsing BMP.
+    */
+  def encodeBmp(w: Column, h: Column, seed: Column): Column = {
+    val stride = bmpStride(w)
+    val dataSize = stride * h.cast("long")
+    val fileSize = dataSize + 54L
+    val header = concat(
+      lit("424D"), le32Hex(fileSize), lit("00000000"), le32Hex(lit(54L)), // file header
+      le32Hex(lit(40L)), le32Hex(w), le32Hex(h), lit("0100"), lit("1800"), // info header
+      le32Hex(lit(0L)), le32Hex(dataSize),
+      le32Hex(lit(2835L)), le32Hex(lit(2835L)), le32Hex(lit(0L)), le32Hex(lit(0L)))
+    // rows bottom-up (file row r carries image row y = h-1-r), each padded
+    // to the 4-byte stride
+    val rows = array_join(
+      transform(sequence(h.cast("long") - 1, lit(0L), lit(-1L)), y =>
+        concat(
+          array_join(transform(sequence(lit(0L), w.cast("long") - 1), x =>
+            concat(
+              hexByte(pmod(x * 3 + y, lit(251L))),
+              hexByte(pmod(x + y * 7, lit(251L))),
+              hexByte(pmod(x + y + seed.cast("long"), lit(251L))))), ""),
+          repeat(lit("00"), (bmpStride(w) - w.cast("long") * 3).cast("int")))), "")
+    unhex(concat(header, rows))
+  }
+
+  /** The byte at 1-based `pos` of a binary column, as 0..255. */
+  private def byteAt(media: Column, pos: Column): Column =
+    conv(hex(media.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+
+  /** Little-endian unsigned integer of `n` bytes at 1-based `pos` — folded
+    * high-byte-first so no per-step shift is needed.
+    */
+  private def leIntAt(media: Column, pos: Int, n: Int): Column =
+    aggregate(sequence(lit(n - 1), lit(0), lit(-1)), lit(0L),
+      (acc, i) => acc * 256L + byteAt(media, lit(pos) + i))
+
+  /** REAL BMP header decode: (width, height, bits-per-pixel, pixel-data
+    * offset) parsed from the actual little-endian header bytes. Non-BMP
+    * bytes (wrong magic) decode as null — the sniff-then-decode contract.
+    */
+  def decodeBmpMeta(media: Column): Column = {
+    val isBmp = hex(media.substr(lit(1), lit(2))) === "424D"
+    val meta = struct(
+      leIntAt(media, 19, 4).cast("int").as("width"),
+      leIntAt(media, 23, 4).cast("int").as("height"),
+      leIntAt(media, 29, 2).cast("int").as("bpp"),
+      leIntAt(media, 11, 4).as("data_offset"))
+    when(isBmp, meta).otherwise(lit(null).cast(
+      "struct<width:int,height:int,bpp:int,data_offset:bigint>"))
+  }
+
+  /** Sum of one channel (0=B, 1=G, 2=R) over EVERY pixel of a 24-bit BMP,
+    * reading the actual pixel bytes (data offset, stride and dimensions all
+    * from the header — nothing assumed from the writer). One flat aggregate
+    * over w·h positions per row; padding bytes are skipped by construction.
+    * The downstream shape of any real per-pixel feature (mean brightness,
+    * channel histograms): a narrow per-row expression, no UDF, no shuffle.
+    */
+  def bmpChannelSum(media: Column, channel: Int): Column = {
+    require(channel >= 0 && channel < 3, "channel must be 0 (B), 1 (G) or 2 (R)")
+    val w = leIntAt(media, 19, 4)
+    val h = leIntAt(media, 23, 4)
+    val off = leIntAt(media, 11, 4)
+    val stride = bmpStride(w)
+    aggregate(sequence(lit(0L), w * h - 1), lit(0L), (acc, i) => {
+      val x = pmod(i, w)
+      val r = ((i - x) / w).cast("long") // file row; bottom-up order is sum-irrelevant
+      acc + byteAt(media, off + r * stride + x * 3 + channel + 1)
+    })
+  }
+
   /** Inference batch shape: rows grouped into fixed-size batches keyed by
     * `id div batchSize` — one output row per batch with id-aligned feature
     * arrays, ready to hand a vectorized model runner one tensor per row.

@@ -1530,6 +1530,49 @@ object Llm {
       m.withColumn("sniffed", Multimodal.sniffType(col("media")))
         .select(col("media_id"), col("media_type"), col("sniffed"),
           (Multimodal.sniffCategory(col("sniffed")) === col("media_type")).as("claim_ok"))
+    },
+
+    // REAL raster decode, end to end: per document, ENCODE an actual 24-bit
+    // BMP (deterministic dimensions from n_chars, deterministic per-pixel
+    // pattern from (x, y, doc_id)) and DECODE it back byte-level — width/
+    // height/bpp from the little-endian header, per-channel pixel sums from
+    // the pixel data (offset + 4-byte row stride from the header, padding
+    // skipped). Nothing flows from encoder to decoder except the bytes, so
+    // a header-layout, endianness, stride or padding bug on EITHER side
+    // breaks the match. The oracle never parses BMP: it recomputes every
+    // field by closed-form arithmetic over the same (x, y, doc_id) domain —
+    // an independent check of the byte-level decode (supersedes the q95
+    // decodeStub caveat: these frame fields are oracle-checked, not
+    // hash-derived).
+    QDef.df("q95f_bmp_roundtrip",
+      """WITH dims AS (SELECT doc_id, n_chars % 12 + 1 AS w, n_chars % 7 + 1 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, range(0, 12) tx(x), range(0, 7) ty(y)
+        |       WHERE x < w AND y < h)
+        |SELECT doc_id,
+        |       CAST(MAX(w) AS BIGINT) AS width,
+        |       CAST(MAX(h) AS BIGINT) AS height,
+        |       CAST(24 AS BIGINT) AS bpp,
+        |       CAST(54 + ((MAX(w)*3+3)//4)*4*MAX(h) AS BIGINT) AS n_bytes,
+        |       CAST(SUM((3*x + y) % 251) AS BIGINT) AS sum_b,
+        |       CAST(SUM((x + 7*y) % 251) AS BIGINT) AS sum_g,
+        |       CAST(SUM((x + y + doc_id) % 251) AS BIGINT) AS sum_r
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      graft.engine.Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          (pmod(col("n_chars"), lit(12L)) + 1).cast("int").as("w"),
+          (pmod(col("n_chars"), lit(7L)) + 1).cast("int").as("h"))
+        .withColumn("media", Multimodal.encodeBmp(col("w"), col("h"), col("doc_id")))
+        .withColumn("meta", Multimodal.decodeBmpMeta(col("media")))
+        .select(col("doc_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.bpp").cast("long").as("bpp"),
+          length(col("media")).cast("long").as("n_bytes"),
+          Multimodal.bmpChannelSum(col("media"), 0).as("sum_b"),
+          Multimodal.bmpChannelSum(col("media"), 1).as("sum_g"),
+          Multimodal.bmpChannelSum(col("media"), 2).as("sum_r"))
     }
   )
 }

@@ -134,17 +134,72 @@ object Compaction {
     * cancels any corruption with even multiplicity ({A,A}→{B,B} passes an
     * xor check); the sum is order-insensitive but multiplicity-sensitive,
     * exact in decimal(38,0) (n·2^63 ≪ 10^38) and ANSI-overflow-free.
+    *
+    * MAP columns: Spark's hash functions reject MapType (map iteration
+    * order is undefined, so a direct hash would be nondeterministic).
+    * Schemas containing maps — at any nesting depth — are canonicalized
+    * first via [[canonicalizeForHash]]: every map becomes its
+    * key-sorted entry array, which hashes deterministically and preserves
+    * full content sensitivity (no count-only fallback). Map-free schemas
+    * take the plain codegen path untouched.
     */
   private[graft] def contentFingerprint(spark: SparkSession,
       path: Path): (Long, BigDecimal) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, sum, xxhash64}
     val df = spark.read.parquet(path.toString)
-    val row = df.select(xxhash64(struct(df.columns.sorted.map(df.col): _*))
+    val cols = df.schema.fields.sortBy(_.name)
+      .map(f => canonicalizeForHash(df.col(f.name), f.dataType).as(f.name))
+    val row = df.select(xxhash64(struct(cols.toIndexedSeq: _*))
         .cast("decimal(38,0)").as("h"))
       .agg(count(lit(1)).as("c"),
         coalesce(sum(col("h")), lit(java.math.BigDecimal.ZERO)).as("s"))
       .head()
     (row.getLong(0), BigDecimal(row.getDecimal(1)))
+  }
+
+  /** Rewrites a column into a hash-stable shape: maps (unhashable,
+    * iteration-order-undefined) become their entry arrays sorted by key;
+    * structs and arrays recurse so maps at ANY depth are reached. The
+    * entries are canonicalized BEFORE the sort, so once a nested map has
+    * become a sorted array the enclosing struct is orderable and
+    * `array_sort`'s struct comparison (field order: key first) is
+    * deterministic. Map-free types return the column unchanged — the
+    * common case stays inside codegen with zero rewriting.
+    */
+  private[graft] def canonicalizeForHash(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_sort, lit, map_entries, struct, transform, when}
+    import org.apache.spark.sql.types._
+    def containsMap(t: DataType): Boolean = t match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    def canonType(t: DataType): DataType = t match {
+      case m: MapType => ArrayType(StructType(Seq(
+        StructField("key", canonType(m.keyType), nullable = false),
+        StructField("value", canonType(m.valueType), m.valueContainsNull))))
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = canonType(f.dataType))))
+      case a: ArrayType => a.copy(elementType = canonType(a.elementType))
+      case other => other
+    }
+    def canon(col: org.apache.spark.sql.Column, t: DataType): org.apache.spark.sql.Column = t match {
+      case m: MapType =>
+        array_sort(transform(map_entries(col), e =>
+          struct(canon(e.getField("key"), m.keyType).as("key"),
+            canon(e.getField("value"), m.valueType).as("value"))))
+      case s: StructType =>
+        // struct() rebuilt from a NULL struct's fields would yield a
+        // non-null struct of nulls — a different hash; preserve the null
+        when(col.isNull, lit(null).cast(canonType(s))).otherwise(
+          struct(s.fields.map(f => canon(col.getField(f.name), f.dataType).as(f.name))
+            .toIndexedSeq: _*))
+      case a: ArrayType => transform(col, e => canon(e, a.elementType))
+      case _ => col
+    }
+    if (containsMap(dt)) canon(c, dt) else c
   }
 
   /** Rewrites every partition of `dir` (laid out `column=value/`) that holds
@@ -171,7 +226,9 @@ object Compaction {
     * manifest-committed compact.
     */
   def compactPartitions(spark: SparkSession, dir: String, column: String,
-      targetBytes: Long = 128L << 20, dryRun: Boolean = true): CompactionReport = {
+      targetBytes: Long = 128L << 20, dryRun: Boolean = true,
+      perPartitionTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(2, java.util.concurrent.TimeUnit.HOURS)): CompactionReport = {
     if (dryRun) {
       val (cand, skip) = plan(dir, column, targetBytes, crashOverlay(dir, column))
       CompactionReport(column, cand, skip, executed = false)
@@ -211,10 +268,29 @@ object Compaction {
               Dfs.deleteTreeStrict(old)
             }(ec)
           }
+          // finite per-future await: a stuck Spark job must surface as a
+          // TimeoutException in the report, not hang the maintainer forever
+          // (a timed-out partition's job may still be running — the error
+          // message says so, and the next real run's recover() repairs
+          // whatever state it left)
           done.map(f => scala.util.Try(
-            scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+            scala.concurrent.Await.result(f, perPartitionTimeout)))
         } finally pool.shutdown()
-      outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      // failure report names EVERY partition's outcome — partitions that
+      // already swapped are real state the caller must know about (they are
+      // compacted; the originals are gone), not detail to discard
+      val byValue = cand.map(_.value).zip(outcomes)
+      val failures = byValue.collect { case (v, scala.util.Failure(e)) => (v, e) }
+      if (failures.nonEmpty) {
+        val swapped = byValue.collect { case (v, scala.util.Success(_)) => v }
+        throw new RuntimeException(
+          s"compaction of $dir failed for partition(s) " +
+            failures.map { case (v, e) => s"$v (${e.getClass.getSimpleName}: ${e.getMessage})" }
+              .mkString("[", "; ", "]") +
+            s"; partitions already swapped successfully: ${swapped.mkString("[", ", ", "]")}" +
+            "; a timed-out partition's Spark job may still be running — wait for it before retrying",
+          failures.head._2)
+      }
       // every candidate swapped and cleaned — the scratch root is empty
       Dfs.deleteTreeStrict(scratchRoot(dir))
       // measured, not planned: re-list the swapped-in partitions

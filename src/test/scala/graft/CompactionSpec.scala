@@ -179,6 +179,51 @@ class CompactionSpec extends SparkSpec {
     assert(contentFingerprint(spark, write(base.take(0), 1))._1 == 0L)
   }
 
+  test("content fingerprint handles MAP columns: entry-order-insensitive, content-sensitive") {
+    import Compaction.contentFingerprint
+    // Spark's hash functions reject MapType outright — before the
+    // canonicalization this threw AnalysisException on ANY map-bearing
+    // table, so a real compaction run would fail where count-only passed
+    def write(df: org.apache.spark.sql.DataFrame): Path = {
+      val d = new Path(tmpDir("fpmap"), "t")
+      df.write.mode("overwrite").parquet(d.toString)
+      d
+    }
+    val fwd = Seq(1L).toDF("id").select(col("id"),
+      map(lit("a"), lit(1), lit("b"), lit(2)).as("m"),
+      struct(map(lit("x"), array(lit(7))).as("inner")).as("s")) // nested map too
+    val rev = Seq(1L).toDF("id").select(col("id"),
+      map(lit("b"), lit(2), lit("a"), lit(1)).as("m"),
+      struct(map(lit("x"), array(lit(7))).as("inner")).as("s"))
+    // same content, different insertion order → same fingerprint
+    assert(contentFingerprint(spark, write(fwd)) == contentFingerprint(spark, write(rev)))
+    // a changed VALUE inside the map must change the fingerprint
+    val changed = Seq(1L).toDF("id").select(col("id"),
+      map(lit("a"), lit(1), lit("b"), lit(99)).as("m"),
+      struct(map(lit("x"), array(lit(7))).as("inner")).as("s"))
+    assert(contentFingerprint(spark, write(fwd)) != contentFingerprint(spark, write(changed)))
+    // null map and null struct survive (and differ from struct-of-nulls)
+    val nulls = Seq(1L).toDF("id").select(col("id"),
+      lit(null).cast("map<string,int>").as("m"),
+      lit(null).cast("struct<inner:map<string,array<int>>>").as("s"))
+    assert(contentFingerprint(spark, write(nulls)) != contentFingerprint(spark, write(fwd)))
+  }
+
+  test("real compaction run succeeds on a map-bearing table") {
+    val dir = tmpDir("compact_map") + "/t"
+    (1 to 60).map(i => (i.toLong, "a")).toDF("id", "dt")
+      .select(col("id"), map(lit("k"), col("id")).as("props"), col("dt"))
+      .repartition(5).write.partitionBy("dt").parquet(dir)
+    val before = spark.read.parquet(dir).select(sum(element_at(col("props"), "k")))
+      .head().getLong(0)
+    val report = Compaction.compactPartitions(spark, dir, "dt",
+      targetBytes = 1L << 30, dryRun = false)
+    assert(report.executed && report.compacted.map(_.value) == Seq("a"))
+    assert(dataFiles(dir, "dt=a") == 1)
+    assert(spark.read.parquet(dir).select(sum(element_at(col("props"), "k")))
+      .head().getLong(0) == before)
+  }
+
   test("bytes-proportional target splits a large partition into several files") {
     val dir = fragmented(filesA = 8)
     val (_, bytesA) = Dfs.contentSummary(new Path(dir, "dt=a"))

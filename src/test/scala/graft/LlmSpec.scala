@@ -533,6 +533,59 @@ class LlmSpec extends SparkSpec {
       4L -> "mkv", 5L -> "unknown", 6L -> "unknown", 7L -> "unknown"))
   }
 
+  test("encodeBmp emits valid BMPs the JDK's own reader decodes pixel-identically") {
+    // the independent check: javax.imageio ships a BMP reader — if OUR
+    // byte-level encoder disagrees with the JDK's decoder on any header
+    // field, stride pad, row order or channel order, this fails. Widths
+    // 1..5 sweep every 4-byte row-padding case (pad 1, 2, 3, 0, 1)
+    val cases = for (w <- 1 to 5; h <- Seq(1, 3)) yield (w, h, 11L * w + h)
+    val enc = cases.toDF("w", "h", "seed")
+      .select($"w", $"h", $"seed",
+        Multimodal.encodeBmp($"w", $"h", $"seed").as("media"))
+      .collect()
+    for (r <- enc) {
+      val (w, h, seed) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+      assert(img != null, s"JDK reader rejected the ${w}x$h BMP")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = img.getRGB(x, y)
+        // encoder writes file rows h-1..0 (bottom-up storage), so pattern y
+        // IS the top-down image y the JDK hands back
+        assert((rgb & 0xFF) == (3 * x + y) % 251, s"B at ($x,$y) ${w}x$h")
+        assert(((rgb >> 8) & 0xFF) == (x + 7 * y) % 251, s"G at ($x,$y) ${w}x$h")
+        assert(((rgb >> 16) & 0xFF) == ((x + y + seed) % 251).toInt, s"R at ($x,$y) ${w}x$h")
+      }
+    }
+  }
+
+  test("decodeBmpMeta and bmpChannelSum parse the real bytes; non-BMP decodes null") {
+    val cases = Seq((1, 1, 7L), (3, 2, 0L), (5, 4, 250L))
+    val got = cases.toDF("w", "h", "seed")
+      .withColumn("media", Multimodal.encodeBmp($"w", $"h", $"seed"))
+      .select($"w", $"h", $"seed",
+        Multimodal.decodeBmpMeta($"media").as("meta"),
+        Multimodal.bmpChannelSum($"media", 0).as("sb"),
+        Multimodal.bmpChannelSum($"media", 1).as("sg"),
+        Multimodal.bmpChannelSum($"media", 2).as("sr"))
+      .collect()
+    for (r <- got) {
+      val (w, h, seed) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val meta = r.getStruct(3)
+      assert(meta.getAs[Int]("width") == w && meta.getAs[Int]("height") == h)
+      assert(meta.getAs[Int]("bpp") == 24 && meta.getAs[Long]("data_offset") == 54L)
+      val xy = for (x <- 0 until w; y <- 0 until h) yield (x, y)
+      assert(r.getLong(4) == xy.map { case (x, y) => (3 * x + y) % 251 }.sum.toLong)
+      assert(r.getLong(5) == xy.map { case (x, y) => (x + 7 * y) % 251 }.sum.toLong)
+      assert(r.getLong(6) == xy.map { case (x, y) => (x + y + seed) % 251 }.sum)
+    }
+    // wrong magic → null meta, the sniff-then-decode contract
+    val junk = Seq(Tuple1("notabmp".getBytes("US-ASCII"))).toDF("media")
+      .select(Multimodal.decodeBmpMeta($"media").as("meta")).collect().head
+    assert(junk.isNullAt(0))
+  }
+
   test("chunk: exact 32-byte slices with a ragged tail; empty blob keeps one empty chunk") {
     val blob = Array.tabulate(70)(_.toByte)
     val d = Seq((0L, blob), (1L, Array.empty[Byte])).toDF("id", "media")

@@ -261,11 +261,21 @@ class PlanSpec extends SparkSpec {
     // a bare crossJoin relies on AQE to notice the 1-row side at runtime;
     // intent must be explicit — broadcast(...) — or the line must carry a
     // `bounded` comment stating why the cross is safe at scale
-    val srcRoot = java.nio.file.Paths.get("src/main/scala")
+    // anchored on user.dir (sbt sets it to the project root), walking
+    // upward as a fallback — a relative path silently walks nothing when
+    // tests run from elsewhere, and an empty walk must FAIL, not pass
+    val srcRoot = Iterator.iterate(
+        java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(4)
+      .map(_.resolve("src/main/scala"))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(fail(s"src/main/scala not found from user.dir=${sys.props("user.dir")}"))
+    var scanned = 0
     val offenders = scala.collection.mutable.ListBuffer[String]()
     val walk = java.nio.file.Files.walk(srcRoot)
     try walk.forEach { p =>
       if (p.toString.endsWith(".scala")) {
+        scanned += 1
         // whole-file text with whitespace stripped: a scalafmt line-wrap
         // between crossJoin( and broadcast( must not flip the verdict
         val flat = new String(java.nio.file.Files.readAllBytes(p),
@@ -283,6 +293,8 @@ class PlanSpec extends SparkSpec {
         }
       }
     } finally walk.close()
+    assert(scanned >= 10,
+      s"lint walked only $scanned .scala files under $srcRoot — wrong root?")
     assert(offenders.isEmpty,
       "bare crossJoin (no broadcast hint, no `bounded` comment):\n" +
         offenders.mkString("\n"))

@@ -649,6 +649,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("saltedJoin scatter: duplicate rows co-bucket by default, ordinal scatter splits them") {
+    // the crawl/CDC shape: the hot key is hot BECAUSE the same record
+    // repeats — 4000 IDENTICAL (k=1, "dup") rows next to a uniform tail
+    val rows = Seq.fill(4000)((1L, "dup")) ++ (0 until 4000).map(i => (i.toLong % 100, s"v$i"))
+    val withSeq = rows.zipWithIndex.map { case ((k, p), i) => (k, p, i.toLong) }
+      .toDF("k", "payload", "seq") // ingest-time ordinal, retry-stable
+    val noSeq = withSeq.drop("seq")
+    def hotBuckets(df: org.apache.spark.sql.DataFrame, scatter: Option[org.apache.spark.sql.Column]) =
+      df.withColumn("salt", Skew.saltColumn(df, 8, scatter))
+        .filter($"k" === 1L).select("salt").distinct().count()
+    // documented caveat: content-hash scatter lands every duplicate in ONE
+    // bucket — the split is defeated exactly when it's needed most
+    assert(hotBuckets(noSeq, None) == 1L)
+    // the ordinal path spreads the duplicates across all 8 buckets
+    assert(hotBuckets(withSeq, Some($"seq")) == 8L)
+    // and the joined content is unchanged by the scatter choice
+    val dim = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = withSeq.join(dim, "k")
+    val salted = Skew.saltedJoin(withSeq, dim, "k", factor = 8, scatter = Some($"seq"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("adaptive salting: skewed key salts, balanced key joins plain, content equal") {
     // saltFactorFor: pure arithmetic cases first
     assert(Skew.saltFactorFor(0, 0, 0) == 1)          // empty: nothing to split

@@ -1,41 +1,43 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.queries.Registry
 
-/** Forward-drift guard for the OTHER temporal columns (the events.ts
-  * counterpart lives in TablesDtypeSpec): the driver has already moved
-  * `o_orderdate`/`l_shipdate` from timestamp[ms] to timestamp[us] between
-  * rounds; the remaining plausible regeneration is DATE. The date-touching
-  * query families must keep analyzing and executing against a DATE-typed
-  * fixture dir — every engine-side use is either type-agnostic (ORDER BY,
-  * year(), min/max_by) or explicitly `CAST(... AS TIMESTAMP)`, and this
-  * spec keeps it that way.
+/** Forward-drift guards for fixture dtype regenerations (the events.ts
+  * counterpart lives in TablesDtypeSpec): the driver regenerates
+  * /root/testdata between rounds and has already moved temporal columns
+  * across three physical types. Each test rebuilds the fixture dir with the
+  * NEAREST-PLAUSIBLE alternate dtype for one column family and runs a
+  * representative query per touching family — so the next regeneration
+  * breaks one targeted test here instead of a third of the suite:
+  *  - o_orderdate/l_shipdate → DATE (timestamp[ms]→[us] already happened)
+  *  - embeddings → list<double> (and the element type is asserted, not
+  *    assumed — array element drift is the realistic failure)
+  *  - TPC-H money columns → DECIMAL(15,2) (the canonical TPC-H type; the
+  *    generator currently ships double)
   */
 class TemporalDriftSpec extends SparkSpec {
   import spark.implicits._
 
-  /** A miniature sf dir whose orders/lineitem carry DATE temporal columns;
-    * other tables are minimal but schema-complete for the chosen queries.
+  /** A miniature sf dir copied from the real sf0.001 fixtures with a
+    * per-table rewrite applied — queries touch many real columns, so
+    * synthesizing from scratch would drift from the true fixture shape.
     */
-  private lazy val dateDir: String = {
-    val dir = tmpDir("temporal_drift")
+  private def driftDir(tag: String)(rewrite: (String, DataFrame) => DataFrame): String = {
+    val dir = tmpDir(tag)
     val src = "/root/testdata/sf0.001"
-    // copy the real schemas, rewriting only the temporal columns to DATE —
-    // queries touch many real columns, so synthesizing from scratch would
-    // drift from the true fixture shape
-    for (n <- graft.engine.Tables.names) {
+    for (n <- graft.engine.Tables.names :+ "events") {
       val df = spark.read.parquet(s"$src/$n.parquet")
-      val out = n match {
-        case "orders"   => df.withColumn("o_orderdate", col("o_orderdate").cast("date"))
-        case "lineitem" => df.withColumn("l_shipdate", col("l_shipdate").cast("date"))
-        case _          => df
-      }
-      out.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+      rewrite(n, df).write.mode("overwrite").parquet(s"$dir/$n.parquet")
     }
-    spark.read.parquet(s"$src/events.parquet")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
+  }
+
+  private lazy val dateDir: String = driftDir("temporal_drift") {
+    case ("orders", df)   => df.withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    case ("lineitem", df) => df.withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    case (_, df)          => df
   }
 
   // one representative per date-touching family: TPC-H date predicates +
@@ -55,23 +57,41 @@ class TemporalDriftSpec extends SparkSpec {
     // the ANN stack casts per-element (quantize/asDouble/cosine_sim all
     // accept float|double) — pin that a regeneration to double analyzes
     // and executes for a similarity and a k-means representative
-    val dir = tmpDir("embedding_drift")
-    val src = "/root/testdata/sf0.001"
-    for (n <- graft.engine.Tables.names) {
-      val df = spark.read.parquet(s"$src/$n.parquet")
-      val out =
-        if (n == "embeddings")
-          df.withColumn("embedding", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        else df
-      out.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    val dir = driftDir("embedding_drift") {
+      case ("embeddings", df) =>
+        df.withColumn("embedding", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      case (_, df) => df
     }
-    spark.read.parquet(s"$src/events.parquet")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(spark.read.parquet(s"$dir/embeddings.parquet").schema("embedding")
       .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType == org.apache.spark.sql.types.DoubleType)
     for (name <- Seq("q82_cosine_all", "q89d_kmeans"))
       assert(Registry.byName(name).build(spark, dir).collect().nonEmpty,
         s"$name returned no rows on the double-typed embeddings")
+  }
+
+  test("money queries survive double → DECIMAL(15,2) drift on TPC-H amounts") {
+    // DECIMAL(15,2) is what canonical TPC-H ships; the generator currently
+    // writes double. Aggregations, join filters, sorts and TPC-H pricing
+    // arithmetic must keep analyzing (decimal arithmetic widens precision
+    // rather than erroring) and returning rows
+    val money = Map(
+      "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      "orders"   -> Seq("o_totalprice"),
+      "part"     -> Seq("p_retailprice"),
+      "supplier" -> Seq("s_acctbal"),
+      "customer" -> Seq("c_acctbal"))
+    val dir = driftDir("money_drift") { (n, df) =>
+      money.getOrElse(n, Nil).foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d.withColumn(c, col(c).cast("decimal(15,2)")) else d
+      }
+    }
+    assert(spark.read.parquet(s"$dir/lineitem.parquet").schema("l_extendedprice")
+      .dataType == org.apache.spark.sql.types.DecimalType(15, 2))
+    // representatives: TPC-H Q1 pricing aggregate, an orders⋈lineitem join,
+    // TPC-H Q3 (join + money arithmetic + date), a money-keyed global sort
+    for (name <- Seq("q20_tpch_q1", "q10_inner_join", "q48_tpch_q3", "q40_global_sort"))
+      assert(Registry.byName(name).build(spark, dir).collect().nonEmpty,
+        s"$name returned no rows on the DECIMAL-typed money columns")
   }
 }
