@@ -652,7 +652,8 @@ class StreamingOpsSpec extends SparkSpec {
   test("saltedJoin scatter: duplicate rows co-bucket by default, ordinal scatter splits them") {
     // the crawl/CDC shape: the hot key is hot BECAUSE the same record
     // repeats — 4000 IDENTICAL (k=1, "dup") rows next to a uniform tail
-    val rows = Seq.fill(4000)((1L, "dup")) ++ (0 until 4000).map(i => (i.toLong % 100, s"v$i"))
+    // uniform tail keys are 2..99 so EVERY k=1 row is the identical dup
+    val rows = Seq.fill(4000)((1L, "dup")) ++ (0 until 4000).map(i => (i.toLong % 98 + 2, s"v$i"))
     val withSeq = rows.zipWithIndex.map { case ((k, p), i) => (k, p, i.toLong) }
       .toDF("k", "payload", "seq") // ingest-time ordinal, retry-stable
     val noSeq = withSeq.drop("seq")
