@@ -120,6 +120,33 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss random projection: maps `dim`-d embeddings onto
+    * `outDim` deterministic hash-derived hyperplanes (the same
+    * [[planeWeight]] planes LSH buckets with — here the full dot product is
+    * kept instead of just its sign). JL's lemma says pairwise distances are
+    * preserved within (1±ε) at outDim = O(log n / ε²), so the projected
+    * vectors are a drop-in cheaper substrate for clustering / coarse ANN:
+    * at 100 TB this is the pass that turns 64–4096-d float corpora into
+    * 8–32-d sketches BEFORE any pairwise work, shrinking every downstream
+    * shuffle by dim/outDim. Pure per-row HOF arithmetic (zero shuffle,
+    * whole-stage codegen); no RNG state — identical planes on every
+    * executor, every run, and in the oracle, which embeds the same weights
+    * as SQL literals (shortest-round-trip doubles parse to identical bits).
+    * Output: one row per (id, plane j) with the projection floor-quantized
+    * at 1e4 (floor of an exactly-computed double is engine-identical).
+    */
+  def randomProject(vectors: DataFrame, outDim: Int, dim: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val d = asDouble(col(embCol))
+    val projs = array((0 until outDim).map { p =>
+      val w = array((0 until dim).map(i => lit(planeWeight(p, i))): _*)
+      dotD(d, w)
+    }: _*)
+    vectors.select(col(idCol), posexplode(projs).as(Seq("j", "pj")))
+      .select(col(idCol), col("j").cast("bigint").as("j"),
+        floor(col("pj") * 10000).cast("bigint").as("proj_q"))
+  }
+
   /** Symmetric int8 quantization profile — the vector-DB compression pass
     * (4× over float32) with an engine-reproducible contract: codes are
     * `floor(x·127 / absmax)` in IEEE double (multiply, divide, floor are

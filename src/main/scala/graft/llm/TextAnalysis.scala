@@ -425,6 +425,67 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (sparse BM25 + dense ANN, or any N ranked lists): fused(d) =
+    * Σ_lists 1/(kConst + rank_d), documents missing from a list contribute
+    * nothing. Computed as exact integers — each list contributes
+    * `scale DIV (kConst + rank)` (floor division both engines share), so
+    * at scale = 10¹² the floor error (< 1) is six orders below the
+    * smallest meaningful score difference and the fused score is
+    * bit-identical everywhere, with no float formatting to disagree on.
+    * Input frames are (id, rank) with 1-based BIGINT ranks; the union is
+    * candidate-list-sized (top-k per retriever, NOT corpus-sized), so the
+    * fusion itself is a trivial grouped sum — at 100 TB the cost lives in
+    * the retrievers, which is where it belongs.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, kConst: Long = 60L,
+      scale: Long = 1000000000000L, idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(r =>
+      r.select(col(idCol),
+        expr(s"$scale DIV ($kConst + rank)").as("contrib")))
+    contribs.reduce(_ unionAll _)
+      .groupBy(idCol)
+      .agg(sum(col("contrib")).cast("long").as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** TF-IDF-weighted sparse all-pairs similarity (the DISCO / all-pairs
+    * shape): per-(doc, term) integer weights w = tf · idf with the same
+    * integral idf as [[bm25Search]] (`(scale·(N−df)) DIV (df+1)`), then
+    * pair scores dot(i,j) = Σ_t w_i·w_j via a self-equi-join of the
+    * inverted index on the term. The scale lever is `maxDf`: terms in more
+    * than maxDf documents are dropped BEFORE the join (classic df-cut /
+    * prefix filtering) — the join fan-out per term is ≤ maxDf², so hot
+    * Zipf-head terms can never drive the pair count quadratic in the
+    * corpus; at 100 TB maxDf is the knob that trades recall on
+    * common-word-only similarity (worthless anyway — that's what stopword
+    * idf≈0 encodes) for a bounded shuffle. Products accumulate in
+    * DECIMAL(38,0) (w ≤ scale·N·tf — int64 wraps silently at large N·tf,
+    * decimal errors instead). Emits pairs with dot ≥ minDot, i < j.
+    */
+  def tfidfPairs(docs: DataFrame, minDot: Long, maxDf: Long,
+      scale: Long = 1000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfT, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        (col("tf").cast("decimal(38,0)") *
+          expr(s"($scale * (n_docs - df)) DIV (df + 1)")).as("w"))
+    w.as("a").join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(col("a.w") * col("b.w")).cast("decimal(38,0)").as("dot"))
+      .filter(col("dot") >= minDot)
+  }
+
   /** Train/test contamination detection (the decontamination pass every
     * eval-clean training pipeline needs): test-split documents sharing at
     * least one word n-gram with any train-split document, via the

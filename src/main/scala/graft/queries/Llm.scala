@@ -425,6 +425,25 @@ object Llm {
       Similarity.quantizeInt8Profile(Tables.table(s, dir, "embeddings"))
     },
 
+    // Johnson–Lindenstrauss random projection (dimensionality reduction for
+    // embeddings): 64-d → 8-d onto the SAME deterministic hash-derived
+    // planes q89c buckets with, full dot kept. The oracle recomputes every
+    // projection from the identical plane literals (shortest-round-trip
+    // doubles; list_dot_product folds in the same index order as the
+    // engine's zip_with/aggregate), floor-quantized at 1e4.
+    QDef.df("q82d_random_projection", {
+      def plane(p: Int) =
+        (0 until 64).map(d => Similarity.planeWeight(p, d).toString).mkString("[", ", ", "]")
+      val arms = (0 until 8).map(p =>
+        s"SELECT vec_id, CAST($p AS BIGINT) AS j, list_dot_product(ve, ${plane(p)}) AS pj FROM v")
+        .mkString("\nUNION ALL\n")
+      s"""$V
+         |SELECT vec_id, j, CAST(floor(pj * 10000) AS BIGINT) AS proj_q
+         |FROM ($arms)""".stripMargin
+    }) { (s, dir) =>
+      Similarity.randomProject(Tables.table(s, dir, "embeddings"), outDim = 8, dim = 64)
+    },
+
     QDef.df("q89_ann_topk",
       s"""$V,
          |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
@@ -703,6 +722,85 @@ object Llm {
       (s, dir) =>
         TextAnalysis.bm25Search(Tables.table(s, dir, "documents"),
           Seq("hash", "join", "dup"), k = 20)
+    },
+
+    // Hybrid retrieval via reciprocal-rank fusion: BM25 top-50 (q84j's
+    // sparse scorer) fused with dense cosine top-50 (q83's scorer, query =
+    // vec 0, vec_id ≡ doc_id in the fixture) — fused score is the exact
+    // integer Σ 10¹² DIV (60 + rank) per list, so no float ever reaches
+    // the output. Both rank orders are pinned (quantized cosine /
+    // integer BM25 score, id tiebreak), making the fusion deterministic.
+    QDef.df("q84k_rrf_hybrid",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT count(*) FROM toks) AS a_tokens),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT tf.doc_id, CAST(SUM(
+        |    (((1000 * (n_docs - df)) // (df + 1)) * tf * 22 * a_tokens)
+        |    // (10 * tf * a_tokens + 3 * a_tokens + 9 * dl.dl * n_docs)
+        |  ) AS BIGINT) AS score
+        |  FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, st
+        |  GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 50),
+        |sr AS (SELECT doc_id,
+        |              row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |      FROM embeddings),
+        |q AS (SELECT ve AS qe FROM v WHERE vec_id = 0),
+        |dc AS (SELECT v.vec_id AS doc_id,
+        |              CAST(list_dot_product(ve, qe) /
+        |                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe)))
+        |                   AS DECIMAL(38,4)) AS cos FROM v, q),
+        |dr AS (SELECT doc_id, rank FROM (
+        |         SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        |         FROM dc) t WHERE rank <= 50),
+        |u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS contrib FROM sr
+        |      UNION ALL
+        |      SELECT doc_id, 1000000000000 // (60 + rank) AS contrib FROM dr)
+        |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_score
+        |FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.table(s, dir, "documents")
+        val emb = Tables.table(s, dir, "embeddings")
+        val sparse = TextAnalysis.bm25Search(docs, Seq("hash", "join", "dup"), k = 50)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rank"))
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val dense = Similarity.cosineAll(emb, q)
+          .select(col("vec_id").as("doc_id"), col("cos").cast("decimal(38,4)").as("cosq"))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cosq").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank") <= 50)
+          .select(col("doc_id"), col("rank"))
+        TextAnalysis.rrfFuse(Seq(sparse, dense), topK = 20)
+    },
+
+    // TF-IDF sparse all-pairs similarity (DISCO shape): integer tf·idf
+    // weights, pair dots via the inverted-index self-join, df-cut at 20 so
+    // Zipf-head terms never touch the join. DECIMAL(38,0) accumulation both
+    // sides; the df-cut, weights, and pair set are all oracle-replayed.
+    QDef.df("q84m_tfidf_pairs",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents WHERE doc_id < 100),
+        |st AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 20),
+        |w AS (SELECT tf.doc_id, tf.tok,
+        |             tf.tf * ((1000 * (n_docs - df)) // (df + 1)) AS w
+        |      FROM tf JOIN dft USING (tok), st),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, SUM(a.w * b.w) AS dot
+        |      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT i, j, CAST(CAST(dot AS DECIMAL(38,0)) AS STRING) AS dot
+        |FROM p WHERE dot >= 1000000""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfidfPairs(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 100),
+          minDot = 1000000L, maxDf = 20L)
+        .select(col("i"), col("j"), col("dot").cast("string").as("dot"))
     },
 
     // BPE-style pre-token counts vs whitespace tokens per doc.

@@ -1036,4 +1036,47 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == scores)
   }
+
+  test("rrfFuse: exact integer fusion, missing-list docs contribute nothing") {
+    val sparse = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
+    val fused = TextAnalysis.rrfFuse(Seq(sparse, dense), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val c61 = 1000000000000L / 61 // rank 1
+    val c62 = 1000000000000L / 62 // rank 2
+    // doc 20 is rank 2 sparse + rank 1 dense; 10/30 appear in one list each
+    assert(fused.toSeq == Seq((20L, c61 + c62), (10L, c61), (30L, c62)))
+  }
+
+  test("randomProject: basis vectors recover the exact plane weights") {
+    val basis = (0 until 4).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => if (d == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(basis, outDim = 3, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 12)
+    for (i <- 0 until 4; j <- 0 until 3) {
+      val expect = math.floor(Similarity.planeWeight(j, i) * 10000).toLong
+      assert(got((i.toLong, j.toLong)) == expect, s"vec $i plane $j")
+    }
+  }
+
+  test("tfidfPairs: df-cut drops head terms; weights are exact tf*idf") {
+    val corpus = Seq(
+      (0L, "zebra apple common"),
+      (1L, "zebra banana common"),
+      (2L, "apple banana common"),
+      (3L, "solo")).toDF("doc_id", "text")
+    // n_docs=4: zebra/apple/banana df=2 → idf = (1000*2) DIV 3 = 666;
+    // common df=3 > maxDf=2 → dropped BEFORE the join (its idf would be
+    // 250, so inclusion would visibly inflate every pair by 62500)
+    val dots = TextAnalysis.tfidfPairs(corpus, minDot = 1L, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2).longValueExact()).toMap
+    val w = 666L * 666L
+    assert(dots == Map((0L, 1L) -> w, (0L, 2L) -> w, (1L, 2L) -> w), dots.toString)
+    // raising the cut to 3 admits common: every pair gains exactly 250²
+    val dots3 = TextAnalysis.tfidfPairs(corpus, minDot = 1L, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2).longValueExact()).toMap
+    assert(dots3 == dots.map { case (k, v) => k -> (v + 250L * 250L) }, dots3.toString)
+  }
 }
