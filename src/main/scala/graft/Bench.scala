@@ -74,12 +74,20 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
     val totalMin = results.flatMap(_._2.map(_._2)).sum
-    val spreadMax = (0.0 +: results.flatMap(_._2.map(_._3))).max
+    val spreads = results.flatMap(_._2.map(_._3))
+    val spreadMax = (0.0 +: spreads).max
     // median-of-3 absorbs ONE slow run; a loaded machine contaminates two of
     // three, so the artifact self-declares contention (spread far beyond
     // idle-box jitter) and a reader then trusts the min column — the best
-    // run is the one closest to what the binary does on an idle box
-    val contended = spreadMax > 3.0
+    // run is the one closest to what the binary does on an idle box.
+    // Contention is a SUITE-WIDE signal: concurrent load inflates runs
+    // across many queries, while a single-query outlier (one GC pause, one
+    // JIT recompile) says nothing about machine state — keying the flag on
+    // the single largest spread branded otherwise-idle captures contended.
+    // Both the robust count and the raw max are emitted so a reader can
+    // tell the two cases apart from the artifact alone.
+    val nSpreadGt1 = spreads.count(_ > 1.0)
+    val contended = nSpreadGt1 > 4
     val eps = if (only.isEmpty) Some(cdcThroughput(spark)) else None
     val epsJson = eps.map(num("%.0f", _)).getOrElse("null")
     val incrJson = incr.map(num("%.1f", _)).getOrElse("null")
@@ -92,7 +100,7 @@ object Bench {
     val captureTs = java.time.Instant.ofEpochMilli(captureMs).toString
     val captureId = java.lang.Long.toHexString(captureMs)
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

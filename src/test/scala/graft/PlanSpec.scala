@@ -299,4 +299,29 @@ class PlanSpec extends SparkSpec {
       "bare crossJoin (no broadcast hint, no `bounded` comment):\n" +
         offenders.mkString("\n"))
   }
+
+  test("q84m: tf-idf pairs meet on the term equi-join, never a cartesian") {
+    val p = plan("q84m_tfidf_pairs")
+    // the df-cut's entire value: pair generation is a hash join on the
+    // term; losing the join key would degrade to a nested loop over docs.
+    // (the ONE BroadcastNestedLoopJoin is the broadcast 1-row n_docs frame
+    // — data-sized frames must still meet on hash joins)
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted explain prints each node in the tree AND the detail list —
+    // count distinct node ids, not substring hits
+    val bnlj = "\\((\\d+)\\) BroadcastNestedLoopJoin".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    // the weight frame's 1-row n_docs cross appears on BOTH sides of the
+    // self-join (DataFrame self-joins expand the subtree, no CTE reuse) —
+    // two 1-row nested loops, never a third
+    assert(bnlj.size <= 2, s"extra nested-loop joins beyond the 1-row stats frame: $bnlj\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q82d: JL projection is narrow per-row work — no exchange, no join") {
+    val p = plan("q82d_random_projection")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
