@@ -147,6 +147,39 @@ object Similarity {
         floor(col("pj") * 10000).cast("bigint").as("proj_q"))
   }
 
+  /** Coarse-to-fine ANN (the serving-system rerank shape): stage 1 scores
+    * every corpus vector against each query in the cheap [[randomProject]]
+    * subspace (outDim ≪ dim — dim/outDim less arithmetic per pair; at 10⁹
+    * vectors this is the scan pass a quantized/compressed index answers),
+    * keeps the top `coarseK` per query, then stage 2 recomputes EXACT
+    * full-dimension cosine on those candidates only and returns the top
+    * `k`. Recall is tunable via coarseK (JL distance distortion shrinks as
+    * outDim grows); determinism is total — both stages rank on quantized
+    * DECIMAL(38,4) scores with id tiebreaks, so the oracle replays the
+    * identical two-stage pipeline from the same plane literals. Corpus is
+    * never shuffled: queries broadcast into both stages.
+    */
+  def annCoarseRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseK: Int, outDim: Int, dim: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def proj(e: Column): Column = array((0 until outDim).map { p =>
+      val w = array((0 until dim).map(i => lit(planeWeight(p, i))): _*)
+      dotD(asDouble(e), w)
+    }: _*)
+    val c = corpus.select(col(idCol), col(embCol), proj(col(embCol)).as("pv"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"),
+      proj(col(embCol)).as("pq"))
+    val coarse = c.crossJoin(broadcast(q))
+      .withColumn("cd", dotD(col("pv"), col("pq")).cast("decimal(38,4)"))
+    val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("cd").desc, col(idCol))
+    val cand = coarse.withColumn("__crn", row_number().over(wCoarse))
+      .filter(col("__crn") <= coarseK)
+    val scored = cand.withColumn("cos", cosineHof(col(embCol), col("qe")).cast("decimal(38,4)"))
+    val wFine = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(wFine)).filter(col("__rn") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
+  }
+
   /** Symmetric int8 quantization profile — the vector-DB compression pass
     * (4× over float32) with an engine-reproducible contract: codes are
     * `floor(x·127 / absmax)` in IEEE double (multiply, divide, floor are

@@ -485,6 +485,41 @@ object Llm {
         .withColumn("cos", col("cos").cast("string"))
     },
 
+    // Coarse-to-fine ANN rerank: stage 1 scores in the 8-d JL subspace
+    // (q82d's planes — 8× less arithmetic per pair; the scan pass a
+    // compressed index answers at 10⁹ vectors), stage 2 exact cosine on the
+    // per-query top-50 only. Both stages rank on quantized decimals with id
+    // tiebreaks, so the oracle replays the identical two-stage pipeline.
+    QDef.df("q89g_ann_rerank", {
+      def plane(p: Int) =
+        (0 until 64).map(d => Similarity.planeWeight(p, d).toString).mkString("[", ", ", "]")
+      val pv = (0 until 8).map(p => s"list_dot_product(ve, ${plane(p)})")
+        .mkString("[", ", ", "]")
+      s"""$V,
+         |pj AS (SELECT vec_id, ve, $pv AS pv FROM v),
+         |q AS (SELECT vec_id AS q_id, ve AS qe, pv AS pq FROM pj WHERE vec_id < 5),
+         |co AS (SELECT q.q_id, c.vec_id AS n_id, c.ve, q.qe,
+         |              CAST(list_dot_product(c.pv, q.pq) AS DECIMAL(38,4)) AS cd
+         |       FROM pj c, q),
+         |cr AS (SELECT q_id, n_id, ve, qe,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY cd DESC, n_id) AS crn
+         |       FROM co),
+         |sc AS (SELECT q_id, n_id,
+         |              CAST(list_dot_product(ve, qe) /
+         |                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe)))
+         |                   AS DECIMAL(38,4)) AS cos
+         |       FROM cr WHERE crn <= 50),
+         |r AS (SELECT q_id, n_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |      FROM sc)
+         |SELECT q_id, n_id, CAST(cos AS STRING) AS cos FROM r WHERE rn <= 3""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      Similarity.annCoarseRerank(e, e.filter(col("vec_id") < 5),
+          k = 3, coarseK = 50, outDim = 8, dim = 64)
+        .withColumn("cos", col("cos").cast("string"))
+    },
+
     // IVF ANN scale path (engine-only: k-means cells aren't oracle-stable).
     // IVF neighbor sets depend on the trained cells (not oracle-
     // reproducible), but the INDEX CONTRACT is: emit the query/result

@@ -1061,6 +1061,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("annCoarseRerank: coarseK = corpus size degenerates to exact brute force") {
+    val emb = Tables.embeddings(spark)
+    val n = emb.count().toInt
+    val queries = emb.filter($"vec_id" < 3)
+    val brute = Similarity.annBruteForce(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    // with every vector surviving the coarse stage, the rerank IS brute force
+    val full = Similarity.annCoarseRerank(emb, queries, k = 3, coarseK = n,
+        outDim = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(full == brute)
+    // a tight coarse stage must still return k rows per query and find the
+    // self-match (cos = 1) — separable fixture data
+    val tight = Similarity.annCoarseRerank(emb, queries, k = 3, coarseK = 20,
+        outDim = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tight.size == 9)
+    (0L until 3L).foreach(q => assert(tight.contains((q, q)), s"query $q lost its self-match"))
+  }
+
   test("tfidfPairs: df-cut drops head terms; weights are exact tf*idf") {
     val corpus = Seq(
       (0L, "zebra apple common"),
