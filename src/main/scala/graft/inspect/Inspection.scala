@@ -119,6 +119,29 @@ object Inspection {
       "(column_name, min_v, max_v, sum_v, n_nulls)")
   }
 
+  /** Referential-integrity monitor for replicated state: child rows whose
+    * foreign key has no matching parent key — the cross-table health check
+    * a per-table CDC apply needs, because independent last-write-wins
+    * streams are never transactionally consistent ACROSS tables (a child
+    * batch can land before its parent's insert, or after the parent's hard
+    * delete). Emits one row per orphaned key with its child-row count, top
+    * `topK` by (count DESC, key) — the triage view: WHICH parents are
+    * missing and how much child data dangles on each. Plan shape at 100 TB:
+    * the parent side collapses to its DISTINCT key column before a
+    * left-anti equi-join (dimension-sized → broadcast; fact-sized → shuffle
+    * on the key, the same join the apply itself pays), then a grouped count
+    * of only the orphaned survivors.
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, topK: Int = 20): DataFrame = {
+    val parentKeys = parent.select(col(parentKey).as("__pk")).distinct()
+    child.join(parentKeys, col(childKey) === col("__pk"), "left_anti")
+      .groupBy(col(childKey).as("orphan_key"))
+      .agg(count(lit(1)).cast("bigint").as("n_child_rows"))
+      .orderBy(col("n_child_rows").desc, col("orphan_key"))
+      .limit(topK)
+  }
+
   /** R25: table discovery = distribution of the derived full table name. */
   def tables(envelope: DataFrame): DataFrame =
     graft.cdc.CdcPipeline.withFullTableName(envelope)

@@ -381,6 +381,23 @@ object Cdc {
             col("seq") - col("prev") - 1).otherwise(0L)).cast("bigint").as("missing_seqs"))
     },
 
+    // Cross-table referential integrity after independent per-table applies
+    // (the consistency check a transactional source loses when each table
+    // replicates on its own cadence): orders whose customer is absent from
+    // the replicated parent state. A deterministic restriction (custkey
+    // divisible by 7 dropped) simulates the unsynced/hard-deleted parents;
+    // output = top-20 orphaned keys by dangling child rows.
+    QDef.df("q66d_fk_orphans",
+      """WITH p AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 <> 0),
+        |o AS (SELECT o_custkey, count(*) AS n FROM orders
+        |      WHERE o_custkey NOT IN (SELECT c_custkey FROM p) GROUP BY 1)
+        |SELECT o_custkey AS orphan_key, CAST(n AS BIGINT) AS n_child_rows
+        |FROM o ORDER BY n DESC, orphan_key LIMIT 20""".stripMargin) { (s, _) =>
+      Inspection.fkOrphans(
+        s.table("orders"), "o_custkey",
+        s.table("customer").filter(col("c_custkey") % 7 =!= 0), "c_custkey")
+    },
+
     // R21/R25: value distribution of the derived table name, take-capped.
     QDef.df("q67_value_distribution",
       s"""WITH src AS (SELECT * FROM read_json('${Fixtures.oracleEventsPath}',

@@ -80,4 +80,15 @@ class DiffSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("max_cnt")) == 10L)
     assert(r.getLong(r.fieldIndex("top2_mass")) == 13L)
   }
+
+  test("fkOrphans: dangling children counted per missing parent, intact keys silent") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 9L, 9L, 9L, 8L).toDF("fk")
+    val got = Inspection.fkOrphans(child, "fk", parent, "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 9 dangles 3 rows, 8 dangles 1; children of live parents never appear
+    assert(got == Seq((9L, 3L), (8L, 1L)), got.toString)
+    // a fully consistent pair yields an empty frame
+    assert(Inspection.fkOrphans(child.filter($"fk" < 3), "fk", parent, "pk").count() == 0)
+  }
 }
