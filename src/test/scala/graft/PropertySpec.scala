@@ -281,4 +281,85 @@ class PropertySpec extends SparkSpec {
           saltFactorFor(nRows, nKeys, math.min(maxCnt * 2, Long.MaxValue / 2), cap) >= f)
     })
   }
+
+  private def checkFew(p: Prop): Unit = {
+    // Spark-action-per-sample properties: fewer samples, same shrinking
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("rrfFuse parity with the closed form; list order never matters") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // two candidate lists over a small id space, distinct ids, 1-based ranks
+    val ranking = Gen.choose(1, 6).flatMap(n =>
+      Gen.pick(n, 0L to 9L).map(_.toSeq.zipWithIndex.map { case (id, i) => (id, i + 1L) }))
+    checkFew(Prop.forAll(ranking, ranking) { (a, b) =>
+      val fused = TextAnalysis.rrfFuse(
+          Seq(a.toDF("doc_id", "rank"), b.toDF("doc_id", "rank")), topK = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val swapped = TextAnalysis.rrfFuse(
+          Seq(b.toDF("doc_id", "rank"), a.toDF("doc_id", "rank")), topK = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = (a ++ b).groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map { case (_, rank) => 1000000000000L / (60L + rank) }.sum
+      }
+      fused == expect && swapped == expect
+    })
+  }
+
+  test("tfidfPairs parity with a brute-force reference on random corpora") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(3, 6).flatMap(n => Gen.listOfN(n, doc))
+    checkFew(Prop.forAll(corpus, Gen.choose(1L, 5L)) { (docs, maxDf) =>
+      // shrinking escapes the generator's domain toward empty/whitespace
+      // strings, where JVM split() (drops trailing empties) and Spark
+      // split() (keeps them) legitimately disagree — not the property
+      val wellFormed = docs.nonEmpty && docs.forall(_.matches("[a-z]+( [a-z]+)*"))
+      Prop.propBoolean(wellFormed) ==> {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.tfidfPairs(df, minDot = 1L, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2).longValueExact()).toMap
+      // brute force with the same integer idf: (1000*(N-df)) DIV (df+1)
+      val n = docs.size.toLong
+      val tf = docs.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").groupBy(identity).map { case (w, os) => ((i.toLong, w), os.length.toLong) }
+      }.toMap
+      val dfreq = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+      // Seq, not Map: a Map comprehension collapses same-(i,j) entries and
+      // silently drops every shared term after the first
+      val w = tf.toSeq.collect { case ((id, t), f) if dfreq(t) <= maxDf =>
+        (id, t) -> f * (1000L * (n - dfreq(t)) / (dfreq(t) + 1)) }
+      val expect = (for {
+        ((i, t), wi) <- w; ((j, t2), wj) <- w if t2 == t && i < j
+      } yield ((i, j), wi * wj)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sum }.filter(_._2 >= 1L)
+      Prop(got == expect)
+      }
+    })
+  }
+
+  test("randomProject recovers exact scaled plane weights on sparse vectors") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val gen = for {
+      dimIdx <- Gen.choose(0, 7)
+      s <- Gen.choose(-100, 100)
+    } yield (dimIdx, s)
+    checkFew(Prop.forAll(gen) { case (dimIdx, s) =>
+      val v = Seq.tabulate(8)(d => if (d == dimIdx) s.toFloat else 0.0f)
+      val got = Similarity.randomProject(Seq((0L, v)).toDF("vec_id", "embedding"),
+          outDim = 2, dim = 8)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      // single nonzero entry: the fold is s·w plus exact zero terms, so the
+      // engine's double op sequence is reproducible literally
+      (0 until 2).forall { p =>
+        got(p.toLong) ==
+          math.floor((s.toDouble * Similarity.planeWeight(p, dimIdx)) * 10000).toLong
+      }
+    })
+  }
 }

@@ -835,4 +835,36 @@ class StreamingOpsSpec extends SparkSpec {
     // constant-size scan of an RDD
     assert(p10 <= p2 + 64, s"plan grew with iters: $p2 chars @2 -> $p10 chars @10")
   }
+
+  test("integrity monitor: transient orphans heal when the parent catches up") {
+    import graft.streaming.IntegrityMonitor
+    val in = tmpDir("fk_in")
+    val parentDir = tmpDir("fk_parent")
+    val stateDir = tmpDir("fk_state")
+    Seq(1L, 2L).toDF("pk").write.mode("overwrite").parquet(parentDir)
+    write(in, "b0.jsonl", Seq(
+      """{"fk":1}""", """{"fk":5}""", """{"fk":5}"""))
+    val src = spark.readStream.schema("fk LONG").json(in)
+    var seen = Map.empty[Long, Map[Long, Long]]
+    val q = IntegrityMonitor.start(src, "fk",
+      s => s.read.parquet(parentDir), "pk",
+      stateDir, tmpDir("fk_ckpt"),
+      (out, id) => seen += id ->
+        out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    try {
+      q.processAllAvailable()
+      // parent 5 missing: both child rows dangle
+      assert(seen(0L) == Map(5L -> 2L), seen.toString)
+      // the parent stream catches up (5 replicates); child batch adds a
+      // NEW orphan 9 — 5 must heal, 9 must surface
+      Seq(1L, 2L, 5L).toDF("pk").write.mode("overwrite").parquet(parentDir)
+      write(in, "b1.jsonl", Seq("""{"fk":5}""", """{"fk":9}"""))
+      q.processAllAvailable()
+      assert(seen(1L) == Map(9L -> 1L), seen.toString)
+      // reader API agrees with the callback view
+      val persisted = IntegrityMonitor.outstanding(spark, stateDir).get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(persisted == Map(9L -> 1L))
+    } finally { q.stop(); q.awaitTermination() }
+  }
 }
