@@ -186,6 +186,20 @@ object Tables {
           Seq("l_returnflag"), "l_partkey", b)
     }
 
+  /** q84n's incremental text index: the documents corpus ingested as three
+    * batches of postings + doc lengths, built once per (session, dir) —
+    * repeated searches (bench timed runs) measure the store-read search
+    * path, which is what a serving index pays per query.
+    */
+  def ensureTextIndex(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q84n_index", spark, dir) { out =>
+      val store = new graft.sink.TextIndexStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = table(spark, dir, "documents")
+      for (b <- 0L until 3L)
+        store.append(docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
+    }
+
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
     * document tokens, built once per (session, dir).
     */

@@ -403,13 +403,24 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // corpus token total re-aggregates the (doc-count-sized) dl frame, not
-    // the token stream — one fewer pass over the exploded corpus
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))))
     val q = queryTokens.distinct
     val tf = toks.filter(col("tok").isin(q: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, k, scale)
+  }
+
+  /** Robertson scoring over pre-aggregated components — shared verbatim by
+    * the one-shot [[bm25Search]] and the persistent
+    * [[graft.sink.TextIndexStore]] so the arithmetic can never fork:
+    * `tf` = (doc_id, tok, tf) restricted to the query terms, `dl` =
+    * (doc_id, dl) for EVERY corpus doc. Corpus stats (N, A) re-aggregate
+    * the doc-count-sized dl frame, never the token stream; df and the
+    * 1-row stats frame broadcast.
+    */
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame, k: Int,
+      scale: Long = 1000L): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfT), "tok")
       .join(dl, "doc_id")

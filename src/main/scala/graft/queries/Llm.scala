@@ -759,6 +759,33 @@ object Llm {
           Seq("hash", "join", "dup"), k = 20)
     },
 
+    // Incremental BM25 over the persistent text index: the corpus was
+    // ingested as three batches of postings + doc lengths (ensureTextIndex,
+    // built once per session/dir — the q12c ingest-time rule); the timed
+    // path reads ONLY the query terms' posting rows plus the length table
+    // and must produce scores bit-identical to a one-shot scan of the union
+    // corpus — which is exactly what the oracle computes, never touching
+    // the index.
+    QDef.df("q84n_incremental_bm25",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT count(*) FROM toks) AS a_tokens),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('merge', 'stream', 'sort') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(SUM(
+        |    (((1000 * (n_docs - df)) // (df + 1)) * tf * 22 * a_tokens)
+        |    // (10 * tf * a_tokens + 3 * a_tokens + 9 * dl.dl * n_docs)
+        |  ) AS BIGINT) AS score
+        |FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, st
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val store = new graft.sink.TextIndexStore(Tables.ensureTextIndex(s, dir))
+        store.search(s, Seq("merge", "stream", "sort"), k = 20)
+    },
+
     // Hybrid retrieval via reciprocal-rank fusion: BM25 top-50 (q84j's
     // sparse scorer) fused with dense cosine top-50 (q83's scorer, query =
     // vec 0, vec_id ≡ doc_id in the fixture) — fused score is the exact

@@ -1037,6 +1037,31 @@ class LlmSpec extends SparkSpec {
     assert(again == scores)
   }
 
+  test("TextIndexStore: store-backed BM25 is bit-identical to the one-shot scan") {
+    val corpus = Seq(
+      (0L, "apple banana pear"),
+      (1L, "apple apple cherry"),
+      (2L, "banana cherry cherry plum"),
+      (3L, "plum plum plum"),
+      (4L, "apple plum")).toDF("doc_id", "text")
+    val dir = tmpDir("text_index")
+    val store = new graft.sink.TextIndexStore(dir)
+    store.append(corpus.filter($"doc_id" < 2), batchId = 0L)
+    store.append(corpus.filter($"doc_id" >= 2), batchId = 1L)
+    val fromStore = store.search(spark, Seq("apple", "plum"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val oneShot = TextAnalysis.bm25Search(corpus, Seq("apple", "plum"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(fromStore == oneShot, s"store=$fromStore oneShot=$oneShot")
+    assert(fromStore.nonEmpty)
+    // replayed append (crash-recovery path): same batch, same content —
+    // results must be unchanged
+    store.append(corpus.filter($"doc_id" >= 2), batchId = 1L)
+    val replayed = store.search(spark, Seq("apple", "plum"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(replayed == oneShot)
+  }
+
   test("rrfFuse: exact integer fusion, missing-list docs contribute nothing") {
     val sparse = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
     val dense = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
