@@ -200,6 +200,23 @@ object Tables {
         store.append(docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
     }
 
+  /** q89h's persistent IVF vector index: centroids trained once on the full
+    * embeddings table (integer Lloyd, k=8, iters=2 — the q89d layout), then
+    * the corpus ingested as three batches of cell-partitioned vectors.
+    * Built once per (session, dir) — repeated searches (bench timed runs)
+    * measure the probed-cell read + rerank path, which is what a serving
+    * index pays per query.
+    */
+  def ensureVectorIndex(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q89h_vindex", spark, dir) { out =>
+      val store = new graft.sink.VectorIndexStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val emb = table(spark, dir, "embeddings")
+      store.init(emb, k = 8, iters = 2)
+      for (b <- 0L until 3L)
+        store.append(emb.filter(pmod(col("vec_id"), lit(3)) === b), b)
+    }
+
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
     * document tokens, built once per (session, dir).
     */

@@ -44,7 +44,34 @@ object KMeans {
     */
   final case class Model(centroids: DataFrame, assigned: DataFrame)
 
-  private type Centroids = IndexedSeq[(Int, IndexedSeq[Long])]
+  private[graft] type Centroids = IndexedSeq[(Int, IndexedSeq[Long])]
+
+  /** Collects a (cell, cv) centroid frame into driver-local form — bounded
+    * by construction (≤ k rows of k·dim longs).
+    */
+  private[graft] def collectCentroids(df: DataFrame): Centroids =
+    df.select(col("cell").cast("int"), col("cv")).collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq)).sortBy(_._1)
+
+  /** [[assign]]'s narrow argmin as an added `cell` column, keeping every
+    * input column — the shape a persistent index's ingest path needs
+    * (assign, then partition the batch write by cell).
+    */
+  private[graft] def cellOf(qv: Column, cents: Centroids): Column =
+    array_min(transform(centroidArray(cents),
+      c => struct(dist2(qv, c.getField("cv")).as("d2"),
+        c.getField("cell").as("cell")))).getField("cell")
+
+  /** The `nProbe` nearest cells by exact integer distance, ties to the
+    * lowest cell id — struct sort order IS (d2 ASC, cell ASC), so this is
+    * one codegen'd per-row expression, no join.
+    */
+  private[graft] def probeCellsOf(qv: Column, cents: Centroids, nProbe: Int): Column =
+    transform(
+      slice(array_sort(transform(centroidArray(cents),
+        c => struct(dist2(qv, c.getField("cv")).as("d2"),
+          c.getField("cell").as("cell")))), 1, nProbe),
+      s => s.getField("cell"))
 
   /** The centroid set as one array-of-struct literal column. */
   private def centroidArray(cents: Centroids): Column =

@@ -207,4 +207,133 @@ object Similarity {
       array_min(codes).cast("bigint").as("code_min"),
       array_max(codes).cast("bigint").as("code_max"))
   }
+
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor, the top-k most-similar corpus vectors with a DIFFERENT label
+    * (similar-but-wrong examples are what metric-learning losses need;
+    * same-label rows — including the anchor itself — are excluded by the
+    * label predicate). Same shape and determinism contract as
+    * [[annBruteForce]]: anchors broadcast, the corpus never shuffles,
+    * ranking on quantized DECIMAL(38,4) cosine with id tiebreak. The scale
+    * path swaps the scan for any of the index variants (LSH/IVF/PQ) with
+    * the label filter applied to candidates.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = anchors.select(col(idCol).as("q_id"), col(embCol).as("qe"),
+      col(labelCol).as("q_label"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("q_label"))
+      .withColumn("cos", cosine(col(embCol), col("qe")).cast("decimal(38,4)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
+  }
+
+  /** Per-label prototype vectors + cohesion — the embedding-space health
+    * check a labeled corpus gets before training (drifting or bimodal
+    * classes show up as inflated inertia): prototype = the floored
+    * per-dimension mean of the label's `scale`-quantized members (the same
+    * mode-free floor as the Lloyd step, so any engine computes the
+    * identical integer centroid), cohesion = the exact integer squared
+    * distance sum to the prototype. Output per label: member count, the
+    * prototype's component sum (its checksum) and the inertia — all exact
+    * BIGINTs.
+    *
+    * Scale shape: one (label, pos) grouped sum (map-side combinable,
+    * ≤ labels·dim rows), one equi-join of the corpus back to the
+    * label-sized prototype frame, one grouped sum. Nothing pairwise.
+    */
+  def labelPrototypes(corpus: DataFrame, scale: Int = 4096,
+      embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val q = corpus.select(col(labelCol).as("label"),
+      KMeans.quantize(col(embCol), scale).as("qv"))
+    val proto = q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    q.join(broadcast(proto), "label")
+      .withColumn("d2", KMeans.dist2(col("qv"), col("cv")))
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(count(lit(1)).as("n"),
+        first(aggregate(col("cv"), lit(0L), (acc, x) => acc + x)).as("proto_sum"),
+        sum(col("d2")).cast("bigint").as("inertia"))
+  }
+
+  /** Maximal-marginal-relevance diversified top-k — the serving-side rerank
+    * that trades raw relevance for coverage (RAG context assembly, dedup of
+    * near-identical hits): greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = lamX10/10
+    * cross-multiplied into integers so every score is exact DECIMAL(38,4)
+    * arithmetic over the quantized cosines (ties to the lowest id; the
+    * empty-selection max-sim is 0, so step 1 is the pure relevance argmax).
+    *
+    * Distribution: the heavy work — scoring the corpus against the query
+    * and the candidate×candidate similarity matrix — is Spark (corpus never
+    * shuffles; the candidate frame broadcasts into its self-join). The
+    * greedy loop itself runs on the driver over ≤ candK·candK quantized
+    * sims (the bounded-model-state rule: candK is a serving-sized rerank
+    * window, not a corpus fraction), exactly as an application server would
+    * run MMR over one retrieval page. Output: (step, vec_id, score) in
+    * selection order — score is the exact MMR objective at pick time.
+    */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, candK: Int, selectK: Int,
+      lamX10: Int = 7, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(selectK <= candK && lamX10 >= 0 && lamX10 <= 10,
+      "selectK must be <= candK, lamX10 in [0, 10]")
+    val spark = corpus.sparkSession
+    val cand = annBruteForce(corpus, query, candK, idCol, embCol)
+      .select(col("n_id").as("vec_id"), col("cos").as("rel"))
+    val cvecs = cand.join(corpus.select(col(idCol).as("vec_id"), col(embCol)), "vec_id")
+    val sims = cvecs.as("a")
+      .join(broadcast(cvecs.as("b")), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosineHof(col(s"a.$embCol"), col(s"b.$embCol")).cast("decimal(38,4)").as("sim"))
+    // ≤ candK rows + ≤ candK² sims: the one retrieval page, driver-local
+    val rel = cand.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val sim = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    val lam = java.math.BigDecimal.valueOf(lamX10.toLong)
+    val oneMinusLam = java.math.BigDecimal.valueOf(10L - lamX10)
+    val zero = java.math.BigDecimal.ZERO.setScale(4)
+    val ord = Ordering.ordered[java.math.BigDecimal]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, java.math.BigDecimal)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+    for (step <- 1 to selectK) {
+      // λ stays integer by ×10-ing both terms; the objective ORDER (and
+      // therefore the selection) is unchanged, and scale-4 decimals stay
+      // scale-4 — the oracle replays this exact expression
+      val scoredCands = remaining.toSeq.map { d =>
+        val maxSim =
+          if (selected.isEmpty) zero
+          else selected.map(s => sim((d, s._2))).max(ord)
+        (d, lam.multiply(rel(d)).subtract(oneMinusLam.multiply(maxSim)))
+      }
+      // remaining iterates ascending, so strict > keeps the lowest id on ties
+      val best = scoredCands.reduceLeft { (a, b) =>
+        if (ord.compare(b._2, a._2) > 0) b else a
+      }
+      selected += ((step, best._1, best._2))
+      remaining -= best._1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DataTypes.createDecimalType(38, 4))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        selected.toSeq.map { case (st, id, sc) =>
+          org.apache.spark.sql.Row(st.toLong, id, sc)
+        }, 1),
+      schema)
+  }
 }

@@ -693,4 +693,81 @@ object TextAnalysis {
         min(col("tokens")).as("min_tokens"),
         max(col("tokens")).as("max_tokens"))
   }
+
+  /** Integer bit-surprisal: floor(log₂(total/count)) computed EXACTLY as
+    * `length(bin(total DIV count)) − 1` — the binary-digit count of the
+    * floored odds ratio. floor(log₂(x)) over reals equals
+    * floor(log₂(floor(x))) because every power of two is an integer, so the
+    * integer-division inner floor loses nothing, and `bin()` (both engines
+    * render a BIGINT's binary digits identically) turns it into string
+    * length — no floating-point log anywhere, no last-ulp dialect risk.
+    */
+  private def bitSurprisal(totalCol: String, cntCol: String): Column =
+    expr(s"CAST(length(bin($totalCol DIV $cntCol)) - 1 AS BIGINT)")
+
+  /** Unigram LM surprisal scoring — the perplexity-filter shape (CCNet's
+    * LM quality gate) with the corpus as its own language model: each token
+    * instance costs floor(log₂(N/c(w))) bits (N = corpus token count), a
+    * doc's score is the bit total and the scaled mean
+    * `(Σ·1000) DIV n_toks`. High mean = rare-token-heavy text (gibberish,
+    * OCR noise, non-language); low mean = boilerplate the corpus repeats —
+    * both tails are exactly what an LM-based quality filter trims. All
+    * arithmetic is integer ([[bitSurprisal]]), so an oracle replays it
+    * bit-for-bit.
+    *
+    * Scale shape: one corpus tokenization, a vocabulary-sized grouped count
+    * (map-side combinable), an equi-join of the token stream back to the
+    * vocabulary (never broadcast — vocab grows with the corpus), one 1-row
+    * stats frame broadcast, one grouped sum per doc. Nothing pairwise,
+    * nothing windowed.
+    */
+  def surprisal(docs: DataFrame, topN: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val stats = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("sur", bitSurprisal("n_total", "c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("sur")).cast("long").as("total_surprisal"))
+      .withColumn("mean_surprisal_x1000",
+        expr("(total_surprisal * 1000) DIV n_toks"))
+      .orderBy(col("mean_surprisal_x1000").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Bigram (order-2) LM surprisal — the same gate conditioned on the
+    * previous token: an instance of bigram (w₁,w₂) costs
+    * floor(log₂(c₁(w₁)/c₁₂(w₁,w₂))) bits, where c₁(w₁) = Σ_w c₁₂(w₁,w) (so
+    * the odds ratio is a true conditional and ≥ 1 by construction). Catches
+    * what unigram surprisal can't: docs built from common words in
+    * improbable ORDER (shuffled text, keyword stuffing) score high here
+    * while sailing through the unigram gate. Docs with fewer than two
+    * tokens have no bigrams and drop out, as in any order-2 model.
+    *
+    * Scale shape: bigrams come from a per-row array transform (no window,
+    * no self-join — the slice/transform pair is zero-shuffle), then the
+    * same vocabulary-equi-join + grouped-sum shape as [[surprisal]].
+    */
+  def bigramSurprisal(docs: DataFrame, topN: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).cast("long").as("c1"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, "w1")
+      .withColumn("sur", bitSurprisal("c1", "c12"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).cast("long").as("total_surprisal"))
+      .withColumn("mean_surprisal_x1000",
+        expr("(total_surprisal * 1000) DIV n_bigrams"))
+      .orderBy(col("mean_surprisal_x1000").desc, col("doc_id"))
+      .limit(topN)
+  }
 }

@@ -381,6 +381,57 @@ object Llm {
         .select(col("vec_id"), col("cos").cast("string").as("cos"))
     },
 
+    // MMR-diversified top-k (q83's relevance list pushed through maximal
+    // marginal relevance, λ=0.7): greedy argmax 7·rel − 3·max_sim-to-
+    // selected over the top-20 candidate page, 8 picks. All scores are
+    // exact DECIMAL(38,4) over the quantized cosines (both λ terms ×10 so
+    // the arithmetic stays integer-scaled), so the oracle replays the
+    // greedy loop as 8 unrolled argmax CTEs — selection order, ids and
+    // scores must all hash-match.
+    QDef.df("q83c_mmr_diversify", {
+      val pairSim = "list_dot_product(a.ve, b.ve) / " +
+        "(sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))"
+      val steps = (2 to 8).map { k =>
+        s"""s$k AS MATERIALIZED (
+           |  SELECT vec_id, score, $k AS step FROM (
+           |    SELECT c.vec_id, CAST(7 * c.rel - 3 * m.ms AS DECIMAL(38,4)) AS score
+           |    FROM cand c JOIN (
+           |      SELECT i AS vec_id, MAX(sim) AS ms FROM p
+           |      WHERE j IN (SELECT vec_id FROM sel${k - 1}) GROUP BY 1) m USING (vec_id)
+           |    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})) t
+           |  ORDER BY score DESC, vec_id LIMIT 1),
+           |sel$k AS MATERIALIZED (SELECT vec_id FROM sel${k - 1} UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      // every CTE MATERIALIZED: the unrolled greedy steps reference their
+      // predecessors twice each, and CTE inlining would re-expand the whole
+      // upstream tree exponentially (2^8 copies of the candidate scoring)
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+         |qv AS MATERIALIZED (SELECT ve AS qe FROM v WHERE vec_id = 0),
+         |cr AS MATERIALIZED (SELECT v.vec_id, CAST($cosExpr AS DECIMAL(38,4)) AS rel
+         |       FROM v, qv WHERE v.vec_id >= 1),
+         |cand AS MATERIALIZED (SELECT vec_id, rel FROM (
+         |    SELECT vec_id, rel, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+         |    FROM cr) t WHERE rn <= 20),
+         |p AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+         |             CAST($pairSim AS DECIMAL(38,4)) AS sim
+         |      FROM (SELECT v.* FROM v JOIN cand USING (vec_id)) a
+         |      JOIN (SELECT v.* FROM v JOIN cand USING (vec_id)) b
+         |        ON a.vec_id != b.vec_id),
+         |s1 AS MATERIALIZED (SELECT vec_id, CAST(7 * rel AS DECIMAL(38,4)) AS score, 1 AS step
+         |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+         |$steps
+         |SELECT CAST(step AS BIGINT) AS step, vec_id, CAST(score AS STRING) AS score
+         |FROM (${(1 to 8).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")}) u
+         |ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      Similarity.mmrSelect(e.filter(col("vec_id") >= 1),
+          e.filter(col("vec_id") === 0), candK = 20, selectK = 8)
+        .withColumn("score", col("score").cast("string"))
+    },
+
     // L2 normalization contract, pinned bit-for-bit: the pre-norm and the
     // self-dot of the normalized vector are floor-quantized from doubles
     // both engines compute through the identical IEEE op sequence (fold,
@@ -527,6 +578,92 @@ object Llm {
     // the exact brute-force top-3 clears a 0.6 floor. Training is
     // deterministic (hash-seeded init, fixed iters), so the recall is a
     // constant of the data and the boolean is stable, not flaky.
+    // Persistent IVF vector index (the ANN leg of the store family):
+    // centroids = the SAME oracle-replayable integer-Lloyd layout as q89d
+    // (k=8, iters=2), frozen at init; the corpus was ingested as three
+    // cell-partitioned batches (ensureVectorIndex, built once per
+    // session/dir — the ingest-time rule). The timed path probes the 2
+    // nearest cells per query and reads ONLY those cells' files
+    // (directory-level partition pruning — the columnar inverted-list
+    // seek), then exact-cosine reranks. The oracle replays the Lloyd
+    // chain, the integer probe ranking and the cosine rerank entirely in
+    // SQL, never touching the index — so the store's accumulated state
+    // must equal a one-shot IVF over the union corpus, hash-exactly.
+    QDef.df("q89h_vector_index", {
+      val dist = "CAST(list_dot_product(qr.qv, qr.qv) AS BIGINT) " +
+        "- 2 * CAST(list_dot_product(qr.qv, c2.cv) AS BIGINT) " +
+        "+ CAST(list_dot_product(c2.cv, c2.cv) AS BIGINT)"
+      s"""$kmeansChain,
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |      FROM embeddings),
+         |qr AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id < 3),
+         |pr AS (SELECT q_id, cell FROM (
+         |    SELECT qr.q_id, c2.cell, row_number() OVER (PARTITION BY qr.q_id
+         |        ORDER BY $dist ASC, c2.cell ASC) AS rn
+         |    FROM qr CROSS JOIN c2) t WHERE rn <= 2),
+         |cand AS (SELECT pr.q_id, a3.vec_id AS n_id
+         |         FROM pr JOIN a3 ON a3.cell = pr.cell),
+         |qe AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 3),
+         |sc AS (SELECT cand.q_id, cand.n_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos
+         |       FROM cand JOIN v ON v.vec_id = cand.n_id
+         |       JOIN qe ON qe.q_id = cand.q_id),
+         |r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, n_id) AS rn FROM sc)
+         |SELECT q_id, n_id, CAST(cos AS STRING) AS cos FROM r WHERE rn <= 3""".stripMargin
+    }) { (s, dir) =>
+      val store = new graft.sink.VectorIndexStore(Tables.ensureVectorIndex(s, dir))
+      store.search(s, Tables.table(s, dir, "embeddings").filter(col("vec_id") < 3),
+          k = 3, nProbe = 2)
+        .withColumn("cos", col("cos").cast("string"))
+    },
+
+    // Hard-negative mining (the contrastive-training data op): per anchor
+    // (vec_id < 5), the top-3 most-similar vectors with a DIFFERENT label —
+    // similar-but-wrong is exactly what metric-learning losses need. Same
+    // determinism contract as q89: quantized DECIMAL(38,4) cosine, id
+    // tiebreak; the label predicate excludes the anchor itself.
+    QDef.df("q89i_hard_negatives",
+      s"""$V,
+         |q AS (SELECT vec_id AS q_id, ve AS qe, label AS q_label
+         |      FROM v WHERE vec_id < 5),
+         |sc AS (SELECT q.q_id, v.vec_id AS n_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos
+         |       FROM v, q WHERE v.label != q.q_label),
+         |r AS (SELECT q_id, n_id, cos,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |      FROM sc)
+         |SELECT q_id, n_id, CAST(cos AS STRING) AS cos FROM r WHERE rn <= 3""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.table(s, dir, "embeddings")
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), k = 3)
+          .withColumn("cos", col("cos").cast("string"))
+    },
+
+    // Per-label prototype vectors + cohesion (embedding-space health before
+    // training): prototype = floored per-dim mean of the label's quantized
+    // members (the Lloyd-step floor, mode-free), cohesion = exact integer
+    // Σd2 to the prototype. Drifting/bimodal classes show as inflated
+    // inertia. Every output is an exact BIGINT both engines replay.
+    QDef.df("q89j_label_prototypes",
+      """WITH q AS (SELECT label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT label, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS pos FROM q),
+        |m AS (SELECT label, pos, SUM(v) AS s, count(*) AS n FROM e GROUP BY 1, 2),
+        |p AS (SELECT label, list(CAST((s - ((s % n + n) % n)) / n AS BIGINT) ORDER BY pos) AS cv
+        |      FROM m GROUP BY label),
+        |d AS (SELECT q.label,
+        |             CAST(list_dot_product(qv, qv) AS BIGINT)
+        |             - 2 * CAST(list_dot_product(qv, cv) AS BIGINT)
+        |             + CAST(list_dot_product(cv, cv) AS BIGINT) AS d2
+        |      FROM q JOIN p USING (label)),
+        |g AS (SELECT label, count(*) AS n, CAST(SUM(d2) AS BIGINT) AS inertia
+        |      FROM d GROUP BY 1)
+        |SELECT CAST(g.label AS BIGINT) AS label, g.n,
+        |       CAST(list_sum(p.cv) AS BIGINT) AS proto_sum, g.inertia
+        |FROM g JOIN p USING (label)""".stripMargin) { (s, dir) =>
+      Similarity.labelPrototypes(Tables.table(s, dir, "embeddings"))
+    },
+
     QDef.df("q89b_ann_ivf",
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(15 AS BIGINT) AS n_results,
         |       true AS recall_ok""".stripMargin) { (s, dir) =>
@@ -1044,6 +1181,53 @@ object Llm {
           greatest(col("sa"), col("sb")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("i") + col("j")).cast("bigint").as("id_sum"))
+    },
+
+    // Unigram LM surprisal — the perplexity-filter shape (CCNet's quality
+    // gate) with the corpus as its own LM, in EXACT integer arithmetic:
+    // floor(log2(N/c)) computed as length(bin(N DIV c)) − 1 (binary digit
+    // count of the floored odds), so no floating-point log can diverge
+    // between engines. High mean = rare-token-heavy docs, low = boilerplate
+    // — the two tails an LM filter trims.
+    QDef.df("q90h_unigram_surprisal",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |st AS (SELECT count(*) AS n_total FROM toks),
+        |s AS (SELECT doc_id, length(bin(n_total // c)) - 1 AS sur
+        |      FROM toks JOIN c USING (tok), st),
+        |d AS (SELECT doc_id, count(*) AS n_toks, SUM(sur) AS tot FROM s GROUP BY 1)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |       CAST(tot AS BIGINT) AS total_surprisal,
+        |       CAST((tot * 1000) // n_toks AS BIGINT) AS mean_surprisal_x1000
+        |FROM d ORDER BY mean_surprisal_x1000 DESC, doc_id LIMIT 30""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.surprisal(Tables.table(s, dir, "documents"), topN = 30)
+    },
+
+    // Bigram LM surprisal — the same gate conditioned on the previous
+    // token: cost = floor(log2(c1(w1)/c12(w1,w2))), c1 = Σ_w c12 so the
+    // ratio is a true conditional ≥ 1. Catches docs built from common words
+    // in improbable ORDER (shuffled text, keyword stuffing) that sail
+    // through the unigram gate. Bigrams come from a per-row list transform
+    // on both engines — no window, no self-join.
+    QDef.df("q90i_bigram_surprisal",
+      """WITH bg AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(ts[1:len(ts)-1],
+        |             (x, i) -> {'w1': x, 'w2': ts[i+1]})) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) z) y),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |s AS (SELECT doc_id, length(bin(c1 // c12)) - 1 AS sur
+        |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+        |d AS (SELECT doc_id, count(*) AS n_bigrams, SUM(sur) AS tot FROM s GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |       CAST(tot AS BIGINT) AS total_surprisal,
+        |       CAST((tot * 1000) // n_bigrams AS BIGINT) AS mean_surprisal_x1000
+        |FROM d ORDER BY mean_surprisal_x1000 DESC, doc_id LIMIT 30""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.bigramSurprisal(Tables.table(s, dir, "documents"), topN = 30)
     },
 
     QDef.df("q91_lang_id", {

@@ -1124,4 +1124,137 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2).longValueExact()).toMap
     assert(dots3 == dots.map { case (k, v) => k -> (v + 250L * 250L) }, dots3.toString)
   }
+
+  test("surprisal: exact bit costs, both tails ranked by the scaled mean") {
+    // N = 8 tokens; c(a) = 6, c(b) = c(c) = 1
+    // sur(a) = floor(log2(8/6)) = floor(log2(1)) = 0; sur(b) = sur(c) = 3
+    val corpus = Seq(
+      (0L, "a a a a"), // all common → mean 0 (the boilerplate tail)
+      (1L, "a b"),     // one rare token → (0+3)*1000 DIV 2 = 1500
+      (2L, "c a")      // same mean; tiebreak by doc_id
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.surprisal(corpus, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 1500L), (2L, 2L, 3L, 1500L),
+      (0L, 4L, 0L, 0L)), got.toSeq.toString)
+  }
+
+  test("bigramSurprisal: conditional bit costs; sub-2-token docs drop out") {
+    // bigrams: doc0 = (x,y),(y,x),(x,y),(y,x); doc1 = (x,y),(y,z)
+    // c12(x,y)=3 c12(y,x)=2 c12(y,z)=1; c1(x)=3 c1(y)=3
+    // sur(x,y)=floor(log2(3/3))=0; sur(y,x)=floor(log2(3 DIV 2))=0;
+    // sur(y,z)=floor(log2(3))=1
+    val corpus = Seq(
+      (0L, "x y x y x"),
+      (1L, "x y z"),
+      (2L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(corpus, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: 2 bigrams, total 1, mean 500; doc0: 4 bigrams, total 0;
+    // doc2 has no bigrams and is absent
+    assert(got.toSeq == Seq((1L, 2L, 1L, 500L), (0L, 4L, 0L, 0L)), got.toSeq.toString)
+  }
+
+  test("mmrSelect: diversification flips the pick; lambda=1 is pure relevance") {
+    // v1 ≈ the query, v2 a near-duplicate of v1, v3 genuinely different
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.995f, 0.0998f)),
+      (3L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val query = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // λ=0.3 weights diversity: after v1, the near-dup v2's max-sim penalty
+    // (≈0.995) outweighs its relevance edge and v3 is picked second
+    val diverse = Similarity.mmrSelect(corpus, query, candK = 3, selectK = 3, lamX10 = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(diverse.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)), diverse.toSeq.toString)
+    // λ=1.0: zero diversity penalty — selection order IS the relevance order
+    val pure = Similarity.mmrSelect(corpus, query, candK = 3, selectK = 3, lamX10 = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rel = Similarity.annBruteForce(corpus, query, 3)
+      .collect().map(r => r.getLong(1))
+    assert(pure.toSeq.map(_._2) == rel.toSeq, s"pure=${pure.toSeq} rel=${rel.toSeq}")
+    // step-1 score is λ·rel with an empty-selection penalty of zero
+    val step1 = Similarity.mmrSelect(corpus, query, candK = 3, selectK = 1, lamX10 = 3)
+      .collect().head
+    assert(step1.getDecimal(2) ==
+      new java.math.BigDecimal("3.0000"), step1.getDecimal(2).toString)
+  }
+
+  test("hardNegatives: same-label rows (including the anchor) never surface") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),   // same label as anchor — excluded at cos 1
+      (2L, Seq(0.9f, 0.44f), 1),
+      (3L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val anchor = Seq((0L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, anchor, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 2L), (0L, 3L)), got.toSeq.toString)
+  }
+
+  test("labelPrototypes: floored integer means (negatives included), exact inertia") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.5f, 0.0f), 0),
+      (2L, Seq(-0.25f, 0.75f), 1),
+      // -1025/4096 is float-exact; the label-2 mean -2049/2 exercises the
+      // mode-free floor on a negative odd sum: floor(-1024.5) = -1025
+      (3L, Seq(-0.25f, 0.0f), 2),
+      (4L, Seq(-0.250244140625f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelPrototypes(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // label 0: qv (4096,0) and (2048,0) → proto (3072,0); d2 = 1024² each
+    assert(got(0L) == ((2L, 3072L, 2L * 1024L * 1024L)), got.toString)
+    // label 1: singleton is its own prototype
+    assert(got(1L) == ((1L, 2048L, 0L)), got.toString)
+    // label 2: proto (-1025, 0); d2 = 1 + 0
+    assert(got(2L) == ((2L, -1025L, 1L)), got.toString)
+  }
+
+  test("VectorIndexStore: batch splits are invisible; full probe = brute force; pruned reads") {
+    val emb = Tables.embeddings(spark)
+    val queries = emb.filter($"vec_id" < 3)
+    val k = 4
+    // one store ingested as a single batch, one as three — frozen centroids
+    // make the accumulated state identical, so searches must agree exactly
+    val oneDir = tmpDir("vindex_one") + "/s"
+    val one = new graft.sink.VectorIndexStore(oneDir)
+    one.init(emb, k = k, iters = 2)
+    one.append(emb, batchId = 0L)
+    val threeDir = tmpDir("vindex_three") + "/s"
+    val three = new graft.sink.VectorIndexStore(threeDir)
+    three.init(emb, k = k, iters = 2)
+    for (b <- 0L until 3L) three.append(emb.filter(pmod($"vec_id", lit(3)) === b), b)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toString)).toSeq
+    val rOne = res(one.search(spark, queries, k = 3, nProbe = 2))
+    val rThree = res(three.search(spark, queries, k = 3, nProbe = 2))
+    assert(rOne == rThree, s"one=$rOne three=$rThree")
+    assert(rOne.size == 9)
+    // probing every cell degenerates to exact brute force (set equality —
+    // candidate order inside a tie band differs but ranks are pinned)
+    val full = res(three.search(spark, queries, k = 3, nProbe = k))
+    val brute = res(Similarity.annBruteForce(emb, queries, 3))
+    assert(full.toSet == brute.toSet, s"full=$full brute=$brute")
+    // partition pruning is real: a 1-cell probe LISTS every committed file
+    // (inputFiles is pre-pruning) but READS only the probed cell's files —
+    // scan metrics are the ground truth (AQE off so the executed plan's
+    // leaves are the scans themselves)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val narrowDf = three.search(spark, queries.limit(1), k = 3, nProbe = 1)
+      narrowDf.collect()
+      val readFiles = narrowDf.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("/vectors")) =>
+          f.metrics("numFiles").value
+      }.sum
+      val allFiles = narrowDf.inputFiles.count(_.contains("/vectors/"))
+      // 3 batches × k cells of committed files; a 1-cell probe reads ≤ 3
+      assert(readFiles > 0 && readFiles < allFiles,
+        s"probed scan read $readFiles of $allFiles files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // replayed append (crash recovery): identical content, identical results
+    three.append(emb.filter(pmod($"vec_id", lit(3)) === 2L), 2L)
+    assert(res(three.search(spark, queries, k = 3, nProbe = 2)) == rThree)
+  }
 }
