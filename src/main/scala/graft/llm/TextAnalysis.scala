@@ -694,6 +694,34 @@ object TextAnalysis {
         max(col("tokens")).as("max_tokens"))
   }
 
+  /** Exact phrase search — adjacency-aware retrieval (what a bag-of-words
+    * index can't answer): per-doc occurrence count of the token sequence
+    * `phrase`, top-k by (count DESC, id). The count is a pure per-row array
+    * scan (filter over candidate start positions comparing an n-slice to
+    * the phrase literal — no explode, no join, no shuffle until the final
+    * top-k), so the corpus is read once and the operator rides whatever
+    * pruning the scan has. The index-accelerated variant adds positions to
+    * [[graft.sink.TextIndexStore]]'s postings and verifies adjacency only
+    * on docs containing every term; this scan form is its correctness
+    * reference.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val n = phrase.length
+    val ts = tokens(col(textCol))
+    val lits = array(phrase.map(lit): _*)
+    // sequence() descends when start > stop, so short docs are gated out
+    // rather than generating phantom positions
+    val occ = when(size(ts) < n, lit(0L)).otherwise(
+      size(filter(sequence(lit(1), size(ts) - (n - 1)),
+        i => slice(ts, i, lit(n)) === lits)).cast("long"))
+    docs.select(col(idCol).as("doc_id"), occ.as("occ"))
+      .filter(col("occ") > 0)
+      .orderBy(col("occ").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Integer bit-surprisal: floor(log₂(total/count)) computed EXACTLY as
     * `length(bin(total DIV count)) − 1` — the binary-digit count of the
     * floored odds ratio. floor(log₂(x)) over reals equals

@@ -1230,6 +1230,23 @@ object Llm {
         TextAnalysis.bigramSurprisal(Tables.table(s, dir, "documents"), topN = 30)
     },
 
+    // Exact phrase search (adjacency-aware retrieval — the query class a
+    // bag-of-words index cannot answer): per-doc occurrences of the token
+    // sequence "table hash" via a pure per-row positional scan (slice-
+    // compare over candidate starts; no explode, no join, no shuffle until
+    // the top-k), top-20 by (count DESC, doc_id).
+    QDef.df("q84o_phrase_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |o AS (SELECT doc_id, len(list_filter(range(1, len(ts)),
+        |               i -> ts[i:i+1] = ['table', 'hash'])) AS occ
+        |      FROM d)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS occ FROM o
+        |WHERE occ > 0 ORDER BY occ DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.phraseSearch(Tables.table(s, dir, "documents"),
+          Seq("table", "hash"), k = 20)
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>

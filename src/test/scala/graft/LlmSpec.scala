@@ -1180,6 +1180,23 @@ class LlmSpec extends SparkSpec {
       new java.math.BigDecimal("3.0000"), step1.getDecimal(2).toString)
   }
 
+  test("phraseSearch: overlapping matches count, short docs gate out") {
+    val corpus = Seq(
+      (0L, "a a a"),        // overlapping starts: positions 1 and 2
+      (1L, "a b a a b"),    // one occurrence
+      (2L, "b a b"),        // tokens present, never adjacent in order
+      (3L, "a"),            // shorter than the phrase — gated, no phantom
+      (4L, "x a a y a a z") // two non-overlapping occurrences
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(corpus, Seq("a", "a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 2L), (4L, 2L), (1L, 1L)), got.toSeq.toString)
+    // a 3-token phrase through the same path
+    val tri = TextAnalysis.phraseSearch(corpus, Seq("a", "a", "y"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tri.toSeq == Seq((4L, 1L)), tri.toSeq.toString)
+  }
+
   test("hardNegatives: same-label rows (including the anchor) never surface") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f), 0),   // same label as anchor — excluded at cos 1

@@ -867,4 +867,41 @@ class StreamingOpsSpec extends SparkSpec {
       assert(persisted == Map(9L -> 1L))
     } finally { q.stop(); q.awaitTermination() }
   }
+
+  test("vector ingest stream: searches see committed batches, replay-stable") {
+    import graft.streaming.VectorIngest
+    val in = tmpDir("vec_in"); val ckpt = tmpDir("vec_ckpt")
+    val store = new graft.sink.VectorIndexStore(tmpDir("vec_store") + "/s")
+    // bootstrap: two well-separated cells trained offline, centroids frozen
+    val boot = Seq(
+      (100L, Seq(1.0f, 0.0f)), (101L, Seq(0.9f, 0.1f)),
+      (102L, Seq(0.0f, 1.0f)), (103L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    store.init(boot, k = 2, iters = 1)
+    def vecJson(id: Long, x: Double, y: Double) =
+      s"""{"vec_id":$id,"embedding":[$x,$y]}"""
+    val results = scala.collection.mutable.Map[Long, Seq[(Long, Long)]]()
+    val query = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    write(in, "b0.jsonl", Seq(vecJson(1, 0.95, 0.05), vecJson(2, 0.05, 0.95)))
+    val q = VectorIngest.start(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in),
+      store, ckpt,
+      (st, id) => results(id) = st.search(spark, query, k = 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    try {
+      q.processAllAvailable()
+      assert(results(0L).map(_._2).toSet == Set(1L, 2L), results.toString)
+      // batch 1: a closer neighbor arrives; the next search must rank it
+      // first WITHOUT re-reading batch 0's rows as input
+      write(in, "b1.jsonl", Seq(vecJson(3, 1.0, 0.0)))
+      q.processAllAvailable()
+      assert(results(1L).head == ((0L, 3L)), results.toString)
+      assert(results(1L).map(_._2).toSet == Set(1L, 2L, 3L))
+    } finally { q.stop(); q.awaitTermination() }
+    // replay safety: frozen centroids make a re-appended batch bit-identical
+    store.append(spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .json(s"$in/b1.jsonl"), 1L)
+    val after = store.search(spark, query, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == results(1L), s"after=$after expected=${results(1L)}")
+  }
 }
