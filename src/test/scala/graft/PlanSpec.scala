@@ -324,4 +324,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q84o: phrase scan is per-row until the top-k — no join, no window") {
+    val p = plan("q84o_phrase_search")
+    // the positional scan must stay inside the row: any Join/Window here
+    // means the occurrence count degraded to an explode + self-join
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q90h/q90i: surprisal meets the vocabulary on hash equi-joins, never a cartesian") {
+    for (q <- Seq("q90h_unigram_surprisal", "q90i_bigram_surprisal")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      // the ONE nested loop is the broadcast 1-row corpus-stats frame
+      // (q90h only); the token/bigram stream itself must meet its counts
+      // on a hash join
+      val bnlj = "\\((\\d+)\\) BroadcastNestedLoopJoin".r.findAllMatchIn(p)
+        .map(_.group(1)).toSet
+      assert(bnlj.size <= 1, s"$q: data-sized nested loop: $bnlj\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q\n$p")
+    }
+  }
+
+  test("q89h: index search joins candidates via the broadcast query side") {
+    val p = plan("q89h_vector_index")
+    // candidates × queries must be a broadcast nested loop on the
+    // QUERY-sized side (the array_contains probe condition is non-equi by
+    // design); the store side must never be the build side of a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // cell pruning reaches the scan as a partition filter
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+  }
 }
