@@ -46,7 +46,11 @@ object Bench {
     try SparkEntry.queries.get("q01_count").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
 
-    val runs = 3
+    // min-of-N is the contention antidote: on a box with neighbor load,
+    // raising N (SPARK_GRAFT_RUNS) recovers clean per-query mins without
+    // waiting for an idle window; the driver's default stays 3
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     val suiteT0 = System.nanoTime()
     // per query: `runs` timings; (median, min, max−min) on success
     val results: Seq[(String, Option[(Double, Double, Double)])] = qs.toSeq.sortBy(_._1).map { case (name, fn) =>

