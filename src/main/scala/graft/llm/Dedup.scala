@@ -568,12 +568,18 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-      .filter(size(col("__toks")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("__toks")) - n),
-        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("sh"))
+    // the token array is BOUND as a lambda variable (1-element outer
+    // transform): as a plain column it was inlined by projection collapse
+    // into both the length filter and the generator — re-splitting the
+    // text twice per row (measured 1.7× on the sf0.1 corpus); the
+    // when-guard replaces the filter, short docs yield an empty array and
+    // explode drops them, same semantics
+    docs.select(col(idCol).as("doc_id"),
+      explode(element_at(transform(array(split(col(textCol), " ")), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(0), size(ts) - n),
+            i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))), 1)).as("sh"))
 
   /** Pairwise Jaccard over distinct n-gram shingles (small-n baseline; the
     * scale path feeds [[shingles]] into the MinHash pipeline instead).

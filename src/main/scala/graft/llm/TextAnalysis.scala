@@ -605,12 +605,14 @@ object TextAnalysis {
     // N = Σ unigram counts — derived from the (vocabulary-sized) unigram
     // table, not a second corpus scan
     val total = uni.agg(sum(col("cnt")).as("total"))
+    // token array bound as a lambda variable — one split per row (the
+    // plain-column form re-split for the filter and the generator)
     val bi = docs
-      .select(tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-        i => struct(element_at(col("__toks"), i).as("w1"),
-          element_at(col("__toks"), i + 1).as("w2")))).as("p"))
+      .select(explode(element_at(transform(array(tokens(col(textCol))), ts =>
+        when(size(ts) >= 2,
+          transform(sequence(lit(1), size(ts) - 1),
+            i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cnt_ab"))
       .filter(col("cnt_ab") >= minCount)
