@@ -664,6 +664,43 @@ object Llm {
       Similarity.labelPrototypes(Tables.table(s, dir, "embeddings"))
     },
 
+    // Filtered ANN over the persistent index (the metadata-predicate
+    // search every vector database serves: "nearest neighbors WHERE
+    // label = 3"): the predicate applies to the probed-cell scan BEFORE
+    // the rerank — payload columns live in the store, so the filter
+    // reaches the parquet reader as a pushed filter in the same scan the
+    // cell pruning already narrowed. nProbe = 3 (selective filters want
+    // wider probes — the standard recall trade, replayed by the oracle).
+    QDef.df("q89k_filtered_ann", {
+      val dist = "CAST(list_dot_product(qr.qv, qr.qv) AS BIGINT) " +
+        "- 2 * CAST(list_dot_product(qr.qv, c2.cv) AS BIGINT) " +
+        "+ CAST(list_dot_product(c2.cv, c2.cv) AS BIGINT)"
+      s"""$kmeansChain,
+         |v AS (SELECT vec_id, label,
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |      FROM embeddings),
+         |qr AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id < 3),
+         |pr AS (SELECT q_id, cell FROM (
+         |    SELECT qr.q_id, c2.cell, row_number() OVER (PARTITION BY qr.q_id
+         |        ORDER BY $dist ASC, c2.cell ASC) AS rn
+         |    FROM qr CROSS JOIN c2) t WHERE rn <= 3),
+         |cand AS (SELECT pr.q_id, a3.vec_id AS n_id
+         |         FROM pr JOIN a3 ON a3.cell = pr.cell
+         |         JOIN v ON v.vec_id = a3.vec_id AND v.label = 3),
+         |qe AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 3),
+         |sc AS (SELECT cand.q_id, cand.n_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos
+         |       FROM cand JOIN v ON v.vec_id = cand.n_id
+         |       JOIN qe ON qe.q_id = cand.q_id),
+         |r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, n_id) AS rn FROM sc)
+         |SELECT q_id, n_id, CAST(cos AS STRING) AS cos FROM r WHERE rn <= 3""".stripMargin
+    }) { (s, dir) =>
+      val store = new graft.sink.VectorIndexStore(Tables.ensureVectorIndex(s, dir))
+      store.search(s, Tables.table(s, dir, "embeddings").filter(col("vec_id") < 3),
+          k = 3, nProbe = 3, candidateFilter = Some(col("label") === 3))
+        .withColumn("cos", col("cos").cast("string"))
+    },
+
     QDef.df("q89b_ann_ivf",
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(15 AS BIGINT) AS n_results,
         |       true AS recall_ok""".stripMargin) { (s, dir) =>

@@ -50,13 +50,15 @@ final class VectorIndexStore(val dir: String) {
 
   /** Assigns one vector batch to the frozen centroids and commits it,
     * partitioned by cell. The raw embedding rides along for the exact
-    * rerank at search time; the quantized view exists only inside the
-    * assignment expression.
+    * rerank at search time (the quantized view exists only inside the
+    * assignment expression), and every OTHER input column is persisted as
+    * payload — metadata (labels, timestamps, source) that a filtered
+    * search can push down into the cell scan.
     */
   def append(batch: DataFrame, batchId: Long, scale: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val cents = centroids(batch.sparkSession)
-    batch.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    batch.withColumnRenamed(idCol, "vec_id").withColumnRenamed(embCol, "embedding")
       .withColumn("cell",
         KMeans.cellOf(KMeans.quantize(col("embedding"), scale), cents))
       .write.partitionBy("cell").mode("overwrite")
@@ -70,10 +72,20 @@ final class VectorIndexStore(val dir: String) {
     * per-query probe lists collapse to ≤ k distinct cells for the scan
     * filter); candidates join queries via the broadcast query side, so the
     * store side never shuffles.
+    *
+    * `candidateFilter` is the filtered-ANN path (the metadata predicate a
+    * vector database applies WITH the similarity search, not after it): a
+    * predicate over the store's payload columns, applied to the cell scan
+    * BEFORE the rerank — a plain column predicate reaches the parquet
+    * reader as a pushed filter, so non-matching row groups are skipped at
+    * the same layer the cell pruning happens. Recall caveat is the
+    * standard one: candidates still come from the probed cells; a highly
+    * selective filter wants a larger nProbe.
     */
   def search(spark: SparkSession, queries: DataFrame, k: Int, nProbe: Int,
       scale: Int = 4096, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cents = centroids(spark)
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
@@ -85,10 +97,11 @@ final class VectorIndexStore(val dir: String) {
       .collect().map(_.getInt(0)).sorted
     val batches = BatchStore.committedBatchPaths(s"$dir/vectors")
     require(batches.nonEmpty, s"no committed vector batches at $dir")
-    val vecs = spark.read.option("basePath", s"$dir/vectors")
+    val scanned = spark.read.option("basePath", s"$dir/vectors")
       .parquet(batches: _*)
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .drop("batch")
+    val vecs = candidateFilter.fold(scanned)(scanned.filter)
     val scored = vecs.join(broadcast(q), array_contains(col("cells"), col("cell")))
       .withColumn("cos",
         graft.llm.Similarity.cosine(col("embedding"), col("qe")).cast("decimal(38,4)"))

@@ -1274,4 +1274,28 @@ class LlmSpec extends SparkSpec {
     three.append(emb.filter(pmod($"vec_id", lit(3)) === 2L), 2L)
     assert(res(three.search(spark, queries, k = 3, nProbe = 2)) == rThree)
   }
+
+  test("VectorIndexStore filtered ANN: predicate pre-rerank, pushed to the scan") {
+    val emb = Tables.embeddings(spark)
+    val queries = emb.filter($"vec_id" < 3)
+    val dir = tmpDir("vindex_filter") + "/s"
+    val store = new graft.sink.VectorIndexStore(dir)
+    store.init(emb, k = 4, iters = 2)
+    store.append(emb, batchId = 0L)
+    // full probe + filter ≡ brute force over the label-restricted corpus
+    val got = store.search(spark, queries, k = 3, nProbe = 4,
+        candidateFilter = Some($"label" === 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toString)).toSet
+    val brute = Similarity.annBruteForce(emb.filter($"label" === 2), queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toString)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.nonEmpty)
+    // the payload predicate reaches the parquet reader as a pushed filter
+    val p = store.search(spark, queries, k = 3, nProbe = 2,
+        candidateFilter = Some($"label" === 2))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters:") && l.contains("label")), p)
+  }
 }
