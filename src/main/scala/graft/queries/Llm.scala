@@ -1284,6 +1284,25 @@ object Llm {
           Seq("table", "hash"), k = 20)
     },
 
+    // Phrase search THROUGH the positional index (q84o's scan is the
+    // correctness reference, also pinned by spec): reads only the two
+    // terms' posting rows, occurrences = |(P("part")) ∩ (P("filter") − 1)|
+    // — the positional-intersection every search engine runs. The oracle
+    // computes the scan-side closed form and never touches the index, so
+    // position extraction, batch merging and the shift arithmetic must all
+    // agree with a fresh tokenization.
+    QDef.df("q84p_indexed_phrase",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |o AS (SELECT doc_id, len(list_filter(range(1, len(ts)),
+        |               i -> ts[i:i+1] = ['part', 'filter'])) AS occ
+        |      FROM d)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS occ FROM o
+        |WHERE occ > 0 ORDER BY occ DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val store = new graft.sink.TextIndexStore(Tables.ensureTextIndex(s, dir))
+        store.phraseSearch(s, Seq("part", "filter"), k = 20)
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>

@@ -31,12 +31,18 @@ import org.apache.spark.sql.functions._
   */
 final class TextIndexStore(val dir: String) {
 
-  /** Tokenize one batch and commit its postings + doc-length partials. */
+  /** Tokenize one batch and commit its postings + doc-length partials.
+    * Postings are POSITIONAL — `(tok, doc_id, tf, pos ARRAY<INT>)` with
+    * the token's 0-based in-document positions sorted — so the same store
+    * serves both bag-of-words scoring (BM25 reads tf) and adjacency
+    * queries (phrase search intersects shifted position lists).
+    */
   def append(batch: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val toks = batch.select(col(idCol).as("doc_id"),
-      explode(graft.llm.TextAnalysis.tokens(col(textCol))).as("tok"))
-    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      posexplode(graft.llm.TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("pos"))
       .repartition(1).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(s"$dir/postings/batch=$batchId")
     toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -60,6 +66,34 @@ final class TextIndexStore(val dir: String) {
       .groupBy("doc_id", "tok").agg(sum(col("tf")).as("tf"))
     val dl = dls.groupBy("doc_id").agg(sum(col("dl")).as("dl"))
     graft.llm.TextAnalysis.bm25Score(tf, dl, k, scale)
+  }
+
+  /** Index-accelerated exact phrase search: reads ONLY the phrase terms'
+    * posting rows (never the corpus), and counts occurrences as
+    * `|∩_j (positions(tok_j) − j)|` — the classic positional-index
+    * intersection, which handles repeated-token phrases for free and
+    * returns counts identical to the scan-side
+    * [[graft.llm.TextAnalysis.phraseSearch]] (test-pinned). Per-term
+    * position lists merge across batches defensively (a doc lives in one
+    * batch; flatten + distinct keeps a mid-recommit state exact). Output
+    * (doc_id, occ), top-k by (occ DESC, doc_id).
+    */
+  def phraseSearch(spark: SparkSession, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val posts = committed(spark, "postings")
+    val per = phrase.zipWithIndex.map { case (t, j) =>
+      posts.filter(col("tok") === t)
+        .groupBy("doc_id")
+        .agg(array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("p"))
+        .select(col("doc_id"), transform(col("p"), x => x - j).as(s"s$j"))
+    }
+    val joined = per.reduce((a, b) => a.join(b, "doc_id"))
+    val inter = (1 until phrase.length)
+      .foldLeft(col("s0"))((acc, j) => array_intersect(acc, col(s"s$j")))
+    joined.select(col("doc_id"), size(inter).cast("long").as("occ"))
+      .filter(col("occ") > 0)
+      .orderBy(col("occ").desc, col("doc_id"))
+      .limit(k)
   }
 
   private def committed(spark: SparkSession, sub: String): DataFrame = {

@@ -1062,6 +1062,32 @@ class LlmSpec extends SparkSpec {
     assert(replayed == oneShot)
   }
 
+  test("TextIndexStore.phraseSearch: positional intersection equals the scan") {
+    val corpus = Seq(
+      (0L, "a a a"),
+      (1L, "a b a a b"),
+      (2L, "b a b"),
+      (3L, "a"),
+      (4L, "x a a y a a z"),
+      (5L, "a b c a b c a b")).toDF("doc_id", "text")
+    val dir = tmpDir("pos_index")
+    val store = new graft.sink.TextIndexStore(dir)
+    store.append(corpus.filter($"doc_id" < 3), batchId = 0L)
+    store.append(corpus.filter($"doc_id" >= 3), batchId = 1L)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // repeated-token phrase (overlapping matches) and a 3-token phrase:
+    // the index-side shifted-intersection must equal a fresh scan exactly
+    for (phrase <- Seq(Seq("a", "a"), Seq("a", "b", "c"), Seq("a", "b"))) {
+      val idx = res(store.phraseSearch(spark, phrase, k = 10))
+      val scan = res(TextAnalysis.phraseSearch(corpus, phrase, k = 10))
+      assert(idx == scan, s"phrase=$phrase idx=$idx scan=$scan")
+      assert(idx.nonEmpty, s"phrase=$phrase")
+    }
+    // BM25 still works over the positional postings (tf untouched)
+    assert(store.search(spark, Seq("a"), k = 10).count() > 0)
+  }
+
   test("rrfFuse: exact integer fusion, missing-list docs contribute nothing") {
     val sparse = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
     val dense = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
