@@ -704,6 +704,60 @@ object Dedup {
         max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Word n-gram shingles WITH their 0-based start position:
+    * (doc_id, pos, sh). Same per-row slicing as [[shingles]] (no window, no
+    * exchange); position is what lets a consumer reason about ADJACENCY of
+    * matches — the input to [[duplicateSpans]]'s diagonal-run construction.
+    */
+  def positionedShingles(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(element_at(transform(array(split(col(textCol), " ")), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(0), size(ts) - n),
+            i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))), 1)).as(Seq("pos", "sh")))
+
+  /** Longest duplicated token span per document pair — the exact-substring
+    * dedup signal (the suffix-array finding of "Deduplicating Training Data
+    * Makes Language Models Better": long verbatim spans, not whole-doc
+    * similarity, are what repeats in crawled corpora), re-expressed as
+    * relational algebra: two docs share a span of `L ≥ k` tokens iff they
+    * share `L − k + 1` CONSECUTIVE `k`-shingles on one alignment diagonal
+    * (`pos_a − pos_b` constant). So: positioned shingles → df-cut
+    * [2, dfCap] (singletons can't pair; shingles in > dfCap docs are
+    * boilerplate, excluded BY DESIGN and loudly — the suffix-array papers
+    * drop them too) → shingle equi-join (never doc-pairwise) → per
+    * (a, b, diagonal) consecutive-run grouping via the classic
+    * `pos − row_number()` trick → longest run per pair.
+    *
+    * Scale shape: the join fans out at most dfCap² per shingle occurrence;
+    * the run window partitions by (a, b, diag) — many tiny partitions, no
+    * global sort. Output: top `topN` pairs by (span_tokens DESC, a, b),
+    * span_tokens = longest shared verbatim run in TOKENS (= run + k − 1),
+    * n_runs = number of distinct shared diagonal runs of any length.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int, dfCap: Int, topN: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = positionedShingles(docs, k, idCol, textCol)
+    val keep = sh.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("sh")
+    val surv = sh.join(keep, "sh")
+    val a = surv.select(col("sh"), col("doc_id").as("a"), col("pos").as("pa"))
+    val b = surv.select(col("sh"), col("doc_id").as("b"), col("pos").as("pb"))
+    val m = a.join(b, "sh").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    val runs = m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("a", "b", "diag", "grp").agg(count(lit(1)).as("run"))
+    runs.groupBy("a", "b")
+      .agg((max(col("run")) + (k - 1)).cast("bigint").as("span_tokens"),
+        count(lit(1)).cast("bigint").as("n_runs"))
+      .orderBy(col("span_tokens").desc, col("a"), col("b")).limit(topN)
+  }
+
   /** Per-document novelty: of a doc's DISTINCT word n-grams, how many occur
     * in NO earlier document (first occurrence = this doc, "earlier" = lower
     * id)? The decayed-novelty signal a crawl pipeline uses to drop

@@ -232,6 +232,38 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
   }
 
+  /** Mutual k-nearest-neighbor graph over an embedding corpus — the
+    * backbone of graph-based corpus curation (kNN-graph clustering, label
+    * propagation, density-based outlier pruning): an undirected edge (i, j)
+    * exists iff j is in i's top-`k` AND i is in j's top-`k` — the mutuality
+    * filter is what kills hub nodes (high-degree vectors that are "near"
+    * everything and would otherwise glue unrelated clusters).
+    *
+    * Ranking is quantized DECIMAL(38,4) cosine with id tiebreaks, so any
+    * engine replays the identical neighbor lists. Pair generation here is
+    * brute-force with the corpus broadcast into its self-join (the caller
+    * bounds the corpus — this is the oracle-checkable baseline); the 100 TB
+    * path swaps pair generation for index candidates ([[Ivf.search]] /
+    * [[annLsh]] buckets) and keeps the mutuality join — edges meet on the
+    * (i, j) equi-key either way.
+    */
+  def mutualKnnGraph(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val a = corpus.select(col(idCol).as("i"), col(embCol).as("ea"))
+    val b = corpus.select(col(idCol).as("j"), col(embCol).as("eb"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("i") =!= col("j"))
+      .withColumn("cos", cosine(col("ea"), col("eb")).cast("decimal(38,4)"))
+    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
+    val knn = pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("i"), col("j"), col("cos"))
+    val fwd = knn.filter(col("i") < col("j"))
+    val rev = knn.filter(col("i") > col("j")).select(col("j").as("i"), col("i").as("j"))
+    fwd.join(rev, Seq("i", "j"), "left_semi")
+      .select(col("i"), col("j"), col("cos").cast("string").as("cos"))
+  }
+
   /** Per-label prototype vectors + cohesion — the embedding-space health
     * check a labeled corpus gets before training (drifting or bimodal
     * classes show up as inflated inertia): prototype = the floored

@@ -808,4 +808,49 @@ object TextAnalysis {
       .orderBy(col("mean_surprisal_x1000").desc, col("doc_id"))
       .limit(topN)
   }
+
+  /** Self-trained multinomial Naive Bayes source classifier + confusion
+    * matrix — the quality-classifier shape (fastText-style linear scorers
+    * gating CommonCrawl against curated reference corpora) in EXACT integer
+    * arithmetic: class-conditional token cost is the Laplace-smoothed
+    * negative log-likelihood floor(log₂((N_s + V) / (c(w,s) + 1))) bits
+    * (N_s = class token count, V = global vocabulary size — so unseen
+    * tokens cost the full class odds), a doc's class score is the
+    * tf-weighted cost sum, the prediction is the argmin (ties to the
+    * lexicographically smallest source). Training and scoring run over the
+    * same corpus; the output is the (actual, predicted) confusion matrix —
+    * diagonal mass = how linearly separable the sources are, off-diagonal
+    * cells = which sources a gate would confuse.
+    *
+    * Scale shape: one corpus tokenization folded to per-doc (tok, tf)
+    * rows, a (source, tok) grouped count (map-side combinable), the
+    * class-stats frame is |sources| rows and BROADCAST into the scoring
+    * fan-out (per-doc-token × |sources| — linear in corpus tokens times a
+    * constant), the (tok, src) vocabulary equi-join is never broadcast
+    * (vocab grows with the corpus). Argmin is a |sources|-wide window per
+    * doc. No floating-point log anywhere: any engine replays the matrix
+    * bit-for-bit.
+    */
+  def nbSourceConfusion(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "source"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(labelCol).as("actual"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "actual", "tok").agg(count(lit(1)).as("tf"))
+    val cnt = toks.groupBy(col("actual").as("src"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val srcStats = toks.groupBy(col("actual").as("src"))
+      .agg(count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(
+        toks.select("tok").distinct().agg(count(lit(1)).as("vocab"))))
+    val scored = tf.crossJoin(broadcast(srcStats))
+      .join(cnt, Seq("src", "tok"), "left")
+      .withColumn("cost", col("tf") *
+        expr("CAST(length(bin((n_src + vocab) DIV (coalesce(c, 0L) + 1))) - 1 AS BIGINT)"))
+      .groupBy("doc_id", "actual", "src")
+      .agg(sum(col("cost")).cast("long").as("total"))
+    val w = Window.partitionBy("doc_id").orderBy(col("total").asc, col("src").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col("actual"), col("src").as("predicted"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+  }
 }

@@ -263,6 +263,41 @@ object Multimodal {
     })
   }
 
+  /** Perceptual average-hash (aHash) of a 24-bit BMP, computed from the
+    * ACTUAL pixel bytes (offset/stride/dims all parsed from the header —
+    * nothing assumed from the writer): per-pixel gray = (B+G+R) DIV 3, the
+    * image mean = (Σ gray) DIV (w·h), and bit i (file-order pixel index
+    * i = row·w + x, bottom-up as stored) is set iff gray(i) > mean. The
+    * first min(w·h, 63) pixels pack into a non-negative BIGINT — the
+    * fixed-width fingerprint whose Hamming distance survives uniform
+    * brightness shifts (every aHash's point): two images differing by a
+    * constant channel offset flip only the bits near the mean.
+    *
+    * One narrow per-row expression — no UDF, no shuffle; the mean is bound
+    * as a lambda variable (1-element outer transform) so the Σ-gray
+    * aggregate evaluates ONCE per row, not once per packed bit.
+    */
+  def bmpAHash(media: Column): Column = {
+    val w = leIntAt(media, 19, 4)
+    val h = leIntAt(media, 23, 4)
+    val off = leIntAt(media, 11, 4)
+    val stride = bmpStride(w)
+    def gray(i: Column): Column = {
+      val x = pmod(i, w)
+      val r = ((i - x) / w).cast("long")
+      val base = off + r * stride + x * 3
+      ((byteAt(media, base + 1) + byteAt(media, base + 2) + byteAt(media, base + 3)) / 3)
+        .cast("long")
+    }
+    val n = w * h
+    val meanGray = (aggregate(sequence(lit(0L), n - 1), lit(0L),
+      (acc, i) => acc + gray(i)) / n).cast("long")
+    // Horner over descending bit index: acc·2 + bit — no shift-by-column
+    element_at(transform(array(meanGray), m =>
+      aggregate(sequence(least(n, lit(63L)) - 1, lit(0L), lit(-1L)), lit(0L),
+        (acc, i) => acc * 2 + when(gray(i) > m, 1L).otherwise(0L))), 1)
+  }
+
   /** Inference batch shape: rows grouped into fixed-size batches keyed by
     * `id div batchSize` — one output row per batch with id-aligned feature
     * arrays, ready to hand a vectorized model runner one tensor per row.

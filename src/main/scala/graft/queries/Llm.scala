@@ -334,6 +334,40 @@ object Llm {
       Dedup.spanDedup(Tables.table(s, dir, "documents").filter(col("doc_id") < 200), k = 8)
     },
 
+    // Longest duplicated token span per doc pair (the suffix-array signal
+    // of Lee et al. relationally): L-token shared spans are L-7 consecutive
+    // shared 8-shingles on one alignment diagonal — positioned shingles,
+    // df-cut [2, 20] (boilerplate excluded loudly), shingle equi-join
+    // (never doc-pairwise), pos − row_number() run grouping. The oracle
+    // replays the identical diagonal-run construction from a fresh
+    // tokenization.
+    QDef.df("q88f_dup_spans",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents WHERE doc_id < 300),
+        |shp AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+        |                  i -> {'pos': i - 1, 'sh': array_to_string(ts[i:i+7], ' ')})) AS u
+        |         FROM d WHERE len(ts) >= 8) z),
+        |keep AS (SELECT sh FROM (
+        |          SELECT sh, count(DISTINCT doc_id) AS df FROM shp GROUP BY 1) t
+        |         WHERE df BETWEEN 2 AND 20),
+        |m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, a.pos - b.pos AS diag
+        |      FROM (SELECT shp.* FROM shp JOIN keep USING (sh)) a
+        |      JOIN (SELECT shp.* FROM shp JOIN keep USING (sh)) b USING (sh)
+        |      WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT a, b, diag, pa,
+        |             pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+        |      FROM m),
+        |runs AS (SELECT a, b, count(*) AS run FROM r GROUP BY a, b, diag, grp)
+        |SELECT a, b, CAST(MAX(run) + 7 AS BIGINT) AS span_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY a, b
+        |ORDER BY span_tokens DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.duplicateSpans(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 300),
+        k = 8, dfCap = 20, topN = 20)
+    },
+
     // embedding-cosine near-dup (semantic dedup; vec_id<100, low threshold
     // so the synthetic random vectors yield non-trivial pairs)
     QDef.df("q93_embedding_neardup",
@@ -1267,6 +1301,35 @@ object Llm {
         TextAnalysis.bigramSurprisal(Tables.table(s, dir, "documents"), topN = 30)
     },
 
+    // Self-trained integer Naive Bayes source classifier: Laplace-smoothed
+    // class cost floor(log2((N_s + V) / (c(w,s) + 1))) bits per token
+    // (same bin-length log2 as the surprisal gates — no float log on
+    // either engine), argmin class per doc with lexicographic ties, output
+    // the (actual, predicted) confusion matrix. The quality-classifier
+    // shape: diagonal mass = source separability.
+    QDef.df("q90j_nb_confusion",
+      """WITH toks AS (SELECT doc_id, source AS actual,
+        |              unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, actual, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+        |cnt AS (SELECT actual AS src, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT actual AS src, count(*) AS n_src FROM toks GROUP BY 1),
+        |vc AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
+        |sc AS (SELECT tf.doc_id, tf.actual, s.src,
+        |         SUM(tf.tf * (length(bin((s.n_src + vc.vocab)
+        |                                 // (COALESCE(cnt.c, 0) + 1))) - 1)) AS total
+        |       FROM tf CROSS JOIN ns s CROSS JOIN vc
+        |       LEFT JOIN cnt ON cnt.src = s.src AND cnt.tok = tf.tok
+        |       GROUP BY 1, 2, 3),
+        |pr AS (SELECT doc_id, actual, src AS predicted FROM (
+        |        SELECT doc_id, actual, src,
+        |               row_number() OVER (PARTITION BY doc_id
+        |                                  ORDER BY total ASC, src ASC) AS rn
+        |        FROM sc) t WHERE rn = 1)
+        |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pr GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      TextAnalysis.nbSourceConfusion(Tables.table(s, dir, "documents"))
+    },
+
     // Exact phrase search (adjacency-aware retrieval — the query class a
     // bag-of-words index cannot answer): per-doc occurrences of the token
     // sequence "table hash" via a pure per-row positional scan (slice-
@@ -1356,6 +1419,30 @@ object Llm {
           dim = 64, nPlanes = 8)
         .select(col("i"), col("j"),
           col("cos").cast("decimal(38,4)").cast("string").as("cos"))
+    },
+
+    // Mutual kNN graph (kNN-graph curation backbone): edge (i,j) iff each
+    // is in the other's top-5 by quantized cosine — the mutuality filter
+    // that kills hub nodes. Oracle replays ranking and mutuality from the
+    // same all-pairs frame; engine is the broadcast self-join baseline
+    // (bounded corpus), index candidates at scale.
+    QDef.df("q93c_mutual_knn",
+      s"""$V,
+         |a AS (SELECT vec_id AS i, ve AS ea FROM v WHERE vec_id < 300),
+         |b AS (SELECT vec_id AS j, ve AS eb FROM v WHERE vec_id < 300),
+         |p AS (SELECT i, j, CAST(list_dot_product(ea, eb) /
+         |        (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
+         |        AS DECIMAL(38,4)) AS cos
+         |      FROM a JOIN b ON i != j),
+         |kn AS (SELECT i, j, cos FROM (
+         |        SELECT i, j, cos,
+         |               row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
+         |        FROM p) t WHERE rn <= 5)
+         |SELECT e1.i AS i, e1.j AS j, CAST(e1.cos AS STRING) AS cos
+         |FROM kn e1 JOIN kn e2 ON e1.i = e2.j AND e1.j = e2.i
+         |WHERE e1.i < e1.j""".stripMargin) { (s, dir) =>
+      Similarity.mutualKnnGraph(
+        Tables.table(s, dir, "embeddings").filter(col("vec_id") < 300), k = 5)
     },
 
     // Gopher-style repetition quality signal: share of repeated 3-grams.
@@ -1990,6 +2077,49 @@ object Llm {
           Multimodal.bmpChannelSum(col("media"), 0).as("sum_b"),
           Multimodal.bmpChannelSum(col("media"), 1).as("sum_g"),
           Multimodal.bmpChannelSum(col("media"), 2).as("sum_r"))
+    },
+
+    // Perceptual aHash near-dup over REAL BMP bytes: per-image 63-bit
+    // average-hash computed from the decoded pixel data (gray > image
+    // mean, file-order bit index), pairs blocked on the DECODED (w, h)
+    // header dims, ranked by Hamming distance. The oracle recomputes hash
+    // and dims closed-form over the (x, y, doc_id) pixel domain and never
+    // parses BMP — so header decode, stride walk, gray/mean floors and the
+    // bit packing must all agree byte-for-byte with the closed form.
+    QDef.df("q95g_phash_neardup",
+      """WITH dims AS (SELECT doc_id, n_chars % 12 + 1 AS w, n_chars % 7 + 1 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         ((3*x + y) % 251 + (x + 7*y) % 251 + (x + y + doc_id) % 251) // 3 AS gray,
+        |         (h - 1 - y) * w + x AS i
+        |       FROM dims, range(0, 12) tx(x), range(0, 7) ty(y)
+        |       WHERE x < w AND y < h),
+        |st AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |              SUM(gray) // count(*) AS mean FROM px GROUP BY 1),
+        |ah AS (SELECT px.doc_id, MAX(st.w) AS w, MAX(st.h) AS h,
+        |         SUM(CASE WHEN px.i < 63 AND px.gray > st.mean
+        |                  THEN (CAST(1 AS BIGINT) << CAST(px.i AS INT)) ELSE 0 END) AS ahash
+        |       FROM px JOIN st USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM ah a JOIN ah b ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+        |ORDER BY hamming, i, j LIMIT 30""".stripMargin) { (s, dir) =>
+      val feats = graft.engine.Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          (pmod(col("n_chars"), lit(12L)) + 1).cast("int").as("w0"),
+          (pmod(col("n_chars"), lit(7L)) + 1).cast("int").as("h0"))
+        .withColumn("media", Multimodal.encodeBmp(col("w0"), col("h0"), col("doc_id")))
+        .withColumn("meta", Multimodal.decodeBmpMeta(col("media")))
+        .select(col("doc_id"), col("meta.width").as("w"), col("meta.height").as("h"),
+          Multimodal.bmpAHash(col("media")).as("ahash"))
+      val a = feats.select(col("doc_id").as("i"), col("w"), col("h"),
+        col("ahash").as("ha"))
+      val b = feats.select(col("doc_id").as("j"), col("w"), col("h"),
+        col("ahash").as("hb"))
+      a.join(b, Seq("w", "h")).filter(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("i"), col("j")).limit(30)
     }
   )
 }

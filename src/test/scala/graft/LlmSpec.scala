@@ -1324,4 +1324,86 @@ class LlmSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("PushedFilters:") && l.contains("label")), p)
   }
+
+  test("duplicateSpans: diagonal runs find the longest shared span; dfCap excises") {
+    // doc0..doc1 share the 4-token run "p q r s" (= three consecutive
+    // 2-shingles on diagonal -1); doc0..doc2 share "r s t" (run 2);
+    // doc1..doc2 share only the single shingle "r s" (span 2)
+    val corpus = Seq(
+      (0L, "p q r s t"),
+      (1L, "x p q r s y"),
+      (2L, "r s t u")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, k = 2, dfCap = 20, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 4L, 1L), (0L, 2L, 3L, 1L), (1L, 2L, 2L, 1L)),
+      got.toSeq.toString)
+    // dfCap = 2: "r s" occurs in all three docs and is excised as
+    // boilerplate — the (0,1) span shrinks to "p q r" and (1,2) vanishes
+    val capped = Dedup.duplicateSpans(corpus, k = 2, dfCap = 2, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((0L, 1L, 3L), (0L, 2L, 2L)), capped.toSeq.toString)
+  }
+
+  test("mutualKnnGraph: only mutual top-k pairs survive (hub edges dropped)") {
+    // k=1: knn(1)=2, knn(2)=1 (mutual); knn(3)=2 but knn(2)≠3 — the
+    // one-directional hub edge (2,3) must NOT appear
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.95f, 0.31f)),
+      (3L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnnGraph(corpus, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), got.toSeq.toString)
+    // k=2 on three vectors: every knn list holds both others — all three
+    // edges are mutual
+    val full = Similarity.mutualKnnGraph(corpus, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L)), full.toString)
+  }
+
+  test("nbSourceConfusion: exact smoothed bit costs; ties to the smallest source") {
+    // V=3, N_srcA=6 (+V=9), N_srcB=4 (+V=7)
+    // srcA: c(a)=3 c(b)=3 → cost 9 DIV 4 = 2 → 1 bit; c(c)=0 → 9 → 3 bits
+    // srcB: c(c)=3 → 7 DIV 4 → 0 bits; c(b)=1 → 7 DIV 2 → 1; c(a)=0 → 7 → 2
+    // "b b": srcA 2 bits = srcB 2 bits → tie → lexicographically srcA
+    val corpus = Seq(
+      (0L, "a a", "srcA"), (1L, "a b", "srcA"), (2L, "b b", "srcA"),
+      (3L, "c c", "srcB"), (4L, "c b", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.nbSourceConfusion(corpus)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("srcA", "srcA", 3L), ("srcB", "srcB", 2L)), got.toString)
+  }
+
+  test("bmpAHash: hand-computed bits on 2x2; JDK-decoded replication on padded widths") {
+    // 2x2 seed 0: gray (file order, bottom-up rows) = [3, 4, 0, 1],
+    // mean = 8 DIV 4 = 2 → bits 1,1,0,0 → ahash = 1 + 2 = 3
+    val tiny = Seq((2, 2, 0L)).toDF("w", "h", "seed")
+      .select(Multimodal.bmpAHash(Multimodal.encodeBmp($"w", $"h", $"seed")).as("ah"))
+      .collect().head.getLong(0)
+    assert(tiny == 3L, tiny.toString)
+    // independent replication: decode with the JDK's BMP reader, recompute
+    // gray/mean/bit-packing in plain Scala — exercises stride padding
+    // (w=1..5) and the 63-bit cap (12x7 = 84 pixels > 63)
+    val cases = for (w <- 1 to 5; h <- Seq(1, 3)) yield (w, h, 17L * w + h)
+    val all = (cases :+ ((12, 7, 42L))).toDF("w", "h", "seed")
+      .select($"w", $"h", $"seed",
+        Multimodal.encodeBmp($"w", $"h", $"seed").as("media"))
+      .withColumn("ah", Multimodal.bmpAHash($"media"))
+      .collect()
+    for (r <- all) {
+      val (w, h) = (r.getInt(0), r.getInt(1))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+      // file order: bottom-up rows → image y = h-1-fileRow
+      val gray = for (fr <- 0 until h; x <- 0 until w) yield {
+        val rgb = img.getRGB(x, h - 1 - fr)
+        (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+      }
+      val mean = gray.sum / gray.size
+      val expect = gray.take(math.min(gray.size, 63)).zipWithIndex
+        .map { case (g, i) => if (g > mean) 1L << i else 0L }.sum
+      assert(r.getAs[Long]("ah") == expect, s"${w}x$h")
+    }
+  }
 }

@@ -359,4 +359,34 @@ class PlanSpec extends SparkSpec {
     // cell pruning reaches the scan as a partition filter
     assert(p.contains("PartitionFilters") && p.contains("cell"), p)
   }
+
+  test("q88f: duplicate spans meet on the shingle equi-join, never doc-pairwise") {
+    val p = plan("q88f_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q90j: NB scoring broadcasts the class-stats frame; counts meet on hash joins") {
+    val p = plan("q90j_nb_confusion")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the |sources|-row class-stats frame (with its 1-row vocab
+    // cross inside) may nested-loop; the (tok, src) vocabulary join is
+    // data-sized and must be a hash join
+    val bnlj = "\\((\\d+)\\) BroadcastNestedLoopJoin".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(bnlj.size <= 2, s"data-sized nested loop: $bnlj\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q95g: perceptual-hash pairs block on the (w,h) dims equi-join") {
+    val p = plan("q95g_phash_neardup")
+    // pair generation must key on the decoded dims — a cartesian here
+    // means the blocking key was lost and every image meets every image
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
