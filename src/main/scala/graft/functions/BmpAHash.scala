@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native codegen perceptual average-hash over 24-bit BMP bytes.
+  *
+  * Semantics are identical to the HOF formulation
+  * (graft.multimodal.Multimodal.bmpAHashHof, the composition reference the
+  * spec pins this against): width/height/pixel-offset parsed from the
+  * little-endian header, per-pixel gray = (B+G+R) DIV 3 walked in file
+  * order (bottom-up rows, 4-byte stride, padding skipped), image mean =
+  * (Σ gray) DIV (w·h), bit i set iff gray(i) > mean, first min(w·h, 63)
+  * bits packed into a non-negative BIGINT.
+  *
+  * Why native: Spark's higher-order functions are CodegenFallback — every
+  * per-byte read round-trips through interpreted expression dispatch
+  * (substr → hex → conv per byte; measured ~0.25 ms/row on 84-pixel
+  * images). This expression is one fused Java loop over the raw byte
+  * array — the difference between a CPU-bound raster scan and an
+  * allocation-bound one at media scale.
+  *
+  * Contract (same family as Multimodal.bmpChannelSum): input is a valid
+  * 24-bit BMP produced by a sniff-then-decode pipeline; behavior on
+  * arbitrary bytes is unspecified beyond not reading out of bounds
+  * (truncated buffers yield gray 0 for missing bytes).
+  */
+case class BmpAHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bmp_ahash requires binary input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    BmpAHash.hash(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BmpAHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bmp_ahash"
+}
+
+object BmpAHash {
+  /** Unsigned byte at 0-based index `i`; out-of-bounds reads yield 0. */
+  private def u(b: Array[Byte], i: Long): Long =
+    if (i >= 0 && i < b.length) b(i.toInt) & 0xFFL else 0L
+
+  /** Little-endian unsigned integer of `n` bytes at 0-based offset `pos`. */
+  private def le(b: Array[Byte], pos: Int, n: Int): Long = {
+    var v = 0L; var i = n - 1
+    while (i >= 0) { v = v * 256L + u(b, pos + i); i -= 1 }
+    v
+  }
+
+  /** Gray of file-order pixel `i` — (B+G+R) DIV 3 from the raw bytes. */
+  private def gray(b: Array[Byte], i: Long, w: Long, off: Long, stride: Long): Long = {
+    val x = i % w
+    val base = off + (i / w) * stride + x * 3
+    (u(b, base) + u(b, base + 1) + u(b, base + 2)) / 3
+  }
+
+  /** The fused loop (shared by interpreted eval and generated code). */
+  def hash(b: Array[Byte]): Long = {
+    val w = le(b, 18, 4); val h = le(b, 22, 4); val off = le(b, 10, 4)
+    val stride = ((w * 3 + 3) >> 2) << 2
+    val n = w * h
+    if (n <= 0) return 0L
+    // pass 1: mean over ALL pixels
+    var sum = 0L
+    var i = 0L
+    while (i < n) { sum += gray(b, i, w, off, stride); i += 1 }
+    val mean = sum / n
+    // pass 2: pack the first min(n, 63) bits (Horner over descending index)
+    var acc = 0L
+    i = math.min(n, 63L) - 1
+    while (i >= 0) {
+      acc = acc * 2 + (if (gray(b, i, w, off, stride) > mean) 1L else 0L)
+      i -= 1
+    }
+    acc
+  }
+}

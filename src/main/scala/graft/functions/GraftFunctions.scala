@@ -24,6 +24,8 @@ object GraftFunctions {
         "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bmp_ahash", exprs => BmpAHash(exprs(0)), "built-in")
       // Runtime-filter primitives (the same Catalyst expressions Spark's
       // InjectRuntimeFilter composes, exposed as functions so the engine can
       // build join-pruning blooms on ITS schedule — see engine.BloomPrune):
@@ -47,4 +49,5 @@ object GraftFunctions {
     */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def hamming(a: Column, b: Column): Column = call_function("hamming", a, b)
+  def bmp_ahash(media: Column): Column = call_function("bmp_ahash", media)
 }

@@ -273,29 +273,51 @@ object Multimodal {
     * brightness shifts (every aHash's point): two images differing by a
     * constant channel offset flip only the bits near the mean.
     *
-    * One narrow per-row expression — no UDF, no shuffle; the mean is bound
-    * as a lambda variable (1-element outer transform) so the Σ-gray
-    * aggregate evaluates ONCE per row, not once per packed bit.
+    * One narrow per-row expression — no UDF, no shuffle. This is the
+    * codegen path (graft.functions.BmpAHash — one fused Java loop over the
+    * raw bytes); [[bmpAHashHof]] below is the pure-builtin composition
+    * reference the spec pins it against bit-for-bit. Requires
+    * GraftFunctions.register on the session (Tables.ensure does it).
     */
-  def bmpAHash(media: Column): Column = {
-    val w = leIntAt(media, 19, 4)
-    val h = leIntAt(media, 23, 4)
-    val off = leIntAt(media, 11, 4)
-    val stride = bmpStride(w)
-    def gray(i: Column): Column = {
-      val x = pmod(i, w)
-      val r = ((i - x) / w).cast("long")
-      val base = off + r * stride + x * 3
-      ((byteAt(media, base + 1) + byteAt(media, base + 2) + byteAt(media, base + 3)) / 3)
-        .cast("long")
-    }
-    val n = w * h
-    val meanGray = (aggregate(sequence(lit(0L), n - 1), lit(0L),
-      (acc, i) => acc + gray(i)) / n).cast("long")
-    // Horner over descending bit index: acc·2 + bit — no shift-by-column
-    element_at(transform(array(meanGray), m =>
-      aggregate(sequence(least(n, lit(63L)) - 1, lit(0L), lit(-1L)), lit(0L),
-        (acc, i) => acc * 2 + when(gray(i) > m, 1L).otherwise(0L))), 1)
+  def bmpAHash(media: Column): Column =
+    graft.functions.GraftFunctions.bmp_ahash(media)
+
+  /** [[bmpAHash]] composed from builtin higher-order functions —
+    * bit-identical by spec, kept as the composition reference (HOFs are
+    * CodegenFallback: every per-byte read is an interpreted substr → hex →
+    * conv chain, ~0.25 ms/row on 84-pixel images vs ~1 µs fused).
+    */
+  def bmpAHashHof(media: Column): Column = {
+    // binding discipline (the HOF rule, applied twice): the HEADER fields
+    // are bound once per row — referenced as plain expressions they
+    // re-evaluate their 4-byte little-endian folds inside EVERY per-pixel
+    // lambda (~16 extra byte reads per pixel, measured ~6× on the corpus) —
+    // and the GRAY vector is materialized once, instead of separate
+    // evaluations in the mean pass and again per packed bit
+    element_at(transform(array(struct(
+        leIntAt(media, 19, 4).as("w"),
+        leIntAt(media, 23, 4).as("h"),
+        leIntAt(media, 11, 4).as("off"))), hdr => {
+      val w = hdr.getField("w")
+      val off = hdr.getField("off")
+      val stride = bmpStride(w)
+      val n = w * hdr.getField("h")
+      def gray(i: Column): Column = {
+        val x = pmod(i, w)
+        val r = ((i - x) / w).cast("long")
+        val base = off + r * stride + x * 3
+        ((byteAt(media, base + 1) + byteAt(media, base + 2) + byteAt(media, base + 3)) / 3)
+          .cast("long")
+      }
+      element_at(transform(array(transform(sequence(lit(0L), n - 1), i => gray(i))), gs =>
+        element_at(transform(
+          array((aggregate(gs, lit(0L), (acc, g) => acc + g) / size(gs)).cast("long")), m =>
+          // Horner over descending bit index: acc·2 + bit — no shift-by-column
+          aggregate(sequence(least(size(gs).cast("long"), lit(63L)) - 1, lit(0L), lit(-1L)),
+            lit(0L),
+            (acc, i) => acc * 2 +
+              when(element_at(gs, (i + 1).cast("int")) > m, 1L).otherwise(0L))), 1)), 1)
+    }), 1)
   }
 
   /** Inference batch shape: rows grouped into fixed-size batches keyed by

@@ -2104,14 +2104,29 @@ object Llm {
         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         |FROM ah a JOIN ah b ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
         |ORDER BY hamming, i, j LIMIT 30""".stripMargin) { (s, dir) =>
+      // the encoded bytes are BOUND as a lambda variable (the round's HOF
+      // rule): as a plain column, projection collapse inlines the encoder
+      // into every per-byte read inside the hash — re-encoding the BMP
+      // hundreds of times per row. The repartition spreads the CPU-bound
+      // raster work across all cores: the input is ONE parquet split (rows
+      // are tiny; the expensive column is DERIVED), so without it the whole
+      // encode+hash pass runs single-threaded — the image-pipeline shape
+      // where width must follow compute, not input bytes
       val feats = graft.engine.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        // explicit count: AQE would coalesce a keyless repartition to ONE
+        // partition on these tiny input bytes — the cost here is derived
+        // compute, which AQE cannot see
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          (pmod(col("n_chars"), lit(12L)) + 1).cast("int").as("w0"),
-          (pmod(col("n_chars"), lit(7L)) + 1).cast("int").as("h0"))
-        .withColumn("media", Multimodal.encodeBmp(col("w0"), col("h0"), col("doc_id")))
-        .withColumn("meta", Multimodal.decodeBmpMeta(col("media")))
-        .select(col("doc_id"), col("meta.width").as("w"), col("meta.height").as("h"),
-          Multimodal.bmpAHash(col("media")).as("ahash"))
+          element_at(transform(array(Multimodal.encodeBmp(
+              (pmod(col("n_chars"), lit(12L)) + 1).cast("int"),
+              (pmod(col("n_chars"), lit(7L)) + 1).cast("int"),
+              col("doc_id"))), m =>
+            struct(Multimodal.decodeBmpMeta(m).as("meta"),
+              Multimodal.bmpAHash(m).as("ahash"))), 1).as("f"))
+        .select(col("doc_id"), col("f.meta.width").as("w"),
+          col("f.meta.height").as("h"), col("f.ahash").as("ahash"))
       val a = feats.select(col("doc_id").as("i"), col("w"), col("h"),
         col("ahash").as("ha"))
       val b = feats.select(col("doc_id").as("j"), col("w"), col("h"),

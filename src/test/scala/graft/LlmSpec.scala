@@ -1376,6 +1376,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("bmpAHash: hand-computed bits on 2x2; JDK-decoded replication on padded widths") {
+    graft.functions.GraftFunctions.register(spark)
     // 2x2 seed 0: gray (file order, bottom-up rows) = [3, 4, 0, 1],
     // mean = 8 DIV 4 = 2 → bits 1,1,0,0 → ahash = 1 + 2 = 3
     val tiny = Seq((2, 2, 0L)).toDF("w", "h", "seed")
@@ -1384,13 +1385,18 @@ class LlmSpec extends SparkSpec {
     assert(tiny == 3L, tiny.toString)
     // independent replication: decode with the JDK's BMP reader, recompute
     // gray/mean/bit-packing in plain Scala — exercises stride padding
-    // (w=1..5) and the 63-bit cap (12x7 = 84 pixels > 63)
+    // (w=1..5) and the 63-bit cap (12x7 = 84 pixels > 63); the codegen
+    // expression and the builtin-HOF composition must agree bit-for-bit
     val cases = for (w <- 1 to 5; h <- Seq(1, 3)) yield (w, h, 17L * w + h)
     val all = (cases :+ ((12, 7, 42L))).toDF("w", "h", "seed")
       .select($"w", $"h", $"seed",
         Multimodal.encodeBmp($"w", $"h", $"seed").as("media"))
       .withColumn("ah", Multimodal.bmpAHash($"media"))
+      .withColumn("ahHof", Multimodal.bmpAHashHof($"media"))
       .collect()
+    for (r <- all)
+      assert(r.getAs[Long]("ah") == r.getAs[Long]("ahHof"),
+        s"codegen vs HOF at ${r.getInt(0)}x${r.getInt(1)}")
     for (r <- all) {
       val (w, h) = (r.getInt(0), r.getInt(1))
       val img = javax.imageio.ImageIO.read(
