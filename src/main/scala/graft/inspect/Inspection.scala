@@ -1,6 +1,7 @@
 package graft.inspect
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-derived metadata queries the reference gets from the inspection API
@@ -139,6 +140,41 @@ object Inspection {
       .groupBy(col(childKey).as("orphan_key"))
       .agg(count(lit(1)).cast("bigint").as("n_child_rows"))
       .orderBy(col("n_child_rows").desc, col("orphan_key"))
+      .limit(topK)
+  }
+
+  /** Rate-anomaly triage over an event stream — the "did a producer go
+    * rogue / die" monitor next to [[fkOrphans]]'s consistency check: per
+    * (type, hour) counts ranked by their exact ratio to the type's own
+    * typical hour. Typical = the DISCRETE lower median (the
+    * (ct+1) DIV 2-th smallest hourly count, ties by hour) — rank-based, so
+    * one runaway hour cannot drag its own baseline the way a mean would,
+    * and exactly replayable by any engine (no interpolation).
+    * score_x1000 = (n·1000) DIV median; both burst (high score) and outage
+    * (low) tails matter — this surfaces the top `topK` by score.
+    *
+    * Scale shape: one grouped count keyed (type, hour) — map-side
+    * combinable, the only full-data shuffle; the median window partitions
+    * by type over hour-sized frames; the baseline join is |types| rows,
+    * broadcast.
+    */
+  def rateAnomalies(events: DataFrame, topK: Int = 20,
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val hourly = events.groupBy(col(typeCol).as("event_type"),
+        unix_micros(date_trunc("hour", col(tsCol))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy("event_type").orderBy(col("n"), col("hour_us"))
+    val wAll = Window.partitionBy("event_type")
+    val med = hourly.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__ct", count(lit(1)).over(wAll))
+      .filter(col("__rn") === expr("(__ct + 1) DIV 2"))
+      .select(col("event_type"), col("n").as("med"))
+    hourly.join(broadcast(med), "event_type")
+      .withColumn("score_x1000", expr("(n * 1000) DIV med"))
+      .select(col("event_type"), col("hour_us"), col("n").cast("bigint").as("n"),
+        col("med").cast("bigint").as("med"),
+        col("score_x1000").cast("bigint").as("score_x1000"))
+      .orderBy(col("score_x1000").desc, col("event_type"), col("hour_us"))
       .limit(topK)
   }
 

@@ -729,6 +729,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Ordered proximity search — "`first` followed by `second` within
+    * `slop` tokens", the query class BETWEEN bag-of-words (any distance)
+    * and exact phrase (distance exactly 1): occurrences = ordered position
+    * pairs (i, j) with ts[i] = first, ts[j] = second, 0 < j − i ≤ slop.
+    * Pure per-row scan like [[phraseSearch]] (no explode, no join, no
+    * shuffle until the top-k) and the correctness reference for the
+    * index-accelerated [[graft.sink.TextIndexStore.proximitySearch]].
+    * The j-window is gated (`i < len`) because sequence() descends when
+    * start > stop — the same phantom-position trap phraseSearch pins.
+    */
+  def proximitySearch(docs: DataFrame, first: String, second: String,
+      slop: Int, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    val occ = element_at(transform(array(tokens(col(textCol))), ts =>
+      aggregate(
+        filter(sequence(lit(1), size(ts)), i => element_at(ts, i) === lit(first)),
+        lit(0L), (acc, i) =>
+          acc + when(i < size(ts),
+            size(filter(sequence(i + 1, least(i + slop, size(ts))),
+              j => element_at(ts, j) === lit(second))).cast("long"))
+            .otherwise(0L))), 1)
+    docs.select(col(idCol).as("doc_id"), occ.as("occ"))
+      .filter(col("occ") > 0)
+      .orderBy(col("occ").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Integer bit-surprisal: floor(log₂(total/count)) computed EXACTLY as
     * `length(bin(total DIV count)) − 1` — the binary-digit count of the
     * floored odds ratio. floor(log₂(x)) over reals equals

@@ -398,6 +398,28 @@ object Cdc {
         s.table("customer").filter(col("c_custkey") % 7 =!= 0), "c_custkey")
     },
 
+    // Stream-health rate anomaly triage: per (type, hour) event counts
+    // ranked by exact ratio to the type's own DISCRETE lower median hour —
+    // rank-based baseline (one runaway hour can't drag it), integer
+    // score_x1000 = (n*1000) DIV median, top-20 both-tails-visible. The
+    // oracle replays the same rank selection from a fresh hourly rollup.
+    QDef.df("q66e_rate_anomaly",
+      """WITH e AS (SELECT event_type,
+        |           epoch_us(date_trunc('hour', make_timestamp(epoch_ns(ts)//1000))) AS hour_us
+        |           FROM events),
+        |d AS (SELECT event_type, hour_us, count(*) AS n FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, n AS med FROM (
+        |       SELECT event_type, n,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY n, hour_us) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS ct
+        |       FROM d) t WHERE rn = (ct + 1) // 2)
+        |SELECT event_type, hour_us, CAST(n AS BIGINT) AS n, CAST(med AS BIGINT) AS med,
+        |       CAST((n * 1000) // med AS BIGINT) AS score_x1000
+        |FROM d JOIN m USING (event_type)
+        |ORDER BY score_x1000 DESC, event_type, hour_us LIMIT 20""".stripMargin) { (s, _) =>
+      Inspection.rateAnomalies(s.table("events"))
+    },
+
     // R21/R25: value distribution of the derived table name, take-capped.
     QDef.df("q67_value_distribution",
       s"""WITH src AS (SELECT * FROM read_json('${Fixtures.oracleEventsPath}',

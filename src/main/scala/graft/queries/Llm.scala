@@ -1366,6 +1366,27 @@ object Llm {
         store.phraseSearch(s, Seq("part", "filter"), k = 20)
     },
 
+    // Ordered proximity search through the positional index ("table
+    // followed by hash within 4 tokens" — the query class between
+    // bag-of-words and exact phrase): reads only the two terms' posting
+    // rows, counts ordered position pairs with 0 < Δ ≤ slop. The oracle
+    // computes the scan-side closed form over a fresh tokenization and
+    // never touches the index; the scan reference itself
+    // (TextAnalysis.proximitySearch) is spec-pinned identical.
+    QDef.df("q84q_proximity_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |o AS (SELECT doc_id,
+        |        COALESCE(list_sum(list_transform(
+        |          list_filter(range(1, len(ts)+1), i -> ts[i] = 'table'),
+        |          i -> len(list_filter(range(i+1, least(i+4, len(ts))+1),
+        |                               j -> ts[j] = 'hash')))), 0) AS occ
+        |      FROM d)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS occ FROM o
+        |WHERE occ > 0 ORDER BY occ DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.TextIndexStore(Tables.ensureTextIndex(s, dir))
+      store.proximitySearch(s, "table", "hash", slop = 4, k = 20)
+    },
+
     QDef.df("q91_lang_id", {
       def occ(g: String) = s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}"
       val scores = TextAnalysis.LangProfiles.map { case (lang, grams) =>
@@ -1511,6 +1532,47 @@ object Llm {
       val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
       Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
         labels => QDef.localized(s, labels) // ≤ 50 rows by construction
+      }
+    },
+
+    // Dedup-aware sampling weights — the "count every duplicate cluster
+    // once" training-mix correction (the direct consumer of q96's
+    // resolution): weight_x1000 = 1000 DIV |cluster|, so a 4-copy near-dup
+    // cluster contributes ~1 doc of probability mass instead of 4. Same
+    // component labels as q96 (BSP engine-side, recursive CTE oracle-side)
+    // plus a cluster-size join.
+    QDef.df("q90k_dedup_weights",
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50) x),
+        |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM p
+        |       JOIN s sa ON sa.doc_id = i JOIN s sb ON sb.doc_id = j
+        |       WHERE c / (sa.n + sb.n - c) >= 0.5),
+        |nd AS (SELECT DISTINCT doc_id FROM t),
+        |e AS (SELECT i AS a, j AS b FROM pr UNION ALL SELECT j, i FROM pr),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM nd
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+        |       CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(1000 // cluster_size AS BIGINT) AS weight_x1000
+        |FROM lab JOIN sz USING (cluster)""".stripMargin) { (s, dir) =>
+      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
+      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
+        labels =>
+          val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+          QDef.localized(s, labels.join(broadcast(sizes), "cluster")
+            .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
+              col("cluster_size").cast("bigint").as("cluster_size"),
+              expr("1000 DIV cluster_size").cast("bigint").as("weight_x1000")))
       }
     },
 

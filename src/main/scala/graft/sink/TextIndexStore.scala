@@ -96,6 +96,32 @@ final class TextIndexStore(val dir: String) {
       .limit(k)
   }
 
+  /** Index-accelerated ordered proximity search ("`first` followed by
+    * `second` within `slop` tokens"): reads ONLY the two terms' posting
+    * rows, pairs their per-doc position lists (occurrences = ordered pairs
+    * with 0 < p₂ − p₁ ≤ slop), never touches the corpus. Counts are
+    * identical to the scan-side
+    * [[graft.llm.TextAnalysis.proximitySearch]] (test-pinned); batch
+    * merging is the same defensive flatten + distinct as [[phraseSearch]].
+    */
+  def proximitySearch(spark: SparkSession, first: String, second: String,
+      slop: Int, k: Int): DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    val posts = committed(spark, "postings")
+    def positions(t: String, out: String) =
+      posts.filter(col("tok") === t)
+        .groupBy("doc_id")
+        .agg(array_sort(array_distinct(flatten(collect_list(col("pos"))))).as(out))
+    positions(first, "pa").join(positions(second, "pb"), "doc_id")
+      .select(col("doc_id"),
+        aggregate(col("pa"), lit(0L), (acc, i) =>
+          acc + size(filter(col("pb"), j => j > i && j <= i + slop)).cast("long"))
+          .as("occ"))
+      .filter(col("occ") > 0)
+      .orderBy(col("occ").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private def committed(spark: SparkSession, sub: String): DataFrame = {
     val paths = BatchStore.committedBatchPaths(s"$dir/$sub")
     require(paths.nonEmpty, s"no committed $sub batches at $dir")

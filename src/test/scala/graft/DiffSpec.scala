@@ -91,4 +91,21 @@ class DiffSpec extends SparkSpec {
     // a fully consistent pair yields an empty frame
     assert(Inspection.fkOrphans(child.filter($"fk" < 3), "fk", parent, "pk").count() == 0)
   }
+
+  test("rateAnomalies: discrete lower median baseline, exact integer scores") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // type a hourly counts [1, 2, 10] → ct=3, lower median = 2nd smallest = 2
+    // type b single hour count 4 → its own median → score exactly 1000
+    val events =
+      (Seq(("a", ts(0, 5))) ++
+        (1 to 2).map(i => ("a", ts(1, i))) ++
+        (1 to 10).map(i => ("a", ts(2, i))) ++
+        (1 to 4).map(i => ("b", ts(0, i)))).toDF("event_type", "ts")
+    val got = Inspection.rateAnomalies(events)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // scores: a@h2 = 10000 DIV 2 = 5000; a@h1 = 1000; b@h0 = 1000 (type
+    // tiebreak a < b); a@h0 = 500
+    assert(got.toSeq == Seq(("a", 10L, 2L, 5000L), ("a", 2L, 2L, 1000L),
+      ("b", 4L, 4L, 1000L), ("a", 1L, 2L, 500L)), got.toSeq.toString)
+  }
 }

@@ -1088,6 +1088,28 @@ class LlmSpec extends SparkSpec {
     assert(store.search(spark, Seq("a"), k = 10).count() > 0)
   }
 
+  test("proximitySearch: ordered pairs within slop; index equals the scan") {
+    // slop 2 counts ordered pairs with j − i ∈ {1, 2}
+    val corpus = Seq(
+      (0L, "a x b b"),     // a@1; b@3 Δ2 in, b@4 Δ3 out → 1
+      (1L, "a b a b"),     // a@1: b@2 Δ1, b@4 Δ3(out); a@3: b@4 Δ1 → 2
+      (2L, "b x a"),       // b BEFORE a only — ordered search → 0 (absent)
+      (3L, "a"),           // second term never occurs → absent
+      (4L, "a a b")        // a@1: b@3 Δ2; a@2: b@3 Δ1 → 2
+    ).toDF("doc_id", "text")
+    val scan = TextAnalysis.proximitySearch(corpus, "a", "b", slop = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(scan == Seq((1L, 2L), (4L, 2L), (0L, 1L)), scan.toString)
+    // index-accelerated path over a 2-batch store must agree exactly
+    val dir = tmpDir("prox_index")
+    val store = new graft.sink.TextIndexStore(dir)
+    store.append(corpus.filter($"doc_id" < 2), batchId = 0L)
+    store.append(corpus.filter($"doc_id" >= 2), batchId = 1L)
+    val idx = store.proximitySearch(spark, "a", "b", slop = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(idx == scan, s"idx=$idx scan=$scan")
+  }
+
   test("rrfFuse: exact integer fusion, missing-list docs contribute nothing") {
     val sparse = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
     val dense = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
