@@ -232,6 +232,38 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("n_id"), col("cos"))
   }
 
+  /** ANN recall evaluation — the index-quality monitor a serving system
+    * runs continuously (an approximate index silently degrades as the
+    * corpus drifts; recall against exact ground truth is THE metric):
+    * per query, how many of the exact brute-force top-`k` does the
+    * LSH-bucketed path ([[annLsh]]) retrieve? Both sides rank on the same
+    * quantized DECIMAL(38,4) cosine with id tiebreaks, so the hit sets —
+    * and therefore the recall integers — are engine-exact. Output per
+    * query: n_hits, k, recall_x1000 = (n_hits·1000) DIV k; queries whose
+    * bucket contains none of the true neighbors report 0, not absence.
+    *
+    * Scale shape: ground truth is the brute pass (run on a SAMPLE of
+    * queries at scale — recall estimation doesn't need every query);
+    * the comparison itself is a (q_id, n_id) equi-semi-join + grouped
+    * count, nothing pairwise beyond the k·|queries| frames.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nPlanes: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val truth = annBruteForce(corpus, queries, k, idCol, embCol)
+      .select(col("q_id"), col("n_id"))
+    val approx = annLsh(corpus, queries, k, dim, nPlanes, idCol, embCol)
+      .select(col("q_id"), col("n_id"))
+    val hits = truth.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    queries.select(col(idCol).as("q_id"))
+      .join(broadcast(hits), Seq("q_id"), "left")
+      .withColumn("n_hits", coalesce(col("h"), lit(0L)))
+      .select(col("q_id"), col("n_hits").cast("bigint").as("n_hits"),
+        lit(k.toLong).as("k"),
+        expr(s"(n_hits * 1000) DIV $k").cast("bigint").as("recall_x1000"))
+  }
+
   /** Mutual k-nearest-neighbor graph over an embedding corpus — the
     * backbone of graph-based corpus curation (kNN-graph clustering, label
     * propagation, density-based outlier pruning): an undirected edge (i, j)

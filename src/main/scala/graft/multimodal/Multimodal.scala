@@ -252,15 +252,22 @@ object Multimodal {
     */
   def bmpChannelSum(media: Column, channel: Int): Column = {
     require(channel >= 0 && channel < 3, "channel must be 0 (B), 1 (G) or 2 (R)")
-    val w = leIntAt(media, 19, 4)
-    val h = leIntAt(media, 23, 4)
-    val off = leIntAt(media, 11, 4)
-    val stride = bmpStride(w)
-    aggregate(sequence(lit(0L), w * h - 1), lit(0L), (acc, i) => {
-      val x = pmod(i, w)
-      val r = ((i - x) / w).cast("long") // file row; bottom-up order is sum-irrelevant
-      acc + byteAt(media, off + r * stride + x * 3 + channel + 1)
-    })
+    // header fields bound once per row (the HOF binding rule — see
+    // bmpAHashHof): referenced directly, each 4-byte LE fold re-evaluates
+    // inside every per-pixel lambda iteration
+    element_at(transform(array(struct(
+        leIntAt(media, 19, 4).as("w"),
+        leIntAt(media, 23, 4).as("h"),
+        leIntAt(media, 11, 4).as("off"))), hdr => {
+      val w = hdr.getField("w")
+      val off = hdr.getField("off")
+      val stride = bmpStride(w)
+      aggregate(sequence(lit(0L), w * hdr.getField("h") - 1), lit(0L), (acc, i) => {
+        val x = pmod(i, w)
+        val r = ((i - x) / w).cast("long") // file row; bottom-up order is sum-irrelevant
+        acc + byteAt(media, off + r * stride + x * 3 + channel + 1)
+      })
+    }), 1)
   }
 
   /** Perceptual average-hash (aHash) of a 24-bit BMP, computed from the

@@ -570,6 +570,42 @@ object Llm {
         .withColumn("cos", col("cos").cast("string"))
     },
 
+    // ANN recall evaluation — the index-quality monitor: per query, how
+    // many of the exact brute-force top-10 the LSH path retrieves.
+    // Both rankings quantized with id tiebreaks, so the hit sets are
+    // engine-exact; queries with an empty-overlap bucket report 0.
+    QDef.df("q89l_ann_recall", {
+      def plane(p: Int) =
+        (0 until 64).map(d => Similarity.planeWeight(p, d).toString).mkString("[", ", ", "]")
+      val bucketExpr = (0 until 4).map(p =>
+        s"(CASE WHEN list_dot_product(ve, ${plane(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val pairCos = "CAST(list_dot_product(c.ve, q.qe) / " +
+        "(sqrt(list_dot_product(c.ve, c.ve)) * sqrt(list_dot_product(q.qe, q.qe))) " +
+        "AS DECIMAL(38,4))"
+      s"""$V,
+         |b AS (SELECT vec_id, ve, CAST($bucketExpr AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id AS q_id, ve AS qe, bucket FROM b WHERE vec_id < 5),
+         |br AS (SELECT q_id, n_id FROM (
+         |        SELECT q.q_id, c.vec_id AS n_id,
+         |               row_number() OVER (PARTITION BY q.q_id
+         |                                  ORDER BY $pairCos DESC, c.vec_id) AS rn
+         |        FROM v c, q) t WHERE rn <= 10),
+         |ls AS (SELECT q_id, n_id FROM (
+         |        SELECT q.q_id, c.vec_id AS n_id,
+         |               row_number() OVER (PARTITION BY q.q_id
+         |                                  ORDER BY $pairCos DESC, c.vec_id) AS rn
+         |        FROM b c JOIN q ON c.bucket = q.bucket) t WHERE rn <= 10),
+         |h AS (SELECT q_id, count(*) AS h FROM br JOIN ls USING (q_id, n_id) GROUP BY 1)
+         |SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+         |       CAST(10 AS BIGINT) AS k,
+         |       CAST((COALESCE(h.h, 0) * 1000) // 10 AS BIGINT) AS recall_x1000
+         |FROM q LEFT JOIN h USING (q_id)""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      Similarity.annRecall(e, e.filter(col("vec_id") < 5), k = 10, dim = 64, nPlanes = 4)
+    },
+
     // Coarse-to-fine ANN rerank: stage 1 scores in the 8-d JL subspace
     // (q82d's planes — 8× less arithmetic per pair; the scan pass a
     // compressed index answers at 10⁹ vectors), stage 2 exact cosine on the

@@ -1347,6 +1347,24 @@ class LlmSpec extends SparkSpec {
       l.contains("PushedFilters:") && l.contains("label")), p)
   }
 
+  test("annRecall: hit counts equal the brute∩LSH overlap; zero-overlap reports 0") {
+    val emb = Tables.embeddings(spark)
+    val queries = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.annBruteForce(emb, queries, 10).select("q_id", "n_id"))
+    val lsh = pairs(Similarity.annLsh(emb, queries, 10, dim = 64, nPlanes = 4)
+      .select("q_id", "n_id"))
+    val got = Similarity.annRecall(emb, queries, k = 10, dim = 64, nPlanes = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, (h, k, rec)) <- got) {
+      val expect = (brute & lsh).count(_._1 == q).toLong
+      assert(h == expect, s"q=$q got=$h expect=$expect")
+      assert(k == 10L && rec == h * 1000 / 10)
+    }
+  }
+
   test("duplicateSpans: diagonal runs find the longest shared span; dfCap excises") {
     // doc0..doc1 share the 4-token run "p q r s" (= three consecutive
     // 2-shingles on diagonal -1); doc0..doc2 share "r s t" (run 2);
