@@ -200,6 +200,23 @@ object Tables {
         store.append(docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
     }
 
+  /** q84r's COMPACTED text index: the same 3-batch ingest as
+    * [[ensureTextIndex]] but merged to one batch dir by
+    * `TextIndexStore.compact` — search results must be bit-identical to
+    * the multi-batch store's (and to the one-shot corpus scan), which is
+    * what the oracle checks. Separate store: compacting the shared q84n
+    * store mid-suite would mutate state other queries read.
+    */
+  def ensureCompactTextIndex(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q84r_cindex", spark, dir) { out =>
+      val store = new graft.sink.TextIndexStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = table(spark, dir, "documents")
+      for (b <- 0L until 3L)
+        store.append(docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
+      store.compact(spark)
+    }
+
   /** q89h's persistent IVF vector index: centroids trained once on the full
     * embeddings table (integer Lloyd, k=8, iters=2 — the q89d layout), then
     * the corpus ingested as three batches of cell-partitioned vectors.

@@ -296,6 +296,32 @@ object Similarity {
       .select(col("i"), col("j"), col("cos").cast("string").as("cos"))
   }
 
+  /** kNN-density outlier scoring — the embedding-space junk pruner (OCR
+    * noise, mojibake, wrong-modality rows embed far from EVERYTHING; a
+    * label-prototype check like [[labelPrototypes]] misses them when the
+    * junk has no meaningful label): per vector, density = the SUM of its
+    * top-`k` quantized cosines (exact DECIMAL addition — a mean would
+    * divide; the sum ranks identically and stays engine-exact), lowest
+    * `bottomN` densities = the isolates to prune. Same bounded
+    * broadcast-self-join candidate generation as [[mutualKnnGraph]]; index
+    * candidates at scale.
+    */
+  def knnOutliers(corpus: DataFrame, k: Int, bottomN: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val a = corpus.select(col(idCol).as("i"), col(embCol).as("ea"))
+    val b = corpus.select(col(idCol).as("j"), col(embCol).as("eb"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("i") =!= col("j"))
+      .withColumn("cos", cosine(col("ea"), col("eb")).cast("decimal(38,4)"))
+    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
+    pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy(col("i").as("vec_id"))
+      .agg(sum(col("cos")).cast("decimal(38,4)").as("density"))
+      .orderBy(col("density").asc, col("vec_id"))
+      .limit(bottomN)
+      .select(col("vec_id"), col("density").cast("string").as("density"))
+  }
+
   /** Per-label prototype vectors + cohesion — the embedding-space health
     * check a labeled corpus gets before training (drifting or bimodal
     * classes show up as inflated inertia): prototype = the floored

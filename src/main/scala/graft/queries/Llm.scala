@@ -1030,6 +1030,32 @@ object Llm {
         store.search(s, Seq("merge", "stream", "sort"), k = 20)
     },
 
+    // BM25 through a COMPACTED index: the 3-batch store merged to one
+    // batch dir by TextIndexStore.compact (tmp_/old_ two-rename swap,
+    // crash-recoverable — the store-maintenance twin of q61f). Scores
+    // must be bit-identical to the one-shot corpus scan, which is what
+    // the oracle computes — so the merge's tf sums and position folds
+    // cannot have lost or doubled anything.
+    QDef.df("q84r_compacted_bm25",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT count(*) FROM toks) AS a_tokens),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('batch', 'scan', 'group') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(SUM(
+        |    (((1000 * (n_docs - df)) // (df + 1)) * tf * 22 * a_tokens)
+        |    // (10 * tf * a_tokens + 3 * a_tokens + 9 * dl.dl * n_docs)
+        |  ) AS BIGINT) AS score
+        |FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, st
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val store = new graft.sink.TextIndexStore(Tables.ensureCompactTextIndex(s, dir))
+        store.search(s, Seq("batch", "scan", "group"), k = 20)
+    },
+
     // Hybrid retrieval via reciprocal-rank fusion: BM25 top-50 (q84j's
     // sparse scorer) fused with dense cosine top-50 (q83's scorer, query =
     // vec 0, vec_id ≡ doc_id in the fixture) — fused score is the exact
@@ -1500,6 +1526,32 @@ object Llm {
          |WHERE e1.i < e1.j""".stripMargin) { (s, dir) =>
       Similarity.mutualKnnGraph(
         Tables.table(s, dir, "embeddings").filter(col("vec_id") < 300), k = 5)
+    },
+
+    // kNN-density outlier pruning (the embedding-space junk filter):
+    // density = SUM of the top-5 quantized cosines (exact decimal; a mean
+    // would divide — the sum ranks identically), lowest 20 = the isolates.
+    // Same all-pairs frame as q93c; oracle replays rank + sum exactly.
+    QDef.df("q93d_knn_outliers",
+      s"""$V,
+         |a AS (SELECT vec_id AS i, ve AS ea FROM v WHERE vec_id < 300),
+         |b AS (SELECT vec_id AS j, ve AS eb FROM v WHERE vec_id < 300),
+         |p AS (SELECT i, j, CAST(list_dot_product(ea, eb) /
+         |        (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
+         |        AS DECIMAL(38,4)) AS cos
+         |      FROM a JOIN b ON i != j),
+         |kn AS (SELECT i, cos FROM (
+         |        SELECT i, cos,
+         |               row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
+         |        FROM p) t WHERE rn <= 5)
+         |SELECT i AS vec_id,
+         |       CAST(CAST(SUM(cos) AS DECIMAL(38,4)) AS STRING) AS density
+         |FROM kn GROUP BY i
+         |ORDER BY CAST(SUM(cos) AS DECIMAL(38,4)) ASC, vec_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Similarity.knnOutliers(
+          Tables.table(s, dir, "embeddings").filter(col("vec_id") < 300),
+          k = 5, bottomN = 20)
     },
 
     // Gopher-style repetition quality signal: share of repeated 3-grams.

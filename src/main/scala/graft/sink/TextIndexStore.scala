@@ -122,6 +122,62 @@ final class TextIndexStore(val dir: String) {
       .limit(k)
   }
 
+  /** Index maintenance: merge every committed batch into ONE batch dir
+    * (`batch=<compactId>`) per sub-store — the store-side twin of
+    * [[Compaction]]: a year of crawl appends leaves thousands of small
+    * batch dirs whose per-file open/footer costs eventually dominate the
+    * posting reads themselves. Content is preserved exactly (a doc lives
+    * in one batch; tf sums and position merges are the same defensive
+    * folds every reader already applies), so search / phrase / proximity
+    * results are identical before and after (test-pinned).
+    *
+    * Crash safety mirrors [[Compaction]]'s two-rename swap: merged content
+    * is fully written (and `_SUCCESS`-gated) under `tmp_<sub>` first, then
+    * `<sub>` → `old_<sub>` → delete. A crash at any point is repaired by
+    * [[recover]], never by a rewrite. Single-writer contract (same as
+    * Compaction): run compaction when no concurrent search executes — the
+    * inter-rename window has no live dir.
+    */
+  def compact(spark: SparkSession, compactId: Long = 0L): Unit = {
+    recover()
+    val posts = committed(spark, "postings")
+    posts.groupBy("doc_id", "tok")
+      .agg(sum(col("tf")).as("tf"),
+        array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("pos"))
+      .repartition(1).sortWithinPartitions("tok")
+      .write.mode("overwrite").parquet(s"$dir/tmp_postings/batch=$compactId")
+    committed(spark, "doclens").groupBy("doc_id")
+      .agg(sum(col("dl")).as("dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tmp_doclens/batch=$compactId")
+    for (sub <- Seq("postings", "doclens")) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/old_$sub")
+      graft.engine.Dfs.rename(live, old)
+      graft.engine.Dfs.rename(new org.apache.hadoop.fs.Path(s"$dir/tmp_$sub"), live)
+      graft.engine.Dfs.deleteTreeStrict(old)
+    }
+  }
+
+  /** Repairs whatever a crashed [[compact]] left behind (same decision
+    * table as [[Compaction.recover]]): live missing + `old_` present →
+    * the crash hit mid-swap, restore the original; live present + `old_`
+    * present → post-swap garbage, delete; `tmp_` is always garbage (the
+    * live dir is never touched before the merged copy is fully committed).
+    */
+  def recover(): Unit =
+    for (sub <- Seq("postings", "doclens")) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/old_$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/tmp_$sub")
+      if (!graft.engine.Dfs.exists(live) && graft.engine.Dfs.exists(old))
+        graft.engine.Dfs.rename(old, live)
+      else if (graft.engine.Dfs.exists(old))
+        graft.engine.Dfs.deleteTreeStrict(old)
+      if (graft.engine.Dfs.exists(tmp))
+        graft.engine.Dfs.deleteTreeStrict(tmp)
+    }
+
   private def committed(spark: SparkSession, sub: String): DataFrame = {
     val paths = BatchStore.committedBatchPaths(s"$dir/$sub")
     require(paths.nonEmpty, s"no committed $sub batches at $dir")

@@ -1088,6 +1088,42 @@ class LlmSpec extends SparkSpec {
     assert(store.search(spark, Seq("a"), k = 10).count() > 0)
   }
 
+  test("TextIndexStore.compact: one batch dir, identical results, crash-recoverable") {
+    val corpus = Seq(
+      (0L, "a b a c"), (1L, "b c d"), (2L, "a a b"),
+      (3L, "c d e a"), (4L, "e a b c")).toDF("doc_id", "text")
+    val dir = tmpDir("cidx")
+    val store = new graft.sink.TextIndexStore(dir)
+    for (b <- 0L until 3L)
+      store.append(corpus.filter(pmod($"doc_id", lit(3)) === b), b)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bm = res(store.search(spark, Seq("a", "d"), k = 10))
+    val ph = res(store.phraseSearch(spark, Seq("a", "b"), k = 10))
+    val px = res(store.proximitySearch(spark, "a", "c", slop = 3, k = 10))
+    store.compact(spark)
+    // exactly one committed batch dir per sub-store now
+    for (sub <- Seq("postings", "doclens"))
+      assert(new java.io.File(s"$dir/$sub").listFiles()
+        .count(_.getName.startsWith("batch=")) == 1, sub)
+    assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
+    assert(res(store.phraseSearch(spark, Seq("a", "b"), k = 10)) == ph)
+    assert(res(store.proximitySearch(spark, "a", "c", slop = 3, k = 10)) == px)
+    // idempotent: compacting a compacted store changes nothing
+    store.compact(spark)
+    assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
+    // crash simulation: mid-swap (live renamed aside, tmp still present) —
+    // recover() must restore the original and clear the scratch
+    val live = new java.io.File(s"$dir/postings")
+    val old = new java.io.File(s"$dir/old_postings")
+    val tmp = new java.io.File(s"$dir/tmp_postings")
+    assert(live.renameTo(old))
+    tmp.mkdirs()
+    store.recover()
+    assert(live.exists() && !old.exists() && !tmp.exists())
+    assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
+  }
+
   test("proximitySearch: ordered pairs within slop; index equals the scan") {
     // slop 2 counts ordered pairs with j − i ∈ {1, 2}
     val corpus = Seq(
