@@ -381,6 +381,34 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q93c/q93d: pair generation broadcasts one side; the corpus never hash-shuffles pairs") {
+    for (q <- Seq("q93c_mutual_knn", "q93d_knn_outliers")) {
+      val p = plan(q)
+      // the bounded self-join must be the declared broadcast nested loop —
+      // a CartesianProduct here means the broadcast hint was lost
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+    }
+  }
+
+  test("q66e: rate anomaly joins the |types|-row baseline via broadcast") {
+    val p = plan("q66e_rate_anomaly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q84q/q84r: index reads push the term predicate to the postings scan") {
+    for (q <- Seq("q84q_proximity_search", "q84r_compacted_bm25")) {
+      val p = plan(q)
+      // the whole point of the store: only the query terms' posting rows
+      // are read — the tok predicate must reach the parquet reader
+      assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters:") && l.contains("tok")), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
   test("q95g: perceptual-hash pairs block on the (w,h) dims equi-join") {
     val p = plan("q95g_phash_neardup")
     // pair generation must key on the decoded dims — a cartesian here

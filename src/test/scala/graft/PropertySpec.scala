@@ -262,6 +262,76 @@ class PropertySpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must actually produce shared spans")
   }
 
+  test("duplicateSpans parity with longest-common-substring brute force") {
+    import spark.implicits._
+    // small vocab forces cross-doc overlaps; dfCap high so nothing is excised
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 12).map { i =>
+      (i.toLong, (0 until 6 + rng.nextInt(10)).map(_ => s"w${rng.nextInt(4)}").mkString(" "))
+    }
+    val k = 2
+    val got = graft.llm.Dedup
+      .duplicateSpans(docs.toDF("doc_id", "text"), k = k, dfCap = 1000, topN = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // token-level longest common substring per pair, classic DP
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val toks = docs.map { case (id, t) => id -> t.split(" ") }.toMap
+    val brute = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      l = lcs(toks(a), toks(b)) if l >= k
+    } yield (a, b) -> l.toLong).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(brute.nonEmpty, "fixture must actually produce shared spans")
+  }
+
+  test("nbSourceConfusion conserves documents; predictions stay in the label set") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val srcs = Seq("alpha", "beta", "gamma")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 3 + rng.nextInt(6)).map(_ => s"t${rng.nextInt(8)}").mkString(" "),
+        srcs(rng.nextInt(3)))
+    }
+    val got = graft.llm.TextAnalysis.nbSourceConfusion(docs.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._3).sum == docs.size.toLong, got.toSeq.toString)
+    assert(got.forall(g => srcs.contains(g._1) && srcs.contains(g._2)), got.toSeq.toString)
+    // per-actual marginals match the corpus label counts
+    val marginal = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expect = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(marginal == expect, s"marginal=$marginal expect=$expect")
+  }
+
+  test("proximitySearch parity with the pairwise brute count on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val docs = (0 until 25).map { i =>
+      (i.toLong, (0 until 4 + rng.nextInt(12)).map(_ => s"v${rng.nextInt(3)}").mkString(" "))
+    }
+    val slop = 3
+    val got = graft.llm.TextAnalysis
+      .proximitySearch(docs.toDF("doc_id", "text"), "v0", "v1", slop = slop, k = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = docs.map { case (id, t) =>
+      val ts = t.split(" ")
+      id -> (for {
+        i <- ts.indices if ts(i) == "v0"
+        j <- (i + 1) to math.min(i + slop, ts.length - 1) if ts(j) == "v1"
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(brute.nonEmpty)
+  }
+
   test("saltFactorFor: bounded, balanced-is-1, hot-key coverage, monotone") {
     import graft.engine.Skew.saltFactorFor
     val counts = Gen.choose(0L, 1000000L)
