@@ -757,6 +757,70 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Fill-in-the-middle transform — the code-LLM training rewrite
+    * (Bavarian et al.: span-corruption at the character level teaches
+    * infilling): each document splits at two DETERMINISTIC points into
+    * (prefix, middle, suffix) and re-emits in PSM order
+    * `<PRE>prefix<SUF>suffix<MID>middle`. Split points are pure modular
+    * arithmetic over (doc_id, length) — no RNG state, any engine replays
+    * the identical transform, and re-running an epoch regenerates the
+    * same examples (vary the transform by mixing an epoch seed into the
+    * arithmetic). prefix ++ middle ++ suffix == text by construction
+    * (property-tested). Zero-shuffle per-row string arithmetic.
+    */
+  def fimTransform(docs: DataFrame, preTag: String = "<PRE>",
+      sufTag: String = "<SUF>", midTag: String = "<MID>",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = length(col(textCol))
+    val p1 = pmod(col(idCol) * 37 + 11, n.cast("long") + 1).cast("int")
+    val p2 = (p1 + pmod(col(idCol) * 101 + 7, n.cast("long") - p1 + 1).cast("int"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"), p1.as("__p1"), p2.as("__p2"))
+      .select(col("doc_id"),
+        col("__t").substr(lit(1), col("__p1")).as("prefix"),
+        col("__t").substr(col("__p1") + 1, col("__p2") - col("__p1")).as("middle"),
+        col("__t").substr(col("__p2") + 1, length(col("__t"))).as("suffix"))
+      .select(col("doc_id"),
+        concat(lit(preTag), col("prefix"), lit(sufTag), col("suffix"),
+          lit(midTag), col("middle")).as("fim"),
+        length(col("prefix")).cast("bigint").as("n_prefix"),
+        length(col("middle")).cast("bigint").as("n_middle"),
+        length(col("suffix")).cast("bigint").as("n_suffix"))
+  }
+
+  /** Mixture budgeting — the "what can I actually train on" solver for a
+    * target domain mix (the arithmetic core of DoReMi-style reweighting,
+    * minus the learned weights): given per-source target shares
+    * (x1000, summing to 1000), the largest achievable total WITHOUT
+    * oversampling any source is T = min_i floor(count_i · 1000 / share_i);
+    * each source then contributes take_i = (share_i · T) DIV 1000 docs at
+    * sampling rate (take_i · 1000) DIV count_i. All floor arithmetic —
+    * any engine replays the budget exactly. One grouped count + a
+    * broadcast of the |sources|-row share table.
+    */
+  def mixBudget(docs: DataFrame, sharesX1000: Map[String, Long],
+      labelCol: String = "source"): DataFrame = {
+    require(sharesX1000.values.sum == 1000L, "target shares must sum to 1000")
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val shares = spark.createDataFrame(
+      sharesX1000.toSeq.sortBy(_._1).map { case (s, v) => org.apache.spark.sql.Row(s, v) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("share_x1000",
+          org.apache.spark.sql.types.LongType))))
+    val counts = docs.groupBy(col(labelCol).as("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(shares), "source")
+    val t = counts.agg(min(expr("(cnt * 1000) DIV share_x1000")).as("t_total"))
+    counts.crossJoin(broadcast(t))
+      .withColumn("take", expr("(share_x1000 * t_total) DIV 1000"))
+      .select(col("source"), col("cnt").cast("bigint").as("cnt"),
+        col("share_x1000").cast("bigint").as("share_x1000"),
+        col("take").cast("bigint").as("take"),
+        expr("(take * 1000) DIV cnt").cast("bigint").as("rate_x1000"))
+  }
+
   /** Integer bit-surprisal: floor(log₂(total/count)) computed EXACTLY as
     * `length(bin(total DIV count)) − 1` — the binary-digit count of the
     * floored odds ratio. floor(log₂(x)) over reals equals

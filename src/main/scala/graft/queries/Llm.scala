@@ -1921,6 +1921,32 @@ object Llm {
         .agg(count(lit(1)).as("kept"), sum(col("doc_id")).cast("bigint").as("id_sum"))
     },
 
+    // Mixture budgeting (the "what can I actually train on" solver): given
+    // target shares x1000, the largest total with no source oversampled is
+    // T = min_i floor(cnt_i*1000/share_i); take_i = (share_i*T) DIV 1000.
+    // All floor arithmetic; the oracle replays the budget from the same
+    // share literals.
+    QDef.df("q97h_mix_budget",
+      """WITH w AS (SELECT * FROM (VALUES ('src0', CAST(400 AS BIGINT)),
+        |                                ('src1', CAST(300 AS BIGINT)),
+        |                                ('src2', CAST(200 AS BIGINT)),
+        |                                ('src3', CAST(100 AS BIGINT)))
+        |           t(source, share_x1000)),
+        |c AS (SELECT source, count(*) AS cnt FROM documents
+        |      WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
+        |j AS (SELECT c.source, c.cnt, w.share_x1000 FROM c JOIN w USING (source)),
+        |tt AS (SELECT min((cnt * 1000) // share_x1000) AS t_total FROM j)
+        |SELECT source, CAST(cnt AS BIGINT) AS cnt,
+        |       share_x1000,
+        |       CAST((share_x1000 * t_total) // 1000 AS BIGINT) AS take,
+        |       CAST((((share_x1000 * t_total) // 1000) * 1000) // cnt AS BIGINT) AS rate_x1000
+        |FROM j, tt""".stripMargin) { (s, dir) =>
+      TextAnalysis.mixBudget(
+        Tables.table(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1", "src2", "src3")),
+        Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L, "src3" -> 100L))
+    },
+
     // Per-source document cap (over-represented-domain guard): at most 10
     // docs per source, smallest ids win. Engine selects through the
     // bounded-state TopKAggregator (≤ k rows per group leave each map
@@ -2087,6 +2113,31 @@ object Llm {
       TextAnalysis.chunkWithOverlap(
         Tables.table(s, dir, "documents").filter(col("doc_id") < 100),
         chunkTokens = 64, strideTokens = 48)
+    },
+
+    // Fill-in-the-middle transform (the code-LLM infilling rewrite):
+    // deterministic char-level split points from pure modular arithmetic
+    // over (doc_id, length) — no RNG state; PSM re-emission
+    // <PRE>prefix<SUF>suffix<MID>middle; the oracle re-derives both cut
+    // points and the reassembled string. prefix++middle++suffix == text is
+    // property-tested.
+    QDef.df("q98d_fim_transform",
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |           FROM documents WHERE doc_id < 100),
+        |p AS (SELECT doc_id, text, n,
+        |             (doc_id * 37 + 11) % (n + 1) AS p1 FROM d),
+        |q AS (SELECT doc_id, text, n, p1,
+        |             p1 + ((doc_id * 101 + 7) % (n - p1 + 1)) AS p2 FROM p)
+        |SELECT doc_id,
+        |       '<PRE>' || substr(text, 1, CAST(p1 AS INT)) ||
+        |       '<SUF>' || substr(text, CAST(p2 + 1 AS INT)) ||
+        |       '<MID>' || substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)) AS fim,
+        |       CAST(p1 AS BIGINT) AS n_prefix,
+        |       CAST(p2 - p1 AS BIGINT) AS n_middle,
+        |       CAST(n - p2 AS BIGINT) AS n_suffix
+        |FROM q""".stripMargin) { (s, dir) =>
+      TextAnalysis.fimTransform(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 100))
     },
 
     // ------------------------------------------------------- multimodal

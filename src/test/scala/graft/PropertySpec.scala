@@ -332,6 +332,53 @@ class PropertySpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("fimTransform: PSM reassembly is lossless on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, rng.alphanumeric.take(rng.nextInt(30)).mkString) // incl. empty
+    }
+    val got = graft.llm.TextAnalysis
+      .fimTransform(docs.toDF("doc_id", "text"), preTag = "", sufTag = "",
+        midTag = "")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byId = docs.toMap
+    for ((id, fim, np, nm, ns) <- got) {
+      val text = byId(id)
+      assert(np + nm + ns == text.length.toLong, s"doc $id lengths")
+      // parse <PRE>P<SUF>S<MID>M with sentinel tags the corpus can't contain
+      val body = fim.drop(1)
+      val (p, rest) = body.splitAt(body.indexOf(''))
+      val (s2, m) = rest.drop(1).splitAt(rest.drop(1).indexOf(''))
+      assert(p + m.drop(1) + s2 == text, s"doc $id reassembly")
+    }
+  }
+
+  test("mixBudget: floor budget is tight, never oversamples, replayable") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val srcs = Seq("a", "b", "c")
+    val shares = Map("a" -> 500L, "b" -> 300L, "c" -> 200L)
+    val docs = (0 until 200).map(i => (i.toLong, srcs(rng.nextInt(3))))
+    val got = graft.llm.TextAnalysis
+      .mixBudget(docs.toDF("doc_id", "source"), shares, labelCol = "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    val cnt = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = srcs.map(s => cnt(s) * 1000 / shares(s)).min
+    for (s <- srcs) {
+      val (c, take, rate) = got(s)
+      assert(c == cnt(s))
+      assert(take == shares(s) * t / 1000, s"src $s take")
+      assert(take <= c, s"src $s oversampled")
+      assert(rate == take * 1000 / c && rate <= 1000)
+    }
+    // the binding source is fully (or near-fully, modulo flooring) consumed
+    val binding = srcs.minBy(s => cnt(s) * 1000 / shares(s))
+    assert(got(binding)._2 >= cnt(binding) - 1, s"budget not tight at $binding")
+  }
+
   test("saltFactorFor: bounded, balanced-is-1, hot-key coverage, monotone") {
     import graft.engine.Skew.saltFactorFor
     val counts = Gen.choose(0L, 1000000L)
