@@ -264,6 +264,32 @@ object Similarity {
         expr(s"(n_hits * 1000) DIV $k").cast("bigint").as("recall_x1000"))
   }
 
+  /** Dimension-truncation recall — the serving question matryoshka-style
+    * embeddings pose ("can I rank with the first 16 of 64 dims and rerank
+    * the rest?"): per query, how many of the full-dimension exact top-`k`
+    * does ranking on the TRUNCATED prefix retrieve? Same exact machinery
+    * as [[annRecall]] (quantized cosine, id tiebreaks, engine-exact hit
+    * sets); the answer calibrates how much of the corpus a prefix-index
+    * can serve before the full-vector rerank.
+    */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    def trunc(df: DataFrame) = df.withColumn("__emb", slice(col(embCol), 1, dims))
+    val truth = annBruteForce(corpus, queries, k, idCol, embCol)
+      .select(col("q_id"), col("n_id"))
+    val approx = annBruteForce(trunc(corpus), trunc(queries), k, idCol, "__emb")
+      .select(col("q_id"), col("n_id"))
+    val hits = truth.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    queries.select(col(idCol).as("q_id"))
+      .join(broadcast(hits), Seq("q_id"), "left")
+      .withColumn("n_hits", coalesce(col("h"), lit(0L)))
+      .select(col("q_id"), col("n_hits").cast("bigint").as("n_hits"),
+        lit(k.toLong).as("k"),
+        expr(s"(n_hits * 1000) DIV $k").cast("bigint").as("recall_x1000"))
+  }
+
   /** Mutual k-nearest-neighbor graph over an embedding corpus — the
     * backbone of graph-based corpus curation (kNN-graph clustering, label
     * propagation, density-based outlier pruning): an undirected edge (i, j)

@@ -606,6 +606,39 @@ object Llm {
       Similarity.annRecall(e, e.filter(col("vec_id") < 5), k = 10, dim = 64, nPlanes = 4)
     },
 
+    // Dimension-truncation recall (the matryoshka serving question): per
+    // query, overlap of the first-16-dims ranking with the full-64-dim
+    // exact top-10. Same exact hit-set machinery as q89l.
+    QDef.df("q89m_truncation_recall", {
+      val fullCos = "CAST(list_dot_product(c.ve, q.qe) / " +
+        "(sqrt(list_dot_product(c.ve, c.ve)) * sqrt(list_dot_product(q.qe, q.qe))) " +
+        "AS DECIMAL(38,4))"
+      val truncCos = "CAST(list_dot_product(c.te, q.tq) / " +
+        "(sqrt(list_dot_product(c.te, c.te)) * sqrt(list_dot_product(q.tq, q.tq))) " +
+        "AS DECIMAL(38,4))"
+      s"""$V,
+         |vt AS (SELECT vec_id, ve, ve[1:16] AS te FROM v),
+         |q AS (SELECT vec_id AS q_id, ve AS qe, te AS tq FROM vt WHERE vec_id < 5),
+         |br AS (SELECT q_id, n_id FROM (
+         |        SELECT q.q_id, c.vec_id AS n_id,
+         |               row_number() OVER (PARTITION BY q.q_id
+         |                                  ORDER BY $fullCos DESC, c.vec_id) AS rn
+         |        FROM vt c, q) t WHERE rn <= 10),
+         |tr AS (SELECT q_id, n_id FROM (
+         |        SELECT q.q_id, c.vec_id AS n_id,
+         |               row_number() OVER (PARTITION BY q.q_id
+         |                                  ORDER BY $truncCos DESC, c.vec_id) AS rn
+         |        FROM vt c, q) t WHERE rn <= 10),
+         |h AS (SELECT q_id, count(*) AS h FROM br JOIN tr USING (q_id, n_id) GROUP BY 1)
+         |SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+         |       CAST(10 AS BIGINT) AS k,
+         |       CAST((COALESCE(h.h, 0) * 1000) // 10 AS BIGINT) AS recall_x1000
+         |FROM q LEFT JOIN h USING (q_id)""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      Similarity.truncationRecall(e, e.filter(col("vec_id") < 5), k = 10, dims = 16)
+    },
+
     // Coarse-to-fine ANN rerank: stage 1 scores in the 8-d JL subspace
     // (q82d's planes — 8× less arithmetic per pair; the scan pass a
     // compressed index answers at 10⁹ vectors), stage 2 exact cosine on the

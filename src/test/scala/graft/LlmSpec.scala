@@ -1401,6 +1401,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("truncationRecall: full-dim truncation is the identity (recall 1000)") {
+    val emb = Tables.embeddings(spark)
+    val queries = emb.filter($"vec_id" < 5)
+    val full = Similarity.truncationRecall(emb, queries, k = 10, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full.values.forall(_ == 1000L), full.toString)
+    // a 16-dim prefix loses information: recall in [0, 1000], and the hit
+    // count matches an independent overlap recomputation
+    val got = Similarity.truncationRecall(emb, queries, k = 10, dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.annBruteForce(emb, queries, 10).select("q_id", "n_id"))
+    val tr16 = pairs(Similarity.annBruteForce(
+      emb.withColumn("e16", slice($"embedding", 1, 16)),
+      queries.withColumn("e16", slice($"embedding", 1, 16)), 10, embCol = "e16")
+      .select("q_id", "n_id"))
+    for ((q, h) <- got)
+      assert(h == (truth & tr16).count(_._1 == q).toLong, s"q=$q")
+  }
+
   test("duplicateSpans: diagonal runs find the longest shared span; dfCap excises") {
     // doc0..doc1 share the 4-token run "p q r s" (= three consecutive
     // 2-shingles on diagonal -1); doc0..doc2 share "r s t" (run 2);
