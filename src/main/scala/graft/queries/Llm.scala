@@ -1649,11 +1649,9 @@ object Llm {
         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
         |FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
-      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
-      Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
-        labels => QDef.localized(s, labels) // ≤ 50 rows by construction
-      }
+      // labels are the session-cached dedup model (Tables.ensureDedupLabels
+      // — the resolution is computed once; downstream queries consume it)
+      Tables.ensureDedupLabels(s, dir)
     },
 
     // Dedup-aware sampling weights — the "count every duplicate cluster
@@ -1685,16 +1683,12 @@ object Llm {
         |       CAST(cluster_size AS BIGINT) AS cluster_size,
         |       CAST(1000 // cluster_size AS BIGINT) AS weight_x1000
         |FROM lab JOIN sz USING (cluster)""".stripMargin) { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
-      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
-      Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
-        labels =>
-          val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-          QDef.localized(s, labels.join(broadcast(sizes), "cluster")
-            .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
-              col("cluster_size").cast("bigint").as("cluster_size"),
-              expr("1000 DIV cluster_size").cast("bigint").as("weight_x1000")))
-      }
+      val labels = Tables.ensureDedupLabels(s, dir)
+      val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      labels.join(broadcast(sizes), "cluster")
+        .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
+          col("cluster_size").cast("bigint").as("cluster_size"),
+          expr("1000 DIV cluster_size").cast("bigint").as("weight_x1000"))
     },
 
     // Fixed-point PageRank over the near-dup pair graph — centrality-based
@@ -1732,8 +1726,7 @@ object Llm {
          |${steps.mkString(",\n")}
          |SELECT node AS doc_id, r AS rank_fp FROM r$iters""".stripMargin
     }) { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
-      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      val pairs = Tables.ensureDedupPairs(s, dir)
       graft.engine.Graph.pageRank(pairs, iters = 3)(ranks =>
         QDef.localized(s,
           ranks.select(col("node").as("doc_id"), col("r").as("rank_fp"))))
@@ -1773,23 +1766,20 @@ object Llm {
         |       jq.doc_id AS rep_doc, jq.tokens AS rep_tokens
         |FROM n JOIN jq ON jq.cluster = n.cluster AND jq.rn = 1""".stripMargin) { (s, dir) =>
       val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
-      val pairs = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
-      Dedup.connectedComponents(pairs, Dedup.tokenSets(docs).select("doc_id").distinct()) {
-        labels =>
-          val toks = docs.select(col("doc_id"),
-            size(split(col("text"), " ")).cast("bigint").as("tokens"))
-          val j = labels.join(toks, "doc_id")
-          val w = Window.partitionBy("cluster")
-            .orderBy(col("tokens").desc, col("doc_id"))
-          val reps = j.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("cluster"), col("doc_id").as("rep_doc"),
-              col("tokens").as("rep_tokens"))
-          val counts = j.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
-          QDef.localized(s, counts.join(reps, "cluster")
-            .select(col("cluster").cast("bigint").as("cluster"), col("n_docs"),
-              col("rep_doc"), col("rep_tokens")))
-      }
+      val labels = Tables.ensureDedupLabels(s, dir)
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+      val j = labels.join(toks, "doc_id")
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("tokens").desc, col("doc_id"))
+      val reps = j.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("rep_doc"),
+          col("tokens").as("rep_tokens"))
+      val counts = j.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      counts.join(reps, "cluster")
+        .select(col("cluster").cast("bigint").as("cluster"), col("n_docs"),
+          col("rep_doc"), col("rep_tokens"))
     },
 
     // Per-document dedup verdict — q96b's final form: every doc gets
@@ -1846,8 +1836,7 @@ object Llm {
         |       (SELECT CAST(count(*) AS BIGINT) FROM pr) AS edges
         |FROM pr e1 JOIN pr e2 ON e2.i = e1.j
         |           JOIN pr e3 ON e3.i = e1.i AND e3.j = e2.j""".stripMargin) { (s, dir) =>
-      val docs = Tables.table(s, dir, "documents").filter(col("doc_id") < 50)
-      val pr = Dedup.jaccardPairs(docs, 0.5).select("i", "j")
+      val pr = Tables.ensureDedupPairs(s, dir)
       val e1 = pr.as("e1"); val e2 = pr.as("e2"); val e3 = pr.as("e3")
       val tri = e1.join(e2, col("e2.i") === col("e1.j"))
         .join(e3, col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
