@@ -178,6 +178,27 @@ object Inspection {
       .limit(topK)
   }
 
+  /** Semi-structured schema profile — the inspection a JSON payload column
+    * gets before anyone writes a typed extraction (which keys exist, how
+    * often, what scalar type they carry, how wide their value domain is):
+    * per key observed anywhere in the column, presence count, how many
+    * values parse as integers (a pure-regex type probe — no dialect-
+    * dependent typeof), and the distinct-value cardinality. Flat-object
+    * payloads decode through one `from_json` to map<string,string> (scalar
+    * values keep their JSON text form) — one explode + one grouped count,
+    * key-count-sized output.
+    */
+  def jsonProfile(df: DataFrame, jsonCol: Column): DataFrame =
+    df.select(explode(from_json(jsonCol,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(when(col("value").rlike("^-?[0-9]+$"), 1L).otherwise(0L))
+          .cast("bigint").as("n_int"),
+        count_distinct(col("value")).cast("bigint").as("n_distinct"))
+
   /** R25: table discovery = distribution of the derived full table name. */
   def tables(envelope: DataFrame): DataFrame =
     graft.cdc.CdcPipeline.withFullTableName(envelope)

@@ -1811,6 +1811,23 @@ object Relational {
         |       count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin),
 
+    // Semi-structured schema profile: which keys the JSON payload column
+    // carries, how often, how many values parse as integers (pure-regex
+    // type probe — no dialect-dependent typeof), and the distinct-value
+    // cardinality. Engine decodes the flat object via from_json to a
+    // string map; the oracle walks json_keys with a dynamic extract path.
+    QDef.df("q55b_json_profile",
+      """WITH k AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN regexp_matches(
+        |              json_extract_string(props, '$.' || key), '^-?[0-9]+$')
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |       CAST(count(DISTINCT json_extract_string(props, '$.' || key))
+        |            AS BIGINT) AS n_distinct
+        |FROM k GROUP BY 1""".stripMargin) { (s, _) =>
+      graft.inspect.Inspection.jsonProfile(s.table("events"), col("props"))
+    },
+
     QDef.sql(
       "q56b_map_functions",
       """SELECT event_type,

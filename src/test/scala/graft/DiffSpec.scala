@@ -92,6 +92,21 @@ class DiffSpec extends SparkSpec {
     assert(Inspection.fkOrphans(child.filter($"fk" < 3), "fk", parent, "pk").count() == 0)
   }
 
+  test("jsonProfile: per-key presence, integer probe, cardinality on mixed payloads") {
+    val rows = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 2}""",
+      """{"a": -30, "c": 1.5}""",
+      """{"b": "x"}""").toDF("js")
+    val got = Inspection.jsonProfile(rows, $"js")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // a: 3 present, all integers (incl. negative), 3 distinct values
+    // b: 2 present, none integer, 1 distinct; c: float fails the int probe
+    assert(got == Map("a" -> ((3L, 3L, 3L)), "b" -> ((2L, 0L, 1L)),
+      "c" -> ((1L, 0L, 1L))), got.toString)
+  }
+
   test("rateAnomalies: discrete lower median baseline, exact integer scores") {
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     // type a hourly counts [1, 2, 10] → ct=3, lower median = 2nd smallest = 2
