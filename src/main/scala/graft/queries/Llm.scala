@@ -720,6 +720,22 @@ object Llm {
         .withColumn("cos", col("cos").cast("string"))
     },
 
+    // IVF index-health cell histogram: per-cell committed vector counts +
+    // hot_x1000 balance score (1000 = balanced) from the persistent index.
+    // The oracle replays the integer-Lloyd assignment (shared kmeansChain)
+    // and counts cells — so the store's cell layout provably matches the
+    // training-time assignment.
+    QDef.df("q89n_cell_histogram",
+      s"""$kmeansChain,
+         |cnt AS (SELECT cell, count(*) AS n FROM a3 GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS tot, count(*) AS k FROM cnt)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n,
+         |       CAST((n * k * 1000) // tot AS BIGINT) AS hot_x1000
+         |FROM cnt, tot""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.VectorIndexStore(Tables.ensureVectorIndex(s, dir))
+      store.cellHistogram(s)
+    },
+
     // Hard-negative mining (the contrastive-training data op): per anchor
     // (vec_id < 5), the top-3 most-similar vectors with a DIFFERENT label —
     // similar-but-wrong is exactly what metric-learning losses need. Same

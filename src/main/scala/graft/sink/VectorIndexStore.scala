@@ -110,4 +110,24 @@ final class VectorIndexStore(val dir: String) {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
   }
+
+  /** Index-health cell histogram — the balance monitor every IVF serving
+    * system watches (a hot cell means its inverted list dominates probe
+    * latency; many near-empty cells mean the centroids drifted off the
+    * data): per cell, the committed vector count and
+    * hot_x1000 = (n·k·1000) DIV total — 1000 = perfectly balanced, higher
+    * = hot. Reads only the cell column (partition-derived — the scan
+    * touches directory metadata plus row counts, not vectors).
+    */
+  def cellHistogram(spark: SparkSession): DataFrame = {
+    val batches = BatchStore.committedBatchPaths(s"$dir/vectors")
+    require(batches.nonEmpty, s"no committed vector batches at $dir")
+    val counts = spark.read.option("basePath", s"$dir/vectors")
+      .parquet(batches: _*)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell").cast("bigint").as("cell"), col("n").cast("bigint").as("n"),
+        expr("(n * k * 1000) DIV tot").cast("bigint").as("hot_x1000"))
+  }
 }

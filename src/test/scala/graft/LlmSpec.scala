@@ -1359,6 +1359,21 @@ class LlmSpec extends SparkSpec {
     assert(res(three.search(spark, queries, k = 3, nProbe = 2)) == rThree)
   }
 
+  test("VectorIndexStore.cellHistogram: counts tile the corpus, balance exact") {
+    val emb = Tables.embeddings(spark)
+    val dir = tmpDir("vindex_hist") + "/s"
+    val store = new graft.sink.VectorIndexStore(dir)
+    store.init(emb, k = 4, iters = 2)
+    store.append(emb.filter(pmod($"vec_id", lit(2)) === 0L), 0L)
+    store.append(emb.filter(pmod($"vec_id", lit(2)) === 1L), 1L)
+    val got = store.cellHistogram(spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = emb.count()
+    assert(got.values.map(_._1).sum == total, got.toString)
+    val k = got.size.toLong
+    for ((_, (n, hot)) <- got) assert(hot == n * k * 1000 / total)
+  }
+
   test("VectorIndexStore filtered ANN: predicate pre-rerank, pushed to the scan") {
     val emb = Tables.embeddings(spark)
     val queries = emb.filter($"vec_id" < 3)
