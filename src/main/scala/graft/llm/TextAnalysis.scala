@@ -757,6 +757,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Query spelling suggestion against the corpus's OWN vocabulary — the
+    * "did you mean" leg of the retrieval stack (an OOV query term returns
+    * nothing from any index; the fix is the nearest in-vocabulary terms):
+    * per query term, the top-`k` vocabulary tokens within `maxDist` edits,
+    * ranked (dist ASC, corpus frequency DESC, token ASC) so common words
+    * win ties — all integer/string comparisons, engine-exact.
+    *
+    * Shape: one vocabulary aggregation (map-side combinable), the
+    * |terms|-row query frame broadcast into a vocab scan with the exact
+    * levenshtein as the predicate — linear in vocabulary size per term.
+    * At 10⁹-token vocabularies, candidate generation swaps to the same
+    * length-bin banding [[Dedup.editDistanceNearDup]] uses (edit distance
+    * bounds length difference), keeping the verify set per term tiny.
+    */
+  def spellSuggest(docs: DataFrame, terms: Seq[String], maxDist: Int, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "spellSuggest needs at least one query term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val q = terms.toDF("term")
+    val cand = vocab.crossJoin(broadcast(q))
+      .withColumn("dist", levenshtein(col("term"), col("tok")))
+      .filter(col("dist") <= maxDist)
+    val w = Window.partitionBy("term")
+      .orderBy(col("dist").asc, col("freq").desc, col("tok").asc)
+    cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("term"), col("tok").as("suggestion"),
+        col("dist").cast("bigint").as("dist"), col("freq").cast("bigint").as("freq"))
+  }
+
   /** Fill-in-the-middle transform — the code-LLM training rewrite
     * (Bavarian et al.: span-corruption at the character level teaches
     * infilling): each document splits at two DETERMINISTIC points into

@@ -1105,6 +1105,28 @@ object Llm {
         store.search(s, Seq("batch", "scan", "group"), k = 20)
     },
 
+    // "Did you mean": per OOV query term, the top-3 in-vocabulary tokens
+    // within 2 edits, common words winning ties (dist ASC, corpus freq
+    // DESC, token ASC) — the spell-correction leg of the retrieval stack.
+    // Oracle replays vocabulary, levenshtein and ranking exactly.
+    QDef.df("q84s_spell_suggest",
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+        |q AS (SELECT unnest(['hsah', 'jion', 'mrge']) AS term),
+        |c AS (SELECT q.term, v.tok AS suggestion,
+        |             levenshtein(q.term, v.tok) AS dist, v.freq
+        |      FROM q CROSS JOIN v WHERE levenshtein(q.term, v.tok) <= 2),
+        |r AS (SELECT term, suggestion, dist, freq,
+        |             row_number() OVER (PARTITION BY term
+        |                                ORDER BY dist, freq DESC, suggestion) AS rn
+        |      FROM c)
+        |SELECT term, suggestion, CAST(dist AS BIGINT) AS dist,
+        |       CAST(freq AS BIGINT) AS freq
+        |FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      TextAnalysis.spellSuggest(Tables.table(s, dir, "documents"),
+        Seq("hsah", "jion", "mrge"), maxDist = 2, k = 3)
+    },
+
     // Hybrid retrieval via reciprocal-rank fusion: BM25 top-50 (q84j's
     // sparse scorer) fused with dense cosine top-50 (q83's scorer, query =
     // vec 0, vec_id ≡ doc_id in the fixture) — fused score is the exact

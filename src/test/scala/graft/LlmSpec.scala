@@ -1124,6 +1124,18 @@ class LlmSpec extends SparkSpec {
     assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
   }
 
+  test("spellSuggest: distance first, frequency breaks ties, common words win") {
+    val corpus = Seq(
+      (0L, "hello hello hello jello help"),
+      (1L, "jello hello yellow")).toDF("doc_id", "text")
+    val got = TextAnalysis.spellSuggest(corpus, Seq("hellp"), maxDist = 2, k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // dist 1: hello(freq 4) and help(freq 1) — hello first on frequency;
+    // dist 2: jello(freq 2) third
+    assert(got == Seq(("hello", 1L, 4L), ("help", 1L, 1L), ("jello", 2L, 2L)),
+      got.toString)
+  }
+
   test("proximitySearch: ordered pairs within slop; index equals the scan") {
     // slop 2 counts ordered pairs with j − i ∈ {1, 2}
     val corpus = Seq(
