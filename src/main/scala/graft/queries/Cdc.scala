@@ -209,6 +209,43 @@ object Cdc {
           .filter(!col("__is_deleted")).drop("__is_deleted"))
     },
 
+    // Snapshot version history — the commit-log metadata view a lakehouse
+    // operator reads before time-traveling or vacuuming: per committed
+    // version, live-row and tombstone counts. The oracle replays each
+    // version's state from the CDC log at its seq cutoff, so the store's
+    // whole commit HISTORY (not just its head) provably matches the log.
+    QDef.df("q61g_version_history",
+      s"""$SRC,
+         |r AS (SELECT data['primary_key'] AS pk, seq,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM f),
+         |v0 AS (SELECT pk, is_del,
+         |              row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |       FROM r WHERE seq <= 900),
+         |v1 AS (SELECT pk, is_del,
+         |              row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |       FROM r)
+         |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+         |FROM v0 WHERE rn = 1
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM v1 WHERE rn = 1""".stripMargin) { (s, _) =>
+      val (sink, _) = freshSnapshotSink("q61g")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      sink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
+      sink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
+      sink.versions.map { v =>
+        sink.readAt(s, v, graft.sink.DeleteMode.Logical)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("is_deleted"), 1L).otherwise(0L)).as("n_deleted"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows").cast("bigint").as("n_rows"),
+            col("n_deleted").cast("bigint").as("n_deleted"))
+      }.reduce(_ unionAll _)
+    },
+
     // Partition lifecycle, compaction half: orders written partitionBy(yr)
     // with 6 writer tasks (6 small files per partition — the streaming-
     // ingest pathology), compacted to ceil(bytes/target)=1 file each, read
