@@ -2,6 +2,7 @@ package graft.engine
 
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
 
@@ -263,5 +264,38 @@ object Ranking {
     }
     throw new IllegalStateException(
       s"exactQuantileByGroup bracket never converged (q=$q) — sketch misbehaving")
+  }
+
+  /** Exact WEIGHTED quantiles over integer values/weights — the
+    * importance-weighted statistic a reweighted corpus needs (each row
+    * counts `w` times; the dedup weights of q90k or mixture rates of q97h
+    * are exactly such weights): quantile q/1000 = the smallest value v
+    * whose cumulative weight satisfies cum·1000 ≥ total·q. Pure integer
+    * comparisons — no interpolation, engine-exact.
+    *
+    * Shape: one grouped weight-sum per distinct value (map-side
+    * combinable), one cumulative window over the DISTINCT-value frame
+    * (value-domain-sized, not row-sized), one broadcast total. Returns one
+    * row with a `p<q>` column per requested quantile.
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: Column, weightCol: Column,
+      qsX1000: Seq[Int]): DataFrame = {
+    require(qsX1000.nonEmpty && qsX1000.forall(q => q > 0 && q <= 1000),
+      "quantiles must be in (0, 1000]")
+    val spark = df.sparkSession
+    val s = df.select(valueCol.cast("long").as("v"), weightCol.cast("long").as("w"))
+      .groupBy("v").agg(sum(col("w")).as("wv"))
+    // cumulative weight via the distributed prefix sum (no global window);
+    // the frame it runs over is the distinct-VALUE domain, already reduced
+    prefixSum(s, col("wv"), Seq(col("v"))) { withPs =>
+      val cum = withPs.withColumn("cum", col("__psum") + col("wv"))
+        .crossJoin(broadcast(df.agg(sum(weightCol.cast("long")).as("tot"))))
+      val aggs = qsX1000.map(q =>
+        min(when(col("cum") * 1000 >= col("tot") * q, col("v"))).as(s"p$q"))
+      val row = cum.agg(aggs.head, aggs.tail: _*).collect().head // 1 row
+      spark.createDataFrame(java.util.Arrays.asList(row),
+        org.apache.spark.sql.types.StructType(
+          qsX1000.map(q => StructField(s"p$q", LongType))))
+    }
   }
 }

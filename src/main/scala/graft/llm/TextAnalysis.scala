@@ -757,6 +757,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Phrase-blocklist gate — the content-policy filter every production
+    * corpus passes through (license strings, spam markers, policy
+    * phrases): per document, the total occurrence count across all
+    * blocklist phrases (raw substring semantics — a policy phrase must
+    * match inside markup/concatenations where token boundaries lie) and
+    * the FIRST matching phrase (earliest position; position ties go to the
+    * lexicographically smallest phrase — `least` ignores the null
+    * non-matches on both engines). Occurrence counting is the
+    * length-difference trick ((len − len(replace))/|p|) — pure per-row
+    * string arithmetic, zero shuffle until the report aggregation, the
+    * same gate shape as [[filterPipeline]].
+    */
+  def blocklistGate(docs: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklistGate needs at least one phrase")
+    val big = Int.MaxValue
+    val t = col(textCol)
+    val occ = phrases.map(p =>
+      ((length(t) - length(call_function("replace", t, lit(p), lit(""))))
+        / p.length).cast("long"))
+      .reduce(_ + _)
+    val poss = phrases.map(p => when(locate(p, t) > 0, locate(p, t)).otherwise(lit(big)))
+    val m = if (poss.size == 1) poss.head else least(poss: _*)
+    val cands = phrases.zip(poss).map { case (p, pos) =>
+      when(pos === m, lit(p)).otherwise(lit(null).cast("string"))
+    }
+    val first = when(m === big, lit(null).cast("string"))
+      .otherwise(if (cands.size == 1) cands.head else least(cands: _*))
+    docs.select(col(idCol).as("doc_id"), occ.as("n_hits"), first.as("first_phrase"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Query spelling suggestion against the corpus's OWN vocabulary — the
     * "did you mean" leg of the retrieval stack (an OOV query term returns
     * nothing from any index; the fix is the nearest in-vocabulary terms):

@@ -1105,6 +1105,30 @@ object Llm {
         store.search(s, Seq("batch", "scan", "group"), k = 20)
     },
 
+    // Phrase-blocklist gate (the content-policy filter): per doc, total
+    // occurrences across the blocklist (raw substring semantics) and the
+    // FIRST matching phrase — earliest position, ties lexicographic
+    // (least ignores null non-matches identically on both engines).
+    QDef.df("q90l_blocklist_gate", {
+      val phrases = Seq("table hash", "part filter", "dup")
+      def occ(p: String) =
+        s"(length(text) - length(replace(text, '$p', ''))) / ${p.length}"
+      def pos(p: String) =
+        s"(CASE WHEN position('$p' IN text) > 0 THEN position('$p' IN text) ELSE 2147483647 END)"
+      val m = s"least(${phrases.map(pos).mkString(", ")})"
+      val cands = phrases.map(p =>
+        s"(CASE WHEN ${pos(p)} = $m THEN '$p' END)").mkString(", ")
+      s"""SELECT doc_id,
+         |       CAST(${phrases.map(occ).mkString(" + ")} AS BIGINT) AS n_hits,
+         |       CASE WHEN $m = 2147483647 THEN NULL
+         |            ELSE least($cands) END AS first_phrase
+         |FROM documents
+         |WHERE ${phrases.map(occ).mkString(" + ")} > 0""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.blocklistGate(Tables.table(s, dir, "documents"),
+        Seq("table hash", "part filter", "dup"))
+    },
+
     // "Did you mean": per OOV query term, the top-3 in-vocabulary tokens
     // within 2 edits, common words winning ties (dist ASC, corpus freq
     // DESC, token ASC) — the spell-correction leg of the retrieval stack.

@@ -748,6 +748,26 @@ object Relational {
           min(col("within")).as("all_within_bounds"))
     },
 
+    // Exact WEIGHTED quantiles (importance-weighted corpus statistics —
+    // each row counts w times): quantile q/1000 = smallest v with
+    // cum·1000 >= total·q, pure integer comparisons, cumulative weight via
+    // the distributed prefix sum over the distinct-value domain. Oracle is
+    // the window cumsum formulation.
+    QDef.df("q29f_weighted_quantile",
+      """WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |                  CAST(l_linenumber AS BIGINT) AS w FROM lineitem),
+        |s AS (SELECT v, SUM(w) AS wv FROM t GROUP BY v),
+        |c AS (SELECT v, SUM(wv) OVER (ORDER BY v) AS cum,
+        |             (SELECT SUM(w) FROM t) AS tot FROM s)
+        |SELECT CAST(MIN(CASE WHEN cum * 1000 >= tot * 250 THEN v END) AS BIGINT) AS p250,
+        |       CAST(MIN(CASE WHEN cum * 1000 >= tot * 500 THEN v END) AS BIGINT) AS p500,
+        |       CAST(MIN(CASE WHEN cum * 1000 >= tot * 750 THEN v END) AS BIGINT) AS p750
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.engine.Ranking.weightedQuantiles(
+        Tables.table(s, dir, "lineitem"),
+        col("l_quantity"), col("l_linenumber"), Seq(250, 500, 750))
+    },
+
     // HLL twin of q21 (SURVEY: approx_count_distinct as the scalable
     // count-distinct) — engine-only: HLL sketches differ across engines.
     // HLL sketch values aren't oracle-reproducible, but the sketch's CLAIM

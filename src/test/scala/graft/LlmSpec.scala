@@ -1124,6 +1124,32 @@ class LlmSpec extends SparkSpec {
     assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
   }
 
+  test("weightedQuantiles: exact cumulative-weight order statistics") {
+    // values/weights (1,1) (2,1) (3,2): total 4; cum 1, 2, 4
+    // p250 -> 1 (cum 1*1000 >= 1000); p500 -> 2 (2000 >= 2000); p750 -> 3
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("v", "w")
+    val got = graft.engine.Ranking.weightedQuantiles(df, $"v", $"w", Seq(250, 500, 750))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((1L, 2L, 3L)),
+      got.toString)
+  }
+
+  test("blocklistGate: occurrence totals, earliest-position first, lexicographic ties") {
+    val corpus = Seq(
+      (0L, "x table hash y dup"), // two phrases; "table hash" earlier
+      (1L, "dupdup"),             // overlapping-free double count
+      (2L, "ab c"),               // both "ab" and "ab c" match at pos 1 → tie
+      (3L, "clean text")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistGate(corpus, Seq("table hash", "dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((0L, 2L, "table hash"), (1L, 2L, "dup")), got.toString)
+    val tie = TextAnalysis.blocklistGate(corpus, Seq("ab c", "ab"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // doc 2: both phrases match at position 1 → tie → lexicographic "ab";
+    // doc 0: "ab" also matches inside "tABle" — substring semantics
+    assert(tie == Set((2L, 2L, "ab"), (0L, 1L, "ab")), tie.toString)
+  }
+
   test("spellSuggest: distance first, frequency breaks ties, common words win") {
     val corpus = Seq(
       (0L, "hello hello hello jello help"),
