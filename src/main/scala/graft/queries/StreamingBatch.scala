@@ -173,6 +173,54 @@ object StreamingBatch {
          |       FROM u WHERE len(types) >= 3),
          |p AS (SELECT array_to_string(list_slice(types, i, i + 2), '>') AS path FROM ix)
          |SELECT path, CAST(count(*) AS BIGINT) AS cnt
-         |FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 10""".stripMargin)
+         |FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 10""".stripMargin),
+
+    // Funnel time-to-convert: for users whose first purchase follows their
+    // first view, the view→purchase latency distribution in exact epoch
+    // micros — count, min, DISCRETE lower median (the (n+1) DIV 2-th
+    // smallest — rank-based, engine-replayable, no interpolation; equal
+    // values make the within-value tie order moot, so the oracle's
+    // rank selection and the engine's cumulative-weight selection agree)
+    // and max. Engine-side the median comes off Ranking.weightedQuantiles
+    // (distributed prefix sum — no global window on the user-sized frame).
+    QDef.df(
+      "q74e_time_to_convert",
+      s"""$E,
+         |v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+         |      FROM e JOIN v ON e.user_id = v.user_id
+         |                    AND epoch_us(e.ts) > v.v_us
+         |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+         |d AS (SELECT p.user_id, p.p_us - v.v_us AS delta_us
+         |      FROM p JOIN v ON p.user_id = v.user_id),
+         |r AS (SELECT delta_us,
+         |             row_number() OVER (ORDER BY delta_us, user_id) AS rn,
+         |             count(*) OVER () AS ct
+         |      FROM d)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_converted,
+         |       (SELECT CAST(min(delta_us) AS BIGINT) FROM d) AS min_us,
+         |       (SELECT CAST(delta_us AS BIGINT) FROM r
+         |        WHERE rn = (ct + 1) // 2) AS med_us,
+         |       (SELECT CAST(max(delta_us) AS BIGINT) FROM d) AS max_us""".stripMargin) {
+      (s, _) =>
+        import org.apache.spark.sql.functions._
+        val ev = s.table("events").select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("v_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, Seq("user_id")).filter(col("us") > col("v_us"))
+          .groupBy("user_id")
+          .agg(min(col("us")).as("p_us"), min(col("v_us")).as("v_us"))
+        val d = p.select((col("p_us") - col("v_us")).as("delta_us"))
+        val med = graft.engine.Ranking.weightedQuantiles(
+          d, col("delta_us"), lit(1L), Seq(500))
+        d.agg(count(lit(1)).cast("bigint").as("n_converted"),
+            min(col("delta_us")).cast("bigint").as("min_us"),
+            max(col("delta_us")).cast("bigint").as("max_us"))
+          .crossJoin(broadcast(med.select(col("p500").cast("bigint").as("med_us"))))
+          .select(col("n_converted"), col("min_us"), col("med_us"), col("max_us"))
+    }
   )
 }
