@@ -174,9 +174,10 @@ object Tables {
   }
 
   /** Localize a small-by-construction frame so the cached model owns its
-    * rows (no lineage back to session-scoped caches or temp views).
+    * rows (no lineage back to session-scoped caches or temp views). The
+    * single implementation behind QDef.localized too.
     */
-  private def localize(spark: SparkSession,
+  private[graft] def localize(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)

@@ -288,8 +288,10 @@ object Ranking {
     // cumulative weight via the distributed prefix sum (no global window);
     // the frame it runs over is the distinct-VALUE domain, already reduced
     prefixSum(s, col("wv"), Seq(col("v"))) { withPs =>
+      // total off the PERSISTED grouped frame — aggregating the raw input
+      // again would re-run its whole lineage a second time per call
       val cum = withPs.withColumn("cum", col("__psum") + col("wv"))
-        .crossJoin(broadcast(df.agg(sum(weightCol.cast("long")).as("tot"))))
+        .crossJoin(broadcast(withPs.agg(sum(col("wv")).as("tot"))))
       val aggs = qsX1000.map(q =>
         min(when(col("cum") * 1000 >= col("tot") * q, col("v"))).as(s"p$q"))
       val row = cum.agg(aggs.head, aggs.tail: _*).collect().head // 1 row

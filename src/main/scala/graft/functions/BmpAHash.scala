@@ -70,12 +70,24 @@ object BmpAHash {
     (u(b, base) + u(b, base + 1) + u(b, base + 2)) / 3
   }
 
+  /** Pixels processed at most — a corrupt or hostile header must not turn
+    * the per-row loop into billions of iterations (a top-down BMP encodes
+    * a NEGATIVE height, which read unsigned is ~4·10⁹).
+    */
+  val MaxPixels: Long = 1L << 26
+
   /** The fused loop (shared by interpreted eval and generated code). */
   def hash(b: Array[Byte]): Long = {
-    val w = le(b, 18, 4); val h = le(b, 22, 4); val off = le(b, 10, 4)
+    // header dims are SIGNED int32 (top-down BMPs carry negative heights);
+    // anything non-positive or absurd hashes to 0 instead of looping —
+    // unlike the HOF composition, whose sequence() would fail loudly on
+    // the same input (both behaviors are outside the valid-BMP contract)
+    val w = le(b, 18, 4).toInt.toLong; val h = le(b, 22, 4).toInt.toLong
+    val off = le(b, 10, 4)
     val stride = ((w * 3 + 3) >> 2) << 2
+    if (w <= 0 || h <= 0) return 0L
     val n = w * h
-    if (n <= 0) return 0L
+    if (n > MaxPixels) return 0L
     // pass 1: mean over ALL pixels
     var sum = 0L
     var i = 0L

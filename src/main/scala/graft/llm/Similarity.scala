@@ -305,17 +305,28 @@ object Similarity {
     * [[annLsh]] buckets) and keeps the mutuality join — edges meet on the
     * (i, j) equi-key either way.
     */
-  def mutualKnnGraph(corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+  /** Per-vector top-`k` neighbor frame (i, j, cos) over the bounded
+    * broadcast self-join — the ONE candidate-generation implementation
+    * [[mutualKnnGraph]] and [[knnOutliers]] both rank from (quantized
+    * DECIMAL(38,4) cosine, id tiebreaks); the scale path swaps this for
+    * index candidates and both consumers inherit it.
+    */
+  private def knnCandidates(corpus: DataFrame, k: Int,
+      idCol: String, embCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val a = corpus.select(col(idCol).as("i"), col(embCol).as("ea"))
     val b = corpus.select(col(idCol).as("j"), col(embCol).as("eb"))
     val pairs = a.crossJoin(broadcast(b)).filter(col("i") =!= col("j"))
       .withColumn("cos", cosine(col("ea"), col("eb")).cast("decimal(38,4)"))
     val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
-    val knn = pairs.withColumn("__rn", row_number().over(w))
+    pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("i"), col("j"), col("cos"))
+  }
+
+  def mutualKnnGraph(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val knn = knnCandidates(corpus, k, idCol, embCol)
     val fwd = knn.filter(col("i") < col("j"))
     val rev = knn.filter(col("i") > col("j")).select(col("j").as("i"), col("i").as("j"))
     fwd.join(rev, Seq("i", "j"), "left_semi")
@@ -333,20 +344,13 @@ object Similarity {
     * candidates at scale.
     */
   def knnOutliers(corpus: DataFrame, k: Int, bottomN: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val a = corpus.select(col(idCol).as("i"), col(embCol).as("ea"))
-    val b = corpus.select(col(idCol).as("j"), col(embCol).as("eb"))
-    val pairs = a.crossJoin(broadcast(b)).filter(col("i") =!= col("j"))
-      .withColumn("cos", cosine(col("ea"), col("eb")).cast("decimal(38,4)"))
-    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
-    pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    knnCandidates(corpus, k, idCol, embCol)
       .groupBy(col("i").as("vec_id"))
       .agg(sum(col("cos")).cast("decimal(38,4)").as("density"))
       .orderBy(col("density").asc, col("vec_id"))
       .limit(bottomN)
       .select(col("vec_id"), col("density").cast("string").as("density"))
-  }
 
   /** Per-label prototype vectors + cohesion — the embedding-space health
     * check a labeled corpus gets before training (drifting or bimodal

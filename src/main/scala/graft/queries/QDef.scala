@@ -55,8 +55,6 @@ object QDef {
     * managed cache (Ranking/Dedup/Ivf thunk scopes) can be released before
     * the caller consumes the rows.
     */
-  def localized(s: SparkSession, df: DataFrame): DataFrame = {
-    val rows = df.collect().toIndexedSeq
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), df.schema)
-  }
+  def localized(s: SparkSession, df: DataFrame): DataFrame =
+    Tables.localize(s, df)
 }

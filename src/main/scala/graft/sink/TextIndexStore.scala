@@ -39,6 +39,13 @@ final class TextIndexStore(val dir: String) {
     */
   def append(batch: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // repair any crashed compact() BEFORE touching the store: without this,
+    // an append interleaved after a mid-swap crash would recreate a live
+    // dir containing only this batch, and the next recover() would then
+    // classify the full pre-crash copy (old_<sub>) as post-swap garbage —
+    // deleting the only complete index (the parquet sinks' merge() plays
+    // the same recover-first rule)
+    recover()
     val toks = batch.select(col(idCol).as("doc_id"),
       posexplode(graft.llm.TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     toks.groupBy("doc_id", "tok")
@@ -140,13 +147,15 @@ final class TextIndexStore(val dir: String) {
     */
   def compact(spark: SparkSession, compactId: Long = 0L): Unit = {
     recover()
-    val posts = committed(spark, "postings")
+    // committedRaw, not committed: the reader-side recover would classify
+    // the tmp_ dir this merge is writing as crash garbage and delete it
+    val posts = committedRaw(spark, "postings")
     posts.groupBy("doc_id", "tok")
       .agg(sum(col("tf")).as("tf"),
         array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("pos"))
       .repartition(1).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(s"$dir/tmp_postings/batch=$compactId")
-    committed(spark, "doclens").groupBy("doc_id")
+    committedRaw(spark, "doclens").groupBy("doc_id")
       .agg(sum(col("dl")).as("dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/tmp_doclens/batch=$compactId")
@@ -179,6 +188,15 @@ final class TextIndexStore(val dir: String) {
     }
 
   private def committed(spark: SparkSession, sub: String): DataFrame = {
+    recover() // a reader after a mid-swap crash must see the restored copy
+    committedRaw(spark, sub)
+  }
+
+  /** [[committed]] without the recover step — for [[compact]]'s internal
+    * reads, which run AFTER its own entry recover and must not wipe the
+    * `tmp_` dirs the merge is writing.
+    */
+  private def committedRaw(spark: SparkSession, sub: String): DataFrame = {
     val paths = BatchStore.committedBatchPaths(s"$dir/$sub")
     require(paths.nonEmpty, s"no committed $sub batches at $dir")
     spark.read.option("basePath", s"$dir/$sub").parquet(paths: _*)

@@ -1162,6 +1162,45 @@ class LlmSpec extends SparkSpec {
       got.toString)
   }
 
+  test("TextIndexStore: append after a mid-swap compact crash heals first") {
+    // the data-loss scenario: compact crashes between its two renames
+    // (live gone, old_ holds the full index); a checkpoint-replayed append
+    // must NOT recreate a live dir containing only its own batch — that
+    // would make the next recover() classify old_ as post-swap garbage
+    // and delete the only complete copy
+    val corpus = Seq((0L, "a b"), (1L, "b c"), (2L, "a c")).toDF("doc_id", "text")
+    val dir = tmpDir("crash_idx")
+    val store = new graft.sink.TextIndexStore(dir)
+    store.append(corpus.filter($"doc_id" < 2), batchId = 0L)
+    def res() = store.search(spark, Seq("a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = res()
+    // simulate the crash window
+    for (sub <- Seq("postings", "doclens"))
+      assert(new java.io.File(s"$dir/$sub").renameTo(new java.io.File(s"$dir/old_$sub")))
+    store.append(corpus.filter($"doc_id" === 2L), batchId = 1L)
+    // batch 0's docs survived the interleaving, batch 1 landed
+    val after = res()
+    assert(after.map(_._1).toSet == before.map(_._1).toSet + 2L, after.toString)
+    assert(!new java.io.File(s"$dir/old_postings").exists())
+  }
+
+  test("BmpAHash.hash: hostile headers (negative/absurd dims) return 0, never loop") {
+    def header(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](54)
+      b(0) = 'B'; b(1) = 'M'
+      def le32(pos: Int, v: Int): Unit =
+        (0 until 4).foreach(i => b(pos + i) = ((v >> (8 * i)) & 0xFF).toByte)
+      le32(10, 54); le32(18, w); le32(22, h)
+      b
+    }
+    // top-down BMP: negative height read unsigned would be ~4e9 pixels
+    assert(graft.functions.BmpAHash.hash(header(2, -7)) == 0L)
+    assert(graft.functions.BmpAHash.hash(header(-1, 3)) == 0L)
+    assert(graft.functions.BmpAHash.hash(header(1 << 20, 1 << 20)) == 0L)
+    assert(graft.functions.BmpAHash.hash("notabmp".getBytes("US-ASCII")) == 0L)
+  }
+
   test("proximitySearch: ordered pairs within slop; index equals the scan") {
     // slop 2 counts ordered pairs with j − i ∈ {1, 2}
     val corpus = Seq(
