@@ -789,6 +789,34 @@ object TextAnalysis {
       .filter(col("n_hits") > 0)
   }
 
+  /** Search-result snippet extraction — the last leg of the retrieval
+    * stack (a hit list without context is unusable): per document
+    * containing `term`, the ±`window`-token span around its FIRST
+    * occurrence, ranked by (term frequency DESC, id) — the single-term
+    * relevance order BM25 reduces to at fixed document length. Pure
+    * per-row array arithmetic (position, slice, join — the token array
+    * bound once per the HOF rule); both engines clip the window at the
+    * document edges identically.
+    */
+  def snippets(docs: DataFrame, term: String, window: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val f = element_at(transform(array(tokens(col(textCol))), ts => {
+      val p = array_position(ts, term)
+      struct(
+        p.as("p"),
+        size(filter(ts, x => x === term)).cast("long").as("tf"),
+        concat_ws(" ",
+          slice(ts, greatest(lit(1), p - window).cast("int"), lit(2 * window + 1)))
+          .as("snippet"))
+    }), 1)
+    docs.select(col(idCol).as("doc_id"), f.as("f"))
+      .filter(col("f.p") > 0)
+      .select(col("doc_id"), col("f.tf").as("tf"), col("f.snippet").as("snippet"))
+      .orderBy(col("tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Query spelling suggestion against the corpus's OWN vocabulary — the
     * "did you mean" leg of the retrieval stack (an OOV query term returns
     * nothing from any index; the fix is the nearest in-vocabulary terms):

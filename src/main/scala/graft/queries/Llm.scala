@@ -1105,6 +1105,24 @@ object Llm {
         store.search(s, Seq("batch", "scan", "group"), k = 20)
     },
 
+    // Search-result snippets: the ±3-token window around the FIRST
+    // occurrence of the query term, per containing doc, top-10 by
+    // (tf DESC, doc_id) — the single-term relevance order. Both engines
+    // clip the window at document edges identically.
+    QDef.df("q84t_snippets",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |f AS (SELECT doc_id, list_position(ts, 'filter') AS p,
+        |             len(list_filter(ts, x -> x = 'filter')) AS tf,
+        |             ts
+        |      FROM d)
+        |SELECT doc_id, CAST(tf AS BIGINT) AS tf,
+        |       array_to_string(ts[greatest(1, p - 3):greatest(1, p - 3) + 6], ' ') AS snippet
+        |FROM f WHERE p IS NOT NULL AND p > 0
+        |ORDER BY tf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      TextAnalysis.snippets(Tables.table(s, dir, "documents"), "filter",
+        window = 3, k = 10)
+    },
+
     // Phrase-blocklist gate (the content-policy filter): per doc, total
     // occurrences across the blocklist (raw substring semantics) and the
     // FIRST matching phrase — earliest position, ties lexicographic

@@ -1150,6 +1150,22 @@ class LlmSpec extends SparkSpec {
     assert(tie == Set((2L, 2L, "ab"), (0L, 1L, "ab")), tie.toString)
   }
 
+  test("snippets: first-occurrence window, clipped at edges, tf ranking") {
+    val corpus = Seq(
+      (0L, "q a b"),                   // match at position 1: left-clipped window
+      (1L, "a b c d q e f g h"),       // interior: full ±2 window
+      (2L, "a b c q"),                 // right-clipped
+      (3L, "q x q y q"),               // tf 3 → ranks first; window from FIRST hit
+      (4L, "no match here")).toDF("doc_id", "text")
+    val got = TextAnalysis.snippets(corpus, "q", window = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (3L, 3L, "q x q y q"),
+      (0L, 1L, "q a b"),
+      (1L, 1L, "c d q e f"),
+      (2L, 1L, "b c q")), got.toString)
+  }
+
   test("spellSuggest: distance first, frequency breaks ties, common words win") {
     val corpus = Seq(
       (0L, "hello hello hello jello help"),
