@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"hamming requires exactly 2 arguments, got ${exprs.length}")
         graft.functions.HammingDistance(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bmp_ahash"),
+      new ExpressionInfo(classOf[graft.functions.BmpAHash].getName, "bmp_ahash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"bmp_ahash requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.BmpAHash(exprs(0))
+      }))
     // runtime-filter primitives (see GraftFunctions.register / BloomPrune)
     ext.injectFunction((
       FunctionIdentifier("bloom_build"),

@@ -55,6 +55,14 @@ class ExtensionsSpec extends AnyFunSuite {
           "(acc, i) -> acc + IF(substring(a, i, 1) = substring(b, i, 1), 0, 1)) AS d")
         .collect().map(_.getInt(0))
       assert(viaExpr.toSeq == viaSubstr.toSeq)
+      // codegen bmp_ahash through the SQL seam: the 2x2 seed-0 fixture
+      // hand-computed in LlmSpec (gray [3,4,0,1], mean 2 → ahash 3),
+      // bytes from the engine's own encoder
+      import graft.multimodal.Multimodal
+      val enc = Seq((2, 2, 0L)).toDF("w", "h", "seed")
+        .select(Multimodal.encodeBmp($"w", $"h", $"seed").as("m"))
+      enc.createOrReplaceTempView("bmp_t")
+      assert(s2.sql("SELECT bmp_ahash(m) AS a FROM bmp_t").head.getLong(0) == 3L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
