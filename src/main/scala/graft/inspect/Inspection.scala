@@ -159,10 +159,19 @@ object Inspection {
     * broadcast.
     */
   def rateAnomalies(events: DataFrame, topK: Int = 20,
-      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
-    val hourly = events.groupBy(col(typeCol).as("event_type"),
-        unix_micros(date_trunc("hour", col(tsCol))).as("hour_us"))
-      .agg(count(lit(1)).as("n"))
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame =
+    rateAnomalyScores(
+      events.groupBy(col(typeCol).as("event_type"),
+          unix_micros(date_trunc("hour", col(tsCol))).as("hour_us"))
+        .agg(count(lit(1)).as("n")),
+      topK)
+
+  /** The scoring half of [[rateAnomalies]] over a pre-aggregated
+    * (event_type, hour_us, n) frame — the ONE implementation the batch
+    * query and the streaming [[graft.streaming.RateMonitor]] both run, so
+    * the baselines can never diverge.
+    */
+  def rateAnomalyScores(hourly: DataFrame, topK: Int = 20): DataFrame = {
     val wOrd = Window.partitionBy("event_type").orderBy(col("n"), col("hour_us"))
     val wAll = Window.partitionBy("event_type")
     val med = hourly.withColumn("__rn", row_number().over(wOrd))

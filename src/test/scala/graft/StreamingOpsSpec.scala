@@ -905,6 +905,50 @@ class StreamingOpsSpec extends SparkSpec {
     assert(after == results(1L), s"after=$after expected=${results(1L)}")
   }
 
+  test("rate monitor stream: running scores equal the batch query, replay-stable") {
+    import graft.streaming.RateMonitor
+    val in = tmpDir("rate_in"); val ckpt = tmpDir("rate_ckpt")
+    val store = new graft.sink.CountStore(tmpDir("rate_store") + "/s")
+    def ev(t: String, ts: String) = s"""{"event_type":"$t","ts":"$ts"}"""
+    val results = scala.collection.mutable.Map[Long, Seq[(String, Long, Long)]]()
+    // batch 0: type a has hours [1, 2] events; type b one hour
+    write(in, "b0.jsonl", Seq(
+      ev("a", "2024-01-01T00:05:00"),
+      ev("a", "2024-01-01T01:05:00"), ev("a", "2024-01-01T01:06:00"),
+      ev("b", "2024-01-01T00:10:00")))
+    val q = RateMonitor.start(
+      spark.readStream.schema("event_type STRING, ts TIMESTAMP").json(in),
+      store, ckpt,
+      (an, id) => results(id) = an.collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq)
+    try {
+      q.processAllAvailable()
+      // batch 1: a burst lands in a NEW batch but the SAME hour as earlier
+      // events — the additive merge must sum across batches
+      write(in, "b1.jsonl", (1 to 8).map(i => ev("a", f"2024-01-01T01:30:$i%02d")))
+      q.processAllAvailable()
+      val got = results(1L)
+      // type a hourly counts: h0 = 1, h1 = 2 + 8 = 10 → median 1 (lower of
+      // [1, 10]); burst hour scores 10000
+      assert(got.contains(("a", 10L, 10000L)), got.toString)
+      // the running ranking equals the one-shot batch query over the union
+      val union = spark.read.schema("event_type STRING, ts TIMESTAMP")
+        .json(s"$in/b0.jsonl", s"$in/b1.jsonl")
+      val oneShot = graft.inspect.Inspection.rateAnomalies(union)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+      assert(got == oneShot, s"got=$got oneShot=$oneShot")
+    } finally { q.stop(); q.awaitTermination() }
+    // replayed batch: identical partials, identical scores
+    val replayBatch = spark.read.schema("event_type STRING, ts TIMESTAMP")
+      .json(s"$in/b1.jsonl")
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+    store.append(replayBatch, Seq("event_type", "hour_us"), 1L)
+    val after = RateMonitor.anomalies(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(after == results(1L))
+  }
+
   test("text ingest stream: searches see committed batches, replay-stable") {
     import graft.streaming.TextIngest
     val in = tmpDir("txt_in"); val ckpt = tmpDir("txt_ckpt")
