@@ -385,6 +385,38 @@ object Similarity {
         sum(col("d2")).cast("bigint").as("inertia"))
   }
 
+  /** Embedding centroid drift between two corpus partitions — the ML-ops
+    * monitor for "did the embedding distribution move" (model version
+    * change, upstream content shift, a broken encoder): per-dimension
+    * floored means of the `scale`-quantized vectors in each partition
+    * (the same mode-free Lloyd floor as [[labelPrototypes]], exact on
+    * negative odd sums), drift = the exact integer L1 distance between
+    * the two mean vectors. Zero drift on identical distributions; a
+    * single shifted dimension shows up undiluted (L2 would square-mix it).
+    *
+    * Shape: one (partition, pos) grouped sum — map-side combinable,
+    * ≤ 2·dim rows out — then a dim-sized self-join. Nothing pairwise.
+    */
+  def centroidDrift(corpus: DataFrame, partCol: Column, scale: Int = 4096,
+      embCol: String = "embedding"): DataFrame = {
+    val q = corpus.select(partCol.cast("int").as("half"),
+      KMeans.quantize(col(embCol), scale).as("qv"))
+    val means = q.select(col("half"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("half", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long"))
+    val a = means.filter(col("half") === 0).select(col("pos"), col("m").as("ma"))
+    val b = means.filter(col("half") === 1).select(col("pos"), col("m").as("mb"))
+    val counts = q.agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).cast("bigint").as("n_a"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).cast("bigint").as("n_b"))
+    a.join(b, "pos")
+      .agg(count(lit(1)).cast("bigint").as("dims"),
+        sum(abs(col("ma") - col("mb"))).cast("bigint").as("l1_drift"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_a"), col("n_b"), col("dims"), col("l1_drift"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k — the serving-side rerank
     * that trades raw relevance for coverage (RAG context assembly, dedup of
     * near-identical hits): greedily pick

@@ -789,6 +789,44 @@ object TextAnalysis {
       .filter(col("n_hits") > 0)
   }
 
+  /** Related terms by document-level co-occurrence lift — the
+    * query-expansion / "related searches" op (what else appears in
+    * documents containing the seed, more often than chance): for each
+    * candidate term t, lift = P(t | seed) / P(t) computed in exact
+    * integers as (co(seed,t) · N · 1000) DIV (df(seed) · df(t)), over
+    * DISTINCT per-doc terms (presence, not frequency — one spammy doc
+    * can't fabricate a relation). `minCo` floors the co-occurrence count
+    * so rare coincidences don't top the ranking (the standard PMI
+    * smoothing concern). Top-`k` by (lift DESC, term).
+    *
+    * Shape: one distinct (doc, tok) pass, document frequencies grouped
+    * from it, the seed-doc set semi-joins the same frame — all equi-joins
+    * on doc/token keys, nothing pairwise.
+    */
+  def relatedTerms(docs: DataFrame, seed: String, minCo: Long, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val df0 = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val seedDocs = dt.filter(col("tok") === seed).select("doc_id")
+    val n = docs.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    val dfSeed = df0.filter(col("tok") === seed)
+      .select(col("df").as("df_seed"))
+    val co = dt.join(seedDocs, "doc_id")
+      .filter(col("tok") =!= seed)
+      .groupBy("tok").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    co.join(df0, "tok")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(dfSeed))
+      .withColumn("lift_x1000", expr("(co * n_docs * 1000) DIV (df_seed * df)"))
+      .select(col("tok").as("term"), col("co").cast("bigint").as("co"),
+        col("df").cast("bigint").as("df"),
+        col("lift_x1000").cast("bigint").as("lift_x1000"))
+      .orderBy(col("lift_x1000").desc, col("term"))
+      .limit(k)
+  }
+
   /** Search-result snippet extraction — the last leg of the retrieval
     * stack (a hit list without context is unusable): per document
     * containing `term`, the ±`window`-token span around its FIRST

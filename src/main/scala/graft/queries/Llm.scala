@@ -1105,6 +1105,29 @@ object Llm {
         store.search(s, Seq("batch", "scan", "group"), k = 20)
     },
 
+    // Related terms by document-level co-occurrence lift (query expansion):
+    // lift = P(t | seed)/P(t) in exact integers over DISTINCT per-doc
+    // terms, co-occurrence floored at 5 so rare coincidences can't top
+    // the ranking. Top-15 by (lift DESC, term).
+    QDef.df("q84u_related_terms",
+      """WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x),
+        |dfr AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+        |sd AS (SELECT doc_id FROM dt WHERE tok = 'hash'),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ds AS (SELECT df AS df_seed FROM dfr WHERE tok = 'hash'),
+        |co AS (SELECT dt.tok, count(*) AS co
+        |       FROM dt JOIN sd USING (doc_id) WHERE dt.tok != 'hash'
+        |       GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT co.tok AS term, CAST(co AS BIGINT) AS co,
+        |       CAST(df AS BIGINT) AS df,
+        |       CAST((co * n_docs * 1000) // (df_seed * df) AS BIGINT) AS lift_x1000
+        |FROM co JOIN dfr ON dfr.tok = co.tok, n, ds
+        |ORDER BY lift_x1000 DESC, term LIMIT 15""".stripMargin) { (s, dir) =>
+      TextAnalysis.relatedTerms(Tables.table(s, dir, "documents"), "hash",
+        minCo = 5, k = 15)
+    },
+
     // Search-result snippets: the ±3-token window around the FIRST
     // occurrence of the query term, per containing doc, top-10 by
     // (tf DESC, doc_id) — the single-term relevance order. Both engines
@@ -1665,6 +1688,34 @@ object Llm {
         Similarity.knnOutliers(
           Tables.table(s, dir, "embeddings").filter(col("vec_id") < 300),
           k = 5, bottomN = 20)
+    },
+
+    // Embedding centroid drift between corpus halves (the "did the
+    // distribution move" ML-ops monitor): per-dim floored means of the
+    // 4096-quantized vectors per half (the Lloyd floor, exact on negative
+    // sums), drift = exact integer L1 between the mean vectors. Parity
+    // split stands in for the before/after partition.
+    QDef.df("q93e_centroid_drift",
+      """WITH q AS (SELECT vec_id % 2 AS half,
+        |       list_transform(embedding,
+        |                      x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+        |       FROM embeddings),
+        |e AS (SELECT half, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS pos FROM q),
+        |m AS (SELECT half, pos,
+        |             CAST((SUM(v) - ((SUM(v) % count(*) + count(*)) % count(*)))
+        |                  / count(*) AS BIGINT) AS m
+        |      FROM e GROUP BY 1, 2),
+        |a AS (SELECT pos, m AS ma FROM m WHERE half = 0),
+        |b AS (SELECT pos, m AS mb FROM m WHERE half = 1),
+        |c AS (SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM q)
+        |SELECT c.n_a, c.n_b, CAST(count(*) AS BIGINT) AS dims,
+        |       CAST(SUM(abs(ma - mb)) AS BIGINT) AS l1_drift
+        |FROM a JOIN b USING (pos), c
+        |GROUP BY c.n_a, c.n_b""".stripMargin) { (s, dir) =>
+      val e = Tables.table(s, dir, "embeddings")
+      Similarity.centroidDrift(e, pmod(col("vec_id"), lit(2)))
     },
 
     // Gopher-style repetition quality signal: share of repeated 3-grams.

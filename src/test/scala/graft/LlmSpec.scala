@@ -1166,6 +1166,35 @@ class LlmSpec extends SparkSpec {
       (2L, 1L, "b c q")), got.toString)
   }
 
+  test("relatedTerms: lift over chance, presence not frequency, minCo floor") {
+    // seed 's' appears in docs 0-3; 'x' co-occurs in all 4 (df 4 → lift
+    // 6000/4... compute: N=6, df_seed=4): x: co=4, df=4 → (4*6*1000)/(4*4)
+    // = 1500; 'y' co-occurs in 2 of its df=4 docs → (2*6*1000)/(4*4) = 750;
+    // 'z' co 1 < minCo → excluded; repeated tokens count once per doc
+    val corpus = Seq(
+      (0L, "s x x x y"), (1L, "s x"), (2L, "s x y"), (3L, "s x z"),
+      (4L, "y q"), (5L, "y q")).toDF("doc_id", "text")
+    val got = TextAnalysis.relatedTerms(corpus, "s", minCo = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq(("x", 4L, 1500L), ("y", 2L, 750L)), got.toString)
+  }
+
+  test("centroidDrift: zero on identical halves, exact L1 on a known shift") {
+    // halves identical → per-dim means equal → drift 0
+    val same = Seq(
+      (0L, Seq(0.5f, -0.25f)), (1L, Seq(0.5f, -0.25f)),
+      (2L, Seq(1.0f, 0.75f)), (3L, Seq(1.0f, 0.75f))).toDF("vec_id", "embedding")
+    val z = Similarity.centroidDrift(same, pmod($"vec_id", lit(2))).collect().head
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)) ==
+      ((2L, 2L, 2L, 0L)), z.toString)
+    // half 1 shifted by +1.0 in dim 0 only: quantized means differ by 4096
+    val shifted = Seq(
+      (0L, Seq(0.5f, 0.25f)), (2L, Seq(0.5f, 0.25f)),
+      (1L, Seq(1.5f, 0.25f)), (3L, Seq(1.5f, 0.25f))).toDF("vec_id", "embedding")
+    val d = Similarity.centroidDrift(shifted, pmod($"vec_id", lit(2))).collect().head
+    assert(d.getLong(3) == 4096L, d.toString)
+  }
+
   test("spellSuggest: distance first, frequency breaks ties, common words win") {
     val corpus = Seq(
       (0L, "hello hello hello jello help"),
