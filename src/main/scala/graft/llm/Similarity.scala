@@ -366,14 +366,25 @@ object Similarity {
     * ≤ labels·dim rows), one equi-join of the corpus back to the
     * label-sized prototype frame, one grouped sum. Nothing pairwise.
     */
+  /** Per-(key, dimension) floored mean of the `scale`-quantized vectors —
+    * the ONE implementation of the mode-free Lloyd floor (exact on
+    * negative odd sums) that [[labelPrototypes]] and [[centroidDrift]]
+    * both aggregate from; output (__k, pos, m).
+    */
+  private def flooredDimMeans(corpus: DataFrame, keyCol: Column, scale: Int,
+      embCol: String): DataFrame =
+    corpus.select(keyCol.as("__k"), KMeans.quantize(col(embCol), scale).as("qv"))
+      .select(col("__k"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("__k", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+
   def labelPrototypes(corpus: DataFrame, scale: Int = 4096,
       embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
     val q = corpus.select(col(labelCol).as("label"),
       KMeans.quantize(col(embCol), scale).as("qv"))
-    val proto = q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+    val proto = flooredDimMeans(corpus, col(labelCol), scale, embCol)
+      .select(col("__k").as("label"), col("pos"), col("m").as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
@@ -399,20 +410,20 @@ object Similarity {
     */
   def centroidDrift(corpus: DataFrame, partCol: Column, scale: Int = 4096,
       embCol: String = "embedding"): DataFrame = {
-    val q = corpus.select(partCol.cast("int").as("half"),
-      KMeans.quantize(col(embCol), scale).as("qv"))
-    val means = q.select(col("half"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy("half", "pos")
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-      .withColumn("m", ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long"))
-    val a = means.filter(col("half") === 0).select(col("pos"), col("m").as("ma"))
-    val b = means.filter(col("half") === 1).select(col("pos"), col("m").as("mb"))
-    val counts = q.agg(
+    val means = flooredDimMeans(corpus, partCol.cast("int"), scale, embCol)
+    val a = means.filter(col("__k") === 0).select(col("pos"), col("m").as("ma"))
+    val b = means.filter(col("__k") === 1).select(col("pos"), col("m").as("mb"))
+    val counts = corpus.select(partCol.cast("int").as("half")).agg(
       sum(when(col("half") === 0, 1L).otherwise(0L)).cast("bigint").as("n_a"),
       sum(when(col("half") === 1, 1L).otherwise(0L)).cast("bigint").as("n_b"))
+    // coalesce: with an EMPTY partition (monitor ran before any "after"
+    // data) the dim join is empty and the sums would be null — report
+    // dims = 0, drift = 0 and let the caller read n_a/n_b, instead of an
+    // NPE-shaped null row
     a.join(b, "pos")
       .agg(count(lit(1)).cast("bigint").as("dims"),
-        sum(abs(col("ma") - col("mb"))).cast("bigint").as("l1_drift"))
+        coalesce(sum(abs(col("ma") - col("mb"))), lit(0L))
+          .cast("bigint").as("l1_drift"))
       .crossJoin(broadcast(counts))
       .select(col("n_a"), col("n_b"), col("dims"), col("l1_drift"))
   }

@@ -839,15 +839,20 @@ object TextAnalysis {
   def snippets(docs: DataFrame, term: String, window: Int, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 0, "window must be >= 0")
-    val f = element_at(transform(array(tokens(col(textCol))), ts => {
-      val p = array_position(ts, term)
-      struct(
-        p.as("p"),
-        size(filter(ts, x => x === term)).cast("long").as("tf"),
-        concat_ws(" ",
-          slice(ts, greatest(lit(1), p - window).cast("int"), lit(2 * window + 1)))
-          .as("snippet"))
-    }), 1)
+    // the position is BOUND once (1-element transform — the HOF rule):
+    // spliced twice it would scan the token array twice per row; the
+    // slice LENGTH is p+window−start+1 so a left-edge hit truly clips to
+    // ±window instead of borrowing extra right context
+    val f = element_at(transform(array(tokens(col(textCol))), ts =>
+      element_at(transform(array(array_position(ts, term)), p => {
+        val start = greatest(lit(1), p - window)
+        struct(
+          p.as("p"),
+          size(filter(ts, x => x === term)).cast("long").as("tf"),
+          concat_ws(" ",
+            slice(ts, start.cast("int"), (p + window - start + 1).cast("int")))
+            .as("snippet"))
+      }), 1)), 1)
     docs.select(col(idCol).as("doc_id"), f.as("f"))
       .filter(col("f.p") > 0)
       .select(col("doc_id"), col("f.tf").as("tf"), col("f.snippet").as("snippet"))

@@ -1139,7 +1139,7 @@ object Llm {
         |             ts
         |      FROM d)
         |SELECT doc_id, CAST(tf AS BIGINT) AS tf,
-        |       array_to_string(ts[greatest(1, p - 3):greatest(1, p - 3) + 6], ' ') AS snippet
+        |       array_to_string(ts[greatest(1, p - 3):p + 3], ' ') AS snippet
         |FROM f WHERE p IS NOT NULL AND p > 0
         |ORDER BY tf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       TextAnalysis.snippets(Tables.table(s, dir, "documents"), "filter",

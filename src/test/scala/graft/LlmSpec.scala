@@ -1152,7 +1152,8 @@ class LlmSpec extends SparkSpec {
 
   test("snippets: first-occurrence window, clipped at edges, tf ranking") {
     val corpus = Seq(
-      (0L, "q a b"),                   // match at position 1: left-clipped window
+      (0L, "q a b c d e"),             // left-edge hit: TRUE ±2 clip, no
+                                       // borrowed right context
       (1L, "a b c d q e f g h"),       // interior: full ±2 window
       (2L, "a b c q"),                 // right-clipped
       (3L, "q x q y q"),               // tf 3 → ranks first; window from FIRST hit
@@ -1160,7 +1161,7 @@ class LlmSpec extends SparkSpec {
     val got = TextAnalysis.snippets(corpus, "q", window = 2, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == Seq(
-      (3L, 3L, "q x q y q"),
+      (3L, 3L, "q x q"),
       (0L, 1L, "q a b"),
       (1L, 1L, "c d q e f"),
       (2L, 1L, "b c q")), got.toString)
@@ -1193,6 +1194,12 @@ class LlmSpec extends SparkSpec {
       (1L, Seq(1.5f, 0.25f)), (3L, Seq(1.5f, 0.25f))).toDF("vec_id", "embedding")
     val d = Similarity.centroidDrift(shifted, pmod($"vec_id", lit(2))).collect().head
     assert(d.getLong(3) == 4096L, d.toString)
+    // an EMPTY partition (monitor runs before any "after" data) reports
+    // dims = 0, drift = 0 — a well-defined row, not a null NPE trap
+    val e = Similarity.centroidDrift(same.filter($"vec_id" % 2 === 0),
+      pmod($"vec_id", lit(2))).collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3)) ==
+      ((2L, 0L, 0L, 0L)), e.toString)
   }
 
   test("spellSuggest: distance first, frequency breaks ties, common words win") {
