@@ -789,6 +789,33 @@ object TextAnalysis {
       .filter(col("n_hits") > 0)
   }
 
+  /** Decontamination — the REMOVAL form of [[contamination]]'s detection
+    * (the step training pipelines actually ship: Lee et al. / GPT-3's
+    * 13-gram dedup against eval sets): train-split documents sharing at
+    * least `minShared` distinct word n-grams with the TEST split are
+    * dropped; returns the surviving corpus with its split column. The
+    * direction matters — the test set is immutable ground truth, so the
+    * TRAIN side pays the removal.
+    *
+    * Shape: the same shingle equi-join as detection (never doc-pairwise;
+    * the test side collapses to DISTINCT shingles first — eval-set-sized),
+    * a grouped count per train doc, and one left-anti join back.
+    */
+  def decontaminate(docs: DataFrame, n: Int, minShared: Long,
+      trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val split = deterministicSplit(docs, trainPct, valPct, idCol)
+    val shTrain = Dedup.shingles(split.filter(col("split") === "train"), n, idCol, textCol)
+      .distinct().select(col("doc_id").as("train_doc"), col("sh"))
+    val shTest = Dedup.shingles(split.filter(col("split") === "test"), n, idCol, textCol)
+      .select("sh").distinct()
+    val dirty = shTrain.join(shTest, "sh")
+      .groupBy("train_doc").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("train_doc").as(idCol))
+    split.join(dirty, Seq(idCol), "left_anti")
+  }
+
   /** Related terms by document-level co-occurrence lift — the
     * query-expansion / "related searches" op (what else appears in
     * documents containing the seed, more often than chance): for each

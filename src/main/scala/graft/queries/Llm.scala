@@ -2036,6 +2036,44 @@ object Llm {
         Tables.table(s, dir, "documents").filter(col("doc_id") < 300), 3)
     },
 
+    // Decontamination (the removal form of q97c): train docs sharing >= 5
+    // distinct 3-gram shingles with the TEST split are dropped (the test
+    // side is immutable ground truth — train pays); output the surviving
+    // per-split counts + id sums, so the oracle proves exactly WHICH docs
+    // were removed.
+    QDef.df("q97i_decontaminate", {
+      val h = TextAnalysis.splitHashSql("doc_id")
+      s"""WITH base AS (SELECT doc_id, text, $h AS h
+         |              FROM documents WHERE doc_id < 300),
+         |tk AS (SELECT doc_id, h, unnest(string_split(text, ' ')) AS tok,
+         |              unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM base),
+         |sh0 AS (SELECT doc_id, h,
+         |               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh,
+         |               lead(tok, 2) OVER w AS t2
+         |        FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sh AS (SELECT DISTINCT doc_id, h, sh FROM sh0 WHERE t2 IS NOT NULL),
+         |te AS (SELECT DISTINCT sh FROM sh WHERE h >= 90),
+         |dirty AS (SELECT doc_id FROM (
+         |           SELECT s.doc_id, count(*) AS shared
+         |           FROM sh s JOIN te USING (sh) WHERE s.h < 80
+         |           GROUP BY 1) t WHERE shared >= 5),
+         |kept AS (SELECT doc_id,
+         |                CASE WHEN h < 80 THEN 'train'
+         |                     WHEN h < 90 THEN 'val'
+         |                     ELSE 'test' END AS split
+         |         FROM base WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+         |SELECT split, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM kept GROUP BY split""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.decontaminate(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 300),
+          n = 3, minShared = 5)
+        .groupBy("split")
+        .agg(count(lit(1)).cast("bigint").as("cnt"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+
     // Deterministic stratified downsampling: rebalance classes (keep 50% of
     // 'en', everything else) with the pure-arithmetic id hash — no RNG.
     QDef.df("q97b_stratified_sample",

@@ -1167,6 +1167,21 @@ class LlmSpec extends SparkSpec {
       (2L, 1L, "b c q")), got.toString)
   }
 
+  test("decontaminate: leaky train docs dropped, test/val immutable") {
+    // split membership is the deterministic hash: ids 0-5 are train,
+    // 26-28 test, 24-25 val. Train doc 0 copies test doc 26 verbatim
+    // (shares >= 2 distinct 3-shingles); train doc 1 is clean.
+    val corpus = Seq(
+      (0L, "w x y z q"),   // train, leaks 26's shingles → dropped
+      (1L, "a b c d e"),   // train, clean → kept
+      (26L, "w x y z q"),  // test (ground truth, never dropped)
+      (24L, "w x y z q")   // val: shares with test but val is NOT removed
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.decontaminate(corpus, n = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(kept == Map(1L -> "train", 26L -> "test", 24L -> "val"), kept.toString)
+  }
+
   test("relatedTerms: lift over chance, presence not frequency, minCo floor") {
     // seed 's' appears in docs 0-3; 'x' co-occurs in all 4 (df 4 → lift
     // 6000/4... compute: N=6, df_seed=4): x: co=4, df=4 → (4*6*1000)/(4*4)
