@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Filesystem access for STORE directories (batch-partial stores,
@@ -66,4 +66,70 @@ object Dfs {
   def rename(src: Path, dst: Path): Unit =
     if (!fs(src).rename(src, dst))
       sys.error(s"rename $src -> $dst failed")
+
+  def mkdirs(p: Path): Unit = { fs(p).mkdirs(p); () }
+
+  /** Non-recursive delete; absent path is a no-op. */
+  def delete(p: Path): Unit = {
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, false)
+    ()
+  }
+
+  /** Whole small file as UTF-8 — manifest/metadata reads only (buffers the
+    * full length in one array; never point this at a data file).
+    */
+  def readUtf8(p: Path): String = {
+    val f = fs(p)
+    val len = f.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"$p is not a metadata-sized file ($len bytes)")
+    val buf = new Array[Byte](len.toInt)
+    val in = f.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Writes `body` to `p`, replacing any previous content. Used for TEMP
+    * files that are then published via [[renameOntoAbsent]] — the write
+    * itself carries no atomicity contract.
+    */
+  def writeUtf8(p: Path, body: String): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // Striped in-process locks for renameOntoAbsent: bounded (no per-path map
+  // growth), and two in-JVM committers of the same target serialize even on
+  // filesystems whose fail-if-exists rename is check-then-act (local fs).
+  private val renameStripes = Array.fill(64)(new Object)
+
+  /** The optimistic-lock publish primitive for commit protocols:
+    * rename-onto-absent. Returns true iff `src` became `dst` AND `dst` did
+    * not already exist; false means another committer won the slot (and
+    * `src` is left in place for the caller to clean up).
+    *
+    * Uses `FileContext.rename(…, Options.Rename.NONE)`: on HDFS the
+    * fail-if-destination-exists check is a single atomic namenode op; on
+    * object stores it maps to the store's conditional-put/rename primitive;
+    * on the local filesystem the check precedes the rename, so in-process
+    * racers are additionally serialized through a striped JVM lock (the
+    * residual cross-process window on `file:` is inherent to POSIX rename
+    * semantics and is a test-only concern — production tables live on
+    * HDFS/object storage). This replaces hard-link locking, which only
+    * exists on POSIX filesystems.
+    */
+  def renameOntoAbsent(src: Path, dst: Path): Boolean = {
+    val stripe = renameStripes(math.floorMod(dst.toString.hashCode, renameStripes.length))
+    stripe.synchronized {
+      val fc = FileContext.getFileContext(fs(dst).getUri, conf)
+      try { fc.rename(src, dst, Options.Rename.NONE); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // some FileSystem bridges surface exists-collision as a generic
+        // IOException — only swallow it when the destination really exists
+        case e: java.io.IOException => if (fs(dst).exists(dst)) false else throw e
+      }
+    }
+  }
 }

@@ -1,10 +1,10 @@
 package graft.sink
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.Dfs
 
 /** Snapshot-isolated MERGE sink over immutable parquet files — the
   * table-format layer (the pattern Delta Lake / Apache Iceberg use): data
@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * holding that bucket's current state. Readers resolve the highest
   * published manifest, so they always see a complete committed snapshot:
   *
-  *   - NO crash window: a crash anywhere before the manifest rename leaves
+  *   - NO crash window: a crash anywhere before the manifest publish leaves
   *     orphan data files and an intact table at the previous version — no
   *     backup/restore protocol needed (contrast [[LocalParquetSink]]'s
   *     two-move swap and [[PartitionedParquetSink]]'s bucket backups);
@@ -22,14 +22,21 @@ import org.apache.spark.sql.functions._
   *     [[PartitionedParquetSink]];
   *   - time travel for free: every previous manifest remains readable
   *     (`readAt`) until `vacuum` expires it;
-  *   - concurrent-writer safety: the manifest rename is the optimistic
+  *   - concurrent-writer safety: the manifest publish is the optimistic
   *     lock — publishing version N+1 fails if another writer got there
   *     first, and the merge recomputes against the new state and retries.
+  *
+  * All metadata and deletes go through the Hadoop `FileSystem` API
+  * ([[graft.engine.Dfs]]), so the same table runs on local disk in tests
+  * and HDFS/object storage on a cluster; the commit lock is
+  * [[Dfs.renameOntoAbsent]] (rename with `Options.Rename.NONE` — atomic
+  * fail-if-exists on HDFS, conditional-put on stores that support it),
+  * not a POSIX hard link.
   *
   * Layout under `dir`:
   * {{{
   *   data/<commit-uuid>/__bucket=<b>/part-*.parquet   immutable
-  *   manifests/v<%08d>.manifest                       text, atomic rename
+  *   manifests/v<%08d>.manifest                       text, atomic publish
   * }}}
   *
   * Manifest format (line-oriented, no parser dependency):
@@ -45,31 +52,24 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotParquetSink {
 
-  /** Lists a directory's children eagerly, closing the stream (Files.list
-    * holds an open directory fd until closed — leaking one per merge would
-    * exhaust the ulimit on a long-running stream).
-    */
-  private[sink] def children(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toVector finally s.close()
-  }
-
-  def manifestsDir(dir: String): Path = Paths.get(dir, "manifests")
-  def manifestPath(dir: String, v: Long): Path =
-    manifestsDir(dir).resolve(f"v$v%08d.manifest")
+  def manifestsDir(dir: String): HPath = new HPath(dir, "manifests")
+  def manifestPath(dir: String, v: Long): HPath =
+    new HPath(manifestsDir(dir), f"v$v%08d.manifest")
 
   /** All published versions at `dir`, ascending; empty before any commit. */
   def versions(dir: String): Seq[Long] =
-    if (!Files.exists(manifestsDir(dir))) Seq.empty
-    else children(manifestsDir(dir))
-      .map(_.getFileName.toString)
+    Dfs.list(manifestsDir(dir))
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
       .sorted
 
+  private def manifestLines(dir: String, version: Long): Seq[String] =
+    Dfs.readUtf8(manifestPath(dir, version)).split('\n').toSeq
+
   /** (declared nBuckets, bucket → path relative to `dir`) at `version`. */
   def manifest(dir: String, version: Long): (Int, Map[Int, String]) = {
-    val lines = Files.readAllLines(manifestPath(dir, version)).asScala.toSeq
+    val lines = manifestLines(dir, version)
     val n = lines.collectFirst { case l if l.startsWith("nBuckets=") =>
       l.stripPrefix("nBuckets=").toInt }
       .getOrElse(sys.error(s"manifest v$version at $dir lacks nBuckets"))
@@ -85,7 +85,7 @@ object SnapshotParquetSink {
     * recorded — consumers then fall back to caller-declared keys.
     */
   def manifestKeys(dir: String, version: Long): Seq[String] =
-    Files.readAllLines(manifestPath(dir, version)).asScala
+    manifestLines(dir, version)
       .collectFirst { case l if l.startsWith("keys=") =>
         l.stripPrefix("keys=").split(',').toSeq.map(_.trim).filter(_.nonEmpty) }
       .getOrElse(Seq.empty)
@@ -106,10 +106,9 @@ object SnapshotParquetSink {
 }
 
 final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertSink {
-  import SnapshotParquetSink.children
 
-  private def manifestsDir: Path = SnapshotParquetSink.manifestsDir(dir)
-  private def manifestPath(v: Long): Path = SnapshotParquetSink.manifestPath(dir, v)
+  private def manifestsDir: HPath = SnapshotParquetSink.manifestsDir(dir)
+  private def manifestPath(v: Long): HPath = SnapshotParquetSink.manifestPath(dir, v)
 
   private def bucketOf(keys: Seq[String]) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
@@ -122,6 +121,20 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
   /** bucket → path relative to `dir`. */
   private def readManifest(v: Long): Map[Int, String] =
     SnapshotParquetSink.manifest(dir, v)._2
+
+  /** Writes the manifest body to a temp file and publishes it at `version`
+    * via the rename-onto-absent lock. True = this writer owns the version;
+    * false = lost the race (temp cleaned up, data root left for the caller
+    * to delete).
+    */
+  private def publish(version: Long, commitId: String, body: String): Boolean = {
+    Dfs.mkdirs(manifestsDir)
+    val tmp = new HPath(manifestsDir, s".tmp-$commitId")
+    Dfs.writeUtf8(tmp, body)
+    val won = Dfs.renameOntoAbsent(tmp, manifestPath(version))
+    if (!won) Dfs.delete(tmp)
+    won
+  }
 
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
@@ -189,33 +202,21 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
           .parquet(s"$dir/data/$commitId")
 
         val newEntries = entries ++ affected.map(b => b -> s"data/$commitId/__bucket=$b")
-        Files.createDirectories(manifestsDir)
-        val tmp = manifestsDir.resolve(s".tmp-$commitId")
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
           s"keys=${keys.mkString(",")}") ++
           newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
           .mkString("", "\n", "\n")
-        Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        try {
-          // the optimistic lock: HARD-LINK the fully-written temp file to
-          // the versioned name — link(2) atomically fails with EEXIST if
-          // another writer published this version first. (A rename would
-          // NOT lock: POSIX rename silently REPLACES an existing target,
-          // so ATOMIC_MOVE here would lose the other writer's commit.)
-          Files.createLink(manifestPath(version), tmp)
-          Files.deleteIfExists(tmp)
+        if (publish(version, commitId, body)) {
           committed = true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            Files.deleteIfExists(tmp)
-            deleteTree(Paths.get(s"$dir/data/$commitId")) // orphaned attempt
-            if (attempts >= 10)
-              sys.error(s"snapshot commit lost the race $attempts times at $dir")
-            // jittered backoff: two writers in lockstep (each merge takes
-            // about as long as the other's) can otherwise starve one side
-            // for many consecutive versions
-            Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-              .nextLong(10L, 100L * attempts))
+        } else {
+          deleteTree(new HPath(s"$dir/data/$commitId")) // orphaned attempt
+          if (attempts >= 10)
+            sys.error(s"snapshot commit lost the race $attempts times at $dir")
+          // jittered backoff: two writers in lockstep (each merge takes
+          // about as long as the other's) can otherwise starve one side
+          // for many consecutive versions
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(10L, 100L * attempts))
         }
       }
     } finally {
@@ -231,7 +232,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     * manifest was vacuumed or never existed.
     */
   def readAt(spark: SparkSession, version: Long, mode: DeleteMode): DataFrame = {
-    require(Files.exists(manifestPath(version)),
+    require(Dfs.exists(manifestPath(version)),
       s"snapshot v$version does not exist at $dir (vacuumed or never published)")
     val paths = readManifest(version).toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
     val t = spark.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -285,8 +286,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     * (`vacuum`) the table holds exactly nBuckets files regardless of how
     * many incremental commits built it — the periodic maintenance step of
     * any log-structured table format (small-file and manifest-spread
-    * control). Publishes through the same hard-link lock as merge; a lost
-    * race (someone merged concurrently) recomputes from their state.
+    * control). Publishes through the same rename-onto-absent lock as merge;
+    * a lost race (someone merged concurrently) recomputes from their state.
     * Returns the published version.
     */
   def compact(spark: SparkSession): Long = synchronized {
@@ -307,8 +308,6 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         .write.mode("overwrite").partitionBy("__bucket")
         .parquet(s"$dir/data/$commitId")
       val newEntries = entries.keys.map(b => b -> s"data/$commitId/__bucket=$b")
-      Files.createDirectories(manifestsDir)
-      val tmp = manifestsDir.resolve(s".tmp-$commitId")
       // carry the recorded merge keys forward — compaction rewrites data
       // files, never the key contract
       val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
@@ -316,18 +315,13 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         s"keys=${baseKeys.mkString(",")}") ++
         newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
         .mkString("", "\n", "\n")
-      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try {
-        Files.createLink(manifestPath(version), tmp)
-        Files.deleteIfExists(tmp)
+      if (publish(version, commitId, body)) {
         return version
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          deleteTree(Paths.get(s"$dir/data/$commitId"))
-          if (attempts >= 10) sys.error(s"compaction lost the race $attempts times at $dir")
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-            .nextLong(10L, 100L * attempts))
+      } else {
+        deleteTree(new HPath(s"$dir/data/$commitId"))
+        if (attempts >= 10) sys.error(s"compaction lost the race $attempts times at $dir")
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(10L, 100L * attempts))
       }
     }
     -1L // unreachable
@@ -339,9 +333,9 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     * unreferenced NEW directory may be another writer's in-flight commit
     * (fully written, manifest not yet published); deleting it would corrupt
     * the commit the moment it publishes. The default hour dwarfs any real
-    * write-to-publish window; crashed-commit orphans are collected on the
-    * next vacuum after aging out. Returns (manifests deleted, data roots
-    * deleted).
+    * write-to-publish window; crashed-commit orphans (data roots AND
+    * `.tmp-*` manifest leftovers) are collected on the next vacuum after
+    * aging out. Returns (manifests deleted, data roots deleted).
     */
   def vacuum(keepLast: Int = 1, minOrphanAgeMs: Long = 3600000L): (Int, Int) = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
@@ -349,17 +343,21 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     val referencedRoots = keep.flatMap(v => readManifest(v).values)
       .map(rel => rel.substring(0, rel.indexOf("/__bucket="))).toSet
-    val dataDir = Paths.get(dir, "data")
+    val dataDir = new HPath(dir, "data")
     val now = System.currentTimeMillis()
-    val orphans =
-      if (!Files.exists(dataDir)) Seq.empty
-      else children(dataDir)
-        .filterNot(p => referencedRoots.contains(s"data/${p.getFileName}"))
-        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= minOrphanAgeMs)
-    orphans.foreach(deleteTree)
-    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    val orphans = Dfs.list(dataDir)
+      .filterNot(st => referencedRoots.contains(s"data/${st.getPath.getName}"))
+      .filter(st => now - st.getModificationTime >= minOrphanAgeMs)
+    orphans.foreach(st => deleteTree(st.getPath))
+    drop.foreach(v => Dfs.delete(manifestPath(v)))
+    // aged-out temp manifests from crashed commits (lost races clean their
+    // own temp synchronously; a crash between write and publish does not)
+    Dfs.list(manifestsDir)
+      .filter(st => st.getPath.getName.startsWith(".tmp-"))
+      .filter(st => now - st.getModificationTime >= minOrphanAgeMs)
+      .foreach(st => Dfs.delete(st.getPath))
     (drop.size, orphans.size)
   }
 
-  private def deleteTree(p: Path): Unit = { graft.engine.Fs.deleteTree(p.toFile); () }
+  private def deleteTree(p: HPath): Unit = Dfs.deleteTreeStrict(p)
 }

@@ -529,4 +529,33 @@ class SnapshotParquetSinkSpec extends SparkSpec {
       spark.read.format("graft-snapshot").option("keys", "val").load(dir).count()
     }
   }
+
+  test("Dfs.renameOntoAbsent: loser keeps src, winner owns dst, content intact") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.engine.Dfs
+    val base = tmpDir("lock")
+    val dst = new HPath(base, "v0.manifest")
+    val a = new HPath(base, ".tmp-a"); Dfs.writeUtf8(a, "writer-a\n")
+    val b = new HPath(base, ".tmp-b"); Dfs.writeUtf8(b, "writer-b\n")
+    val wonA = Dfs.renameOntoAbsent(a, dst)
+    val wonB = Dfs.renameOntoAbsent(b, dst)
+    assert(wonA && !wonB, "exactly the first publish may win the slot")
+    assert(Dfs.readUtf8(dst) == "writer-a\n") // loser never clobbers the winner
+    assert(!Dfs.exists(a) && Dfs.exists(b))   // src consumed on win, left on loss
+  }
+
+  test("vacuum collects aged .tmp manifests from crashed commits") {
+    import graft.engine.Dfs
+    val dir = tmpDir("tmpvac") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 2)
+    sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    // a crash between temp write and publish leaves this behind
+    val stray = new org.apache.hadoop.fs.Path(
+      SnapshotParquetSink.manifestsDir(dir), ".tmp-crashed")
+    Dfs.writeUtf8(stray, "version=99\n")
+    assert(sink.versions == Seq(0L)) // never surfaces as a version
+    sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    assert(!Dfs.exists(stray))
+    assert(state(sink, DeleteMode.Hard) == Map("a" -> (0L, "a0")))
+  }
 }
