@@ -955,9 +955,11 @@ object TextAnalysis {
     * (x1000, summing to 1000), the largest achievable total WITHOUT
     * oversampling any source is T = min_i floor(count_i · 1000 / share_i);
     * each source then contributes take_i = (share_i · T) DIV 1000 docs at
-    * sampling rate (take_i · 1000) DIV count_i. All floor arithmetic —
+    * sampling rate (take_i · 1000) DIV count_i. A declared source absent
+    * from the corpus counts as count=0 and clamps T to 0 (the mixture is
+    * unachievable — no source may contribute). All floor arithmetic —
     * any engine replays the budget exactly. One grouped count + a
-    * broadcast of the |sources|-row share table.
+    * tiny join with the |sources|-row share table.
     */
   def mixBudget(docs: DataFrame, sharesX1000: Map[String, Long],
       labelCol: String = "source"): DataFrame = {
@@ -971,16 +973,23 @@ object TextAnalysis {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("share_x1000",
           org.apache.spark.sql.types.LongType))))
-    val counts = docs.groupBy(col(labelCol).as("source"))
+    val present = docs.groupBy(col(labelCol).as("source"))
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(shares), "source")
+    // LEFT-join FROM the share table: a declared source with ZERO documents
+    // must still constrain the budget (its cnt=0 row drives T to 0 — the
+    // declared mixture is unachievable), not vanish through an inner join
+    // and leave the other sources reporting nonzero takes. Tiny-to-tiny
+    // join (|sources| rows each side) — AQE broadcasts it at runtime.
+    val counts = shares.join(present, Seq("source"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val t = counts.agg(min(expr("(cnt * 1000) DIV share_x1000")).as("t_total"))
     counts.crossJoin(broadcast(t))
       .withColumn("take", expr("(share_x1000 * t_total) DIV 1000"))
       .select(col("source"), col("cnt").cast("bigint").as("cnt"),
         col("share_x1000").cast("bigint").as("share_x1000"),
         col("take").cast("bigint").as("take"),
-        expr("(take * 1000) DIV cnt").cast("bigint").as("rate_x1000"))
+        expr("CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (take * 1000) DIV cnt END").cast("bigint").as("rate_x1000"))
   }
 
   /** Integer bit-surprisal: floor(log₂(total/count)) computed EXACTLY as

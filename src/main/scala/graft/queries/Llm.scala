@@ -1709,11 +1709,11 @@ object Llm {
         |b AS (SELECT pos, m AS mb FROM m WHERE half = 1),
         |c AS (SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        |      FROM q)
-        |SELECT c.n_a, c.n_b, CAST(count(*) AS BIGINT) AS dims,
-        |       CAST(SUM(abs(ma - mb)) AS BIGINT) AS l1_drift
-        |FROM a JOIN b USING (pos), c
-        |GROUP BY c.n_a, c.n_b""".stripMargin) { (s, dir) =>
+        |      FROM q),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS dims,
+        |             CAST(COALESCE(SUM(abs(ma - mb)), 0) AS BIGINT) AS l1_drift
+        |      FROM a JOIN b USING (pos))
+        |SELECT c.n_a, c.n_b, d.dims, d.l1_drift FROM c, d""".stripMargin) { (s, dir) =>
       val e = Tables.table(s, dir, "embeddings")
       Similarity.centroidDrift(e, pmod(col("vec_id"), lit(2)))
     },
@@ -2125,12 +2125,15 @@ object Llm {
         |           t(source, share_x1000)),
         |c AS (SELECT source, count(*) AS cnt FROM documents
         |      WHERE source IN ('src0','src1','src2','src3') GROUP BY 1),
-        |j AS (SELECT c.source, c.cnt, w.share_x1000 FROM c JOIN w USING (source)),
+        |j AS (SELECT w.source, COALESCE(c.cnt, 0) AS cnt, w.share_x1000
+        |      FROM w LEFT JOIN c USING (source)),
         |tt AS (SELECT min((cnt * 1000) // share_x1000) AS t_total FROM j)
         |SELECT source, CAST(cnt AS BIGINT) AS cnt,
         |       share_x1000,
         |       CAST((share_x1000 * t_total) // 1000 AS BIGINT) AS take,
-        |       CAST((((share_x1000 * t_total) // 1000) * 1000) // cnt AS BIGINT) AS rate_x1000
+        |       CAST(CASE WHEN cnt = 0 THEN 0
+        |            ELSE (((share_x1000 * t_total) // 1000) * 1000) // cnt
+        |            END AS BIGINT) AS rate_x1000
         |FROM j, tt""".stripMargin) { (s, dir) =>
       TextAnalysis.mixBudget(
         Tables.table(s, dir, "documents")

@@ -38,7 +38,7 @@ final class TextIndexStore(val dir: String) {
     * queries (phrase search intersects shifted position lists).
     */
   def append(batch: DataFrame, batchId: Long,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text"): Unit = synchronized {
     // repair any crashed compact() BEFORE touching the store: without this,
     // an append interleaved after a mid-swap crash would recreate a live
     // dir containing only this batch, and the next recover() would then
@@ -145,7 +145,7 @@ final class TextIndexStore(val dir: String) {
     * Compaction): run compaction when no concurrent search executes — the
     * inter-rename window has no live dir.
     */
-  def compact(spark: SparkSession, compactId: Long = 0L): Unit = {
+  def compact(spark: SparkSession, compactId: Long = 0L): Unit = synchronized {
     recover()
     // committedRaw, not committed: the reader-side recover would classify
     // the tmp_ dir this merge is writing as crash garbage and delete it
@@ -173,19 +173,35 @@ final class TextIndexStore(val dir: String) {
     * the crash hit mid-swap, restore the original; live present + `old_`
     * present → post-swap garbage, delete; `tmp_` is always garbage (the
     * live dir is never touched before the merged copy is fully committed).
+    *
+    * Store-mutating, so concurrency is pinned down: `synchronized` (like
+    * [[append]]/[[compact]]) serializes every recover in THIS instance —
+    * two same-instance readers over crash leftovers can no longer race the
+    * `old_` → live restore, and a read can't wipe a running same-instance
+    * compact's `tmp_` dirs. Across INSTANCES the restore additionally
+    * tolerates losing the rename race (the other recoverer restored the
+    * same content — the store is append-only, so both copies are
+    * identical); the cross-instance compact-vs-read window remains the
+    * documented single-writer contract on [[compact]].
     */
-  def recover(): Unit =
+  def recover(): Unit = synchronized {
     for (sub <- Seq("postings", "doclens")) {
       val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val old = new org.apache.hadoop.fs.Path(s"$dir/old_$sub")
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/tmp_$sub")
       if (!graft.engine.Dfs.exists(live) && graft.engine.Dfs.exists(old))
-        graft.engine.Dfs.rename(old, live)
-      else if (graft.engine.Dfs.exists(old))
+        try graft.engine.Dfs.rename(old, live)
+        catch {
+          // another instance's recover won the restore between our exists
+          // check and the rename — its copy is byte-identical, accept it
+          case e: RuntimeException => if (!graft.engine.Dfs.exists(live)) throw e
+        }
+      if (graft.engine.Dfs.exists(old) && graft.engine.Dfs.exists(live))
         graft.engine.Dfs.deleteTreeStrict(old)
       if (graft.engine.Dfs.exists(tmp))
         graft.engine.Dfs.deleteTreeStrict(tmp)
     }
+  }
 
   private def committed(spark: SparkSession, sub: String): DataFrame = {
     recover() // a reader after a mid-swap crash must see the restored copy

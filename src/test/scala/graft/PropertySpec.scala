@@ -377,6 +377,18 @@ class PropertySpec extends SparkSpec {
     // the binding source is fully (or near-fully, modulo flooring) consumed
     val binding = srcs.minBy(s => cnt(s) * 1000 / shares(s))
     assert(got(binding)._2 >= cnt(binding) - 1, s"budget not tight at $binding")
+    // a DECLARED source with zero documents makes the mixture unachievable:
+    // it must surface with cnt=0 and clamp every take (and rate) to 0, not
+    // silently drop out of the join
+    val withAbsent = graft.llm.TextAnalysis
+      .mixBudget(docs.toDF("doc_id", "source"),
+        Map("a" -> 400L, "b" -> 300L, "c" -> 200L, "zzz" -> 100L),
+        labelCol = "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(withAbsent.keySet == Set("a", "b", "c", "zzz"))
+    assert(withAbsent("zzz") == ((0L, 0L, 0L)))
+    for (s <- srcs) assert(withAbsent(s) == ((cnt(s), 0L, 0L)), s"src $s must clamp to 0")
   }
 
   test("saltFactorFor: bounded, balanced-is-1, hot-key coverage, monotone") {
