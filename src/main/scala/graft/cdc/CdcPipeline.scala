@@ -158,4 +158,39 @@ object CdcPipeline {
       .withColumn("is_current", col("valid_to_seq").isNull)
       .withColumnRenamed(seqCol, "valid_from_seq")
   }
+
+  /** Per-table applied head: the highest `seq` present per table in a
+    * (retained) envelope log — the input to [[consistentCutoff]] when the
+    * heads aren't tracked externally. One grouped max, map-side combinable.
+    */
+  def appliedHeads(envelope: DataFrame, seqCol: String = "seq"): DataFrame = {
+    val d = if (envelope.columns.contains("full_table_name")) envelope
+            else withFullTableName(envelope)
+    d.groupBy(col("full_table_name")).agg(max(col(seqCol)).as("head_seq"))
+  }
+
+  /** The highest cutoff at which EVERY listed replica is complete: the min
+    * of the per-table applied heads. Reading all tables AS OF this seq is
+    * the consistent cut across independently-replicating per-table streams
+    * — each table has applied every event ≤ the cutoff, so no table shows
+    * state the others haven't caught up to (the skew that manufactures
+    * false FK orphans between a fast child stream and a lagging parent).
+    */
+  def consistentCutoff(appliedHeads: Map[String, Long]): Long = {
+    require(appliedHeads.nonEmpty, "consistentCutoff needs at least one table head")
+    appliedHeads.values.min
+  }
+
+  /** Cross-table consistent read: every table's state replayed from the
+    * retained log to the SAME global `maxSeq` cutoff — the multi-table
+    * snapshot a consumer of a per-table CDC replica set actually wants
+    * (independent last-write-wins streams are never transactionally
+    * consistent across tables at their own heads). Each table is one
+    * [[stateAsOf]] pass: the seq predicate pushes into the shared source
+    * scan, and nothing is materialized until the caller acts on a table.
+    */
+  def readAllAsOf(envelope: DataFrame, specs: Seq[TableSpec], maxSeq: Long,
+      logicalDeletes: Boolean = false): Map[String, DataFrame] =
+    specs.map(sp => sp.fullTableName ->
+      stateAsOf(envelope, sp, maxSeq, logicalDeletes = logicalDeletes)).toMap
 }

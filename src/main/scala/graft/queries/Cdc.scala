@@ -435,6 +435,85 @@ object Cdc {
         s.table("customer").filter(col("c_custkey") % 7 =!= 0), "c_custkey")
     },
 
+    // Cross-table CONSISTENT read (the cut that AVOIDS q66d's skew
+    // artifacts): orders replicated to head 1729, customers lagging at 900.
+    // Joining each replica at its own head yields an answer that is true at
+    // NO point in the log — on this fixture it reports customers 219/240/
+    // 262/272/278 as orphaned (false: their inserts exist by 1729, just not
+    // applied to the lagging replica) while missing 213/218/220/284 (truly
+    // orphaned at 1729) and undercounting the as-of-900 dangling child rows
+    // (11 vs 13 — two dangles at 900 were deleted by 1729). readAllAsOf at
+    // consistentCutoff(heads)=900 replays BOTH tables to the same seq and
+    // returns the true as-of-900 set; once the parent catches up, the same
+    // operator at 1729 returns the head truth. FK = the deterministic
+    // 200+(id%100) map onto the customers key space; output = (view,
+    // orphan keys, child rows) for all three reads.
+    QDef.df("q66f_consistent_read",
+      s"""$SRC,
+         |t AS (SELECT seq,
+         |        data['database_name'] || '.' ||
+         |          regexp_replace(data['table_name'], '_part_[0-9]+$$', '') AS ftn,
+         |        CAST(data['primary_key'] AS VARCHAR) AS pk,
+         |        coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM src),
+         |ord_h AS (SELECT pk FROM (SELECT pk, is_del,
+         |            row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |          FROM t WHERE ftn = 'shop.orders' AND seq <= 1729) z
+         |          WHERE rn = 1 AND NOT is_del),
+         |ord_c AS (SELECT pk FROM (SELECT pk, is_del,
+         |            row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |          FROM t WHERE ftn = 'shop.orders' AND seq <= 900) z
+         |          WHERE rn = 1 AND NOT is_del),
+         |cus_c AS (SELECT pk FROM (SELECT pk, is_del,
+         |            row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |          FROM t WHERE ftn = 'shop.customers' AND seq <= 900) z
+         |          WHERE rn = 1 AND NOT is_del),
+         |cus_h AS (SELECT pk FROM (SELECT pk, is_del,
+         |            row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |          FROM t WHERE ftn = 'shop.customers' AND seq <= 1729) z
+         |          WHERE rn = 1 AND NOT is_del),
+         |oh AS (SELECT CAST(200 + (CAST(pk AS INTEGER) % 100) AS VARCHAR) AS fk FROM ord_h),
+         |oc AS (SELECT CAST(200 + (CAST(pk AS INTEGER) % 100) AS VARCHAR) AS fk FROM ord_c),
+         |h AS (SELECT CAST(count(DISTINCT fk) AS BIGINT) AS n_orphan_keys,
+         |             CAST(count(*) AS BIGINT) AS n_child_rows
+         |      FROM oh WHERE fk NOT IN (SELECT pk FROM cus_c)),
+         |c2 AS (SELECT CAST(count(DISTINCT fk) AS BIGINT) AS n_orphan_keys,
+         |             CAST(count(*) AS BIGINT) AS n_child_rows
+         |      FROM oc WHERE fk NOT IN (SELECT pk FROM cus_c)),
+         |h2 AS (SELECT CAST(count(DISTINCT fk) AS BIGINT) AS n_orphan_keys,
+         |             CAST(count(*) AS BIGINT) AS n_child_rows
+         |      FROM oh WHERE fk NOT IN (SELECT pk FROM cus_h))
+         |SELECT 'independent_heads' AS view_name, n_orphan_keys, n_child_rows FROM h
+         |UNION ALL
+         |SELECT 'consistent_cut' AS view_name, n_orphan_keys, n_child_rows FROM c2
+         |UNION ALL
+         |SELECT 'consistent_head' AS view_name, n_orphan_keys, n_child_rows FROM h2""".stripMargin) {
+      (s, _) =>
+        val e = env(s)
+        val customersSpec = TableSpec.loadCsv(Fixtures.columnsPath)("shop.customers")
+        val heads = Map("shop.orders" -> 1729L, "shop.customers" -> 900L)
+        val cut = CdcPipeline.consistentCutoff(heads)
+        def fkOf(df: DataFrame) = df.withColumn("fk",
+          (lit(200) + col("primary_key").cast("int") % 100).cast("string"))
+        def orphanAgg(child: DataFrame, parent: DataFrame, view: String) =
+          Inspection.fkOrphans(fkOf(child), "fk", parent, "primary_key", topK = 1000)
+            .agg(count(lit(1)).cast("bigint").as("n_orphan_keys"),
+              coalesce(sum(col("n_child_rows")), lit(0L)).cast("bigint").as("n_child_rows"))
+            .select(lit(view).as("view_name"), col("n_orphan_keys"), col("n_child_rows"))
+        val skewed = orphanAgg(
+          CdcPipeline.stateAsOf(e, ordersSpec, heads("shop.orders")),
+          CdcPipeline.stateAsOf(e, customersSpec, heads("shop.customers")),
+          "independent_heads")
+        val cons = CdcPipeline.readAllAsOf(e, Seq(ordersSpec, customersSpec), cut)
+        val atHead = CdcPipeline.readAllAsOf(
+          e, Seq(ordersSpec, customersSpec), heads("shop.orders"))
+        skewed
+          .unionByName(
+            orphanAgg(cons("shop.orders"), cons("shop.customers"), "consistent_cut"))
+          .unionByName(
+            orphanAgg(atHead("shop.orders"), atHead("shop.customers"), "consistent_head"))
+    },
+
     // Stream-health rate anomaly triage: per (type, hour) event counts
     // ranked by exact ratio to the type's own DISCRETE lower median hour —
     // rank-based baseline (one runaway hour can't drag it), integer

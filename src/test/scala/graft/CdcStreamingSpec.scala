@@ -141,6 +141,48 @@ class CdcStreamingSpec extends SparkSpec {
     assert(sink.readAt(spark, afterFirst, DeleteMode.Hard).count() > 0)
   }
 
+  test("cross-table consistent read: the lagging replica's state IS the log replayed to the cut") {
+    // Two per-table streams replicate independently: orders sees the whole
+    // log, customers lags (only the first 901 lines ever arrive). The
+    // consistent cutoff = min of the applied heads READ OFF THE SINKS
+    // (logical mode keeps tombstones, so max(seq) is the last applied
+    // event), and readAllAsOf over the retained log at that cut must
+    // reproduce the lagging replica's materialized state exactly — the
+    // operator a consumer uses to get a transaction-consistent multi-table
+    // view without waiting for every replica to catch up.
+    val inO = tmpDir("cr_in_o"); val inC = tmpDir("cr_in_c")
+    val full = tmpDir("cr_full")
+    val sinkO = new LocalParquetSink(tmpDir("cr_s_o") + "/t")
+    val sinkC = new LocalParquetSink(tmpDir("cr_s_c") + "/t")
+    val customersSpec = TableSpec.loadCsv(Cdc.Fixtures.columnsPath)("shop.customers")
+    writeChunk(inO, "all.jsonl", fixtureLines)
+    writeChunk(inC, "part0.jsonl", fixtureLines.take(901))
+    writeChunk(full, "all.jsonl", fixtureLines)
+    for ((in, sp, sink) <- Seq((inO, ordersSpec, sinkO), (inC, customersSpec, sinkC))) {
+      val q = CdcStream.start(spark, CdcStreamSpec(in, tmpDir("cr_ck") + s"/${sp.fullTableName}", sp, sink))
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    def head(sink: LocalParquetSink): Long =
+      sink.read(spark, DeleteMode.Logical).agg(max("seq")).head().getLong(0)
+    val heads = Map("shop.orders" -> head(sinkO), "shop.customers" -> head(sinkC))
+    val cut = CdcPipeline.consistentCutoff(heads)
+    assert(cut == heads("shop.customers") && cut <= 900L)
+    assert(heads("shop.orders") > cut, "orders must actually be ahead for the test to bite")
+
+    val env = CdcPipeline.readBatch(spark, full)
+    val cons = CdcPipeline.readAllAsOf(env, Seq(ordersSpec, customersSpec), cut)
+    def state(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.select("primary_key", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    // the lagging replica's state == the consistent view of its table
+    assert(state(sinkC.read(spark, DeleteMode.Hard)) == state(cons("shop.customers")))
+    // the fast replica at its own head is NOT the consistent view — the cut
+    // rolls it back (this is the skew q66f quantifies)
+    assert(state(sinkO.read(spark, DeleteMode.Hard)) != state(cons("shop.orders")))
+    // and every row in the consistent view respects the cutoff
+    assert(cons.values.forall(df => df.filter(col("seq") > cut).isEmpty))
+  }
+
   test("CdcSource seam: the same pipeline runs over a memory transport (Kafka swap-in shape)") {
     val ckpt = tmpDir("cdc_ckpt")
     val sinkDir = tmpDir("cdc_sink") + "/orders"
