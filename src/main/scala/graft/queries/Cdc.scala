@@ -309,6 +309,50 @@ object Cdc {
         (count(lit(1)) - count(col("data.row.discount"))).as("null_discount"))
     },
 
+    // R23 beyond added columns: in-place TYPE WIDENING from a refreshed
+    // catalog (MySQL ALTER ... MODIFY). Epoch 1 (seq<1500) is applied
+    // under the original catalog (qty smallint→LONG, created
+    // datetime→TIMESTAMP); the refresh widens qty→numeric (DOUBLE) and
+    // created→varchar (STRING), and the migration is a FULL-history replay
+    // under the widened casts (widening is retroactive — the wire strings
+    // re-cast losslessly), after which epoch-1 AND epoch-2 rows read back
+    // under the widened types. The oracle replays the whole log under the
+    // wide casts directly — the sink's two-step path must land on the
+    // same values.
+    QDef.df("q64b_type_widening",
+      s"""$LASTSTATE
+         |SELECT primary_key,
+         |       CAST(CAST(CAST(row_qty AS DOUBLE) AS DECIMAL(18,4)) AS STRING) AS qty,
+         |       row_created AS created
+         |FROM r WHERE rn = 1 AND NOT is_del""".stripMargin) { (s, _) =>
+      val base = sys.props("java.io.tmpdir") + "/graft_q64b_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(base))
+      graft.engine.Fs.reclaimAtExit(base)
+      val sink = new graft.sink.LocalParquetSink(base + "/t")
+      val e = env(s)
+      def flatTyped(df: DataFrame, sp: TableSpec) =
+        CdcPipeline.typed(CdcPipeline.expanded(CdcPipeline.forTable(df, "shop.orders")), sp)
+      sink.merge(flatTyped(e.filter(col("seq") < 1500), ordersSpec),
+        Seq("primary_key"), "seq", "is_delete")
+      val wide = ordersSpec.copy(cols = ordersSpec.cols.map {
+        case c if c.name == "qty"     => c.copy(udt = "numeric")
+        case c if c.name == "created" => c.copy(udt = "varchar")
+        case c                        => c
+      })
+      graft.streaming.SchemaEvolution.typeChanges(ordersSpec, wide).foreach {
+        case (n, from, to) => require(graft.types.UdtMapper.widens(from, to),
+          s"q64b must exercise widenings only, got $n: $from → $to")
+      }
+      // truncate-and-load: merging would let ANSI union coercion resolve
+      // the widened columns back to the stored narrow types
+      sink.replaceAll(flatTyped(e, wide), Seq("primary_key"), "seq", "is_delete")
+      val st = sink.read(s, graft.sink.DeleteMode.Hard)
+      st.select(col("primary_key"),
+        col("row_qty").cast("decimal(18,4)").cast("string").as("qty"),
+        col("row_created").as("created"))
+    },
+
     // R10: the full udt cast matrix on the materialized table (int→BIGINT,
     // decimal→DOUBLE, datetime→TIMESTAMP, bit→BOOLEAN, _int4→sorted JSON,
     // unknown uuid→STRING), canonicalized per QDef policy.

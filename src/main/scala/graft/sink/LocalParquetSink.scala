@@ -86,6 +86,38 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
     }
   }
 
+  override def replaceAll(batch: DataFrame, keys: Seq[String], seqCol: String,
+      isDeleteCol: String): Unit = synchronized {
+    recover()
+    val spark = batch.sparkSession
+    // continue the generation counter (replayed micro-batches after the
+    // replace must still order deterministically), but do NOT union with
+    // the stored rows — prior state, including its TYPES, is superseded
+    val gen =
+      if (exists) {
+        Option(spark.read.parquet(dir).agg(max(col("__gen"))).collect().head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(-1L) + 1L
+      } else 0L
+    val incoming = batch
+      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+      .withColumn("__gen", lit(gen))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col("__gen").desc)
+    val merged = incoming.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val tmp = dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val old = dir + ".old"
+    if (Files.exists(path)) {
+      Files.move(path, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), path, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(new File(old))
+    } else {
+      Files.move(Paths.get(tmp), path, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   override def read(spark: SparkSession, mode: DeleteMode): DataFrame = {
     synchronized(recover())
     val t = spark.read.parquet(dir).drop("__gen")

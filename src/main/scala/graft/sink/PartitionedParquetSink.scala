@@ -133,6 +133,52 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
     }
   }
 
+  /** Truncate-and-load over the bucket layout: EVERY existing bucket is
+    * superseded (stale buckets whose keys vanished are deleted, and no
+    * stored column type leaks into the rebuilt table — the type-widening
+    * contract). Crash safety: the whole pre-image is backed up first and
+    * [[recover]] restores missing buckets, so a crash mid-overwrite leaves
+    * a mixed-generation (possibly mixed-TYPE) table — re-run the replace
+    * before reading after such a crash, exactly as the caller's migration
+    * would on restart.
+    */
+  override def replaceAll(batch: DataFrame, keys: Seq[String], seqCol: String,
+      isDeleteCol: String): Unit = synchronized {
+    recover()
+    val spark = batch.sparkSession
+    val gen = {
+      val existing = Files.exists(Paths.get(dir)) &&
+        children(Paths.get(dir)).exists(_.getFileName.toString.startsWith("__bucket="))
+      if (existing) {
+        val c = spark.read.option("mergeSchema", "true").parquet(dir)
+        Option(c.agg(max(col("__gen"))).collect().head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(-1L) + 1L
+      } else 0L
+    }
+    val incoming = batch
+      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+      .withColumn("__bucket", bucketOf(keys))
+      .withColumn("__gen", lit(gen))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col("__gen").desc)
+    val merged = incoming.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // back up the ENTIRE pre-image: static overwrite below replaces the
+    // whole directory, so every bucket is at risk during the commit
+    if (Files.exists(Paths.get(dir))) {
+      Files.createDirectories(backupRoot)
+      children(Paths.get(dir))
+        .filter(_.getFileName.toString.startsWith("__bucket="))
+        .foreach(p => copyTree(p, backupRoot.resolve(p.getFileName)))
+    }
+    merged.repartition(nBuckets, col("__bucket"))
+      .write.mode("overwrite")
+      .partitionBy("__bucket")
+      .parquet(dir)
+    deleteTree(backupRoot)
+  }
+
   override def read(spark: SparkSession, mode: DeleteMode): DataFrame = {
     synchronized(recover())
     val t = spark.read.option("mergeSchema", "true").parquet(dir).drop("__gen", "__bucket")

@@ -225,6 +225,72 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     }
   }
 
+  /** Truncate-and-load as ONE fresh commit: the published manifest lists
+    * only this load's buckets — prior entries are dropped, not carried
+    * forward — so the new version's state and column TYPES come from the
+    * batch alone (the type-widening contract), while every older version
+    * stays time-travel-readable under its own types. Publishes through the
+    * same rename-onto-absent lock as [[merge]]; a lost race re-publishes
+    * the same content at the next version (the batch is the whole truth —
+    * nothing to recompute).
+    */
+  override def replaceAll(batch: DataFrame, keys: Seq[String], seqCol: String,
+      isDeleteCol: String): Unit = synchronized {
+    val spark = batch.sparkSession
+    val incoming0 = batch
+      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+      .withColumn("__bucket", bucketOf(keys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
+      require(affected.nonEmpty,
+        s"replaceAll with an empty batch would publish an unreadable empty table at $dir")
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val base = currentVersion
+        val version = base.map(_ + 1L).getOrElse(0L)
+        base.foreach { v =>
+          val declared = SnapshotParquetSink.manifest(dir, v)._1
+          require(declared == nBuckets,
+            s"sink nBuckets=$nBuckets but the table at $dir was committed with " +
+              s"nBuckets=$declared — construct the sink with the table's value")
+          val priorKeys = SnapshotParquetSink.manifestKeys(dir, v)
+          require(priorKeys.isEmpty || priorKeys == keys,
+            s"replaceAll keys ${keys.mkString(",")} do not match the table's committed " +
+              s"keys ${priorKeys.mkString(",")} at $dir")
+        }
+        val incoming = incoming0.withColumn("__gen", lit(version))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc, col("__gen").desc)
+        val merged = incoming.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val commitId = UUID.randomUUID().toString
+        merged.repartition(affected.length, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$dir/data/$commitId")
+        val newEntries = affected.map(b => b -> s"data/$commitId/__bucket=$b")
+        val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
+          s"keys=${keys.mkString(",")}") ++
+          newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
+          .mkString("", "\n", "\n")
+        if (publish(version, commitId, body)) {
+          return
+        } else {
+          deleteTree(new HPath(s"$dir/data/$commitId"))
+          if (attempts >= 10)
+            sys.error(s"replaceAll lost the race $attempts times at $dir")
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(10L, 100L * attempts))
+        }
+      }
+    } finally {
+      incoming0.unpersist()
+      ()
+    }
+  }
+
   override def read(spark: SparkSession, mode: DeleteMode): DataFrame =
     readAt(spark, currentVersion.getOrElse(sys.error(s"no snapshot published at $dir")), mode)
 

@@ -25,4 +25,15 @@ trait UpsertSink {
   def merge(batch: DataFrame, keys: Seq[String], seqCol: String, isDeleteCol: String): Unit
   /** Current table state under the given delete mode. */
   def read(spark: SparkSession, mode: DeleteMode): DataFrame
+
+  /** Truncate-and-load: rebuild the table from `batch` ALONE — prior state
+    * is entirely superseded and contributes nothing to the result, not even
+    * its column types (a type-widening replay MUST NOT union with the
+    * stored narrow columns: ANSI union coercion would resolve a
+    * string-widened column back to the stored timestamp/numeric type and
+    * the widening would silently not take). Same in-batch last-write-wins
+    * dedup as [[merge]]; generation counters continue from the prior state
+    * so replayed micro-batches stay deterministically ordered afterwards.
+    */
+  def replaceAll(batch: DataFrame, keys: Seq[String], seqCol: String, isDeleteCol: String): Unit
 }

@@ -116,6 +116,20 @@ object CdcStream {
     spec.sink.merge(batch, presentMergeKeys(spec, batch), "seq", "is_delete")
   }
 
+  /** Full-history truncate-and-load through the same transform — the
+    * type-widening migration path. Unlike [[backfill]] (which MERGES into
+    * existing state), the replay must supersede the stored narrow-typed
+    * rows entirely: merging would union the widened columns with their
+    * stored types, and ANSI union coercion resolves e.g. string-widened
+    * against stored-timestamp back to TIMESTAMP — the widening would
+    * silently not take. `replaceAll` rebuilds the table from the replay
+    * alone.
+    */
+  def replayAll(spark: SparkSession, spec: CdcStreamSpec): Unit = {
+    val batch = transform(spec.cdcSource.batch(spark), spec)
+    spec.sink.replaceAll(batch, presentMergeKeys(spec, batch), "seq", "is_delete")
+  }
+
   /** Snapshot bootstrap — the initial-sync → streaming handoff every CDC
     * replication starts with (Debezium's "initial snapshot" mode; the
     * reference's outputs likewise begin from a consistent source extract
@@ -198,6 +212,57 @@ object SchemaEvolution {
         startFrom = StartFrom.AtTime(new Timestamp(earliest)))
       CdcStream.backfill(spark, backfillSpec)
       val newSpec = spec.copy(table = extended)
+      Some((CdcStream.start(spark, newSpec), newSpec))
+    }
+  }
+
+  /** Columns whose udt differs between the running spec and a refreshed
+    * catalog/columns-file read: (name, old udt, new udt). Pure diff over
+    * columns present in BOTH specs — additions/removals are
+    * [[evolveAndRestart]]'s domain.
+    */
+  def typeChanges(oldTable: graft.model.TableSpec,
+      refreshed: graft.model.TableSpec): Seq[(String, String, String)] = {
+    val newUdt = refreshed.cols.map(c => c.name -> c.udt).toMap
+    oldTable.cols.flatMap { c =>
+      newUdt.get(c.name).filter(_ != c.udt).map(u => (c.name, c.udt, u))
+    }
+  }
+
+  /** R23 beyond added columns: adopt in-place TYPE changes from a refreshed
+    * catalog read (MySQL `ALTER TABLE ... MODIFY` — int → bigint, varchar
+    * growth, int → decimal). Every change must be a widening
+    * ([[graft.types.UdtMapper.widens]]); a narrowing refuses loudly — it
+    * needs a manual re-sync, silently truncating values is the one
+    * unforgivable CDC failure.
+    *
+    * Unlike the added-column cycle, a widened type applies RETROACTIVELY to
+    * all history (the stored wire strings re-cast losslessly), so the
+    * catch-up is a FULL replay under the widened spec, not a
+    * firstSeen-bounded one: stop → replay everything (last-write-wins +
+    * `__gen` rewrite every surviving row under the wide cast) → restart
+    * streaming with the widened spec. Returns None when the refreshed
+    * catalog carries no type change.
+    */
+  def widenAndRestart(
+      spark: SparkSession,
+      running: StreamingQuery,
+      spec: CdcStreamSpec,
+      refreshed: graft.model.TableSpec): Option[(StreamingQuery, CdcStreamSpec)] = {
+    val changes = typeChanges(spec.table, refreshed)
+    if (changes.isEmpty) None
+    else {
+      changes.foreach { case (n, from, to) =>
+        require(graft.types.UdtMapper.widens(from, to),
+          s"column $n: $from → $to is not a widening — refusing the automatic " +
+            "restart; a narrowing type change needs a manual re-sync")
+      }
+      running.stop()
+      running.awaitTermination()
+      val newSpec = spec.copy(table = refreshed)
+      // truncate-and-load, NOT a merge: the stored narrow types must not
+      // survive union coercion (see CdcStream.replayAll)
+      CdcStream.replayAll(spark, newSpec)
       Some((CdcStream.start(spark, newSpec), newSpec))
     }
   }

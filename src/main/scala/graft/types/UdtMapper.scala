@@ -58,4 +58,27 @@ object UdtMapper {
       isDate = db == "DbDate" && !isArray,
       known = known)
   }
+
+  /** Is an in-place udt change `from` → `to` a WIDENING — re-castable over
+    * the stored wire strings without information loss, so evolution can
+    * adopt it with a replay instead of a manual re-sync? True when the
+    * mapped engine types are equal (the matrix already coarsens e.g.
+    * int→bigint and varchar(n) growth to one Spark type) or move strictly
+    * up the ladder: integral → double (the matrix's own decimal/numeric
+    * representation), date → timestamp, anything → string (the textual
+    * escape hatch). Array-ness must be preserved (scalar↔array is a
+    * restructuring, not a retype); everything else — e.g. text → int,
+    * double → bigint — is a narrowing and must be refused loudly.
+    */
+  def widens(from: String, to: String): Boolean = {
+    val f = map(from); val t = map(to)
+    if (f.isArray != t.isArray) false
+    else if (f.sparkType == t.sparkType) true
+    else (f.sparkType, t.sparkType) match {
+      case (LongType, DoubleType)    => true
+      case (DateType, TimestampType) => true
+      case (_, StringType)           => true
+      case _                         => false
+    }
+  }
 }

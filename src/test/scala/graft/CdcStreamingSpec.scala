@@ -309,6 +309,62 @@ class CdcStreamingSpec extends SparkSpec {
     assert(rows.filter(col("row_discount").isNotNull).count() > 0)
   }
 
+  test("type widening: refreshed catalog widens udts, full replay, restart (R23 extension)") {
+    val in = tmpDir("widen_in"); val ckpt = tmpDir("widen_ckpt")
+    val sink = new LocalParquetSink(tmpDir("widen_sink") + "/orders")
+    // epoch 1 streams under the ORIGINAL catalog: qty smallint → LONG,
+    // created datetime → TIMESTAMP
+    writeChunk(in, "part0.jsonl", fixtureLines.take(1500))
+    val spec = CdcStreamSpec(in, ckpt, ordersSpec, sink)
+    val q = CdcStream.start(spark, spec)
+    try q.processAllAvailable()
+    finally {} // widenAndRestart stops it
+    val narrow = sink.read(spark, DeleteMode.Hard).schema
+    assert(narrow("row_qty").dataType == org.apache.spark.sql.types.LongType)
+    assert(narrow("row_created").dataType == org.apache.spark.sql.types.TimestampType)
+
+    // catalog refresh: qty → numeric (DOUBLE), created → varchar (STRING)
+    val wide = ordersSpec.copy(cols = ordersSpec.cols.map {
+      case c if c.name == "qty"     => c.copy(udt = "numeric")
+      case c if c.name == "created" => c.copy(udt = "varchar")
+      case c                        => c
+    })
+    assert(SchemaEvolution.typeChanges(ordersSpec, wide).map(_._1) == Seq("qty", "created"))
+    val widened = SchemaEvolution.widenAndRestart(spark, q, spec, wide)
+    assert(widened.isDefined)
+    val (q2, newSpec) = widened.get
+    // epoch 2 arrives AFTER the widening took effect
+    writeChunk(in, "part1.jsonl", fixtureLines.drop(1500))
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+
+    // both epochs read back under the widened types...
+    val rows = sink.read(spark, DeleteMode.Hard)
+    assert(rows.schema("row_qty").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(rows.schema("row_created").dataType == org.apache.spark.sql.types.StringType)
+    // ...and the state equals the batch materialization under the wide spec
+    val full = tmpDir("widen_full")
+    writeChunk(full, "all.jsonl", fixtureLines)
+    val expected = CdcPipeline.materialize(CdcPipeline.readBatch(spark, full), newSpec.table)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      df.select("primary_key", "row_qty", "row_created").collect()
+        .map(r => (r.getString(0), Option(r.get(1)).map(_.toString).orNull,
+          r.getString(2))).toSet
+    assert(canon(rows) == canon(expected))
+
+    // a NARROWING refresh refuses loudly instead of silently truncating
+    val narrowing = ordersSpec.copy(cols = ordersSpec.cols.map {
+      case c if c.name == "amount" => c.copy(udt = "int4") // decimal → int
+      case c                       => c
+    })
+    val q3 = CdcStream.start(spark, newSpec)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SchemaEvolution.widenAndRestart(spark, q3, newSpec, narrowing)
+      }
+      assert(e.getMessage.contains("not a widening"))
+    } finally { q3.stop(); q3.awaitTermination() }
+  }
+
   test("orchestrator: fan-out per discovered table, exclude + idempotence (R30/R32)") {
     import graft.streaming.CdcOrchestrator
     val in = tmpDir("orch_in")

@@ -89,4 +89,26 @@ class LocalParquetSinkSpec extends SparkSpec {
       .map(r => r.getAs[String]("primary_key") -> Option(r.getAs[String]("new_col"))).toMap
     assert(rows == Map("a" -> None, "b" -> Some("extra")))
   }
+
+  test("replaceAll: prior state, stale keys, and stored TYPES are superseded") {
+    import org.apache.spark.sql.functions._
+    val sink = new LocalParquetSink(tmpDir("sink") + "/t")
+    sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    // store a LONG `num` column, then rebuild with key b gone and `num`
+    // retyped to STRING -- the replace must not union with the stored LONG
+    val narrow = batch(("a", 0, "a0", false)).withColumn("num", lit(7L))
+    sink.merge(narrow, Seq("primary_key"), "seq", "is_delete")
+    val wide = batch(("a", 2, "a2", false), ("c", 3, "c0", false))
+      .withColumn("num", lit("7"))
+    sink.replaceAll(wide, Seq("primary_key"), "seq", "is_delete")
+    val got = sink.read(spark, DeleteMode.Hard)
+    // stale key b gone, new key c present, types from the batch alone
+    assert(state(sink, DeleteMode.Hard).keySet == Set("a", "c"))
+    assert(got.schema("num").dataType == org.apache.spark.sql.types.StringType)
+    // a replayed merge after the replace still orders deterministically
+    sink.merge(batch(("a", 2, "aX", false)).withColumn("num", lit("9")),
+      Seq("primary_key"), "seq", "is_delete")
+    assert(state(sink, DeleteMode.Hard)("a")._2 == "aX") // same seq, newer gen wins
+  }
 }

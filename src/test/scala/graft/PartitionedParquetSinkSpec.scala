@@ -122,4 +122,19 @@ class PartitionedParquetSinkSpec extends SparkSpec {
       assert(state(sink, DeleteMode.Hard) == expected, s"order: $perm")
     }
   }
+
+  test("replaceAll: every bucket superseded, stale buckets deleted, types replaced") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("psink") + "/t"
+    val sink = new PartitionedParquetSink(dir, nBuckets = 4)
+    val keys = (0 until 16).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*)
+      .withColumn("num", lit(7L)), Seq("primary_key"), "seq", "is_delete")
+    // rebuild from TWO keys only, num retyped LONG -> STRING
+    sink.replaceAll(batch(("k0", 1L, "k0-v1", false), ("k1", 1L, "k1-v1", false))
+      .withColumn("num", lit("7")), Seq("primary_key"), "seq", "is_delete")
+    val got = sink.read(spark, DeleteMode.Hard)
+    assert(got.select("primary_key").collect().map(_.getString(0)).toSet == Set("k0", "k1"))
+    assert(got.schema("num").dataType == org.apache.spark.sql.types.StringType)
+  }
 }

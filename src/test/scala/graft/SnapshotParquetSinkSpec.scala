@@ -558,4 +558,28 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(!Dfs.exists(stray))
     assert(state(sink, DeleteMode.Hard) == Map("a" -> (0L, "a0")))
   }
+
+  test("replaceAll: fresh commit drops prior entries; old versions keep their types") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    val keys = (0 until 16).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*)
+      .withColumn("num", lit(7L)), Seq("primary_key"), "seq", "is_delete")
+    sink.replaceAll(batch(("k0", 1L, "k0-v1", false)).withColumn("num", lit("7")),
+      Seq("primary_key"), "seq", "is_delete")
+    // head: only the loaded key, STRING-typed num, no carried-forward buckets
+    val head = sink.read(spark, DeleteMode.Hard)
+    assert(head.select("primary_key").collect().map(_.getString(0)).toSet == Set("k0"))
+    assert(head.schema("num").dataType == org.apache.spark.sql.types.StringType)
+    // time travel: v0 still reads all 16 keys under the ORIGINAL type
+    val v0 = sink.readAt(spark, 0L, DeleteMode.Hard)
+    assert(v0.count() == 16L)
+    assert(v0.schema("num").dataType == org.apache.spark.sql.types.LongType)
+    // key-contract guard still applies
+    val e = intercept[IllegalArgumentException] {
+      sink.replaceAll(batch(("x", 9L, "x0", false)), Seq("val"), "seq", "is_delete")
+    }
+    assert(e.getMessage.contains("committed"))
+  }
 }

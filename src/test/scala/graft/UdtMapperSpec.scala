@@ -61,4 +61,24 @@ class UdtMapperSpec extends AnyFunSuite {
     val m = UdtMapper.map("uuid")
     assert(m.sparkType == StringType && m.dbType == "DbString" && !m.known)
   }
+
+  test("widens: same-engine-type and up-the-ladder changes only, arrays preserved") {
+    // same mapped type: the matrix already coarsens these
+    assert(UdtMapper.widens("int", "int8"))        // int → bigint
+    assert(UdtMapper.widens("smallint", "bigint"))
+    assert(UdtMapper.widens("varchar", "text"))    // varchar(n) growth / retype
+    // strictly up the ladder
+    assert(UdtMapper.widens("int8", "numeric"))    // integral → double
+    assert(UdtMapper.widens("date", "timestamp"))
+    assert(UdtMapper.widens("int", "varchar"))     // textual escape hatch
+    assert(UdtMapper.widens("timestamptz", "text"))
+    assert(UdtMapper.widens("_int4", "_varchar"))  // array element widening
+    // narrowings and restructurings refuse
+    assert(!UdtMapper.widens("numeric", "int8"))   // double → integral
+    assert(!UdtMapper.widens("text", "int"))
+    assert(!UdtMapper.widens("timestamp", "date"))
+    assert(!UdtMapper.widens("int4", "_int4"))     // scalar → array
+    assert(!UdtMapper.widens("_int4", "int4"))
+    assert(!UdtMapper.widens("bool", "int"))
+  }
 }
