@@ -12,7 +12,7 @@ import graft.engine.Dfs
   * the Hadoop FileSystem API ([[Dfs]]), so a store dir may be local disk,
   * `file:`-qualified, or object storage — one copy, every store at once.
   */
-private[sink] object BatchStore {
+private[graft] object BatchStore {
   def committedBatchPaths(dir: String): Seq[String] = {
     val d = new Path(dir)
     val fs = Dfs.fs(d)
