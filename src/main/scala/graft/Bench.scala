@@ -51,15 +51,52 @@ object Bench {
     // waiting for an idle window; the driver's default stays 3
     val runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
+
+    // SPARK_GRAFT_SPILL=1: per-query Tungsten spill accounting (memory- and
+    // disk-spilled bytes summed over the query's timed runs) — the
+    // memory-pressure evidence mode. Run it with a constrained heap (e.g.
+    // -Xmx2g) over the heavy tail: zero failed queries + nonzero spill
+    // bytes MEASURES the "aggregation spills instead of OOMing" claim.
+    val spillMode = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val spillListener = if (spillMode) {
+      val l = new org.apache.spark.scheduler.SparkListener {
+        val mem = new java.util.concurrent.atomic.AtomicLong
+        val disk = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            mem.addAndGet(m.memoryBytesSpilled)
+            disk.addAndGet(m.diskBytesSpilled)
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
+    def spillSnapshot(): (Long, Long) = spillListener match {
+      case Some(l) =>
+        org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
+        (l.mem.get, l.disk.get)
+      case None => (0L, 0L)
+    }
+
     val suiteT0 = System.nanoTime()
+    val spillByQuery = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     // per query: `runs` timings; (median, min, max−min) on success
     val results: Seq[(String, Option[(Double, Double, Double)])] = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (m0, d0) = spillSnapshot()
       val times = (1 to runs).iterator.map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
         }
       }.takeWhile(_.isDefined).flatten.toSeq // one failure condemns the query — stop re-running it
+      if (spillMode) {
+        val (m1, d1) = spillSnapshot()
+        spillByQuery(name) = (m1 - m0, d1 - d0)
+      }
       // any throwing run marks the query failed — a partially-failing query
       // must not masquerade as a timing
       name -> (if (times.size == runs)
@@ -103,8 +140,19 @@ object Bench {
     val captureMs = System.currentTimeMillis()
     val captureTs = java.time.Instant.ofEpochMilli(captureMs).toString
     val captureId = java.lang.Long.toHexString(captureMs)
+    // spill evidence block (only in SPARK_GRAFT_SPILL=1 captures): the JVM
+    // heap the run was constrained to, suite-total spilled bytes, and the
+    // per-query disk-spill map for the nonzero spillers
+    val spillJson = if (spillMode) {
+      val totalMem = spillByQuery.valuesIterator.map(_._1).sum
+      val totalDisk = spillByQuery.valuesIterator.map(_._2).sum
+      val perQ = spillByQuery.iterator.filter { case (_, (m, d)) => m > 0 || d > 0 }
+        .map { case (k, (m, d)) => "\"" + k + "\":[" + m + "," + d + "]" }
+        .mkString("{", ",", "}")
+      s""","spill":{"heap_max_bytes":${Runtime.getRuntime.maxMemory},"mem_bytes":$totalMem,"disk_bytes":$totalDisk,"by_query_mem_disk":$perQ}"""
+    } else ""
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$spillJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
