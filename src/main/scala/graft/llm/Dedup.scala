@@ -243,6 +243,48 @@ object Dedup {
     else consume(pipeline(hashCodes(toks)))
   }
 
+  /** LSH estimator calibration audit — "can I trust my sketch at this
+    * threshold": every LSH candidate pair's integer minhash agreement count
+    * (0..NumHashes) next to its EXACT token-set intersection/union, rolled
+    * up per agreement bucket as (agree, n_pairs, sum_inter, sum_union).
+    * All integer arithmetic (agree = est·NumHashes is exact — est is
+    * k/64 in binary), so both engines replay the curve bit-for-bit. The
+    * operational read: sum_inter/sum_union per bucket is the mean TRUE
+    * Jaccard the estimator maps to agree/NumHashes — a pipeline picks its
+    * dedup threshold off this measured curve instead of folklore, and a
+    * drifting curve (tokenizer change, adversarial content) is a
+    * data-quality alarm.
+    *
+    * Shape: the same banded candidate join as [[minhashLsh]] (never
+    * all-pairs) + the exact-intersection token equi-join restricted to the
+    * CANDIDATE pairs only — the exact computation is paid on the sketch's
+    * survivors, not the corpus square.
+    */
+  def lshCalibration[T](docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text")(consume: DataFrame => T): T =
+    minhashLsh(docs, dictionary = true, idCol, textCol) { est =>
+      val pairs = est.select(col("i"), col("j"),
+        (col("est") * NumHashes).cast("long").as("agree"))
+      val t = tokenSets(docs, idCol, textCol)
+      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs.select("i", "j")
+        .join(t.select(col("doc_id").as("i"), col("tok")), "i")
+        .join(t.select(col("doc_id").as("j"), col("tok")), Seq("j", "tok"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      // left join: a band collision without a single shared token is
+      // possible (different codes, same universal-hash min) — inter = 0
+      val full = pairs
+        .join(inter, Seq("i", "j"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .withColumn("un", col("ni") + col("nj") - col("inter"))
+      consume(full.groupBy("agree")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          sum(col("inter")).cast("bigint").as("sum_inter"),
+          sum(col("un")).cast("bigint").as("sum_union")))
+    }
+
   // ------------------------------------------- near-dup cluster resolution
   /** Connected components over a near-dup pair graph — the step that turns
     * pairwise matches into "keep one document per duplicate cluster". Each

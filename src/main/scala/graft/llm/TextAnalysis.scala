@@ -253,6 +253,53 @@ object TextAnalysis {
       .drop("__rn", "__keep", "__w")
   }
 
+  /** Exact integer square root floor(√x) as a Column: double-sqrt estimate
+    * then a ±1 correction pass — exact for every x in [0, 2^62) (the
+    * double estimate is within one of the truth there, and the correction
+    * squares stay inside int64). No float reaches the result.
+    */
+  private def isqrt(x: Column): Column = {
+    val f = floor(sqrt(x.cast("double"))).cast("long")
+    val up = when((f + 1) * (f + 1) <= x, f + 1).otherwise(f)
+    when(up * up > x, up - 1).otherwise(up)
+  }
+
+  /** The same exact isqrt as a SQL fragment (for oracle replay). */
+  def isqrtSql(xExpr: String): String = {
+    val f = s"CAST(floor(sqrt(CAST(($xExpr) AS DOUBLE))) AS BIGINT)"
+    val up = s"(CASE WHEN ($f + 1) * ($f + 1) <= ($xExpr) THEN $f + 1 ELSE $f END)"
+    s"(CASE WHEN $up * $up > ($xExpr) THEN $up - 1 ELSE $up END)"
+  }
+
+  /** Temperature-flattened mixture sampling at T = 2 — the multilingual-
+    * pretraining rebalance (sampling share ∝ cnt^(1/T) instead of ∝ cnt,
+    * so head languages/sources stop drowning the tail without the tail
+    * being oversampled): per-stratum weight w_s = isqrt(cnt_s), realized
+    * sample keep_s = scale · w_s with scale = min_s floor(cnt_s / w_s)
+    * (the largest multiple no stratum oversamples — [[mixSample]]'s
+    * bottleneck rule with data-derived weights). T = 2 because √ is the
+    * one fractional power with an EXACT integer form ([[isqrt]]); other
+    * temperatures need float powers both engines would round differently.
+    * Selection is deterministic (smallest ([[splitHash]], id) first), so
+    * kept COUNTS and kept IDS replay exactly.
+    */
+  def mixTemperature(docs: DataFrame, strataCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__wt", isqrt(col("__cnt")))
+    val scale = counts.agg(
+      min(expr("__cnt DIV __wt")).cast("long").as("__scale"))
+    val keep = counts.crossJoin(broadcast(scale))
+      .select(col(strataCol), (col("__scale") * col("__wt")).as("__keep"))
+    val rn = row_number().over(
+      Window.partitionBy(col(strataCol)).orderBy(splitHash(col(idCol)), col(idCol)))
+    docs.withColumn("__rn", rn)
+      .join(broadcast(keep), strataCol)
+      .filter(col("__rn") <= col("__keep"))
+      .drop("__rn", "__keep")
+  }
+
   /** Per-group document cap — "at most k docs per source/domain", the
     * over-represented-domain guard a pretraining mix applies before
     * weighting. Deterministic: the k SMALLEST ids per group survive.

@@ -186,6 +186,52 @@ object Llm {
       }
     },
 
+    // LSH estimator calibration (the "can I trust my sketch" audit): per
+    // candidate pair, the integer minhash agreement count next to the
+    // EXACT token-set intersection/union, rolled up per agreement bucket.
+    // sum_inter/sum_union per bucket is the measured est→true-Jaccard
+    // curve a pipeline reads its dedup threshold off. All integers; the
+    // oracle replays the hash family AND the exact intersection.
+    QDef.df("q86c_lsh_calibration", {
+      val params = (0 until Dedup.NumHashes)
+        .map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
+      val pow = Dedup.BandPow
+      s"""WITH ${toksCte(80)},
+         |$dictCte,
+         |h AS (SELECT doc_id, p.i AS hi, min((p.a * code + p.b) % ${Dedup.P}) AS mh
+         |      FROM tc, (VALUES $params) AS p(i, a, b) GROUP BY doc_id, p.i),
+         |bs AS (SELECT doc_id, hi // ${Dedup.RowsPerBand} AS band,
+         |              SUM(mh * CASE hi % 4 WHEN 0 THEN ${pow(0)} WHEN 1 THEN ${pow(1)}
+         |                       WHEN 2 THEN ${pow(2)} ELSE ${pow(3)} END) AS bkey
+         |       FROM h GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM bs a JOIN bs b ON a.band = b.band AND a.bkey = b.bkey
+         |                            AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.i, c.j,
+         |               CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |        FROM cand c
+         |        JOIN h ha ON ha.doc_id = c.i
+         |        JOIN h hb ON hb.doc_id = c.j AND hb.hi = ha.hi
+         |        GROUP BY c.i, c.j),
+         |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+         |ix AS (SELECT e.i, e.j, e.agree, count(tb.tok) AS inter
+         |       FROM est e
+         |       JOIN t ta ON ta.doc_id = e.i
+         |       LEFT JOIN t tb ON tb.doc_id = e.j AND tb.tok = ta.tok
+         |       GROUP BY e.i, e.j, e.agree),
+         |f AS (SELECT ix.agree, ix.inter, sa.n + sb.n - ix.inter AS un
+         |      FROM ix JOIN s sa ON sa.doc_id = ix.i JOIN s sb ON sb.doc_id = ix.j)
+         |SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(inter) AS BIGINT) AS sum_inter,
+         |       CAST(SUM(un) AS BIGINT) AS sum_union
+         |FROM f GROUP BY agree""".stripMargin
+    }) { (s, dir) =>
+      Dedup.lshCalibration(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 80)) { curve =>
+        QDef.localized(s, curve) // ≤ NumHashes+1 buckets by construction
+      }
+    },
+
     QDef.df("q87_simhash", {
       s"""WITH ${toksCte(100)},
          |$dictCte
@@ -2139,6 +2185,33 @@ object Llm {
         Tables.table(s, dir, "documents")
           .filter(col("source").isin("src0", "src1", "src2", "src3")),
         Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L, "src3" -> 100L))
+    },
+
+    // Temperature-flattened mixture at T=2 (multilingual-pretraining
+    // rebalance: share ∝ √cnt — head sources stop drowning the tail, tail
+    // not oversampled). Weights are DATA-derived via exact integer sqrt
+    // (isqrt + ±1 correction — no float reaches the result), realized with
+    // the mixSample bottleneck rule; deterministic split-hash selection so
+    // kept counts AND the id checksum replay.
+    QDef.df("q97j_temperature_mix", {
+      val h = TextAnalysis.splitHashSql("doc_id")
+      val isq = TextAnalysis.isqrtSql("cnt")
+      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+         |w AS (SELECT source, cnt, $isq AS wt FROM c),
+         |sc AS (SELECT CAST(min(cnt // wt) AS BIGINT) AS scale FROM w),
+         |k AS (SELECT w.source, sc.scale * w.wt AS keep FROM w, sc),
+         |r AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
+         |      FROM documents)
+         |SELECT r.source, CAST(count(*) AS BIGINT) AS kept,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM r JOIN k USING (source) WHERE r.rn <= k.keep
+         |GROUP BY r.source""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.mixTemperature(Tables.table(s, dir, "documents"), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("kept"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"))
     },
 
     // Per-source document cap (over-represented-domain guard): at most 10

@@ -391,6 +391,66 @@ class PropertySpec extends SparkSpec {
     for (s <- srcs) assert(withAbsent(s) == ((cnt(s), 0L, 0L)), s"src $s must clamp to 0")
   }
 
+  test("isqrtSql: exact floor(sqrt) including perfect-square boundaries") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // adversarial set WITHIN the documented [0, 2^62) domain: perfect
+    // squares and their neighbors, where the double estimate is most
+    // likely off by one (2147483647 = the largest root whose square stays
+    // under 2^62; beyond the domain the correction squares would overflow)
+    val xs = (Seq(0L, 1L, 2L, 3L) ++
+      Seq(10L, 1000L, 1000000L, 2147483647L).flatMap { r =>
+        Seq(r * r - 1, r * r, r * r + 1)
+      } ++ Seq((1L << 62) - 1)).distinct
+    val got = xs.toDF("x")
+      .selectExpr("x", graft.llm.TextAnalysis.isqrtSql("x") + " AS s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val s = BigInt(got(x))
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s not floor(sqrt)")
+    }
+  }
+
+  test("mixTemperature: sqrt-flattened shares, never oversamples, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed strata: 400 / 100 / 25 docs -> isqrt weights 20 / 10 / 5
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 525).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = graft.llm.TextAnalysis.mixTemperature(docs, "source")
+    val byS = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scale = min(400/20, 100/10, 25/5) = 5 -> keeps 100 / 50 / 25
+    assert(byS == Map("big" -> 100L, "mid" -> 50L, "small" -> 25L))
+    // flattening: realized shares 4:2:1 vs raw 16:4:1 — tail lifted
+    assert(byS("big") <= 400 && byS("mid") <= 100 && byS("small") <= 25)
+    // deterministic: identical id set across reruns
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.llm.TextAnalysis.mixTemperature(docs, "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("lshCalibration: bounded buckets, inter <= union, pair count conserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 80)
+    graft.llm.Dedup.lshCalibration(docs) { curve =>
+      val rows = curve.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (agree, n, si, su) =>
+        assert(agree >= 0 && agree <= graft.llm.Dedup.NumHashes)
+        assert(n > 0 && si >= 0 && si <= su, s"bucket $agree: inter $si > union $su")
+      }
+      // the curve covers exactly the LSH candidate pairs
+      val nPairs = graft.llm.Dedup.minhashLsh(docs, dictionary = true)(_.count())
+      assert(rows.map(_._2).sum == nPairs)
+    }
+  }
+
   test("saltFactorFor: bounded, balanced-is-1, hot-key coverage, monotone") {
     import graft.engine.Skew.saltFactorFor
     val counts = Gen.choose(0L, 1000000L)
