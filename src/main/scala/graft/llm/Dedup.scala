@@ -243,6 +243,54 @@ object Dedup {
     else consume(pipeline(hashCodes(toks)))
   }
 
+  /** EXACT Jaccard-threshold similarity join via prefix filtering (the
+    * PPJoin family — Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08): the zero-recall-loss alternative to
+    * MinHash LSH. With every document's tokens ordered by one GLOBAL
+    * canonical order, two docs with Jaccard ≥ num/den must share a token
+    * within each doc's first `n − ceil(n·num/den) + 1` tokens (the prefix
+    * lemma: J ≥ θ ⇒ |A∩B| ≥ ⌈θ|A|⌉, so the intersection cannot hide
+    * entirely in the suffix). Candidates = the prefix-token equi-join;
+    * each is verified by the exact intersection and kept iff
+    * inter·den ≥ num·union. Output (i, j, inter, un) — all integers, both
+    * engines replay it bit-for-bit.
+    *
+    * The canonical order is ascending global document frequency (ties by
+    * token): rare-first makes the hottest prefix bucket the RAREST tokens,
+    * which is what keeps the candidate join's fan-out small. Scale shape:
+    * one grouped df count, a per-doc window (partitioned by doc — never
+    * global), a bucket-controlled equi-join, and verification on
+    * candidates only. Nothing all-pairs, nothing approximate.
+    */
+  def prefixJaccardJoin(docs: DataFrame, num: Long, den: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold num/den must be in (0, 1]")
+    val t = tokenSets(docs, idCol, textCol)
+    val dfc = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val pref = t.join(dfc, "tok")
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("n") - expr(s"(n * $num + $den - 1) DIV $den") + 1)
+      .select("doc_id", "tok")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val inter = cand
+      .join(t.select(col("doc_id").as("i"), col("tok")), "i")
+      .join(t.select(col("doc_id").as("j"), col("tok")), Seq("j", "tok"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("un", col("ni") + col("nj") - col("inter"))
+      .filter(col("inter") * den >= lit(num) * col("un"))
+      .select(col("i"), col("j"),
+        col("inter").cast("bigint").as("inter"), col("un").cast("bigint").as("un"))
+  }
+
   /** LSH estimator calibration audit — "can I trust my sketch at this
     * threshold": every LSH candidate pair's integer minhash agreement count
     * (0..NumHashes) next to its EXACT token-set intersection/union, rolled

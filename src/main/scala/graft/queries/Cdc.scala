@@ -209,6 +209,37 @@ object Cdc {
           .filter(!col("__is_deleted")).drop("__is_deleted"))
     },
 
+    // Change data feed between two snapshot versions (the Delta CDF /
+    // Iceberg incremental-read analog): per key, insert/update/delete with
+    // the winning seq on each side, derived from the snapshots alone (the
+    // stored last-write seq stands in for value comparison). The oracle
+    // replays the log to both cutoffs and diffs — the feed provably equals
+    // the log delta.
+    QDef.df("q61h_change_feed",
+      s"""$SRC,
+         |r AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS pk, seq,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM f),
+         |a AS (SELECT pk, seq FROM (SELECT pk, seq, is_del,
+         |        row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |      FROM r WHERE seq <= 900) z WHERE rn = 1 AND NOT is_del),
+         |b AS (SELECT pk, seq FROM (SELECT pk, seq, is_del,
+         |        row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |      FROM r) z WHERE rn = 1 AND NOT is_del)
+         |SELECT coalesce(b.pk, a.pk) AS primary_key,
+         |       CASE WHEN a.pk IS NULL THEN 'insert'
+         |            WHEN b.pk IS NULL THEN 'delete'
+         |            ELSE 'update' END AS change,
+         |       a.seq AS seq_from, b.seq AS seq_to
+         |FROM a FULL JOIN b ON a.pk = b.pk
+         |WHERE a.pk IS NULL OR b.pk IS NULL OR a.seq != b.seq""".stripMargin) { (s, _) =>
+      val (sink, _) = freshSnapshotSink("q61h")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      sink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
+      sink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
+      sink.changesBetween(s, fromVersion = 0L, toVersion = 1L)
+    },
+
     // Snapshot version history — the commit-log metadata view a lakehouse
     // operator reads before time-traveling or vacuuming: per committed
     // version, live-row and tombstone counts. The oracle replays each

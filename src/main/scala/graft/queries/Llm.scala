@@ -110,6 +110,36 @@ object Llm {
           col("jaccard").cast("decimal(38,4)").cast("string").as("jaccard"))
     },
 
+    // EXACT Jaccard-threshold join via prefix filtering (PPJoin) — the
+    // zero-recall-loss twin of q86's LSH: candidates from the rare-first
+    // prefix-token equi-join, verified by exact intersection, kept iff
+    // inter·2 >= 1·union (θ = 1/2). All integers; the oracle replays the
+    // same canonical order, prefix bound, and verification.
+    QDef.df("q81b_prefix_join",
+      s"""WITH ${toksCte(120)},
+         |dfc AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+         |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+         |rk AS (SELECT t.doc_id, t.tok,
+         |         row_number() OVER (PARTITION BY t.doc_id ORDER BY dfc.df, t.tok) AS rnk
+         |       FROM t JOIN dfc USING (tok)),
+         |pf AS (SELECT rk.doc_id, rk.tok FROM rk JOIN s USING (doc_id)
+         |       WHERE rk.rnk <= s.n - ((s.n * 1 + 2 - 1) // 2) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |ix AS (SELECT c.i, c.j, count(*) AS inter
+         |       FROM cand c
+         |       JOIN t ta ON ta.doc_id = c.i
+         |       JOIN t tb ON tb.doc_id = c.j AND tb.tok = ta.tok
+         |       GROUP BY c.i, c.j)
+         |SELECT ix.i, ix.j, CAST(ix.inter AS BIGINT) AS inter,
+         |       CAST(sa.n + sb.n - ix.inter AS BIGINT) AS un
+         |FROM ix JOIN s sa ON sa.doc_id = ix.i JOIN s sb ON sb.doc_id = ix.j
+         |WHERE ix.inter * 2 >= 1 * (sa.n + sb.n - ix.inter)""".stripMargin) { (s, dir) =>
+      Dedup.prefixJaccardJoin(
+        Tables.table(s, dir, "documents").filter(col("doc_id") < 120),
+        num = 1L, den = 2L)
+    },
+
     QDef.df("q86_minhash_lsh", {
       val params = (0 until Dedup.NumHashes)
         .map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")

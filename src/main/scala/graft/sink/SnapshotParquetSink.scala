@@ -347,6 +347,46 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
     }
   }
 
+  /** Change data feed between two committed versions — "what changed since
+    * I last read" for downstream consumers (the Delta CDF / Iceberg
+    * incremental-read analog), derived from the two snapshots themselves so
+    * it works on ANY pair of retained versions, including across
+    * compactions: per merge key, `insert` (live in v2 only), `delete`
+    * (live in v1, gone or tombstoned in v2), `update` (live in both with a
+    * different last-write `seqCol` — the sink stores the winning seq per
+    * key, so value-equality never needs column-wise comparison). Output:
+    * the key columns, `change`, `seq_from` (null for insert), `seq_to`
+    * (null for delete).
+    *
+    * Scale shape: both sides are manifest-pruned scans of key+seq columns
+    * only; the full outer join shuffles on the merge key — the same join
+    * any consumer-side diff pays, but over two column-pruned snapshots
+    * instead of full rows.
+    */
+  def changesBetween(spark: SparkSession, fromVersion: Long, toVersion: Long,
+      seqCol: String = "seq"): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val keys = SnapshotParquetSink.manifestKeys(dir, toVersion)
+    require(keys.nonEmpty,
+      s"the table at $dir records no merge keys (pre-keys-recording manifest)")
+    def live(v: Long) = readAt(spark, v, DeleteMode.Hard)
+      .select(keys.map(col) :+ col(seqCol): _*)
+    val a = keys.foldLeft(live(fromVersion).withColumnRenamed(seqCol, "seq_from")) {
+      (df, k) => df.withColumnRenamed(k, s"__a_$k") }
+    val b = keys.foldLeft(live(toVersion).withColumnRenamed(seqCol, "seq_to")) {
+      (df, k) => df.withColumnRenamed(k, s"__b_$k") }
+    val cond = keys.map(k => col(s"__a_$k") <=> col(s"__b_$k")).reduce(_ && _)
+    val joined = a.join(b, cond, "full_outer")
+    val change = when(col("seq_from").isNull, lit("insert"))
+      .when(col("seq_to").isNull, lit("delete"))
+      .when(col("seq_from") =!= col("seq_to"), lit("update"))
+    val keyCols = keys.map(k => coalesce(col(s"__b_$k"), col(s"__a_$k")).as(k))
+    joined
+      .select(keyCols ++ Seq(change.as("change"), col("seq_from"), col("seq_to")): _*)
+      .filter(col("change").isNotNull) // unchanged keys (same seq) drop out
+  }
+
   /** Rewrites the whole current state as ONE fresh commit: every bucket's
     * file moves under a single new root, so after history expires
     * (`vacuum`) the table holds exactly nBuckets files regardless of how

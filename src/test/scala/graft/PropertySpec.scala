@@ -432,6 +432,22 @@ class PropertySpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("prefixJaccardJoin: exact — equals the brute-force threshold join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+    val got = graft.llm.Dedup.prefixJaccardJoin(docs, num = 1L, den = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: token-level all-pairs with the same rational threshold
+    val brute = graft.llm.Dedup.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"prefix join missed ${brute -- got}, extra ${got -- brute}")
+    // and the verified ratios really clear the threshold
+    graft.llm.Dedup.prefixJaccardJoin(docs, 1L, 2L).collect().foreach { r =>
+      assert(r.getLong(2) * 2 >= r.getLong(3), s"pair below threshold: $r")
+    }
+  }
+
   test("lshCalibration: bounded buckets, inter <= union, pair count conserved") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -530,6 +530,24 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     }
   }
 
+  test("changesBetween: per-key insert/update/delete vs the prior version") {
+    val sink = new SnapshotParquetSink(tmpDir("cdf") + "/t", nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false), ("c", 2, "c0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    // v1: a updated, b deleted, c untouched, d inserted
+    sink.merge(batch(("a", 3, "a1", false), ("b", 4, "del", true), ("d", 5, "d0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    val feed = sink.changesBetween(spark, 0L, 1L).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(feed == Map(
+      "a" -> (("update", Some(0L), Some(3L))),
+      "b" -> (("delete", Some(1L), None)),
+      "d" -> (("insert", None, Some(5L))))) // c (unchanged) absent
+    intercept[IllegalArgumentException](sink.changesBetween(spark, 1L, 1L))
+  }
+
   test("Dfs.renameOntoAbsent: loser keeps src, winner owns dst, content intact") {
     import org.apache.hadoop.fs.{Path => HPath}
     import graft.engine.Dfs
