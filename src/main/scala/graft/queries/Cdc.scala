@@ -240,6 +240,66 @@ object Cdc {
       sink.changesBetween(s, fromVersion = 0L, toVersion = 1L)
     },
 
+    // Atomic multi-table transaction via the snapshot catalog: both tables
+    // merge to seq<=600 and catalog v0 pins that cut; then a CRASHED
+    // transaction advances orders alone (full merge, no catalog commit) —
+    // catalog readers still see the v0 cut on BOTH tables; the retried
+    // transaction completes (customers full + commit) as v1. The oracle
+    // replays the log at the two cuts — reading catalog v0 AFTER orders'
+    // unpinned head commit must still equal the 600-cut on both tables,
+    // which is exactly the torn-read the catalog exists to prevent.
+    QDef.df("q61i_catalog_txn",
+      s"""$SRC,
+         |t2 AS (SELECT seq,
+         |        data['database_name'] || '.' ||
+         |          regexp_replace(data['table_name'], '_part_[0-9]+$$', '') AS ftn,
+         |        CAST(data['primary_key'] AS VARCHAR) AS pk,
+         |        coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM src),
+         |live AS (SELECT ftn, cutoff, pk FROM (
+         |          SELECT t2.ftn, c.cutoff, t2.pk, t2.is_del,
+         |                 row_number() OVER (PARTITION BY t2.ftn, c.cutoff, t2.pk
+         |                                    ORDER BY t2.seq DESC) AS rn
+         |          FROM t2, (VALUES (600), (1729)) c(cutoff)
+         |          WHERE t2.seq <= c.cutoff
+         |            AND t2.ftn IN ('shop.orders', 'shop.customers')) z
+         |         WHERE rn = 1 AND NOT is_del)
+         |SELECT CAST(CASE cutoff WHEN 600 THEN 0 ELSE 1 END AS BIGINT) AS catalog_version,
+         |       CASE ftn WHEN 'shop.orders' THEN 'orders' ELSE 'customers' END AS table_name,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CAST(pk AS INTEGER)) AS BIGINT) AS pk_sum
+         |FROM live GROUP BY 1, 2""".stripMargin) { (s, _) =>
+      val base = sys.props("java.io.tmpdir") + "/graft_q61i_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(base))
+      graft.engine.Fs.reclaimAtExit(base)
+      val cat = new graft.sink.SnapshotCatalog(base)
+      val e = env(s)
+      def flat(tbl: String) = CdcPipeline.expanded(CdcPipeline.forTable(e, tbl))
+      val to = cat.table("orders", nBuckets = 8)
+      val tc = cat.table("customers", nBuckets = 8)
+      // transaction 1: both tables to seq<=600, pinned atomically as v0
+      to.merge(flat("shop.orders").filter(col("seq") <= 600), Seq("primary_key"), "seq", "is_delete")
+      tc.merge(flat("shop.customers").filter(col("seq") <= 600), Seq("primary_key"), "seq", "is_delete")
+      cat.commitCurrent(Seq("orders", "customers"))
+      // transaction 2 CRASHES half-way: orders advanced, catalog not
+      to.merge(flat("shop.orders"), Seq("primary_key"), "seq", "is_delete")
+      // retried transaction completes: customers catch up, v1 pins both
+      tc.merge(flat("shop.customers"), Seq("primary_key"), "seq", "is_delete")
+      cat.commitCurrent(Seq("orders", "customers"))
+      // read BOTH catalog versions after the fact: v0 must still be the
+      // 600-cut on both tables despite orders' interleaved head commit
+      val rows = Seq(0L, 1L).flatMap { v =>
+        cat.readAllAt(s, v).toSeq.sortBy(_._1).map { case (name, df) =>
+          df.agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("primary_key").cast("int")).cast("bigint").as("pk_sum"))
+            .select(lit(v).as("catalog_version"), lit(name).as("table_name"),
+              col("n_rows"), col("pk_sum"))
+        }
+      }
+      rows.reduce(_.unionByName(_))
+    },
+
     // Snapshot version history — the commit-log metadata view a lakehouse
     // operator reads before time-traveling or vacuuming: per committed
     // version, live-row and tombstone counts. The oracle replays each

@@ -1,0 +1,157 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.Dfs
+
+/** Atomic MULTI-TABLE snapshots over a family of [[SnapshotParquetSink]]
+  * tables — the cross-table transaction layer the per-table format can't
+  * give by itself (and the widely-known gap in single-table lakehouse
+  * formats): a catalog version is one atomically-published manifest
+  * pinning `(table → table-version)` for every member table, so a reader
+  * resolving THROUGH the catalog always sees a consistent cross-table cut
+  * — never table A's new commit joined against table B's old one, no
+  * matter how many per-table merges land between catalog commits.
+  *
+  * This is the WRITE-side twin of
+  * [[graft.cdc.CdcPipeline.readAllAsOf]] (which replays a retained event
+  * LOG to a common seq): here consistency is a property of the published
+  * table versions themselves, so it works for any writer — not just CDC
+  * replays — and readers need no log access.
+  *
+  * Protocol: writers merge into member tables as usual (each merge is its
+  * own atomic per-table commit), then `commitCurrent` publishes a catalog
+  * manifest pinning the versions it observed, through the SAME
+  * rename-onto-absent optimistic lock as the table commits
+  * ([[Dfs.renameOntoAbsent]] — HDFS/object-store-safe). Crash anywhere
+  * between table merges and the catalog publish leaves member tables
+  * advanced but UNPINNED: catalog readers keep seeing the previous
+  * consistent cut, and the next successful commit pins a new one. Nothing
+  * is ever rolled back — table history is immutable; the catalog is a
+  * consistent-cut INDEX over it.
+  *
+  * Vacuum discipline: a pinned table version must outlive every catalog
+  * version that pins it — [[retainedVersions]] reports, per table, the
+  * versions the kept catalog history still references, and
+  * [[SnapshotParquetSink.vacuum]]'s `keepLast` must cover them (checked by
+  * the caller; the catalog cannot see through to every table's vacuum
+  * policy).
+  *
+  * Layout: `dir/_catalog/v%08d.manifest` (text: one `t <name> <version>`
+  * line per member), member tables at `dir/<name>`.
+  */
+final class SnapshotCatalog(dir: String) {
+
+  private def catalogDir: HPath = new HPath(dir, "_catalog")
+  private def manifestPath(v: Long): HPath =
+    new HPath(catalogDir, f"v$v%08d.manifest")
+
+  /** Member table handle — tables live under the catalog dir by name. */
+  def table(name: String, nBuckets: Int = 16): SnapshotParquetSink = {
+    require(!name.contains("/") && !name.startsWith("_"),
+      s"table name '$name' must be a plain identifier (no '/', no '_' prefix)")
+    new SnapshotParquetSink(s"$dir/$name", nBuckets)
+  }
+
+  def versions: Seq[Long] =
+    Dfs.list(catalogDir)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+
+  def currentVersion: Option[Long] = versions.lastOption
+
+  /** table → pinned table-version at catalog version `v`. */
+  def pins(v: Long): Map[String, Long] =
+    Dfs.readUtf8(manifestPath(v)).split('\n').toSeq
+      .filter(_.startsWith("t "))
+      .map { line =>
+        val Array(_, name, tv) = line.split(" ", 3)
+        name -> tv.toLong
+      }.toMap
+
+  /** Publishes a catalog version pinning exactly `pinned`. Retries the
+    * optimistic lock like the table commits; returns the published catalog
+    * version. Refuses to pin a table version that is not actually
+    * published (a typo'd pin would brick every reader of the new catalog
+    * version).
+    */
+  def commit(pinned: Map[String, Long]): Long = synchronized {
+    require(pinned.nonEmpty, "a catalog commit must pin at least one table")
+    pinned.foreach { case (name, tv) =>
+      require(SnapshotParquetSink.versions(s"$dir/$name").contains(tv),
+        s"cannot pin $name@v$tv — that table version is not published")
+    }
+    Dfs.mkdirs(catalogDir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val version = currentVersion.map(_ + 1L).getOrElse(0L)
+      val commitId = java.util.UUID.randomUUID().toString
+      val tmp = new HPath(catalogDir, s".tmp-$commitId")
+      val body = (s"version=$version" +:
+        pinned.toSeq.sortBy(_._1).map { case (n, tv) => s"t $n $tv" })
+        .mkString("", "\n", "\n")
+      Dfs.writeUtf8(tmp, body)
+      if (Dfs.renameOntoAbsent(tmp, manifestPath(version))) return version
+      Dfs.delete(tmp)
+      if (attempts >= 10)
+        sys.error(s"catalog commit lost the race $attempts times at $dir")
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(10L, 100L * attempts))
+    }
+    -1L // unreachable
+  }
+
+  /** Pins each listed table at its CURRENT published version — the normal
+    * end-of-transaction call after a writer finished its per-table merges.
+    */
+  def commitCurrent(tables: Seq[String]): Long =
+    commit(tables.map { name =>
+      name -> SnapshotParquetSink.versions(s"$dir/$name").lastOption
+        .getOrElse(sys.error(s"table $name has no published version to pin"))
+    }.toMap)
+
+  /** Every member table AS OF catalog version `v` — the consistent
+    * cross-table read. Each frame is the table's pinned snapshot
+    * ([[SnapshotParquetSink.readAt]] — manifest-pruned, lazily planned).
+    */
+  def readAllAt(spark: SparkSession, v: Long,
+      mode: DeleteMode = DeleteMode.Hard): Map[String, DataFrame] =
+    pins(v).map { case (name, tv) =>
+      name -> new SnapshotParquetSink(s"$dir/$name").readAt(spark, tv, mode)
+    }
+
+  def readAll(spark: SparkSession,
+      mode: DeleteMode = DeleteMode.Hard): Map[String, DataFrame] =
+    readAllAt(spark,
+      currentVersion.getOrElse(sys.error(s"no catalog version published at $dir")), mode)
+
+  /** Per table, the table versions still referenced by the newest
+    * `keepLast` catalog versions — the set a table vacuum must retain.
+    */
+  def retainedVersions(keepLast: Int = 1): Map[String, Set[Long]] = {
+    require(keepLast >= 1, "must keep at least the current catalog version")
+    val kept = versions.takeRight(keepLast)
+    kept.flatMap(v => pins(v).toSeq)
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+  }
+
+  /** Expires catalog history: keeps the newest `keepLast` manifests plus
+    * aged `.tmp-*` leftovers from crashed commits. Member-table vacuums are
+    * separate ([[retainedVersions]] tells them what to keep).
+    */
+  def vacuum(keepLast: Int = 1, minOrphanAgeMs: Long = 3600000L): Int = synchronized {
+    require(keepLast >= 1, "must keep at least the current catalog version")
+    val vs = versions
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(v => Dfs.delete(manifestPath(v)))
+    val now = System.currentTimeMillis()
+    Dfs.list(catalogDir)
+      .filter(st => st.getPath.getName.startsWith(".tmp-"))
+      .filter(st => now - st.getModificationTime >= minOrphanAgeMs)
+      .foreach(st => Dfs.delete(st.getPath))
+    drop.size
+  }
+}

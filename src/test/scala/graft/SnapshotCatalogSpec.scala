@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.sink.{DeleteMode, SnapshotCatalog}
+
+/** The catalog's contract: a catalog version is an atomic, immutable
+  * cross-table cut — torn reads are impossible through it, concurrent
+  * commits never lose, and vacuum keeps what pinned history needs.
+  */
+class SnapshotCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, Long, String, Boolean)*): DataFrame =
+    rows.toSeq.toDF("primary_key", "seq", "val", "is_delete")
+
+  private def keysOf(df: DataFrame): Set[String] =
+    df.select("primary_key").collect().map(_.getString(0)).toSet
+
+  test("catalog cut survives a crashed half-transaction on one table") {
+    val cat = new SnapshotCatalog(tmpDir("cat") + "/c")
+    val a = cat.table("a", nBuckets = 2); val b = cat.table("b", nBuckets = 2)
+    a.merge(batch(("a1", 0, "x", false)), Seq("primary_key"), "seq", "is_delete")
+    b.merge(batch(("b1", 1, "y", false)), Seq("primary_key"), "seq", "is_delete")
+    val v0 = cat.commitCurrent(Seq("a", "b"))
+    // crashed transaction: a advances, b and the catalog don't
+    a.merge(batch(("a2", 2, "x2", false)), Seq("primary_key"), "seq", "is_delete")
+    val view = cat.readAll(spark)
+    assert(keysOf(view("a")) == Set("a1"), "catalog reader must not see the unpinned commit")
+    assert(keysOf(view("b")) == Set("b1"))
+    // retried transaction completes
+    b.merge(batch(("b2", 3, "y2", false)), Seq("primary_key"), "seq", "is_delete")
+    val v1 = cat.commitCurrent(Seq("a", "b"))
+    assert(v1 == v0 + 1)
+    assert(keysOf(cat.readAll(spark)("a")) == Set("a1", "a2"))
+    // the old cut stays readable (time travel at catalog level)
+    assert(keysOf(cat.readAllAt(spark, v0)("a")) == Set("a1"))
+  }
+
+  test("commit refuses an unpublished pin; names are validated") {
+    val cat = new SnapshotCatalog(tmpDir("cat") + "/c")
+    cat.table("a", 2).merge(batch(("k", 0, "v", false)), Seq("primary_key"), "seq", "is_delete")
+    intercept[IllegalArgumentException](cat.commit(Map("a" -> 7L)))
+    intercept[IllegalArgumentException](cat.table("_sneaky"))
+    intercept[IllegalArgumentException](cat.table("a/b"))
+    intercept[IllegalArgumentException](cat.commit(Map.empty))
+  }
+
+  test("concurrent catalog commits: both land, neither lost") {
+    val dir = tmpDir("cat") + "/c"
+    val cat = new SnapshotCatalog(dir)
+    cat.table("a", 2).merge(batch(("k", 0, "v", false)), Seq("primary_key"), "seq", "is_delete")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // two independent handles (no shared instance lock) race the publish
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = new SnapshotCatalog(dir).commitCurrent(Seq("a"))
+        })
+      }
+      val got = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS)).toSet
+      assert(got == Set(0L, 1L), s"exactly versions 0 and 1 expected, got $got")
+      assert(cat.versions == Seq(0L, 1L))
+      assert(cat.pins(0L) == Map("a" -> 0L) && cat.pins(1L) == Map("a" -> 0L))
+    } finally pool.shutdownNow()
+  }
+
+  test("retainedVersions + vacuum: pinned table versions are reported; history expires") {
+    val cat = new SnapshotCatalog(tmpDir("cat") + "/c")
+    val a = cat.table("a", 2)
+    a.merge(batch(("k", 0, "v0", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitCurrent(Seq("a"))                 // catalog v0 -> a@0
+    a.merge(batch(("k", 1, "v1", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitCurrent(Seq("a"))                 // catalog v1 -> a@1
+    a.merge(batch(("k", 2, "v2", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitCurrent(Seq("a"))                 // catalog v2 -> a@2
+    assert(cat.retainedVersions(keepLast = 2) == Map("a" -> Set(1L, 2L)))
+    assert(cat.vacuum(keepLast = 2, minOrphanAgeMs = 0L) == 1)
+    assert(cat.versions == Seq(1L, 2L))
+    // the surviving cuts still resolve
+    assert(cat.readAllAt(spark, 1L)("a").collect().map(_.getString(2)).toSeq == Seq("v1"))
+  }
+}
