@@ -113,6 +113,43 @@ final class SnapshotCatalog(dir: String) {
         .getOrElse(sys.error(s"table $name has no published version to pin"))
     }.toMap)
 
+  /** SEQ-ALIGNED catalog commit for independently-streaming CDC replicas:
+    * pins, per table, the newest version whose recorded applied-head seq
+    * (`maxseq=` in the table manifest) is ≤ `cut` — a cross-table cut at a
+    * common log position, built from MANIFEST METADATA ONLY (no data scan,
+    * no retained-log replay — contrast
+    * [[graft.cdc.CdcPipeline.readAllAsOf]], which replays the log).
+    *
+    * `cut` must be a SOURCE position every member stream has fully
+    * consumed (a micro-batch boundary of the shared multiplexed feed — the
+    * [[graft.streaming.CdcOrchestrator]] fan-out shape; the coordinator
+    * knows it, the sinks cannot derive it: a table's own recorded maxes
+    * are its FILTERED events' maxes, which differ per table for the same
+    * boundary, so min-of-heads auto-alignment would misalign). Under that
+    * contract the pinned version's state equals `stateAsOf(cut)` for every
+    * table: the table's events in `(maxseq_pinned, cut]` would have to
+    * arrive in a later batch, and later batches of a seq-ordered source
+    * start above the consumed boundary. Returns the catalog version.
+    */
+  def commitAligned(tables: Seq[String], cut: Long): Long = {
+    require(tables.nonEmpty, "commitAligned needs at least one table")
+    val pinned = tables.map { name =>
+      val vs = SnapshotParquetSink.versions(s"$dir/$name")
+      require(vs.nonEmpty, s"table $name has no published version")
+      val withSeq = vs.flatMap(v =>
+        SnapshotParquetSink.manifestMaxSeq(s"$dir/$name", v).map(v -> _))
+      require(withSeq.nonEmpty,
+        s"table $name records no maxseq in any manifest — aligned commits " +
+          "need the applied-head metadata (merge again with a current build)")
+      val ok = withSeq.filter(_._2 <= cut)
+      require(ok.nonEmpty,
+        s"table $name has no version at or below cut $cut (earliest recorded " +
+          s"head is ${withSeq.head._2}) — retain more history or raise the cut")
+      name -> ok.last._1
+    }.toMap
+    commit(pinned)
+  }
+
   /** Every member table AS OF catalog version `v` — the consistent
     * cross-table read. Each frame is the table's pinned snapshot
     * ([[SnapshotParquetSink.readAt]] — manifest-pruned, lazily planned).

@@ -40,7 +40,9 @@ import graft.engine.Dfs
   * }}}
   *
   * Manifest format (line-oriented, no parser dependency):
-  * `version=N`, `nBuckets=B`, then one `b <bucket> <relative-path>` per
+  * `version=N`, `nBuckets=B`, `keys=...`, `maxseq=S` (the table's applied
+  * head seq — monotone; what [[SnapshotCatalog.commitAligned]] reads),
+  * then one `b <bucket> <relative-path>` per
   * bucket present. Merge semantics (last-write-wins by seq, `__gen`
   * tie-break = the committing version, tombstoned deletes) match the other
   * sinks; `__gen` strictly increases per commit, so replaying a batch is
@@ -89,6 +91,17 @@ object SnapshotParquetSink {
       .collectFirst { case l if l.startsWith("keys=") =>
         l.stripPrefix("keys=").split(',').toSeq.map(_.trim).filter(_.nonEmpty) }
       .getOrElse(Seq.empty)
+
+  /** The applied-head seq recorded at `version`: the max `seqCol` this
+    * table has merged up to and including that commit (monotone across
+    * versions). None for manifests written before it was recorded. This is
+    * the metadata [[SnapshotCatalog.commitAligned]] reads to build
+    * seq-consistent cross-table cuts without scanning data files.
+    */
+  def manifestMaxSeq(dir: String, version: Long): Option[Long] =
+    manifestLines(dir, version)
+      .collectFirst { case l if l.startsWith("maxseq=") =>
+        l.stripPrefix("maxseq=").toLong }
 
   /** Driver-side bucket routing, bit-identical to the write path's
     * `pmod(xxhash64(keys...), nBuckets)`: literals cast to the STORED key
@@ -148,6 +161,9 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
       // limits the read and rewrite to affected buckets only
       val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
       if (affected.isEmpty) return
+      // the batch's applied head — recorded in the manifest (monotone across
+      // commits) so catalog-level seq-aligned cuts read metadata, not data
+      val batchMaxSeq = incoming0.agg(max(col(seqCol).cast("long"))).head().getLong(0)
 
       var attempts = 0
       var committed = false
@@ -202,8 +218,10 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
           .parquet(s"$dir/data/$commitId")
 
         val newEntries = entries ++ affected.map(b => b -> s"data/$commitId/__bucket=$b")
+        val maxSeq = math.max(batchMaxSeq,
+          base.flatMap(v => SnapshotParquetSink.manifestMaxSeq(dir, v)).getOrElse(Long.MinValue))
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
-          s"keys=${keys.mkString(",")}") ++
+          s"keys=${keys.mkString(",")}", s"maxseq=$maxSeq") ++
           newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
           .mkString("", "\n", "\n")
         if (publish(version, commitId, body)) {
@@ -245,6 +263,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
       val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
       require(affected.nonEmpty,
         s"replaceAll with an empty batch would publish an unreadable empty table at $dir")
+      val batchMaxSeq = incoming0.agg(max(col(seqCol).cast("long"))).head().getLong(0)
       var attempts = 0
       while (true) {
         attempts += 1
@@ -272,7 +291,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
           .parquet(s"$dir/data/$commitId")
         val newEntries = affected.map(b => b -> s"data/$commitId/__bucket=$b")
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
-          s"keys=${keys.mkString(",")}") ++
+          s"keys=${keys.mkString(",")}", s"maxseq=$batchMaxSeq") ++
           newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
           .mkString("", "\n", "\n")
         if (publish(version, commitId, body)) {
@@ -417,8 +436,10 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
       // carry the recorded merge keys forward — compaction rewrites data
       // files, never the key contract
       val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
+      val baseMaxSeq = SnapshotParquetSink.manifestMaxSeq(dir, base)
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
+        baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
         newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
         .mkString("", "\n", "\n")
       if (publish(version, commitId, body)) {

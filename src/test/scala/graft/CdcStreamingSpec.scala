@@ -183,6 +183,54 @@ class CdcStreamingSpec extends SparkSpec {
     assert(cons.values.forall(df => df.filter(col("seq") > cut).isEmpty))
   }
 
+  test("seq-aligned catalog commit over lagging fan-out streams == log replayed to the cut") {
+    import graft.sink.SnapshotCatalog
+    // both tables stream from the SAME multiplexed feed into catalog
+    // member tables; customers lags (only the first file ever arrives).
+    // cut = 899, the boundary of the file both streams fully consumed —
+    // commitAligned must pin each table at a version whose state equals
+    // stateAsOf(899), from manifest metadata alone.
+    val inO = tmpDir("al_in_o"); val inC = tmpDir("al_in_c")
+    val catDir = tmpDir("al_cat") + "/c"
+    val cat = new SnapshotCatalog(catDir)
+    val customersSpec = TableSpec.loadCsv(Cdc.Fixtures.columnsPath)("shop.customers")
+    writeChunk(inO, "b0.jsonl", fixtureLines.take(900)) // seq 0..899
+    writeChunk(inC, "b0.jsonl", fixtureLines.take(900))
+    for ((in, sp, name) <- Seq((inO, ordersSpec, "orders"), (inC, customersSpec, "customers"))) {
+      val sink = cat.table(name, nBuckets = 4)
+      val q = CdcStream.start(spark,
+        CdcStreamSpec(in, tmpDir("al_ck") + s"/$name", sp, sink))
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    // orders races ahead with a second file; customers never sees it
+    writeChunk(inO, "b1.jsonl", fixtureLines.drop(900))
+    val q2 = CdcStream.start(spark,
+      CdcStreamSpec(inO, tmpDir("al_ck") + "/orders", ordersSpec, cat.table("orders", 4)))
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+
+    val v = cat.commitAligned(Seq("orders", "customers"), cut = 899L)
+    val view = cat.readAllAt(spark, v)
+    val full = tmpDir("al_full")
+    writeChunk(full, "all.jsonl", fixtureLines)
+    val env = CdcPipeline.readBatch(spark, full)
+    def state(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.select("primary_key", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(state(view("orders")) ==
+      state(CdcPipeline.stateAsOf(env, ordersSpec, 899L)))
+    assert(state(view("customers")) ==
+      state(CdcPipeline.stateAsOf(env, customersSpec, 899L)))
+    // orders' unpinned head commit is beyond the cut, and visible only at
+    // its own head — not through the aligned catalog version
+    assert(state(cat.table("orders", 4).read(spark, graft.sink.DeleteMode.Hard)) !=
+      state(view("orders")))
+    // a cut below every recorded head refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      cat.commitAligned(Seq("orders", "customers"), cut = 1L)
+    }
+    assert(e.getMessage.contains("no version at or below"))
+  }
+
   test("CdcSource seam: the same pipeline runs over a memory transport (Kafka swap-in shape)") {
     val ckpt = tmpDir("cdc_ckpt")
     val sinkDir = tmpDir("cdc_sink") + "/orders"
