@@ -103,6 +103,26 @@ object SnapshotParquetSink {
       .collectFirst { case l if l.startsWith("maxseq=") =>
         l.stripPrefix("maxseq=").toLong }
 
+  /** Per-bucket column statistics recorded at `version`:
+    * bucket → column → (min, max) as decimal strings (timestamps as epoch
+    * micros). Only buckets/columns with a recorded `s` line appear —
+    * consumers must treat absence as "unknown, cannot prune". Stats follow
+    * the entries' carry-forward rule: untouched buckets keep the stats of
+    * the commit that last wrote them, so a bucket's recorded `seq` max is
+    * the last time its content changed — which is what makes
+    * `WHERE seq > X` incremental reads skip cold buckets.
+    */
+  def manifestStats(dir: String,
+      version: Long): Map[Int, Map[String, (BigDecimal, BigDecimal)]] =
+    manifestLines(dir, version)
+      .filter(_.startsWith("s "))
+      .map { line =>
+        val Array(_, b, c, mn, mx) = line.split(" ", 5)
+        (b.toInt, c, (BigDecimal(mn), BigDecimal(mx)))
+      }
+      .groupBy(_._1)
+      .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
+
   /** Driver-side bucket routing, bit-identical to the write path's
     * `pmod(xxhash64(keys...), nBuckets)`: literals cast to the STORED key
     * types, XxHash64 evaluated without a Spark job.
@@ -118,10 +138,66 @@ object SnapshotParquetSink {
   }
 }
 
-final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertSink {
+/** `statsCols`: numeric/timestamp columns to record per-bucket min/max for
+  * in each commit's manifest — MANIFEST-LEVEL DATA SKIPPING (the Delta
+  * data-skipping idea adapted to the incremental bucket layout): the DSv2
+  * scan drops whole buckets whose recorded range excludes a pushed range/
+  * equality predicate before any file is opened. On a hash-bucketed table
+  * value ranges scatter, so the payoff is on columns CORRELATED WITH
+  * COMMIT TIME — above all `seq`: untouched buckets keep the stats of the
+  * commit that last rewrote them, so an incremental consumer's
+  * `WHERE seq > X` plans only buckets that actually changed since X.
+  * Stats cost one column-pruned read-back of the just-written files per
+  * commit; tables written without stats read unchanged (absence = no
+  * pruning).
+  */
+final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
+    statsCols: Seq[String] = Nil) extends UpsertSink {
 
   private def manifestsDir: HPath = SnapshotParquetSink.manifestsDir(dir)
   private def manifestPath(v: Long): HPath = SnapshotParquetSink.manifestPath(dir, v)
+
+  /** `s <bucket> <col> <min> <max>` lines for the freshly-written commit
+    * root: one column-pruned scan of the new files (never the whole
+    * table), timestamps normalized to epoch micros so the manifest is a
+    * plain decimal string. All-null buckets record no line (unknown).
+    */
+  private def statsLinesFor(spark: SparkSession, commitId: String): Seq[String] = {
+    if (statsCols.isEmpty) return Nil
+    val written = spark.read
+      .option("basePath", s"$dir/data/$commitId").parquet(s"$dir/data/$commitId")
+    val schema = written.schema
+    statsCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"stats column '$c' absent from the batch")
+      val ok = schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+      require(ok, s"stats column '$c' must be numeric/timestamp/date " +
+        s"(got ${schema(c).dataType}) — string ranges don't order portably")
+    }
+    def norm(c: String) = schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case org.apache.spark.sql.types.DateType => datediff(col(c), lit("1970-01-01"))
+      case _ => col(c)
+    }
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(norm(c)).as(s"__mn_$c"), max(norm(c)).as(s"__mx_$c")))
+    written.groupBy(col("__bucket")).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { row =>
+        val b = row.getInt(0)
+        statsCols.flatMap { c =>
+          val mn = row.get(row.fieldIndex(s"__mn_$c"))
+          val mx = row.get(row.fieldIndex(s"__mx_$c"))
+          if (mn == null || mx == null) None else Some(s"s $b $c $mn $mx")
+        }
+      }
+  }
 
   private def bucketOf(keys: Seq[String]) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
@@ -220,9 +296,17 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         val newEntries = entries ++ affected.map(b => b -> s"data/$commitId/__bucket=$b")
         val maxSeq = math.max(batchMaxSeq,
           base.flatMap(v => SnapshotParquetSink.manifestMaxSeq(dir, v)).getOrElse(Long.MinValue))
+        // stats carry-forward mirrors the entries': untouched buckets keep
+        // the ranges of the commit that last wrote them
+        val priorStats = base.map(v => SnapshotParquetSink.manifestStats(dir, v))
+          .getOrElse(Map.empty)
+        val carried = (priorStats -- affected).toSeq.sortBy(_._1).flatMap {
+          case (b, cols) => cols.toSeq.sortBy(_._1).map {
+            case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
           s"keys=${keys.mkString(",")}", s"maxseq=$maxSeq") ++
-          newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
+          newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
+          carried ++ statsLinesFor(spark, commitId))
           .mkString("", "\n", "\n")
         if (publish(version, commitId, body)) {
           committed = true
@@ -292,7 +376,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
         val newEntries = affected.map(b => b -> s"data/$commitId/__bucket=$b")
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
           s"keys=${keys.mkString(",")}", s"maxseq=$batchMaxSeq") ++
-          newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
+          newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
+          statsLinesFor(spark, commitId))
           .mkString("", "\n", "\n")
         if (publish(version, commitId, body)) {
           return
@@ -437,10 +522,15 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
       // files, never the key contract
       val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
       val baseMaxSeq = SnapshotParquetSink.manifestMaxSeq(dir, base)
+      // per-bucket content is preserved exactly, so ranges carry verbatim
+      val carried = SnapshotParquetSink.manifestStats(dir, base).toSeq.sortBy(_._1)
+        .flatMap { case (b, cols) => cols.toSeq.sortBy(_._1).map {
+          case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
-        newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" })
+        newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
+        carried)
         .mkString("", "\n", "\n")
       if (publish(version, commitId, body)) {
         return version
@@ -467,7 +557,29 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16) extends UpsertS
   def vacuum(keepLast: Int = 1, minOrphanAgeMs: Long = 3600000L): (Int, Int) = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = versions
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    vacuumDropping(vs.dropRight(keepLast).toSet, minOrphanAgeMs)
+  }
+
+  /** Pin-aware vacuum: keeps `pinned` versions (the ones catalog history
+    * still references — [[SnapshotCatalog.retainedVersions]] feeds this
+    * directly) PLUS the current version, drops everything else. The
+    * catalog/table vacuum handshake: expire catalog history first, then
+    * vacuum each member with its retained set.
+    */
+  def vacuumKeeping(pinned: Set[Long],
+      minOrphanAgeMs: Long = 3600000L): (Int, Int) = synchronized {
+    val vs = versions
+    val keep = pinned ++ currentVersion
+    val missing = pinned.diff(vs.toSet)
+    require(missing.isEmpty,
+      s"cannot pin absent versions ${missing.toSeq.sorted.mkString(",")} at $dir")
+    vacuumDropping(vs.toSet.diff(keep), minOrphanAgeMs)
+  }
+
+  private def vacuumDropping(dropSet: Set[Long], minOrphanAgeMs: Long): (Int, Int) = {
+    val vs = versions
+    val drop = vs.filter(dropSet)
+    val keep = vs.filterNot(dropSet)
     val referencedRoots = keep.flatMap(v => readManifest(v).values)
       .map(rel => rel.substring(0, rel.indexOf("/__bucket="))).toSet
     val dataDir = new HPath(dir, "data")

@@ -149,7 +149,8 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
 
 /** One resolved (dir, version) view of a snapshot table. */
 private[sources] final case class SnapshotState(dir: String, version: Long,
-    nBuckets: Int, entries: Map[Int, String], keys: Seq[String]) {
+    nBuckets: Int, entries: Map[Int, String], keys: Seq[String],
+    stats: Map[Int, Map[String, (BigDecimal, BigDecimal)]] = Map.empty) {
 
   def bucketPaths: Seq[String] = entries.toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
 
@@ -169,8 +170,14 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
   /** The file list a scan must read given the pushed filters: one bucket
     * when every declared key is pinned by an equality, all buckets else.
     */
-  def prunedPaths(filters: Seq[Expression]): Seq[String] = {
-    if (keys.isEmpty) return bucketPaths
+  def prunedPaths(filters: Seq[Expression]): Seq[String] =
+    statsPruned(filters, keyPruned(filters))
+
+  /** Key-equality pruning: one bucket when every declared key is pinned by
+    * an equality, all buckets else.
+    */
+  private def keyPruned(filters: Seq[Expression]): Map[Int, String] = {
+    if (keys.isEmpty) return entries
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Literal}
     val eqs = filters.collect {
@@ -179,10 +186,70 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
       case EqualTo(l: Literal, a: Attribute) =>
         a.name -> CatalystTypeConverters.convertToScala(l.value, l.dataType)
     }.toMap
-    if (!keys.forall(eqs.contains)) return bucketPaths
+    if (!keys.forall(eqs.contains)) return entries
     val bucket = SnapshotParquetSink.bucketFor(
       keys.map(eqs), keys.map(k => dataSchema(k).dataType), nBuckets)
-    entries.get(bucket).map(rel => Seq(s"$dir/$rel")).getOrElse(Seq.empty)
+    entries.get(bucket).map(rel => Map(bucket -> rel)).getOrElse(Map.empty)
+  }
+
+  /** A pushed literal on a stats column as BigDecimal (timestamps compare
+    * by their internal epoch-micros value — the same normalization the
+    * writer records). None = not comparable, don't prune on it.
+    */
+  private def statLit(
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[BigDecimal] =
+    l.value match {
+      case null => None
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      case _ => None
+    }
+
+  /** Manifest-stats pruning: drop buckets whose recorded [min, max] for a
+    * stats column excludes a pushed range/equality conjunct. Buckets or
+    * columns without recorded stats are conservatively kept; every
+    * predicate stays residual, so this is a pure file-list optimization.
+    */
+  private def statsPruned(filters: Seq[Expression],
+      surviving: Map[Int, String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Attribute, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+      LessThanOrEqual, Literal}
+    def paths(m: Map[Int, String]): Seq[String] =
+      m.toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
+    if (stats.isEmpty) return paths(surviving)
+    val rules: Seq[(String, (BigDecimal, BigDecimal) => Boolean)] = filters.flatMap {
+      case EqualTo(a: Attribute, l: Literal) =>
+        statLit(l).map(v => a.name -> ((mn: BigDecimal, mx: BigDecimal) => mn <= v && v <= mx))
+      case EqualTo(l: Literal, a: Attribute) =>
+        statLit(l).map(v => a.name -> ((mn: BigDecimal, mx: BigDecimal) => mn <= v && v <= mx))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        statLit(l).map(v => a.name -> ((_: BigDecimal, mx: BigDecimal) => mx > v))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        statLit(l).map(v => a.name -> ((_: BigDecimal, mx: BigDecimal) => mx >= v))
+      case LessThan(a: Attribute, l: Literal) =>
+        statLit(l).map(v => a.name -> ((mn: BigDecimal, _: BigDecimal) => mn < v))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        statLit(l).map(v => a.name -> ((mn: BigDecimal, _: BigDecimal) => mn <= v))
+      case GreaterThan(l: Literal, a: Attribute) => // v > col ⇔ col < v
+        statLit(l).map(v => a.name -> ((mn: BigDecimal, _: BigDecimal) => mn < v))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        statLit(l).map(v => a.name -> ((mn: BigDecimal, _: BigDecimal) => mn <= v))
+      case LessThan(l: Literal, a: Attribute) =>
+        statLit(l).map(v => a.name -> ((_: BigDecimal, mx: BigDecimal) => mx > v))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        statLit(l).map(v => a.name -> ((_: BigDecimal, mx: BigDecimal) => mx >= v))
+      case _ => None
+    }
+    if (rules.isEmpty) return paths(surviving)
+    paths(surviving.filter { case (b, _) =>
+      rules.forall { case (c, keep) =>
+        stats.get(b).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => keep(mn, mx)
+          case None           => true // no recorded range — must keep
+        }
+      }
+    })
   }
 }
 
@@ -216,7 +283,8 @@ private[sources] object SnapshotState {
             "(pruning uses the recorded keys automatically)")
         recorded
       } else keys // pre-keys-recording manifest: trust the caller (documented)
-    SnapshotState(dir, version, nBuckets, entries, effectiveKeys)
+    SnapshotState(dir, version, nBuckets, entries, effectiveKeys,
+      SnapshotParquetSink.manifestStats(dir, version))
   }
 }
 

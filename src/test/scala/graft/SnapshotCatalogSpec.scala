@@ -78,5 +78,11 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(cat.versions == Seq(1L, 2L))
     // the surviving cuts still resolve
     assert(cat.readAllAt(spark, 1L)("a").collect().map(_.getString(2)).toSeq == Seq("v1"))
+    // pin-aware TABLE vacuum: keep exactly what catalog history references
+    val (mDropped, _) = a.vacuumKeeping(cat.retainedVersions(keepLast = 2)("a"),
+      minOrphanAgeMs = 0L)
+    assert(mDropped == 1 && a.versions == Seq(1L, 2L)) // a@0 expired, pins intact
+    assert(cat.readAllAt(spark, 1L)("a").collect().map(_.getString(2)).toSeq == Seq("v1"))
+    intercept[IllegalArgumentException](a.vacuumKeeping(Set(99L)))
   }
 }

@@ -530,6 +530,55 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     }
   }
 
+  test("manifest stats: seq-range predicates skip buckets untouched since the cut") {
+    val dir = tmpDir("skip") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8, statsCols = Seq("seq"))
+    val keys = (0 until 64).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    // incremental commit touches two keys (≤ 2 buckets) at seq 100/101 —
+    // the other buckets keep their seq ≤ 0 stats from the first commit
+    sink.merge(batch(("k0", 100L, "k0-v1", false), ("k9", 101L, "k9-v1", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+          }
+      }.sum
+    }
+    val t = spark.read.format("graft-snapshot").load(dir)
+    val full = scanFiles(t)
+    assert(full == 8)
+    // the incremental consumer's read: only changed-since-50 buckets planned
+    val inc = t.filter($"seq" > 50L)
+    assert(scanFiles(inc) <= 2 && scanFiles(inc) < full,
+      s"seq>50 planned ${scanFiles(inc)} of $full files")
+    assert(inc.select("primary_key", "seq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("k0" -> 100L, "k9" -> 101L))
+    // equality inside a cold range prunes to the bucket(s) covering it
+    assert(scanFiles(t.filter($"seq" === 100L)) <= 2)
+    // a non-stats predicate must not prune (and stays correct)
+    val wide = t.filter($"val" === "k0-v1")
+    assert(scanFiles(wide) == full)
+    assert(wide.select("primary_key").head.getString(0) == "k0")
+    // stats survive compaction (content per bucket unchanged)
+    sink.compact(spark)
+    val t2 = spark.read.format("graft-snapshot").load(dir)
+    val inc2 = t2.filter($"seq" > 50L)
+    assert(scanFiles(inc2) <= 2 && scanFiles(inc2) < scanFiles(t2))
+    assert(inc2.count() == 2L)
+    // a stats column must be numeric/timestamp — strings refuse loudly
+    val bad = new SnapshotParquetSink(tmpDir("skipbad") + "/t", 4, statsCols = Seq("val"))
+    val e = intercept[IllegalArgumentException] {
+      bad.merge(batch(("a", 0, "x", false)), Seq("primary_key"), "seq", "is_delete")
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("changesBetween: per-key insert/update/delete vs the prior version") {
     val sink = new SnapshotParquetSink(tmpDir("cdf") + "/t", nBuckets = 4)
     sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false), ("c", 2, "c0", false)),
