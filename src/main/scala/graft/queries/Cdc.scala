@@ -240,6 +240,31 @@ object Cdc {
       sink.changesBetween(s, fromVersion = 0L, toVersion = 1L)
     },
 
+    // Tombstone purge (Kafka log-compaction's delete-retention analog):
+    // tombstones at or below the replay horizon (1200) drop in one fresh
+    // commit; newer tombstones stay (a replayed stale pre-delete event
+    // could still arrive and must keep losing). Live rows untouched. The
+    // oracle replays last-write-wins and applies the same retention rule.
+    QDef.df("q61j_tombstone_purge",
+      s"""$SRC,
+         |r AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS pk, seq,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM f),
+         |last AS (SELECT pk, seq, is_del FROM (SELECT pk, seq, is_del,
+         |           row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |         FROM r) z WHERE rn = 1)
+         |SELECT pk AS primary_key, CAST(seq AS BIGINT) AS seq,
+         |       is_del AS is_deleted
+         |FROM last WHERE NOT (is_del AND seq <= 1200)""".stripMargin) { (s, _) =>
+      val (sink, _) = freshSnapshotSink("q61j")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      sink.merge(flat, Seq("primary_key"), "seq", "is_delete")
+      sink.purgeTombstones(s, horizonSeq = 1200L)
+      sink.read(s, graft.sink.DeleteMode.Logical)
+        .select(col("primary_key"), col("seq").cast("bigint").as("seq"),
+          col("is_deleted"))
+    },
+
     // Atomic multi-table transaction via the snapshot catalog: both tables
     // merge to seq<=600 and catalog v0 pins that cut; then a CRASHED
     // transaction advances orders alone (full merge, no catalog commit) —

@@ -544,6 +544,68 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     -1L // unreachable
   }
 
+  /** Drops tombstones whose delete event is at or below `horizonSeq`, as
+    * ONE fresh commit — the delete-retention compaction every
+    * infinite-retention upsert store eventually needs (Kafka log
+    * compaction's `delete.retention.ms` analog): tombstones exist to beat
+    * replayed/out-of-order pre-delete events by seq, so one is safely
+    * droppable exactly when no event with a smaller seq can still arrive —
+    * `horizonSeq` is that replay horizon (a committed checkpoint offset, a
+    * source retention bound). Purging above the horizon would let a
+    * replayed stale update resurrect a deleted row; this keeps those.
+    * Live rows are untouched. Returns the published version.
+    *
+    * Stats/keys handling mirrors [[compact]], except stats are RECOMPUTED
+    * (content shrank; carried ranges would stay conservative-safe but
+    * recomputing keeps pruning tight).
+    */
+  def purgeTombstones(spark: SparkSession, horizonSeq: Long,
+      seqCol: String = "seq"): Long = synchronized {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = currentVersion.getOrElse(sys.error(s"nothing to purge at $dir"))
+      val entries = readManifest(base)
+      val version = base + 1L
+      val full = entries.toSeq.sortBy(_._1)
+        .groupBy { case (_, rel) => rel.substring(0, rel.indexOf("/__bucket=")) }
+        .toSeq.sortBy(_._1).map { case (root, group) =>
+          spark.read.option("mergeSchema", "true").option("basePath", s"$dir/$root")
+            .parquet(group.map { case (_, rel) => s"$dir/$rel" }: _*)
+        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      val purged = full.filter(!(col("__is_deleted") && col(seqCol) <= horizonSeq))
+      val commitId = UUID.randomUUID().toString
+      purged.repartition(entries.size, col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$dir/data/$commitId")
+      // a bucket whose every row was a purged tombstone writes no dir —
+      // list what actually landed instead of assuming the old bucket set
+      val writtenBuckets = Dfs.list(new HPath(s"$dir/data/$commitId"))
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("__bucket=") =>
+          n.stripPrefix("__bucket=").toInt }
+        .sorted
+      val newEntries = writtenBuckets.map(b => b -> s"data/$commitId/__bucket=$b")
+      val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
+      val baseMaxSeq = SnapshotParquetSink.manifestMaxSeq(dir, base)
+      val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
+        s"keys=${baseKeys.mkString(",")}") ++
+        baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
+        newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
+        statsLinesFor(spark, commitId))
+        .mkString("", "\n", "\n")
+      if (publish(version, commitId, body)) {
+        return version
+      } else {
+        deleteTree(new HPath(s"$dir/data/$commitId"))
+        if (attempts >= 10) sys.error(s"purge lost the race $attempts times at $dir")
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(10L, 100L * attempts))
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Expires history: keeps the newest `keepLast` manifests, deletes older
     * ones plus every data directory no kept manifest references. Unreferenced
     * roots are deleted only when older than `minOrphanAgeMs` — an

@@ -579,6 +579,24 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric"))
   }
 
+  test("purgeTombstones: horizon-old tombstones drop; newer ones still beat stale replays") {
+    val sink = new SnapshotParquetSink(tmpDir("purge") + "/t", nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false), ("b", 5, "del", true), ("c", 100, "del", true)),
+      Seq("primary_key"), "seq", "is_delete")
+    val v = sink.purgeTombstones(spark, horizonSeq = 50L)
+    val logical = sink.read(spark, DeleteMode.Logical).collect()
+      .map(r => r.getAs[String]("primary_key") -> r.getAs[Boolean]("is_deleted")).toMap
+    assert(logical == Map("a" -> false, "c" -> true)) // b purged, c retained
+    // the retained tombstone still does its job: a replayed stale
+    // pre-delete event for c must keep losing last-write-wins
+    sink.merge(batch(("c", 60, "stale", false)), Seq("primary_key"), "seq", "is_delete")
+    assert(state(sink, DeleteMode.Hard).keySet == Set("a"))
+    // pre-purge history remains time-travel-readable with b's tombstone
+    val before = sink.readAt(spark, v - 1, DeleteMode.Logical).collect()
+      .map(r => r.getAs[String]("primary_key")).toSet
+    assert(before == Set("a", "b", "c"))
+  }
+
   test("changesBetween: per-key insert/update/delete vs the prior version") {
     val sink = new SnapshotParquetSink(tmpDir("cdf") + "/t", nBuckets = 4)
     sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false), ("c", 2, "c0", false)),
