@@ -309,11 +309,17 @@ object Dedup {
     * survivors, not the corpus square.
     */
   def lshCalibration[T](docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text")(consume: DataFrame => T): T =
-    minhashLsh(docs, dictionary = true, idCol, textCol) { est =>
+      textCol: String = "text")(consume: DataFrame => T): T = {
+    // ONE tokenization feeds both the sketch side (signatures via the
+    // dictionary codes) and the exact side (intersection/sizes) — the
+    // corpus-wide split/explode is the dominant scan and must not run twice
+    val t = tokenSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try withDictionaryCodes(t) { codes =>
+      val sig = MinHashAggregator.signatures(codes)
+      val est = minhashEstimates(sig, lshCandidates(bandKeys(sig)))
       val pairs = est.select(col("i"), col("j"),
         (col("est") * NumHashes).cast("long").as("agree"))
-      val t = tokenSets(docs, idCol, textCol)
       val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = pairs.select("i", "j")
         .join(t.select(col("doc_id").as("i"), col("tok")), "i")
@@ -331,7 +337,11 @@ object Dedup {
         .agg(count(lit(1)).cast("bigint").as("n_pairs"),
           sum(col("inter")).cast("bigint").as("sum_inter"),
           sum(col("un")).cast("bigint").as("sum_union")))
+    } finally {
+      t.unpersist()
+      ()
     }
+  }
 
   // ------------------------------------------- near-dup cluster resolution
   /** Connected components over a near-dup pair graph — the step that turns

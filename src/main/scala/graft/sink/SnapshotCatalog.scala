@@ -47,9 +47,14 @@ final class SnapshotCatalog(dir: String) {
     new HPath(catalogDir, f"v$v%08d.manifest")
 
   /** Member table handle — tables live under the catalog dir by name. */
+  private def validName(name: String): Unit =
+    require(name.nonEmpty && !name.startsWith("_") &&
+      name.forall(ch => ch.isLetterOrDigit || ch == '-' || ch == '.' || ch == '_'),
+      s"table name '$name' must be a plain identifier (letters/digits/-/./_, " +
+        "no '_' prefix) — whitespace or '/' would corrupt the manifest line format")
+
   def table(name: String, nBuckets: Int = 16): SnapshotParquetSink = {
-    require(!name.contains("/") && !name.startsWith("_"),
-      s"table name '$name' must be a plain identifier (no '/', no '_' prefix)")
+    validName(name)
     new SnapshotParquetSink(s"$dir/$name", nBuckets)
   }
 
@@ -79,6 +84,7 @@ final class SnapshotCatalog(dir: String) {
     */
   def commit(pinned: Map[String, Long]): Long = synchronized {
     require(pinned.nonEmpty, "a catalog commit must pin at least one table")
+    pinned.keys.foreach(validName)
     pinned.foreach { case (name, tv) =>
       require(SnapshotParquetSink.versions(s"$dir/$name").contains(tv),
         s"cannot pin $name@v$tv — that table version is not published")

@@ -180,21 +180,37 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
         s"(got ${schema(c).dataType}) — string ranges don't order portably")
     }
     def norm(c: String) = schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(c).cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // pure wall-clock micros — casting NTZ through TIMESTAMP would
+        // shift by the session zone and mismatch the pushed NTZ literal
+        // (whose Catalyst value is the unshifted wall-clock micros)
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `$c`)")
       case org.apache.spark.sql.types.DateType => datediff(col(c), lit("1970-01-01"))
       case _ => col(c)
     }
+    // a non-finite value (NaN/±Inf) has no decimal manifest form and no
+    // orderable range: a bucket containing one records NO line for that
+    // column (unknown → never pruned) — dropping just the value would
+    // let a range predicate wrongly prune the bucket holding it
+    def nonFinite(c: String) = schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        max(when(isnan(col(c)) || abs(col(c)) === lit(Double.PositiveInfinity), 1)
+          .otherwise(0))
+      case _ => max(lit(0))
+    }
     val aggs = statsCols.flatMap(c =>
-      Seq(min(norm(c)).as(s"__mn_$c"), max(norm(c)).as(s"__mx_$c")))
+      Seq(min(norm(c)).as(s"__mn_$c"), max(norm(c)).as(s"__mx_$c"),
+        nonFinite(c).as(s"__nf_$c")))
     written.groupBy(col("__bucket")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.flatMap { row =>
         val b = row.getInt(0)
         statsCols.flatMap { c =>
           val mn = row.get(row.fieldIndex(s"__mn_$c"))
           val mx = row.get(row.fieldIndex(s"__mx_$c"))
-          if (mn == null || mx == null) None else Some(s"s $b $c $mn $mx")
+          val nf = row.getInt(row.fieldIndex(s"__nf_$c"))
+          if (mn == null || mx == null || nf == 1) None else Some(s"s $b $c $mn $mx")
         }
       }
   }
@@ -238,8 +254,11 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
       if (affected.isEmpty) return
       // the batch's applied head — recorded in the manifest (monotone across
-      // commits) so catalog-level seq-aligned cuts read metadata, not data
-      val batchMaxSeq = incoming0.agg(max(col(seqCol).cast("long"))).head().getLong(0)
+      // commits) so catalog-level seq-aligned cuts read metadata, not data.
+      // All-null seq (accepted by the LWW window) contributes no head.
+      val batchMaxSeq: Option[Long] =
+        Option(incoming0.agg(max(col(seqCol).cast("long"))).head().get(0))
+          .map(_.asInstanceOf[Long])
 
       var attempts = 0
       var committed = false
@@ -294,8 +313,18 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
           .parquet(s"$dir/data/$commitId")
 
         val newEntries = entries ++ affected.map(b => b -> s"data/$commitId/__bucket=$b")
-        val maxSeq = math.max(batchMaxSeq,
-          base.flatMap(v => SnapshotParquetSink.manifestMaxSeq(dir, v)).getOrElse(Long.MinValue))
+        // prior head: recorded metadata, or — for a table whose manifests
+        // predate maxseq recording — ONE upgrade scan of the stored state
+        // (recording only the batch's max would UNDERSTATE the head and
+        // hand commitAligned a cut whose state reaches past it)
+        val priorMaxSeq: Option[Long] = base.flatMap { v =>
+          SnapshotParquetSink.manifestMaxSeq(dir, v).orElse(
+            Option(readAt(spark, v, DeleteMode.Logical)
+              .agg(max(col(seqCol).cast("long"))).head().get(0))
+              .map(_.asInstanceOf[Long]))
+        }
+        val maxSeqOpt: Option[Long] = (batchMaxSeq.toSeq ++ priorMaxSeq.toSeq)
+          .reduceOption((a: Long, b: Long) => math.max(a, b))
         // stats carry-forward mirrors the entries': untouched buckets keep
         // the ranges of the commit that last wrote them
         val priorStats = base.map(v => SnapshotParquetSink.manifestStats(dir, v))
@@ -304,7 +333,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
           case (b, cols) => cols.toSeq.sortBy(_._1).map {
             case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
-          s"keys=${keys.mkString(",")}", s"maxseq=$maxSeq") ++
+          s"keys=${keys.mkString(",")}") ++
+          maxSeqOpt.map(m => s"maxseq=$m").toSeq ++
           newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
           carried ++ statsLinesFor(spark, commitId))
           .mkString("", "\n", "\n")
@@ -347,7 +377,9 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
       require(affected.nonEmpty,
         s"replaceAll with an empty batch would publish an unreadable empty table at $dir")
-      val batchMaxSeq = incoming0.agg(max(col(seqCol).cast("long"))).head().getLong(0)
+      val batchMaxSeq: Option[Long] =
+        Option(incoming0.agg(max(col(seqCol).cast("long"))).head().get(0))
+          .map(_.asInstanceOf[Long])
       var attempts = 0
       while (true) {
         attempts += 1
@@ -375,7 +407,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
           .parquet(s"$dir/data/$commitId")
         val newEntries = affected.map(b => b -> s"data/$commitId/__bucket=$b")
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
-          s"keys=${keys.mkString(",")}", s"maxseq=$batchMaxSeq") ++
+          s"keys=${keys.mkString(",")}") ++
+          batchMaxSeq.map(m => s"maxseq=$m").toSeq ++
           newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
           statsLinesFor(spark, commitId))
           .mkString("", "\n", "\n")
@@ -491,6 +524,20 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       .filter(col("change").isNotNull) // unchanged keys (same seq) drop out
   }
 
+  /** The whole committed state at `base`, grouped per commit root so
+    * mixed-schema roots (evolution) union by name — the shared read for
+    * whole-table rewrites (compact, tombstone purge).
+    */
+  private def readFullState(spark: SparkSession, base: Long): DataFrame = {
+    val entries = readManifest(base)
+    entries.toSeq.sortBy(_._1)
+      .groupBy { case (_, rel) => rel.substring(0, rel.indexOf("/__bucket=")) }
+      .toSeq.sortBy(_._1).map { case (root, group) =>
+        spark.read.option("mergeSchema", "true").option("basePath", s"$dir/$root")
+          .parquet(group.map { case (_, rel) => s"$dir/$rel" }: _*)
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Rewrites the whole current state as ONE fresh commit: every bucket's
     * file moves under a single new root, so after history expires
     * (`vacuum`) the table holds exactly nBuckets files regardless of how
@@ -507,12 +554,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       val base = currentVersion.getOrElse(sys.error(s"nothing to compact at $dir"))
       val entries = readManifest(base)
       val version = base + 1L
-      val full = entries.toSeq.sortBy(_._1)
-        .groupBy { case (_, rel) => rel.substring(0, rel.indexOf("/__bucket=")) }
-        .toSeq.sortBy(_._1).map { case (root, group) =>
-          spark.read.option("mergeSchema", "true").option("basePath", s"$dir/$root")
-            .parquet(group.map { case (_, rel) => s"$dir/$rel" }: _*)
-        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      val full = readFullState(spark, base)
       val commitId = UUID.randomUUID().toString
       full.repartition(entries.size, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
@@ -567,13 +609,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       val base = currentVersion.getOrElse(sys.error(s"nothing to purge at $dir"))
       val entries = readManifest(base)
       val version = base + 1L
-      val full = entries.toSeq.sortBy(_._1)
-        .groupBy { case (_, rel) => rel.substring(0, rel.indexOf("/__bucket=")) }
-        .toSeq.sortBy(_._1).map { case (root, group) =>
-          spark.read.option("mergeSchema", "true").option("basePath", s"$dir/$root")
-            .parquet(group.map { case (_, rel) => s"$dir/$rel" }: _*)
-        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-      val purged = full.filter(!(col("__is_deleted") && col(seqCol) <= horizonSeq))
+      val purged = readFullState(spark, base)
+        .filter(!(col("__is_deleted") && col(seqCol) <= horizonSeq))
       val commitId = UUID.randomUUID().toString
       purged.repartition(entries.size, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
@@ -585,6 +622,15 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
         .collect { case n if n.startsWith("__bucket=") =>
           n.stripPrefix("__bucket=").toInt }
         .sorted
+      if (writtenBuckets.isEmpty) {
+        // the whole table was horizon-old tombstones: publishing a
+        // zero-entry manifest would leave an UNREADABLE head (the
+        // replaceAll guard's condition) — refuse; drop the table instead
+        deleteTree(new HPath(s"$dir/data/$commitId"))
+        sys.error(s"purge at $dir would empty the table entirely " +
+          "(every row is a horizon-old tombstone) — delete the table " +
+          "instead of publishing an unreadable empty version")
+      }
       val newEntries = writtenBuckets.map(b => b -> s"data/$commitId/__bucket=$b")
       val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
       val baseMaxSeq = SnapshotParquetSink.manifestMaxSeq(dir, base)

@@ -201,7 +201,8 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
     l.value match {
       case null => None
       case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
-      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      // NaN/Infinity literals have no decimal form — don't prune on them
+      case n: java.lang.Number => scala.util.Try(BigDecimal(n.toString)).toOption
       case _ => None
     }
 
