@@ -131,6 +131,74 @@ private[sources] final class BatchStoreScanBuilder(state: BatchScanState,
   }
 }
 
+/** SQL over a [[graft.sink.SnapshotCatalog]] member table at a CONSISTENT
+  * cross-table cut:
+  *
+  * {{{
+  *   spark.read.format("graft-catalog")
+  *     .option("table", "orders")        // member table (required)
+  *     .option("asOfCatalog", 3)         // optional catalog time travel
+  *     .load("/warehouse/shop")          // the catalog dir
+  * }}}
+  *
+  * Resolution: catalog version → that version's pin for `table` → the
+  * pinned snapshot's files. Two readers of the same catalog version ALWAYS
+  * see the same cut of every member table, no matter how many per-table
+  * merges landed since — the SQL face of the catalog's torn-read
+  * guarantee. All snapshot-format read optimizations apply (key-equality
+  * bucket probes, manifest-stats skipping, parquet row-group pruning),
+  * because the scan delegates to the same [[SnapshotState]] machinery as
+  * `graft-snapshot`.
+  */
+final class CatalogTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-catalog"
+
+  @volatile private var resolved: Option[(Map[String, String], SnapshotState)] = None
+
+  private def resolveOnce(options: CaseInsensitiveStringMap): SnapshotState = {
+    val key = options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    resolved match {
+      case Some((k, st)) if k == key => st
+      case _ =>
+        val st = resolveState(options)
+        resolved = Some((key, st))
+        st
+    }
+  }
+
+  private def resolveState(options: CaseInsensitiveStringMap): SnapshotState = {
+    val dir = Option(options.get("path")).getOrElse(
+      sys.error("graft-catalog needs a path: .load(catalogDir)"))
+    val table = Option(options.get("table")).getOrElse(
+      sys.error("graft-catalog needs option(\"table\", <member name>)"))
+    val cat = new graft.sink.SnapshotCatalog(dir)
+    val cv = Option(options.get("asOfCatalog")).map(_.toLong)
+      .orElse(cat.currentVersion)
+      .getOrElse(sys.error(s"no catalog version published at $dir"))
+    require(cat.versions.contains(cv),
+      s"catalog v$cv does not exist at $dir (vacuumed or never published); " +
+        s"available: ${cat.versions.mkString(", ")}")
+    val pins = cat.pins(cv)
+    val tv = pins.getOrElse(table,
+      sys.error(s"catalog v$cv at $dir pins no table '$table' " +
+        s"(members: ${pins.keys.toSeq.sorted.mkString(", ")})"))
+    val tdir = s"$dir/$table"
+    val (nBuckets, entries) = graft.sink.SnapshotParquetSink.manifest(tdir, tv)
+    SnapshotState(tdir, tv, nBuckets, entries,
+      graft.sink.SnapshotParquetSink.manifestKeys(tdir, tv),
+      graft.sink.SnapshotParquetSink.manifestStats(tdir, tv))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolveOnce(options).dataSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SnapshotTable(resolveOnce(new CaseInsensitiveStringMap(properties)), schema)
+}
+
 /** SQL over the persistent text index ([[graft.sink.TextIndexStore]]):
   *
   * {{{

@@ -64,6 +64,33 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("graft-catalog DSv2: SQL reads resolve through the catalog's consistent cut") {
+    val dir = tmpDir("catsql") + "/c"
+    val cat = new SnapshotCatalog(dir)
+    val a = cat.table("a", nBuckets = 2)
+    a.merge(batch(("k1", 0, "v0", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitCurrent(Seq("a"))                       // catalog v0 -> a@0
+    a.merge(batch(("k2", 1, "v1", false)), Seq("primary_key"), "seq", "is_delete")
+    // unpinned table commit: SQL through the catalog must NOT see it
+    val cur = spark.read.format("graft-catalog").option("table", "a").load(dir)
+    assert(keysOf(cur.filter(!$"__is_deleted")) == Set("k1"))
+    cat.commitCurrent(Seq("a"))                       // catalog v1 -> a@1
+    val head = spark.read.format("graft-catalog").option("table", "a").load(dir)
+    assert(keysOf(head.filter(!$"__is_deleted")) == Set("k1", "k2"))
+    // catalog-level time travel from SQL
+    val old = spark.read.format("graft-catalog")
+      .option("table", "a").option("asOfCatalog", "0").load(dir)
+    assert(keysOf(old.filter(!$"__is_deleted")) == Set("k1"))
+    // unknown member / bad version fail loudly
+    intercept[Exception] {
+      spark.read.format("graft-catalog").option("table", "zzz").load(dir).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft-catalog").option("table", "a")
+        .option("asOfCatalog", "9").load(dir).collect()
+    }
+  }
+
   test("retainedVersions + vacuum: pinned table versions are reported; history expires") {
     val cat = new SnapshotCatalog(tmpDir("cat") + "/c")
     val a = cat.table("a", 2)
