@@ -310,12 +310,14 @@ object Dedup {
     */
   def lshCalibration[T](docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text")(consume: DataFrame => T): T = {
-    // ONE tokenization feeds both the sketch side (signatures via the
-    // dictionary codes) and the exact side (intersection/sizes) — the
-    // corpus-wide split/explode is the dominant scan and must not run twice
+    // one DEFINITION of the token frame feeds both the sketch side
+    // (signatures via dictionary codes) and the exact side (intersection/
+    // sizes). Deliberately NOT persisted: the exploded token frame is
+    // LARGER than the corpus, so caching it trades a cheap projection
+    // recompute for a corpus-plus-sized materialization (measured: the
+    // persist variant was never faster at the bench scale)
     val t = tokenSets(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try withDictionaryCodes(t) { codes =>
+    withDictionaryCodes(t) { codes =>
       val sig = MinHashAggregator.signatures(codes)
       val est = minhashEstimates(sig, lshCandidates(bandKeys(sig)))
       val pairs = est.select(col("i"), col("j"),
@@ -337,9 +339,6 @@ object Dedup {
         .agg(count(lit(1)).cast("bigint").as("n_pairs"),
           sum(col("inter")).cast("bigint").as("sum_inter"),
           sum(col("un")).cast("bigint").as("sum_union")))
-    } finally {
-      t.unpersist()
-      ()
     }
   }
 
