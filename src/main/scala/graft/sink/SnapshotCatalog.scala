@@ -48,7 +48,7 @@ final class SnapshotCatalog(dir: String) {
 
   /** Member table handle — tables live under the catalog dir by name. */
   private def validName(name: String): Unit =
-    require(name.nonEmpty && !name.startsWith("_") &&
+    require(name.nonEmpty && name != "." && name != ".." && !name.startsWith("_") &&
       name.forall(ch => ch.isLetterOrDigit || ch == '-' || ch == '.' || ch == '_'),
       s"table name '$name' must be a plain identifier (letters/digits/-/./_, " +
         "no '_' prefix) — whitespace or '/' would corrupt the manifest line format")

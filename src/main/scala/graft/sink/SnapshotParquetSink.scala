@@ -111,6 +111,13 @@ object SnapshotParquetSink {
     * the commit that last wrote them, so a bucket's recorded `seq` max is
     * the last time its content changed — which is what makes
     * `WHERE seq > X` incremental reads skip cold buckets.
+    *
+    * TIMESTAMP_NTZ note: NTZ stats are pure wall-clock micros. A manifest
+    * written by a pre-fix build in a non-UTC session would carry
+    * zone-shifted NTZ ranges; no released table recorded any (the writer
+    * and the fix shipped in the same round), but a table suspected of it
+    * should `compact` once — the rewrite re-derives stats under the
+    * current normalization.
     */
   def manifestStats(dir: String,
       version: Long): Map[Int, Map[String, (BigDecimal, BigDecimal)]] =
@@ -380,6 +387,10 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       val batchMaxSeq: Option[Long] =
         Option(incoming0.agg(max(col(seqCol).cast("long"))).head().get(0))
           .map(_.asInstanceOf[Long])
+      require(batchMaxSeq.isDefined,
+        s"replaceAll batch carries no orderable $seqCol values — the rebuilt " +
+          "table would record no applied head, and a later commitAligned " +
+          "would silently pin the superseded pre-replace version")
       var attempts = 0
       while (true) {
         attempts += 1
@@ -609,8 +620,18 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       val base = currentVersion.getOrElse(sys.error(s"nothing to purge at $dir"))
       val entries = readManifest(base)
       val version = base + 1L
-      val purged = readFullState(spark, base)
-        .filter(!(col("__is_deleted") && col(seqCol) <= horizonSeq))
+      val full = readFullState(spark, base)
+      // pre-maxseq table: derive the true head from the PRE-purge state
+      // (tombstones included) — deriving it later from the purged state
+      // would understate it and hand commitAligned a cut the table is past
+      val headSeq: Option[Long] = SnapshotParquetSink.manifestMaxSeq(dir, base)
+        .orElse(Option(full.agg(max(col(seqCol).cast("long"))).head().get(0))
+          .map(_.asInstanceOf[Long]))
+      // coalesce(true): a NULL-seq tombstone makes the predicate NULL and a
+      // plain filter would DROP it regardless of horizon — unknown seq
+      // must conservatively survive the purge
+      val purged = full.filter(
+        coalesce(!(col("__is_deleted") && col(seqCol) <= horizonSeq), lit(true)))
       val commitId = UUID.randomUUID().toString
       purged.repartition(entries.size, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
@@ -633,12 +654,25 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       }
       val newEntries = writtenBuckets.map(b => b -> s"data/$commitId/__bucket=$b")
       val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
-      val baseMaxSeq = SnapshotParquetSink.manifestMaxSeq(dir, base)
+      // stats: recompute when this handle records them; otherwise CARRY the
+      // base's lines for surviving buckets — purge only removes rows, so
+      // prior ranges stay valid over-approximations, and a maintenance
+      // handle constructed without statsCols must not silently strip the
+      // table's data-skipping metadata
+      val statsOut =
+        if (statsCols.nonEmpty) statsLinesFor(spark, commitId)
+        else {
+          val kept = writtenBuckets.toSet
+          SnapshotParquetSink.manifestStats(dir, base).toSeq.sortBy(_._1)
+            .filter { case (b, _) => kept(b) }
+            .flatMap { case (b, cols) => cols.toSeq.sortBy(_._1).map {
+              case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
+        }
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
-        baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
+        headSeq.map(m => s"maxseq=$m").toSeq ++
         newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
-        statsLinesFor(spark, commitId))
+        statsOut)
         .mkString("", "\n", "\n")
       if (publish(version, commitId, body)) {
         return version

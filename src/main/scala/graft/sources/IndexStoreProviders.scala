@@ -16,6 +16,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.engine.Dfs
 import graft.sink.BatchStore
 
+/** Option-keyed resolve-once cache, shared by every provider here and by
+  * [[SnapshotTableProvider]]: Spark calls inferSchema then getTable on the
+  * same provider instance, and resolving twice would let a concurrent
+  * commit hand the scan a NEWER version's files under the older version's
+  * schema. One resolution per distinct option set per instance.
+  */
+private[sources] final class ResolveOnce[S](resolve: CaseInsensitiveStringMap => S) {
+  @volatile private var cached: Option[(Map[String, String], S)] = None
+  def apply(options: CaseInsensitiveStringMap): S = {
+    val key = options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    cached match {
+      case Some((k, st)) if k == key => st
+      case _ =>
+        val st = resolve(options)
+        cached = Some((key, st))
+        st
+    }
+  }
+}
+
 /** Shared scaffolding for the read-only DSv2 views over the `_SUCCESS`-
   * gated batch stores ([[graft.sink.TextIndexStore]],
   * [[graft.sink.VectorIndexStore]]): resolve the committed file list once,
@@ -33,19 +54,7 @@ private[sources] abstract class BatchStoreProvider extends TableProvider
   /** (schema, basePath option or None, pushed-filter file pruner). */
   protected def resolveState(options: CaseInsensitiveStringMap): BatchScanState
 
-  @volatile private var resolved: Option[(Map[String, String], BatchScanState)] = None
-
-  private def resolveOnce(options: CaseInsensitiveStringMap): BatchScanState = {
-    val key = options.asCaseSensitiveMap().asScala.toMap
-      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    resolved match {
-      case Some((k, st)) if k == key => st
-      case _ =>
-        val st = resolveState(options)
-        resolved = Some((key, st))
-        st
-    }
-  }
+  private val resolveOnce = new ResolveOnce(resolveState)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolveOnce(options).dataSchema
@@ -149,24 +158,20 @@ private[sources] final class BatchStoreScanBuilder(state: BatchScanState,
   * bucket probes, manifest-stats skipping, parquet row-group pruning),
   * because the scan delegates to the same [[SnapshotState]] machinery as
   * `graft-snapshot`.
+  *
+  * Cross-TABLE consistency caveat: each `.load(...)` resolves the catalog
+  * head independently, so a query joining several member reads WITHOUT
+  * `asOfCatalog` can straddle a catalog commit landing between the two
+  * resolutions. For a consistent multi-table SQL join, read the catalog
+  * version once (`new SnapshotCatalog(dir).currentVersion`) and pass it as
+  * `asOfCatalog` to EVERY member read — or use the Scala `readAllAt`,
+  * which resolves one version for all members by construction.
   */
 final class CatalogTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-catalog"
 
-  @volatile private var resolved: Option[(Map[String, String], SnapshotState)] = None
-
-  private def resolveOnce(options: CaseInsensitiveStringMap): SnapshotState = {
-    val key = options.asCaseSensitiveMap().asScala.toMap
-      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    resolved match {
-      case Some((k, st)) if k == key => st
-      case _ =>
-        val st = resolveState(options)
-        resolved = Some((key, st))
-        st
-    }
-  }
+  private val resolveOnce = new ResolveOnce(resolveState)
 
   private def resolveState(options: CaseInsensitiveStringMap): SnapshotState = {
     val dir = Option(options.get("path")).getOrElse(

@@ -61,25 +61,9 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft-snapshot"
 
-  // resolve ONCE per provider instance for a given option set: Spark calls
-  // inferSchema then getTable on the same instance, and a concurrent
-  // commit between the two calls would otherwise hand the scan a NEWER
-  // version's files under the older version's schema (a column added by
-  // the interleaving commit silently vanishing from results)
-  @volatile private var resolved: Option[(Map[String, String], SnapshotState)] = None
-
-  private def resolveOnce(options: CaseInsensitiveStringMap): SnapshotState = {
-    import scala.jdk.CollectionConverters._
-    val key = options.asCaseSensitiveMap().asScala.toMap
-      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    resolved match {
-      case Some((k, st)) if k == key => st
-      case _ =>
-        val st = SnapshotState.resolve(options)
-        resolved = Some((key, st))
-        st
-    }
-  }
+  // resolve ONCE per provider instance for a given option set (see
+  // ResolveOnce's scaladoc for the concurrent-commit rationale)
+  private val resolveOnce = new ResolveOnce(SnapshotState.resolve)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolveOnce(options).dataSchema

@@ -597,6 +597,28 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(before == Set("a", "b", "c"))
   }
 
+  test("purgeTombstones keeps NULL-seq tombstones; replaceAll refuses an all-null-seq batch") {
+    import org.apache.spark.sql.functions.lit
+    val sink = new SnapshotParquetSink(tmpDir("purgenull") + "/t", nBuckets = 2)
+    // a tombstone with UNKNOWN seq: three-valued logic must not let the
+    // horizon filter silently drop it (purge(MinValue) = "purge nothing")
+    val nullSeq = Seq(("x", "del", true)).toDF("primary_key", "val", "is_delete")
+      .withColumn("seq", lit(null).cast("long"))
+    sink.merge(batch(("a", 0, "a0", false)).unionByName(nullSeq.select(
+      $"primary_key", $"seq", $"val", $"is_delete")), Seq("primary_key"), "seq", "is_delete")
+    sink.purgeTombstones(spark, horizonSeq = Long.MinValue)
+    val logical = sink.read(spark, DeleteMode.Logical).collect()
+      .map(r => r.getAs[String]("primary_key") -> r.getAs[Boolean]("is_deleted")).toMap
+    assert(logical == Map("a" -> false, "x" -> true), "null-seq tombstone must survive")
+    // replaceAll with no orderable seq would hide the applied head from
+    // commitAligned — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      sink.replaceAll(nullSeq.select($"primary_key", $"seq", $"val", $"is_delete"),
+        Seq("primary_key"), "seq", "is_delete")
+    }
+    assert(e.getMessage.contains("no orderable"))
+  }
+
   test("changesBetween: per-key insert/update/delete vs the prior version") {
     val sink = new SnapshotParquetSink(tmpDir("cdf") + "/t", nBuckets = 4)
     sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false), ("c", 2, "c0", false)),
