@@ -299,6 +299,11 @@ object Cdc {
       graft.engine.Fs.deleteTree(new java.io.File(base))
       graft.engine.Fs.reclaimAtExit(base)
       val cat = new graft.sink.SnapshotCatalog(base)
+      // measured, not guessed: persisting the envelope across the four
+      // merges looked like an obvious win (repeated JSON read + schema
+      // inference) but benched SLOWER (2.44 -> 2.84 s min-of-5) — the
+      // fixture envelope is tiny, the file is page-cached, and the cache
+      // materialization is pure overhead at this size
       val e = env(s)
       def flat(tbl: String) = CdcPipeline.expanded(CdcPipeline.forTable(e, tbl))
       val to = cat.table("orders", nBuckets = 8)
