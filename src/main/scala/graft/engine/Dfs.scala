@@ -109,15 +109,25 @@ object Dfs {
     * not already exist; false means another committer won the slot (and
     * `src` is left in place for the caller to clean up).
     *
-    * Uses `FileContext.rename(…, Options.Rename.NONE)`: on HDFS the
+    * Uses `FileContext.rename(…, Options.Rename.NONE)`. Atomicity is
+    * filesystem-graded, stated honestly: on HDFS the
     * fail-if-destination-exists check is a single atomic namenode op; on
-    * object stores it maps to the store's conditional-put/rename primitive;
-    * on the local filesystem the check precedes the rename, so in-process
-    * racers are additionally serialized through a striped JVM lock (the
-    * residual cross-process window on `file:` is inherent to POSIX rename
-    * semantics and is a test-only concern — production tables live on
-    * HDFS/object storage). This replaces hard-link locking, which only
-    * exists on POSIX filesystems.
+    * the local filesystem the check precedes the rename (in-process racers
+    * are additionally serialized through a striped JVM lock; the residual
+    * CROSS-PROCESS window on `file:`/NFS is inherent to POSIX rename and
+    * documented — the hard-link lock this replaced closed it but exists
+    * only on POSIX, not on any cluster filesystem). Object stores whose
+    * rename is copy-then-delete (s3a) have the same check-then-act window;
+    * a production deployment there fronts the manifest directory with a
+    * coordination layer (the Delta LogStore pattern) or keeps metadata on
+    * HDFS.
+    *
+    * Failure disambiguation: a copy-then-delete bridge can throw AFTER the
+    * copy landed — `dst` then holds OUR bytes, and reporting "lost race"
+    * would make the caller delete a data root its own published manifest
+    * references. On an IOException with `dst` present, the destination's
+    * content is compared to the source's: identical ⇒ this writer WON
+    * (the temp is cleaned up best-effort); different ⇒ genuine lost race.
     */
   def renameOntoAbsent(src: Path, dst: Path): Boolean = {
     val stripe = renameStripes(math.floorMod(dst.toString.hashCode, renameStripes.length))
@@ -126,10 +136,36 @@ object Dfs {
       try { fc.rename(src, dst, Options.Rename.NONE); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        // some FileSystem bridges surface exists-collision as a generic
-        // IOException — only swallow it when the destination really exists
-        case e: java.io.IOException => if (fs(dst).exists(dst)) false else throw e
+        case e: java.io.IOException =>
+          if (!fs(dst).exists(dst)) throw e
+          else if (fs(src).exists(src) && readUtf8(dst) == readUtf8(src)) {
+            // our copy landed before the failure — we own the slot
+            try delete(src) catch { case _: java.io.IOException => () }
+            true
+          } else false
       }
     }
   }
+
+  /** Non-recursive delete that refuses to lie: absent is success, but a
+    * present path that remains present afterwards is an error — for
+    * retention paths whose RETURN VALUE claims the deletion happened.
+    */
+  def deleteStrict(p: Path): Unit = {
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, false)
+    if (f.exists(p))
+      sys.error(s"failed to delete $p — a file reported expired is still present")
+  }
+
+  /** Recursive delete, best-effort — for SCRATCH data only (a lost commit
+    * race's orphaned attempt): a transient failure here must not abort the
+    * caller's retry, and an aged orphan is collected by the next vacuum.
+    */
+  def deleteTreeQuiet(p: Path): Unit =
+    try {
+      val f = fs(p)
+      if (f.exists(p)) f.delete(p, true)
+      ()
+    } catch { case _: java.io.IOException => () }
 }

@@ -348,7 +348,9 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
         if (publish(version, commitId, body)) {
           committed = true
         } else {
-          deleteTree(new HPath(s"$dir/data/$commitId")) // orphaned attempt
+          // best-effort: the orphan is unreferenced scratch — a transient
+          // delete failure must not abort the retry (vacuum collects it)
+          Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
           if (attempts >= 10)
             sys.error(s"snapshot commit lost the race $attempts times at $dir")
           // jittered backoff: two writers in lockstep (each merge takes
@@ -588,7 +590,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       if (publish(version, commitId, body)) {
         return version
       } else {
-        deleteTree(new HPath(s"$dir/data/$commitId"))
+        Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
         if (attempts >= 10) sys.error(s"compaction lost the race $attempts times at $dir")
         Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
           .nextLong(10L, 100L * attempts))
@@ -677,7 +679,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       if (publish(version, commitId, body)) {
         return version
       } else {
-        deleteTree(new HPath(s"$dir/data/$commitId"))
+        Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
         if (attempts >= 10) sys.error(s"purge lost the race $attempts times at $dir")
         Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
           .nextLong(10L, 100L * attempts))
@@ -730,7 +732,8 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       .filterNot(st => referencedRoots.contains(s"data/${st.getPath.getName}"))
       .filter(st => now - st.getModificationTime >= minOrphanAgeMs)
     orphans.foreach(st => deleteTree(st.getPath))
-    drop.foreach(v => Dfs.delete(manifestPath(v)))
+    // strict: the RETURN VALUE reports these as expired
+    drop.foreach(v => Dfs.deleteStrict(manifestPath(v)))
     // aged-out temp manifests from crashed commits (lost races clean their
     // own temp synchronously; a crash between write and publish does not)
     Dfs.list(manifestsDir)

@@ -38,7 +38,11 @@ final class TextIndexStore(val dir: String) {
     * queries (phrase search intersects shifted position lists).
     */
   def append(batch: DataFrame, batchId: Long,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = synchronized {
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // NOT synchronized beyond the entry recover(): an append writes only
+    // its own batch dirs, so serializing the whole (minutes-long) Spark
+    // write against every concurrent search would turn safe read/ingest
+    // concurrency into full serialization
     // repair any crashed compact() BEFORE touching the store: without this,
     // an append interleaved after a mid-swap crash would recreate a live
     // dir containing only this batch, and the next recover() would then
@@ -189,13 +193,15 @@ final class TextIndexStore(val dir: String) {
       val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val old = new org.apache.hadoop.fs.Path(s"$dir/old_$sub")
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/tmp_$sub")
-      if (!graft.engine.Dfs.exists(live) && graft.engine.Dfs.exists(old))
-        try graft.engine.Dfs.rename(old, live)
-        catch {
-          // another instance's recover won the restore between our exists
-          // check and the rename — its copy is byte-identical, accept it
-          case e: RuntimeException => if (!graft.engine.Dfs.exists(live)) throw e
-        }
+      if (!graft.engine.Dfs.exists(live) && graft.engine.Dfs.exists(old)) {
+        // rename-onto-absent, NOT FileSystem.rename: HDFS's rename onto an
+        // existing directory silently moves the source INTO it (nesting
+        // old_ garbage under the live index); the FileContext NONE form
+        // fails cleanly instead, and a false return = another instance's
+        // recover restored the identical copy first — accept it
+        graft.engine.Dfs.renameOntoAbsent(old, live)
+        ()
+      }
       if (graft.engine.Dfs.exists(old) && graft.engine.Dfs.exists(live))
         graft.engine.Dfs.deleteTreeStrict(old)
       if (graft.engine.Dfs.exists(tmp))
