@@ -128,6 +128,14 @@ object Dfs {
     * references. On an IOException with `dst` present, the destination's
     * content is compared to the source's: identical ⇒ this writer WON
     * (the temp is cleaned up best-effort); different ⇒ genuine lost race.
+    * The comparison applies to FILES only — directory renames (the
+    * TextIndexStore crash restore) report lost race whenever `dst` exists,
+    * since reading a directory as UTF-8 is undefined and the store-restore
+    * callers already tolerate losing to an identical restore. Known
+    * ambiguity: two racers publishing BYTE-IDENTICAL bodies can both take
+    * the identical-content branch and both report "won"; `dst` holds
+    * exactly those bytes either way so state stays consistent — a caller
+    * that needs a unique winner must embed a writer nonce in the body.
     */
   def renameOntoAbsent(src: Path, dst: Path): Boolean = {
     val stripe = renameStripes(math.floorMod(dst.toString.hashCode, renameStripes.length))
@@ -137,12 +145,18 @@ object Dfs {
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException =>
-          if (!fs(dst).exists(dst)) throw e
-          else if (fs(src).exists(src) && readUtf8(dst) == readUtf8(src)) {
-            // our copy landed before the failure — we own the slot
-            try delete(src) catch { case _: java.io.IOException => () }
-            true
-          } else false
+          val fd = fs(dst)
+          if (!fd.exists(dst)) throw e
+          else {
+            val fsrc = fs(src)
+            val bothFiles = fsrc.exists(src) &&
+              fsrc.getFileStatus(src).isFile && fd.getFileStatus(dst).isFile
+            if (bothFiles && readUtf8(dst) == readUtf8(src)) {
+              // our copy landed before the failure — we own the slot
+              try delete(src) catch { case _: java.io.IOException => () }
+              true
+            } else false
+          }
       }
     }
   }

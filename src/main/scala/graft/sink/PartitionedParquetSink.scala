@@ -31,6 +31,16 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
 
   private def backupRoot = Paths.get(dir + ".backup")
 
+  /** Present exactly while a [[replaceAll]] commit is in flight. Without
+    * it, a crash after the truncate-and-load's static overwrite but before
+    * the backup cleanup would let the next implicit [[recover]] silently
+    * restore every backed-up bucket missing from the REBUILT layout —
+    * resurrecting rows (and column types) the replace intentionally
+    * superseded. With it, [[recover]] refuses to touch a crashed replace:
+    * the only valid repair is re-running the replace itself.
+    */
+  private def replaceMarker = Paths.get(dir + ".replace-in-progress")
+
   /** Crash recovery: the dynamic-partition-overwrite commit replaces each
     * affected bucket directory non-atomically (delete, then move staged
     * files in), so a crash mid-commit can leave a bucket missing. Before
@@ -52,6 +62,16 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
   }
 
   private def recover(): Unit = {
+    // A crashed replaceAll must FAIL LOUDLY, never auto-restore: the backup
+    // is the full PRE-replace image, and the overwrite may have committed —
+    // restoring buckets absent from the rebuilt (possibly narrower) layout
+    // would silently resurrect superseded rows and types. The marker can
+    // also survive a crash in replaceAll's own post-commit cleanup window
+    // (backup already dropped) — re-running the replace is safe then too.
+    if (Files.exists(replaceMarker))
+      sys.error(s"a replaceAll at $dir crashed mid-commit (marker " +
+        s"$replaceMarker present) — re-run the replace before reading or " +
+        "merging; automatic recovery could half-undo the truncate-and-load")
     if (Files.exists(backupRoot)) {
       children(backupRoot).foreach { saved =>
         val live = Paths.get(dir).resolve(saved.getFileName)
@@ -136,14 +156,23 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
   /** Truncate-and-load over the bucket layout: EVERY existing bucket is
     * superseded (stale buckets whose keys vanished are deleted, and no
     * stored column type leaks into the rebuilt table — the type-widening
-    * contract). Crash safety: the whole pre-image is backed up first and
-    * [[recover]] restores missing buckets, so a crash mid-overwrite leaves
-    * a mixed-generation (possibly mixed-TYPE) table — re-run the replace
-    * before reading after such a crash, exactly as the caller's migration
-    * would on restart.
+    * contract). Crash safety: a replace-in-progress marker brackets the
+    * commit; while it is present every [[recover]] (and so every read or
+    * merge) fails loudly instead of restoring the pre-image backup over the
+    * rebuilt layout. Re-running the replace is the only repair — exactly
+    * what the caller's migration does on restart — and this method clears
+    * the crashed state itself on entry.
     */
   override def replaceAll(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
+    // a crashed prior replaceAll is cleared HERE, not restored: this call
+    // supersedes the entire pre-image by intent, so the stale backup (if
+    // any survives) is garbage, not a recovery source
+    if (Files.exists(replaceMarker)) {
+      deleteTree(backupRoot)
+      Files.deleteIfExists(replaceMarker)
+      ()
+    }
     recover()
     val spark = batch.sparkSession
     val gen = {
@@ -172,11 +201,16 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
         .filter(_.getFileName.toString.startsWith("__bucket="))
         .foreach(p => copyTree(p, backupRoot.resolve(p.getFileName)))
     }
+    // marker AFTER the backup completes (a crash before this line recovers
+    // normally — the overwrite has not started) and BEFORE the overwrite
+    Files.write(replaceMarker, Array[Byte]())
     merged.repartition(nBuckets, col("__bucket"))
       .write.mode("overwrite")
       .partitionBy("__bucket")
       .parquet(dir)
     deleteTree(backupRoot)
+    Files.deleteIfExists(replaceMarker)
+    ()
   }
 
   override def read(spark: SparkSession, mode: DeleteMode): DataFrame = {

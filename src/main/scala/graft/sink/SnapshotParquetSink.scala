@@ -54,6 +54,19 @@ import graft.engine.Dfs
   */
 object SnapshotParquetSink {
 
+  /** Column names land verbatim in the line-oriented manifest (`keys=a,b`
+    * splits on commas; `s <b> <col> <mn> <mx>` splits on spaces), so a name
+    * containing a space/comma/newline would shift every later field and
+    * brick reads of the committed version (the [[SnapshotCatalog]]
+    * `validName` mirror). Spark allows such column names; this format does
+    * not — reject at commit time, before any data is written.
+    */
+  def validManifestName(kind: String)(n: String): Unit =
+    require(n.nonEmpty && !n.exists(ch => ch.isWhitespace || ch == ','),
+      s"$kind column '$n' contains whitespace/comma/newline — it would " +
+        "corrupt the line-oriented manifest format; rename the column " +
+        "before committing")
+
   def manifestsDir(dir: String): HPath = new HPath(dir, "manifests")
   def manifestPath(dir: String, v: Long): HPath =
     new HPath(manifestsDir(dir), f"v$v%08d.manifest")
@@ -161,6 +174,8 @@ object SnapshotParquetSink {
 final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     statsCols: Seq[String] = Nil) extends UpsertSink {
 
+  statsCols.foreach(SnapshotParquetSink.validManifestName("stats"))
+
   private def manifestsDir: HPath = SnapshotParquetSink.manifestsDir(dir)
   private def manifestPath(v: Long): HPath = SnapshotParquetSink.manifestPath(dir, v)
 
@@ -250,6 +265,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
 
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
+    keys.foreach(SnapshotParquetSink.validManifestName("key"))
     val spark = batch.sparkSession
     val incoming0 = batch
       .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
@@ -377,6 +393,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     */
   override def replaceAll(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
+    keys.foreach(SnapshotParquetSink.validManifestName("key"))
     val spark = batch.sparkSession
     val incoming0 = batch
       .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
@@ -522,15 +539,22 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       s"the table at $dir records no merge keys (pre-keys-recording manifest)")
     def live(v: Long) = readAt(spark, v, DeleteMode.Hard)
       .select(keys.map(col) :+ col(seqCol): _*)
-    val a = keys.foldLeft(live(fromVersion).withColumnRenamed(seqCol, "seq_from")) {
+    // explicit existence flags: the sink accepts all-null seq ("contributes
+    // no head"), so presence must NOT be inferred from seq nullability — a
+    // key live on both sides with a NULL seq would otherwise read as
+    // insert/delete, and NULL⇄value transitions would vanish from `update`
+    // under three-valued `=!=`
+    val a = keys.foldLeft(live(fromVersion).withColumnRenamed(seqCol, "seq_from")
+        .withColumn("__a_present", lit(true))) {
       (df, k) => df.withColumnRenamed(k, s"__a_$k") }
-    val b = keys.foldLeft(live(toVersion).withColumnRenamed(seqCol, "seq_to")) {
+    val b = keys.foldLeft(live(toVersion).withColumnRenamed(seqCol, "seq_to")
+        .withColumn("__b_present", lit(true))) {
       (df, k) => df.withColumnRenamed(k, s"__b_$k") }
     val cond = keys.map(k => col(s"__a_$k") <=> col(s"__b_$k")).reduce(_ && _)
     val joined = a.join(b, cond, "full_outer")
-    val change = when(col("seq_from").isNull, lit("insert"))
-      .when(col("seq_to").isNull, lit("delete"))
-      .when(col("seq_from") =!= col("seq_to"), lit("update"))
+    val change = when(col("__a_present").isNull, lit("insert"))
+      .when(col("__b_present").isNull, lit("delete"))
+      .when(!(col("seq_from") <=> col("seq_to")), lit("update"))
     val keyCols = keys.map(k => coalesce(col(s"__b_$k"), col(s"__a_$k")).as(k))
     joined
       .select(keyCols ++ Seq(change.as("change"), col("seq_from"), col("seq_to")): _*)

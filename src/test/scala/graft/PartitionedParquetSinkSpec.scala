@@ -123,6 +123,36 @@ class PartitionedParquetSinkSpec extends SparkSpec {
     }
   }
 
+  test("crashed replaceAll fails reads/merges loudly; re-running the replace repairs") {
+    val dir = tmpDir("psink") + "/t"
+    val sink = new PartitionedParquetSink(dir, nBuckets = 4)
+    val keys = (0 until 16).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    val load = batch(("k0", 1L, "k0-v1", false))
+    sink.replaceAll(load, Seq("primary_key"), "seq", "is_delete")
+    // fabricate the crash window the ADVICE flagged: the static overwrite
+    // committed (narrow layout live) but the crash hit before backup
+    // cleanup — pre-image backup and in-progress marker still on disk.
+    // recover() restoring the wider backup here would silently resurrect
+    // superseded rows; it must refuse instead.
+    val backup = Paths.get(dir + ".backup")
+    Files.createDirectories(backup.resolve("__bucket=0"))
+    Files.write(backup.resolve("__bucket=0").resolve("part-stale.parquet"),
+      Array[Byte](1, 2, 3))
+    Files.write(Paths.get(dir + ".replace-in-progress"), Array[Byte]())
+    val e = intercept[RuntimeException](sink.read(spark, DeleteMode.Hard))
+    assert(e.getMessage.contains("crashed mid-commit"))
+    intercept[RuntimeException](
+      sink.merge(load, Seq("primary_key"), "seq", "is_delete"))
+    // the documented repair: re-run the replace — the stale backup is
+    // discarded (never restored), state is exactly the load
+    sink.replaceAll(load, Seq("primary_key"), "seq", "is_delete")
+    assert(state(sink, DeleteMode.Hard) == Map("k0" -> ((1L, "k0-v1"))))
+    assert(!Files.exists(backup), "stale pre-image backup must be discarded")
+    assert(!Files.exists(Paths.get(dir + ".replace-in-progress")))
+  }
+
   test("replaceAll: every bucket superseded, stale buckets deleted, types replaced") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("psink") + "/t"

@@ -637,6 +637,67 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](sink.changesBetween(spark, 1L, 1L))
   }
 
+  test("changesBetween: null-seq rows classify by key presence, not seq nullability") {
+    import org.apache.spark.sql.functions.lit
+    val sink = new SnapshotParquetSink(tmpDir("cdfnull") + "/t", nBuckets = 4)
+    def nullSeq(rows: (String, String)*) = rows.toSeq.toDF("primary_key", "val")
+      .withColumn("seq", lit(null).cast("long"))
+      .withColumn("is_delete", lit(false))
+      .select($"primary_key", $"seq", $"val", $"is_delete")
+    // v0: a and b carry NULL seq (accepted — "contributes no head"), c seq 1
+    sink.merge(nullSeq(("a", "a0"), ("b", "b0"))
+      .unionByName(batch(("c", 1L, "c0", false))),
+      Seq("primary_key"), "seq", "is_delete")
+    // v1: b resolves to seq 5 (NULL→value update), c tombstoned, d inserted
+    // with NULL seq; a untouched (NULL on both sides)
+    sink.merge(batch(("b", 5L, "b1", false), ("c", 9L, "del", true))
+      .unionByName(nullSeq(("d", "d0"))),
+      Seq("primary_key"), "seq", "is_delete")
+    val feed = sink.changesBetween(spark, 0L, 1L).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(feed == Map(
+      // live both sides: an update (NULL → 5), NOT an insert
+      "b" -> (("update", None, Some(5L))),
+      "c" -> (("delete", Some(1L), None)),
+      // new key: an insert even though its seq is NULL
+      "d" -> (("insert", None, None))),
+      s"a (NULL seq, unchanged) must be absent; got $feed")
+  }
+
+  test("column names that would corrupt the manifest line format are rejected at commit") {
+    val dir = tmpDir("badnames") + "/t"
+    // stats column with a space: `s <b> <col> <mn> <mx>` splits on spaces
+    intercept[IllegalArgumentException](
+      new SnapshotParquetSink(dir, nBuckets = 4, statsCols = Seq("bad col")))
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    val spaced = Seq(("a", 0L, "x", false)).toDF("primary key", "seq", "val", "is_delete")
+    intercept[IllegalArgumentException](
+      sink.merge(spaced, Seq("primary key"), "seq", "is_delete"))
+    // key with a comma: `keys=a,b` would silently split it in two
+    val comma = Seq(("a", 0L, "x", false)).toDF("p,k", "seq", "val", "is_delete")
+    intercept[IllegalArgumentException](
+      sink.replaceAll(comma, Seq("p,k"), "seq", "is_delete"))
+    assert(sink.versions.isEmpty, "nothing may commit under a corrupting name")
+  }
+
+  test("Dfs.renameOntoAbsent on directories: dst present is a lost race, never a throw") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.engine.Dfs
+    val base = tmpDir("dirlock")
+    val live = new HPath(base, "live"); Dfs.mkdirs(live)
+    Dfs.writeUtf8(new HPath(live, "f"), "live\n")
+    val old = new HPath(base, "old"); Dfs.mkdirs(old)
+    Dfs.writeUtf8(new HPath(old, "f"), "old\n")
+    // the TextIndexStore.recover shape: restoring old_ -> live when another
+    // instance already restored must report a lost race — the content-
+    // comparison fallback must never try to read a DIRECTORY as UTF-8
+    assert(!Dfs.renameOntoAbsent(old, live))
+    assert(Dfs.readUtf8(new HPath(live, "f")) == "live\n") // winner intact
+    assert(Dfs.exists(old)) // loser's src left in place for its caller
+  }
+
   test("Dfs.renameOntoAbsent: loser keeps src, winner owns dst, content intact") {
     import org.apache.hadoop.fs.{Path => HPath}
     import graft.engine.Dfs
