@@ -100,7 +100,9 @@ final class SnapshotCatalog(dir: String) {
         pinned.toSeq.sortBy(_._1).map { case (n, tv) => s"t $n $tv" })
         .mkString("", "\n", "\n")
       Dfs.writeUtf8(tmp, body)
-      if (Dfs.renameOntoAbsent(tmp, manifestPath(version))) return version
+      // same pluggable commit seam as the table manifests (LogStore pattern)
+      if (graft.engine.CommitLock.current.publishOntoAbsent(tmp, manifestPath(version)))
+        return version
       Dfs.delete(tmp)
       if (attempts >= 10)
         sys.error(s"catalog commit lost the race $attempts times at $dir")

@@ -250,7 +250,9 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     SnapshotParquetSink.manifest(dir, v)._2
 
   /** Writes the manifest body to a temp file and publishes it at `version`
-    * via the rename-onto-absent lock. True = this writer owns the version;
+    * through the pluggable commit lock ([[graft.engine.CommitLock]] — the
+    * LogStore seam; rename-onto-absent by default, put-if-absent under a
+    * coordinator on object stores). True = this writer owns the version;
     * false = lost the race (temp cleaned up, data root left for the caller
     * to delete).
     */
@@ -258,7 +260,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     Dfs.mkdirs(manifestsDir)
     val tmp = new HPath(manifestsDir, s".tmp-$commitId")
     Dfs.writeUtf8(tmp, body)
-    val won = Dfs.renameOntoAbsent(tmp, manifestPath(version))
+    val won = graft.engine.CommitLock.current.publishOntoAbsent(tmp, manifestPath(version))
     if (!won) Dfs.delete(tmp)
     won
   }
