@@ -42,6 +42,9 @@ import graft.engine.Dfs
   */
 final class SnapshotCatalog(dir: String) {
 
+  /** The catalog's root directory (member tables live at `root/<name>`). */
+  def root: String = dir
+
   private def catalogDir: HPath = new HPath(dir, "_catalog")
   private def manifestPath(v: Long): HPath =
     new HPath(catalogDir, f"v$v%08d.manifest")
@@ -80,11 +83,14 @@ final class SnapshotCatalog(dir: String) {
     * optimistic lock like the table commits; returns the published catalog
     * version. Refuses to pin a table version that is not actually
     * published (a typo'd pin would brick every reader of the new catalog
-    * version).
+    * version). `epoch` (writerId → batchId), when present, is recorded as
+    * an `e <writer> <batch>` manifest line — the idempotence token
+    * [[commitEpoch]] reads to absorb streaming batch replays.
     */
-  def commit(pinned: Map[String, Long]): Long = synchronized {
+  def commit(pinned: Map[String, Long], epoch: Map[String, Long] = Map.empty): Long = synchronized {
     require(pinned.nonEmpty, "a catalog commit must pin at least one table")
     pinned.keys.foreach(validName)
+    epoch.keys.foreach(validName)
     pinned.foreach { case (name, tv) =>
       require(SnapshotParquetSink.versions(s"$dir/$name").contains(tv),
         s"cannot pin $name@v$tv — that table version is not published")
@@ -97,7 +103,8 @@ final class SnapshotCatalog(dir: String) {
       val commitId = java.util.UUID.randomUUID().toString
       val tmp = new HPath(catalogDir, s".tmp-$commitId")
       val body = (s"version=$version" +:
-        pinned.toSeq.sortBy(_._1).map { case (n, tv) => s"t $n $tv" })
+        (pinned.toSeq.sortBy(_._1).map { case (n, tv) => s"t $n $tv" } ++
+          epoch.toSeq.sortBy(_._1).map { case (w, b) => s"e $w $b" }))
         .mkString("", "\n", "\n")
       Dfs.writeUtf8(tmp, body)
       // same pluggable commit seam as the table manifests (LogStore pattern)
@@ -116,10 +123,49 @@ final class SnapshotCatalog(dir: String) {
     * end-of-transaction call after a writer finished its per-table merges.
     */
   def commitCurrent(tables: Seq[String]): Long =
-    commit(tables.map { name =>
+    commit(currentPins(tables))
+
+  private def currentPins(tables: Seq[String]): Map[String, Long] =
+    tables.map { name =>
       name -> SnapshotParquetSink.versions(s"$dir/$name").lastOption
         .getOrElse(sys.error(s"table $name has no published version to pin"))
-    }.toMap)
+    }.toMap
+
+  /** writerId → batchId epoch tokens recorded at catalog version `v`. */
+  def epochs(v: Long): Map[String, Long] =
+    Dfs.readUtf8(manifestPath(v)).split('\n').toSeq
+      .filter(_.startsWith("e "))
+      .map { line =>
+        val Array(_, w, b) = line.split(" ", 3)
+        w -> b.toLong
+      }.toMap
+
+  /** The newest batchId `writerId` has committed a cut for, scanning
+    * manifests newest-first (a live writer stamps every cut, so the hit is
+    * normally the head manifest or very near it; the worst case is bounded
+    * by catalog retention/vacuum).
+    */
+  def lastEpoch(writerId: String): Option[Long] =
+    versions.reverseIterator.map(v => epochs(v).get(writerId))
+      .collectFirst { case Some(b) => b }
+
+  /** Streaming micro-batch transaction commit — the foreachBatch pattern:
+    * merge every member table, then publish ONE cut pinning their current
+    * versions, stamped with (writerId, batchId). IDEMPOTENT under Spark's
+    * crash replay: a batch whose id is ≤ the writer's last recorded epoch
+    * already cut the catalog before the crash, so the replay returns None
+    * and publishes nothing — no duplicate catalog versions, and readers
+    * keep seeing exactly one consistent cut per source micro-batch.
+    * (Replayed MERGES are absorbed by the tables' own seq idempotence;
+    * the cut they re-publish under new table versions stays unpinned.)
+    */
+  def commitEpoch(tables: Seq[String], writerId: String, batchId: Long): Option[Long] = {
+    validName(writerId)
+    lastEpoch(writerId) match {
+      case Some(last) if last >= batchId => None // replayed epoch — already cut
+      case _ => Some(commit(currentPins(tables), Map(writerId -> batchId)))
+    }
+  }
 
   /** SEQ-ALIGNED catalog commit for independently-streaming CDC replicas:
     * pins, per table, the newest version whose recorded applied-head seq

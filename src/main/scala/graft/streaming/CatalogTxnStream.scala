@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.sink.SnapshotCatalog
+
+/** Streaming multi-table transactions: ONE micro-batch stream fans out into
+  * several [[SnapshotCatalog]] member tables, and every micro-batch ends
+  * with ONE atomic catalog cut pinning all members — so catalog readers see
+  * per-micro-batch consistent cross-table state, never a torn cut, under
+  * kill-and-restart (the streaming twin of the batch q61i transaction).
+  *
+  * Exactly-once shape per micro-batch:
+  *   1. replay guard: if this (writerId, batchId) epoch is already recorded
+  *      in catalog history, the whole batch — merges AND cut — committed
+  *      before the crash; skip everything (no duplicate table versions, no
+  *      duplicate catalog versions);
+  *   2. merge each member's slice (seq-keyed last-write-wins absorbs any
+  *      partial replay of a crash BETWEEN merges);
+  *   3. `commitEpoch`: one rename-locked catalog publish stamped with the
+  *      epoch. A crash between step 2 and 3 leaves tables advanced but
+  *      unpinned — readers keep the previous cut; the restart replays the
+  *      batch and re-commits.
+  *
+  * Scale shape: the batch is persisted once and sliced per member (each
+  * member's merge reads only the buckets its slice touches); the catalog
+  * publish is one small-file rename — per-batch metadata cost is O(members),
+  * independent of data volume.
+  */
+object CatalogTxnStream {
+
+  /** One member table of the transaction: `slice` carves the member's rows
+    * out of the multiplexed micro-batch (typically a discriminator-column
+    * filter plus projection).
+    */
+  final case class Member(name: String, slice: DataFrame => DataFrame,
+      nBuckets: Int = 16)
+
+  def start(
+      events: DataFrame,
+      catalog: SnapshotCatalog,
+      members: Seq[Member],
+      keys: Seq[String],
+      seqCol: String,
+      isDeleteCol: String,
+      checkpoint: String,
+      writerId: String): StreamingQuery = {
+    require(members.nonEmpty, "a catalog transaction needs at least one member table")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fully-replayed epoch: merges and cut already landed — re-running
+        // the merges would publish orphan (unpinned) table versions for no
+        // benefit, so the whole batch is skipped
+        if (!catalog.lastEpoch(writerId).exists(_ >= batchId)) {
+          val pinned = batch.persist()
+          try {
+            members.foreach { m =>
+              catalog.table(m.name, m.nBuckets)
+                .merge(m.slice(pinned), keys, seqCol, isDeleteCol)
+            }
+            // only members that have ever received rows are pinnable; a
+            // member whose every batch sliced empty so far has no version
+            val present = members.map(_.name)
+              .filter(n => graft.sink.SnapshotParquetSink
+                .versions(s"${catalog.root}/$n").nonEmpty)
+            if (present.nonEmpty) {
+              catalog.commitEpoch(present, writerId, batchId)
+              ()
+            }
+          } finally {
+            pinned.unpersist()
+            ()
+          }
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.io.{File, PrintWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sink.{DeleteMode, SnapshotCatalog}
+import graft.streaming.CatalogTxnStream
+
+/** Streaming multi-table transactions (the q61i shape driven from
+  * foreachBatch): every committed catalog version must be a consistent
+  * cross-table cut at a micro-batch boundary, under kill-and-restart with
+  * a replayed micro-batch — and the replay may add NO duplicate catalog
+  * version.
+  */
+class CatalogTxnStreamSpec extends SparkSpec {
+
+  private def writeChunk(dir: String, name: String, lines: Seq[String]): Unit = {
+    val w = new PrintWriter(new File(dir, name), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  /** Drop the newest checkpoint commit marker: Spark replays the last
+    * micro-batch on restart even though every sink effect already landed.
+    */
+  private def injectCrash(checkpoint: String): Unit = {
+    val commits = new File(checkpoint, "commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .sortBy(_.getName.toInt).lastOption
+    assert(latest.isDefined, s"no commits to crash at $checkpoint")
+    assert(latest.get.delete())
+    val crc = new File(commits, s".${latest.get.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+  }
+
+  // each micro-batch carries one row PER member table, tagged with the
+  // batch number — a consistent cut must show the same max tag in both
+  private def chunk(n: Int): Seq[String] = Seq(
+    s"""{"tbl":"orders","primary_key":"o$n","seq":$n,"val":"b$n","is_delete":false}""",
+    s"""{"tbl":"customers","primary_key":"c$n","seq":$n,"val":"b$n","is_delete":false}""")
+
+  private def maxTag(df: DataFrame): Option[String] =
+    df.agg(max(col("val"))).collect().headOption.flatMap(r => Option(r.getString(0)))
+
+  test("every catalog version is a consistent cut; crash replay adds no duplicate cut") {
+    val in = tmpDir("txn_in")
+    val ckpt = tmpDir("txn_ck")
+    val catDir = tmpDir("txn_cat") + "/c"
+    val cat = new SnapshotCatalog(catDir)
+    val members = Seq(
+      CatalogTxnStream.Member("orders", _.filter(col("tbl") === "orders").drop("tbl"), 2),
+      CatalogTxnStream.Member("customers", _.filter(col("tbl") === "customers").drop("tbl"), 2))
+
+    val stream = spark.readStream
+      .schema("tbl STRING, primary_key STRING, seq LONG, val STRING, is_delete BOOLEAN")
+      .json(in)
+    def startQ() = CatalogTxnStream.start(stream, cat, members,
+      Seq("primary_key"), "seq", "is_delete", ckpt, writerId = "txn-writer")
+
+    // ---- batches 0 and 1, then crash with batch 1 fully applied
+    writeChunk(in, "b0.jsonl", chunk(0))
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      writeChunk(in, "b1.jsonl", chunk(1))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    assert(cat.versions.size == 2, s"one cut per micro-batch, got ${cat.versions}")
+
+    injectCrash(ckpt)
+    writeChunk(in, "b2.jsonl", chunk(2))
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+
+    // replayed batch 1 must NOT have published a duplicate cut: exactly one
+    // catalog version per source micro-batch
+    assert(cat.versions.size == 3,
+      s"3 micro-batches ⇒ 3 cuts, got ${cat.versions} (replay duplicated a cut?)")
+    // ... and its epoch stamps are strictly increasing batch ids
+    val stamps = cat.versions.map(v => cat.epochs(v)("txn-writer"))
+    assert(stamps == Seq(0L, 1L, 2L), stamps.toString)
+
+    // NO TORN CUT AT ANY POINT: readers only ever observe committed catalog
+    // versions, so check every one — both members must sit at the same
+    // micro-batch boundary in every cut
+    for (v <- cat.versions) {
+      val view = cat.readAllAt(spark, v)
+      val o = maxTag(view("orders")); val c = maxTag(view("customers"))
+      assert(o == c, s"torn cut at catalog v$v: orders=$o customers=$c")
+      assert(o.contains(s"b${cat.epochs(v)("txn-writer")}"),
+        s"cut v$v must sit at its own epoch boundary")
+    }
+
+    // final state: all three batches applied exactly once per member
+    val fin = cat.readAll(spark)
+    assert(fin("orders").count() == 3 && fin("customers").count() == 3)
+    // the replayed merge was skipped entirely (no orphan table versions):
+    // each member advanced exactly once per micro-batch
+    for (m <- Seq("orders", "customers"))
+      assert(graft.sink.SnapshotParquetSink.versions(s"$catDir/$m") == Seq(0L, 1L, 2L),
+        s"$m grew orphan versions from the replay")
+  }
+
+  test("a member with no rows yet is not pinned; it joins the cut when data arrives") {
+    val in = tmpDir("txn2_in")
+    val ckpt = tmpDir("txn2_ck")
+    val cat = new SnapshotCatalog(tmpDir("txn2_cat") + "/c")
+    val members = Seq(
+      CatalogTxnStream.Member("orders", _.filter(col("tbl") === "orders").drop("tbl"), 2),
+      CatalogTxnStream.Member("customers", _.filter(col("tbl") === "customers").drop("tbl"), 2))
+    val stream = spark.readStream
+      .schema("tbl STRING, primary_key STRING, seq LONG, val STRING, is_delete BOOLEAN")
+      .json(in)
+    // batch 0 carries ONLY orders rows
+    writeChunk(in, "b0.jsonl", Seq(
+      """{"tbl":"orders","primary_key":"o0","seq":0,"val":"b0","is_delete":false}"""))
+    val q = CatalogTxnStream.start(stream, cat, members,
+      Seq("primary_key"), "seq", "is_delete", ckpt, writerId = "w")
+    try {
+      q.processAllAvailable()
+      assert(cat.pins(cat.currentVersion.get).keySet == Set("orders"))
+      writeChunk(in, "b1.jsonl", chunk(1))
+      q.processAllAvailable()
+      assert(cat.pins(cat.currentVersion.get).keySet == Set("orders", "customers"))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+}
