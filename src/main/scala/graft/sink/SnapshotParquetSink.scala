@@ -54,6 +54,39 @@ import graft.engine.Dfs
   */
 object SnapshotParquetSink {
 
+  /** One dimension of a write-time clustering spec: rows route to buckets
+    * by the Z-order (Morton) position of their clamped, `[lo, hi]`-scaled
+    * value instead of by key hash — so each bucket covers a TIGHT rectangle
+    * in cluster space and the manifest's per-bucket min/max stats prune
+    * range predicates on EITHER column (the Delta `OPTIMIZE ZORDER` idea
+    * applied at write time, composed from [[graft.engine.ZOrder]]).
+    *
+    * Bounds are declared once at table create and are part of the table's
+    * committed layout (like `nBuckets`): routing must be a PURE function of
+    * the column values forever, or a key would migrate between buckets
+    * across merges. Out-of-bounds values clamp — they route to an edge
+    * bucket, and pruning stays correct because stats always record the
+    * bucket's ACTUAL content ranges.
+    */
+  final case class ClusterCol(name: String, lo: Long, hi: Long) {
+    require(lo < hi, s"cluster bounds for '$name' need lo < hi (got $lo, $hi)")
+  }
+
+  /** Bits per dimension of the Z-code — fixed so the routing function is
+    * part of the format: 20 bits/col keeps a 2-D code in 40 bits and
+    * resolves any `nBuckets ≤ 2^20` per dimension.
+    */
+  private[sink] val ClusterBits = 20
+
+  /** The cluster spec recorded at `version`; empty = hash-routed table. */
+  def manifestCluster(dir: String, version: Long): Seq[ClusterCol] =
+    Dfs.readUtf8(manifestPath(dir, version)).split('\n').toSeq
+      .filter(_.startsWith("c "))
+      .map { line =>
+        val Array(_, n, lo, hi) = line.split(" ", 4)
+        ClusterCol(n, lo.toLong, hi.toLong)
+      }
+
   /** Column names land verbatim in the line-oriented manifest (`keys=a,b`
     * splits on commas; `s <b> <col> <mn> <mx>` splits on spaces), so a name
     * containing a space/comma/newline would shift every later field and
@@ -143,6 +176,45 @@ object SnapshotParquetSink {
       .groupBy(_._1)
       .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
 
+  /** Per-column shift that maps a `[0, hi-lo]` offset onto the FULL
+    * [[ClusterBits]]-bit code range — exact integer arithmetic, no
+    * division: positive = shift right (span wider than the code), negative
+    * = shift left (narrow span scaled up so the top-bits bucket selector
+    * still discriminates).
+    */
+  private[sink] def clusterShift(c: ClusterCol): Int = {
+    val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(c.hi - c.lo)
+    spanBits - ClusterBits
+  }
+
+  private[sink] def applyShift(x: Long, shift: Int): Long =
+    if (shift >= 0) x >> shift else x << -shift
+
+  /** Driver-side cluster routing, bit-identical to the write expression:
+    * clamp to bounds (null ⇒ lo), subtract lo, shift to [[ClusterBits]]
+    * bits, Morton-interleave, keep the top log2(nBuckets) bits — so
+    * adjacent buckets are adjacent Z-tiles and a rectangle predicate
+    * touches few of them.
+    */
+  private[graft] def clusterBucketFor(values: Seq[Option[Long]],
+      spec: Seq[ClusterCol], nBuckets: Int): Int = {
+    val codes = values.zip(spec).map { case (v, c) =>
+      val clamped = math.min(math.max(v.getOrElse(c.lo), c.lo), c.hi)
+      applyShift(clamped - c.lo, clusterShift(c))
+    }
+    val log2n = java.lang.Long.numberOfTrailingZeros(nBuckets.toLong)
+    val z = codes match {
+      case Seq(a) => a
+      case Seq(a, b) =>
+        (0 until ClusterBits).map { j =>
+          (((a >> j) & 1L) << (2 * j)) + (((b >> j) & 1L) << (2 * j + 1))
+        }.sum
+      case _ => sys.error("clusterBy supports 1 or 2 columns")
+    }
+    val zBits = ClusterBits * spec.length
+    (z >> (zBits - log2n)).toInt
+  }
+
   /** Driver-side bucket routing, bit-identical to the write path's
     * `pmod(xxhash64(keys...), nBuckets)`: literals cast to the STORED key
     * types, XxHash64 evaluated without a Spark job.
@@ -172,9 +244,22 @@ object SnapshotParquetSink {
   * pruning).
   */
 final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
-    statsCols: Seq[String] = Nil) extends UpsertSink {
+    statsCols: Seq[String] = Nil,
+    clusterBy: Seq[SnapshotParquetSink.ClusterCol] = Nil) extends UpsertSink {
 
   statsCols.foreach(SnapshotParquetSink.validManifestName("stats"))
+  clusterBy.foreach(c => SnapshotParquetSink.validManifestName("cluster")(c.name))
+  require(clusterBy.size <= 2, "clusterBy supports 1 or 2 columns (Z-order is 2-D here)")
+  require(clusterBy.map(_.name).distinct.size == clusterBy.size,
+    "clusterBy columns must be distinct")
+  if (clusterBy.nonEmpty) {
+    require((nBuckets & (nBuckets - 1)) == 0 && nBuckets > 0,
+      s"a clustered table needs a power-of-two nBuckets (top Z-code bits " +
+        s"are the bucket), got $nBuckets")
+    require(java.lang.Long.numberOfTrailingZeros(nBuckets.toLong)
+        <= SnapshotParquetSink.ClusterBits * clusterBy.length,
+      s"nBuckets=$nBuckets exceeds the Z-code resolution for ${clusterBy.length} column(s)")
+  }
 
   private def manifestsDir: HPath = SnapshotParquetSink.manifestsDir(dir)
   private def manifestPath(v: Long): HPath = SnapshotParquetSink.manifestPath(dir, v)
@@ -237,8 +322,52 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       }
   }
 
+  /** Routing: key hash by default; on a clustered table, the top
+    * log2(nBuckets) bits of the Morton code over the cluster columns —
+    * Z-tiles instead of hash scatter, so per-bucket stats envelopes are
+    * tight rectangles and range predicates prune. Cluster columns must be
+    * MERGE KEYS: key values are the row's identity and never change, which
+    * is exactly the stability routing needs (a value column could move a
+    * key between buckets on update, leaving a stale live copy behind).
+    */
   private def bucketOf(keys: Seq[String]) =
-    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    if (clusterBy.isEmpty)
+      pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    else {
+      clusterBy.foreach(c => require(keys.contains(c.name),
+        s"cluster column '${c.name}' must be one of the merge keys " +
+          s"${keys.mkString(",")} — routing must be stable per key"))
+      val codes = clusterBy.map { c =>
+        val clamped = greatest(least(coalesce(col(c.name).cast("long"),
+          lit(c.lo)), lit(c.hi)), lit(c.lo))
+        val off = clamped - lit(c.lo)
+        val sh = SnapshotParquetSink.clusterShift(c)
+        if (sh >= 0) shiftright(off, sh) else shiftleft(off, -sh)
+      }
+      val z = codes match {
+        case Seq(a) => a
+        case Seq(a, b) =>
+          graft.engine.ZOrder.interleave2(a, b, SnapshotParquetSink.ClusterBits)
+      }
+      val zBits = SnapshotParquetSink.ClusterBits * clusterBy.length
+      val log2n = java.lang.Long.numberOfTrailingZeros(nBuckets.toLong)
+      shiftright(z, zBits - log2n).cast("int")
+    }
+
+  /** `c <name> <lo> <hi>` manifest lines declaring this handle's layout. */
+  private def clusterLines: Seq[String] =
+    clusterBy.map(c => s"c ${c.name} ${c.lo} ${c.hi}")
+
+  /** A clustered table written by a hash-routing handle (or with different
+    * bounds) would scatter keys across incompatible bucket routings — the
+    * same silent corruption the nBuckets guard exists for.
+    */
+  private def requireClusterMatch(v: Long): Unit = {
+    val committed = SnapshotParquetSink.manifestCluster(dir, v)
+    require(committed == clusterBy,
+      s"sink clusterBy=$clusterBy but the table at $dir was committed with " +
+        s"clusterBy=$committed — construct the sink with the table's spec")
+  }
 
   /** All published versions, ascending; empty before the first commit. */
   def versions: Seq[Long] = SnapshotParquetSink.versions(dir)
@@ -305,6 +434,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
           require(priorKeys.isEmpty || priorKeys == keys,
             s"merge keys ${keys.mkString(",")} do not match the table's committed " +
               s"keys ${priorKeys.mkString(",")} at $dir")
+          requireClusterMatch(v)
         }
 
         // existing state of the affected buckets, grouped by commit root:
@@ -360,6 +490,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
           s"keys=${keys.mkString(",")}") ++
           maxSeqOpt.map(m => s"maxseq=$m").toSeq ++
+          clusterLines ++
           newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
           carried ++ statsLinesFor(spark, commitId))
           .mkString("", "\n", "\n")
@@ -426,6 +557,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
           require(priorKeys.isEmpty || priorKeys == keys,
             s"replaceAll keys ${keys.mkString(",")} do not match the table's committed " +
               s"keys ${priorKeys.mkString(",")} at $dir")
+          requireClusterMatch(v)
         }
         val incoming = incoming0.withColumn("__gen", lit(version))
         val w = org.apache.spark.sql.expressions.Window
@@ -441,6 +573,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
           s"keys=${keys.mkString(",")}") ++
           batchMaxSeq.map(m => s"maxseq=$m").toSeq ++
+          clusterLines ++
           newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
           statsLinesFor(spark, commitId))
           .mkString("", "\n", "\n")
@@ -505,8 +638,29 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
         val entries = readManifest(v)
         val sample = spark.read.parquet(s"$dir/${entries.head._2}").drop("__gen")
         val schema = sample.schema
-        val bucket = SnapshotParquetSink.bucketFor(
-          keyValues, keys.map(k => schema(k).dataType), nBuckets)
+        // route the way the table was WRITTEN: Z-tile on a clustered table,
+        // key hash otherwise (the committed manifest is authoritative)
+        val committedCluster = SnapshotParquetSink.manifestCluster(dir, v)
+        val bucket =
+          if (committedCluster.isEmpty)
+            SnapshotParquetSink.bucketFor(
+              keyValues, keys.map(k => schema(k).dataType), nBuckets)
+          else {
+            val byName = keys.zip(keyValues).toMap
+            val longs = committedCluster.map { c =>
+              require(byName.contains(c.name),
+                s"lookup must provide cluster key '${c.name}'")
+              Option(byName(c.name)).map {
+                case l: Long => l
+                case i: Int => i.toLong
+                case s: Short => s.toLong
+                case b: Byte => b.toLong
+                case other => sys.error(
+                  s"cluster key '${c.name}' must be integral, got $other")
+              }
+            }
+            SnapshotParquetSink.clusterBucketFor(longs, committedCluster, nBuckets)
+          }
         entries.get(bucket.toInt) match {
           case None => shaped(sample.limit(0))
           case Some(rel) =>
@@ -607,9 +761,13 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       val carried = SnapshotParquetSink.manifestStats(dir, base).toSeq.sortBy(_._1)
         .flatMap { case (b, cols) => cols.toSeq.sortBy(_._1).map {
           case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
+      // compaction rewrites files, never the routing — cluster spec carries
+      val carriedCluster = SnapshotParquetSink.manifestCluster(dir, base)
+        .map(c => s"c ${c.name} ${c.lo} ${c.hi}")
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
+        carriedCluster ++
         newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
         carried)
         .mkString("", "\n", "\n")
@@ -696,9 +854,13 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
             .flatMap { case (b, cols) => cols.toSeq.sortBy(_._1).map {
               case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
         }
+      // purge removes rows, never the routing — cluster spec carries
+      val carriedCluster = SnapshotParquetSink.manifestCluster(dir, base)
+        .map(c => s"c ${c.name} ${c.lo} ${c.hi}")
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
         headSeq.map(m => s"maxseq=$m").toSeq ++
+        carriedCluster ++
         newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
         statsOut)
         .mkString("", "\n", "\n")

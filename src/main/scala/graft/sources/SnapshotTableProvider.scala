@@ -134,7 +134,8 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
 /** One resolved (dir, version) view of a snapshot table. */
 private[sources] final case class SnapshotState(dir: String, version: Long,
     nBuckets: Int, entries: Map[Int, String], keys: Seq[String],
-    stats: Map[Int, Map[String, (BigDecimal, BigDecimal)]] = Map.empty) {
+    stats: Map[Int, Map[String, (BigDecimal, BigDecimal)]] = Map.empty,
+    cluster: Seq[SnapshotParquetSink.ClusterCol] = Nil) {
 
   def bucketPaths: Seq[String] = entries.toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
 
@@ -157,8 +158,11 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
   def prunedPaths(filters: Seq[Expression]): Seq[String] =
     statsPruned(filters, keyPruned(filters))
 
-  /** Key-equality pruning: one bucket when every declared key is pinned by
-    * an equality, all buckets else.
+  /** Key-equality pruning: one bucket when the routing inputs are pinned by
+    * equalities — every declared key on a hash-routed table, every CLUSTER
+    * column on a clustered one (routing there is a pure function of the
+    * cluster columns alone; hashing would pick the WRONG bucket and
+    * silently lose rows, so the committed cluster spec is authoritative).
     */
   private def keyPruned(filters: Seq[Expression]): Map[Int, String] = {
     if (keys.isEmpty) return entries
@@ -170,6 +174,18 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
       case EqualTo(l: Literal, a: Attribute) =>
         a.name -> CatalystTypeConverters.convertToScala(l.value, l.dataType)
     }.toMap
+    if (cluster.nonEmpty) {
+      if (!cluster.forall(c => eqs.contains(c.name))) return entries
+      val longs = cluster.map(c => eqs(c.name) match {
+        case l: Long  => Some(l)
+        case i: Int   => Some(i.toLong)
+        case s: Short => Some(s.toLong)
+        case b: Byte  => Some(b.toLong)
+        case _        => return entries // non-integral literal: no pruning
+      })
+      val bucket = SnapshotParquetSink.clusterBucketFor(longs, cluster, nBuckets)
+      return entries.get(bucket).map(rel => Map(bucket -> rel)).getOrElse(Map.empty)
+    }
     if (!keys.forall(eqs.contains)) return entries
     val bucket = SnapshotParquetSink.bucketFor(
       keys.map(eqs), keys.map(k => dataSchema(k).dataType), nBuckets)
@@ -269,7 +285,8 @@ private[sources] object SnapshotState {
         recorded
       } else keys // pre-keys-recording manifest: trust the caller (documented)
     SnapshotState(dir, version, nBuckets, entries, effectiveKeys,
-      SnapshotParquetSink.manifestStats(dir, version))
+      SnapshotParquetSink.manifestStats(dir, version),
+      SnapshotParquetSink.manifestCluster(dir, version))
   }
 }
 
