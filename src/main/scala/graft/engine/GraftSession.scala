@@ -277,6 +277,28 @@ object Tables {
         store.append(emb.filter(pmod(col("vec_id"), lit(3)) === b), b)
     }
 
+  /** q89p's RECLUSTERED index: initialized on a third of the corpus (so the
+    * initial centroids are genuinely drifted once the rest lands), three
+    * batch appends, then a forced recluster(k=8, iters=2) — after which the
+    * live generation's centroids are exactly `KMeans.train(full corpus)`,
+    * the thing the oracle's Lloyd chain replays. Built once per
+    * (session, dir); the drift-threshold path itself is ScalaTest-pinned
+    * (VectorIndexReclusterSpec).
+    */
+  def ensureRecluster(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q89p_vindex", spark, dir) { out =>
+      val store = new graft.sink.VectorIndexStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val emb = table(spark, dir, "embeddings")
+      store.init(emb.filter(pmod(col("vec_id"), lit(3)) === 0L), k = 8, iters = 2)
+      for (b <- 0L until 3L)
+        store.append(emb.filter(pmod(col("vec_id"), lit(3)) === b), b)
+      // forced: the query pins MIGRATION correctness (post-recluster state ≡
+      // one-shot over the union), not the trigger policy
+      val g = store.recluster(spark, k = 8, iters = 2, minImprovementX1000 = -1000L)
+      require(g.contains(1L), s"forced recluster must migrate, got $g")
+    }
+
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
     * document tokens, built once per (session, dir).
     */

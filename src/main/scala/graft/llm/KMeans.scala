@@ -62,6 +62,15 @@ object KMeans {
       c => struct(dist2(qv, c.getField("cv")).as("d2"),
         c.getField("cell").as("cell")))).getField("cell")
 
+  /** [[cellOf]]'s sibling for the DISTANCE: exact squared distance to the
+    * nearest centroid — summing it over a corpus is the quantization
+    * inertia a drift monitor compares across centroid sets.
+    */
+  private[graft] def minDist2Of(qv: Column, cents: Centroids): Column =
+    array_min(transform(centroidArray(cents),
+      c => struct(dist2(qv, c.getField("cv")).as("d2"),
+        c.getField("cell").as("cell")))).getField("d2")
+
   /** The `nProbe` nearest cells by exact integer distance, ties to the
     * lowest cell id — struct sort order IS (d2 ASC, cell ASC), so this is
     * one codegen'd per-row expression, no join.

@@ -796,6 +796,44 @@ object Llm {
         .withColumn("cos", col("cos").cast("string"))
     },
 
+    // Drift-triggered recluster migration (round 10): the index was
+    // initialized on a THIRD of the corpus (genuinely stale centroids),
+    // fully ingested, then recluster() retrained on the committed union and
+    // migrated every batch to a new generation behind one atomic manifest
+    // flip. The contract oracle-checked here: post-recluster search ≡ a
+    // one-shot IVF whose centroids are KMeans.train(union corpus) — which
+    // is exactly the kmeansChain the oracle replays in SQL (it never sees
+    // the index, the migration, or the generations). Crash-mid-migration
+    // and the drift threshold are ScalaTest-pinned (VectorIndexReclusterSpec).
+    QDef.df("q89p_recluster_search", {
+      val dist = "CAST(list_dot_product(qr.qv, qr.qv) AS BIGINT) " +
+        "- 2 * CAST(list_dot_product(qr.qv, c2.cv) AS BIGINT) " +
+        "+ CAST(list_dot_product(c2.cv, c2.cv) AS BIGINT)"
+      s"""$kmeansChain,
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |      FROM embeddings),
+         |qr AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id >= 3 AND vec_id < 7),
+         |pr AS (SELECT q_id, cell FROM (
+         |    SELECT qr.q_id, c2.cell, row_number() OVER (PARTITION BY qr.q_id
+         |        ORDER BY $dist ASC, c2.cell ASC) AS rn
+         |    FROM qr CROSS JOIN c2) t WHERE rn <= 2),
+         |cand AS (SELECT pr.q_id, a3.vec_id AS n_id
+         |         FROM pr JOIN a3 ON a3.cell = pr.cell),
+         |qe AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id >= 3 AND vec_id < 7),
+         |sc AS (SELECT cand.q_id, cand.n_id, CAST($cosExpr AS DECIMAL(38,4)) AS cos
+         |       FROM cand JOIN v ON v.vec_id = cand.n_id
+         |       JOIN qe ON qe.q_id = cand.q_id),
+         |r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, n_id) AS rn FROM sc)
+         |SELECT q_id, n_id, CAST(cos AS STRING) AS cos FROM r WHERE rn <= 3""".stripMargin
+    }) { (s, dir) =>
+      val store = new graft.sink.VectorIndexStore(Tables.ensureRecluster(s, dir))
+      store.search(s, Tables.table(s, dir, "embeddings")
+          .filter(col("vec_id") >= 3 && col("vec_id") < 7),
+          k = 3, nProbe = 2)
+        .withColumn("cos", col("cos").cast("string"))
+    },
+
     // IVF index-health cell histogram: per-cell committed vector counts +
     // hot_x1000 balance score (1000 = balanced) from the persistent index.
     // The oracle replays the integer-Lloyd assignment (shared kmeansChain)

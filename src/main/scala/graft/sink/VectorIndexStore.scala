@@ -25,28 +25,60 @@ import graft.llm.KMeans
   * history, uncommitted partials are invisible. A vec_id lives in exactly
   * one batch.
   *
-  * Because centroids never move after `init`, search results over the
-  * accumulated store are IDENTICAL to a one-shot IVF over the union corpus
-  * with the same centroids — which is exactly what the t2 oracle computes
-  * (q89h replays the Lloyd chain, the probe ranking and the cosine rerank
-  * in SQL, never touching the index). Centroid drift at scale is handled
-  * the way serving systems do: retrain offline, write a NEW index dir,
-  * swap readers.
+  * Because centroids never move WITHIN a generation, search results over
+  * the accumulated store are IDENTICAL to a one-shot IVF over the union
+  * corpus with the same centroids — which is exactly what the t2 oracle
+  * computes (q89h replays the Lloyd chain, the probe ranking and the
+  * cosine rerank in SQL, never touching the index).
+  *
+  * Centroid drift is handled by GENERATIONS ([[recluster]]): retraining
+  * publishes a complete new index state — fresh centroids AND every
+  * committed batch reassigned under them — and flips readers to it with
+  * one atomic manifest publish, so a reader can never pair one
+  * generation's centroids with another's cell layout. Each generation's
+  * centroids are frozen, which preserves the replay contract: a crashed
+  * stream replaying `append(batchId)` after a migration rewrites that
+  * batch's dir in the NEW generation with deterministic identical content.
   */
 final class VectorIndexStore(val dir: String) {
 
+  import org.apache.hadoop.fs.{Path => HPath}
+  import graft.engine.Dfs
+
+  // ---- generation layer: gen 0 is the original flat layout; recluster
+  // publishes gen manifests (gens/v%08d.manifest via the commit-lock seam)
+  // whose maximum is the LIVE generation — readers resolve centroids and
+  // vectors through one gen, so the pair can never tear.
+
+  /** The generation readers and appenders currently bind to. */
+  def liveGen: Long =
+    Dfs.list(new HPath(s"$dir/gens"))
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted.lastOption.getOrElse(0L)
+
+  private def centroidsPath(g: Long): String =
+    if (g == 0L) s"$dir/centroids" else s"$dir/gen=$g/centroids"
+  private def vectorsPath(g: Long): String =
+    if (g == 0L) s"$dir/vectors" else s"$dir/gen=$g/vectors"
+
   /** Trains the cell layout on the initial corpus (integer Lloyd — see
     * [[graft.llm.KMeans.train]]) and persists the centroid table. Call once
-    * per index; appends and searches bind to these frozen centroids.
+    * per index; appends and searches bind to these frozen centroids until a
+    * [[recluster]] publishes a new generation.
     */
   def init(corpus: DataFrame, k: Int, iters: Int, scale: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val model = KMeans.train(corpus, k, iters, scale, idCol, embCol)
-    model.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.centroids.coalesce(1).write.mode("overwrite").parquet(centroidsPath(0L))
   }
 
+  private def centroidsAt(spark: SparkSession, g: Long): KMeans.Centroids =
+    KMeans.collectCentroids(spark.read.parquet(centroidsPath(g)))
+
   private def centroids(spark: SparkSession): KMeans.Centroids =
-    KMeans.collectCentroids(spark.read.parquet(s"$dir/centroids"))
+    centroidsAt(spark, liveGen)
 
   /** Assigns one vector batch to the frozen centroids and commits it,
     * partitioned by cell. The raw embedding rides along for the exact
@@ -56,13 +88,17 @@ final class VectorIndexStore(val dir: String) {
     * search can push down into the cell scan.
     */
   def append(batch: DataFrame, batchId: Long, scale: Int = 4096,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    val cents = centroids(batch.sparkSession)
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    appendTo(liveGen, batch, batchId, scale, idCol, embCol)
+
+  private def appendTo(g: Long, batch: DataFrame, batchId: Long, scale: Int,
+      idCol: String, embCol: String): Unit = {
+    val cents = centroidsAt(batch.sparkSession, g)
     batch.withColumnRenamed(idCol, "vec_id").withColumnRenamed(embCol, "embedding")
       .withColumn("cell",
         KMeans.cellOf(KMeans.quantize(col("embedding"), scale), cents))
       .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$dir/vectors/batch=$batchId")
+      .parquet(s"${vectorsPath(g)}/batch=$batchId")
   }
 
   /** Top-k by exact cosine within the `nProbe` nearest cells per query —
@@ -95,9 +131,10 @@ final class VectorIndexStore(val dir: String) {
     // bounded by k regardless of query count
     val probed = q.select(explode(col("cells")).as("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val batches = BatchStore.committedBatchPaths(s"$dir/vectors")
+    val vdir = vectorsPath(liveGen)
+    val batches = BatchStore.committedBatchPaths(vdir)
     require(batches.nonEmpty, s"no committed vector batches at $dir")
-    val scanned = spark.read.option("basePath", s"$dir/vectors")
+    val scanned = spark.read.option("basePath", vdir)
       .parquet(batches: _*)
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .drop("batch")
@@ -120,14 +157,104 @@ final class VectorIndexStore(val dir: String) {
     * touches directory metadata plus row counts, not vectors).
     */
   def cellHistogram(spark: SparkSession): DataFrame = {
-    val batches = BatchStore.committedBatchPaths(s"$dir/vectors")
+    val vdir = vectorsPath(liveGen)
+    val batches = BatchStore.committedBatchPaths(vdir)
     require(batches.nonEmpty, s"no committed vector batches at $dir")
-    val counts = spark.read.option("basePath", s"$dir/vectors")
+    val counts = spark.read.option("basePath", vdir)
       .parquet(batches: _*)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
     counts.crossJoin(broadcast(total))
       .select(col("cell").cast("bigint").as("cell"), col("n").cast("bigint").as("n"),
         expr("(n * k * 1000) DIV tot").cast("bigint").as("hot_x1000"))
+  }
+
+  /** Every committed vector of generation `g`, raw (payload columns kept,
+    * bookkeeping dropped) — the migration/retraining corpus.
+    */
+  private def committedVectors(spark: SparkSession, g: Long): DataFrame = {
+    val vdir = vectorsPath(g)
+    val batches = BatchStore.committedBatchPaths(vdir)
+    require(batches.nonEmpty, s"no committed vector batches at $dir")
+    spark.read.option("basePath", vdir).parquet(batches: _*).drop("batch", "cell")
+  }
+
+  private def committedBatchIds(g: Long): Seq[Long] =
+    BatchStore.committedBatchPaths(vectorsPath(g))
+      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
+      .sorted
+
+  /** Exact integer quantization inertia (Σ min d²) of `corpus` against a
+    * centroid set — the drift measure [[recluster]] compares: stale
+    * centroids leave inertia a retrain would recover.
+    */
+  private def inertiaOf(corpus: DataFrame, cents: KMeans.Centroids,
+      scale: Int): BigDecimal =
+    BigDecimal(corpus
+      .select(KMeans.minDist2Of(KMeans.quantize(col("embedding"), scale), cents)
+        .cast("decimal(38,0)").as("d2"))
+      .agg(sum(col("d2"))).head().getDecimal(0))
+
+  /** Drift-triggered index maintenance: retrains centroids on ALL committed
+    * vectors and — when the retrain recovers more than
+    * `minImprovementX1000` parts-per-thousand of quantization inertia —
+    * migrates the whole index to a NEW generation: fresh centroid table
+    * plus every committed batch reassigned and rewritten under it (batch
+    * dirs preserved, so streaming replays stay idempotent across the
+    * migration), then ONE atomic manifest publish flips readers over.
+    * Returns Some(newGen) after a migration, None when drift is below the
+    * threshold (centroids stay frozen — the replay-stability contract).
+    *
+    * Crash safety is the snapshot-sink shape: everything is written under
+    * the not-yet-live `gen=<g+1>/` before the publish, so a crash anywhere
+    * earlier leaves readers on the old generation and the partial is
+    * invisible garbage (cleaned by the next recluster attempt). Post-publish
+    * cleanup of the superseded generation is best-effort. Single-writer
+    * contract like compaction: don't run concurrent appends mid-migration.
+    */
+  def recluster(spark: SparkSession, k: Int, iters: Int, scale: Int = 4096,
+      minImprovementX1000: Long = 100L): Option[Long] = synchronized {
+    val g = liveGen
+    val corpus = committedVectors(spark, g)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = KMeans.train(corpus, k, iters, scale)
+      val newCents = KMeans.collectCentroids(model.centroids)
+      val curCents = centroidsAt(spark, g)
+      val cur = inertiaOf(corpus, curCents, scale)
+      val fresh = inertiaOf(corpus, newCents, scale)
+      // exact rational compare: cur/fresh > 1 + thr/1000
+      val improved = cur * 1000 > fresh * (1000 + minImprovementX1000)
+      if (!improved) return None
+      val ng = g + 1
+      // a prior crashed migration at ng is invisible garbage — restart it
+      Dfs.deleteTreeQuiet(new HPath(s"$dir/gen=$ng"))
+      model.centroids.coalesce(1).write.mode("overwrite").parquet(centroidsPath(ng))
+      // full migration, batch identity preserved: each committed batch is
+      // reassigned under the new centroids into the SAME batch id
+      for (b <- committedBatchIds(g)) {
+        val batch = spark.read.option("basePath", vectorsPath(g))
+          .parquet(s"${vectorsPath(g)}/batch=$b").drop("batch", "cell")
+        appendTo(ng, batch, b, scale, "vec_id", "embedding")
+      }
+      // the atomic flip: one manifest publish through the commit-lock seam
+      Dfs.mkdirs(new HPath(s"$dir/gens"))
+      val tmp = new HPath(s"$dir/gens", s".tmp-$ng")
+      Dfs.writeUtf8(tmp, s"gen=$ng\n")
+      val won = graft.engine.CommitLock.current.publishOntoAbsent(
+        tmp, new HPath(s"$dir/gens", f"v$ng%08d.manifest"))
+      if (!won) {
+        Dfs.delete(tmp)
+        sys.error(s"recluster lost the generation-$ng publish race at $dir — " +
+          "another maintainer migrated concurrently; re-run against its result")
+      }
+      // superseded generation: best-effort reclaim (harmless if it stays)
+      Dfs.deleteTreeQuiet(new HPath(centroidsPath(g)))
+      Dfs.deleteTreeQuiet(new HPath(vectorsPath(g)))
+      Some(ng)
+    } finally {
+      corpus.unpersist()
+      ()
+    }
   }
 }

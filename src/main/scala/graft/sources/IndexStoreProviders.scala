@@ -255,7 +255,10 @@ final class VectorIndexTableProvider extends BatchStoreProvider {
 
   override protected def resolveState(options: CaseInsensitiveStringMap): BatchScanState = {
     val dir = pathOf(options)
-    val base = s"$dir/vectors"
+    // bind to the index's LIVE generation, exactly like the Scala search
+    // path — a recluster migration must flip SQL readers atomically too
+    val gen = new graft.sink.VectorIndexStore(dir).liveGen
+    val base = if (gen == 0L) s"$dir/vectors" else s"$dir/gen=$gen/vectors"
     val batchDirs = BatchStore.committedBatchPaths(base)
     require(batchDirs.nonEmpty, s"no committed vector batches at $dir")
 

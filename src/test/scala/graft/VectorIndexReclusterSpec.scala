@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.sink.VectorIndexStore
+
+/** Drift-triggered IVF index maintenance: recluster() must retrain + fully
+  * migrate (search ≡ a one-shot index over the union corpus with the same
+  * training), refuse when drift is below threshold (frozen-centroid replay
+  * stability), keep batch replays idempotent across the migration, and be
+  * crash-safe (a partial migration is invisible until the one-manifest
+  * publish).
+  */
+class VectorIndexReclusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters in 4-d; batch 0 is ALL cluster A, batch 1
+  // ALL cluster B — an index initialized on batch 0 has badly-drifted
+  // centroids once batch 1 lands
+  private def vecOf(center: Int, i: Int): Array[Float] = {
+    val base = Array.fill(4)(0.0f)
+    base(center) = 1.0f
+    base((center + 1) % 4) = 0.01f * (i % 7)
+    base
+  }
+  private def batchDf(center: Int, ids: Range): DataFrame =
+    ids.map(i => (i.toLong, vecOf(center, i), s"lab$center")).toDF("vec_id", "embedding", "label")
+
+  private val batch0 = () => batchDf(0, 0 until 40)
+  private val batch1 = () => batchDf(1, 40 until 80)
+
+  private def canon(df: DataFrame): Seq[(Long, Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private def queries: DataFrame = batchDf(1, 200 until 203).drop("label")
+
+  test("recluster migrates on real drift; post-migration search == one-shot union index") {
+    val store = new VectorIndexStore(tmpDir("vx") + "/ix")
+    store.init(batch0(), k = 4, iters = 2)
+    store.append(batch0(), 0L)
+    store.append(batch1(), 1L)
+    assert(store.liveGen == 0L)
+
+    val migrated = store.recluster(spark, k = 4, iters = 2, minImprovementX1000 = 100L)
+    assert(migrated.contains(1L), s"drifted index must migrate, got $migrated")
+    assert(store.liveGen == 1L)
+
+    // the reference: one index trained on the union corpus from the start
+    val ref = new VectorIndexStore(tmpDir("vxref") + "/ix")
+    ref.init(batch0().unionByName(batch1()), k = 4, iters = 2)
+    ref.append(batch0(), 0L)
+    ref.append(batch1(), 1L)
+    val got = canon(store.search(spark, queries, k = 3, nProbe = 2))
+    assert(got == canon(ref.search(spark, queries, k = 3, nProbe = 2)))
+    assert(got.nonEmpty)
+
+    // payload survived the migration and still filters
+    val filtered = store.search(spark, queries, k = 3, nProbe = 2,
+      candidateFilter = Some(org.apache.spark.sql.functions.col("label") === "lab0"))
+    assert(canon(filtered).forall { case (_, nId, _) => nId < 40L })
+
+    // SQL reader binds to the live generation too
+    val sqlRows = spark.read.format("graft-vectorindex").load(store.dir)
+    assert(sqlRows.count() == 80L)
+
+    // replaying an already-migrated batch is idempotent (same frozen
+    // generation centroids ⇒ byte-stable reassignment)
+    store.append(batch1(), 1L)
+    assert(canon(store.search(spark, queries, k = 3, nProbe = 2)) == got)
+  }
+
+  test("below-threshold drift returns None and leaves the generation frozen") {
+    val store = new VectorIndexStore(tmpDir("vx2") + "/ix")
+    val union = batch0().unionByName(batch1())
+    store.init(union, k = 4, iters = 2)
+    store.append(batch0(), 0L)
+    store.append(batch1(), 1L)
+    // centroids were trained on exactly this corpus — a retrain recovers
+    // nothing, so the index must refuse to churn
+    assert(store.recluster(spark, k = 4, iters = 2, minImprovementX1000 = 100L).isEmpty)
+    assert(store.liveGen == 0L)
+  }
+
+  test("a crashed mid-migration partial is invisible; the next recluster completes") {
+    val store = new VectorIndexStore(tmpDir("vx3") + "/ix")
+    store.init(batch0(), k = 4, iters = 2)
+    store.append(batch0(), 0L)
+    store.append(batch1(), 1L)
+    val before = canon(store.search(spark, queries, k = 3, nProbe = 2))
+
+    // fabricate the crash window: gen=1 data partially written, NO manifest
+    // published — readers must stay on gen 0, untouched
+    val partial = new java.io.File(store.dir, "gen=1/centroids")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("junk"), Array[Byte](1, 2, 3))
+    assert(store.liveGen == 0L)
+    assert(canon(store.search(spark, queries, k = 3, nProbe = 2)) == before)
+
+    // the re-run migration clears the partial and publishes atomically
+    val migrated = store.recluster(spark, k = 4, iters = 2, minImprovementX1000 = 100L)
+    assert(migrated.contains(1L))
+    val ref = new VectorIndexStore(tmpDir("vx3ref") + "/ix")
+    ref.init(batch0().unionByName(batch1()), k = 4, iters = 2)
+    ref.append(batch0(), 0L)
+    ref.append(batch1(), 1L)
+    assert(canon(store.search(spark, queries, k = 3, nProbe = 2))
+      == canon(ref.search(spark, queries, k = 3, nProbe = 2)))
+  }
+}
