@@ -26,6 +26,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // SQL faces: functions + TVFs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Library entry point for `spark.sql.extensions` (SURVEY §7.5): installs
   * every graft Catalyst extension at session build time, so a deployment
@@ -12,14 +13,89 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * }}}
   *
-  * Installed: the codegen `cosine_sim` expression (SQL + Column via
-  * `call_function`) and the as-of join planner strategy. The in-process
+  * Installed: the codegen scalar expressions (`cosine_sim`, `hamming`,
+  * `bmp_ahash`, the bloom pair), the as-of join planner strategy, and the
+  * LLM-pipeline TABLE functions — `bm25_search`, `phrase_search`,
+  * `knn_search`, `lsh_candidates` — so a SQL-only client can run retrieval,
+  * ANN and dedup candidate generation with zero Scala
+  * (`SELECT * FROM bm25_search('/idx', 'query terms', 20)`). Each TVF
+  * builds the SAME DataFrame plan its Scala twin produces, so plan shape,
+  * pruning and scoring are shared, not reimplemented. The in-process
   * alternatives remain for sessions built without the conf
   * (`GraftFunctions.register`, `AsOf.join`'s experimental-strategy patch).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // ---- TVF argument plumbing: table-function arguments arrive as Catalyst
+  // expressions; the operator surfaces take driver values, so arguments
+  // must be foldable (literals or literal expressions)
+  private def litVal(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval()
+    require(v != null, s"$what must not be null")
+    v
+  }
+  private def litStr(e: Expression, what: String): String = litVal(e, what).toString
+  private def litInt(e: Expression, what: String): Int = litVal(e, what) match {
+    case n: java.lang.Number => n.intValue()
+    case other => other.toString.toInt
+  }
+  private def litFloats(e: Expression, what: String): Array[Float] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    CatalystTypeConverters.convertToScala(litVal(e, what), e.dataType) match {
+      case s: Seq[_] => s.map {
+        case n: java.lang.Number => n.floatValue()
+        case o => sys.error(s"$what must be a numeric array, got element $o")
+      }.toArray
+      case o => sys.error(s"$what must be an array literal, got $o")
+    }
+  }
+  private def terms(e: Expression, what: String): Seq[String] =
+    litStr(e, what).split("\\s+").toSeq.filter(_.nonEmpty)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // ---- table functions (SQL-only pipeline surface)
+    ext.injectTableFunction((
+      FunctionIdentifier("bm25_search"),
+      new ExpressionInfo(classOf[graft.sink.TextIndexStore].getName, "bm25_search"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "bm25_search(indexDir, query, k)")
+        val store = new graft.sink.TextIndexStore(litStr(exprs(0), "indexDir"))
+        store.search(SparkSession.active, terms(exprs(1), "query"),
+          litInt(exprs(2), "k")).queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("phrase_search"),
+      new ExpressionInfo(classOf[graft.sink.TextIndexStore].getName, "phrase_search"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "phrase_search(indexDir, phrase, k)")
+        val store = new graft.sink.TextIndexStore(litStr(exprs(0), "indexDir"))
+        store.phraseSearch(SparkSession.active, terms(exprs(1), "phrase"),
+          litInt(exprs(2), "k")).queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("knn_search"),
+      new ExpressionInfo(classOf[graft.sink.VectorIndexStore].getName, "knn_search"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, "knn_search(indexDir, queryEmbedding, k, nProbe)")
+        val spark = SparkSession.active
+        import spark.implicits._
+        val store = new graft.sink.VectorIndexStore(litStr(exprs(0), "indexDir"))
+        val q = Seq((0L, litFloats(exprs(1), "queryEmbedding")))
+          .toDF("vec_id", "embedding")
+        store.search(spark, q, litInt(exprs(2), "k"), litInt(exprs(3), "nProbe"))
+          .select("n_id", "cos").queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("lsh_candidates"),
+      new ExpressionInfo(classOf[graft.llm.Dedup.type].getName, "lsh_candidates"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "lsh_candidates(docsTableOrView)")
+        val spark = SparkSession.active
+        val docs = spark.table(litStr(exprs(0), "docsTableOrView"))
+        graft.llm.Dedup.minhashLsh(docs, dictionary = false)(identity)
+          .queryExecution.logical: LogicalPlan
+      }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),

@@ -28,6 +28,7 @@ object GraftSession {
       // (inert under the flag); `Tables.ensure` binds the canonical `events`
       // view to whichever dtype the file actually carries.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.GraftExtensions)
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()

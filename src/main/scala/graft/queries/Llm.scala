@@ -1219,6 +1219,32 @@ object Llm {
         store.search(s, Seq("batch", "scan", "group"), k = 20)
     },
 
+    // q84n RE-EXPRESSED AS PURE SQL (round 10): the engine side is one SQL
+    // string against the bm25_search TABLE FUNCTION GraftExtensions
+    // installs — a SQL-only client's whole retrieval call. The TVF builds
+    // the identical TextIndexStore.search plan (index-only posting reads,
+    // integer scoring), so it must hash-match the same closed-form oracle
+    // q84n does.
+    QDef.df("q84s_bm25_sql",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT count(*) FROM toks) AS a_tokens),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('merge', 'stream', 'sort') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(SUM(
+        |    (((1000 * (n_docs - df)) // (df + 1)) * tf * 22 * a_tokens)
+        |    // (10 * tf * a_tokens + 3 * a_tokens + 9 * dl.dl * n_docs)
+        |  ) AS BIGINT) AS score
+        |FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, st
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val idx = Tables.ensureTextIndex(s, dir)
+        s.sql(s"SELECT doc_id, score FROM bm25_search('$idx', 'merge stream sort', 20)")
+    },
+
     // Related terms by document-level co-occurrence lift (query expansion):
     // lift = P(t | seed)/P(t) in exact integers over DISTINCT per-doc
     // terms, co-occurrence floored at 5 so rare coincidences can't top

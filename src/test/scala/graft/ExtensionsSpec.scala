@@ -63,6 +63,51 @@ class ExtensionsSpec extends AnyFunSuite {
         .select(Multimodal.encodeBmp($"w", $"h", $"seed").as("m"))
       enc.createOrReplaceTempView("bmp_t")
       assert(s2.sql("SELECT bmp_ahash(m) AS a FROM bmp_t").head.getLong(0) == 3L)
+
+      // ---- TABLE functions: the SQL-only pipeline surface. Each TVF must
+      // return exactly what its Scala twin returns over the same stores.
+      val base = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+      // a small text index
+      // docs 0 and 2 share an IDENTICAL token set, so every minhash band
+      // collides — lsh_candidates must surface at least that pair
+      val docs = Seq(
+        (0L, "merge sort stream merge"), (1L, "stream filter"),
+        (2L, "stream merge sort stream"), (3L, "hash join probe"))
+        .toDF("doc_id", "text")
+      val tidx = new graft.sink.TextIndexStore(s"$base/tidx")
+      tidx.append(docs, batchId = 0L)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows(s2.sql(s"SELECT * FROM bm25_search('$base/tidx', 'merge sort', 10)"))
+        == rows(tidx.search(s2, Seq("merge", "sort"), 10)))
+      assert(rows(s2.sql(s"SELECT * FROM phrase_search('$base/tidx', 'merge sort', 10)"))
+        == rows(tidx.phraseSearch(s2, Seq("merge", "sort"), 10)))
+      // a small vector index
+      val vecs = (0 until 12).map(i =>
+        (i.toLong, Array.tabulate(4)(d => if (d == i % 2) 1.0f else 0.05f * i)))
+        .toDF("vec_id", "embedding")
+      val vidx = new graft.sink.VectorIndexStore(s"$base/vidx")
+      vidx.init(vecs, k = 2, iters = 2)
+      vidx.append(vecs, 0L)
+      val viaSql = s2.sql(
+        s"SELECT * FROM knn_search('$base/vidx', array(1.0F, 0.0F, 0.0F, 0.0F), 3, 1)")
+        .collect().map(r => (r.getLong(0), r.getDecimal(1).toString)).toSeq
+      val viaScala = vidx.search(s2,
+          Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+          k = 3, nProbe = 1)
+        .collect().map(r => (r.getLong(1), r.getDecimal(2).toString)).toSeq
+      assert(viaSql == viaScala && viaSql.nonEmpty)
+      // LSH candidate generation over a view — the dedup entry point
+      docs.createOrReplaceTempView("tvf_docs")
+      val sqlPairs = s2.sql("SELECT i, j FROM lsh_candidates('tvf_docs')")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scalaPairs = graft.llm.Dedup.minhashLsh(docs, dictionary = false)(identity)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sqlPairs == scalaPairs && sqlPairs.nonEmpty)
+      // non-literal arguments refuse loudly instead of silently misplanning
+      val bad = intercept[Exception](
+        s2.sql("SELECT * FROM bm25_search(concat('a', text), 'x', 1) JOIN tvf_docs"))
+      assert(bad.getMessage != null)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
