@@ -104,6 +104,34 @@ object Bench {
         Some((times.sorted.apply(runs / 2), times.min, times.max - times.min)) else None)
     }
     val suiteWall = (System.nanoTime() - suiteT0) / 1e9
+
+    // SUITE-STATE SELF-DIAGNOSIS (round 10): a query can measure slow
+    // IN-SUITE from accumulated JVM/GC/codegen state or a transient
+    // co-tenant spike, and the artifact previously could not distinguish
+    // that from a code regression (r9's q90h read 1.16 s in-suite, 0.28 s
+    // isolated). After the suite, the N slowest queries (by in-suite min)
+    // are re-run and their fresh mins emitted as "rerun_min"; a divergence
+    // (in-suite min ≫ rerun min) is then visible in the artifact itself and
+    // is machine state, not code. "queries_pos" records each query's run
+    // position so order-correlated effects are also readable.
+    val rerunN = 5
+    val slowest = results.collect { case (k, Some((_, mn, _))) => k -> mn }
+      .sortBy(-_._2).take(rerunN).map(_._1)
+    val rerunMin: Seq[(String, Option[Double])] = slowest.map { name =>
+      val fn = qs(name)
+      val times = (1 to runs).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }.takeWhile(_.isDefined).flatten.toSeq
+      name -> (if (times.size == runs) Some(times.min) else None)
+    }
+    // in-suite min ≫ fresh min = the suite measurement was state, not code
+    val divergent = rerunMin.collect {
+      case (k, Some(fresh)) =>
+        val inSuite = results.collectFirst { case (`k`, Some((_, mn, _))) => mn }.get
+        (k, inSuite, fresh)
+    }.collect { case (k, inSuite, fresh) if inSuite > 2 * fresh + 0.2 => k }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would emit
     // invalid JSON
     def num(fmt: String, v: Double): String = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
@@ -113,6 +141,13 @@ object Bench {
     val qminJson = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(m => num("%.3f", m._2)).getOrElse("null")
     }.mkString("{", ",", "}")
+    val qposJson = results.zipWithIndex.map { case ((k, _), i) =>
+      "\"" + k + "\":" + (i + 1)
+    }.mkString("{", ",", "}")
+    val rerunJson = rerunMin.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(m => num("%.3f", m)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val divergentJson = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
     val totalMin = results.flatMap(_._2.map(_._2)).sum
@@ -153,7 +188,7 @@ object Bench {
       s""","spill":{"heap_max_bytes":${Runtime.getRuntime.maxMemory},"mem_bytes":$totalMem,"disk_bytes":$totalDisk,"by_query_mem_disk":$perQ}"""
     } else ""
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$spillJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"queries_pos":$qposJson,"rerun_min":$rerunJson,"rerun_divergent":$divergentJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$spillJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
