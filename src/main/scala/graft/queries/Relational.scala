@@ -1848,6 +1848,50 @@ object Relational {
       graft.inspect.Inspection.jsonProfile(s.table("events"), col("props"))
     },
 
+    // Deeply nested VariantType (round 10): q55b profiles a FLAT object;
+    // real CDC payloads nest. Each event deterministically builds a 3-level
+    // document — object → array of structs → object — which the engine
+    // parses to Spark-4 VARIANT (parse_json, the DbVariant read path) and
+    // extracts through variant_get paths including array indexing
+    // ('$.order.items[0].qty') and a nested boolean flag. The oracle builds
+    // the identical JSON string and walks it with json_extract — so a
+    // malformed construction, a path-resolution bug, or a variant type
+    // coercion on either side hash-mismatches.
+    QDef.sql(
+      "q55c_variant_nested",
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |                  coalesce(CAST(get_json_object(props, '$.k') AS BIGINT), 0) AS k
+        |           FROM events),
+        |d AS (SELECT parse_json(format_string(
+        |        '{"order":{"id":%d,"items":[{"sku":"s%d","qty":%d},{"sku":"s%d","qty":%d}],"meta":{"flags":{"vip":%s},"src":"%s"}}}',
+        |        event_id, pmod(k, 10), pmod(k, 5), pmod(user_id, 7), pmod(user_id, 3),
+        |        CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END, event_type)) AS v
+        |      FROM b)
+        |SELECT variant_get(v, '$.order.meta.src', 'string') AS src,
+        |       CAST(SUM(variant_get(v, '$.order.id', 'bigint')) AS BIGINT) AS sum_id,
+        |       CAST(SUM(variant_get(v, '$.order.items[0].qty', 'bigint')) AS BIGINT) AS sum_qty0,
+        |       CAST(SUM(CASE WHEN variant_get(v, '$.order.meta.flags.vip', 'boolean')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_vip,
+        |       CAST(count(DISTINCT variant_get(v, '$.order.items[1].sku', 'string'))
+        |            AS BIGINT) AS sku1_kinds
+        |FROM d GROUP BY 1""".stripMargin,
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |                  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
+        |           FROM events),
+        |d AS (SELECT printf(
+        |        '{"order":{"id":%d,"items":[{"sku":"s%d","qty":%d},{"sku":"s%d","qty":%d}],"meta":{"flags":{"vip":%s},"src":"%s"}}}',
+        |        event_id, k % 10, k % 5, user_id % 7, user_id % 3,
+        |        CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END, event_type) AS j
+        |      FROM b)
+        |SELECT json_extract_string(j, '$.order.meta.src') AS src,
+        |       CAST(SUM(CAST(json_extract(j, '$.order.id') AS BIGINT)) AS BIGINT) AS sum_id,
+        |       CAST(SUM(CAST(json_extract(j, '$.order.items[0].qty') AS BIGINT)) AS BIGINT) AS sum_qty0,
+        |       CAST(SUM(CASE WHEN CAST(json_extract(j, '$.order.meta.flags.vip') AS BOOLEAN)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_vip,
+        |       CAST(count(DISTINCT json_extract_string(j, '$.order.items[1].sku'))
+        |            AS BIGINT) AS sku1_kinds
+        |FROM d GROUP BY 1""".stripMargin),
+
     QDef.sql(
       "q56b_map_functions",
       """SELECT event_type,
