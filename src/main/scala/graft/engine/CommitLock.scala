@@ -93,6 +93,20 @@ final class ObjectStoreCommitLock(
 object CommitLock {
   @volatile private var impl: CommitLock = HadoopRenameCommitLock
 
+  /** Deployment-conf selection: `spark.graft.commit.lock` = `rename`
+    * (default, HDFS-style) or `objectstore` (put-if-absent under the in-JVM
+    * coordinator — the s3a single-driver deployment). Called by
+    * [[GraftSession.configure]]/`getOrCreate`, so the same conf that points
+    * tables at an object store can also pick the matching commit protocol.
+    */
+  def fromConf(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.getOption("spark.graft.commit.lock").foreach {
+      case "rename"      => set(HadoopRenameCommitLock); ()
+      case "objectstore" => set(new ObjectStoreCommitLock()); ()
+      case other => sys.error(
+        s"spark.graft.commit.lock must be rename|objectstore, got '$other'")
+    }
+
   /** The active lock implementation for manifest publishes. */
   def current: CommitLock = impl
 

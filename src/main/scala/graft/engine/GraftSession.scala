@@ -33,6 +33,7 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    CommitLock.fromConf(s)
     s
   }
 
@@ -44,6 +45,7 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     graft.functions.GraftFunctions.register(spark)
+    CommitLock.fromConf(spark)
   }
 }
 
@@ -298,6 +300,30 @@ object Tables {
       // one-shot over the union), not the trigger policy
       val g = store.recluster(spark, k = 8, iters = 2, minImprovementX1000 = -1000L)
       require(g.contains(1L), s"forced recluster must migrate, got $g")
+    }
+
+  /** q61k's Z-CLUSTERED snapshot table over events: keyed (user_id,
+    * event_id), cluster-by BOTH keys with bounds taken from the data at
+    * build time (bounds are committed layout; out-of-range values clamp,
+    * so correctness never depends on them). Built once per (session, dir).
+    */
+  def ensureClusteredEvents(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q61k_zevents", spark, dir) { out =>
+      import org.apache.spark.sql.functions.{col, lit, max, min}
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_id").as("seq"),
+          col("event_type"), col("value"), lit(false).as("is_delete"))
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("event_id"), max("event_id")).head()
+      def bounds(lo: Long, hi: Long) = (lo, if (hi > lo) hi else lo + 1)
+      val (ulo, uhi) = bounds(b.getLong(0), b.getLong(1))
+      val (elo, ehi) = bounds(b.getLong(2), b.getLong(3))
+      val sink = new graft.sink.SnapshotParquetSink(out, nBuckets = 16,
+        statsCols = Seq("user_id", "event_id"),
+        clusterBy = Seq(
+          graft.sink.SnapshotParquetSink.ClusterCol("user_id", ulo, uhi),
+          graft.sink.SnapshotParquetSink.ClusterCol("event_id", elo, ehi)))
+      sink.merge(ev, Seq("user_id", "event_id"), "seq", "is_delete")
     }
 
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over

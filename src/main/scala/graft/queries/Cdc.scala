@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.cdc.CdcPipeline
+import graft.engine.Tables
 import graft.inspect.Inspection
 import graft.model.TableSpec
 
@@ -207,6 +208,30 @@ object Cdc {
         // DSv2 time travel: asOf the superseded first commit, hard-delete view
         normalizedRowCols(s.read.format("graft-snapshot").option("asOf", "0").load(dir)
           .filter(!col("__is_deleted")).drop("__is_deleted"))
+    },
+
+    // Z-CLUSTERED snapshot table (round 10): events keyed (user_id,
+    // event_id) routed by Morton tile instead of key hash (write-time
+    // clustering — data-derived bounds committed as table layout), read
+    // back through the DSv2 provider under a 2-D range predicate. The
+    // oracle filters the raw events table directly, so ANY routing defect —
+    // a key landing in two tiles, a tile skipped by stats pruning that
+    // actually held matching rows — loses or duplicates rows and
+    // hash-mismatches. The pruning ITSELF (k-of-n files planned) is
+    // asserted in ClusteredSnapshotSpec; this entry pins that pruning never
+    // costs correctness on real data.
+    QDef.df("q61k_clustered_read",
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_v2
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 9 AND event_id BETWEEN 100 AND 5000
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val out = Tables.ensureClusteredEvents(s, dir)
+      s.read.format("graft-snapshot").load(out)
+        .filter(col("user_id").between(2, 9) && col("event_id").between(100, 5000))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100).cast("long")).cast("bigint").as("sum_v2"))
     },
 
     // Change data feed between two snapshot versions (the Delta CDF /
