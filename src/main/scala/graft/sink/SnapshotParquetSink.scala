@@ -269,12 +269,16 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     * table), timestamps normalized to epoch micros so the manifest is a
     * plain decimal string. All-null buckets record no line (unknown).
     */
-  private def statsLinesFor(spark: SparkSession, commitId: String): Seq[String] = {
-    if (statsCols.isEmpty) return Nil
+  private def statsLinesFor(spark: SparkSession, commitId: String): Seq[String] =
+    statsLinesFor(spark, commitId, statsCols)
+
+  private def statsLinesFor(spark: SparkSession, commitId: String,
+      cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty) return Nil
     val written = spark.read
       .option("basePath", s"$dir/data/$commitId").parquet(s"$dir/data/$commitId")
     val schema = written.schema
-    statsCols.foreach { c =>
+    cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"stats column '$c' absent from the batch")
       val ok = schema(c).dataType match {
         case _: org.apache.spark.sql.types.NumericType => true
@@ -307,13 +311,13 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
           .otherwise(0))
       case _ => max(lit(0))
     }
-    val aggs = statsCols.flatMap(c =>
+    val aggs = cols.flatMap(c =>
       Seq(min(norm(c)).as(s"__mn_$c"), max(norm(c)).as(s"__mx_$c"),
         nonFinite(c).as(s"__nf_$c")))
     written.groupBy(col("__bucket")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.flatMap { row =>
         val b = row.getInt(0)
-        statsCols.flatMap { c =>
+        cols.flatMap { c =>
           val mn = row.get(row.fieldIndex(s"__mn_$c"))
           val mx = row.get(row.fieldIndex(s"__mx_$c"))
           val nf = row.getInt(row.fieldIndex(s"__nf_$c"))
@@ -330,9 +334,11 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     * is exactly the stability routing needs (a value column could move a
     * key between buckets on update, leaving a stale live copy behind).
     */
-  private def bucketOf(keys: Seq[String]) =
+  private def bucketOf(keys: Seq[String]) = bucketExpr(keys, nBuckets)
+
+  private def bucketExpr(keys: Seq[String], n: Int) =
     if (clusterBy.isEmpty)
-      pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+      pmod(xxhash64(keys.map(col): _*), lit(n)).cast("int")
     else {
       clusterBy.foreach(c => require(keys.contains(c.name),
         s"cluster column '${c.name}' must be one of the merge keys " +
@@ -350,7 +356,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
           graft.engine.ZOrder.interleave2(a, b, SnapshotParquetSink.ClusterBits)
       }
       val zBits = SnapshotParquetSink.ClusterBits * clusterBy.length
-      val log2n = java.lang.Long.numberOfTrailingZeros(nBuckets.toLong)
+      val log2n = java.lang.Long.numberOfTrailingZeros(n.toLong)
       shiftright(z, zBits - log2n).cast("int")
     }
 
@@ -635,16 +641,20 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     currentVersion match {
       case None => spark.emptyDataFrame
       case Some(v) =>
-        val entries = readManifest(v)
+        // route the way the table was WRITTEN — the committed manifest's
+        // nBuckets and cluster spec are authoritative, not this handle's
+        // constructor arguments: a handle built with a different bucket
+        // count would otherwise probe the WRONG bucket and silently return
+        // "absent" for live keys (merge guards divergence at write time;
+        // lookup is read-only and must self-align instead)
+        val (committedN, entries) = SnapshotParquetSink.manifest(dir, v)
         val sample = spark.read.parquet(s"$dir/${entries.head._2}").drop("__gen")
         val schema = sample.schema
-        // route the way the table was WRITTEN: Z-tile on a clustered table,
-        // key hash otherwise (the committed manifest is authoritative)
         val committedCluster = SnapshotParquetSink.manifestCluster(dir, v)
         val bucket =
           if (committedCluster.isEmpty)
             SnapshotParquetSink.bucketFor(
-              keyValues, keys.map(k => schema(k).dataType), nBuckets)
+              keyValues, keys.map(k => schema(k).dataType), committedN)
           else {
             val byName = keys.zip(keyValues).toMap
             val longs = committedCluster.map { c =>
@@ -659,7 +669,7 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
                   s"cluster key '${c.name}' must be integral, got $other")
               }
             }
-            SnapshotParquetSink.clusterBucketFor(longs, committedCluster, nBuckets)
+            SnapshotParquetSink.clusterBucketFor(longs, committedCluster, committedN)
           }
         entries.get(bucket.toInt) match {
           case None => shaped(sample.limit(0))
@@ -776,6 +786,78 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
       } else {
         Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
         if (attempts >= 10) sys.error(s"compaction lost the race $attempts times at $dir")
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(10L, 100L * attempts))
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Re-buckets the whole table to `newBuckets` as ONE fresh commit — the
+    * PARTITION-COUNT EVOLUTION a hash/Z layout eventually needs: a table
+    * sized at 16 buckets at launch drowns under 100× growth (GB-scale
+    * bucket files make every touched-bucket rewrite GB-scale too), and a
+    * shrunk table wastes opens on near-empty files. Content is preserved
+    * exactly; every key re-routes under the new count (same hash / Z
+    * formula, new selector width), stats are RECOMPUTED for the columns
+    * the base manifest recorded (carried ranges describe the OLD bucket
+    * partition — wrong for the new one), and the cluster spec carries
+    * (bounds are value-space, independent of bucket count). Older versions
+    * stay time-travel-readable under their own recorded nBuckets — which
+    * is why readers resolve nBuckets per manifest, never from a handle.
+    * Writer handles constructed with the old count refuse on their next
+    * merge (the nBuckets guard) — construct new ones. Publishes through
+    * the same commit lock; returns the published version.
+    */
+  def rebucket(spark: SparkSession, newBuckets: Int): Long = synchronized {
+    require(newBuckets > 0, "newBuckets must be positive")
+    if (clusterBy.nonEmpty) {
+      require((newBuckets & (newBuckets - 1)) == 0,
+        s"a clustered table needs a power-of-two bucket count, got $newBuckets")
+      require(java.lang.Long.numberOfTrailingZeros(newBuckets.toLong)
+          <= SnapshotParquetSink.ClusterBits * clusterBy.length,
+        s"newBuckets=$newBuckets exceeds the Z-code resolution")
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val base = currentVersion.getOrElse(sys.error(s"nothing to rebucket at $dir"))
+      val version = base + 1L
+      val baseKeys = SnapshotParquetSink.manifestKeys(dir, base)
+      require(baseKeys.nonEmpty,
+        s"the table at $dir records no merge keys — rebucket cannot derive routing")
+      requireClusterMatch(base)
+      val full = readFullState(spark, base).drop("__bucket")
+        .withColumn("__bucket", bucketExpr(baseKeys, newBuckets))
+      val commitId = UUID.randomUUID().toString
+      full.repartition(newBuckets, col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$dir/data/$commitId")
+      val writtenBuckets = Dfs.list(new HPath(s"$dir/data/$commitId"))
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("__bucket=") =>
+          n.stripPrefix("__bucket=").toInt }
+        .sorted
+      val newEntries = writtenBuckets.map(b => b -> s"data/$commitId/__bucket=$b")
+      val baseMaxSeq = SnapshotParquetSink.manifestMaxSeq(dir, base)
+      // stats recomputed for whatever the base recorded (this maintenance
+      // handle may not declare statsCols; the table's skipping metadata
+      // must survive regardless)
+      val baseStatCols = SnapshotParquetSink.manifestStats(dir, base)
+        .values.flatMap(_.keys).toSeq.distinct.sorted
+      val statCols = if (statsCols.nonEmpty) statsCols else baseStatCols
+      val body = (Seq(s"version=$version", s"nBuckets=$newBuckets",
+        s"keys=${baseKeys.mkString(",")}") ++
+        baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
+        clusterLines ++
+        newEntries.map { case (b, rel) => s"b $b $rel" } ++
+        statsLinesFor(spark, commitId, statCols))
+        .mkString("", "\n", "\n")
+      if (publish(version, commitId, body)) {
+        return version
+      } else {
+        Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
+        if (attempts >= 10) sys.error(s"rebucket lost the race $attempts times at $dir")
         Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
           .nextLong(10L, 100L * attempts))
       }

@@ -97,6 +97,31 @@ class ClusteredSnapshotSpec extends SparkSpec {
     assert(sink.lookup(spark, Seq("x", "y"), Seq(3L, 5L)).head.getAs[String]("val") == "v3-5")
   }
 
+  test("rebucket on a clustered table refines the tiles; routing and pruning stay correct") {
+    val dir = tmpDir("zrebkt") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 16,
+      statsCols = Seq("x", "y"), clusterBy = spec)
+    sink.merge(grid, Seq("x", "y"), "seq", "is_delete")
+    val v = sink.rebucket(spark, 64)
+    assert(SnapshotParquetSink.manifestCluster(dir, v) == spec)
+    assert(SnapshotParquetSink.manifest(dir, v)._1 == 64)
+    val t = spark.read.format("graft-snapshot").load(dir)
+    val rect = t.filter($"x" <= 7L && $"y" <= 7L)
+    // 64 tiles = 4×4 grid cells per old tile: the same rectangle now spans
+    // 4 finer tiles instead of 1 coarser one — still a tiny fraction
+    assert(rect.count() == 64L)
+    assert(scanFiles(rect) == 4, s"got ${scanFiles(rect)}")
+    // a new 64-bucket handle merges and looks up through the refined layout
+    val wide = new SnapshotParquetSink(dir, nBuckets = 64,
+      statsCols = Seq("x", "y"), clusterBy = spec)
+    wide.merge(Seq((3L, 4L, 5L, "U2", false)).toDF("x", "y", "seq", "val", "is_delete"),
+      Seq("x", "y"), "seq", "is_delete")
+    assert(wide.lookup(spark, Seq("x", "y"), Seq(3L, 4L))
+      .head.getAs[String]("val") == "U2")
+    // clustered tables need power-of-two counts — rebucket enforces it too
+    intercept[IllegalArgumentException](wide.rebucket(spark, 48))
+  }
+
   test("cluster spec is committed layout: mismatched handles refuse; compaction carries it") {
     val dir = tmpDir("zguard") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 16,

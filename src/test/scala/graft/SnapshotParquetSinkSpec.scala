@@ -727,6 +727,64 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(state(sink, DeleteMode.Hard) == Map("a" -> (0L, "a0")))
   }
 
+  test("rebucket: partition-count evolution preserves content; history keeps its layout") {
+    val dir = tmpDir("rebkt") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    val keys = (0 until 64).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("k0", 1L, "k0-v1", false), ("k9", 2L, "del", true)),
+      Seq("primary_key"), "seq", "is_delete")
+    val before = state(sink, DeleteMode.Hard)
+    val v = sink.rebucket(spark, newBuckets = 16)
+    assert(v == 2L)
+    assert(SnapshotParquetSink.manifest(dir, v)._1 == 16)
+    // content identical through a handle built with the NEW count
+    val wide = new SnapshotParquetSink(dir, nBuckets = 16)
+    assert(state(wide, DeleteMode.Hard) == before)
+    // tombstone still wins a stale replay after the re-route
+    wide.merge(batch(("k9", 1L, "stale", false)), Seq("primary_key"), "seq", "is_delete")
+    assert(!state(wide, DeleteMode.Hard).contains("k9"))
+    // lookup self-aligns to the COMMITTED layout even from a stale handle
+    val stale = new SnapshotParquetSink(dir, nBuckets = 4)
+    val row = stale.lookup(spark, Seq("primary_key"), Seq("k7")).collect()
+    assert(row.length == 1 && row.head.getAs[String]("val") == "k7-v0")
+    // ... but a stale handle's WRITE refuses (routing would scatter keys)
+    val e = intercept[IllegalArgumentException](
+      stale.merge(batch(("x", 9L, "x", false)), Seq("primary_key"), "seq", "is_delete"))
+    assert(e.getMessage.contains("nBuckets"))
+    // pre-rebucket history stays readable under its own 4-bucket layout
+    assert(sink.readAt(spark, 1L, DeleteMode.Hard).count() == 63L)
+  }
+
+  test("rebucket recomputes stats for the new partition and keeps skipping alive") {
+    val dir = tmpDir("rebkts") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4, statsCols = Seq("seq"))
+    val keys = (0 until 64).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("k0", 100L, "k0-v1", false)), Seq("primary_key"), "seq", "is_delete")
+    // maintenance handle WITHOUT statsCols: must still carry the table's
+    // skipping metadata forward (recomputed from the base's recorded cols)
+    val v = new SnapshotParquetSink(dir, nBuckets = 4).rebucket(spark, 8)
+    val stats = SnapshotParquetSink.manifestStats(dir, v)
+    assert(stats.nonEmpty && stats.values.forall(_.contains("seq")))
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+          }
+      }.sum
+    }
+    val t = spark.read.format("graft-snapshot").load(dir)
+    val inc = t.filter($"seq" > 50L)
+    assert(scanFiles(inc) == 1 && inc.count() == 1L,
+      s"rebucketed stats must still skip cold buckets, planned ${scanFiles(inc)}")
+  }
+
   test("replaceAll: fresh commit drops prior entries; old versions keep their types") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("ssink") + "/t"
