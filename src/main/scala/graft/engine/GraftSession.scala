@@ -290,6 +290,10 @@ object Tables {
     */
   def ensureRecluster(spark: SparkSession, dir: String): String =
     ensureTmpStore("q89p_vindex", spark, dir) { out =>
+      // the tmp path is per-TAG, not per-dir: a session that spans two data
+      // dirs would otherwise rebuild onto the previous dir's generations
+      // (stale gens/ manifests would out-version the fresh build)
+      Fs.deleteTree(new java.io.File(out))
       val store = new graft.sink.VectorIndexStore(out)
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val emb = table(spark, dir, "embeddings")
@@ -309,6 +313,10 @@ object Tables {
     */
   def ensureClusteredEvents(spark: SparkSession, dir: String): String =
     ensureTmpStore("q61k_zevents", spark, dir) { out =>
+      // per-TAG tmp path (see ensureRecluster): a second data dir's bounds
+      // differ, and merging onto the previous dir's table would trip the
+      // committed-cluster-spec guard instead of building fresh
+      Fs.deleteTree(new java.io.File(out))
       import org.apache.spark.sql.functions.{col, lit, max, min}
       val ev = table(spark, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_id").as("seq"),

@@ -208,10 +208,41 @@ final class VectorIndexStore(val dir: String) {
     * Crash safety is the snapshot-sink shape: everything is written under
     * the not-yet-live `gen=<g+1>/` before the publish, so a crash anywhere
     * earlier leaves readers on the old generation and the partial is
-    * invisible garbage (cleaned by the next recluster attempt). Post-publish
-    * cleanup of the superseded generation is best-effort. Single-writer
+    * invisible garbage (cleaned by the next recluster attempt). The
+    * superseded generation stays on disk for in-flight readers;
+    * [[vacuumGenerations]] reclaims it after an age guard. Single-writer
     * contract like compaction: don't run concurrent appends mid-migration.
     */
+  /** Reclaims superseded (non-live) generations older than `minAgeMs` —
+    * the age guard covers the in-flight-reader window around a recluster's
+    * manifest flip, exactly like the snapshot sink's orphan collection.
+    * Gen 0's flat layout is collected too once a migration superseded it.
+    * Returns the number of generations reclaimed.
+    */
+  def vacuumGenerations(minAgeMs: Long = 3600000L): Int = synchronized {
+    val live = liveGen
+    val now = System.currentTimeMillis()
+    def cold(p: HPath): Boolean =
+      Dfs.exists(p) && Dfs.list(p).forall(st =>
+        now - st.getModificationTime >= minAgeMs)
+    var n = 0
+    // gen 0 candidates: the flat dirs; gen ≥ 1: the gen=<g> roots
+    if (live > 0L && (Dfs.exists(new HPath(s"$dir/centroids")) ||
+        Dfs.exists(new HPath(s"$dir/vectors")))) {
+      if (cold(new HPath(s"$dir/centroids")) && cold(new HPath(s"$dir/vectors"))) {
+        Dfs.deleteTreeQuiet(new HPath(s"$dir/centroids"))
+        Dfs.deleteTreeQuiet(new HPath(s"$dir/vectors"))
+        n += 1
+      }
+    }
+    Dfs.list(new HPath(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .filter(st => st.getPath.getName.stripPrefix("gen=").toLong < live)
+      .filter(st => now - st.getModificationTime >= minAgeMs)
+      .foreach { st => Dfs.deleteTreeQuiet(st.getPath); n += 1 }
+    n
+  }
+
   def recluster(spark: SparkSession, k: Int, iters: Int, scale: Int = 4096,
       minImprovementX1000: Long = 100L): Option[Long] = synchronized {
     val g = liveGen
@@ -248,9 +279,10 @@ final class VectorIndexStore(val dir: String) {
         sys.error(s"recluster lost the generation-$ng publish race at $dir — " +
           "another maintainer migrated concurrently; re-run against its result")
       }
-      // superseded generation: best-effort reclaim (harmless if it stays)
-      Dfs.deleteTreeQuiet(new HPath(centroidsPath(g)))
-      Dfs.deleteTreeQuiet(new HPath(vectorsPath(g)))
+      // the superseded generation is NOT deleted here: a reader that
+      // resolved liveGen just before the flip is still scanning its files —
+      // the same in-flight-reader window every store solves with AGE-based
+      // collection. vacuumGenerations() reclaims it once it is cold.
       Some(ng)
     } finally {
       corpus.unpersist()

@@ -123,7 +123,13 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
         (data.withColumn("__is_deleted",
           org.apache.spark.sql.functions.lit(false)), "__is_deleted")
     }
-    new SnapshotParquetSink(dir, nBuckets).merge(batch, keys, seqCol, delCol)
+    // cluster spec: the manifest's, like nBuckets — a hash-routing writer on
+    // a Z-clustered table would scatter keys (the merge guard would refuse;
+    // self-aligning keeps SQL writes working on clustered tables)
+    val cluster = existing.lastOption
+      .map(v => SnapshotParquetSink.manifestCluster(dir, v)).getOrElse(Nil)
+    new SnapshotParquetSink(dir, nBuckets, clusterBy = cluster)
+      .merge(batch, keys, seqCol, delCol)
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext = ctx
       override def schema: StructType = data.schema

@@ -97,6 +97,20 @@ class ClusteredSnapshotSpec extends SparkSpec {
     assert(sink.lookup(spark, Seq("x", "y"), Seq(3L, 5L)).head.getAs[String]("val") == "v3-5")
   }
 
+  test("DSv2 writes self-align to the committed cluster spec") {
+    val dir = tmpDir("zw") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 16,
+      statsCols = Seq("x", "y"), clusterBy = spec)
+    sink.merge(grid, Seq("x", "y"), "seq", "is_delete")
+    // a SQL writer names no cluster spec — it must pick up the committed
+    // one (hash routing here would scatter the key into the wrong tile)
+    Seq((3L, 4L, 7L, "SQLW", false)).toDF("x", "y", "seq", "val", "is_delete")
+      .write.format("graft-snapshot").mode("append").save(dir)
+    assert(sink.lookup(spark, Seq("x", "y"), Seq(3L, 4L))
+      .head.getAs[String]("val") == "SQLW")
+    assert(sink.read(spark, DeleteMode.Hard).count() == 1024L)
+  }
+
   test("rebucket on a clustered table refines the tiles; routing and pruning stay correct") {
     val dir = tmpDir("zrebkt") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 16,

@@ -67,6 +67,14 @@ class VectorIndexReclusterSpec extends SparkSpec {
     // generation centroids ⇒ byte-stable reassignment)
     store.append(batch1(), 1L)
     assert(canon(store.search(spark, queries, k = 3, nProbe = 2)) == got)
+
+    // the superseded generation is NOT deleted at flip time (in-flight
+    // readers may still be scanning it) — age-based vacuum reclaims it
+    assert(new java.io.File(store.dir, "vectors").exists(),
+      "old generation must survive the flip for in-flight readers")
+    assert(store.vacuumGenerations(minAgeMs = 0L) >= 1)
+    assert(!new java.io.File(store.dir, "vectors").exists())
+    assert(canon(store.search(spark, queries, k = 3, nProbe = 2)) == got)
   }
 
   test("below-threshold drift returns None and leaves the generation frozen") {
