@@ -158,6 +158,12 @@ final class SnapshotCatalog(dir: String) {
     * keep seeing exactly one consistent cut per source micro-batch.
     * (Replayed MERGES are absorbed by the tables' own seq idempotence;
     * the cut they re-publish under new table versions stays unpinned.)
+    *
+    * The epoch check is check-then-commit, serialized per writerId by the
+    * streaming checkpoint's single-owner contract — TWO live drivers
+    * sharing one writerId (a zombie plus its replacement) could each
+    * publish the same epoch; both cuts pin consistent state, but readers
+    * would see a duplicate version. One checkpoint = one writerId.
     */
   def commitEpoch(tables: Seq[String], writerId: String, batchId: Long): Option[Long] = {
     validName(writerId)

@@ -123,7 +123,11 @@ final class VectorIndexStore(val dir: String) {
       embCol: String = "embedding",
       candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cents = centroids(spark)
+    // resolve the generation ONCE: reading liveGen again for the vectors
+    // could pair one generation's centroids with another's cell layout if
+    // a recluster flips between the two reads
+    val g = liveGen
+    val cents = centroidsAt(spark, g)
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
       .withColumn("cells",
         KMeans.probeCellsOf(KMeans.quantize(col("qe"), scale), cents, nProbe))
@@ -131,7 +135,7 @@ final class VectorIndexStore(val dir: String) {
     // bounded by k regardless of query count
     val probed = q.select(explode(col("cells")).as("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val vdir = vectorsPath(liveGen)
+    val vdir = vectorsPath(g)
     val batches = BatchStore.committedBatchPaths(vdir)
     require(batches.nonEmpty, s"no committed vector batches at $dir")
     val scanned = spark.read.option("basePath", vdir)
