@@ -87,6 +87,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .select("n_id", "cos").queryExecution.logical: LogicalPlan
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("table_history"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "table_history"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "table_history(tableDir)")
+        new graft.sink.SnapshotParquetSink(litStr(exprs(0), "tableDir"))
+          .history(SparkSession.active).queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("lsh_candidates"),
       new ExpressionInfo(classOf[graft.llm.Dedup.type].getName, "lsh_candidates"),
       (exprs: Seq[Expression]) => {

@@ -958,6 +958,48 @@ final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
     -1L // unreachable
   }
 
+  /** Version history as a DataFrame — the DESCRIBE HISTORY analog, read
+    * from manifests alone (one small-file read per retained version, never
+    * a data scan): version, publish time, bucket count, live entry count,
+    * applied-head seq, merge keys, cluster spec, and how many bucket
+    * entries each commit actually REWROTE vs carried forward (rewritten ≈
+    * the commit's write amplification; a long run of 1-entry commits is
+    * the signal to compact).
+    */
+  def history(spark: SparkSession): DataFrame = {
+    val vs = versions
+    val rows = vs.map { v =>
+      val (n, entries) = SnapshotParquetSink.manifest(dir, v)
+      val prev = if (v == vs.head) Map.empty[Int, String]
+        else SnapshotParquetSink.manifest(dir, vs(vs.indexOf(v) - 1))._2
+      val rewritten = entries.count { case (b, rel) => prev.get(b) != Some(rel) }
+      val cluster = SnapshotParquetSink.manifestCluster(dir, v)
+        .map(c => s"${c.name}[${c.lo},${c.hi}]").mkString(",")
+      org.apache.spark.sql.Row(
+        v,
+        new java.sql.Timestamp(
+          Dfs.fs(manifestPath(v)).getFileStatus(manifestPath(v)).getModificationTime),
+        n,
+        entries.size,
+        rewritten,
+        SnapshotParquetSink.manifestMaxSeq(dir, v).map(Long.box).orNull,
+        SnapshotParquetSink.manifestKeys(dir, v).mkString(","),
+        cluster)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("published", TimestampType, nullable = false),
+        StructField("n_buckets", IntegerType, nullable = false),
+        StructField("entries", IntegerType, nullable = false),
+        StructField("rewritten", IntegerType, nullable = false),
+        StructField("maxseq", LongType, nullable = true),
+        StructField("keys", StringType, nullable = false),
+        StructField("cluster", StringType, nullable = false))))
+  }
+
   /** Expires history: keeps the newest `keepLast` manifests, deletes older
     * ones plus every data directory no kept manifest references. Unreferenced
     * roots are deleted only when older than `minOrphanAgeMs` — an

@@ -727,6 +727,26 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(state(sink, DeleteMode.Hard) == Map("a" -> (0L, "a0")))
   }
 
+  test("history(): per-version metadata incl. write amplification, from manifests only") {
+    val dir = tmpDir("hist") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    val keys = (0 until 32).map(i => s"k$i")
+    sink.merge(batch(keys.map(k => (k, 0L, s"$k-v0", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    sink.merge(batch(("k0", 5L, "k0-v1", false)), Seq("primary_key"), "seq", "is_delete")
+    val h = sink.history(spark).orderBy("version").collect()
+    assert(h.length == 2)
+    assert(h(0).getLong(0) == 0L && h(0).getInt(2) == 4 && h(0).getInt(4) == h(0).getInt(3),
+      "the first commit rewrote every entry it lists")
+    assert(h(1).getInt(4) == 1, "the single-key merge rewrote exactly one bucket entry")
+    assert(h(1).getAs[Long]("maxseq") == 5L)
+    assert(h(1).getAs[String]("keys") == "primary_key")
+    // the SQL face through the table function
+    val viaSql = spark.sql(s"SELECT version, rewritten FROM table_history('$dir')")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(viaSql == Map(0L -> 4, 1L -> 1))
+  }
+
   test("rebucket: partition-count evolution preserves content; history keeps its layout") {
     val dir = tmpDir("rebkt") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 4)
