@@ -95,6 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .history(SparkSession.active).queryExecution.logical: LogicalPlan
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "table_changes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "table_changes(tableDir, fromVersion, toVersion)")
+        new graft.sink.SnapshotParquetSink(litStr(exprs(0), "tableDir"))
+          .changesBetween(SparkSession.active,
+            litInt(exprs(1), "fromVersion").toLong, litInt(exprs(2), "toVersion").toLong)
+          .queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("lsh_candidates"),
       new ExpressionInfo(classOf[graft.llm.Dedup.type].getName, "lsh_candidates"),
       (exprs: Seq[Expression]) => {

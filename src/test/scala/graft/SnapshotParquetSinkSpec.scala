@@ -745,6 +745,11 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     val viaSql = spark.sql(s"SELECT version, rewritten FROM table_history('$dir')")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(viaSql == Map(0L -> 4, 1L -> 1))
+    // ...and the change feed from SQL (the Delta table_changes analog)
+    val feed = spark.sql(
+      s"SELECT primary_key, change FROM table_changes('$dir', 0, 1)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(feed == Map("k0" -> "update"))
   }
 
   test("rebucket: partition-count evolution preserves content; history keeps its layout") {
