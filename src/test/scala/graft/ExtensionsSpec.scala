@@ -108,6 +108,23 @@ class ExtensionsSpec extends AnyFunSuite {
       val bad = intercept[Exception](
         s2.sql("SELECT * FROM bm25_search(concat('a', text), 'x', 1) JOIN tvf_docs"))
       assert(bad.getMessage != null)
+
+      // ---- the SQL-ONLY client story end-to-end: dedup candidates feed a
+      // keep-first-seen anti-join, the survivors' ids fuse with retrieval —
+      // one pipeline, zero Scala operator calls
+      val surviving = s2.sql(
+        """SELECT d.doc_id FROM tvf_docs d
+          |LEFT ANTI JOIN (SELECT j AS doc_id FROM lsh_candidates('tvf_docs')) dup
+          |ON d.doc_id = dup.doc_id""".stripMargin)
+        .collect().map(_.getLong(0)).toSet
+      assert(!surviving.contains(2L) && surviving.contains(0L),
+        s"keep-first-seen must drop the later twin, got $surviving")
+      val fused = s2.sql(
+        s"""SELECT b.doc_id FROM bm25_search('$base/tidx', 'merge sort', 10) b
+           |JOIN (SELECT * FROM tvf_docs) d ON d.doc_id = b.doc_id
+           |ORDER BY b.score DESC, b.doc_id""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(fused.nonEmpty && fused.toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
