@@ -58,6 +58,38 @@ object InJvmCoordinator extends CommitCoordinator {
     stripes(math.floorMod(key.hashCode, stripes.length)).synchronized(f)
 }
 
+/** Cross-PROCESS coordination on a shared POSIX filesystem: an exclusive
+  * `java.nio.channels.FileLock` on a per-key lock file under `lockDir` —
+  * the OS arbitrates between processes, which closes the cross-process
+  * check-then-act window the in-JVM coordinator cannot (the `file:`/NFS
+  * caveat in [[Dfs.renameOntoAbsent]]'s scaladoc). Same-JVM overlap is
+  * prevented by an inner striped mutex BEFORE the file lock is taken
+  * (the JVM throws OverlappingFileLockException otherwise). Lock files are
+  * tiny and reused per key hash; they are never deleted (deleting a lock
+  * file another process holds open reintroduces the race).
+  *
+  * Use when several PROCESSES on one host (or an NFS mount with working
+  * locks) commit to the same table; clusters use HDFS rename or an
+  * external service instead.
+  */
+final class FileLockCoordinator(lockDir: String) extends CommitCoordinator {
+  private val stripes = Array.fill(64)(new Object)
+  new java.io.File(lockDir).mkdirs()
+  override def withExclusive[A](key: String)(f: => A): A = {
+    val stripe = math.floorMod(key.hashCode, stripes.length)
+    stripes(stripe).synchronized {
+      val lockFile = new java.io.File(lockDir, f"k$stripe%02d.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until the other PROCESS releases
+        try f finally { lock.release(); () }
+      } finally ch.close()
+    }
+  }
+}
+
 /** Put-if-absent for filesystems WITHOUT atomic fail-if-exists rename
   * (s3a and friends, where rename is copy-then-delete): under the
   * coordinator's exclusive lease on the destination, check absence, then
