@@ -97,6 +97,45 @@ class ClusteredSnapshotSpec extends SparkSpec {
     assert(sink.lookup(spark, Seq("x", "y"), Seq(3L, 5L)).head.getAs[String]("val") == "v3-5")
   }
 
+  test("driver routing == write-path routing at clamp edges, negatives and nulls") {
+    val dir = tmpDir("zagree") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 16,
+      clusterBy = spec)
+    // adversarial key values: in-range, at-bounds, out-of-bounds both
+    // directions (clamp), and a NULL cluster key (routes as lo)
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (0L, 0L), (31L, 31L), (15L, 16L),
+      (-5L, 2L), (99L, 31L), (7L, -1L), (40L, 90L),
+      (null, 9L), (3L, null))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("x", LongType, nullable = true),
+      StructField("y", LongType, nullable = true),
+      StructField("seq", LongType, nullable = false),
+      StructField("val", StringType, nullable = false),
+      StructField("is_delete", BooleanType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.zipWithIndex.map { case ((x, y), i) =>
+        org.apache.spark.sql.Row(x, y, i.toLong, s"r$i", false) }, 2), schema)
+    sink.merge(df, Seq("x", "y"), "seq", "is_delete")
+    // every stored row's actual file location must equal the DRIVER-side
+    // routing of its key values — the bit-identity lookup depends on
+    val placed = sink.read(spark, graft.sink.DeleteMode.Hard)
+      .withColumn("file", org.apache.spark.sql.functions.input_file_name())
+      .collect()
+    assert(placed.length == rows.length)
+    placed.foreach { r =>
+      val file = r.getAs[String]("file")
+      val actual = file.split("__bucket=")(1).split("/")(0).toInt
+      val expect = SnapshotParquetSink.clusterBucketFor(
+        Seq(Option(r.getAs[java.lang.Long]("x")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("y")).map(_.toLong)),
+        spec, 16)
+      assert(actual == expect, s"row ${r.getAs[String]("val")}: file bucket " +
+        s"$actual != driver route $expect")
+    }
+  }
+
   test("DSv2 writes self-align to the committed cluster spec") {
     val dir = tmpDir("zw") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 16,
