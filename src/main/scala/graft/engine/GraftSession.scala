@@ -239,6 +239,7 @@ object Tables {
     */
   def ensureTextIndex(spark: SparkSession, dir: String): String =
     ensureTmpStore("q84n_index", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
       val store = new graft.sink.TextIndexStore(out)
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val docs = table(spark, dir, "documents")
@@ -255,6 +256,7 @@ object Tables {
     */
   def ensureCompactTextIndex(spark: SparkSession, dir: String): String =
     ensureTmpStore("q84r_cindex", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
       val store = new graft.sink.TextIndexStore(out)
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val docs = table(spark, dir, "documents")

@@ -31,6 +31,29 @@ import org.apache.spark.sql.functions._
   */
 final class TextIndexStore(val dir: String) {
 
+  import org.apache.hadoop.fs.{Path => HPath}
+  import graft.engine.Dfs
+
+  // ---- generation layer (the [[VectorIndexStore]] pattern): gen 0 is the
+  // original flat layout; compact() publishes gen manifests
+  // (gens/v%08d.manifest via the commit-lock seam) whose maximum is the
+  // LIVE generation. Readers resolve postings AND doclens through ONE
+  // generation per query, so a compaction flip can neither tear the pair
+  // nor leave a no-live-dir window — the two-rename swap this replaces
+  // had both hazards (documented away as a single-writer contract; now
+  // readers are safe DURING compaction too).
+
+  /** The generation readers and appenders currently bind to. */
+  def liveGen: Long =
+    Dfs.list(new HPath(s"$dir/gens"))
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted.lastOption.getOrElse(0L)
+
+  private[graft] def subPath(g: Long, sub: String): String =
+    if (g == 0L) s"$dir/$sub" else s"$dir/gen=$g/$sub"
+
   /** Tokenize one batch and commit its postings + doc-length partials.
     * Postings are POSITIONAL — `(tok, doc_id, tf, pos ARRAY<INT>)` with
     * the token's 0-based in-document positions sorted — so the same store
@@ -43,22 +66,24 @@ final class TextIndexStore(val dir: String) {
     // its own batch dirs, so serializing the whole (minutes-long) Spark
     // write against every concurrent search would turn safe read/ingest
     // concurrency into full serialization
-    // repair any crashed compact() BEFORE touching the store: without this,
-    // an append interleaved after a mid-swap crash would recreate a live
-    // dir containing only this batch, and the next recover() would then
-    // classify the full pre-crash copy (old_<sub>) as post-swap garbage —
-    // deleting the only complete index (the parquet sinks' merge() plays
-    // the same recover-first rule)
+    // repair any LEGACY crashed two-rename compact BEFORE touching the
+    // store: without this, an append interleaved after a mid-swap crash
+    // would recreate a live dir containing only this batch, and the next
+    // recover() would then classify the full pre-crash copy (old_<sub>)
+    // as post-swap garbage — deleting the only complete index
     recover()
+    // one generation for both sub-stores: resolving twice could straddle a
+    // concurrent compaction flip and split the batch across generations
+    val g = liveGen
     val toks = batch.select(col(idCol).as("doc_id"),
       posexplode(graft.llm.TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     toks.groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("pos"))
       .repartition(1).sortWithinPartitions("tok")
-      .write.mode("overwrite").parquet(s"$dir/postings/batch=$batchId")
+      .write.mode("overwrite").parquet(s"${subPath(g, "postings")}/batch=$batchId")
     toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/doclens/batch=$batchId")
+      .write.mode("overwrite").parquet(s"${subPath(g, "doclens")}/batch=$batchId")
   }
 
   /** BM25 top-k over everything ever committed — reads only the query
@@ -68,8 +93,13 @@ final class TextIndexStore(val dir: String) {
   def search(spark: SparkSession, queryTokens: Seq[String], k: Int,
       scale: Long = 1000L): DataFrame = {
     require(queryTokens.nonEmpty, "search needs at least one query token")
-    val posts = committed(spark, "postings")
-    val dls = committed(spark, "doclens")
+    // resolve the generation ONCE for both sub-stores — two liveGen reads
+    // could pair one generation's postings with another's doc lengths if
+    // a compaction flips between them
+    recover()
+    val g = liveGen
+    val posts = committedAt(spark, g, "postings")
+    val dls = committedAt(spark, g, "doclens")
     val q = queryTokens.distinct
     // a doc lives in one batch, but summing keeps a re-appended batch's
     // overwrite semantics exact even mid-recommit
@@ -142,38 +172,51 @@ final class TextIndexStore(val dir: String) {
     * folds every reader already applies), so search / phrase / proximity
     * results are identical before and after (test-pinned).
     *
-    * Crash safety mirrors [[Compaction]]'s two-rename swap: merged content
-    * is fully written (and `_SUCCESS`-gated) under `tmp_<sub>` first, then
-    * `<sub>` → `old_<sub>` → delete. A crash at any point is repaired by
-    * [[recover]], never by a rewrite. Single-writer contract (same as
-    * Compaction): run compaction when no concurrent search executes — the
-    * inter-rename window has no live dir.
+    * Crash safety is the GENERATION flip (round 10 — this replaced the
+    * two-rename swap, whose inter-rename window had no live dir and made
+    * concurrent searches unsafe): both merged sub-stores are fully written
+    * under the not-yet-live `gen=<g+1>/` first, then ONE manifest publish
+    * through the commit lock flips readers — a crash anywhere earlier
+    * leaves the old generation serving and the partial invisible (cleaned
+    * by the next compact attempt). Readers are safe DURING compaction; the
+    * superseded generation stays for in-flight readers until
+    * [[vacuumGenerations]]. Remaining single-writer contract: no
+    * concurrent APPENDS mid-compaction (a batch landing in the old
+    * generation after the merge read it would vanish from the new one).
     */
   def compact(spark: SparkSession, compactId: Long = 0L): Unit = synchronized {
-    recover()
-    // committedRaw, not committed: the reader-side recover would classify
-    // the tmp_ dir this merge is writing as crash garbage and delete it
-    val posts = committedRaw(spark, "postings")
-    posts.groupBy("doc_id", "tok")
+    recover() // legacy two-rename crash states (pre-generation layout)
+    val g = liveGen
+    val ng = g + 1
+    // a prior crashed compaction at ng is invisible garbage — restart it
+    Dfs.deleteTreeQuiet(new HPath(s"$dir/gen=$ng"))
+    committedAt(spark, g, "postings").groupBy("doc_id", "tok")
       .agg(sum(col("tf")).as("tf"),
         array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("pos"))
       .repartition(1).sortWithinPartitions("tok")
-      .write.mode("overwrite").parquet(s"$dir/tmp_postings/batch=$compactId")
-    committedRaw(spark, "doclens").groupBy("doc_id")
+      .write.mode("overwrite")
+      .parquet(s"${subPath(ng, "postings")}/batch=$compactId")
+    committedAt(spark, g, "doclens").groupBy("doc_id")
       .agg(sum(col("dl")).as("dl"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/tmp_doclens/batch=$compactId")
-    for (sub <- Seq("postings", "doclens")) {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/old_$sub")
-      graft.engine.Dfs.rename(live, old)
-      graft.engine.Dfs.rename(new org.apache.hadoop.fs.Path(s"$dir/tmp_$sub"), live)
-      graft.engine.Dfs.deleteTreeStrict(old)
+      .write.mode("overwrite")
+      .parquet(s"${subPath(ng, "doclens")}/batch=$compactId")
+    Dfs.mkdirs(new HPath(s"$dir/gens"))
+    val tmp = new HPath(s"$dir/gens", s".tmp-$ng")
+    Dfs.writeUtf8(tmp, s"gen=$ng\n")
+    val won = graft.engine.CommitLock.current.publishOntoAbsent(
+      tmp, new HPath(s"$dir/gens", f"v$ng%08d.manifest"))
+    if (!won) {
+      Dfs.delete(tmp)
+      sys.error(s"compaction lost the generation-$ng publish race at $dir — " +
+        "another maintainer compacted concurrently; re-run against its result")
     }
   }
 
-  /** Repairs whatever a crashed [[compact]] left behind (same decision
-    * table as [[Compaction.recover]]): live missing + `old_` present →
+  /** Repairs whatever a LEGACY two-rename [[compact]] left behind (the
+    * pre-generation layout; generation-flip compactions need no repair —
+    * their partials are invisible until the manifest publish). Same
+    * decision table as [[Compaction.recover]]: live missing + `old_` present →
     * the crash hit mid-swap, restore the original; live present + `old_`
     * present → post-swap garbage, delete; `tmp_` is always garbage (the
     * live dir is never touched before the merged copy is fully committed).
@@ -210,17 +253,46 @@ final class TextIndexStore(val dir: String) {
   }
 
   private def committed(spark: SparkSession, sub: String): DataFrame = {
-    recover() // a reader after a mid-swap crash must see the restored copy
-    committedRaw(spark, sub)
+    recover() // a reader after a legacy mid-swap crash must see the restored copy
+    committedAt(spark, liveGen, sub)
   }
 
-  /** [[committed]] without the recover step — for [[compact]]'s internal
-    * reads, which run AFTER its own entry recover and must not wipe the
-    * `tmp_` dirs the merge is writing.
+  /** Committed batches of generation `g`'s sub-store — no recover step
+    * (callers that read several subs resolve ONE generation first, and
+    * [[compact]]'s internal reads run after its own entry recover).
     */
-  private def committedRaw(spark: SparkSession, sub: String): DataFrame = {
-    val paths = BatchStore.committedBatchPaths(s"$dir/$sub")
+  private def committedAt(spark: SparkSession, g: Long, sub: String): DataFrame = {
+    val base = subPath(g, sub)
+    val paths = BatchStore.committedBatchPaths(base)
     require(paths.nonEmpty, s"no committed $sub batches at $dir")
-    spark.read.option("basePath", s"$dir/$sub").parquet(paths: _*)
+    spark.read.option("basePath", base).parquet(paths: _*)
+  }
+
+  /** Reclaims superseded (non-live) generations older than `minAgeMs` —
+    * covers the in-flight-reader window around a compaction's manifest
+    * flip, like [[VectorIndexStore.vacuumGenerations]]. Returns the number
+    * of generations reclaimed.
+    */
+  def vacuumGenerations(minAgeMs: Long = 3600000L): Int = synchronized {
+    val live = liveGen
+    val now = System.currentTimeMillis()
+    def cold(p: HPath): Boolean =
+      Dfs.exists(p) && Dfs.list(p).forall(st =>
+        now - st.getModificationTime >= minAgeMs)
+    var n = 0
+    if (live > 0L && Seq("postings", "doclens")
+        .exists(s => Dfs.exists(new HPath(s"$dir/$s")))) {
+      if (Seq("postings", "doclens").forall(s => cold(new HPath(s"$dir/$s")))) {
+        Seq("postings", "doclens").foreach(s =>
+          Dfs.deleteTreeQuiet(new HPath(s"$dir/$s")))
+        n += 1
+      }
+    }
+    Dfs.list(new HPath(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .filter(st => st.getPath.getName.stripPrefix("gen=").toLong < live)
+      .filter(st => now - st.getModificationTime >= minAgeMs)
+      .foreach { st => Dfs.deleteTreeQuiet(st.getPath); n += 1 }
+    n
   }
 }

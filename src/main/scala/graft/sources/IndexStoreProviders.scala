@@ -227,7 +227,11 @@ final class TextIndexTableProvider extends BatchStoreProvider {
     val sub = Option(options.get("sub")).getOrElse("postings")
     require(sub == "postings" || sub == "doclens",
       s"graft-textindex sub must be postings or doclens, got '$sub'")
-    val paths = BatchStore.committedBatchPaths(s"$dir/$sub")
+    // bind to the index's LIVE generation, like the Scala search path — a
+    // compaction flip must move SQL readers atomically too
+    val store = new graft.sink.TextIndexStore(dir)
+    val base = store.subPath(store.liveGen, sub)
+    val paths = BatchStore.committedBatchPaths(base)
     require(paths.nonEmpty, s"no committed $sub batches at $dir")
     // no basePath: the batch=<id> bookkeeping level stays hidden
     BatchScanState(s"graft-textindex $dir/$sub", paths, None, _ => paths)

@@ -1102,26 +1102,52 @@ class LlmSpec extends SparkSpec {
     val ph = res(store.phraseSearch(spark, Seq("a", "b"), k = 10))
     val px = res(store.proximitySearch(spark, "a", "c", slop = 3, k = 10))
     store.compact(spark)
-    // exactly one committed batch dir per sub-store now
+    // the compaction published a new GENERATION whose sub-stores hold
+    // exactly one committed batch dir each; the old generation's flat dirs
+    // survive for in-flight readers until the age-guarded vacuum
+    assert(store.liveGen == 1L)
     for (sub <- Seq("postings", "doclens"))
-      assert(new java.io.File(s"$dir/$sub").listFiles()
+      assert(new java.io.File(s"$dir/gen=1/$sub").listFiles()
         .count(_.getName.startsWith("batch=")) == 1, sub)
+    assert(new java.io.File(s"$dir/postings").exists(),
+      "superseded generation must survive the flip for in-flight readers")
     assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
     assert(res(store.phraseSearch(spark, Seq("a", "b"), k = 10)) == ph)
     assert(res(store.proximitySearch(spark, "a", "c", slop = 3, k = 10)) == px)
     // idempotent: compacting a compacted store changes nothing
     store.compact(spark)
+    assert(store.liveGen == 2L)
     assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
-    // crash simulation: mid-swap (live renamed aside, tmp still present) —
-    // recover() must restore the original and clear the scratch
-    val live = new java.io.File(s"$dir/postings")
-    val old = new java.io.File(s"$dir/old_postings")
-    val tmp = new java.io.File(s"$dir/tmp_postings")
-    assert(live.renameTo(old))
-    tmp.mkdirs()
-    store.recover()
-    assert(live.exists() && !old.exists() && !tmp.exists())
+    // crash simulation, generation style: a partially-written next
+    // generation WITHOUT a published manifest is invisible — searches are
+    // safe DURING compaction (the property the old two-rename swap lacked)
+    val partial = new java.io.File(s"$dir/gen=3/postings/batch=9")
+    assert(partial.mkdirs())
+    assert(store.liveGen == 2L)
     assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
+    // the next compact clears the partial and completes
+    store.compact(spark)
+    assert(store.liveGen == 3L)
+    assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
+    // age-guarded vacuum reclaims everything superseded
+    assert(store.vacuumGenerations(minAgeMs = 0L) >= 1)
+    assert(!new java.io.File(s"$dir/postings").exists())
+    assert(!new java.io.File(s"$dir/gen=1").exists())
+    assert(res(store.search(spark, Seq("a", "d"), k = 10)) == bm)
+    // legacy two-rename crash states (pre-generation layout) still repair:
+    // fabricate old_ flat dirs on a FRESH store and let recover restore
+    val dir2 = tmpDir("cidx2")
+    val legacy = new graft.sink.TextIndexStore(dir2)
+    legacy.append(corpus, batchId = 0L)
+    val bm2 = res(legacy.search(spark, Seq("a", "d"), k = 10))
+    for (sub <- Seq("postings", "doclens"))
+      assert(new java.io.File(s"$dir2/$sub").renameTo(new java.io.File(s"$dir2/old_$sub")))
+    new java.io.File(s"$dir2/tmp_postings").mkdirs()
+    legacy.recover()
+    assert(new java.io.File(s"$dir2/postings").exists()
+      && !new java.io.File(s"$dir2/old_postings").exists()
+      && !new java.io.File(s"$dir2/tmp_postings").exists())
+    assert(res(legacy.search(spark, Seq("a", "d"), k = 10)) == bm2)
   }
 
   test("weightedQuantiles: exact cumulative-weight order statistics") {
