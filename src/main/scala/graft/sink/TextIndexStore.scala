@@ -183,8 +183,12 @@ final class TextIndexStore(val dir: String) {
     * [[vacuumGenerations]]. Remaining single-writer contract: no
     * concurrent APPENDS mid-compaction (a batch landing in the old
     * generation after the merge read it would vanish from the new one).
+    *
+    * `compactId` names the merged batch dir; the default −1 sits OUTSIDE
+    * Spark's non-negative epoch space, so no checkpoint-replayed append
+    * can ever collide with (and overwrite) the merged dir.
     */
-  def compact(spark: SparkSession, compactId: Long = 0L): Unit = synchronized {
+  def compact(spark: SparkSession, compactId: Long = -1L): Unit = synchronized {
     recover() // legacy two-rename crash states (pre-generation layout)
     val g = liveGen
     val ng = g + 1
