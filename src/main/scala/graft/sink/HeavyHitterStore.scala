@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   */
 final class HeavyHitterStore(val dir: String, k: Int = 2000) {
 
+  /** The generation readers and appenders bind to ([[Generations]]). */
+  def liveGen: Long = Generations.liveGen(dir)
+
+  private def base(g: Long): String = if (g == 0L) dir else s"$dir/gen=$g"
+
   /** Sketch one batch's items and commit the ≤ k-row partial. */
   def append(batch: DataFrame, itemCol: Column, batchId: Long): Unit =
     batch.agg(graft.llm.HeavyHitters.column(k, itemCol).as("hh"),
         count(lit(1)).as("batch_n"))
       .select(explode(col("hh")).as(Seq("item", "est")), col("batch_n"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"${base(liveGen)}/batch=$batchId")
 
   /** Merged candidates from committed partials only: ((item, est) rows,
     * error bound). True count of any returned item lies in
@@ -38,12 +43,48 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
     * frame and bound 0, not a null crash.
     */
   def candidates(spark: SparkSession): (DataFrame, Long) = {
-    val paths = BatchStore.committedBatchPaths(dir)
+    val b = base(liveGen) // resolve once: paths and basePath must agree
+    val paths = BatchStore.committedBatchPaths(b)
     require(paths.nonEmpty, s"no committed heavy-hitter batches at $dir")
-    val raw = spark.read.option("basePath", dir).parquet(paths: _*)
+    val raw = spark.read.option("basePath", b).parquet(paths: _*)
     // Σ_b n_b / (k+1): one row per batch feeds the driver scalar
     val bound = raw.select(col("batch"), col("batch_n")).distinct()
       .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0) / (k + 1L)
     (raw.groupBy("item").agg(sum(col("est")).as("est")), bound)
+  }
+
+  /** Store maintenance: materialize the counter-wise merge into ONE
+    * partial — exactly the fold [[candidates]] already applies at read
+    * time, so the compacted store's candidates AND error bound are
+    * identical (the merged rows carry the summed batch total; the additive
+    * Σ n_b/(k+1) guarantee is unchanged). Published as the next generation
+    * ([[Generations]]); superseded partials stay for in-flight readers
+    * until [[vacuumGenerations]]. Single-maintainer contract: no
+    * concurrent appends.
+    */
+  def compact(spark: SparkSession): Unit = synchronized {
+    val g = liveGen
+    val ng = g + 1
+    Generations.clearPartial(dir, ng)
+    val b = base(g)
+    val paths = BatchStore.committedBatchPaths(b)
+    require(paths.nonEmpty, s"nothing to compact at $dir")
+    val raw = spark.read.option("basePath", b).parquet(paths: _*)
+    val totalN = raw.select(col("batch"), col("batch_n")).distinct()
+      .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0)
+    raw.groupBy("item").agg(sum(col("est")).as("est"))
+      .select(col("item"), col("est"), lit(totalN).as("batch_n"))
+      .coalesce(1)
+      // batch id −1: outside Spark's non-negative epoch space (no replayed
+      // append can overwrite the merged partial)
+      .write.mode("overwrite").parquet(s"${base(ng)}/batch=-1")
+    Generations.publish(dir, ng, "heavy-hitter compaction")
+  }
+
+  /** Age-guarded reclaim of superseded generations ([[Generations]]). */
+  def vacuumGenerations(minAgeMs: Long = 3600000L): Int = {
+    val flat = graft.engine.Dfs.list(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    Generations.vacuum(dir, flat.toSeq, minAgeMs)
   }
 }

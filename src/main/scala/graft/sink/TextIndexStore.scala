@@ -44,12 +44,7 @@ final class TextIndexStore(val dir: String) {
   // readers are safe DURING compaction too).
 
   /** The generation readers and appenders currently bind to. */
-  def liveGen: Long =
-    Dfs.list(new HPath(s"$dir/gens"))
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .sorted.lastOption.getOrElse(0L)
+  def liveGen: Long = Generations.liveGen(dir)
 
   private[graft] def subPath(g: Long, sub: String): String =
     if (g == 0L) s"$dir/$sub" else s"$dir/gen=$g/$sub"
@@ -193,7 +188,7 @@ final class TextIndexStore(val dir: String) {
     val g = liveGen
     val ng = g + 1
     // a prior crashed compaction at ng is invisible garbage — restart it
-    Dfs.deleteTreeQuiet(new HPath(s"$dir/gen=$ng"))
+    Generations.clearPartial(dir, ng)
     committedAt(spark, g, "postings").groupBy("doc_id", "tok")
       .agg(sum(col("tf")).as("tf"),
         array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("pos"))
@@ -205,16 +200,7 @@ final class TextIndexStore(val dir: String) {
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(s"${subPath(ng, "doclens")}/batch=$compactId")
-    Dfs.mkdirs(new HPath(s"$dir/gens"))
-    val tmp = new HPath(s"$dir/gens", s".tmp-$ng")
-    Dfs.writeUtf8(tmp, s"gen=$ng\n")
-    val won = graft.engine.CommitLock.current.publishOntoAbsent(
-      tmp, new HPath(s"$dir/gens", f"v$ng%08d.manifest"))
-    if (!won) {
-      Dfs.delete(tmp)
-      sys.error(s"compaction lost the generation-$ng publish race at $dir — " +
-        "another maintainer compacted concurrently; re-run against its result")
-    }
+    Generations.publish(dir, ng, "text-index compaction")
   }
 
   /** Repairs whatever a LEGACY two-rename [[compact]] left behind (the
@@ -278,25 +264,6 @@ final class TextIndexStore(val dir: String) {
     * of generations reclaimed.
     */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = synchronized {
-    val live = liveGen
-    val now = System.currentTimeMillis()
-    def cold(p: HPath): Boolean =
-      Dfs.exists(p) && Dfs.list(p).forall(st =>
-        now - st.getModificationTime >= minAgeMs)
-    var n = 0
-    if (live > 0L && Seq("postings", "doclens")
-        .exists(s => Dfs.exists(new HPath(s"$dir/$s")))) {
-      if (Seq("postings", "doclens").forall(s => cold(new HPath(s"$dir/$s")))) {
-        Seq("postings", "doclens").foreach(s =>
-          Dfs.deleteTreeQuiet(new HPath(s"$dir/$s")))
-        n += 1
-      }
-    }
-    Dfs.list(new HPath(dir))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
-      .filter(st => st.getPath.getName.stripPrefix("gen=").toLong < live)
-      .filter(st => now - st.getModificationTime >= minAgeMs)
-      .foreach { st => Dfs.deleteTreeQuiet(st.getPath); n += 1 }
-    n
+    Generations.vacuum(dir, Seq("postings", "doclens"), minAgeMs)
   }
 }

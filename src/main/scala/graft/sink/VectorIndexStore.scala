@@ -51,12 +51,7 @@ final class VectorIndexStore(val dir: String) {
   // vectors through one gen, so the pair can never tear.
 
   /** The generation readers and appenders currently bind to. */
-  def liveGen: Long =
-    Dfs.list(new HPath(s"$dir/gens"))
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .sorted.lastOption.getOrElse(0L)
+  def liveGen: Long = Generations.liveGen(dir)
 
   private def centroidsPath(g: Long): String =
     if (g == 0L) s"$dir/centroids" else s"$dir/gen=$g/centroids"
@@ -224,27 +219,7 @@ final class VectorIndexStore(val dir: String) {
     * Returns the number of generations reclaimed.
     */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = synchronized {
-    val live = liveGen
-    val now = System.currentTimeMillis()
-    def cold(p: HPath): Boolean =
-      Dfs.exists(p) && Dfs.list(p).forall(st =>
-        now - st.getModificationTime >= minAgeMs)
-    var n = 0
-    // gen 0 candidates: the flat dirs; gen ≥ 1: the gen=<g> roots
-    if (live > 0L && (Dfs.exists(new HPath(s"$dir/centroids")) ||
-        Dfs.exists(new HPath(s"$dir/vectors")))) {
-      if (cold(new HPath(s"$dir/centroids")) && cold(new HPath(s"$dir/vectors"))) {
-        Dfs.deleteTreeQuiet(new HPath(s"$dir/centroids"))
-        Dfs.deleteTreeQuiet(new HPath(s"$dir/vectors"))
-        n += 1
-      }
-    }
-    Dfs.list(new HPath(dir))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
-      .filter(st => st.getPath.getName.stripPrefix("gen=").toLong < live)
-      .filter(st => now - st.getModificationTime >= minAgeMs)
-      .foreach { st => Dfs.deleteTreeQuiet(st.getPath); n += 1 }
-    n
+    Generations.vacuum(dir, Seq("centroids", "vectors"), minAgeMs)
   }
 
   def recluster(spark: SparkSession, k: Int, iters: Int, scale: Int = 4096,
@@ -263,7 +238,7 @@ final class VectorIndexStore(val dir: String) {
       if (!improved) return None
       val ng = g + 1
       // a prior crashed migration at ng is invisible garbage — restart it
-      Dfs.deleteTreeQuiet(new HPath(s"$dir/gen=$ng"))
+      Generations.clearPartial(dir, ng)
       model.centroids.coalesce(1).write.mode("overwrite").parquet(centroidsPath(ng))
       // full migration, batch identity preserved: each committed batch is
       // reassigned under the new centroids into the SAME batch id
@@ -273,16 +248,7 @@ final class VectorIndexStore(val dir: String) {
         appendTo(ng, batch, b, scale, "vec_id", "embedding")
       }
       // the atomic flip: one manifest publish through the commit-lock seam
-      Dfs.mkdirs(new HPath(s"$dir/gens"))
-      val tmp = new HPath(s"$dir/gens", s".tmp-$ng")
-      Dfs.writeUtf8(tmp, s"gen=$ng\n")
-      val won = graft.engine.CommitLock.current.publishOntoAbsent(
-        tmp, new HPath(s"$dir/gens", f"v$ng%08d.manifest"))
-      if (!won) {
-        Dfs.delete(tmp)
-        sys.error(s"recluster lost the generation-$ng publish race at $dir — " +
-          "another maintainer migrated concurrently; re-run against its result")
-      }
+      Generations.publish(dir, ng, "recluster")
       // the superseded generation is NOT deleted here: a reader that
       // resolved liveGen just before the flip is still scanning its files —
       // the same in-flight-reader window every store solves with AGE-based

@@ -373,6 +373,52 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     store.append(rows(9000, 9500), Seq("g"), "v", batchId = 3L)
     assert(new java.io.File(s"$dir/batch=3/_SUCCESS").delete())
     assert(est().map(r => r._1 -> r._2).toMap == before2)
+    // COMPACTION (generation flip): estimates identical (HLL union is
+    // associative/idempotent), one merged partial, old partials retained
+    // for in-flight readers until the age-guarded vacuum
+    store.compact(spark)
+    assert(store.liveGen == 1L)
+    assert(est().map(r => (r._1, r._2, r._4)).toSet
+      == before2.map { case (g, e) => (g, e,
+        Map("0" -> 3000L, "1" -> 3000L, "2" -> 3000L)(g)) }.toSet)
+    assert(store.committedBatchPaths.size == 1)
+    assert(new java.io.File(s"$dir/batch=0").exists())
+    // appends continue into the live generation; estimates keep merging
+    store.append(rows(9000, 9500), Seq("g"), "v", batchId = 3L)
+    assert(est().map(_._4).sum == 9500L)
+    assert(store.vacuumGenerations(minAgeMs = 0L) >= 1)
+    assert(!new java.io.File(s"$dir/batch=0").exists())
+    assert(est().map(_._4).sum == 9500L)
+  }
+
+  test("HeavyHitterStore.compact: candidates and error bound identical after the flip") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("hhc") + "/s"
+    val store = new graft.sink.HeavyHitterStore(dir, k = 50)
+    // skewed stream: item "hot" dominates, long tail of singletons
+    def items(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(when(col("id") % 3 === 0, lit("hot"))
+        .otherwise(concat(lit("t"), col("id"))).as("w"))
+    store.append(items(0, 3000), col("w"), batchId = 0L)
+    store.append(items(3000, 6000), col("w"), batchId = 1L)
+    def cand() = {
+      val (c, b) = store.candidates(spark)
+      (c.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, b)
+    }
+    val (beforeC, beforeB) = cand()
+    store.compact(spark)
+    assert(store.liveGen == 1L)
+    val (afterC, afterB) = cand()
+    assert(afterC == beforeC && afterB == beforeB,
+      s"compaction must not move candidates or the bound: $beforeB vs $afterB")
+    // the hot item's MG guarantee still holds over the compacted store
+    assert(afterC("hot") >= 2000L - afterB)
+    // appends continue; vacuum reclaims the superseded generation
+    store.append(items(6000, 6600), col("w"), batchId = 2L)
+    val (afterC2, _) = cand()
+    assert(afterC2("hot") >= afterC("hot"))
+    assert(store.vacuumGenerations(minAgeMs = 0L) >= 1)
+    assert(cand()._1 == afterC2)
   }
 
   test("concurrent writers: the manifest hard-link lock loses no commit") {
