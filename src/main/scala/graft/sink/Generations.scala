@@ -53,8 +53,10 @@ private[graft] object Generations {
   def vacuum(dir: String, flatSubs: Seq[String], minAgeMs: Long): Int = {
     val live = liveGen(dir)
     val now = System.currentTimeMillis()
+    // absent = vacuously cold (a half-reclaimed flat layout must not block
+    // the rest forever)
     def cold(p: HPath): Boolean =
-      Dfs.exists(p) && Dfs.list(p).forall(st =>
+      !Dfs.exists(p) || Dfs.list(p).forall(st =>
         now - st.getModificationTime >= minAgeMs)
     var n = 0
     if (live > 0L && flatSubs.exists(s => Dfs.exists(new HPath(s"$dir/$s")))) {
