@@ -336,6 +336,25 @@ object Tables {
       sink.merge(ev, Seq("user_id", "event_id"), "seq", "is_delete")
     }
 
+  /** q21e's COMPACTED sketch store: the same 3-batch ingest as
+    * [[ensureSketchStore]] folded to one partial by
+    * `HllSketchStore.compact` — estimates must clear the identical
+    * accuracy band (HLL union associativity), which is what the oracle
+    * checks. Separate store: compacting the shared q21d store mid-suite
+    * would change the batch bookkeeping other queries assert.
+    */
+  def ensureCompactSketchStore(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q21e_csketches", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
+      val store = new graft.sink.HllSketchStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val li = table(spark, dir, "lineitem")
+      for (b <- 0L until 3L)
+        store.append(li.filter(pmod(col("l_orderkey"), lit(3)) === b),
+          Seq("l_returnflag"), "l_partkey", b)
+      store.compact(spark)
+    }
+
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
     * document tokens, built once per (session, dir).
     */

@@ -850,6 +850,27 @@ object Relational {
           col("n_batches"))
     },
 
+    // q21d through a COMPACTED sketch store (round 10): three per-batch
+    // partials folded into one by HllSketchStore.compact (a generation
+    // flip). HLL union is associative and idempotent, so the merged
+    // partial's estimates must clear the identical 5% band — and the
+    // bookkeeping shows exactly one batch. The store-maintenance twin of
+    // q84r for the cardinality leg.
+    QDef.df("q21e_compacted_sketches",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       count(*) AS cnt, true AS est_ok, CAST(1 AS BIGINT) AS n_batches
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.HllSketchStore(Tables.ensureCompactSketchStore(s, dir))
+      val exact = Tables.table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("cnt"))
+      exact.join(store.estimates(s, Seq("l_returnflag")), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
+          (abs(col("estimate") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("est_ok"),
+          col("n_batches"))
+    },
+
     QDef.sql(
       "q39_string_agg",
       """SELECT n_regionkey,

@@ -77,6 +77,61 @@ class VectorIndexReclusterSpec extends SparkSpec {
     assert(canon(store.search(spark, queries, k = 3, nProbe = 2)) == got)
   }
 
+  test("streaming ingest: a crash-replayed batch lands idempotently ACROSS a recluster") {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    def writeChunk(dir: String, name: String, df: DataFrame): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try df.select(to_json(struct(col("vec_id"), col("embedding"), col("label"))))
+        .collect().map(_.getString(0)).foreach(w.println)
+      finally w.close()
+    }
+    def injectCrash(checkpoint: String): Unit = {
+      val commits = new java.io.File(checkpoint, "commits")
+      val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+        .sortBy(_.getName.toInt).lastOption
+      assert(latest.isDefined); assert(latest.get.delete())
+      val crc = new java.io.File(commits, s".${latest.get.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+    }
+    val in = tmpDir("vstream_in"); val ckpt = tmpDir("vstream_ck")
+    val store = new VectorIndexStore(tmpDir("vstream") + "/ix")
+    store.init(batch0(), k = 4, iters = 2)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label STRING").json(in)
+    def startQ() = stream.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((b: DataFrame, id: Long) => store.append(b, id)).start()
+
+    writeChunk(in, "c0.jsonl", batch0())
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      writeChunk(in, "c1.jsonl", batch1())
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    // crash with micro-batch 1 fully applied, then the index MIGRATES
+    // before the restart — the replayed batch must land in the NEW
+    // generation deterministically, not duplicate or resurrect gen 0
+    injectCrash(ckpt)
+    assert(store.recluster(spark, k = 4, iters = 2,
+      minImprovementX1000 = 100L).contains(1L))
+    val chunk2 = batchDf(1, 300 until 330)
+    writeChunk(in, "c2.jsonl", chunk2)
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+
+    // reference: one-shot index whose centroids come from the corpus the
+    // recluster trained on (chunks 0+1), with all three chunks ingested
+    val ref = new VectorIndexStore(tmpDir("vstreamref") + "/ix")
+    ref.init(batch0().unionByName(batch1()), k = 4, iters = 2)
+    ref.append(batch0(), 0L); ref.append(batch1(), 1L); ref.append(chunk2, 2L)
+    assert(canon(store.search(spark, queries, k = 3, nProbe = 2))
+      == canon(ref.search(spark, queries, k = 3, nProbe = 2)))
+    // every vector exactly once: the replayed batch overwrote its own
+    // migrated dir, never doubled
+    assert(spark.read.format("graft-vectorindex").load(store.dir).count() == 110L)
+  }
+
   test("below-threshold drift returns None and leaves the generation frozen") {
     val store = new VectorIndexStore(tmpDir("vx2") + "/ix")
     val union = batch0().unionByName(batch1())
