@@ -358,6 +358,23 @@ object Tables {
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
     * document tokens, built once per (session, dir).
     */
+  /** q84v's COMPACTED heavy-hitter store: [[ensureHhStore]]'s 3-batch
+    * ingest folded to one partial by `HeavyHitterStore.compact` — the
+    * candidate set must be identical (the merge IS the read-time fold),
+    * which the exact-recount oracle checks. Separate store (the q21e rule).
+    */
+  def ensureCompactHhStore(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q84v_chh", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
+      val store = new graft.sink.HeavyHitterStore(out, k = 2000)
+      import org.apache.spark.sql.functions.{col, explode, lit, pmod, split}
+      val toks = table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      for (b <- 0L until 3L)
+        store.append(toks.filter(pmod(col("doc_id"), lit(3)) === b), col("word"), b)
+      store.compact(spark)
+    }
+
   def ensureHhStore(spark: SparkSession, dir: String): String =
     ensureTmpStore("q84i_hh", spark, dir) { out =>
       val store = new graft.sink.HeavyHitterStore(out, k = 2000)

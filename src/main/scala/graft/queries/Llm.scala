@@ -1099,6 +1099,26 @@ object Llm {
         .orderBy(col("cnt").desc, col("word")).limit(20)
     },
 
+    // q84i through a COMPACTED heavy-hitter store (round 10): the three
+    // Misra-Gries partials materialized into one by compact() — a
+    // generation flip whose merged rows are exactly the read-time
+    // counter-wise fold, so the candidate set (and therefore the exact
+    // recount) is identical to the multi-batch store's. Completes the
+    // compaction triad: q84r = text index, q21e = HLL, this = frequency.
+    QDef.df("q84v_compacted_hh",
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.HeavyHitterStore(
+        Tables.ensureCompactHhStore(s, dir), k = 2000)
+      val (cand, _) = store.candidates(s)
+      Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(cand.select(col("item").as("word"))), "word")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+    },
+
     // BPE vocab induction, step 1: the top-5 merge candidates (adjacent
     // symbol pairs weighted by pre-token corpus frequency, ties broken
     // lexicographically) over the distinct pre-token table — the ranking
