@@ -355,6 +355,49 @@ object Tables {
       store.compact(spark)
     }
 
+  /** q21f's STRAGGLER sketch store (round 10 fold watermarks): two batches
+    * ingested, compacted (watermark 1), then the third committed into the
+    * SUPERSEDED generation — the shape a concurrent appender leaves when
+    * it resolved the old generation just before the flip — plus a replay
+    * of folded batch 0, which must no-op. Estimates must still cover the
+    * whole table (the straggler stays visible across the flip), with
+    * exactly 2 visible partials (merged + straggler). Separate store (the
+    * q21e rule).
+    */
+  def ensureStragglerSketchStore(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q21f_ssketches", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
+      val store = new graft.sink.HllSketchStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val li = table(spark, dir, "lineitem")
+      def part(b: Long) = li.filter(pmod(col("l_orderkey"), lit(3)) === b)
+      store.append(part(0L), Seq("l_returnflag"), "l_partkey", 0L)
+      store.append(part(1L), Seq("l_returnflag"), "l_partkey", 1L)
+      store.compact(spark)
+      store.appendAt(0L, part(2L), Seq("l_returnflag"), "l_partkey", 2L)
+      // checkpoint replay of an already-folded batch: must not double-count
+      store.append(part(0L), Seq("l_returnflag"), "l_partkey", 0L)
+    }
+
+  /** q84w's STRAGGLER text index ([[ensureStragglerSketchStore]], retrieval
+    * leg): batches 0–1 ingested, compacted, batch 2 committed into the
+    * superseded generation, folded batch 0 replayed (no-op). Search must
+    * be bit-identical to the one-shot union-corpus scan.
+    */
+  def ensureStragglerTextIndex(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q84w_sindex", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
+      val store = new graft.sink.TextIndexStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = table(spark, dir, "documents")
+      def part(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+      store.append(part(0L), 0L)
+      store.append(part(1L), 1L)
+      store.compact(spark)
+      store.appendAt(0L, part(2L), 2L)
+      store.append(part(0L), 0L) // folded-id replay: no-op
+    }
+
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
     * document tokens, built once per (session, dir).
     */

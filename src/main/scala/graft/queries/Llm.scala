@@ -1239,6 +1239,32 @@ object Llm {
         store.search(s, Seq("batch", "scan", "group"), k = 20)
     },
 
+    // BM25 across a concurrent-append/compaction interleaving (round-10
+    // fold watermarks — the q21f shape on the retrieval leg): batches 0-1
+    // compacted, batch 2 committed into the SUPERSEDED generation, folded
+    // batch 0 replayed (no-op). The straggler stays visible via the
+    // manifest watermark, so scores are still bit-identical to the
+    // one-shot union-corpus scan the oracle computes.
+    QDef.df("q84w_straggler_bm25",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT count(*) FROM toks) AS a_tokens),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('merge', 'scan', 'dup') GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(SUM(
+        |    (((1000 * (n_docs - df)) // (df + 1)) * tf * 22 * a_tokens)
+        |    // (10 * tf * a_tokens + 3 * a_tokens + 9 * dl.dl * n_docs)
+        |  ) AS BIGINT) AS score
+        |FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, st
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val store = new graft.sink.TextIndexStore(Tables.ensureStragglerTextIndex(s, dir))
+        store.search(s, Seq("merge", "scan", "dup"), k = 20)
+    },
+
     // q84n RE-EXPRESSED AS PURE SQL (round 10): the engine side is one SQL
     // string against the bm25_search TABLE FUNCTION GraftExtensions
     // installs — a SQL-only client's whole retrieval call. The TVF builds

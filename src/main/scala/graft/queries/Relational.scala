@@ -871,6 +871,28 @@ object Relational {
           col("n_batches"))
     },
 
+    // q21d across a concurrent-append/compaction interleaving (round-10
+    // fold watermarks): two batches compacted, the third committed into
+    // the SUPERSEDED generation (an appender that resolved the old
+    // generation just before the flip), a folded batch replayed (no-op).
+    // Estimates must still cover the whole table — the straggler stays
+    // visible across the flip via the manifest watermark — with exactly
+    // 2 visible partials (merged + straggler).
+    QDef.df("q21f_straggler_sketches",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       count(*) AS cnt, true AS est_ok, CAST(2 AS BIGINT) AS n_batches
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.HllSketchStore(Tables.ensureStragglerSketchStore(s, dir))
+      val exact = Tables.table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("cnt"))
+      exact.join(store.estimates(s, Seq("l_returnflag")), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
+          (abs(col("estimate") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("est_ok"),
+          col("n_batches"))
+    },
+
     QDef.sql(
       "q39_string_agg",
       """SELECT n_regionkey,

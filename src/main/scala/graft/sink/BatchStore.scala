@@ -13,12 +13,20 @@ import graft.engine.Dfs
   * `file:`-qualified, or object storage — one copy, every store at once.
   */
 private[graft] object BatchStore {
-  def committedBatchPaths(dir: String): Seq[String] = {
+  def committedBatchPaths(dir: String): Seq[String] =
+    committedBatchDirs(dir).map(_._2)
+
+  /** Committed batch dirs with their parsed ids, id-ascending — the id is
+    * the watermark/straggler currency of [[Generations.visibleBatches]].
+    */
+  def committedBatchDirs(dir: String): Seq[(Long, String)] = {
     val d = new Path(dir)
+    if (!Dfs.exists(d)) return Seq.empty
     val fs = Dfs.fs(d)
     Dfs.list(d)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.toString).sorted
+      .map(s => s.getPath.getName.stripPrefix("batch=").toLong -> s.getPath.toString)
+      .sortBy(_._1)
   }
 }

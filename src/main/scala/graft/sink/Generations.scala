@@ -10,16 +10,65 @@ import graft.engine.Dfs
   * publish through the commit-lock seam — no rename swap, no reader
   * window, partials invisible until the flip. Generation 0 is each
   * store's original flat layout, so pre-generation stores read unchanged.
+  *
+  * Fold watermarks (round 10) lift the append side of the single-writer
+  * contract for the COMPACTION stores: a compaction publishes its
+  * manifest with `watermark=W` = the largest batch id folded into the
+  * merged partials. Under the store family's append contract — batch ids
+  * are strictly increasing across appends (streaming epochs are; dated
+  * batch ids are) and a replayed id rewrites identical content — the
+  * watermark makes appends safe CONCURRENT with compaction:
+  *
+  *   - an append that committed into the superseded generation after the
+  *     compaction snapshotted its input has `id > W` (it wasn't committed
+  *     at snapshot time, and ids only grow), so [[visibleBatches]] keeps
+  *     serving it from the old generation after the flip — the batch that
+  *     previously "vanished from the new generation" is exactly this one;
+  *   - a replay of an already-folded id (`id <= W`) that lands AFTER the
+  *     flip must not re-add rows the merge already contains — the stores
+  *     turn that append into a no-op;
+  *   - an id that landed twice (pre-flip into the old generation AND as a
+  *     post-flip replay into the new) is read ONCE — highest generation
+  *     wins.
+  *
+  * A manifest WITHOUT a watermark line (vector-index recluster
+  * migrations, which re-home every batch id into the new generation; any
+  * pre-watermark manifest) keeps the legacy semantics: the live
+  * generation's dirs are the whole store, and the straggler walk stops —
+  * everything below such a manifest is fully folded by construction.
   */
 private[graft] object Generations {
 
   /** The generation readers and appenders of `dir` currently bind to. */
   def liveGen(dir: String): Long =
+    manifestGens(dir).lastOption.getOrElse(0L)
+
+  private def manifestGens(dir: String): Seq[Long] =
     Dfs.list(new HPath(s"$dir/gens"))
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .sorted.lastOption.getOrElse(0L)
+      .sorted
+
+  /** Generation `g`'s fold watermark: Some(w) ⇒ every batch with id <= w
+    * is folded into its merged partials; None ⇒ legacy fold-everything
+    * semantics (gen 0 has no manifest and always reads None).
+    */
+  def genWatermark(dir: String, g: Long): Option[Long] =
+    if (g == 0L) None
+    else {
+      val p = new HPath(s"$dir/gens", f"v$g%08d.manifest")
+      if (!Dfs.exists(p)) None
+      else Dfs.readUtf8(p).split('\n')
+        .find(_.startsWith("watermark="))
+        .map(_.stripPrefix("watermark=").trim.toLong)
+    }
+
+  /** (live generation, its fold watermark) in one resolution. */
+  def liveGenInfo(dir: String): (Long, Option[Long]) = {
+    val g = liveGen(dir)
+    (g, genWatermark(dir, g))
+  }
 
   /** Clears a crashed prior attempt at generation `ng` (invisible garbage
     * — it never published).
@@ -27,14 +76,18 @@ private[graft] object Generations {
   def clearPartial(dir: String, ng: Long): Unit =
     Dfs.deleteTreeQuiet(new HPath(s"$dir/gen=$ng"))
 
-  /** The atomic flip: publish generation `ng`'s manifest. Errors on a lost
+  /** The atomic flip: publish generation `ng`'s manifest, carrying the
+    * fold watermark when the rewrite has one (compactions do; recluster
+    * migrations re-home every id and publish without). Errors on a lost
     * race — maintenance is single-writer per store; a concurrent
     * maintainer's result should be re-examined, not overwritten.
     */
-  def publish(dir: String, ng: Long, what: String): Unit = {
+  def publish(dir: String, ng: Long, what: String,
+      watermark: Option[Long] = None): Unit = {
     Dfs.mkdirs(new HPath(s"$dir/gens"))
     val tmp = new HPath(s"$dir/gens", s".tmp-$ng")
-    Dfs.writeUtf8(tmp, s"gen=$ng\n")
+    val body = s"gen=$ng\n" + watermark.map(w => s"watermark=$w\n").getOrElse("")
+    Dfs.writeUtf8(tmp, body)
     val won = graft.engine.CommitLock.current.publishOntoAbsent(
       tmp, new HPath(s"$dir/gens", f"v$ng%08d.manifest"))
     if (!won) {
@@ -44,23 +97,87 @@ private[graft] object Generations {
     }
   }
 
+  /** The committed batch dirs a reader (or the next compaction) of one
+    * sub-store must see, grouped per generation base dir so each group can
+    * be read under its own `basePath` (`subBase(g)` — the base the
+    * `batch=` partition column resolves against). Live generation first.
+    *
+    * Without a live watermark this is exactly the live generation's
+    * committed dirs (legacy). With one, superseded generations are walked
+    * highest-first for stragglers — committed ids `> watermark` not
+    * already seen in a higher generation — and the walk stops below the
+    * first superseded generation whose own manifest carries no watermark
+    * (a legacy fold-everything flip: nothing under it can be unfolded).
+    */
+  def visibleBatches(dir: String,
+      subBase: Long => String): Seq[(String, Seq[String])] =
+    visibleBatchesAt(dir, liveGenInfo(dir), subBase)
+
+  /** [[visibleBatches]] against an already-resolved (live, watermark) —
+    * multi-sub-store readers (text index: postings + doclens) resolve ONCE
+    * so the two sub-reads can't straddle a concurrent flip.
+    */
+  def visibleBatchesAt(dir: String, info: (Long, Option[Long]),
+      subBase: Long => String): Seq[(String, Seq[String])] = {
+    val (live, wm) = info
+    val liveBase = subBase(live)
+    val liveDirs = BatchStore.committedBatchDirs(liveBase)
+    val head = liveBase -> liveDirs.map(_._2)
+    wm match {
+      case None => Seq(head)
+      case Some(w) =>
+        var seen = liveDirs.map(_._1).toSet
+        val groups = Seq.newBuilder[(String, Seq[String])]
+        var p = live - 1
+        var open = true
+        while (p >= 0L && open) {
+          val b = subBase(p)
+          val strag = BatchStore.committedBatchDirs(b)
+            .filter { case (id, _) => id > w && !seen.contains(id) }
+          if (strag.nonEmpty) {
+            seen ++= strag.map(_._1)
+            groups += (b -> strag.map(_._2))
+          }
+          // a watermark-less superseded manifest folded everything below it
+          open = p == 0L || genWatermark(dir, p).isDefined
+          p -= 1
+        }
+        head +: groups.result()
+    }
+  }
+
   /** Reclaims superseded (non-live) generations older than `minAgeMs`:
     * `flatSubs` are the store's gen-0 flat directories (collected once a
     * migration superseded them), plus every `gen=<g>` root below the live
     * generation. The age guard covers in-flight readers around a flip.
-    * Returns the number of generations reclaimed.
+    *
+    * `batchSubs` names the sub dirs holding `batch=` dirs ("" = the
+    * generation base itself): when the live manifest carries a fold
+    * watermark, a superseded generation still holding committed stragglers
+    * (ids above the watermark — load-bearing via [[visibleBatches]]) is
+    * NOT reclaimed; the next compaction folds them and lifts the
+    * watermark past, after which reclaim proceeds. Returns the number of
+    * generations reclaimed.
     */
-  def vacuum(dir: String, flatSubs: Seq[String], minAgeMs: Long): Int = {
-    val live = liveGen(dir)
+  def vacuum(dir: String, flatSubs: Seq[String], minAgeMs: Long,
+      batchSubs: Seq[String] = Seq("")): Int = {
+    val (live, wm) = liveGenInfo(dir)
     val now = System.currentTimeMillis()
     // absent = vacuously cold (a half-reclaimed flat layout must not block
     // the rest forever)
     def cold(p: HPath): Boolean =
       !Dfs.exists(p) || Dfs.list(p).forall(st =>
         now - st.getModificationTime >= minAgeMs)
+    def holdsStragglers(genBase: String): Boolean = wm.exists { w =>
+      batchSubs.exists { sub =>
+        val b = if (sub.isEmpty) genBase else s"$genBase/$sub"
+        BatchStore.committedBatchDirs(b).exists(_._1 > w)
+      }
+    }
     var n = 0
     if (live > 0L && flatSubs.exists(s => Dfs.exists(new HPath(s"$dir/$s")))) {
-      if (flatSubs.forall(s => cold(new HPath(s"$dir/$s")))) {
+      if (flatSubs.forall(s => cold(new HPath(s"$dir/$s"))) &&
+          !holdsStragglers(dir)) {
         flatSubs.foreach(s => Dfs.deleteTreeQuiet(new HPath(s"$dir/$s")))
         n += 1
       }
@@ -69,6 +186,7 @@ private[graft] object Generations {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
       .filter(st => st.getPath.getName.stripPrefix("gen=").toLong < live)
       .filter(st => now - st.getModificationTime >= minAgeMs)
+      .filterNot(st => holdsStragglers(st.getPath.toString))
       .foreach { st => Dfs.deleteTreeQuiet(st.getPath); n += 1 }
     n
   }

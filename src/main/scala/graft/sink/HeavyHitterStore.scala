@@ -27,13 +27,39 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
 
   private def base(g: Long): String = if (g == 0L) dir else s"$dir/gen=$g"
 
-  /** Sketch one batch's items and commit the ≤ k-row partial. */
-  def append(batch: DataFrame, itemCol: Column, batchId: Long): Unit =
+  /** Sketch one batch's items and commit the ≤ k-row partial. Batch ids
+    * must be strictly increasing across appends ([[HllSketchStore.append]]
+    * — the concurrent-compaction contract); an id at or below the live
+    * fold watermark is a replay of an already-folded batch and no-ops.
+    */
+  def append(batch: DataFrame, itemCol: Column, batchId: Long): Unit = {
+    val (g, wm) = Generations.liveGenInfo(dir)
+    if (wm.exists(batchId <= _)) return
+    appendAt(g, batch, itemCol, batchId)
+  }
+
+  /** [[append]] bound to an explicit generation (straggler test seam —
+    * [[HllSketchStore.appendAt]]).
+    */
+  private[graft] def appendAt(g: Long, batch: DataFrame, itemCol: Column,
+      batchId: Long): Unit =
     batch.agg(graft.llm.HeavyHitters.column(k, itemCol).as("hh"),
         count(lit(1)).as("batch_n"))
       .select(explode(col("hh")).as(Seq("item", "est")), col("batch_n"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"${base(liveGen)}/batch=$batchId")
+      .write.mode("overwrite").parquet(s"${base(g)}/batch=$batchId")
+
+  /** The store's visible partials across generations
+    * ([[Generations.visibleBatches]] — live dirs plus unfolded
+    * stragglers, one dir per batch id).
+    */
+  private def visible(spark: SparkSession): DataFrame = {
+    val groups = Generations.visibleBatches(dir, base)
+    require(groups.head._2.nonEmpty, s"no committed heavy-hitter batches at $dir")
+    groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+      spark.read.option("basePath", b).parquet(paths: _*)
+    }.reduce(_ unionByName _)
+  }
 
   /** Merged candidates from committed partials only: ((item, est) rows,
     * error bound). True count of any returned item lies in
@@ -43,10 +69,7 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
     * frame and bound 0, not a null crash.
     */
   def candidates(spark: SparkSession): (DataFrame, Long) = {
-    val b = base(liveGen) // resolve once: paths and basePath must agree
-    val paths = BatchStore.committedBatchPaths(b)
-    require(paths.nonEmpty, s"no committed heavy-hitter batches at $dir")
-    val raw = spark.read.option("basePath", b).parquet(paths: _*)
+    val raw = visible(spark)
     // Σ_b n_b / (k+1): one row per batch feeds the driver scalar
     val bound = raw.select(col("batch"), col("batch_n")).distinct()
       .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0) / (k + 1L)
@@ -59,17 +82,24 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
     * identical (the merged rows carry the summed batch total; the additive
     * Σ n_b/(k+1) guarantee is unchanged). Published as the next generation
     * ([[Generations]]); superseded partials stay for in-flight readers
-    * until [[vacuumGenerations]]. Single-maintainer contract: no
-    * concurrent appends.
+    * until [[vacuumGenerations]]. The published manifest carries the fold
+    * watermark, so appends may run concurrent with compaction
+    * ([[HllSketchStore.compact]] — stragglers stay visible from the
+    * superseded generation, folded-id replays no-op); the remaining
+    * single-writer contract is maintenance-vs-maintenance only.
     */
   def compact(spark: SparkSession): Unit = synchronized {
-    val g = liveGen
+    val (g, wm) = Generations.liveGenInfo(dir)
     val ng = g + 1
     Generations.clearPartial(dir, ng)
-    val b = base(g)
-    val paths = BatchStore.committedBatchPaths(b)
-    require(paths.nonEmpty, s"nothing to compact at $dir")
-    val raw = spark.read.option("basePath", b).parquet(paths: _*)
+    val groups = Generations.visibleBatches(dir, base)
+    require(groups.head._2.nonEmpty, s"nothing to compact at $dir")
+    val foldedMax = groups.flatMap(_._2)
+      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
+      .max
+    val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+      spark.read.option("basePath", b).parquet(paths: _*)
+    }.reduce(_ unionByName _)
     val totalN = raw.select(col("batch"), col("batch_n")).distinct()
       .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0)
     raw.groupBy("item").agg(sum(col("est")).as("est"))
@@ -78,7 +108,8 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
       // batch id −1: outside Spark's non-negative epoch space (no replayed
       // append can overwrite the merged partial)
       .write.mode("overwrite").parquet(s"${base(ng)}/batch=-1")
-    Generations.publish(dir, ng, "heavy-hitter compaction")
+    Generations.publish(dir, ng, "heavy-hitter compaction",
+      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
   }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */

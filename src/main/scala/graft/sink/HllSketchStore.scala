@@ -32,13 +32,30 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
   /** Sketch one batch's per-group partials and commit them under the live
     * generation's `batch=<batchId>`. One narrow aggregation over the new
     * batch — map-side partials, one shuffle on the group key, tiny output.
+    *
+    * Batch ids must be strictly increasing across appends (streaming
+    * epochs; dated ids) — the contract that makes appends safe concurrent
+    * with [[compact]]: an id at or below the live fold watermark is a
+    * checkpoint replay of an already-folded batch and is a NO-OP (the
+    * merged partial already contains it; re-appending would double-count).
     */
   def append(batch: DataFrame, groupCols: Seq[String], valueCol: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    val (g, wm) = Generations.liveGenInfo(dir)
+    if (wm.exists(batchId <= _)) return
+    appendAt(g, batch, groupCols, valueCol, batchId)
+  }
+
+  /** [[append]] bound to an explicit generation — the write path after the
+    * generation resolution, exposed so tests can commit a straggler into a
+    * generation a concurrent compaction just superseded.
+    */
+  private[graft] def appendAt(g: Long, batch: DataFrame, groupCols: Seq[String],
+      valueCol: String, batchId: Long): Unit =
     batch.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"),
         count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"${base(liveGen)}/batch=$batchId")
+      .write.mode("overwrite").parquet(s"${base(g)}/batch=$batchId")
 
   /** Batch dirs whose write COMMITTED — [[BatchStore.committedBatchPaths]],
     * the uncommitted-data-never-surfaces contract shared with
@@ -47,20 +64,30 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
   def committedBatchPaths: Seq[String] =
     BatchStore.committedBatchPaths(base(liveGen))
 
+  /** The store's visible partials: the live generation's committed dirs
+    * plus unfolded stragglers a concurrent appender committed into a
+    * superseded generation ([[Generations.visibleBatches]] — one dir per
+    * batch id, each group read under its own basePath so the `batch`
+    * partition column resolves).
+    */
+  private def visible(spark: SparkSession): DataFrame = {
+    val groups = Generations.visibleBatches(dir, base)
+    require(groups.head._2.nonEmpty, s"no committed sketch batches at $dir")
+    groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+      spark.read.option("basePath", b).parquet(paths: _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Merge every COMMITTED partial: per group, the unioned-sketch estimate
     * plus batch/row bookkeeping. Reads only sketch rows — history's data
     * files are never touched.
     */
-  def estimates(spark: SparkSession, groupCols: Seq[String]): DataFrame = {
-    val b = base(liveGen) // resolve once: paths and basePath must agree
-    val paths = BatchStore.committedBatchPaths(b)
-    require(paths.nonEmpty, s"no committed sketch batches at $dir")
-    spark.read.option("basePath", b).parquet(paths: _*)
+  def estimates(spark: SparkSession, groupCols: Seq[String]): DataFrame =
+    visible(spark)
       .groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("estimate"),
         countDistinct(col("batch")).cast("bigint").as("n_batches"),
         sum(col("n_rows")).cast("bigint").as("n_rows"))
-  }
 
   /** Store maintenance: union every committed partial into ONE partial per
     * group (HLL union is associative and idempotent at a fixed lgK, so a
@@ -69,16 +96,28 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
     * generation ([[Generations]] — readers safe during the rewrite, no
     * reader window; superseded partials stay for in-flight readers until
     * [[vacuumGenerations]]). A year of daily appends collapses from 365
-    * batch dirs to one. Single-maintainer contract: no concurrent appends.
+    * batch dirs to one.
+    *
+    * The published manifest carries the fold WATERMARK — the largest batch
+    * id merged — so appends may run CONCURRENT with compaction: a batch
+    * the snapshot below didn't see commits with a higher id (strictly
+    * increasing ids) and stays visible from the superseded generation
+    * ([[Generations.visibleBatches]]) until the next compact folds it;
+    * a post-flip replay of a folded id no-ops ([[append]]). The remaining
+    * single-writer contract is maintenance-vs-maintenance only.
     */
   def compact(spark: SparkSession): Unit = synchronized {
-    val g = liveGen
+    val (g, wm) = Generations.liveGenInfo(dir)
     val ng = g + 1
     Generations.clearPartial(dir, ng)
-    val b = base(g)
-    val paths = BatchStore.committedBatchPaths(b)
-    require(paths.nonEmpty, s"nothing to compact at $dir")
-    val raw = spark.read.option("basePath", b).parquet(paths: _*)
+    val groups = Generations.visibleBatches(dir, base)
+    require(groups.head._2.nonEmpty, s"nothing to compact at $dir")
+    val foldedMax = groups.flatMap(_._2)
+      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
+      .max
+    val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+      spark.read.option("basePath", b).parquet(paths: _*)
+    }.reduce(_ unionByName _)
     val groupCols = raw.columns.filterNot(Set("sk", "n_rows", "batch")).toSeq
     raw.groupBy(groupCols.map(col): _*)
       .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
@@ -86,7 +125,8 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
       // batch id −1: outside Spark's non-negative epoch space, so no
       // replayed append can overwrite the merged partial
       .write.mode("overwrite").parquet(s"${base(ng)}/batch=-1")
-    Generations.publish(dir, ng, "sketch-store compaction")
+    Generations.publish(dir, ng, "sketch-store compaction",
+      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
   }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */

@@ -69,7 +69,20 @@ final class TextIndexStore(val dir: String) {
     recover()
     // one generation for both sub-stores: resolving twice could straddle a
     // concurrent compaction flip and split the batch across generations
-    val g = liveGen
+    val (g, wm) = Generations.liveGenInfo(dir)
+    // batch ids are strictly increasing across appends (streaming epochs)
+    // — the concurrent-compaction contract: an id at or below the live
+    // fold watermark is a checkpoint replay of an already-folded batch and
+    // no-ops (the merged partials already contain it)
+    if (wm.exists(batchId <= _)) return
+    appendAt(g, batch, batchId, idCol, textCol)
+  }
+
+  /** [[append]] bound to an explicit generation (straggler test seam —
+    * [[HllSketchStore.appendAt]]).
+    */
+  private[graft] def appendAt(g: Long, batch: DataFrame, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val toks = batch.select(col(idCol).as("doc_id"),
       posexplode(graft.llm.TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     toks.groupBy("doc_id", "tok")
@@ -92,9 +105,9 @@ final class TextIndexStore(val dir: String) {
     // could pair one generation's postings with another's doc lengths if
     // a compaction flips between them
     recover()
-    val g = liveGen
-    val posts = committedAt(spark, g, "postings")
-    val dls = committedAt(spark, g, "doclens")
+    val info = Generations.liveGenInfo(dir)
+    val posts = committedAt(spark, info, "postings")
+    val dls = committedAt(spark, info, "doclens")
     val q = queryTokens.distinct
     // a doc lives in one batch, but summing keeps a re-appended batch's
     // overwrite semantics exact even mid-recommit
@@ -175,9 +188,16 @@ final class TextIndexStore(val dir: String) {
     * leaves the old generation serving and the partial invisible (cleaned
     * by the next compact attempt). Readers are safe DURING compaction; the
     * superseded generation stays for in-flight readers until
-    * [[vacuumGenerations]]. Remaining single-writer contract: no
-    * concurrent APPENDS mid-compaction (a batch landing in the old
-    * generation after the merge read it would vanish from the new one).
+    * [[vacuumGenerations]].
+    *
+    * The published manifest carries the fold WATERMARK (the largest batch
+    * id merged), so APPENDS may run concurrent with compaction too
+    * ([[HllSketchStore.compact]]): a batch committed into the superseded
+    * generation after the merge read its input has a higher id (strictly
+    * increasing — the append contract) and stays visible as a straggler
+    * until the next compact folds it; a post-flip replay of a folded id
+    * no-ops ([[append]]). The remaining single-writer contract is
+    * maintenance-vs-maintenance only.
     *
     * `compactId` names the merged batch dir; the default −1 sits OUTSIDE
     * Spark's non-negative epoch space, so no checkpoint-replayed append
@@ -185,22 +205,30 @@ final class TextIndexStore(val dir: String) {
     */
   def compact(spark: SparkSession, compactId: Long = -1L): Unit = synchronized {
     recover() // legacy two-rename crash states (pre-generation layout)
-    val g = liveGen
+    val info @ (g, wm) = Generations.liveGenInfo(dir)
     val ng = g + 1
     // a prior crashed compaction at ng is invisible garbage — restart it
     Generations.clearPartial(dir, ng)
-    committedAt(spark, g, "postings").groupBy("doc_id", "tok")
+    // postings are the id authority (doclens dirs mirror them 1:1)
+    val postingDirs = Generations.visibleBatchesAt(dir, info, subPath(_, "postings"))
+      .flatMap(_._2)
+    require(postingDirs.nonEmpty, s"nothing to compact at $dir")
+    val foldedMax = postingDirs
+      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
+      .max
+    committedAt(spark, info, "postings").groupBy("doc_id", "tok")
       .agg(sum(col("tf")).as("tf"),
         array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("pos"))
       .repartition(1).sortWithinPartitions("tok")
       .write.mode("overwrite")
       .parquet(s"${subPath(ng, "postings")}/batch=$compactId")
-    committedAt(spark, g, "doclens").groupBy("doc_id")
+    committedAt(spark, info, "doclens").groupBy("doc_id")
       .agg(sum(col("dl")).as("dl"))
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(s"${subPath(ng, "doclens")}/batch=$compactId")
-    Generations.publish(dir, ng, "text-index compaction")
+    Generations.publish(dir, ng, "text-index compaction",
+      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
   }
 
   /** Repairs whatever a LEGACY two-rename [[compact]] left behind (the
@@ -244,18 +272,24 @@ final class TextIndexStore(val dir: String) {
 
   private def committed(spark: SparkSession, sub: String): DataFrame = {
     recover() // a reader after a legacy mid-swap crash must see the restored copy
-    committedAt(spark, liveGen, sub)
+    committedAt(spark, Generations.liveGenInfo(dir), sub)
   }
 
-  /** Committed batches of generation `g`'s sub-store — no recover step
-    * (callers that read several subs resolve ONE generation first, and
-    * [[compact]]'s internal reads run after its own entry recover).
+  /** The sub-store's visible batches under an already-resolved
+    * (generation, watermark) — the live generation's committed dirs plus
+    * unfolded stragglers a concurrent appender committed into a superseded
+    * generation ([[Generations.visibleBatchesAt]]; callers that read
+    * several subs resolve ONE info first so the pair can't straddle a
+    * flip, and [[compact]]'s internal reads run after its own entry
+    * recover).
     */
-  private def committedAt(spark: SparkSession, g: Long, sub: String): DataFrame = {
-    val base = subPath(g, sub)
-    val paths = BatchStore.committedBatchPaths(base)
-    require(paths.nonEmpty, s"no committed $sub batches at $dir")
-    spark.read.option("basePath", base).parquet(paths: _*)
+  private def committedAt(spark: SparkSession, info: (Long, Option[Long]),
+      sub: String): DataFrame = {
+    val groups = Generations.visibleBatchesAt(dir, info, subPath(_, sub))
+    require(groups.head._2.nonEmpty, s"no committed $sub batches at $dir")
+    groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+      spark.read.option("basePath", b).parquet(paths: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Reclaims superseded (non-live) generations older than `minAgeMs` —
@@ -264,6 +298,7 @@ final class TextIndexStore(val dir: String) {
     * of generations reclaimed.
     */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = synchronized {
-    Generations.vacuum(dir, Seq("postings", "doclens"), minAgeMs)
+    Generations.vacuum(dir, Seq("postings", "doclens"), minAgeMs,
+      batchSubs = Seq("postings", "doclens"))
   }
 }

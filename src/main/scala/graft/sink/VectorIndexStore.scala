@@ -219,7 +219,10 @@ final class VectorIndexStore(val dir: String) {
     * Returns the number of generations reclaimed.
     */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = synchronized {
-    Generations.vacuum(dir, Seq("centroids", "vectors"), minAgeMs)
+    // recluster manifests carry no fold watermark (a migration re-homes
+    // every batch id), so the straggler guard is vacuous here today
+    Generations.vacuum(dir, Seq("centroids", "vectors"), minAgeMs,
+      batchSubs = Seq("vectors"))
   }
 
   def recluster(spark: SparkSession, k: Int, iters: Int, scale: Int = 4096,

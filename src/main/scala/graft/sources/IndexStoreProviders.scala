@@ -228,10 +228,14 @@ final class TextIndexTableProvider extends BatchStoreProvider {
     require(sub == "postings" || sub == "doclens",
       s"graft-textindex sub must be postings or doclens, got '$sub'")
     // bind to the index's LIVE generation, like the Scala search path — a
-    // compaction flip must move SQL readers atomically too
+    // compaction flip must move SQL readers atomically too. The visibility
+    // walk matches the Scala readers': live dirs plus unfolded stragglers
+    // a concurrent appender committed into a superseded generation
+    // (fold-watermark contract, [[graft.sink.Generations.visibleBatches]]).
     val store = new graft.sink.TextIndexStore(dir)
-    val base = store.subPath(store.liveGen, sub)
-    val paths = BatchStore.committedBatchPaths(base)
+    val info = graft.sink.Generations.liveGenInfo(dir)
+    val paths = graft.sink.Generations
+      .visibleBatchesAt(dir, info, store.subPath(_, sub)).flatMap(_._2)
     require(paths.nonEmpty, s"no committed $sub batches at $dir")
     // no basePath: the batch=<id> bookkeeping level stays hidden
     BatchScanState(s"graft-textindex $dir/$sub", paths, None, _ => paths)
