@@ -31,9 +31,11 @@ import graft.engine.Dfs
   *     post-flip replay into the new) is read ONCE — highest generation
   *     wins.
   *
-  * A manifest WITHOUT a watermark line (vector-index recluster
-  * migrations, which re-home every batch id into the new generation; any
-  * pre-watermark manifest) keeps the legacy semantics: the live
+  * The vector index participates with recluster-migration watermarks:
+  * the re-homed ids are "folded", and a straggler's stale cell layout is
+  * re-derived under the live centroids at read time
+  * ([[VectorIndexStore.search]]). A manifest WITHOUT a watermark line
+  * (any pre-watermark manifest) keeps the legacy semantics: the live
   * generation's dirs are the whole store, and the straggler walk stops —
   * everything below such a manifest is fully folded by construction.
   */

@@ -86,14 +86,38 @@ final class VectorIndexStore(val dir: String) {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit =
     appendTo(liveGen, batch, batchId, scale, idCol, embCol)
 
-  private def appendTo(g: Long, batch: DataFrame, batchId: Long, scale: Int,
-      idCol: String, embCol: String): Unit = {
+  /** [[append]] bound to an explicit generation (also the straggler test
+    * seam — [[HllSketchStore.appendAt]]).
+    */
+  private[graft] def appendTo(g: Long, batch: DataFrame, batchId: Long,
+      scale: Int = 4096, idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
     val cents = centroidsAt(batch.sparkSession, g)
     batch.withColumnRenamed(idCol, "vec_id").withColumnRenamed(embCol, "embedding")
       .withColumn("cell",
         KMeans.cellOf(KMeans.quantize(col("embedding"), scale), cents))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"${vectorsPath(g)}/batch=$batchId")
+  }
+
+  /** Straggler batches under an already-resolved (generation, watermark):
+    * committed dirs an in-flight appender landed in a SUPERSEDED
+    * generation after [[recluster]] snapshotted its input (their ids sit
+    * above the manifest's fold watermark — the strictly-increasing-ids
+    * append contract). Their stored `cell` column is stale (it was
+    * assigned under the superseded generation's centroids), so readers
+    * re-derive cells under the LIVE centroids at read time — stragglers
+    * are one or two batch dirs, so the full-file read is batch-sized, not
+    * corpus-sized. Returns the raw rows (payload kept, bookkeeping
+    * dropped); empty frame when there are none.
+    */
+  private def stragglerVectors(spark: SparkSession,
+      info: (Long, Option[Long])): Option[DataFrame] = {
+    val groups = Generations.visibleBatchesAt(dir, info, vectorsPath).drop(1)
+    val frames = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+      spark.read.option("basePath", b).parquet(paths: _*).drop("batch", "cell")
+    }
+    frames.reduceOption(_ unionByName _)
   }
 
   /** Top-k by exact cosine within the `nProbe` nearest cells per query —
@@ -121,7 +145,7 @@ final class VectorIndexStore(val dir: String) {
     // resolve the generation ONCE: reading liveGen again for the vectors
     // could pair one generation's centroids with another's cell layout if
     // a recluster flips between the two reads
-    val g = liveGen
+    val info @ (g, _) = Generations.liveGenInfo(dir)
     val cents = centroidsAt(spark, g)
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("qe"))
       .withColumn("cells",
@@ -133,10 +157,21 @@ final class VectorIndexStore(val dir: String) {
     val vdir = vectorsPath(g)
     val batches = BatchStore.committedBatchPaths(vdir)
     require(batches.nonEmpty, s"no committed vector batches at $dir")
-    val scanned = spark.read.option("basePath", vdir)
+    val live = spark.read.option("basePath", vdir)
       .parquet(batches: _*)
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .drop("batch")
+    // stragglers re-derive their cell under the LIVE centroids and pass
+    // the same probed-cell filter, so results are exactly the one-shot
+    // IVF over the union corpus — concurrent-append visibility without
+    // breaking the probe semantics
+    val scanned = stragglerVectors(spark, info).fold(live) { s =>
+      live.unionByName(
+        s.withColumn("cell",
+            KMeans.cellOf(KMeans.quantize(col("embedding"), scale), cents)
+              .cast("int"))
+          .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))
+    }
     val vecs = candidateFilter.fold(scanned)(scanned.filter)
     val scored = vecs.join(broadcast(q), array_contains(col("cells"), col("cell")))
       .withColumn("cos",
@@ -155,12 +190,22 @@ final class VectorIndexStore(val dir: String) {
     * = hot. Reads only the cell column (partition-derived — the scan
     * touches directory metadata plus row counts, not vectors).
     */
-  def cellHistogram(spark: SparkSession): DataFrame = {
-    val vdir = vectorsPath(liveGen)
+  def cellHistogram(spark: SparkSession, scale: Int = 4096): DataFrame = {
+    val info @ (g, _) = Generations.liveGenInfo(dir)
+    val vdir = vectorsPath(g)
     val batches = BatchStore.committedBatchPaths(vdir)
     require(batches.nonEmpty, s"no committed vector batches at $dir")
-    val counts = spark.read.option("basePath", vdir)
-      .parquet(batches: _*)
+    val live = spark.read.option("basePath", vdir)
+      .parquet(batches: _*).select(col("cell"))
+    // stragglers count under their LIVE-centroid cells ([[search]]) — the
+    // metadata-only scan becomes a real read for those dirs alone
+    val cells = stragglerVectors(spark, info).fold(live) { s =>
+      val cents = centroidsAt(spark, g)
+      live.unionByName(s.select(
+        KMeans.cellOf(KMeans.quantize(col("embedding"), scale), cents)
+          .cast("int").as("cell")))
+    }
+    val counts = cells
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
     counts.crossJoin(broadcast(total))
@@ -168,20 +213,36 @@ final class VectorIndexStore(val dir: String) {
         expr("(n * k * 1000) DIV tot").cast("bigint").as("hot_x1000"))
   }
 
-  /** Every committed vector of generation `g`, raw (payload columns kept,
-    * bookkeeping dropped) — the migration/retraining corpus.
+  /** One physical dir per visible batch id — live generation's dirs plus
+    * unfolded stragglers, live winning a double-landed id
+    * ([[Generations.visibleBatchesAt]]) — the migration/retraining input:
+    * the next [[recluster]] ADOPTS stragglers by re-homing them into the
+    * new generation alongside everything else.
     */
-  private def committedVectors(spark: SparkSession, g: Long): DataFrame = {
-    val vdir = vectorsPath(g)
-    val batches = BatchStore.committedBatchPaths(vdir)
-    require(batches.nonEmpty, s"no committed vector batches at $dir")
-    spark.read.option("basePath", vdir).parquet(batches: _*).drop("batch", "cell")
+  private def visibleBatchDirs(info: (Long, Option[Long])): Seq[(Long, String)] = {
+    val byId = scala.collection.mutable.LinkedHashMap[Long, String]()
+    for {
+      (_, paths) <- Generations.visibleBatchesAt(dir, info, vectorsPath)
+      p <- paths
+    } {
+      val id = p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong
+      if (!byId.contains(id)) byId(id) = p
+    }
+    byId.toSeq.sortBy(_._1)
   }
 
-  private def committedBatchIds(g: Long): Seq[Long] =
-    BatchStore.committedBatchPaths(vectorsPath(g))
-      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
-      .sorted
+  /** Every visible vector, raw (payload columns kept, bookkeeping
+    * dropped) — the migration/retraining corpus.
+    */
+  private def committedVectors(spark: SparkSession,
+      info: (Long, Option[Long])): DataFrame = {
+    val dirs = visibleBatchDirs(info)
+    require(dirs.nonEmpty, s"no committed vector batches at $dir")
+    dirs.map { case (_, p) =>
+      spark.read.option("basePath", p.substring(0, p.lastIndexOf("/batch=")))
+        .parquet(p).drop("batch", "cell")
+    }.reduce(_ unionByName _)
+  }
 
   /** Exact integer quantization inertia (Σ min d²) of `corpus` against a
     * centroid set — the drift measure [[recluster]] compares: stale
@@ -209,8 +270,15 @@ final class VectorIndexStore(val dir: String) {
     * earlier leaves readers on the old generation and the partial is
     * invisible garbage (cleaned by the next recluster attempt). The
     * superseded generation stays on disk for in-flight readers;
-    * [[vacuumGenerations]] reclaims it after an age guard. Single-writer
-    * contract like compaction: don't run concurrent appends mid-migration.
+    * [[vacuumGenerations]] reclaims it after an age guard.
+    *
+    * Appends may run CONCURRENT with a migration (fold watermarks —
+    * [[Generations]]): a batch committed into the superseded generation
+    * after the corpus read carries an id above the published watermark
+    * and stays visible as a straggler — [[search]]/[[cellHistogram]]
+    * re-derive its cells under the live centroids, and the next
+    * recluster adopts it. The remaining single-writer contract is
+    * maintenance-vs-maintenance only.
     */
   /** Reclaims superseded (non-live) generations older than `minAgeMs` —
     * the age guard covers the in-flight-reader window around a recluster's
@@ -219,16 +287,17 @@ final class VectorIndexStore(val dir: String) {
     * Returns the number of generations reclaimed.
     */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = synchronized {
-    // recluster manifests carry no fold watermark (a migration re-homes
-    // every batch id), so the straggler guard is vacuous here today
+    // the straggler guard: a superseded generation holding a batch a
+    // concurrent appender committed after the recluster snapshot (id
+    // above the manifest watermark) is load-bearing and not reclaimed
     Generations.vacuum(dir, Seq("centroids", "vectors"), minAgeMs,
       batchSubs = Seq("vectors"))
   }
 
   def recluster(spark: SparkSession, k: Int, iters: Int, scale: Int = 4096,
       minImprovementX1000: Long = 100L): Option[Long] = synchronized {
-    val g = liveGen
-    val corpus = committedVectors(spark, g)
+    val info @ (g, wm) = Generations.liveGenInfo(dir)
+    val corpus = committedVectors(spark, info)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = KMeans.train(corpus, k, iters, scale)
@@ -243,15 +312,27 @@ final class VectorIndexStore(val dir: String) {
       // a prior crashed migration at ng is invisible garbage — restart it
       Generations.clearPartial(dir, ng)
       model.centroids.coalesce(1).write.mode("overwrite").parquet(centroidsPath(ng))
-      // full migration, batch identity preserved: each committed batch is
+      // full migration, batch identity preserved: each visible batch —
+      // including stragglers adopted from superseded generations — is
       // reassigned under the new centroids into the SAME batch id
-      for (b <- committedBatchIds(g)) {
-        val batch = spark.read.option("basePath", vectorsPath(g))
-          .parquet(s"${vectorsPath(g)}/batch=$b").drop("batch", "cell")
+      val migrated = visibleBatchDirs(info)
+      for ((b, p) <- migrated) {
+        val batch = spark.read.parquet(p).drop("cell")
         appendTo(ng, batch, b, scale, "vec_id", "embedding")
       }
-      // the atomic flip: one manifest publish through the commit-lock seam
-      Generations.publish(dir, ng, "recluster")
+      // the atomic flip: one manifest publish through the commit-lock
+      // seam. The fold watermark (max migrated id) is what keeps a
+      // CONCURRENT append safe: a batch that committed into generation g
+      // after the corpus read above has a higher id and stays visible as
+      // a straggler ([[search]] re-derives its cells) until the next
+      // recluster adopts it. A replay of a migrated id is already safe
+      // without the no-op rule the compaction stores need: it rewrites
+      // the SAME batch dir in the new generation with deterministic
+      // identical content (frozen centroids), and the per-id dedup
+      // prefers the live copy.
+      Generations.publish(dir, ng, "recluster",
+        watermark = Some(Seq(wm.getOrElse(Long.MinValue),
+          migrated.map(_._1).max).max))
       // the superseded generation is NOT deleted here: a reader that
       // resolved liveGen just before the flip is still scanning its files —
       // the same in-flight-reader window every store solves with AGE-based

@@ -136,6 +136,28 @@ class StoreWatermarkSpec extends SparkSpec {
     assert(store.estimates(spark, Seq("grp")).head().getAs[Long]("n_rows") == 200L)
   }
 
+  test("CountStore: compaction folds exactly; straggler visible; replay no-ops") {
+    val store = new graft.sink.CountStore(tmpDir("wm_cnt"))
+    import spark.implicits._
+    def batch(k: String, n: Int) = Seq.fill(n)(k).toDF("k")
+    store.append(batch("a", 10), Seq("k"), 0L)
+    store.append(batch("a", 5).union(batch("b", 3)), Seq("k"), 1L)
+    store.compact(spark)
+    assert(store.liveGen == 1L)
+    assert(Generations.genWatermark(store.dir, 1L) == Some(1L))
+    def count(k: String) = store.counts(spark, Seq("k"))
+      .filter(col("k") === k).head().getAs[Long]("n")
+    assert(count("a") == 15L && count("b") == 3L)
+    // straggler + folded-id replay
+    store.appendAt(0L, batch("a", 7), Seq("k"), 2L)
+    store.append(batch("a", 10), Seq("k"), 0L)
+    assert(count("a") == 22L)
+    store.compact(spark)
+    assert(count("a") == 22L && count("b") == 3L)
+    assert(store.vacuumGenerations(minAgeMs = 0L) == 2)
+    assert(count("a") == 22L)
+  }
+
   test("legacy watermark-less manifests keep fold-everything semantics") {
     val dir = tmpDir("wm_legacy")
     val store = new HllSketchStore(dir, lgK = 12)

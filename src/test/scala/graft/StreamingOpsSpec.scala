@@ -982,4 +982,53 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(after == results(1L), s"after=$after expected=${results(1L)}")
   }
+
+  test("text ingest stream: a crash-replayed batch no-ops ACROSS a compaction") {
+    // the fold-watermark streaming contract: the store compacts while the
+    // stream is down with its last micro-batch applied but uncommitted in
+    // the checkpoint; on restart the replay of the FOLDED batch must add
+    // nothing (the merged partials already hold it), and the next batch
+    // appends into the new generation normally
+    import graft.streaming.TextIngest
+    val in = tmpDir("txtc_in"); val ckpt = tmpDir("txtc_ckpt")
+    val store = new graft.sink.TextIndexStore(tmpDir("txtc_store") + "/s")
+    def docJson(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def startQ() = TextIngest.start(
+      spark.readStream.schema("doc_id LONG, text STRING").json(in), store, ckpt)
+    write(in, "b0.jsonl", Seq(docJson(0, "a b c"), docJson(1, "a a b")))
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      write(in, "b1.jsonl", Seq(docJson(2, "a a a"), docJson(3, "b c d")))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    // crash: micro-batch 1 fully applied to the store, checkpoint commit lost
+    val commits = new java.io.File(ckpt, "commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .sortBy(_.getName.toInt).last
+    assert(latest.delete())
+    val crc = new java.io.File(commits, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    // maintenance window: everything committed so far folds (watermark 1)
+    store.compact(spark)
+    assert(store.liveGen == 1L)
+    // restart: batch 1 replays (no-op against the watermark), batch 2 appends
+    write(in, "b2.jsonl", Seq(docJson(4, "a d d"), docJson(5, "c c a")))
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+    // exact parity with the one-shot scan of all six documents
+    import spark.implicits._
+    val corpus = Seq((0L, "a b c"), (1L, "a a b"), (2L, "a a a"),
+      (3L, "b c d"), (4L, "a d d"), (5L, "c c a")).toDF("doc_id", "text")
+    val got = store.search(spark, Seq("a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.llm.TextAnalysis.bm25Search(corpus, Seq("a"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    // the replayed batch added no rows: every doc counted exactly once
+    val nDocs = spark.read.format("graft-textindex").option("sub", "doclens")
+      .load(store.dir).select("doc_id").distinct().count()
+    assert(nDocs == 6L, s"replay across compaction must not duplicate: $nDocs")
+  }
 }

@@ -169,4 +169,62 @@ class VectorIndexReclusterSpec extends SparkSpec {
     assert(canon(store.search(spark, queries, k = 3, nProbe = 2))
       == canon(ref.search(spark, queries, k = 3, nProbe = 2)))
   }
+
+  test("straggler committed into the superseded generation: searchable, counted, adopted") {
+    val batch2 = () => batchDf(2, 80 until 120)
+    val store = new VectorIndexStore(tmpDir("vx4") + "/ix")
+    store.init(batch0(), k = 4, iters = 2)
+    store.append(batch0(), 0L)
+    store.append(batch1(), 1L)
+    val migrated = store.recluster(spark, k = 4, iters = 2, minImprovementX1000 = -1000L)
+    assert(migrated.contains(1L))
+    assert(graft.sink.Generations.genWatermark(store.dir, 1L) == Some(1L))
+
+    // the concurrent appender: resolved gen 0 before the flip, committed after
+    store.appendTo(0L, batch2(), 2L)
+
+    // search must equal a one-shot index over the union corpus with the
+    // live centroids (trained on batch0 ∪ batch1 at recluster time) — the
+    // straggler's stale gen-0 cells are re-derived under the live centroids
+    val ref = new VectorIndexStore(tmpDir("vx4ref") + "/ix")
+    ref.init(batch0().unionByName(batch1()), k = 4, iters = 2)
+    ref.append(batch0(), 0L)
+    ref.append(batch1(), 1L)
+    ref.append(batch2(), 2L)
+    val q2 = batchDf(2, 300 until 303).drop("label")
+    val got = canon(store.search(spark, q2, k = 3, nProbe = 2))
+    assert(got == canon(ref.search(spark, q2, k = 3, nProbe = 2)))
+    assert(got.map(_._2).toSet.subsetOf((80L until 120L).toSet),
+      "nearest neighbors of cluster-2 queries must be the straggler's vectors")
+
+    // histogram counts the straggler's vectors too
+    val totalN = store.cellHistogram(spark).collect().map(_.getLong(1)).sum
+    assert(totalN == 120L, s"histogram must count stragglers, got $totalN")
+
+    // a replay of a migrated id overwrites identically — nothing doubles
+    store.append(batch0(), 0L)
+    assert(canon(store.search(spark, q2, k = 3, nProbe = 2)) == got)
+
+    // vacuum refuses gen 0 while the straggler is load-bearing
+    assert(store.vacuumGenerations(minAgeMs = 0L) == 0)
+    assert(canon(store.search(spark, q2, k = 3, nProbe = 2)) == got)
+
+    // the next recluster ADOPTS the straggler: batch 2 re-homed into gen 2,
+    // search == one-shot trained on the full union
+    val migrated2 = store.recluster(spark, k = 4, iters = 2, minImprovementX1000 = -1000L)
+    assert(migrated2.contains(2L))
+    assert(graft.sink.Generations.genWatermark(store.dir, 2L) == Some(2L))
+    val ref2 = new VectorIndexStore(tmpDir("vx4ref2") + "/ix")
+    val union = batch0().unionByName(batch1()).unionByName(batch2())
+    ref2.init(union, k = 4, iters = 2)
+    ref2.append(batch0(), 0L)
+    ref2.append(batch1(), 1L)
+    ref2.append(batch2(), 2L)
+    assert(canon(store.search(spark, q2, k = 3, nProbe = 2))
+      == canon(ref2.search(spark, q2, k = 3, nProbe = 2)))
+    // post-adoption, the superseded generations reclaim (gen0 flat + gen1)
+    assert(store.vacuumGenerations(minAgeMs = 0L) == 2)
+    assert(canon(store.search(spark, q2, k = 3, nProbe = 2))
+      == canon(ref2.search(spark, q2, k = 3, nProbe = 2)))
+  }
 }
