@@ -100,6 +100,26 @@ object SnapshotParquetSink {
         "corrupt the line-oriented manifest format; rename the column " +
         "before committing")
 
+  /** Opens an EXISTING table with the layout its latest manifest records —
+    * nBuckets, stats columns and cluster spec all adopted from the
+    * committed state rather than re-declared by the caller. This is the
+    * handle long-lived writers should construct per merge (a streaming
+    * foreachBatch, an orchestrator worker): a concurrent [[rebucket]]
+    * changes the committed bucket count, and a handle pinned to the old
+    * count refuses its next merge by design — re-opening through this
+    * factory self-aligns instead, so partition-count evolution never
+    * wedges the pipeline. Errors when the table has no committed version
+    * (creation declares the layout, so it goes through the constructor).
+    */
+  def forTable(dir: String): SnapshotParquetSink = {
+    val v = versions(dir).lastOption.getOrElse(
+      sys.error(s"no committed version at $dir — declare the layout via " +
+        "the constructor for a new table"))
+    val statCols = manifestStats(dir, v).values.flatMap(_.keys).toSeq.distinct.sorted
+    new SnapshotParquetSink(dir, nBuckets = manifest(dir, v)._1,
+      statsCols = statCols, clusterBy = manifestCluster(dir, v))
+  }
+
   def manifestsDir(dir: String): HPath = new HPath(dir, "manifests")
   def manifestPath(dir: String, v: Long): HPath =
     new HPath(manifestsDir(dir), f"v$v%08d.manifest")

@@ -828,6 +828,64 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(sink.readAt(spark, 1L, DeleteMode.Hard).count() == 63L)
   }
 
+  test("streaming merges survive a mid-stream rebucket: forTable self-aligns, replay exact") {
+    // the operational loop partition-count evolution must not wedge: a
+    // foreachBatch writer that re-opens the table through forTable adopts
+    // whatever layout is committed, so a rebucket (or a crash + replay
+    // around one) between micro-batches just re-routes the next merge
+    val dir = tmpDir("rebkt_stream") + "/t"
+    new SnapshotParquetSink(dir, nBuckets = 4)
+      .merge(batch((0 until 16).map(i => (s"k$i", 0L, s"k$i-v0", false)): _*),
+        Seq("primary_key"), "seq", "is_delete")
+    val in = tmpDir("rebkt_in"); val ckpt = tmpDir("rebkt_ckpt")
+    def writeChunk(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(in, name), "UTF-8")
+      try rows.foreach(w.println) finally w.close()
+    }
+    def ev(k: String, seq: Long, v: String, del: Boolean) =
+      s"""{"primary_key":"$k","seq":$seq,"val":"$v","is_delete":$del}"""
+    def startQ() = spark.readStream
+      .schema("primary_key STRING, seq LONG, val STRING, is_delete BOOLEAN")
+      .json(in)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        SnapshotParquetSink.forTable(dir)
+          .merge(b, Seq("primary_key"), "seq", "is_delete")
+      }.start()
+    writeChunk("c0.jsonl", (0 until 8).map(i => ev(s"k$i", 1L, s"k$i-v1", false)))
+    val q1 = startQ()
+    try q1.processAllAvailable()
+    finally { q1.stop(); q1.awaitTermination() }
+    // crash: micro-batch 0 merged, checkpoint commit lost — then the table
+    // REBUCKETS before the restart
+    val commits = new java.io.File(ckpt, "commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .sortBy(_.getName.toInt).last
+    assert(latest.delete())
+    val crc = new java.io.File(commits, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val maint = SnapshotParquetSink.forTable(dir)
+    val rv = maint.rebucket(spark, newBuckets = 8)
+    assert(SnapshotParquetSink.manifest(dir, rv)._1 == 8)
+    // restart: chunk 0 replays across the new layout (seq latest-wins makes
+    // it exact), chunk 1 applies on top
+    writeChunk("c1.jsonl",
+      Seq(ev("k8", 2L, "k8-v2", false), ev("k9", 3L, "gone", true)))
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+    val got = state(SnapshotParquetSink.forTable(dir), DeleteMode.Hard)
+    val want = ((0 until 8).map(i => s"k$i" -> (1L, s"k$i-v1")) ++
+      Seq("k8" -> (2L, "k8-v2")) ++
+      (10 until 16).map(i => s"k$i" -> (0L, s"k$i-v0"))).toMap
+    assert(got == want, s"got=$got")
+    // forTable adopted the committed layout (not the creation-time count)
+    val e = intercept[IllegalArgumentException](
+      new SnapshotParquetSink(dir, nBuckets = 4)
+        .merge(batch(("x", 9L, "x", false)), Seq("primary_key"), "seq", "is_delete"))
+    assert(e.getMessage.contains("nBuckets"))
+  }
+
   test("rebucket recomputes stats for the new partition and keeps skipping alive") {
     val dir = tmpDir("rebkts") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 4, statsCols = Seq("seq"))
