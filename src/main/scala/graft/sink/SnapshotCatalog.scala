@@ -61,6 +61,22 @@ final class SnapshotCatalog(dir: String) {
     new SnapshotParquetSink(s"$dir/$name", nBuckets)
   }
 
+  /** [[table]] that SELF-ALIGNS to the member's committed layout when one
+    * exists ([[SnapshotParquetSink.forTable]] — bucket count, stats
+    * columns and cluster spec adopted from the latest manifest), falling
+    * back to a fresh `nBucketsIfNew` declaration for a not-yet-created
+    * member. This is the handle long-lived writers (streaming
+    * transactions, orchestrator workers) should open per merge: a member
+    * rebucketted mid-stream re-routes the next merge instead of wedging
+    * the pipeline on the stale-count guard.
+    */
+  def openTable(name: String, nBucketsIfNew: Int = 16): SnapshotParquetSink = {
+    validName(name)
+    val d = s"$dir/$name"
+    if (SnapshotParquetSink.versions(d).nonEmpty) SnapshotParquetSink.forTable(d)
+    else new SnapshotParquetSink(d, nBucketsIfNew)
+  }
+
   def versions: Seq[Long] =
     Dfs.list(catalogDir)
       .map(_.getPath.getName)

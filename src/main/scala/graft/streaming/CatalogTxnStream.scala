@@ -56,7 +56,10 @@ object CatalogTxnStream {
           val pinned = batch.persist()
           try {
             members.foreach { m =>
-              catalog.table(m.name, m.nBuckets)
+              // openTable: self-aligns to the member's committed layout, so
+              // a mid-stream rebucket re-routes the next merge instead of
+              // wedging the pipeline (m.nBuckets only seeds a NEW member)
+              catalog.openTable(m.name, m.nBuckets)
                 .merge(m.slice(pinned), keys, seqCol, isDeleteCol)
             }
             // only members that have ever received rows are pinnable; a

@@ -101,6 +101,40 @@ class CatalogTxnStreamSpec extends SparkSpec {
         s"$m grew orphan versions from the replay")
   }
 
+  test("a member rebucketted mid-stream re-routes the next merge instead of wedging") {
+    val in = tmpDir("txn3_in")
+    val ckpt = tmpDir("txn3_ck")
+    val catDir = tmpDir("txn3_cat") + "/c"
+    val cat = new SnapshotCatalog(catDir)
+    val members = Seq(
+      CatalogTxnStream.Member("orders", _.filter(col("tbl") === "orders").drop("tbl"), 2),
+      CatalogTxnStream.Member("customers", _.filter(col("tbl") === "customers").drop("tbl"), 2))
+    val stream = spark.readStream
+      .schema("tbl STRING, primary_key STRING, seq LONG, val STRING, is_delete BOOLEAN")
+      .json(in)
+    def startQ() = CatalogTxnStream.start(stream, cat, members,
+      Seq("primary_key"), "seq", "is_delete", ckpt, writerId = "w3")
+    writeChunk(in, "b0.jsonl", chunk(0))
+    val q1 = startQ()
+    try q1.processAllAvailable()
+    finally { q1.stop(); q1.awaitTermination() }
+    // maintenance between micro-batches: orders evolves its partition count
+    // (openTable adopts the committed layout — the Member's declared
+    // nBuckets only seeds creation)
+    cat.openTable("orders").rebucket(spark, newBuckets = 8)
+    assert(graft.sink.SnapshotParquetSink.manifest(s"$catDir/orders",
+      graft.sink.SnapshotParquetSink.versions(s"$catDir/orders").last)._1 == 8)
+    writeChunk(in, "b1.jsonl", chunk(1))
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+    // the merge landed on the new layout and the cut is still consistent
+    val view = cat.readAllAt(spark, cat.currentVersion.get)
+    assert(maxTag(view("orders")) == maxTag(view("customers")),
+      "post-rebucket cut must not tear")
+    assert(view("orders").count() == 2L)
+  }
+
   test("a member with no rows yet is not pinned; it joins the cut when data arrives") {
     val in = tmpDir("txn2_in")
     val ckpt = tmpDir("txn2_ck")
