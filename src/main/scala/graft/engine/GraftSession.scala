@@ -398,6 +398,27 @@ object Tables {
       store.append(part(0L), 0L) // folded-id replay: no-op
     }
 
+  /** q21g's RETENTION-compacted sketch store: three batches ingested, then
+    * `compact(dropBelow = 1)` drops batch 0 while folding the retained
+    * window — estimates must cover exactly the two surviving batches'
+    * rows, and a late replay of the dropped batch must no-op (both of
+    * which the oracle's subset aggregation checks). Separate store (the
+    * q21e rule).
+    */
+  def ensureRetainedSketchStore(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q21g_rsketches", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
+      val store = new graft.sink.HllSketchStore(out)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val li = table(spark, dir, "lineitem")
+      def part(b: Long) = li.filter(pmod(col("l_orderkey"), lit(3)) === b)
+      for (b <- 0L until 3L)
+        store.append(part(b), Seq("l_returnflag"), "l_partkey", b)
+      store.compact(spark, dropBelow = 1L)
+      // the forgotten batch replays late — retention must hold
+      store.append(part(0L), Seq("l_returnflag"), "l_partkey", 0L)
+    }
+
   /** q84i's heavy-hitter store: three per-batch Misra-Gries partials over
     * document tokens, built once per (session, dir).
     */

@@ -893,6 +893,29 @@ object Relational {
           col("n_batches"))
     },
 
+    // q21d under RETENTION (round 10): three batches, then
+    // compact(dropBelow=1) — batch 0's rows leave the store (the Kafka
+    // retention.ms analog for a year of daily partials), the retained
+    // window folds to one partial, and a late replay of the dropped batch
+    // no-ops under the watermark. Estimates must cover EXACTLY the two
+    // surviving batches — the oracle aggregates that subset directly.
+    QDef.df("q21g_retention_sketches",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       count(*) AS cnt, true AS est_ok, CAST(1 AS BIGINT) AS n_batches
+        |FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.HllSketchStore(Tables.ensureRetainedSketchStore(s, dir))
+      val exact = Tables.table(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(3)) =!= 0)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("cnt"))
+      exact.join(store.estimates(s, Seq("l_returnflag")), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
+          (abs(col("estimate") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("est_ok"),
+          col("n_batches"))
+    },
+
     QDef.sql(
       "q39_string_agg",
       """SELECT n_regionkey,

@@ -16,6 +16,10 @@ private[graft] object BatchStore {
   def committedBatchPaths(dir: String): Seq[String] =
     committedBatchDirs(dir).map(_._2)
 
+  /** The batch id encoded in a `…/batch=<id>` dir path. */
+  def idOf(path: String): Long =
+    path.substring(path.lastIndexOf("batch=") + "batch=".length).toLong
+
   /** Committed batch dirs with their parsed ids, id-ascending — the id is
     * the watermark/straggler currency of [[Generations.visibleBatches]].
     */

@@ -75,28 +75,32 @@ final class CountStore(val dir: String) {
     * concurrent; remaining single-writer contract is
     * maintenance-vs-maintenance only).
     */
-  def compact(spark: SparkSession): Unit = synchronized {
-    val (g, wm) = Generations.liveGenInfo(dir)
-    val ng = g + 1
-    Generations.clearPartial(dir, ng)
-    val groups = Generations.visibleBatches(dir, base)
-    require(groups.head._2.nonEmpty, s"nothing to compact at $dir")
-    val foldedMax = groups.flatMap(_._2)
-      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
-      .max
-    val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
-      spark.read.option("basePath", b).parquet(paths: _*)
-    }.reduce(_ unionByName _)
-    val keyCols = raw.columns.filterNot(Set("n", "batch")).toSeq
-    raw.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("n")).as("n"))
-      .coalesce(1)
-      // batch id −1: outside Spark's non-negative epoch space, so no
-      // replayed append can overwrite the merged partial
-      .write.mode("overwrite").parquet(s"${base(ng)}/batch=-1")
-    Generations.publish(dir, ng, "count-store compaction",
-      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
-  }
+  def compact(spark: SparkSession, dropBelow: Long = Long.MinValue): Unit =
+    synchronized {
+      val (g, wm) = Generations.liveGenInfo(dir)
+      val ng = g + 1
+      Generations.clearPartial(dir, ng)
+      // dropBelow = retention horizon ([[HllSketchStore.compact]]): partials
+      // below it are dropped, not folded
+      val groups = Generations.visibleBatches(dir, base)
+        .map { case (b, paths) =>
+          b -> paths.filter(p => BatchStore.idOf(p) >= dropBelow) }
+      val kept = groups.flatMap(_._2)
+      require(kept.nonEmpty,
+        s"nothing to compact at $dir (retention dropBelow=$dropBelow left no partials)")
+      val foldedMax = kept.map(BatchStore.idOf).max
+      val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+        spark.read.option("basePath", b).parquet(paths: _*)
+      }.reduce(_ unionByName _)
+      val keyCols = raw.columns.filterNot(Set("n", "batch")).toSeq
+      val mergedId = if (dropBelow == Long.MinValue) -1L else foldedMax
+      raw.groupBy(keyCols.map(col): _*)
+        .agg(sum(col("n")).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${base(ng)}/batch=$mergedId")
+      Generations.publish(dir, ng, "count-store compaction",
+        watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
+    }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = {

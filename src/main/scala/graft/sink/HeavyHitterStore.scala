@@ -87,30 +87,36 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
     * ([[HllSketchStore.compact]] — stragglers stay visible from the
     * superseded generation, folded-id replays no-op); the remaining
     * single-writer contract is maintenance-vs-maintenance only.
+    * `dropBelow` is the retention horizon ([[HllSketchStore.compact]]):
+    * partials below it are dropped, not folded — "trending over all time"
+    * becomes "trending over the retained window", with the error bound
+    * shrinking to the window's Σ n_b/(k+1).
     */
-  def compact(spark: SparkSession): Unit = synchronized {
-    val (g, wm) = Generations.liveGenInfo(dir)
-    val ng = g + 1
-    Generations.clearPartial(dir, ng)
-    val groups = Generations.visibleBatches(dir, base)
-    require(groups.head._2.nonEmpty, s"nothing to compact at $dir")
-    val foldedMax = groups.flatMap(_._2)
-      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
-      .max
-    val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
-      spark.read.option("basePath", b).parquet(paths: _*)
-    }.reduce(_ unionByName _)
-    val totalN = raw.select(col("batch"), col("batch_n")).distinct()
-      .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0)
-    raw.groupBy("item").agg(sum(col("est")).as("est"))
-      .select(col("item"), col("est"), lit(totalN).as("batch_n"))
-      .coalesce(1)
-      // batch id −1: outside Spark's non-negative epoch space (no replayed
-      // append can overwrite the merged partial)
-      .write.mode("overwrite").parquet(s"${base(ng)}/batch=-1")
-    Generations.publish(dir, ng, "heavy-hitter compaction",
-      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
-  }
+  def compact(spark: SparkSession, dropBelow: Long = Long.MinValue): Unit =
+    synchronized {
+      val (g, wm) = Generations.liveGenInfo(dir)
+      val ng = g + 1
+      Generations.clearPartial(dir, ng)
+      val groups = Generations.visibleBatches(dir, base)
+        .map { case (b, paths) =>
+          b -> paths.filter(p => BatchStore.idOf(p) >= dropBelow) }
+      val kept = groups.flatMap(_._2)
+      require(kept.nonEmpty,
+        s"nothing to compact at $dir (retention dropBelow=$dropBelow left no partials)")
+      val foldedMax = kept.map(BatchStore.idOf).max
+      val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+        spark.read.option("basePath", b).parquet(paths: _*)
+      }.reduce(_ unionByName _)
+      val totalN = raw.select(col("batch"), col("batch_n")).distinct()
+        .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0)
+      val mergedId = if (dropBelow == Long.MinValue) -1L else foldedMax
+      raw.groupBy("item").agg(sum(col("est")).as("est"))
+        .select(col("item"), col("est"), lit(totalN).as("batch_n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${base(ng)}/batch=$mergedId")
+      Generations.publish(dir, ng, "heavy-hitter compaction",
+        watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
+    }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = {

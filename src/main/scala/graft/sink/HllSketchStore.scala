@@ -105,29 +105,48 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
     * ([[Generations.visibleBatches]]) until the next compact folds it;
     * a post-flip replay of a folded id no-ops ([[append]]). The remaining
     * single-writer contract is maintenance-vs-maintenance only.
+    *
+    * `dropBelow` is RETENTION: partials with batch id below it are not
+    * folded — they simply don't exist in the new generation (the Kafka
+    * `retention.ms` analog for a year of daily partials; the dropped ids
+    * sit under the published watermark, so a late replay of one no-ops
+    * instead of resurrecting it). A retention fold lands at
+    * `batch=<max folded id>` rather than −1 so a LATER retention pass can
+    * still judge the merged window by id: drop horizons only ever move
+    * forward, so the window dir is retained until the horizon passes its
+    * newest member. Retention therefore composes with itself and with
+    * full compaction; the one rule is that a full (−1) fold erases ids,
+    * after which retention can only drop the whole history blob at once.
     */
-  def compact(spark: SparkSession): Unit = synchronized {
-    val (g, wm) = Generations.liveGenInfo(dir)
-    val ng = g + 1
-    Generations.clearPartial(dir, ng)
-    val groups = Generations.visibleBatches(dir, base)
-    require(groups.head._2.nonEmpty, s"nothing to compact at $dir")
-    val foldedMax = groups.flatMap(_._2)
-      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
-      .max
-    val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
-      spark.read.option("basePath", b).parquet(paths: _*)
-    }.reduce(_ unionByName _)
-    val groupCols = raw.columns.filterNot(Set("sk", "n_rows", "batch")).toSeq
-    raw.groupBy(groupCols.map(col): _*)
-      .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
-      .coalesce(1)
-      // batch id −1: outside Spark's non-negative epoch space, so no
-      // replayed append can overwrite the merged partial
-      .write.mode("overwrite").parquet(s"${base(ng)}/batch=-1")
-    Generations.publish(dir, ng, "sketch-store compaction",
-      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
-  }
+  def compact(spark: SparkSession, dropBelow: Long = Long.MinValue): Unit =
+    synchronized {
+      val (g, wm) = Generations.liveGenInfo(dir)
+      val ng = g + 1
+      Generations.clearPartial(dir, ng)
+      val groups = Generations.visibleBatches(dir, base)
+        .map { case (b, paths) =>
+          b -> paths.filter(p => BatchStore.idOf(p) >= dropBelow) }
+      val kept = groups.flatMap(_._2)
+      require(kept.nonEmpty,
+        s"nothing to compact at $dir (retention dropBelow=$dropBelow left no partials)")
+      val foldedMax = kept.map(BatchStore.idOf).max
+      val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+        spark.read.option("basePath", b).parquet(paths: _*)
+      }.reduce(_ unionByName _)
+      val groupCols = raw.columns.filterNot(Set("sk", "n_rows", "batch")).toSeq
+      // full folds land at −1 (outside Spark's non-negative epoch space —
+      // no replayed append can overwrite them); retention folds keep the
+      // window's max id (equally replay-safe: it is under the watermark)
+      val mergedId = if (dropBelow == Long.MinValue) -1L else foldedMax
+      raw.groupBy(groupCols.map(col): _*)
+        .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${base(ng)}/batch=$mergedId")
+      // the watermark also covers the DROPPED ids (they are below the kept
+      // ones by the monotone-id contract), so their replays no-op
+      Generations.publish(dir, ng, "sketch-store compaction",
+        watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
+    }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */
   def vacuumGenerations(minAgeMs: Long = 3600000L): Int = {

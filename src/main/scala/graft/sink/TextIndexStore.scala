@@ -202,8 +202,17 @@ final class TextIndexStore(val dir: String) {
     * `compactId` names the merged batch dir; the default −1 sits OUTSIDE
     * Spark's non-negative epoch space, so no checkpoint-replayed append
     * can ever collide with (and overwrite) the merged dir.
+    *
+    * `dropBelow` is the retention horizon ([[HllSketchStore.compact]]):
+    * batches below it are dropped, not folded — the index forgets
+    * documents ingested before the horizon (a crawl store keeping the
+    * last N refresh cycles). A retention fold lands at
+    * `batch=<max folded id>` so later horizons can judge the merged
+    * window by id; dropped ids sit under the watermark, so their replays
+    * no-op.
     */
-  def compact(spark: SparkSession, compactId: Long = -1L): Unit = synchronized {
+  def compact(spark: SparkSession, compactId: Long = -1L,
+      dropBelow: Long = Long.MinValue): Unit = synchronized {
     recover() // legacy two-rename crash states (pre-generation layout)
     val info @ (g, wm) = Generations.liveGenInfo(dir)
     val ng = g + 1
@@ -211,22 +220,27 @@ final class TextIndexStore(val dir: String) {
     Generations.clearPartial(dir, ng)
     // postings are the id authority (doclens dirs mirror them 1:1)
     val postingDirs = Generations.visibleBatchesAt(dir, info, subPath(_, "postings"))
-      .flatMap(_._2)
-    require(postingDirs.nonEmpty, s"nothing to compact at $dir")
-    val foldedMax = postingDirs
-      .map(p => p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong)
-      .max
-    committedAt(spark, info, "postings").groupBy("doc_id", "tok")
+      .flatMap(_._2).filter(p => BatchStore.idOf(p) >= dropBelow)
+    require(postingDirs.nonEmpty,
+      s"nothing to compact at $dir (retention dropBelow=$dropBelow left no batches)")
+    val foldedMax = postingDirs.map(BatchStore.idOf).max
+    val mergedId = if (dropBelow == Long.MinValue) compactId else foldedMax
+    def retained(sub: String): DataFrame = {
+      val df = committedAt(spark, info, sub)
+      if (dropBelow == Long.MinValue) df
+      else df.filter(col("batch") >= dropBelow)
+    }
+    retained("postings").groupBy("doc_id", "tok")
       .agg(sum(col("tf")).as("tf"),
         array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("pos"))
       .repartition(1).sortWithinPartitions("tok")
       .write.mode("overwrite")
-      .parquet(s"${subPath(ng, "postings")}/batch=$compactId")
-    committedAt(spark, info, "doclens").groupBy("doc_id")
+      .parquet(s"${subPath(ng, "postings")}/batch=$mergedId")
+    retained("doclens").groupBy("doc_id")
       .agg(sum(col("dl")).as("dl"))
       .coalesce(1)
       .write.mode("overwrite")
-      .parquet(s"${subPath(ng, "doclens")}/batch=$compactId")
+      .parquet(s"${subPath(ng, "doclens")}/batch=$mergedId")
     Generations.publish(dir, ng, "text-index compaction",
       watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
   }

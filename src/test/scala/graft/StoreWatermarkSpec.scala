@@ -158,6 +158,54 @@ class StoreWatermarkSpec extends SparkSpec {
     assert(count("a") == 22L)
   }
 
+  test("retention compaction: dropped batches vanish, replays of them no-op, horizons compose") {
+    val store = new HllSketchStore(tmpDir("wm_ret"), lgK = 12)
+    import spark.implicits._
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(v => ("g", v)).toDF("grp", "v")
+    for (b <- 0L until 4L)
+      store.append(batch(b * 100, b * 100 + 100), Seq("grp"), "v", b)
+    // horizon 1: batch 0's 100 values leave the store
+    store.compact(spark, dropBelow = 1L)
+    def est() = store.estimates(spark, Seq("grp")).head()
+    assert(est().getAs[Long]("n_rows") == 300L)
+    assert(Generations.genWatermark(store.dir, 1L) == Some(3L))
+    // the retention fold carries the window's max id, not −1
+    assert(graft.engine.Dfs.list(
+      new org.apache.hadoop.fs.Path(s"${store.dir}/gen=1"))
+      .map(_.getPath.getName).toSet == Set("batch=3"))
+    // a late replay of the DROPPED batch must not resurrect it
+    store.append(batch(0, 100), Seq("grp"), "v", 0L)
+    assert(est().getAs[Long]("n_rows") == 300L)
+    // new data keeps flowing; a further horizon drops the whole old window
+    // (its ids fold into batch=3, which sits below the new horizon)
+    store.append(batch(400, 450), Seq("grp"), "v", 4L)
+    store.compact(spark, dropBelow = 4L)
+    assert(est().getAs[Long]("n_rows") == 50L)
+    val estimate = est().getAs[Long]("estimate").toDouble
+    assert(math.abs(estimate - 50.0) <= 50 * 0.05)
+    // dropping everything is a loud error, not an empty store
+    val e = intercept[RuntimeException](store.compact(spark, dropBelow = 99L))
+    assert(e.getMessage.contains("retention"))
+  }
+
+  test("TextIndexStore retention: the index forgets documents below the horizon") {
+    val store = new TextIndexStore(tmpDir("wm_tret"))
+    store.append(docs(0L, 1L), 0L)
+    store.append(docs(2L), 1L)
+    store.append(docs(3L), 2L)
+    store.compact(spark, dropBelow = 1L)
+    // doc 0/1 (batch 0) are forgotten; the rest score as a 2-doc corpus
+    assert(store.search(spark, Seq("tok0"), 5).isEmpty)
+    val oneShot = graft.llm.TextAnalysis.bm25Search(
+      docs(2L).union(docs(3L)), Seq("alpha"), 10)
+    assert(store.search(spark, Seq("alpha"), 10).collect().toSeq ==
+      oneShot.collect().toSeq)
+    // replay of the dropped batch no-ops
+    store.append(docs(0L, 1L), 0L)
+    assert(store.search(spark, Seq("tok0"), 5).isEmpty)
+  }
+
   test("legacy watermark-less manifests keep fold-everything semantics") {
     val dir = tmpDir("wm_legacy")
     val store = new HllSketchStore(dir, lgK = 12)
