@@ -187,6 +187,20 @@ class StoreWatermarkSpec extends SparkSpec {
     // dropping everything is a loud error, not an empty store
     val e = intercept[RuntimeException](store.compact(spark, dropBelow = 99L))
     assert(e.getMessage.contains("retention"))
+
+    // the frequency leg: the error bound shrinks to the retained window's
+    // batch totals, and the dropped batch's mass leaves the estimates
+    val hh = new HeavyHitterStore(tmpDir("wm_rethh"), k = 100)
+    def words(w: String, n: Int) = Seq.fill(n)(w).toDF("w")
+    hh.append(words("old", 300), col("w"), 0L)
+    hh.append(words("hot", 50), col("w"), 1L)
+    hh.append(words("hot", 60), col("w"), 2L)
+    hh.compact(spark, dropBelow = 1L)
+    val (cand, bound) = hh.candidates(spark)
+    val items = cand.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!items.contains("old"), s"dropped batch must leave candidates: $items")
+    assert(items("hot") == 110L)
+    assert(bound == 110L / 101L, s"bound must shrink to the window: $bound")
   }
 
   test("TextIndexStore retention: the index forgets documents below the horizon") {
