@@ -77,29 +77,15 @@ final class CountStore(val dir: String) {
     */
   def compact(spark: SparkSession, dropBelow: Long = Long.MinValue): Unit =
     synchronized {
-      val (g, wm) = Generations.liveGenInfo(dir)
-      val ng = g + 1
-      Generations.clearPartial(dir, ng)
       // dropBelow = retention horizon ([[HllSketchStore.compact]]): partials
       // below it are dropped, not folded
-      val groups = Generations.visibleBatches(dir, base)
-        .map { case (b, paths) =>
-          b -> paths.filter(p => BatchStore.idOf(p) >= dropBelow) }
-      val kept = groups.flatMap(_._2)
-      require(kept.nonEmpty,
-        s"nothing to compact at $dir (retention dropBelow=$dropBelow left no partials)")
-      val foldedMax = kept.map(BatchStore.idOf).max
-      val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
-        spark.read.option("basePath", b).parquet(paths: _*)
-      }.reduce(_ unionByName _)
-      val keyCols = raw.columns.filterNot(Set("n", "batch")).toSeq
-      val mergedId = if (dropBelow == Long.MinValue) -1L else foldedMax
-      raw.groupBy(keyCols.map(col): _*)
-        .agg(sum(col("n")).as("n"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"${base(ng)}/batch=$mergedId")
-      Generations.publish(dir, ng, "count-store compaction",
-        watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
+      Generations.foldCompact(spark, dir, base, "count-store compaction",
+          dropBelow) { raw =>
+        val keyCols = raw.columns.filterNot(Set("n", "batch")).toSeq
+        raw.groupBy(keyCols.map(col): _*)
+          .agg(sum(col("n")).as("n"))
+          .coalesce(1)
+      }
     }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */

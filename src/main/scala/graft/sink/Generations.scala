@@ -57,13 +57,27 @@ private[graft] object Generations {
     * semantics (gen 0 has no manifest and always reads None).
     */
   def genWatermark(dir: String, g: Long): Option[Long] =
+    manifestLine(dir, g, "watermark=")
+
+  /** Generation `g`'s straggler floor: Some(f) ⇒ no generation BELOW f can
+    * hold an unfolded batch — the maintenance that published `g` folded (or
+    * retention-dropped under the watermark) every id visible below f, so a
+    * straggler can only live in [f, g). The reader walk stops there, which
+    * is what keeps reads O(1) manifest/listing probes after years of
+    * compactions instead of O(total flips). None (pre-floor manifests) ⇒
+    * unbounded legacy walk.
+    */
+  def genFloor(dir: String, g: Long): Option[Long] =
+    manifestLine(dir, g, "floor=")
+
+  private def manifestLine(dir: String, g: Long, key: String): Option[Long] =
     if (g == 0L) None
     else {
       val p = new HPath(s"$dir/gens", f"v$g%08d.manifest")
       if (!Dfs.exists(p)) None
       else Dfs.readUtf8(p).split('\n')
-        .find(_.startsWith("watermark="))
-        .map(_.stripPrefix("watermark=").trim.toLong)
+        .find(_.startsWith(key))
+        .map(_.stripPrefix(key).trim.toLong)
     }
 
   /** (live generation, its fold watermark) in one resolution. */
@@ -80,15 +94,20 @@ private[graft] object Generations {
 
   /** The atomic flip: publish generation `ng`'s manifest, carrying the
     * fold watermark when the rewrite has one (compactions do; recluster
-    * migrations re-home every id and publish without). Errors on a lost
-    * race — maintenance is single-writer per store; a concurrent
-    * maintainer's result should be re-examined, not overwritten.
+    * migrations re-home every id and publish without) and the straggler
+    * floor ([[genFloor]] — the lowest generation that can still hold an
+    * unfolded batch; maintenance passes the generation that was live while
+    * it ran, lower only when it left known-unfolded ids deeper down).
+    * Errors on a lost race — maintenance is single-writer per store; a
+    * concurrent maintainer's result should be re-examined, not
+    * overwritten.
     */
   def publish(dir: String, ng: Long, what: String,
-      watermark: Option[Long] = None): Unit = {
+      watermark: Option[Long] = None, floor: Option[Long] = None): Unit = {
     Dfs.mkdirs(new HPath(s"$dir/gens"))
     val tmp = new HPath(s"$dir/gens", s".tmp-$ng")
-    val body = s"gen=$ng\n" + watermark.map(w => s"watermark=$w\n").getOrElse("")
+    val body = s"gen=$ng\n" + watermark.map(w => s"watermark=$w\n").getOrElse("") +
+      floor.map(f => s"floor=$f\n").getOrElse("")
     Dfs.writeUtf8(tmp, body)
     val won = graft.engine.CommitLock.current.publishOntoAbsent(
       tmp, new HPath(s"$dir/gens", f"v$ng%08d.manifest"))
@@ -120,25 +139,38 @@ private[graft] object Generations {
     * so the two sub-reads can't straddle a concurrent flip.
     */
   def visibleBatchesAt(dir: String, info: (Long, Option[Long]),
-      subBase: Long => String): Seq[(String, Seq[String])] = {
+      subBase: Long => String): Seq[(String, Seq[String])] =
+    visibleBatchesByGen(dir, info, subBase).map { case (_, b, ps) => b -> ps }
+
+  /** [[visibleBatchesAt]] with each group's generation — callers that must
+    * know WHERE an unfolded id lives (the text index derives its published
+    * floor from the torn ids' generations) read this form.
+    */
+  def visibleBatchesByGen(dir: String, info: (Long, Option[Long]),
+      subBase: Long => String): Seq[(Long, String, Seq[String])] = {
     val (live, wm) = info
     val liveBase = subBase(live)
     val liveDirs = BatchStore.committedBatchDirs(liveBase)
-    val head = liveBase -> liveDirs.map(_._2)
+    val head = (live, liveBase, liveDirs.map(_._2))
     wm match {
       case None => Seq(head)
       case Some(w) =>
+        // the straggler walk is floor-bounded: the live manifest's floor is
+        // the lowest generation that can still hold an unfolded id, so in
+        // steady state (every flip publishes one) a read probes exactly one
+        // superseded generation — not one per historical compaction
+        val stop = genFloor(dir, live).getOrElse(0L)
         var seen = liveDirs.map(_._1).toSet
-        val groups = Seq.newBuilder[(String, Seq[String])]
+        val groups = Seq.newBuilder[(Long, String, Seq[String])]
         var p = live - 1
         var open = true
-        while (p >= 0L && open) {
+        while (p >= stop && open) {
           val b = subBase(p)
           val strag = BatchStore.committedBatchDirs(b)
             .filter { case (id, _) => id > w && !seen.contains(id) }
           if (strag.nonEmpty) {
             seen ++= strag.map(_._1)
-            groups += (b -> strag.map(_._2))
+            groups += ((p, b, strag.map(_._2)))
           }
           // a watermark-less superseded manifest folded everything below it
           open = p == 0L || genWatermark(dir, p).isDefined
@@ -191,5 +223,46 @@ private[graft] object Generations {
       .filterNot(st => holdsStragglers(st.getPath.toString))
       .foreach { st => Dfs.deleteTreeQuiet(st.getPath); n += 1 }
     n
+  }
+
+  /** The compact scaffold shared by the single-sub batch-partial stores
+    * (counts, HLL, Misra–Gries): resolve the live generation ONCE, pin one
+    * directory listing for BOTH the fold-set computation and the merge read
+    * (a batch committed between two listings would otherwise be folded yet
+    * left above the watermark — double-counted forever), apply the
+    * `dropBelow` retention horizon, write `merge(raw)` as the new
+    * generation's single `batch=` dir and flip with a watermarked,
+    * floor-carrying manifest publish. The merged dir lands at −1 for a
+    * full fold (outside Spark's non-negative epoch space, so no replayed
+    * append can overwrite it) and at the window's max id for a retention
+    * fold (so later horizons can judge the merged window by id). Callers
+    * hold their own instance lock — maintenance is single-writer per
+    * store.
+    */
+  private[sink] def foldCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, base: Long => String, what: String, dropBelow: Long)
+      (merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val info @ (g, wm) = liveGenInfo(dir)
+    val ng = g + 1
+    clearPartial(dir, ng)
+    val groups = visibleBatchesAt(dir, info, base)
+      .map { case (b, paths) =>
+        b -> paths.filter(p => BatchStore.idOf(p) >= dropBelow) }
+    val kept = groups.flatMap(_._2)
+    require(kept.nonEmpty,
+      s"nothing to compact at $dir (retention dropBelow=$dropBelow left no partials)")
+    val foldedMax = kept.map(BatchStore.idOf).max
+    val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
+      spark.read.option("basePath", b).parquet(paths: _*)
+    }.reduce(_ unionByName _)
+    val mergedId = if (dropBelow == Long.MinValue) -1L else foldedMax
+    merge(raw).write.mode("overwrite").parquet(s"${base(ng)}/batch=$mergedId")
+    // the watermark also covers retention-DROPPED ids (they sit below the
+    // kept ones by the monotone-id contract), so their replays no-op; the
+    // floor is the generation that was live while this fold ran — the only
+    // place a concurrent append can have landed
+    publish(dir, ng, what,
+      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max),
+      floor = Some(g))
   }
 }

@@ -94,28 +94,14 @@ final class HeavyHitterStore(val dir: String, k: Int = 2000) {
     */
   def compact(spark: SparkSession, dropBelow: Long = Long.MinValue): Unit =
     synchronized {
-      val (g, wm) = Generations.liveGenInfo(dir)
-      val ng = g + 1
-      Generations.clearPartial(dir, ng)
-      val groups = Generations.visibleBatches(dir, base)
-        .map { case (b, paths) =>
-          b -> paths.filter(p => BatchStore.idOf(p) >= dropBelow) }
-      val kept = groups.flatMap(_._2)
-      require(kept.nonEmpty,
-        s"nothing to compact at $dir (retention dropBelow=$dropBelow left no partials)")
-      val foldedMax = kept.map(BatchStore.idOf).max
-      val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
-        spark.read.option("basePath", b).parquet(paths: _*)
-      }.reduce(_ unionByName _)
-      val totalN = raw.select(col("batch"), col("batch_n")).distinct()
-        .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0)
-      val mergedId = if (dropBelow == Long.MinValue) -1L else foldedMax
-      raw.groupBy("item").agg(sum(col("est")).as("est"))
-        .select(col("item"), col("est"), lit(totalN).as("batch_n"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"${base(ng)}/batch=$mergedId")
-      Generations.publish(dir, ng, "heavy-hitter compaction",
-        watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
+      Generations.foldCompact(spark, dir, base, "heavy-hitter compaction",
+          dropBelow) { raw =>
+        val totalN = raw.select(col("batch"), col("batch_n")).distinct()
+          .agg(coalesce(sum(col("batch_n")), lit(0L))).head().getLong(0)
+        raw.groupBy("item").agg(sum(col("est")).as("est"))
+          .select(col("item"), col("est"), lit(totalN).as("batch_n"))
+          .coalesce(1)
+      }
     }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */

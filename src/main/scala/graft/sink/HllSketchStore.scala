@@ -120,32 +120,16 @@ final class HllSketchStore(val dir: String, lgK: Int = 12) {
     */
   def compact(spark: SparkSession, dropBelow: Long = Long.MinValue): Unit =
     synchronized {
-      val (g, wm) = Generations.liveGenInfo(dir)
-      val ng = g + 1
-      Generations.clearPartial(dir, ng)
-      val groups = Generations.visibleBatches(dir, base)
-        .map { case (b, paths) =>
-          b -> paths.filter(p => BatchStore.idOf(p) >= dropBelow) }
-      val kept = groups.flatMap(_._2)
-      require(kept.nonEmpty,
-        s"nothing to compact at $dir (retention dropBelow=$dropBelow left no partials)")
-      val foldedMax = kept.map(BatchStore.idOf).max
-      val raw = groups.filter(_._2.nonEmpty).map { case (b, paths) =>
-        spark.read.option("basePath", b).parquet(paths: _*)
-      }.reduce(_ unionByName _)
-      val groupCols = raw.columns.filterNot(Set("sk", "n_rows", "batch")).toSeq
-      // full folds land at −1 (outside Spark's non-negative epoch space —
-      // no replayed append can overwrite them); retention folds keep the
-      // window's max id (equally replay-safe: it is under the watermark)
-      val mergedId = if (dropBelow == Long.MinValue) -1L else foldedMax
-      raw.groupBy(groupCols.map(col): _*)
-        .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"${base(ng)}/batch=$mergedId")
-      // the watermark also covers the DROPPED ids (they are below the kept
-      // ones by the monotone-id contract), so their replays no-op
-      Generations.publish(dir, ng, "sketch-store compaction",
-        watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
+      // the scaffold ([[Generations.foldCompact]]) pins one listing, lands
+      // full folds at −1 / retention folds at the window's max id, and
+      // publishes the watermark + straggler floor
+      Generations.foldCompact(spark, dir, base, "sketch-store compaction",
+          dropBelow) { raw =>
+        val groupCols = raw.columns.filterNot(Set("sk", "n_rows", "batch")).toSeq
+        raw.groupBy(groupCols.map(col): _*)
+          .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
+          .coalesce(1)
+      }
     }
 
   /** Age-guarded reclaim of superseded generations ([[Generations]]). */

@@ -218,31 +218,56 @@ final class TextIndexStore(val dir: String) {
     val ng = g + 1
     // a prior crashed compaction at ng is invisible garbage — restart it
     Generations.clearPartial(dir, ng)
-    // postings are the id authority (doclens dirs mirror them 1:1)
-    val postingDirs = Generations.visibleBatchesAt(dir, info, subPath(_, "postings"))
-      .flatMap(_._2).filter(p => BatchStore.idOf(p) >= dropBelow)
-    require(postingDirs.nonEmpty,
+    // ONE listing per sub, pinned: the fold-set computation and the merge
+    // read below share it, so a batch committed between two listings can't
+    // be merged yet left above the watermark (double-counted forever)
+    val postGroups = Generations.visibleBatchesByGen(dir, info, subPath(_, "postings"))
+    val dlGroups = Generations.visibleBatchesByGen(dir, info, subPath(_, "doclens"))
+    def visibleIds(gs: Seq[(Long, String, Seq[String])]): Map[Long, Long] =
+      gs.flatMap { case (gen, _, ps) => ps.map(p => BatchStore.idOf(p) -> gen) }
+        .groupBy(_._1).map { case (id, hits) => id -> hits.map(_._2).min }
+    val postIds = visibleIds(postGroups)
+    val dlIds = visibleIds(dlGroups)
+    // fold only ids committed in BOTH subs: an append commits postings
+    // before doclens, so a concurrent append can be TORN here (postings
+    // live, doclens still writing) — folding its postings would cover the
+    // id with the watermark and orphan the doclens forever (docs with tf
+    // rows but no dl row vanish from every BM25 result)
+    val folded = (postIds.keySet intersect dlIds.keySet).filter(_ >= dropBelow)
+    require(folded.nonEmpty,
       s"nothing to compact at $dir (retention dropBelow=$dropBelow left no batches)")
-    val foldedMax = postingDirs.map(BatchStore.idOf).max
+    val foldedMax = folded.max
+    val torn = ((postIds.keySet ++ dlIds.keySet) -- folded).filter(_ >= dropBelow)
+    // a torn id below a fully-committed one breaks the strictly-increasing
+    // append contract (the watermark would swallow it) — refuse loudly
+    require(torn.forall(_ > foldedMax),
+      s"half-committed batches ${torn.filter(_ <= foldedMax).toSeq.sorted} below " +
+        s"folded id $foldedMax at $dir — append contract violation, not compacting")
     val mergedId = if (dropBelow == Long.MinValue) compactId else foldedMax
-    def retained(sub: String): DataFrame = {
-      val df = committedAt(spark, info, sub)
-      if (dropBelow == Long.MinValue) df
-      else df.filter(col("batch") >= dropBelow)
-    }
-    retained("postings").groupBy("doc_id", "tok")
+    def retained(gs: Seq[(Long, String, Seq[String])]): DataFrame =
+      gs.map { case (_, b, ps) => b -> ps.filter(p => folded(BatchStore.idOf(p))) }
+        .filter(_._2.nonEmpty)
+        .map { case (b, ps) => spark.read.option("basePath", b).parquet(ps: _*) }
+        .reduce(_ unionByName _)
+    retained(postGroups).groupBy("doc_id", "tok")
       .agg(sum(col("tf")).as("tf"),
         array_sort(array_distinct(flatten(collect_list(col("pos"))))).as("pos"))
       .repartition(1).sortWithinPartitions("tok")
       .write.mode("overwrite")
       .parquet(s"${subPath(ng, "postings")}/batch=$mergedId")
-    retained("doclens").groupBy("doc_id")
+    retained(dlGroups).groupBy("doc_id")
       .agg(sum(col("dl")).as("dl"))
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(s"${subPath(ng, "doclens")}/batch=$mergedId")
+    // floor: torn ids stay unfolded in their generation — the straggler
+    // walk must keep reaching the deepest one until a later compact folds
+    // it; with none, only the generation live during this fold can hold a
+    // concurrent append
+    val tornGens = torn.toSeq.flatMap(id => postIds.get(id) ++ dlIds.get(id))
     Generations.publish(dir, ng, "text-index compaction",
-      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max))
+      watermark = Some(Seq(wm.getOrElse(Long.MinValue), foldedMax).max),
+      floor = Some((g +: tornGens).min))
   }
 
   /** Repairs whatever a LEGACY two-rename [[compact]] left behind (the

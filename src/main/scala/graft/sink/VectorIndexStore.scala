@@ -225,7 +225,7 @@ final class VectorIndexStore(val dir: String) {
       (_, paths) <- Generations.visibleBatchesAt(dir, info, vectorsPath)
       p <- paths
     } {
-      val id = p.substring(p.lastIndexOf("batch=") + "batch=".length).toLong
+      val id = BatchStore.idOf(p)
       if (!byId.contains(id)) byId(id) = p
     }
     byId.toSeq.sortBy(_._1)
@@ -332,7 +332,11 @@ final class VectorIndexStore(val dir: String) {
       // prefers the live copy.
       Generations.publish(dir, ng, "recluster",
         watermark = Some(Seq(wm.getOrElse(Long.MinValue),
-          migrated.map(_._1).max).max))
+          migrated.map(_._1).max).max),
+        // every visible id was re-homed, so only the generation live during
+        // this migration can hold a concurrent append — the straggler walk
+        // stops there ([[Generations.genFloor]])
+        floor = Some(g))
       // the superseded generation is NOT deleted here: a reader that
       // resolved liveGen just before the flip is still scanning its files —
       // the same in-flight-reader window every store solves with AGE-based

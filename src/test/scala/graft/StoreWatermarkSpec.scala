@@ -220,6 +220,63 @@ class StoreWatermarkSpec extends SparkSpec {
     assert(store.search(spark, Seq("tok0"), 5).isEmpty)
   }
 
+  test("TextIndexStore: a torn concurrent append survives compaction un-orphaned") {
+    val store = new TextIndexStore(tmpDir("wm_torn"))
+    store.append(docs(0L, 1L), 0L)
+    store.append(docs(2L), 1L)
+    // simulate an append caught mid-flight by compaction: appendAt commits
+    // postings first, so the torn state is postings live / doclens writing
+    store.appendAt(0L, docs(7L), 2L)
+    graft.engine.Dfs.deleteTreeStrict(
+      new org.apache.hadoop.fs.Path(s"${store.dir}/doclens/batch=2"))
+    store.compact(spark)
+    // only the fully-committed pair folds; the torn id stays ABOVE the
+    // watermark (folding its postings would orphan the doclens forever)
+    assert(Generations.genWatermark(store.dir, 1L) == Some(1L))
+    // and the floor keeps the straggler walk reaching gen 0, where the
+    // torn postings sit
+    assert(Generations.genFloor(store.dir, 1L) == Some(0L))
+    // the in-flight append completes into the OLD generation (idempotent
+    // overwrite re-commits both subs)
+    store.appendAt(0L, docs(7L), 2L)
+    val oneShot = graft.llm.TextAnalysis.bm25Search(
+      docs(0L, 1L).union(docs(2L)).union(docs(7L)), Seq("alpha"), 10)
+    assert(store.search(spark, Seq("alpha"), 10).collect().toSeq ==
+      oneShot.collect().toSeq,
+      "the late-committed batch must be fully searchable — nothing orphaned")
+    assert(store.search(spark, Seq("tok7"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(7L))
+    // the next compact folds it; the floor rises to that fold's live gen
+    store.compact(spark)
+    assert(Generations.genWatermark(store.dir, 2L) == Some(2L))
+    assert(Generations.genFloor(store.dir, 2L) == Some(1L))
+    assert(store.search(spark, Seq("alpha"), 10).collect().toSeq ==
+      oneShot.collect().toSeq)
+  }
+
+  test("straggler floor bounds the walk: generations below it are never probed") {
+    val store = new HllSketchStore(tmpDir("wm_floor"), lgK = 12)
+    import spark.implicits._
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(v => ("g", v)).toDF("grp", "v")
+    def nRows() = store.estimates(spark, Seq("grp")).head().getAs[Long]("n_rows")
+    store.append(batch(0, 100), Seq("grp"), "v", 0L)
+    store.compact(spark)
+    assert(Generations.genFloor(store.dir, 1L) == Some(0L))
+    store.append(batch(100, 200), Seq("grp"), "v", 1L)
+    store.compact(spark)
+    assert(Generations.genFloor(store.dir, 2L) == Some(1L))
+    // a legit straggler in the floor generation is visible
+    store.appendAt(1L, batch(200, 250), Seq("grp"), "v", 2L)
+    assert(nRows() == 250L)
+    // a batch planted BELOW the floor violates the append contract (appends
+    // only ever land in the live generation, = the floor at fold time), and
+    // the bounded walk spends no probe on it — the property that keeps
+    // reads O(1) manifest/listing probes after years of daily compactions
+    store.appendAt(0L, batch(300, 400), Seq("grp"), "v", 9L)
+    assert(nRows() == 250L, "generations below the floor must not be walked")
+  }
+
   test("legacy watermark-less manifests keep fold-everything semantics") {
     val dir = tmpDir("wm_legacy")
     val store = new HllSketchStore(dir, lgK = 12)
