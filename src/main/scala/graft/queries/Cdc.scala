@@ -265,6 +265,47 @@ object Cdc {
       sink.changesBetween(s, fromVersion = 0L, toVersion = 1L)
     },
 
+    // Incrementally-maintained materialized aggregate (dirty-group
+    // recompute IVM — [[graft.sink.MaterializedAgg]]): a grouped rollup
+    // kept in its own snapshot table and advanced per source version from
+    // the change feed, never recomputing untouched groups. The log is
+    // applied in THREE waves with a refresh after each — updates and
+    // deletes between waves move rows across groups and delete group
+    // minima/maxima, exactly the cases delta-based maintenance corrupts.
+    // The oracle replays the whole log once and groups the final live
+    // state directly, so any drift the incremental path accumulates
+    // hash-mismatches.
+    QDef.df("q61m_materialized_agg",
+      s"""$SRC,
+         |r AS (SELECT data['primary_key'] AS pk,
+         |             CAST(data['row']['qty'] AS BIGINT) AS qty,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
+         |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
+         |      FROM f),
+         |live AS (SELECT qty FROM r WHERE rn = 1 AND NOT is_del)
+         |SELECT qty % 3 AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |       CAST(min(qty) AS BIGINT) AS min_qty,
+         |       CAST(max(qty) AS BIGINT) AS max_qty
+         |FROM live GROUP BY 1""".stripMargin) { (s, _) =>
+      val (src, _) = freshSnapshotSink("q61m_src")
+      val (agg, _) = freshSnapshotSink("q61m_agg")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .withColumn("grp", col("row_qty").cast("long") % 3)
+      val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp"),
+        Seq(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("row_qty").cast("long")).as("sum_qty"),
+          min(col("row_qty").cast("long")).as("min_qty"),
+          max(col("row_qty").cast("long")).as("max_qty")))
+      for (wave <- Seq(col("seq") <= 600, col("seq") > 600 && col("seq") <= 1200,
+          col("seq") > 1200)) {
+        src.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
+        m.refresh(s)
+      }
+      m.read(s).select(col("grp"), col("n_rows"), col("sum_qty"),
+        col("min_qty"), col("max_qty"))
+    },
+
     // Tombstone purge (Kafka log-compaction's delete-retention analog):
     // tombstones at or below the replay horizon (1200) drop in one fresh
     // commit; newer tombstones stay (a replayed stale pre-delete event

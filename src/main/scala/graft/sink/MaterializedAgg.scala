@@ -1,0 +1,156 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregate over a snapshot table —
+  * the "never recompute the world" leg of the table-format family: a
+  * downstream GROUP BY is kept in its own [[SnapshotParquetSink]] and
+  * advanced per source version by DIRTY-GROUP RECOMPUTE, the
+  * incremental-view-maintenance strategy that stays EXACT for arbitrary
+  * aggregates. Delta-based maintenance (add inserts, subtract deletes) is
+  * cheaper but silently wrong for non-additive aggregates — deleting a
+  * group's current `max` row leaves a delta maintainer with a value no
+  * arithmetic can roll back. Recomputing only the groups the change feed
+  * touched costs O(changed groups' rows), not O(table), and is exact for
+  * `min`/`max`/`count_distinct`/anything Spark can express.
+  *
+  * Per [[refresh]]:
+  *   1. the source's change feed between the last applied version and its
+  *      current version names the changed KEYS
+  *      ([[SnapshotParquetSink.changesBetween]] — column-pruned key+seq
+  *      scans, works across compactions);
+  *   2. the changed keys' rows AT BOTH VERSIONS name the dirty GROUPS
+  *      (both sides, because an update can MOVE a row between groups —
+  *      the old group must shrink and the new one grow);
+  *   3. dirty groups recompute from the source's current snapshot and
+  *      MERGE into the aggregate table (affected buckets only); groups
+  *      with no remaining rows merge as logical deletes.
+  *
+  * The applied-version bookkeeping is the aggregate table's own manifest:
+  * every refreshed row carries `seq` = the source version it was computed
+  * at, so the agg manifest's `maxseq` IS the applied version — recorded
+  * atomically with the data by the same commit, which makes a crashed or
+  * replayed refresh self-healing: it recomputes the same dirty groups and
+  * merges identical content under the same seq (last-write-wins keeps the
+  * state; a replay after the commit is a metadata no-op).
+  *
+  * Retention contract: [[refresh]] reads the source AT the last applied
+  * version, so the source must retain every version back to it — vacuum
+  * the source with `keepLast` covering the refresh cadence (the
+  * [[SnapshotCatalog.retainedVersions]] handshake shape).
+  *
+  * Scale shape at 100 TB: the change feed and dirty-key semi-joins
+  * shuffle on the source merge key (the same join any consumer diff
+  * pays); the recompute scan reads only group/agg columns and — under a
+  * group-correlated layout (`clusterBy` on the group columns, or manifest
+  * stats that happen to correlate) — only the buckets holding dirty
+  * groups. The merge rewrites only the agg buckets the dirty groups hash
+  * to. Nothing is proportional to table size except the one column-pruned
+  * recompute scan, and nothing is ever proportional to history length.
+  */
+final class MaterializedAgg(
+    val source: SnapshotParquetSink,
+    val sink: SnapshotParquetSink,
+    groupCols: Seq[String],
+    aggs: Seq[Column],
+    seqCol: String = "seq") {
+
+  require(groupCols.nonEmpty, "materialized aggregate needs group columns")
+  require(aggs.nonEmpty, "materialized aggregate needs aggregate columns")
+
+  /** The source version the aggregate table currently reflects — the agg
+    * manifest's recorded max seq (every refresh stamps its rows with the
+    * source version, so this never needs a data read).
+    */
+  def appliedVersion: Option[Long] =
+    sink.currentVersion.flatMap(v =>
+      SnapshotParquetSink.manifestMaxSeq(sink.dir, v))
+
+  private def grouped(rows: DataFrame): DataFrame = {
+    val g = rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    require(g.columns.toSeq.distinct.size == g.columns.length,
+      s"aggregate names collide with group columns: ${g.columns.toSeq}")
+    val names = g.columns.toSeq.filterNot(groupCols.contains)
+    // unaliased aggregates get generated names like `sum(v)` — illegal in
+    // parquet field names and useless downstream; demand explicit aliases
+    names.foreach(n => require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"aggregate columns must be aliased (.as(...)): got '$n'"))
+    val reserved = Set("seq", "__del")
+    require(names.forall(n => !reserved(n)),
+      s"aggregate names $names collide with bookkeeping columns $reserved")
+    g
+  }
+
+  private def aggNamesOf(g: DataFrame): Seq[String] =
+    g.columns.toSeq.filterNot(groupCols.contains)
+
+  // null-safe group equality: group columns may legitimately hold nulls
+  // (groupBy keeps a null group; a plain equi-join would drop it)
+  private def groupCond(left: DataFrame, right: DataFrame) =
+    groupCols.map(k => left(k) <=> right(k)).reduce(_ && _)
+
+  /** Advances the aggregate table to the source's current version.
+    * Returns Some(appliedSourceVersion) when a refresh ran, None when
+    * already current. A first call on an empty aggregate table builds it
+    * fully from the source's current snapshot.
+    */
+  def refresh(spark: SparkSession): Option[Long] = synchronized {
+    val srcV = source.currentVersion.getOrElse(
+      sys.error(s"source table at ${source.dir} has no committed version"))
+    appliedVersion match {
+      case Some(applied) if applied >= srcV => None
+      case None =>
+        // initial build: the whole current snapshot, one grouped pass
+        val full = grouped(source.readAt(spark, srcV, DeleteMode.Hard))
+          .withColumn("seq", lit(srcV))
+          .withColumn("__del", lit(false))
+        sink.merge(full, groupCols, "seq", "__del")
+        Some(srcV)
+      case Some(applied) =>
+        val srcKeys = SnapshotParquetSink.manifestKeys(source.dir, srcV)
+        val changedKeys = source
+          .changesBetween(spark, applied, srcV, seqCol)
+          .select(srcKeys.map(col): _*)
+        // dirty groups = groups of the changed keys' rows at EITHER version
+        // (an update can move a row between groups; a delete's group is
+        // only visible on the from side)
+        def groupsOf(v: Long): DataFrame = {
+          val rows = source.readAt(spark, v, DeleteMode.Hard).alias("r")
+          val ck = changedKeys.alias("ck")
+          rows.join(ck,
+              srcKeys.map(k => col(s"r.$k") <=> col(s"ck.$k")).reduce(_ && _),
+              "left_semi")
+            .select(groupCols.map(col): _*).distinct()
+        }
+        val dirty = groupsOf(applied).union(groupsOf(srcV)).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (dirty.isEmpty) return Some(srcV) // seq-only churn: no group moved
+          val snap = source.readAt(spark, srcV, DeleteMode.Hard)
+          val touched = snap.join(dirty, groupCond(snap, dirty), "left_semi")
+          val recomputed = grouped(touched)
+          // groups with no remaining rows vanish from the aggregate —
+          // merged as logical deletes so history stays time-travelable
+          val gone = dirty.join(recomputed, groupCond(dirty, recomputed),
+            "left_anti")
+          val delta = recomputed.withColumn("__del", lit(false))
+            .unionByName(
+              aggNamesOf(recomputed)
+                .foldLeft(gone)((df, n) => df.withColumn(n, lit(null)))
+                .withColumn("__del", lit(true)),
+              allowMissingColumns = false)
+            .withColumn("seq", lit(srcV))
+          sink.merge(delta, groupCols, "seq", "__del")
+          Some(srcV)
+        } finally {
+          dirty.unpersist()
+          ()
+        }
+    }
+  }
+
+  /** The maintained aggregate — live groups only. */
+  def read(spark: SparkSession): DataFrame =
+    sink.read(spark, DeleteMode.Hard)
+}

@@ -263,7 +263,7 @@ object SnapshotParquetSink {
   * commit; tables written without stats read unchanged (absence = no
   * pruning).
   */
-final class SnapshotParquetSink(dir: String, nBuckets: Int = 16,
+final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     statsCols: Seq[String] = Nil,
     clusterBy: Seq[SnapshotParquetSink.ClusterCol] = Nil) extends UpsertSink {
 
