@@ -19,18 +19,7 @@ class CatalogTxnStreamSpec extends SparkSpec {
     try lines.foreach(w.println) finally w.close()
   }
 
-  /** Drop the newest checkpoint commit marker: Spark replays the last
-    * micro-batch on restart even though every sink effect already landed.
-    */
-  private def injectCrash(checkpoint: String): Unit = {
-    val commits = new File(checkpoint, "commits")
-    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
-      .sortBy(_.getName.toInt).lastOption
-    assert(latest.isDefined, s"no commits to crash at $checkpoint")
-    assert(latest.get.delete())
-    val crc = new File(commits, s".${latest.get.getName}.crc")
-    if (crc.exists()) assert(crc.delete())
-  }
+  // crash injection: [[SparkSpec.injectCrash]]
 
   // each micro-batch carries one row PER member table, tagged with the
   // batch number — a consistent cut must show the same max tag in both

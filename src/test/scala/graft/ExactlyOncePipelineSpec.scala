@@ -34,21 +34,7 @@ class ExactlyOncePipelineSpec extends SparkSpec {
     try lines.foreach(w.println) finally w.close()
   }
 
-  /** Drop the newest commit marker: Spark then replays the last micro-batch
-    * on restart even though every sink-side effect of it already happened —
-    * the exact half-committed crash window foreachBatch pipelines must
-    * survive.
-    */
-  private def injectCrash(checkpoint: String): Unit = {
-    val commits = new File(checkpoint, "commits")
-    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
-      .sortBy(_.getName.toInt).lastOption
-    assert(latest.isDefined, s"no commits to crash at $checkpoint")
-    assert(latest.get.delete())
-    // the local checksum sidecar would block the replayed commit's rename
-    val crc = new File(commits, s".${latest.get.getName}.crc")
-    if (crc.exists()) assert(crc.delete())
-  }
+  // crash injection: [[SparkSpec.injectCrash]]
 
   /** Keep-first-seen admission over a confident-pair frame: candidate pairs
     * are (i, j) with i < j, so the later-seen (larger-id) side of every

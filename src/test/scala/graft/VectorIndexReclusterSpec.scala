@@ -85,14 +85,7 @@ class VectorIndexReclusterSpec extends SparkSpec {
         .collect().map(_.getString(0)).foreach(w.println)
       finally w.close()
     }
-    def injectCrash(checkpoint: String): Unit = {
-      val commits = new java.io.File(checkpoint, "commits")
-      val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
-        .sortBy(_.getName.toInt).lastOption
-      assert(latest.isDefined); assert(latest.get.delete())
-      val crc = new java.io.File(commits, s".${latest.get.getName}.crc")
-      if (crc.exists()) assert(crc.delete())
-    }
+    // crash injection: [[SparkSpec.injectCrash]]
     val in = tmpDir("vstream_in"); val ckpt = tmpDir("vstream_ck")
     val store = new VectorIndexStore(tmpDir("vstream") + "/ix")
     store.init(batch0(), k = 4, iters = 2)
