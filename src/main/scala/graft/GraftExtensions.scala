@@ -164,5 +164,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
+    ext.injectOptimizerRule(_ => graft.plans.MatViewRewrite)
   }
 }

@@ -306,6 +306,111 @@ object Cdc {
         col("min_qty"), col("max_qty"))
     },
 
+    // Materialized-view QUERY REWRITE ([[graft.plans.MatViewRewrite]]): the
+    // same maintained rollup, but the engine side never reads the view
+    // handle — it runs a plain GROUP BY over the SOURCE table and the
+    // optimizer answers it from the matview (plan-guarded below: the
+    // optimized plan must scan only the aggregate table's files). The
+    // oracle replays the log and groups the final live state from scratch,
+    // so the rewritten answer is checked against ground truth, not against
+    // the view it was served from.
+    QDef.df("q61n_matview_rewrite",
+      s"""$SRC,
+         |r AS (SELECT data['primary_key'] AS pk,
+         |             CAST(data['row']['qty'] AS BIGINT) AS qty,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
+         |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
+         |      FROM f),
+         |live AS (SELECT qty FROM r WHERE rn = 1 AND NOT is_del)
+         |SELECT qty % 5 AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(qty) AS BIGINT) AS sum_qty
+         |FROM live GROUP BY 1""".stripMargin) { (s, _) =>
+      val (src, srcDir) = freshSnapshotSink("q61n_src")
+      val (agg, aggDir) = freshSnapshotSink("q61n_agg")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .withColumn("qty_l", col("row_qty").cast("long"))
+        .withColumn("grp", col("row_qty").cast("long") % 5)
+      val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp"),
+        Seq(count(lit(1)).as("n_rows"), sum(col("qty_l")).as("sum_qty")))
+      for (wave <- Seq(col("seq") <= 900, col("seq") > 900)) {
+        src.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
+        m.refresh(s)
+      }
+      graft.sink.MaterializedAgg.register(m)
+      try {
+        val out = s.read.format("graft-snapshot").load(srcDir)
+          .where(!col("__is_deleted"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty_l")).as("sum_qty"))
+        // this entry certifies the rewrite: a plan still scanning the source
+        // must fail loudly, not silently pass on the slow path
+        val leaves = out.queryExecution.optimizedPlan.collectLeaves().flatMap {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.toSeq.map(_.toUri.getPath)
+              case _ => Nil
+            }
+          case other => Seq(other.nodeName)
+        }
+        require(leaves.nonEmpty && leaves.forall(_.startsWith(aggDir)),
+          s"matview rewrite did not fire: plan scans $leaves")
+        out
+      } finally graft.sink.MaterializedAgg.unregister(m)
+    },
+
+    // Roll-up rewrite: the view maintains (grp, sub)-level partials; the
+    // query asks for grp-level sums and counts plus min/max. The optimizer
+    // must RE-FOLD the view (sum→sum, count→sum of counts, min/max→min/max
+    // over partials) instead of touching the source — plan-guarded like
+    // q61n. One maintained view answering its whole drill-down family is
+    // the scale story: at 100 TB the dashboard hierarchy reads kilobytes.
+    QDef.df("q61o_matview_rollup",
+      s"""$SRC,
+         |r AS (SELECT data['primary_key'] AS pk,
+         |             CAST(data['row']['qty'] AS BIGINT) AS qty,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
+         |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
+         |      FROM f),
+         |live AS (SELECT qty FROM r WHERE rn = 1 AND NOT is_del)
+         |SELECT qty % 4 AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |       CAST(min(qty) AS BIGINT) AS min_qty,
+         |       CAST(max(qty) AS BIGINT) AS max_qty
+         |FROM live GROUP BY 1""".stripMargin) { (s, _) =>
+      val (src, srcDir) = freshSnapshotSink("q61o_src")
+      val (agg, aggDir) = freshSnapshotSink("q61o_agg")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .withColumn("qty_l", col("row_qty").cast("long"))
+        .withColumn("grp", col("row_qty").cast("long") % 4)
+        .withColumn("sub", col("row_qty").cast("long") % 8)
+      val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp", "sub"),
+        Seq(count(lit(1)).as("n_rows"), sum(col("qty_l")).as("sum_qty"),
+          min(col("qty_l")).as("min_qty"), max(col("qty_l")).as("max_qty")))
+      src.merge(flat, Seq("primary_key"), "seq", "is_delete")
+      m.refresh(s)
+      graft.sink.MaterializedAgg.register(m)
+      try {
+        val out = s.read.format("graft-snapshot").load(srcDir)
+          .where(!col("__is_deleted"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty_l")).as("sum_qty"),
+            min(col("qty_l")).as("min_qty"), max(col("qty_l")).as("max_qty"))
+        val leaves = out.queryExecution.optimizedPlan.collectLeaves().flatMap {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.toSeq.map(_.toUri.getPath)
+              case _ => Nil
+            }
+          case other => Seq(other.nodeName)
+        }
+        require(leaves.nonEmpty && leaves.forall(_.startsWith(aggDir)),
+          s"matview roll-up rewrite did not fire: plan scans $leaves")
+        out
+      } finally graft.sink.MaterializedAgg.unregister(m)
+    },
+
     // Tombstone purge (Kafka log-compaction's delete-retention analog):
     // tombstones at or below the replay horizon (1200) drop in one fresh
     // commit; newer tombstones stay (a replayed stale pre-delete event

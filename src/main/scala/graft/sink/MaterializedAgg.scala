@@ -52,8 +52,8 @@ import org.apache.spark.sql.functions._
 final class MaterializedAgg(
     val source: SnapshotParquetSink,
     val sink: SnapshotParquetSink,
-    groupCols: Seq[String],
-    aggs: Seq[Column],
+    val groupCols: Seq[String],
+    val aggs: Seq[Column],
     seqCol: String = "seq") {
 
   require(groupCols.nonEmpty, "materialized aggregate needs group columns")
@@ -150,7 +150,63 @@ final class MaterializedAgg(
     }
   }
 
+  /** The aggregate-table version that reflects exactly `sourceVersion` —
+    * the newest agg version whose recorded maxseq equals it (every refresh
+    * stamps its rows with the source version it computed from, so the agg
+    * manifest's maxseq IS the applied source version). None when that
+    * source version was never refreshed into the view, was vacuumed out of
+    * the agg history, or the matching refresh was a dirty-group no-op
+    * (seq-only churn advances no manifest — semantically current, but this
+    * method cannot prove it cheaply, so callers treat it as stale).
+    */
+  def versionFor(sourceVersion: Long): Option[Long] =
+    sink.versions.reverse.find(v =>
+      SnapshotParquetSink.manifestMaxSeq(sink.dir, v).contains(sourceVersion))
+
   /** The maintained aggregate — live groups only. */
   def read(spark: SparkSession): DataFrame =
     sink.read(spark, DeleteMode.Hard)
+}
+
+/** Registry for automatic query rewrite ([[graft.plans.MatViewRewrite]]):
+  * a registered view makes any session with [[graft.GraftExtensions]]
+  * installed answer a matching `GROUP BY` over the SOURCE table from the
+  * maintained aggregate instead — when, and only when, the view has been
+  * refreshed to the exact source version the query would scan. Process-wide
+  * (the optimizer rule object is too); keys are source-table dirs, so two
+  * views over one source cannot both be registered — last registration
+  * wins, mirroring how a warehouse resolves one matview per rewrite slot.
+  */
+object MaterializedAgg {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MaterializedAgg]()
+
+  /** Scheme-insensitive dir key ("file:/x" and "/x" are the same table on
+    * the test fs; on a real cluster both sides of a lookup come from the
+    * same FileSystem so stripping the scheme cannot collide).
+    */
+  private[graft] def normDir(dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    (if (p == null || p.isEmpty) dir else p).stripSuffix("/")
+  }
+
+  def register(m: MaterializedAgg): Unit = {
+    registry.put(normDir(m.source.dir), m)
+    ()
+  }
+
+  def unregister(m: MaterializedAgg): Unit = {
+    registry.remove(normDir(m.source.dir), m)
+    ()
+  }
+
+  def registered(sourceDir: String): Option[MaterializedAgg] =
+    Option(registry.get(normDir(sourceDir)))
+
+  private[graft] def registeredViews: Seq[MaterializedAgg] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.toSeq
+  }
+
+  private[graft] def anyRegistered: Boolean = !registry.isEmpty
 }

@@ -296,8 +296,21 @@ private[sources] object SnapshotState {
   }
 }
 
+/** Public face of the DSv2 snapshot table for planner rules: the committed
+  * (dir, version) a scan is pinned to. [[graft.plans.MatViewRewrite]] keys
+  * its registry lookup and staleness check off these — the version pin is
+  * what lets the rewrite substitute the matview state matching EXACTLY the
+  * source version this scan would read, not "whatever is current now".
+  */
+trait GraftSnapshotTable {
+  def snapshotDir: String
+  def snapshotVersion: Long
+}
+
 private[sources] final class SnapshotTable(state: SnapshotState, schema0: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with GraftSnapshotTable {
+  override def snapshotDir: String = state.dir
+  override def snapshotVersion: Long = state.version
   override def name(): String = s"graft-snapshot `${state.dir}` v${state.version}"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
