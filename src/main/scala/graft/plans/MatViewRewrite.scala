@@ -199,7 +199,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private case class GroupOut(name: String) extends OutCol
   /** Exact grouping: the matview column already holds the value. */
   private case class DirectOut(name: String) extends OutCol
-  /** Subset grouping: re-fold the matview column. */
+  /** Exact grouping: a per-row computation over matview columns (avg =
+    * sum_x / n_x). */
+  private case class ComputedOut(c: Column) extends OutCol
+  /** Subset grouping: re-fold matview columns. */
   private case class RefoldOut(c: Column) extends OutCol
 
   /** For each output column of the user aggregate, how to produce it from
@@ -247,10 +250,48 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         case Some((e, n)) =>
           if (exact) DirectOut(n)
           else refold(e, n).getOrElse(return None)
-        case None => return None
+        case None => avgOut(c, expPairs, exact).getOrElse(return None)
       }
     }
     Some((userGroupNames, outs))
+  }
+
+  /** `avg(x)` decomposes when the view carries BOTH `sum(x)` and `count(x)`
+    * (the non-null count — count(1) only equals it for non-nullable x,
+    * which a parquet-read schema cannot promise): per group avg = sum_x /
+    * n_x, rolled up avg = sum(sum_x) / sum(n_x). The division matches
+    * Spark's own Average lowering (both sides cast to double for integral
+    * input); decimal averages change precision under re-division and are
+    * rejected by the replacement's type check.
+    */
+  private def avgOut(c: Expression, expPairs: Seq[(Expression, String)],
+      exact: Boolean): Option[OutCol] = c match {
+    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case av: org.apache.spark.sql.catalyst.expressions.aggregate.Average =>
+          def find(p: Expression => Boolean): Option[String] =
+            expPairs.collectFirst {
+              case (e: AggregateExpression, n)
+                  if !e.isDistinct && e.filter.isEmpty && p(e.aggregateFunction) => n
+            }
+          val sumName = find {
+            case s: Sum => matches(s.child, av.child)
+            case _      => false
+          }
+          val cntName = find {
+            case cnt: Count =>
+              cnt.children.length == 1 && matches(cnt.children.head, av.child)
+            case _ => false
+          }
+          (sumName, cntName) match {
+            case (Some(s), Some(n)) =>
+              if (exact) Some(ComputedOut(col(s) / col(n)))
+              else Some(RefoldOut(sum(col(s)) / sum(col(n))))
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
   }
 
   /** The re-aggregation of matview column `viewCol` that equals running the
@@ -285,16 +326,28 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val refolds = outs.zipWithIndex.collect {
       case (RefoldOut(c), i) => c.as(s"__mv_o$i")
     }
+    val computed = outs.zipWithIndex.collect {
+      case (ComputedOut(c), i) => c.as(s"__mv_o$i")
+    }
     val outNames = outs.zipWithIndex.map {
-      case (GroupOut(n), _)  => n
-      case (DirectOut(n), _) => n
-      case (RefoldOut(_), i) => s"__mv_o$i"
+      case (GroupOut(n), _)    => n
+      case (DirectOut(n), _)   => n
+      case (ComputedOut(_), i) => s"__mv_o$i"
+      case (RefoldOut(_), i)   => s"__mv_o$i"
     }
     val mv: LogicalPlan =
       if (refolds.nonEmpty)
         mvDf.groupBy(groupNames.map(col): _*).agg(refolds.head, refolds.tail: _*)
           .queryExecution.analyzed
-      else if (groupNames.size < m.groupCols.size) {
+      else if (computed.nonEmpty) {
+        // exact grouping with derived outputs (avg): project them alongside
+        // the pass-through view columns
+        val named = outs.collect {
+          case GroupOut(n)  => n
+          case DirectOut(n) => n
+        }.distinct
+        mvDf.select(named.map(col) ++ computed: _*).queryExecution.analyzed
+      } else if (groupNames.size < m.groupCols.size) {
         // group-cols-only subset: distinct groups, as an explicit Aggregate
         // (a .distinct() Deduplicate node would arrive after the optimizer
         // batch that lowers it to an aggregate has already run)

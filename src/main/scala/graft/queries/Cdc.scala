@@ -290,20 +290,30 @@ object Cdc {
          |FROM live GROUP BY 1""".stripMargin) { (s, _) =>
       val (src, _) = freshSnapshotSink("q61m_src")
       val (agg, _) = freshSnapshotSink("q61m_agg")
+      // cached: every merge action re-walks the batch (affected buckets,
+      // max seq, write), and without the cache each walk re-parses the JSON
+      // fixture — the multi-version catch-up shape itself lives in
+      // MaterializedAggSpec; here two waves exercise initial build + one
+      // incremental refresh with updates, deletes and group moves
       val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
         .withColumn("grp", col("row_qty").cast("long") % 3)
-      val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp"),
-        Seq(count(lit(1)).cast("bigint").as("n_rows"),
-          sum(col("row_qty").cast("long")).as("sum_qty"),
-          min(col("row_qty").cast("long")).as("min_qty"),
-          max(col("row_qty").cast("long")).as("max_qty")))
-      for (wave <- Seq(col("seq") <= 600, col("seq") > 600 && col("seq") <= 1200,
-          col("seq") > 1200)) {
-        src.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
-        m.refresh(s)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp"),
+          Seq(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("row_qty").cast("long")).as("sum_qty"),
+            min(col("row_qty").cast("long")).as("min_qty"),
+            max(col("row_qty").cast("long")).as("max_qty")))
+        for (wave <- Seq(col("seq") <= 600, col("seq") > 600)) {
+          src.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
+          m.refresh(s)
+        }
+        m.read(s).select(col("grp"), col("n_rows"), col("sum_qty"),
+          col("min_qty"), col("max_qty"))
+      } finally {
+        flat.unpersist()
+        ()
       }
-      m.read(s).select(col("grp"), col("n_rows"), col("sum_qty"),
-        col("min_qty"), col("max_qty"))
     },
 
     // Materialized-view QUERY REWRITE ([[graft.plans.MatViewRewrite]]): the
@@ -330,11 +340,17 @@ object Cdc {
       val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
         .withColumn("qty_l", col("row_qty").cast("long"))
         .withColumn("grp", col("row_qty").cast("long") % 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp"),
         Seq(count(lit(1)).as("n_rows"), sum(col("qty_l")).as("sum_qty")))
-      for (wave <- Seq(col("seq") <= 900, col("seq") > 900)) {
-        src.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
-        m.refresh(s)
+      try {
+        for (wave <- Seq(col("seq") <= 900, col("seq") > 900)) {
+          src.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
+          m.refresh(s)
+        }
+      } finally {
+        flat.unpersist()
+        ()
       }
       graft.sink.MaterializedAgg.register(m)
       try {
@@ -384,11 +400,17 @@ object Cdc {
         .withColumn("qty_l", col("row_qty").cast("long"))
         .withColumn("grp", col("row_qty").cast("long") % 4)
         .withColumn("sub", col("row_qty").cast("long") % 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp", "sub"),
         Seq(count(lit(1)).as("n_rows"), sum(col("qty_l")).as("sum_qty"),
           min(col("qty_l")).as("min_qty"), max(col("qty_l")).as("max_qty")))
-      src.merge(flat, Seq("primary_key"), "seq", "is_delete")
-      m.refresh(s)
+      try {
+        src.merge(flat, Seq("primary_key"), "seq", "is_delete")
+        m.refresh(s)
+      } finally {
+        flat.unpersist()
+        ()
+      }
       graft.sink.MaterializedAgg.register(m)
       try {
         val out = s.read.format("graft-snapshot").load(srcDir)

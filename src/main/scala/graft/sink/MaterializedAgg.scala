@@ -16,14 +16,14 @@ import org.apache.spark.sql.functions._
   * `min`/`max`/`count_distinct`/anything Spark can express.
   *
   * Per [[refresh]]:
-  *   1. the source's change feed between the last applied version and its
-  *      current version names the changed KEYS
-  *      ([[SnapshotParquetSink.changesBetween]] — column-pruned key+seq
-  *      scans, works across compactions);
-  *   2. the changed keys' rows AT BOTH VERSIONS name the dirty GROUPS
-  *      (both sides, because an update can MOVE a row between groups —
-  *      the old group must shrink and the new one grow);
-  *   3. dirty groups recompute from the source's current snapshot and
+  *   1. a key-level full outer join of the live states at the last applied
+  *      version and the current version names the dirty GROUPS in one
+  *      column-pruned pass (same change semantics as
+  *      [[SnapshotParquetSink.changesBetween]]: presence diff + null-safe
+  *      seq inequality; BOTH sides' group values count, because an update
+  *      can MOVE a row between groups — the old group must shrink and the
+  *      new one grow);
+  *   2. dirty groups recompute from the source's current snapshot and
   *      MERGE into the aggregate table (affected buckets only); groups
   *      with no remaining rows merge as logical deletes.
   *
@@ -76,7 +76,7 @@ final class MaterializedAgg(
     // parquet field names and useless downstream; demand explicit aliases
     names.foreach(n => require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"aggregate columns must be aliased (.as(...)): got '$n'"))
-    val reserved = Set("seq", "__del")
+    val reserved = Set("seq", "__del", "__present")
     require(names.forall(n => !reserved(n)),
       s"aggregate names $names collide with bookkeeping columns $reserved")
     g
@@ -101,48 +101,78 @@ final class MaterializedAgg(
     appliedVersion match {
       case Some(applied) if applied >= srcV => None
       case None =>
-        // initial build: the whole current snapshot, one grouped pass
+        // initial build: the whole current snapshot, one grouped pass.
+        // Persisted because merge evaluates its input several times
+        // (affected buckets, max seq, write) — O(groups) rows, spillable.
         val full = grouped(source.readAt(spark, srcV, DeleteMode.Hard))
           .withColumn("seq", lit(srcV))
           .withColumn("__del", lit(false))
-        sink.merge(full, groupCols, "seq", "__del")
-        Some(srcV)
-      case Some(applied) =>
-        val srcKeys = SnapshotParquetSink.manifestKeys(source.dir, srcV)
-        val changedKeys = source
-          .changesBetween(spark, applied, srcV, seqCol)
-          .select(srcKeys.map(col): _*)
-        // dirty groups = groups of the changed keys' rows at EITHER version
-        // (an update can move a row between groups; a delete's group is
-        // only visible on the from side)
-        def groupsOf(v: Long): DataFrame = {
-          val rows = source.readAt(spark, v, DeleteMode.Hard).alias("r")
-          val ck = changedKeys.alias("ck")
-          rows.join(ck,
-              srcKeys.map(k => col(s"r.$k") <=> col(s"ck.$k")).reduce(_ && _),
-              "left_semi")
-            .select(groupCols.map(col): _*).distinct()
-        }
-        val dirty = groupsOf(applied).union(groupsOf(srcV)).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (dirty.isEmpty) return Some(srcV) // seq-only churn: no group moved
+          sink.merge(full, groupCols, "seq", "__del")
+          Some(srcV)
+        } finally {
+          full.unpersist()
+          ()
+        }
+      case Some(applied) =>
+        val srcKeys = SnapshotParquetSink.manifestKeys(source.dir, srcV)
+        // dirty groups = groups of the changed keys' rows at EITHER version
+        // (an update can move a row between groups; a delete's group is
+        // only visible on the from side). ONE plan — a key-level full outer
+        // join of the two live states carrying both sides' group columns —
+        // instead of running the change feed and then re-reading both
+        // versions to recover groups (same change semantics as
+        // [[SnapshotParquetSink.changesBetween]]: presence diff + null-safe
+        // seq inequality; a carried row's value cannot change without its
+        // seq changing, the stored last-write seq stands in for value
+        // comparison)
+        val probeCols = (srcKeys ++ groupCols :+ seqCol).distinct
+        def side(v: Long, marker: String): DataFrame =
+          source.readAt(spark, v, DeleteMode.Hard)
+            .select(probeCols.map(col): _*)
+            .withColumn(marker, lit(true))
+        val a = side(applied, "__pa").alias("a")
+        val b = side(srcV, "__pb").alias("b")
+        val keyCond = srcKeys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+        val changed = a.join(b, keyCond, "full_outer")
+          .filter(col("a.__pa").isNull || col("b.__pb").isNull ||
+            !(col(s"a.$seqCol") <=> col(s"b.$seqCol")))
+        def groupsIfPresent(tag: String, marker: String) =
+          when(col(marker).isNotNull,
+            struct(groupCols.map(n => col(s"$tag.$n").as(n)): _*))
+        val dirty = changed
+          .select(explode(array(groupsIfPresent("a", "a.__pa"),
+            groupsIfPresent("b", "b.__pb"))).as("g"))
+          .filter(col("g").isNotNull)
+          .select(groupCols.map(n => col(s"g.$n").as(n)): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
           val snap = source.readAt(spark, srcV, DeleteMode.Hard)
           val touched = snap.join(dirty, groupCond(snap, dirty), "left_semi")
           val recomputed = grouped(touched)
-          // groups with no remaining rows vanish from the aggregate —
-          // merged as logical deletes so history stays time-travelable
-          val gone = dirty.join(recomputed, groupCond(dirty, recomputed),
-            "left_anti")
-          val delta = recomputed.withColumn("__del", lit(false))
-            .unionByName(
-              aggNamesOf(recomputed)
-                .foldLeft(gone)((df, n) => df.withColumn(n, lit(null)))
-                .withColumn("__del", lit(true)),
-              allowMissingColumns = false)
+          val names = aggNamesOf(recomputed)
+          // one outer join covers both cases: dirty groups that still have
+          // rows get their recomputed aggregates; groups with no remaining
+          // rows (marker null) merge as logical deletes so history stays
+          // time-travelable. Seq-only churn (dirty empty) flows through as
+          // an empty delta — merge's affected-buckets check no-ops it.
+          val marked = recomputed.withColumn("__present", lit(true))
+          val delta = dirty
+            .join(marked, groupCond(dirty, marked), "left_outer")
+            .select(groupCols.map(dirty(_)) ++ names.map(marked(_)) :+
+              marked("__present").isNull.as("__del"): _*)
             .withColumn("seq", lit(srcV))
-          sink.merge(delta, groupCols, "seq", "__del")
-          Some(srcV)
+            // merge walks this several times; without the persist every walk
+            // re-runs the whole recompute join pipeline — O(dirty groups)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            sink.merge(delta, groupCols, "seq", "__del")
+            Some(srcV)
+          } finally {
+            delta.unpersist()
+            ()
+          }
         } finally {
           dirty.unpersist()
           ()

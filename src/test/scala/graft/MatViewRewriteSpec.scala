@@ -224,6 +224,35 @@ class MatViewRewriteSpec extends SparkSpec {
     } finally MaterializedAgg.unregister(m)
   }
 
+  test("avg decomposes from sum(x) + count(x), exact and rolled up") {
+    val srcDir = tmpDir("mvr_avg_src")
+    val aggDir = tmpDir("mvr_avg_agg")
+    val src = new SnapshotParquetSink(srcDir, nBuckets = 4)
+    val agg = new SnapshotParquetSink(aggDir, nBuckets = 4)
+    // count(v) — the NON-NULL count avg needs — not count(1)
+    val m = new MaterializedAgg(src, agg, Seq("grp", "sub"),
+      Seq(sum(col("v")).as("sv"), count(col("v")).as("nv")))
+    src.merge(rows2((1, "a", "x", 10, 1), (2, "a", "y", 20, 2),
+      (3, "b", "x", 5, 3), (4, "b", "x", 6, 4)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    MaterializedAgg.register(m)
+    try {
+      dsv2(srcDir).createOrReplaceTempView("mvr_avg_snap")
+      // exact grouping: avg = sv / nv per view row
+      val exact = spark.sql("SELECT grp, sub, avg(v) AS av FROM mvr_avg_snap " +
+        "WHERE NOT __is_deleted GROUP BY grp, sub")
+      assert(readsOnly(exact, aggDir), s"got ${scanned(exact)}")
+      assert(exact.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet ==
+        Set(("a", "x", 10.0), ("a", "y", 20.0), ("b", "x", 5.5)))
+      // roll-up: avg = sum(sv) / sum(nv)
+      val rolled = spark.sql("SELECT grp, avg(v) AS av FROM mvr_avg_snap " +
+        "WHERE NOT __is_deleted GROUP BY grp")
+      assert(readsOnly(rolled, aggDir), s"got ${scanned(rolled)}")
+      assert(rolled.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+        Set(("a", 15.0), ("b", 5.5)))
+    } finally MaterializedAgg.unregister(m)
+  }
+
   test("grand-total count over a view with zero live groups is 0, not null") {
     val (src, m, srcDir, aggDir) = mk2("empty")
     src.merge(rows2((1, "a", "x", 10, 1), (2, "b", "y", 20, 2)),
