@@ -433,6 +433,69 @@ object Cdc {
       } finally graft.sink.MaterializedAgg.unregister(m)
     },
 
+    // Incrementally-maintained materialized JOIN view
+    // ([[graft.sink.MaterializedJoin]]): orders enriched with their
+    // customer's name (FK = the fixture's deterministic 200+(id%100) map
+    // onto the customers key space, the q66f construction), maintained
+    // from BOTH sides' changes — the second wave advances fact AND dim
+    // together, so the refresh must fan dim updates out to referencing
+    // facts, re-point re-keyed facts, and null out deleted customers
+    // (left_outer). The oracle replays both logs once and joins the final
+    // live states from scratch.
+    QDef.df("q61p_matjoin_view",
+      s"""$SRC,
+         |o AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS pk,
+         |             CAST(data['row']['qty'] AS BIGINT) AS qty, seq,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
+         |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
+         |      FROM f),
+         |olive AS (SELECT pk, qty,
+         |                 CAST(200 + CAST(pk AS INT) % 100 AS VARCHAR) AS fk
+         |          FROM o WHERE rn = 1 AND NOT is_del),
+         |c AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS pk,
+         |             CAST(data['row']['name'] AS VARCHAR) AS cname, seq,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
+         |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
+         |      FROM src
+         |      WHERE data['database_name'] || '.' ||
+         |            regexp_replace(data['table_name'], '_part_[0-9]+$$', '') = 'shop.customers'),
+         |clive AS (SELECT pk, cname FROM c WHERE rn = 1 AND NOT is_del)
+         |SELECT olive.pk AS primary_key, olive.qty AS qty, olive.fk AS fk,
+         |       clive.cname AS cust_name
+         |FROM olive LEFT JOIN clive ON olive.fk = clive.pk""".stripMargin) { (s, _) =>
+      val (fSink, _) = freshSnapshotSink("q61p_f")
+      val (dSink, _) = freshSnapshotSink("q61p_d")
+      val (vSink, _) = freshSnapshotSink("q61p_v")
+      val orders = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .select(col("primary_key"), col("seq"), col("is_delete"),
+          col("row_qty").cast("long").as("qty"),
+          (lit(200) + col("primary_key").cast("int") % 100).cast("string").as("fk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val custs = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.customers"))
+        .select(col("primary_key").as("fk"), col("seq"), col("is_delete"),
+          col("row_name").as("cust_name"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val m = new graft.sink.MaterializedJoin(fSink, dSink, vSink,
+          Seq("fk"), Seq("cust_name"))
+        fSink.merge(orders, Seq("primary_key"), "seq", "is_delete")
+        dSink.merge(custs.filter(col("seq") <= 600), Seq("fk"), "seq", "is_delete")
+        m.refresh(s)
+        // dim-only advance: the refresh must fan customer updates out to
+        // every referencing order and null the deleted customers, touching
+        // only referencing fact rows (the fact-side diff is skipped — the
+        // fact did not advance); fact-side incremental maintenance is
+        // spec-covered (MaterializedJoinSpec)
+        dSink.merge(custs.filter(col("seq") > 600), Seq("fk"), "seq", "is_delete")
+        m.refresh(s)
+        m.read(s).select(col("primary_key"), col("qty"), col("fk"), col("cust_name"))
+      } finally {
+        orders.unpersist()
+        custs.unpersist()
+        ()
+      }
+    },
+
     // Tombstone purge (Kafka log-compaction's delete-retention analog):
     // tombstones at or below the replay horizon (1200) drop in one fresh
     // commit; newer tombstones stay (a replayed stale pre-delete event
