@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def terms(e: Expression, what: String): Seq[String] =
     litStr(e, what).split("\\s+").toSeq.filter(_.nonEmpty)
 
+  /** One-row status frame for the matview admin table functions. */
+  private def mvStatus(spark: SparkSession, srcDir: String, aggDir: String,
+      applied: Option[Long]): LogicalPlan = {
+    import spark.implicits._
+    Seq((srcDir, aggDir, applied.getOrElse(-1L)))
+      .toDF("source_dir", "agg_dir", "applied_version")
+      .queryExecution.logical
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // ---- table functions (SQL-only pipeline surface)
     ext.injectTableFunction((
@@ -103,6 +112,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .changesBetween(SparkSession.active,
             litInt(exprs(1), "fromVersion").toLong, litInt(exprs(2), "toVersion").toLong)
           .queryExecution.logical: LogicalPlan
+      }))
+    // ---- materialized views from SQL: define-or-advance an IVM aggregate
+    // over a snapshot table and register it for automatic query rewrite
+    // ([[graft.plans.MatViewRewrite]]). Aggregate expressions are
+    // ';'-separated SQL (commas appear inside calls): "sum(v) AS sv;
+    // count(v) AS nv". Re-running the define is idempotent: refresh only
+    // advances, registration is last-wins.
+    ext.injectTableFunction((
+      FunctionIdentifier("matagg_define"),
+      new ExpressionInfo(classOf[graft.sink.MaterializedAgg].getName, "matagg_define"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4 || exprs.length == 5,
+          "matagg_define(sourceDir, aggDir, groupColsCsv, aggExprsSemicolonSep[, nBuckets])")
+        val spark = SparkSession.active
+        val srcDir = litStr(exprs(0), "sourceDir")
+        val aggDir = litStr(exprs(1), "aggDir")
+        val groups = litStr(exprs(2), "groupCols")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val aggCols = litStr(exprs(3), "aggExprs")
+          .split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
+        val src = graft.sink.SnapshotParquetSink.forTable(srcDir)
+        val sink =
+          if (graft.sink.SnapshotParquetSink.versions(aggDir).nonEmpty)
+            graft.sink.SnapshotParquetSink.forTable(aggDir)
+          else new graft.sink.SnapshotParquetSink(aggDir,
+            nBuckets = if (exprs.length == 5) litInt(exprs(4), "nBuckets") else 16)
+        val m = new graft.sink.MaterializedAgg(src, sink, groups, aggCols)
+        val applied = m.refresh(spark).orElse(m.appliedVersion)
+        graft.sink.MaterializedAgg.register(m)
+        mvStatus(spark, srcDir, aggDir, applied)
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("matview_refresh"),
+      new ExpressionInfo(classOf[graft.sink.MaterializedAgg].getName, "matview_refresh"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "matview_refresh(sourceDir)")
+        val spark = SparkSession.active
+        val srcDir = litStr(exprs(0), "sourceDir")
+        val m = graft.sink.MaterializedAgg.registered(srcDir).getOrElse(
+          sys.error(s"no materialized view registered for source $srcDir — " +
+            "matagg_define it first"))
+        val applied = m.refresh(spark).orElse(m.appliedVersion)
+        mvStatus(spark, srcDir, m.sink.dir, applied)
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("matview_unregister"),
+      new ExpressionInfo(classOf[graft.sink.MaterializedAgg].getName, "matview_unregister"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "matview_unregister(sourceDir)")
+        val spark = SparkSession.active
+        val srcDir = litStr(exprs(0), "sourceDir")
+        val m = graft.sink.MaterializedAgg.registered(srcDir)
+        m.foreach(graft.sink.MaterializedAgg.unregister)
+        mvStatus(spark, srcDir, m.map(_.sink.dir).getOrElse(""),
+          m.flatMap(_.appliedVersion))
       }))
     ext.injectTableFunction((
       FunctionIdentifier("lsh_candidates"),

@@ -50,9 +50,10 @@ import graft.sources.GraftSnapshotTable
   *     same-type casts stripped — the optimizer folds those on the query
   *     side only). Output columns may be any subset/reordering/renaming.
   *   - the view is refreshed to EXACTLY the source version the query is
-  *     pinned to (the DSv2 relation pins at analysis; the V1 shape carries
-  *     no pin and uses the source's current version). Stale view ⇒ the
-  *     original plan runs — freshness is a hard gate, not a best effort.
+  *     pinned to (the DSv2 relation records it; the V1 shape recovers it
+  *     by matching the scan's resolved file list against the manifests).
+  *     Stale view ⇒ the original plan runs — freshness is a hard gate,
+  *     not a best effort.
   *   - every replacement column's type equals the original output's (a
   *     refolded decimal sum widens precision again, for example — type
   *     mismatch means no rewrite, not a cast).
@@ -176,11 +177,33 @@ object MatViewRewrite extends Rule[LogicalPlan] {
                 roots.forall(rp =>
                   Option(rp.toUri.getPath).exists(_.startsWith(dir + "/data/")))
               }
-              .map(m => (m, None)) // V1 scan carries no version pin
+              .flatMap { m =>
+                // the V1 scan is pinned to the FILE LIST resolved when the
+                // DataFrame was built — recover its version by matching
+                // against the manifests. Substituting "current" instead
+                // would be a wrong answer when source + view advanced
+                // between frame construction and this optimization.
+                v1PinnedVersion(m, roots.flatMap(r => Option(r.toUri.getPath)))
+                  .map(v => (m, Some(v)))
+              }
           case _ => None
         }
       case _ => None
     }
+
+  /** The source version whose manifest lists exactly these bucket files —
+    * newest-first so the common "scan of the current version" resolves on
+    * the first probe. None (no rewrite) for a file set no retained
+    * manifest explains.
+    */
+  private def v1PinnedVersion(m: MaterializedAgg, paths: Seq[String]): Option[Long] = {
+    val dir = MaterializedAgg.normDir(m.source.dir)
+    val scanned = paths.map(_.stripPrefix(dir).stripPrefix("/")).toSet
+    m.source.versions.reverse.find { v =>
+      graft.sink.SnapshotParquetSink.manifest(m.source.dir, v)
+        ._2.values.toSet == scanned
+    }
+  }
 
   /** Same-type casts fold on the (partially optimized) query side but not
     * on the analyzed-only expected side — strip them from both before

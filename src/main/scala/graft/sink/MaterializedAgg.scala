@@ -128,12 +128,21 @@ final class MaterializedAgg(
         // seq changing, the stored last-write seq stands in for value
         // comparison)
         val probeCols = (srcKeys ++ groupCols :+ seqCol).distinct
-        def side(v: Long, marker: String): DataFrame =
-          source.readAt(spark, v, DeleteMode.Hard)
-            .select(probeCols.map(col): _*)
-            .withColumn(marker, lit(true))
-        val a = side(applied, "__pa").alias("a")
-        val b = side(srcV, "__pb").alias("b")
+        // each side reads only the buckets whose file differs between the
+        // two manifests — shared files are byte-identical and keys route
+        // to the same bucket, so untouched buckets cannot contribute dirt.
+        // Changed files predating an evolution-added group column fall
+        // back to the full read (rare; footer check is changed-files-only)
+        def side(v: Long, other: Long, marker: String): DataFrame = {
+          val rows = source.readChangedAt(spark, v, other, DeleteMode.Hard) match {
+            case Some(part) if probeCols.forall(part.columns.contains) => part
+            case Some(_) => source.readAt(spark, v, DeleteMode.Hard)
+            case None => source.readAt(spark, v, DeleteMode.Hard).filter(lit(false))
+          }
+          rows.select(probeCols.map(col): _*).withColumn(marker, lit(true))
+        }
+        val a = side(applied, srcV, "__pa").alias("a")
+        val b = side(srcV, applied, "__pb").alias("b")
         val keyCond = srcKeys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
         val changed = a.join(b, keyCond, "full_outer")
           .filter(col("a.__pa").isNull || col("b.__pb").isNull ||
@@ -148,9 +157,29 @@ final class MaterializedAgg(
           .select(groupCols.map(n => col(s"g.$n").as(n)): _*).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val snap = source.readAt(spark, srcV, DeleteMode.Hard)
+          // KEYED VIEWS (groupCols ⊇ merge keys — per-key rollups): a dirty
+          // group's rows all share its key, the key routes to one bucket,
+          // and that bucket's file changed with the key — so the recompute
+          // scan itself reads only CHANGED buckets and the whole refresh is
+          // O(changed), never O(table). Cross-key rollups must scan the
+          // snapshot (exact min/max needs every surviving row of a dirty
+          // group, and those live anywhere). Evolution corner (an agg
+          // column the changed files predate) falls back to the full scan.
+          val keyDetermined = srcKeys.forall(groupCols.contains)
+          def fullSnap = source.readAt(spark, srcV, DeleteMode.Hard)
+          val snap =
+            if (keyDetermined)
+              source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
+                .getOrElse(fullSnap.filter(lit(false)))
+            else fullSnap
           val touched = snap.join(dirty, groupCond(snap, dirty), "left_semi")
-          val recomputed = grouped(touched)
+          val recomputed =
+            try grouped(touched)
+            catch {
+              case _: org.apache.spark.sql.AnalysisException if keyDetermined =>
+                val t = fullSnap.join(dirty, groupCond(fullSnap, dirty), "left_semi")
+                grouped(t)
+            }
           val names = aggNamesOf(recomputed)
           // one outer join covers both cases: dirty groups that still have
           // rows get their recomputed aggregates; groups with no remaining

@@ -102,11 +102,17 @@ final class MaterializedJoin(
   private def changedKeys(spark: SparkSession, table: SnapshotParquetSink,
       keys: Seq[String], seqCol: String, fromV: Long, toV: Long): DataFrame = {
     val cols = (keys :+ seqCol).distinct
-    def side(v: Long, marker: String) =
-      table.readAt(spark, v, DeleteMode.Hard)
-        .select(cols.map(col): _*).withColumn(marker, lit(true))
-    val a = side(fromV, "__pa").alias("a")
-    val b = side(toV, "__pb").alias("b")
+    // changed-bucket pruning: see [[SnapshotParquetSink.readChangedAt]]
+    def side(v: Long, other: Long, marker: String) = {
+      val rows = table.readChangedAt(spark, v, other, DeleteMode.Hard) match {
+        case Some(part) if cols.forall(part.columns.contains) => part
+        case Some(_) => table.readAt(spark, v, DeleteMode.Hard)
+        case None => table.readAt(spark, v, DeleteMode.Hard).filter(lit(false))
+      }
+      rows.select(cols.map(col): _*).withColumn(marker, lit(true))
+    }
+    val a = side(fromV, toV, "__pa").alias("a")
+    val b = side(toV, fromV, "__pb").alias("b")
     val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
     a.join(b, cond, "full_outer")
       .filter(col("a.__pa").isNull || col("b.__pb").isNull ||

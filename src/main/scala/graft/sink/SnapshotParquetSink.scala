@@ -629,13 +629,48 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     require(Dfs.exists(manifestPath(version)),
       s"snapshot v$version does not exist at $dir (vacuumed or never published)")
     val paths = readManifest(version).toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
-    val t = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      .drop("__gen", "__bucket")
+    shape(spark.read.option("mergeSchema", "true").parquet(paths: _*), mode)
+  }
+
+  private def shape(t0: DataFrame, mode: DeleteMode): DataFrame = {
+    val t = t0.drop("__gen", "__bucket")
     mode match {
       case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")
       case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")
     }
   }
+
+  /** Version `version`'s bucket files that DIFFER from version `other`'s
+    * manifest entry for the same bucket. Buckets sharing a file between the
+    * two manifests are byte-identical: a keyed diff between the versions
+    * can skip them on BOTH sides (keys route to the same bucket under one
+    * layout), so change feeds and IVM refreshes scan CHANGED buckets, not
+    * the table. A layout change (rebucket, compaction, replaceAll) makes
+    * every entry differ — correct, just unpruned.
+    */
+  def changedEntriesAt(version: Long, other: Long): Seq[String] = {
+    val theirs = readManifest(other)
+    readManifest(version).toSeq.sortBy(_._1).collect {
+      case (b, rel) if !theirs.get(b).contains(rel) => s"$dir/$rel"
+    }
+  }
+
+  /** The state at `version` restricted to buckets that differ from `other`
+    * (see [[changedEntriesAt]]) — the diff-side read for change feeds and
+    * IVM refreshes. None when the versions share every file (no possible
+    * change). Schema = mergeSchema over the CHANGED files only — footer IO
+    * stays proportional to the change, not the table (keys, seq and the
+    * delete flag exist in every committed file; a caller needing an
+    * evolution-era column absent from old changed files checks `columns`
+    * and falls back to [[readAt]]).
+    */
+  def readChangedAt(spark: SparkSession, version: Long, other: Long,
+      mode: DeleteMode): Option[DataFrame] =
+    changedEntriesAt(version, other) match {
+      case Nil => None
+      case paths =>
+        Some(shape(spark.read.option("mergeSchema", "true").parquet(paths: _*), mode))
+    }
 
   /** Point lookup against the LATEST snapshot, reading only the key's
     * bucket file — manifest + hash layout turn a key probe into one
@@ -711,10 +746,12 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     * the key columns, `change`, `seq_from` (null for insert), `seq_to`
     * (null for delete).
     *
-    * Scale shape: both sides are manifest-pruned scans of key+seq columns
-    * only; the full outer join shuffles on the merge key — the same join
-    * any consumer-side diff pays, but over two column-pruned snapshots
-    * instead of full rows.
+    * Scale shape: both sides read only the buckets whose FILE differs
+    * between the two manifests ([[readChangedAt]] — shared files are
+    * byte-identical and keys route to the same bucket under one layout),
+    * column-pruned to key+seq; the full outer join shuffles on the merge
+    * key — the same join any consumer-side diff pays, but over two
+    * changed-bucket projections instead of full snapshots.
     */
   def changesBetween(spark: SparkSession, fromVersion: Long, toVersion: Long,
       seqCol: String = "seq"): DataFrame = {
@@ -723,17 +760,20 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     val keys = SnapshotParquetSink.manifestKeys(dir, toVersion)
     require(keys.nonEmpty,
       s"the table at $dir records no merge keys (pre-keys-recording manifest)")
-    def live(v: Long) = readAt(spark, v, DeleteMode.Hard)
+    def live(v: Long, other: Long) = readChangedAt(spark, v, other, DeleteMode.Hard)
+      .getOrElse(readAt(spark, v, DeleteMode.Hard).filter(lit(false)))
       .select(keys.map(col) :+ col(seqCol): _*)
     // explicit existence flags: the sink accepts all-null seq ("contributes
     // no head"), so presence must NOT be inferred from seq nullability — a
     // key live on both sides with a NULL seq would otherwise read as
     // insert/delete, and NULL⇄value transitions would vanish from `update`
     // under three-valued `=!=`
-    val a = keys.foldLeft(live(fromVersion).withColumnRenamed(seqCol, "seq_from")
+    val a = keys.foldLeft(live(fromVersion, toVersion)
+        .withColumnRenamed(seqCol, "seq_from")
         .withColumn("__a_present", lit(true))) {
       (df, k) => df.withColumnRenamed(k, s"__a_$k") }
-    val b = keys.foldLeft(live(toVersion).withColumnRenamed(seqCol, "seq_to")
+    val b = keys.foldLeft(live(toVersion, fromVersion)
+        .withColumnRenamed(seqCol, "seq_to")
         .withColumn("__b_present", lit(true))) {
       (df, k) => df.withColumnRenamed(k, s"__b_$k") }
     val cond = keys.map(k => col(s"__a_$k") <=> col(s"__b_$k")).reduce(_ && _)

@@ -276,6 +276,65 @@ class MatViewRewriteSpec extends SparkSpec {
     } finally MaterializedAgg.unregister(m)
   }
 
+  test("a V1 frame resolved before the source advanced rewrites to ITS version") {
+    val (src, m, srcDir, aggDir) = mk("v1pin")
+    src.merge(rows((1, "a", 10, 1), (2, "b", 20, 2)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    MaterializedAgg.register(m)
+    try {
+      // file list resolves NOW, at v0
+      val pinned = src.read(spark, DeleteMode.Hard)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      // source AND view advance before the pinned frame is optimized/run
+      src.merge(rows((3, "a", 7, 3)), Seq("id"), "seq", "__del")
+      m.refresh(spark)
+      // the rewrite must serve the view state matching the frame's v0 file
+      // list — substituting "current" would silently change the answer
+      assert(readsOnly(pinned, aggDir), s"got ${scanned(pinned)}")
+      assert(got(pinned) == Set(("a", 1L, 10L), ("b", 1L, 20L)))
+      val fresh = src.read(spark, DeleteMode.Hard)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(readsOnly(fresh, aggDir), s"got ${scanned(fresh)}")
+      assert(got(fresh) == Set(("a", 2L, 17L), ("b", 1L, 20L)))
+    } finally MaterializedAgg.unregister(m)
+  }
+
+  test("SQL-only flow: matagg_define / matview_refresh / matview_unregister") {
+    val srcDir = tmpDir("mvr_tvf_src")
+    val aggDir = tmpDir("mvr_tvf_agg")
+    // source writes through the DSv2 writer — no Scala sink API anywhere
+    rows((1, "a", 10, 1), (2, "b", 20, 2)).write.format("graft-snapshot")
+      .option("keys", "id").option("deleteCol", "__del")
+      .mode("append").save(srcDir)
+    val defined = spark.sql(s"SELECT * FROM matagg_define('$srcDir', '$aggDir', " +
+      "'grp', 'count(1) AS n; sum(v) AS sv')").collect()
+    try {
+      assert(defined.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+        Seq((aggDir, 0L)))
+      dsv2(srcDir).createOrReplaceTempView("mvr_tvf_snap")
+      val out = spark.sql(q.format("mvr_tvf_snap"))
+      assert(readsOnly(out, aggDir), s"got ${scanned(out)}")
+      assert(got(out) == Set(("a", 1L, 10L), ("b", 1L, 20L)))
+      // source advances through the same writer: the view is stale until
+      // matview_refresh, and fresh reads fall back to the source meanwhile
+      rows((3, "a", 7, 3)).write.format("graft-snapshot")
+        .mode("append").save(srcDir) // keys recorded in the manifest
+      dsv2(srcDir).createOrReplaceTempView("mvr_tvf_snap2")
+      val stale = spark.sql(q.format("mvr_tvf_snap2"))
+      assert(readsOnly(stale, srcDir), s"got ${scanned(stale)}")
+      val refreshed = spark.sql(s"SELECT * FROM matview_refresh('$srcDir')").collect()
+      assert(refreshed.head.getLong(2) == 1L)
+      val now = spark.sql(q.format("mvr_tvf_snap2"))
+      assert(readsOnly(now, aggDir), s"got ${scanned(now)}")
+      assert(got(now) == Set(("a", 2L, 17L), ("b", 1L, 20L)))
+    } finally {
+      spark.sql(s"SELECT * FROM matview_unregister('$srcDir')").collect()
+      ()
+    }
+    val after = spark.sql(q.format("mvr_tvf_snap2"))
+    assert(readsOnly(after, srcDir), s"got ${scanned(after)}")
+  }
+
   test("rewritten output composes with parent operators (having, order, join)") {
     val (src, m, srcDir, aggDir) = mk("parent")
     src.merge(rows((1, "a", 10, 1), (2, "a", 20, 2), (3, "b", 5, 3), (4, "c", 9, 4)),

@@ -202,6 +202,35 @@ class MaterializedAggSpec extends SparkSpec {
     assert(maintained(m) == Set(("a", 2L, 15L, 5L, 10L), ("b", 1L, 7L, 7L, 7L)))
   }
 
+  test("keyed view (groupCols ⊇ merge keys): changed-bucket recompute stays exact") {
+    val src = new SnapshotParquetSink(tmpDir("magg_keyed_src"), nBuckets = 8)
+    val agg = new SnapshotParquetSink(tmpDir("magg_keyed_agg"), nBuckets = 8)
+    // per-key rollup: the group IS (id, grp) — the refresh's recompute scan
+    // takes the changed-bucket path (keys route dirty groups' rows there)
+    val m = new MaterializedAgg(src, agg, Seq("id", "grp"),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    src.merge(rows((1, "a", 10, 1), (2, "a", 20, 2), (3, "b", 5, 3)),
+      Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    def direct2 = src.read(spark, DeleteMode.Hard).groupBy("id", "grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    def kept = m.read(spark).select("id", "grp", "n", "sv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(kept == direct2)
+    // update, delete, group-move — each refresh reads only changed buckets
+    src.merge(rows((1, "a", 15, 4)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(kept == direct2)
+    src.merge(dels(5, 2), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(kept == direct2)
+    src.merge(rows((3, "a", 5, 6)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(kept == direct2)
+    assert(kept == Set((1, "a", 1L, 15L), (3, "a", 1L, 5L)))
+  }
+
   test("aggregate names must be aliased and collision-free") {
     val (src, _) = mk("names")
     val agg = new SnapshotParquetSink(tmpDir("magg_names_agg"), nBuckets = 4)

@@ -914,6 +914,34 @@ class SnapshotParquetSinkSpec extends SparkSpec {
       s"rebucketed stats must still skip cold buckets, planned ${scanFiles(inc)}")
   }
 
+  test("keyed diffs read only CHANGED buckets (manifest-level pruning)") {
+    val dir = tmpDir("ssink") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8)
+    val rows = (0 until 64).map(i => (s"k$i", i.toLong, s"v$i", false))
+    sink.merge(batch(rows: _*), Seq("primary_key"), "seq", "is_delete")
+    // one-key update: exactly one bucket rewrites; both diff sides must
+    // plan only that bucket's file, not the table
+    sink.merge(batch(("k3", 100L, "v3b", false)), Seq("primary_key"), "seq", "is_delete")
+    assert(sink.changedEntriesAt(1L, 0L).length == 1,
+      s"one bucket should differ: ${sink.changedEntriesAt(1L, 0L)}")
+    assert(sink.changedEntriesAt(0L, 1L).length == 1)
+    val feed = sink.changesBetween(spark, 0L, 1L)
+    val planned = feed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(planned <= 2, s"diff planned $planned files, expected ≤ 2 (one per side)")
+    assert(feed.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("k3", "update")))
+    // identical versions (pure tombstone purge of nothing): no files at all
+    assert(sink.readChangedAt(spark, 1L, 1L, DeleteMode.Hard).isEmpty)
+    // compaction rewrites files: every entry differs — unpruned but correct
+    sink.compact(spark)
+    val v2 = sink.versions.last
+    assert(sink.changedEntriesAt(v2, 0L).nonEmpty)
+    assert(sink.changesBetween(spark, 1L, v2).count() == 0L) // no key changed
+  }
+
   test("replaceAll: fresh commit drops prior entries; old versions keep their types") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("ssink") + "/t"
