@@ -131,18 +131,23 @@ final class MaterializedAgg(
         // each side reads only the buckets whose file differs between the
         // two manifests — shared files are byte-identical and keys route
         // to the same bucket, so untouched buckets cannot contribute dirt.
-        // Changed files predating an evolution-added group column fall
-        // back to the full read (rare; footer check is changed-files-only)
-        def side(v: Long, other: Long, marker: String): DataFrame = {
-          val rows = source.readChangedAt(spark, v, other, DeleteMode.Hard) match {
-            case Some(part) if probeCols.forall(part.columns.contains) => part
-            case Some(_) => source.readAt(spark, v, DeleteMode.Hard)
-            case None => source.readAt(spark, v, DeleteMode.Hard).filter(lit(false))
-          }
+        // Changed files predating an evolution-added probe column fall
+        // back to the full read — on BOTH sides together (a full side
+        // joined against a pruned side would misread every unchanged key
+        // as a presence diff); the footer check is changed-files-only.
+        val partA = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
+        val partB = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
+        val pruned = (partA.toSeq ++ partB.toSeq)
+          .forall(p => probeCols.forall(p.columns.contains))
+        def side(part: Option[DataFrame], v: Long, marker: String): DataFrame = {
+          val rows =
+            if (pruned)
+              part.getOrElse(source.readAt(spark, v, DeleteMode.Hard).filter(lit(false)))
+            else source.readAt(spark, v, DeleteMode.Hard)
           rows.select(probeCols.map(col): _*).withColumn(marker, lit(true))
         }
-        val a = side(applied, srcV, "__pa").alias("a")
-        val b = side(srcV, applied, "__pb").alias("b")
+        val a = side(partA, applied, "__pa").alias("a")
+        val b = side(partB, srcV, "__pb").alias("b")
         val keyCond = srcKeys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
         val changed = a.join(b, keyCond, "full_outer")
           .filter(col("a.__pa").isNull || col("b.__pb").isNull ||

@@ -102,17 +102,23 @@ final class MaterializedJoin(
   private def changedKeys(spark: SparkSession, table: SnapshotParquetSink,
       keys: Seq[String], seqCol: String, fromV: Long, toV: Long): DataFrame = {
     val cols = (keys :+ seqCol).distinct
-    // changed-bucket pruning: see [[SnapshotParquetSink.readChangedAt]]
-    def side(v: Long, other: Long, marker: String) = {
-      val rows = table.readChangedAt(spark, v, other, DeleteMode.Hard) match {
-        case Some(part) if cols.forall(part.columns.contains) => part
-        case Some(_) => table.readAt(spark, v, DeleteMode.Hard)
-        case None => table.readAt(spark, v, DeleteMode.Hard).filter(lit(false))
-      }
+    // changed-bucket pruning ([[SnapshotParquetSink.readChangedAt]]); the
+    // evolution fallback applies to BOTH sides together — a full side
+    // joined against a pruned side would misread every unchanged key as a
+    // presence diff
+    val partA = table.readChangedAt(spark, fromV, toV, DeleteMode.Hard)
+    val partB = table.readChangedAt(spark, toV, fromV, DeleteMode.Hard)
+    val pruned = (partA.toSeq ++ partB.toSeq)
+      .forall(p => cols.forall(p.columns.contains))
+    def side(part: Option[DataFrame], v: Long, marker: String) = {
+      val rows =
+        if (pruned)
+          part.getOrElse(table.readAt(spark, v, DeleteMode.Hard).filter(lit(false)))
+        else table.readAt(spark, v, DeleteMode.Hard)
       rows.select(cols.map(col): _*).withColumn(marker, lit(true))
     }
-    val a = side(fromV, toV, "__pa").alias("a")
-    val b = side(toV, fromV, "__pb").alias("b")
+    val a = side(partA, fromV, "__pa").alias("a")
+    val b = side(partB, toV, "__pb").alias("b")
     val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
     a.join(b, cond, "full_outer")
       .filter(col("a.__pa").isNull || col("b.__pb").isNull ||

@@ -231,6 +231,35 @@ class MaterializedAggSpec extends SparkSpec {
     assert(kept == Set((1, "a", 1L, 15L), (3, "a", 1L, 5L)))
   }
 
+  test("refresh across schema evolution: changed buckets carrying pre-evolution files") {
+    val src = new SnapshotParquetSink(tmpDir("magg_evo_src"), nBuckets = 4)
+    val agg = new SnapshotParquetSink(tmpDir("magg_evo_agg"), nBuckets = 4)
+    import spark.implicits._
+    // v0: no `g` column anywhere
+    src.merge((0 until 16).map(i => (i, i.toLong, 1L)).toDF("id", "v", "seq")
+      .withColumn("__del", lit(false)), Seq("id"), "seq", "__del")
+    // v1: evolution adds `g`, touching ONE key — most bucket files stay
+    // pre-evolution and are CARRIED into every later manifest
+    src.merge(Seq((0, 100L, 2L, "x")).toDF("id", "v", "seq", "g")
+      .withColumn("__del", lit(false)), Seq("id"), "seq", "__del")
+    val m = new MaterializedAgg(src, agg, Seq("g"),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    m.refresh(spark) // initial build at v1 (g null for untouched rows)
+    // v2: update a key in a DIFFERENT bucket — the diff's applied-side
+    // file for that bucket predates `g`; the refresh must fall back to
+    // full reads on BOTH sides and stay exact
+    src.merge(Seq((1, 200L, 3L, "y")).toDF("id", "v", "seq", "g")
+      .withColumn("__del", lit(false)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    val direct = src.read(spark, DeleteMode.Hard).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    val kept = m.read(spark).select("g", "n", "sv")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == direct)
+    assert(kept.contains((Some("y"), 1L, 200L)))
+  }
+
   test("aggregate names must be aliased and collision-free") {
     val (src, _) = mk("names")
     val agg = new SnapshotParquetSink(tmpDir("magg_names_agg"), nBuckets = 4)
