@@ -36,6 +36,15 @@ object CatalogTxnStream {
   final case class Member(name: String, slice: DataFrame => DataFrame,
       nBuckets: Int = 16)
 
+  /** @param views maintained views refreshed INSIDE each transaction, after
+    *   the member merges and before the cut — every pinned catalog version
+    *   then carries (table, view) pairs where the view reflects EXACTLY the
+    *   pinned table state, so a dashboard reading the cut never sees a
+    *   rollup lag its fact table. Each name must be the view sink's table
+    *   name under the catalog root (that is what the cut pins). A crash
+    *   between refresh and cut leaves readers on the previous cut; the
+    *   replay re-merges idempotently and re-refreshes before re-cutting.
+    */
   def start(
       events: DataFrame,
       catalog: SnapshotCatalog,
@@ -44,8 +53,14 @@ object CatalogTxnStream {
       seqCol: String,
       isDeleteCol: String,
       checkpoint: String,
-      writerId: String): StreamingQuery = {
+      writerId: String,
+      views: Seq[(String, graft.sink.MaterializedAgg)] = Nil): StreamingQuery = {
     require(members.nonEmpty, "a catalog transaction needs at least one member table")
+    views.foreach { case (name, v) =>
+      require(v.sink.dir == s"${catalog.root}/$name",
+        s"view $name must materialize under the catalog root to be pinnable: " +
+          s"expected ${catalog.root}/$name, got ${v.sink.dir}")
+    }
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -62,9 +77,18 @@ object CatalogTxnStream {
               catalog.openTable(m.name, m.nBuckets)
                 .merge(m.slice(pinned), keys, seqCol, isDeleteCol)
             }
-            // only members that have ever received rows are pinnable; a
-            // member whose every batch sliced empty so far has no version
-            val present = members.map(_.name)
+            // views advance INSIDE the transaction: refreshed after the
+            // merges, pinned by the same cut (a view whose source has no
+            // committed version yet simply waits for data)
+            views.foreach { case (_, v) =>
+              if (v.source.currentVersion.nonEmpty) {
+                v.refresh(batch.sparkSession)
+                ()
+              }
+            }
+            // only members/views that have ever received rows are pinnable;
+            // one whose every batch sliced empty so far has no version
+            val present = (members.map(_.name) ++ views.map(_._1))
               .filter(n => graft.sink.SnapshotParquetSink
                 .versions(s"${catalog.root}/$n").nonEmpty)
             if (present.nonEmpty) {

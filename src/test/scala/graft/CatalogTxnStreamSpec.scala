@@ -124,6 +124,62 @@ class CatalogTxnStreamSpec extends SparkSpec {
     assert(view("orders").count() == 2L)
   }
 
+  test("a maintained view advances inside the transaction, pinned with its source") {
+    val in = tmpDir("txn4_in")
+    val ckpt = tmpDir("txn4_ck")
+    val catDir = tmpDir("txn4_cat") + "/c"
+    val cat = new SnapshotCatalog(catDir)
+    val members = Seq(
+      CatalogTxnStream.Member("orders", _.filter(col("tbl") === "orders").drop("tbl"), 2))
+    val src = cat.openTable("orders", 2)
+    val m = new graft.sink.MaterializedAgg(src, cat.openTable("orders_by_grp", 2),
+      Seq("grp"), Seq(count(lit(1)).as("n"), sum(col("amt")).as("total")))
+    val stream = spark.readStream
+      .schema("tbl STRING, primary_key STRING, seq LONG, grp STRING, amt LONG, is_delete BOOLEAN")
+      .json(in)
+    def startQ() = CatalogTxnStream.start(stream, cat, members,
+      Seq("primary_key"), "seq", "is_delete", ckpt, writerId = "w4",
+      views = Seq("orders_by_grp" -> m))
+    def row(pk: String, seq: Long, grp: String, amt: Long, del: Boolean = false) =
+      s"""{"tbl":"orders","primary_key":"$pk","seq":$seq,"grp":${if (grp == null) "null" else s""""$grp""""},"amt":$amt,"is_delete":$del}"""
+
+    writeChunk(in, "b0.jsonl", Seq(row("o1", 1, "a", 10), row("o2", 2, "b", 5)))
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      // b1: group move + a delete — the delta-IVM killers, mid-stream
+      writeChunk(in, "b1.jsonl", Seq(row("o1", 3, "b", 10), row("o2", 4, null, 0, del = true)))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    injectCrash(ckpt)
+    writeChunk(in, "b2.jsonl", Seq(row("o3", 5, "a", 7)))
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+
+    assert(cat.versions.size == 3, s"one cut per micro-batch, got ${cat.versions}")
+    // EVERY cut pins (source, view) together, and the pinned view equals a
+    // from-scratch GROUP BY of the pinned source — the rollup can never lag
+    // the fact table inside a committed cut
+    for (v <- cat.versions) {
+      val pins = cat.pins(v)
+      assert(pins.keySet == Set("orders", "orders_by_grp"), s"cut v$v pins $pins")
+      val srcState = src.readAt(spark, pins("orders"), DeleteMode.Hard)
+      val expect = srcState.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("total"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+      val got = m.sink.readAt(spark, pins("orders_by_grp"), DeleteMode.Hard)
+        .select("grp", "n", "total")
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"view lags its source inside cut v$v: $got vs $expect")
+    }
+    // final content sanity: o1 moved to b, o2 deleted, o3 arrived in a
+    val fin = m.read(spark).select("grp", "n", "total")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == Set((Some("a"), 1L, 7L), (Some("b"), 1L, 10L)))
+  }
+
   test("a member with no rows yet is not pinned; it joins the cut when data arrives") {
     val in = tmpDir("txn2_in")
     val ckpt = tmpDir("txn2_ck")
