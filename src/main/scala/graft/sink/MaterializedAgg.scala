@@ -49,12 +49,33 @@ import org.apache.spark.sql.functions._
   * to. Nothing is proportional to table size except the one column-pruned
   * recompute scan, and nothing is ever proportional to history length.
   */
+/** A view maintained by incremental refresh — what a transactional pipeline
+  * ([[graft.streaming.CatalogTxnStream]]) needs to advance views inside a
+  * cut without knowing their shape: [[MaterializedAgg]] (one source) and
+  * [[MaterializedJoin]] (two) both qualify; cascaded views stack by
+  * declaring them in bottom-up order.
+  */
+trait MaintainedView {
+  def sink: SnapshotParquetSink
+
+  /** Refresh when every source has a committed version; no-op before the
+    * first source data arrives.
+    */
+  def refreshIfReady(spark: SparkSession): Unit
+}
+
 final class MaterializedAgg(
     val source: SnapshotParquetSink,
     val sink: SnapshotParquetSink,
     val groupCols: Seq[String],
     val aggs: Seq[Column],
-    seqCol: String = "seq") {
+    seqCol: String = "seq") extends MaintainedView {
+
+  override def refreshIfReady(spark: SparkSession): Unit =
+    if (source.currentVersion.nonEmpty) {
+      refresh(spark)
+      ()
+    }
 
   require(groupCols.nonEmpty, "materialized aggregate needs group columns")
   require(aggs.nonEmpty, "materialized aggregate needs aggregate columns")

@@ -51,7 +51,13 @@ final class MaterializedJoin(
     dimCols: Seq[String],
     joinType: String = "left_outer",
     factSeqCol: String = "seq",
-    dimSeqCol: String = "seq") {
+    dimSeqCol: String = "seq") extends MaintainedView {
+
+  override def refreshIfReady(spark: SparkSession): Unit =
+    if (fact.currentVersion.nonEmpty && dim.currentVersion.nonEmpty) {
+      refresh(spark)
+      ()
+    }
 
   require(joinKeys.nonEmpty, "materialized join needs join key columns")
   require(dimCols.nonEmpty,

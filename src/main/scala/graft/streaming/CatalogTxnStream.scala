@@ -31,19 +31,25 @@ object CatalogTxnStream {
 
   /** One member table of the transaction: `slice` carves the member's rows
     * out of the multiplexed micro-batch (typically a discriminator-column
-    * filter plus projection).
+    * filter plus projection). `keys` overrides the stream-level merge keys
+    * for this member — a dimension table sliced out of the same feed is
+    * usually keyed by its natural key, not the fact key (a join view
+    * requires the dim merged by exactly the join keys).
     */
   final case class Member(name: String, slice: DataFrame => DataFrame,
-      nBuckets: Int = 16)
+      nBuckets: Int = 16, keys: Seq[String] = Nil)
 
   /** @param views maintained views refreshed INSIDE each transaction, after
     *   the member merges and before the cut — every pinned catalog version
     *   then carries (table, view) pairs where the view reflects EXACTLY the
     *   pinned table state, so a dashboard reading the cut never sees a
-    *   rollup lag its fact table. Each name must be the view sink's table
-    *   name under the catalog root (that is what the cut pins). A crash
-    *   between refresh and cut leaves readers on the previous cut; the
-    *   replay re-merges idempotently and re-refreshes before re-cutting.
+    *   rollup lag its fact table. Aggregate views, join views and cascades
+    *   all qualify ([[graft.sink.MaintainedView]]); declare cascades
+    *   BOTTOM-UP — views refresh in declaration order. Each name must be
+    *   the view sink's table name under the catalog root (that is what the
+    *   cut pins). A crash between refresh and cut leaves readers on the
+    *   previous cut; the replay re-merges idempotently and re-refreshes
+    *   before re-cutting.
     */
   def start(
       events: DataFrame,
@@ -54,7 +60,7 @@ object CatalogTxnStream {
       isDeleteCol: String,
       checkpoint: String,
       writerId: String,
-      views: Seq[(String, graft.sink.MaterializedAgg)] = Nil): StreamingQuery = {
+      views: Seq[(String, graft.sink.MaintainedView)] = Nil): StreamingQuery = {
     require(members.nonEmpty, "a catalog transaction needs at least one member table")
     views.foreach { case (name, v) =>
       require(v.sink.dir == s"${catalog.root}/$name",
@@ -75,17 +81,13 @@ object CatalogTxnStream {
               // a mid-stream rebucket re-routes the next merge instead of
               // wedging the pipeline (m.nBuckets only seeds a NEW member)
               catalog.openTable(m.name, m.nBuckets)
-                .merge(m.slice(pinned), keys, seqCol, isDeleteCol)
+                .merge(m.slice(pinned),
+                  if (m.keys.nonEmpty) m.keys else keys, seqCol, isDeleteCol)
             }
             // views advance INSIDE the transaction: refreshed after the
-            // merges, pinned by the same cut (a view whose source has no
-            // committed version yet simply waits for data)
-            views.foreach { case (_, v) =>
-              if (v.source.currentVersion.nonEmpty) {
-                v.refresh(batch.sparkSession)
-                ()
-              }
-            }
+            // merges (in declaration order — cascades bottom-up), pinned by
+            // the same cut; a view whose source has no data yet waits
+            views.foreach(_._2.refreshIfReady(batch.sparkSession))
             // only members/views that have ever received rows are pinnable;
             // one whose every batch sliced empty so far has no version
             val present = (members.map(_.name) ++ views.map(_._1))

@@ -180,6 +180,91 @@ class CatalogTxnStreamSpec extends SparkSpec {
     assert(fin == Set((Some("a"), 1L, 7L), (Some("b"), 1L, 10L)))
   }
 
+  test("cascaded views (fact ⋈ dim, rollup on top) advance in one atomic cut") {
+    val in = tmpDir("txn5_in")
+    val ckpt = tmpDir("txn5_ck")
+    val catDir = tmpDir("txn5_cat") + "/c"
+    val cat = new SnapshotCatalog(catDir)
+    // one multiplexed feed, two members with DIFFERENT merge keys: the dim
+    // is keyed by its natural key (what the join view requires)
+    val members = Seq(
+      CatalogTxnStream.Member("orders",
+        _.filter(col("tbl") === "orders").drop("tbl", "cname"), 2),
+      CatalogTxnStream.Member("customers",
+        _.filter(col("tbl") === "customers")
+          .select(col("primary_key").as("cust"), col("cname"), col("seq"),
+            col("is_delete")), 2, keys = Seq("cust")))
+    val orders = cat.openTable("orders", 2)
+    val custs = cat.openTable("customers", 2)
+    val enriched = new graft.sink.MaterializedJoin(orders, custs,
+      cat.openTable("orders_enriched", 2), Seq("cust"), Seq("cname"))
+    val rollup = new graft.sink.MaterializedAgg(enriched.sink,
+      cat.openTable("orders_by_cname", 2), Seq("cname"),
+      Seq(count(lit(1)).as("n"), sum(col("amt")).as("total")), seqCol = "__vseq")
+    val stream = spark.readStream
+      .schema("tbl STRING, primary_key STRING, seq LONG, cust STRING, " +
+        "cname STRING, amt LONG, is_delete BOOLEAN")
+      .json(in)
+    def startQ() = CatalogTxnStream.start(stream, cat, members,
+      Seq("primary_key"), "seq", "is_delete", ckpt, writerId = "w5",
+      views = Seq("orders_enriched" -> enriched, "orders_by_cname" -> rollup))
+    def o(pk: String, seq: Long, cust: String, amt: Long, del: Boolean = false) =
+      s"""{"tbl":"orders","primary_key":"$pk","seq":$seq,"cust":"$cust","amt":$amt,"is_delete":$del}"""
+    def c(ck: String, seq: Long, name: String, del: Boolean = false) =
+      s"""{"tbl":"customers","primary_key":"$ck","seq":$seq,"cname":${if (name == null) "null" else s""""$name""""},"is_delete":$del}"""
+
+    writeChunk(in, "b0.jsonl", Seq(o("o1", 1, "a", 10), o("o2", 2, "b", 5),
+      c("a", 1, "Acme"), c("b", 2, "Bolt")))
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      // b1: dim rename fans out through BOTH views; an order re-points
+      writeChunk(in, "b1.jsonl", Seq(c("a", 3, "Acme Corp"), o("o2", 4, "a", 5)))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    injectCrash(ckpt)
+    writeChunk(in, "b2.jsonl", Seq(o("o3", 5, "b", 7), c("b", 6, null, del = true)))
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+
+    assert(cat.versions.size == 3, s"one cut per micro-batch, got ${cat.versions}")
+    // EVERY committed cut: join view ≡ from-scratch join of the pinned
+    // members; rollup ≡ from-scratch GROUP BY of the pinned join view
+    for (v <- cat.versions) {
+      val pins = cat.pins(v)
+      assert(pins.keySet == Set("orders", "customers", "orders_enriched",
+        "orders_by_cname"), s"cut v$v pins $pins")
+      val oState = orders.readAt(spark, pins("orders"), DeleteMode.Hard)
+      val cState = custs.readAt(spark, pins("customers"), DeleteMode.Hard)
+      val joinExpect = oState
+        .join(cState.select("cust", "cname"), Seq("cust"), "left_outer")
+        .select("primary_key", "cust", "amt", "cname")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          Option(r.getString(3)))).toSet
+      val joinGot = enriched.sink
+        .readAt(spark, pins("orders_enriched"), DeleteMode.Hard)
+        .select("primary_key", "cust", "amt", "cname")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          Option(r.getString(3)))).toSet
+      assert(joinGot == joinExpect, s"join view lags inside cut v$v")
+      val rollExpect = enriched.sink
+        .readAt(spark, pins("orders_enriched"), DeleteMode.Hard)
+        .groupBy("cname").agg(count(lit(1)).as("n"), sum(col("amt")).as("total"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+      val rollGot = rollup.sink
+        .readAt(spark, pins("orders_by_cname"), DeleteMode.Hard)
+        .select("cname", "n", "total")
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+      assert(rollGot == rollExpect, s"rollup lags inside cut v$v")
+    }
+    // final content: o1+o2 under Acme Corp, o3's customer deleted → null
+    val fin = rollup.read(spark).select("cname", "n", "total")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == Set((Some("Acme Corp"), 2L, 15L), (None, 1L, 7L)))
+  }
+
   test("a member with no rows yet is not pinned; it joins the cut when data arrives") {
     val in = tmpDir("txn2_in")
     val ckpt = tmpDir("txn2_ck")
