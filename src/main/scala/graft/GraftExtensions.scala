@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def terms(e: Expression, what: String): Seq[String] =
     litStr(e, what).split("\\s+").toSeq.filter(_.nonEmpty)
 
+  /** The view manifest's recorded max seq — the applied source version for
+    * aggregates, the packed (fact, dim) cut for joins.
+    */
+  private def rawApplied(m: graft.sink.MaintainedView): Option[Long] =
+    m.sink.currentVersion.flatMap(v =>
+      graft.sink.SnapshotParquetSink.manifestMaxSeq(m.sink.dir, v))
+
   /** One-row status frame for the matview admin table functions. */
   private def mvStatus(spark: SparkSession, srcDir: String, aggDir: String,
       applied: Option[Long]): LogicalPlan = {
@@ -140,9 +147,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else new graft.sink.SnapshotParquetSink(aggDir,
             nBuckets = if (exprs.length == 5) litInt(exprs(4), "nBuckets") else 16)
         val m = new graft.sink.MaterializedAgg(src, sink, groups, aggCols)
+        // persist the definition into the view dir (once): the view becomes
+        // a warehouse object any process can matview_load and refresh
+        if (!graft.sink.ViewSpecs.defined(aggDir))
+          graft.sink.ViewSpecs.saveAgg(m,
+            litStr(exprs(3), "aggExprs").split(";").toSeq.map(_.trim).filter(_.nonEmpty))
         val applied = m.refresh(spark).orElse(m.appliedVersion)
         graft.sink.MaterializedAgg.register(m)
         mvStatus(spark, srcDir, aggDir, applied)
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("matjoin_define"),
+      new ExpressionInfo(classOf[graft.sink.MaterializedJoin].getName, "matjoin_define"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5 || exprs.length == 6,
+          "matjoin_define(factDir, dimDir, viewDir, joinKeysCsv, dimColsCsv[, joinType])")
+        val spark = SparkSession.active
+        val factDir = litStr(exprs(0), "factDir")
+        val dimDir = litStr(exprs(1), "dimDir")
+        val viewDir = litStr(exprs(2), "viewDir")
+        val jk = litStr(exprs(3), "joinKeys").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val dc = litStr(exprs(4), "dimCols").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val jt = if (exprs.length == 6) litStr(exprs(5), "joinType") else "left_outer"
+        val m = new graft.sink.MaterializedJoin(
+          graft.sink.SnapshotParquetSink.forTable(factDir),
+          graft.sink.SnapshotParquetSink.forTable(dimDir),
+          if (graft.sink.SnapshotParquetSink.versions(viewDir).nonEmpty)
+            graft.sink.SnapshotParquetSink.forTable(viewDir)
+          else new graft.sink.SnapshotParquetSink(viewDir),
+          jk, dc, jt)
+        if (!graft.sink.ViewSpecs.defined(viewDir))
+          graft.sink.ViewSpecs.saveJoin(m, jk, dc, jt)
+        m.refreshIfReady(spark)
+        mvStatus(spark, s"$factDir,$dimDir", viewDir, rawApplied(m))
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("matview_load"),
+      new ExpressionInfo(classOf[graft.sink.ViewSpecs.type].getName, "matview_load"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "matview_load(viewDir)")
+        val spark = SparkSession.active
+        val viewDir = litStr(exprs(0), "viewDir")
+        // stateless refresh cycle: rehydrate the persisted definition,
+        // advance it, and (aggregates) register it for query rewrite
+        val m = graft.sink.ViewSpecs.load(spark, viewDir)
+        m.refreshIfReady(spark)
+        m match {
+          case a: graft.sink.MaterializedAgg => graft.sink.MaterializedAgg.register(a)
+          case _ =>
+        }
+        mvStatus(spark, "", viewDir, rawApplied(m))
       }))
     ext.injectTableFunction((
       FunctionIdentifier("matview_refresh"),
