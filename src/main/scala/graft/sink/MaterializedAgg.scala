@@ -138,6 +138,13 @@ final class MaterializedAgg(
         }
       case Some(applied) =>
         val srcKeys = SnapshotParquetSink.manifestKeys(source.dir, srcV)
+        // self-healing when the diff base is GONE (the view lagged past the
+        // source's vacuum retention): every group on either side — current
+        // view, current snapshot — is dirty, and the normal recompute +
+        // outer-join machinery below rebuilds live groups and tombstones
+        // vanished ones. Costs one full pass; the fix for recurrence is
+        // retention covering the refresh cadence (class scaladoc).
+        val baseRetained = source.versions.contains(applied)
         // dirty groups = groups of the changed keys' rows at EITHER version
         // (an update can move a row between groups; a delete's group is
         // only visible on the from side). ONE plan — a key-level full outer
@@ -156,31 +163,39 @@ final class MaterializedAgg(
         // back to the full read — on BOTH sides together (a full side
         // joined against a pruned side would misread every unchanged key
         // as a presence diff); the footer check is changed-files-only.
-        val partA = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
-        val partB = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
-        val pruned = (partA.toSeq ++ partB.toSeq)
-          .forall(p => probeCols.forall(p.columns.contains))
-        def side(part: Option[DataFrame], v: Long, marker: String): DataFrame = {
-          val rows =
-            if (pruned)
-              part.getOrElse(source.readAt(spark, v, DeleteMode.Hard).filter(lit(false)))
-            else source.readAt(spark, v, DeleteMode.Hard)
-          rows.select(probeCols.map(col): _*).withColumn(marker, lit(true))
+        def diffDirty(): DataFrame = {
+          val partA = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
+          val partB = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
+          val pruned = (partA.toSeq ++ partB.toSeq)
+            .forall(p => probeCols.forall(p.columns.contains))
+          def side(part: Option[DataFrame], v: Long, marker: String): DataFrame = {
+            val rows =
+              if (pruned)
+                part.getOrElse(source.readAt(spark, v, DeleteMode.Hard).filter(lit(false)))
+              else source.readAt(spark, v, DeleteMode.Hard)
+            rows.select(probeCols.map(col): _*).withColumn(marker, lit(true))
+          }
+          val a = side(partA, applied, "__pa").alias("a")
+          val b = side(partB, srcV, "__pb").alias("b")
+          val keyCond = srcKeys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+          val changed = a.join(b, keyCond, "full_outer")
+            .filter(col("a.__pa").isNull || col("b.__pb").isNull ||
+              !(col(s"a.$seqCol") <=> col(s"b.$seqCol")))
+          def groupsIfPresent(tag: String, marker: String) =
+            when(col(marker).isNotNull,
+              struct(groupCols.map(n => col(s"$tag.$n").as(n)): _*))
+          changed
+            .select(explode(array(groupsIfPresent("a", "a.__pa"),
+              groupsIfPresent("b", "b.__pb"))).as("g"))
+            .filter(col("g").isNotNull)
+            .select(groupCols.map(n => col(s"g.$n").as(n)): _*).distinct()
         }
-        val a = side(partA, applied, "__pa").alias("a")
-        val b = side(partB, srcV, "__pb").alias("b")
-        val keyCond = srcKeys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
-        val changed = a.join(b, keyCond, "full_outer")
-          .filter(col("a.__pa").isNull || col("b.__pb").isNull ||
-            !(col(s"a.$seqCol") <=> col(s"b.$seqCol")))
-        def groupsIfPresent(tag: String, marker: String) =
-          when(col(marker).isNotNull,
-            struct(groupCols.map(n => col(s"$tag.$n").as(n)): _*))
-        val dirty = changed
-          .select(explode(array(groupsIfPresent("a", "a.__pa"),
-            groupsIfPresent("b", "b.__pb"))).as("g"))
-          .filter(col("g").isNotNull)
-          .select(groupCols.map(n => col(s"g.$n").as(n)): _*).distinct()
+        def rebuildDirty(): DataFrame =
+          read(spark).select(groupCols.map(col): _*)
+            .unionByName(source.readAt(spark, srcV, DeleteMode.Hard)
+              .select(groupCols.map(col): _*))
+            .distinct()
+        val dirty = (if (baseRetained) diffDirty() else rebuildDirty())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // KEYED VIEWS (groupCols ⊇ merge keys — per-key rollups): a dirty
@@ -191,7 +206,7 @@ final class MaterializedAgg(
           // snapshot (exact min/max needs every surviving row of a dirty
           // group, and those live anywhere). Evolution corner (an agg
           // column the changed files predate) falls back to the full scan.
-          val keyDetermined = srcKeys.forall(groupCols.contains)
+          val keyDetermined = baseRetained && srcKeys.forall(groupCols.contains)
           def fullSnap = source.readAt(spark, srcV, DeleteMode.Hard)
           val snap =
             if (keyDetermined)

@@ -170,6 +170,23 @@ final class MaterializedJoin(
         val delta = applied match {
           case None =>
             joined(factNow, d).withColumn("__del", lit(false))
+          case Some((afv, adv))
+              if !fact.versions.contains(afv) || !dim.versions.contains(adv) =>
+            // self-healing when a diff base is GONE (the view lagged past a
+            // source's vacuum retention): rebuild from the current sources —
+            // every fact row re-joins, and view keys with no surviving row
+            // tombstone. One full pass; retention covering the refresh
+            // cadence prevents recurrence.
+            val recomputed = joined(factNow, d)
+            val gone = semiOn(
+              sink.read(spark, DeleteMode.Hard).select(fKeys.map(col): _*),
+              recomputed, fKeys, "left_anti")
+            val goneFull = recomputed.schema.fields
+              .filterNot(f => fKeys.contains(f.name))
+              .foldLeft(gone)((df, f) =>
+                df.withColumn(f.name, lit(null).cast(f.dataType)))
+            recomputed.withColumn("__del", lit(false))
+              .unionByName(goneFull.withColumn("__del", lit(true)))
           case Some((afv, adv)) =>
             // each side's diff (and its downstream probes) exists only when
             // that side actually advanced — a quiet dim costs nothing, a

@@ -260,6 +260,29 @@ class MaterializedAggSpec extends SparkSpec {
     assert(kept.contains((Some("y"), 1L, 200L)))
   }
 
+  test("a vacuumed diff base self-heals: full rebuild, vanished groups tombstoned") {
+    val (src, m) = mk("vac")
+    src.merge(rows((1, "a", 10, 1), (2, "b", 20, 2)), Seq("id"), "seq", "__del")
+    m.refresh(spark) // applied = v0
+    // the view lags while the source advances THREE versions — group b
+    // vanishes entirely — and retention drops v0, the view's diff base
+    src.merge(rows((3, "c", 7, 3)), Seq("id"), "seq", "__del")
+    src.merge(dels(4, 2), Seq("id"), "seq", "__del")
+    src.merge(rows((1, "a", 11, 5)), Seq("id"), "seq", "__del")
+    src.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    assert(!src.versions.contains(0L), "vacuum should have dropped the base")
+    assert(m.refresh(spark) == Some(3L))
+    assert(maintained(m) == direct(src))
+    assert(maintained(m) == Set(("a", 1L, 11L, 11L, 11L), ("c", 1L, 7L, 7L, 7L)))
+    // the vanished group is a logical delete in the view's history
+    val logical = m.sink.read(spark, DeleteMode.Logical)
+    assert(logical.filter(col("grp") === "b" && col("is_deleted")).count() == 1)
+    // subsequent refreshes are incremental again
+    src.merge(rows((4, "c", 1, 6)), Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(4L))
+    assert(maintained(m) == direct(src))
+  }
+
   test("aggregate names must be aliased and collision-free") {
     val (src, _) = mk("names")
     val agg = new SnapshotParquetSink(tmpDir("magg_names_agg"), nBuckets = 4)

@@ -184,6 +184,31 @@ class MaterializedJoinSpec extends SparkSpec {
     } finally graft.sink.MaterializedAgg.unregister(top)
   }
 
+  test("a vacuumed diff base self-heals: full rebuild, dropped facts tombstoned") {
+    val (f, d, m) = mk("vac")
+    d.merge(dims(("a", "Acme", 1), ("b", "Bolt", 2)), Seq("ck"), "seq", "__ddel")
+    f.merge(facts((1, "a", 10, 1), (2, "b", 20, 2)), Seq("id"), "seq", "__fdel")
+    m.refresh(spark) // applied = (0, 0)
+    // fact advances past retention while the view lags: id 2 deleted, a dim
+    // renamed, a new fact arrives — then the diff base vacuums away
+    f.merge(factDels(3, 2), Seq("id"), "seq", "__fdel")
+    f.merge(facts((3, "b", 7, 4)), Seq("id"), "seq", "__fdel")
+    d.merge(dims(("a", "Acme Corp", 5)), Seq("ck"), "seq", "__ddel")
+    f.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    assert(!f.versions.contains(0L))
+    assert(m.refresh(spark) == Some((2L, 1L)))
+    assert(maintained(m) == direct(f, d, "left_outer"))
+    assert(maintained(m) == Set(
+      (1, Some("a"), 10L, Some("Acme Corp")), (3, Some("b"), 7L, Some("Bolt"))))
+    // the dropped fact is a logical delete in the view's history
+    val logical = m.sink.read(spark, DeleteMode.Logical)
+    assert(logical.filter(col("id") === 2 && col("is_deleted")).count() == 1)
+    // and maintenance is incremental again afterwards
+    d.merge(dims(("b", "Bolt v2", 6)), Seq("ck"), "seq", "__ddel")
+    assert(m.refresh(spark) == Some((2L, 2L)))
+    assert(maintained(m) == direct(f, d, "left_outer"))
+  }
+
   test("version pairs pack monotonically and round-trip") {
     val (f, d, m) = mk("pack")
     d.merge(dims(("a", "Acme", 1)), Seq("ck"), "seq", "__ddel")
