@@ -148,10 +148,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             nBuckets = if (exprs.length == 5) litInt(exprs(4), "nBuckets") else 16)
         val m = new graft.sink.MaterializedAgg(src, sink, groups, aggCols)
         // persist the definition into the view dir (once): the view becomes
-        // a warehouse object any process can matview_load and refresh
+        // a warehouse object any process can matview_load and refresh. A
+        // re-define must MATCH the stored spec — divergent args would fork
+        // the view's meaning between disk and this session
+        val aggSql = litStr(exprs(3), "aggExprs")
+          .split(";").toSeq.map(_.trim).filter(_.nonEmpty)
         if (!graft.sink.ViewSpecs.defined(aggDir))
-          graft.sink.ViewSpecs.saveAgg(m,
-            litStr(exprs(3), "aggExprs").split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+          graft.sink.ViewSpecs.saveAgg(m, aggSql)
+        else graft.sink.ViewSpecs.requireConsistent(aggDir,
+          graft.sink.ViewSpecs.aggDefinition(m, aggSql))
         val applied = m.refresh(spark).orElse(m.appliedVersion)
         graft.sink.MaterializedAgg.register(m)
         mvStatus(spark, srcDir, aggDir, applied)
@@ -178,6 +183,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           jk, dc, jt)
         if (!graft.sink.ViewSpecs.defined(viewDir))
           graft.sink.ViewSpecs.saveJoin(m, jk, dc, jt)
+        else graft.sink.ViewSpecs.requireConsistent(viewDir,
+          graft.sink.ViewSpecs.joinDefinition(m, jk, dc, jt))
         m.refreshIfReady(spark)
         mvStatus(spark, s"$factDir,$dimDir", viewDir, rawApplied(m))
       }))

@@ -50,15 +50,50 @@ object ViewSpecs {
   /** True when `viewDir` carries a persisted definition. */
   def defined(viewDir: String): Boolean = Dfs.exists(specPath(viewDir))
 
+  /** Fails loudly when `viewDir` already carries a DIFFERENT definition —
+    * the persisted spec is authoritative, and letting a caller's divergent
+    * arguments win for one session would fork the view's meaning between
+    * disk and memory. A byte-identical re-define is an idempotent no-op.
+    */
+  def requireConsistent(viewDir: String, lines: Seq[String]): Unit = {
+    val stored = Dfs.readUtf8(specPath(viewDir)).split('\n').toSeq.filter(_.nonEmpty)
+    require(stored == lines,
+      s"the view at $viewDir is already defined DIFFERENTLY:\n  stored: " +
+        s"${stored.mkString(" | ")}\n  caller: ${lines.mkString(" | ")}\n" +
+        s"drop ${specPath(viewDir)} to redefine")
+  }
+
+  private[sink] def aggLines(m: MaterializedAgg, aggExprSql: Seq[String],
+      seqCol: String): Seq[String] =
+    Seq("type=agg", s"source=${m.source.dir}",
+      s"group=${m.groupCols.mkString(",")}", s"seqcol=$seqCol") ++
+      aggExprSql.map(s => s"agg=$s")
+
+  private[sink] def joinLines(m: MaterializedJoin, joinKeys: Seq[String],
+      dimCols: Seq[String], joinType: String, factSeqCol: String,
+      dimSeqCol: String): Seq[String] =
+    Seq("type=join", s"fact=${m.fact.dir}", s"dim=${m.dim.dir}",
+      s"joinkeys=${joinKeys.mkString(",")}",
+      s"dimcols=${dimCols.mkString(",")}",
+      s"jointype=$joinType", s"factseq=$factSeqCol", s"dimseq=$dimSeqCol")
+
+  /** The canonical spec lines for an agg view — what [[saveAgg]] persists
+    * and what a re-define must match. */
+  def aggDefinition(m: MaterializedAgg, aggExprSql: Seq[String],
+      seqCol: String = "seq"): Seq[String] = aggLines(m, aggExprSql, seqCol)
+
+  /** The canonical spec lines for a join view. */
+  def joinDefinition(m: MaterializedJoin, joinKeys: Seq[String],
+      dimCols: Seq[String], joinType: String, factSeqCol: String = "seq",
+      dimSeqCol: String = "seq"): Seq[String] =
+    joinLines(m, joinKeys, dimCols, joinType, factSeqCol, dimSeqCol)
+
   def saveAgg(m: MaterializedAgg, aggExprSql: Seq[String],
       seqCol: String = "seq"): Unit = {
     (m.groupCols :+ seqCol).foreach(SnapshotParquetSink.validManifestName("view"))
     require(aggExprSql.nonEmpty && aggExprSql.forall(s => !s.contains("\n")),
       "aggregate expression SQL must be one line each")
-    publish(m.sink.dir,
-      Seq("type=agg", s"source=${m.source.dir}",
-        s"group=${m.groupCols.mkString(",")}", s"seqcol=$seqCol") ++
-        aggExprSql.map(s => s"agg=$s"))
+    publish(m.sink.dir, aggLines(m, aggExprSql, seqCol))
   }
 
   def saveJoin(m: MaterializedJoin, joinKeys: Seq[String], dimCols: Seq[String],
@@ -67,10 +102,7 @@ object ViewSpecs {
     (joinKeys ++ dimCols :+ factSeqCol :+ dimSeqCol)
       .foreach(SnapshotParquetSink.validManifestName("view"))
     publish(m.sink.dir,
-      Seq("type=join", s"fact=${m.fact.dir}", s"dim=${m.dim.dir}",
-        s"joinkeys=${joinKeys.mkString(",")}",
-        s"dimcols=${dimCols.mkString(",")}",
-        s"jointype=$joinType", s"factseq=$factSeqCol", s"dimseq=$dimSeqCol"))
+      joinLines(m, joinKeys, dimCols, joinType, factSeqCol, dimSeqCol))
   }
 
   /** Rehydrates the view defined at `viewDir`. Source tables resolve

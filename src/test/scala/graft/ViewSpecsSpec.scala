@@ -96,6 +96,15 @@ class ViewSpecsSpec extends SparkSpec {
         s"loaded view should rewrite: $scans")
       assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
         Set(("a", 2L, 17L), ("b", 1L, 20L)))
+      // re-define with identical args: idempotent no-op
+      spark.sql(s"SELECT * FROM matagg_define('$srcDir', '$aggDir', 'grp', " +
+        "'count(1) AS n; sum(v) AS sv')").collect()
+      // divergent args must refuse — the stored spec is authoritative
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM matagg_define('$srcDir', '$aggDir', 'grp', " +
+          "'count(1) AS n; max(v) AS sv')").collect()
+      }
+      assert(e.getMessage.contains("DIFFERENTLY"), e.getMessage)
     } finally {
       MaterializedAgg.registered(srcDir).foreach(MaterializedAgg.unregister)
       ()
