@@ -99,6 +99,30 @@ object Dfs {
     finally out.close()
   }
 
+  /** Whole small BINARY file — index-sidecar reads only (bloom filters are
+    * ≤128 KiB by construction; the size guard keeps a mispointed path from
+    * buffering a data file).
+    */
+  def readBytes(p: Path, maxLen: Int = 1 << 21): Array[Byte] = {
+    val f = fs(p)
+    val len = f.getFileStatus(p).getLen
+    require(len <= maxLen, s"$p is not an index-sidecar-sized file ($len bytes)")
+    val buf = new Array[Byte](len.toInt)
+    val in = f.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+
+  /** Binary twin of [[writeUtf8]] — sidecars written under a commit's data
+    * root BEFORE its manifest publishes, so like data files they need no
+    * atomicity of their own (unreferenced until the commit wins).
+    */
+  def writeBytes(p: Path, body: Array[Byte]): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(body)
+    finally out.close()
+  }
+
   // Striped in-process locks for renameOntoAbsent: bounded (no per-path map
   // growth), and two in-JVM committers of the same target serialize even on
   // filesystems whose fail-if-exists rename is check-then-act (local fs).

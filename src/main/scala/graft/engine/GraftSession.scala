@@ -336,6 +336,26 @@ object Tables {
       sink.merge(ev, Seq("user_id", "event_id"), "seq", "is_delete")
     }
 
+  /** q61r's BLOOM-INDEXED snapshot table over events: keyed (user_id,
+    * event_id), bloom sidecars on a derived high-cardinality string
+    * identifier `ext` — the secondary-column point-lookup a hash layout
+    * cannot range-prune (values scatter uniformly, so min/max stats keep
+    * every bucket). Built once per (session, dir).
+    */
+  def ensureBloomEvents(spark: SparkSession, dir: String): String =
+    ensureTmpStore("q61r_bloomevents", spark, dir) { out =>
+      Fs.deleteTree(new java.io.File(out)) // per-TAG path (see ensureRecluster)
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_id").as("seq"),
+          col("event_type"), col("value"),
+          concat(lit("e"), col("user_id"), lit("-"), col("event_id")).as("ext"),
+          lit(false).as("is_delete"))
+      val sink = new graft.sink.SnapshotParquetSink(out, nBuckets = 16,
+        bloomCols = Seq("ext"))
+      sink.merge(ev, Seq("user_id", "event_id"), "seq", "is_delete")
+    }
+
   /** q21e's COMPACTED sketch store: the same 3-batch ingest as
     * [[ensureSketchStore]] folded to one partial by
     * `HllSketchStore.compact` — estimates must clear the identical

@@ -118,6 +118,46 @@ object Cdc {
   private def normalizedRowCols(df: DataFrame): DataFrame =
     df.select(normalizedProjection: _*)
 
+  /** Deterministic two-writer commit race for q61q: writer A blocks at its
+    * manifest publish until writer B's publish completes (and B waits until
+    * A has REACHED its publish, so A provably computed against the pre-B
+    * version) — then A must lose the first slot and take the rebase path.
+    * Unnamed threads pass straight through, so concurrent unrelated
+    * publishes are unaffected while the gate is installed.
+    */
+  private def raceDisjoint(a: () => Unit, b: () => Unit): Unit = {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val aAtPublish = new CountDownLatch(1)
+    val bDone = new CountDownLatch(1)
+    val gate = new graft.engine.CommitLock {
+      override def publishOntoAbsent(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = {
+        Thread.currentThread().getName match {
+          case "q61qA" =>
+            aAtPublish.countDown()
+            require(bDone.await(120, TimeUnit.SECONDS), "q61q gate timed out on B")
+          case "q61qB" =>
+            require(aAtPublish.await(120, TimeUnit.SECONDS), "q61q gate timed out on A")
+          case _ => ()
+        }
+        val won = graft.engine.HadoopRenameCommitLock.publishOntoAbsent(src, dst)
+        if (Thread.currentThread().getName == "q61qB") bDone.countDown()
+        won
+      }
+    }
+    graft.engine.CommitLock.withLock(gate) {
+      @volatile var errA: Option[Throwable] = None
+      @volatile var errB: Option[Throwable] = None
+      val ta = new Thread(() => try a() catch { case t: Throwable => errA = Some(t) }, "q61qA")
+      val tb = new Thread(() => try b() catch { case t: Throwable => errB = Some(t) }, "q61qB")
+      ta.start(); tb.start()
+      ta.join(300000); tb.join(300000)
+      require(!ta.isAlive && !tb.isAlive, "q61q racing writers deadlocked")
+      errA.foreach(throw _)
+      errB.foreach(throw _)
+    }
+  }
+
   val all: Seq[QDef] = Seq(
 
     // R2–R6: the README pipeline — derive full_table_name, filter, star-
@@ -263,6 +303,107 @@ object Cdc {
       sink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
       sink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
       sink.changesBetween(s, fromVersion = 0L, toVersion = 1L)
+    },
+
+    // CONCURRENT disjoint-bucket merges (round 11): after a base commit, two
+    // writers apply the rest of the log split by key-hash parity — bucket-
+    // disjoint batches — RACING for the next version under a deterministic
+    // gate (the loser provably computed against the pre-winner state). The
+    // loser must take the REBASE fast path: republish its already-written
+    // files under the next version (one data write, no recompute) with the
+    // winner's entries carried forward — certified by the require below.
+    // The oracle replays the whole log once: any key the rebase lost,
+    // duplicated, or mis-tie-broke hash-mismatches.
+    QDef.df("q61q_concurrent_merge",
+      s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1") { (s, _) =>
+      val (sink, dirQ) = freshSnapshotSink("q61q")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink.merge(flat.filter(col("seq") <= 600), Seq("primary_key"), "seq", "is_delete")
+        // the sink routes on pmod(xxhash64(primary_key), 8) — parity of the
+        // same expression splits the remaining log into bucket-DISJOINT halves
+        val rest = flat.filter(col("seq") > 600)
+        val parity = pmod(xxhash64(col("primary_key")), lit(8)) % 2
+        val a = graft.sink.SnapshotParquetSink.forTable(dirQ)
+        val b = graft.sink.SnapshotParquetSink.forTable(dirQ)
+        raceDisjoint(
+          () => a.merge(rest.filter(parity === 0), Seq("primary_key"), "seq", "is_delete"),
+          () => b.merge(rest.filter(parity === 1), Seq("primary_key"), "seq", "is_delete"))
+        require(a.lastCommit.exists(i => i.rebases >= 1 && i.dataWrites == 1),
+          s"the losing writer must rebase, not recompute: ${a.lastCommit}")
+        require(b.lastCommit.exists(_.version == 1L),
+          s"the gated winner must own v1: ${b.lastCommit}")
+        normalizedRowCols(s.read.format("graft-snapshot").load(dirQ).drop("__is_deleted"))
+      } finally {
+        flat.unpersist()
+        ()
+      }
+    },
+
+    // Bloom-sidecar equality skipping (round 11): a point lookup on a
+    // NON-KEY high-cardinality string over the bloom-indexed events table
+    // ([[graft.sink.BloomIndex]]) — the case min/max stats cannot prune
+    // (secondary identifiers hash-scatter across every bucket's full
+    // range). Plan-guarded: the scan must plan ≤2 of the 16 bucket files
+    // (the target's bucket plus at most one ~0.1%-probability false
+    // positive) or the entry fails loudly. The oracle filters the raw
+    // events table directly, so a wrongly skipped bucket loses the row and
+    // hash-mismatches.
+    QDef.df("q61r_bloom_point_lookup",
+      """WITH d AS (SELECT user_id, event_id, event_type,
+        |            'e' || CAST(user_id AS VARCHAR) || '-' ||
+        |            CAST(event_id AS VARCHAR) AS ext
+        |           FROM events),
+        |t AS (SELECT min(ext) AS target FROM d)
+        |SELECT d.user_id, d.event_id, d.event_type, d.ext
+        |FROM d, t WHERE d.ext = t.target""".stripMargin) { (s, dir) =>
+      val out = Tables.ensureBloomEvents(s, dir)
+      val t = s.read.format("graft-snapshot").load(out)
+      // deterministic target value derived from the data (exists at any sf)
+      val target = t.agg(min(col("ext"))).head().getString(0)
+      val probe = t.filter(col("ext") === target)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ext"))
+      probe.collect()
+      val planned = probe.queryExecution.executedPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          bs.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+          }
+      }.sum
+      require(planned <= 2,
+        s"bloom skipping did not engage: planned $planned of 16 bucket files")
+      probe
+    },
+
+    // Table-to-table incremental pipeline (round 11,
+    // [[graft.streaming.TableFollower]]): a downstream "silver" table
+    // follows the upstream orders table's commit log — each catch-up reads
+    // only changed buckets, applies a row-wise enrichment, and merges;
+    // updates and deletes forward through the hop. The oracle replays the
+    // raw log once and enriches the final live state directly, so any row
+    // the chained hop lost, resurrected, or double-applied hash-mismatches.
+    QDef.df("q61s_table_follower",
+      s"$LASTSTATE\nSELECT $rowColsOut, upper(row_note) AS note_upper " +
+        "FROM r WHERE rn = 1 AND NOT is_del") { (s, _) =>
+      val (upSink, upDir) = freshSnapshotSink("q61s_up")
+      val (dnSink, _) = freshSnapshotSink("q61s_dn")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val f = new graft.streaming.TableFollower(upDir, dnSink, "silver")
+        for (wave <- Seq(col("seq") <= 900, col("seq") > 900)) {
+          upSink.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
+          f.catchUp(s, Seq("primary_key"))(df =>
+            df.withColumn("note_upper", upper(col("row_note"))))
+        }
+        dnSink.read(s, graft.sink.DeleteMode.Hard)
+          .select(normalizedProjection :+ col("note_upper"): _*)
+      } finally {
+        flat.unpersist()
+        ()
+      }
     },
 
     // Incrementally-maintained materialized aggregate (dirty-group

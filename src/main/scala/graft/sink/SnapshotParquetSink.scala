@@ -1,6 +1,7 @@
 package graft.sink
 
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -116,9 +117,21 @@ object SnapshotParquetSink {
       sys.error(s"no committed version at $dir — declare the layout via " +
         "the constructor for a new table"))
     val statCols = manifestStats(dir, v).values.flatMap(_.keys).toSeq.distinct.sorted
+    val bloomColsV = manifestBlooms(dir, v).values.flatMap(_.keys).toSeq.distinct.sorted
     new SnapshotParquetSink(dir, nBuckets = manifest(dir, v)._1,
-      statsCols = statCols, clusterBy = manifestCluster(dir, v))
+      statsCols = statCols, clusterBy = manifestCluster(dir, v),
+      bloomCols = bloomColsV)
   }
+
+  /** Outcome of the last successful [[SnapshotParquetSink.merge]] on a
+    * handle: the published version, publish attempts, how many of those
+    * attempts REBASED (reused the already-written data files onto a newer
+    * manifest after losing the commit race to a writer of DISJOINT
+    * buckets), and how many times the merge result was actually computed
+    * and written (1 = no conflicting overlap ever forced a recompute).
+    */
+  final case class CommitInfo(version: Long, attempts: Int, rebases: Int,
+      dataWrites: Int)
 
   def manifestsDir(dir: String): HPath = new HPath(dir, "manifests")
   def manifestPath(dir: String, v: Long): HPath =
@@ -147,6 +160,31 @@ object SnapshotParquetSink {
     }.toMap
     (n, entries)
   }
+
+  /** Bloom sidecar references recorded at `version`:
+    * bucket → column → (stored-type DDL, sidecar path relative to `dir`).
+    * The type is the column's type IN THE FILES the sidecar covers — a
+    * reader casts its literal to it before hashing (xxhash64 hashes the
+    * same logical value differently per type), so a BIGINT literal finds a
+    * row stored as INT. Within one readable version the types cannot
+    * actually diverge across buckets (parquet mergeSchema refuses
+    * int/bigint mixes — widening goes through the replaceAll migration,
+    * which recomputes every sidecar), but recording the type per line makes
+    * the hash contract explicit and keeps readers correct across versions
+    * with different types. Absence of a line means "unknown, cannot prune"
+    * (all-null bucket, distinct count over [[BloomIndex.MaxDistinct]], or a
+    * table written without bloomCols).
+    */
+  def manifestBlooms(dir: String,
+      version: Long): Map[Int, Map[String, (String, String)]] =
+    manifestLines(dir, version)
+      .filter(_.startsWith("f "))
+      .map { line =>
+        val Array(_, b, c, ty, rel) = line.split(" ", 5)
+        (b.toInt, c, (ty, rel))
+      }
+      .groupBy(_._1)
+      .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
 
   /** The merge-key columns recorded at `version` (the columns the bucket
     * hash routes on). Empty for manifests written before keys were
@@ -262,12 +300,22 @@ object SnapshotParquetSink {
   * Stats cost one column-pruned read-back of the just-written files per
   * commit; tables written without stats read unchanged (absence = no
   * pruning).
+  *
+  * `bloomCols`: columns to build per-bucket BLOOM SIDECARS for
+  * ([[BloomIndex]]) — equality file-skipping on non-key columns whose
+  * values hash-scatter (where min/max stats prune nothing), plus
+  * parquet-native row-group bloom filters inside every data file written.
+  * `WHERE ext_id = 'X'` then plans only the buckets whose filter admits X.
+  * Same cost/compat contract as stats: one extra distinct-hash pass over
+  * the just-written files per commit, absence = no pruning.
   */
 final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     statsCols: Seq[String] = Nil,
-    clusterBy: Seq[SnapshotParquetSink.ClusterCol] = Nil) extends UpsertSink {
+    clusterBy: Seq[SnapshotParquetSink.ClusterCol] = Nil,
+    bloomCols: Seq[String] = Nil) extends UpsertSink {
 
   statsCols.foreach(SnapshotParquetSink.validManifestName("stats"))
+  bloomCols.foreach(SnapshotParquetSink.validManifestName("bloom"))
   clusterBy.foreach(c => SnapshotParquetSink.validManifestName("cluster")(c.name))
   require(clusterBy.size <= 2, "clusterBy supports 1 or 2 columns (Z-order is 2-D here)")
   require(clusterBy.map(_.name).distinct.size == clusterBy.size,
@@ -346,6 +394,113 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       }
   }
 
+  /** Writer options enabling PARQUET-NATIVE bloom filters for `cols` on a
+    * data write — row-group-level equality skipping INSIDE the files, the
+    * layer that still pays off when a bucket's distinct count exceeds what
+    * the manifest-level sidecar will cover ([[BloomIndex]]'s scaladoc).
+    */
+  private def parquetBloomOpts(cols: Seq[String]): Map[String, String] =
+    cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
+  private def bloomLinesFor(spark: SparkSession, commitId: String): Seq[String] =
+    bloomLinesFor(spark, commitId, bloomCols)
+
+  /** `f <bucket> <col> <type> <rel>` manifest lines + their sidecar files
+    * for the freshly written commit root — one column-pruned,
+    * distinct-hash scan of the NEW files per bloom column, never the whole
+    * table (the statsLinesFor contract). The heavy part (hash, position
+    * explode, per-word bit OR) runs distributed; the driver collects only
+    * the SPARSE set word array per bucket (≤16 K longs each, and only for
+    * buckets under [[BloomIndex.MaxDistinct]] distinct values — larger
+    * buckets record nothing and rely on the parquet-native blooms).
+    */
+  private def bloomLinesFor(spark: SparkSession, commitId: String,
+      cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty) return Nil
+    val root = s"$dir/data/$commitId"
+    val written = spark.read.option("basePath", root).parquet(root)
+    val schema = written.schema
+    cols.flatMap { c =>
+      require(schema.fieldNames.contains(c), s"bloom column '$c' absent from the batch")
+      val ddl = schema(c).dataType.catalogString
+      require(!ddl.exists(_.isWhitespace),
+        s"bloom column '$c' has a non-atomic type ($ddl) — bloom skipping " +
+          "covers atomic columns (equality on them is what gets pushed down)")
+      // distinct (bucket, hash) pairs: dedups the insert set and bounds the
+      // position explode to k × distinct rows
+      val hashed = written.filter(col(c).isNotNull)
+        .select(col("__bucket"), xxhash64(col(c)).as("__h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = hashed.groupBy(col("__bucket")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val ms = counts.toSeq.sortBy(_._1)
+          .flatMap { case (b, n) => BloomIndex.sizeFor(n).map(b -> _) }
+        if (ms.isEmpty) Nil
+        else {
+          // per-bucket filter size joined in (broadcast — ≤ nBuckets rows);
+          // the position formula below must stay bit-identical to
+          // BloomIndex.position
+          val mdf = spark.createDataFrame(ms.map { case (b, m) =>
+            org.apache.spark.sql.Row(b, m.toLong) }.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__bucket",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("__m",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          val h1 = col("__h").bitwiseAND(lit(0x7fffffffL))
+          val h2 = shiftrightunsigned(col("__h"), 32)
+            .bitwiseOR(lit(1L)).bitwiseAND(lit(0x7fffffffL))
+          val positions = array((0 until BloomIndex.K).map(i =>
+            pmod(h1 + lit(i.toLong) * h2, col("__m"))): _*)
+          val sparse = hashed.join(broadcast(mdf), "__bucket")
+            .select(col("__bucket"), explode(positions).as("__p"))
+            .select(col("__bucket"), shiftright(col("__p"), 6).as("__w"),
+              expr("shiftleft(cast(1 as bigint), cast(pmod(__p, 64) as int))")
+                .as("__mask"))
+            .groupBy(col("__bucket"), col("__w"))
+            .agg(expr("bit_or(__mask)").as("__bits"))
+            .collect()
+          val byBucket = sparse.groupBy(_.getInt(0))
+          ms.map { case (b, m) =>
+            val words = new Array[Long](m / 64)
+            byBucket.getOrElse(b, Array.empty).foreach { r =>
+              words(r.getLong(1).toInt) = r.getLong(2)
+            }
+            val rel = s"data/$commitId/__bloom/$c/$b.bf"
+            Dfs.writeBytes(new HPath(s"$dir/$rel"), BloomIndex.encode(m, words))
+            s"f $b $c $ddl $rel"
+          }
+        }
+      } finally {
+        hashed.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** Carried/copied bloom lines for a maintenance rewrite (compact, purge):
+    * per-bucket content is preserved (compact) or only shrinks (purge), so
+    * the existing filters stay correct — purge's are merely conservative
+    * over-approximations. The sidecar FILES are copied under the new commit
+    * root so the invariant "an `f` line references the same root as its
+    * bucket's `b` entry" (what makes vacuum's entry-derived root
+    * reachability cover sidecars) survives the rewrite.
+    */
+  private def copyBloomsInto(base: Long, commitId: String,
+      keptBuckets: Set[Int]): Seq[String] =
+    SnapshotParquetSink.manifestBlooms(dir, base).toSeq.sortBy(_._1)
+      .filter { case (b, _) => keptBuckets(b) }
+      .flatMap { case (b, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, (ty, rel)) =>
+          val newRel = s"data/$commitId/__bloom/$c/$b.bf"
+          Dfs.writeBytes(new HPath(s"$dir/$newRel"),
+            Dfs.readBytes(new HPath(s"$dir/$rel")))
+          s"f $b $c $ty $newRel"
+        }
+      }
+
   /** Routing: key hash by default; on a clustered table, the top
     * log2(nBuckets) bits of the Morton code over the cluster columns —
     * Z-tiles instead of hash scatter, so per-bucket stats envelopes are
@@ -420,6 +575,14 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     won
   }
 
+  @volatile private var lastCommitInfo: Option[SnapshotParquetSink.CommitInfo] = None
+
+  /** Outcome telemetry of this handle's last successful [[merge]] —
+    * concurrency tests and operators assert the DISJOINT-writer fast path
+    * (rebases ≥ 1, dataWrites == 1) actually engaged.
+    */
+  def lastCommit: Option[SnapshotParquetSink.CommitInfo] = lastCommitInfo
+
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit = synchronized {
     keys.foreach(SnapshotParquetSink.validManifestName("key"))
@@ -440,28 +603,33 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         Option(incoming0.agg(max(col(seqCol).cast("long"))).head().get(0))
           .map(_.asInstanceOf[Long])
 
+      /** Layout guards against the manifest at `v`: a writer with a
+        * different bucket count or key set would scatter keys across
+        * incompatible bucket routings — the corruption would be SILENT
+        * (wrong rows per bucket file), so mismatches fail loudly. Re-run
+        * per publish attempt: a concurrent rebucket/recluster between
+        * attempts changes the answer.
+        */
+      def guardLayout(v: Long): Unit = {
+        val declared = SnapshotParquetSink.manifest(dir, v)._1
+        require(declared == nBuckets,
+          s"sink nBuckets=$nBuckets but the table at $dir was committed with " +
+            s"nBuckets=$declared — construct the sink with the table's value")
+        val priorKeys = SnapshotParquetSink.manifestKeys(dir, v)
+        require(priorKeys.isEmpty || priorKeys == keys,
+          s"merge keys ${keys.mkString(",")} do not match the table's committed " +
+            s"keys ${priorKeys.mkString(",")} at $dir")
+        requireClusterMatch(v)
+      }
+
       var attempts = 0
+      var rebases = 0
+      var dataWrites = 0
       var committed = false
       while (!committed) {
-        attempts += 1
         val base = currentVersion
         val entries = base.map(readManifest).getOrElse(Map.empty)
-        val version = base.map(_ + 1L).getOrElse(0L)
-        // layout guards: a writer with a different bucket count or key set
-        // would scatter keys across incompatible bucket routings — the
-        // corruption would be SILENT (wrong rows per bucket file), so both
-        // mismatches fail loudly instead
-        base.foreach { v =>
-          val declared = SnapshotParquetSink.manifest(dir, v)._1
-          require(declared == nBuckets,
-            s"sink nBuckets=$nBuckets but the table at $dir was committed with " +
-              s"nBuckets=$declared — construct the sink with the table's value")
-          val priorKeys = SnapshotParquetSink.manifestKeys(dir, v)
-          require(priorKeys.isEmpty || priorKeys == keys,
-            s"merge keys ${keys.mkString(",")} do not match the table's committed " +
-              s"keys ${priorKeys.mkString(",")} at $dir")
-          requireClusterMatch(v)
-        }
+        base.foreach(guardLayout)
 
         // existing state of the affected buckets, grouped by commit root:
         // each root was written with partitionBy("__bucket"), so reading
@@ -475,7 +643,14 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
             .parquet(group.map { case (_, rel) => s"$dir/$rel" }: _*)
         }.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
 
-        val incoming = incoming0.withColumn("__gen", lit(version))
+        // __gen = the version this computation TARGETS. A rebase publishes
+        // these files at a HIGHER version with the gen left as-is — safe
+        // because rebase requires every affected bucket untouched by the
+        // winners: a key lives in exactly one bucket, so the stale gen can
+        // only ever tie-break against gens from commits at or below `base`,
+        // which are strictly smaller.
+        val targetVersion = base.map(_ + 1L).getOrElse(0L)
+        val incoming = incoming0.withColumn("__gen", lit(targetVersion))
         val all = current match {
           case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
           case None    => incoming
@@ -491,48 +666,94 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         // bucket would swamp the manifest's pruning win with small files
         merged.repartition(affected.length, col("__bucket"))
           .write.mode("overwrite").partitionBy("__bucket")
+          .options(parquetBloomOpts(bloomCols))
           .parquet(s"$dir/data/$commitId")
+        dataWrites += 1
+        // data-derived manifest lines depend only on the written files —
+        // computed once, reused verbatim across rebase attempts
+        val freshStats = statsLinesFor(spark, commitId)
+        val freshBlooms = bloomLinesFor(spark, commitId)
 
-        val newEntries = entries ++ affected.map(b => b -> s"data/$commitId/__bucket=$b")
-        // prior head: recorded metadata, or — for a table whose manifests
-        // predate maxseq recording — ONE upgrade scan of the stored state
-        // (recording only the batch's max would UNDERSTATE the head and
-        // hand commitAligned a cut whose state reaches past it)
-        val priorMaxSeq: Option[Long] = base.flatMap { v =>
-          SnapshotParquetSink.manifestMaxSeq(dir, v).orElse(
-            Option(readAt(spark, v, DeleteMode.Logical)
-              .agg(max(col(seqCol).cast("long"))).head().get(0))
-              .map(_.asInstanceOf[Long]))
-        }
-        val maxSeqOpt: Option[Long] = (batchMaxSeq.toSeq ++ priorMaxSeq.toSeq)
-          .reduceOption((a: Long, b: Long) => math.max(a, b))
-        // stats carry-forward mirrors the entries': untouched buckets keep
-        // the ranges of the commit that last wrote them
-        val priorStats = base.map(v => SnapshotParquetSink.manifestStats(dir, v))
-          .getOrElse(Map.empty)
-        val carried = (priorStats -- affected).toSeq.sortBy(_._1).flatMap {
-          case (b, cols) => cols.toSeq.sortBy(_._1).map {
-            case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
-        val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
-          s"keys=${keys.mkString(",")}") ++
-          maxSeqOpt.map(m => s"maxseq=$m").toSeq ++
-          clusterLines ++
-          newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
-          carried ++ statsLinesFor(spark, commitId))
-          .mkString("", "\n", "\n")
-        if (publish(version, commitId, body)) {
-          committed = true
-        } else {
-          // best-effort: the orphan is unreferenced scratch — a transient
-          // delete failure must not abort the retry (vacuum collects it)
-          Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
-          if (attempts >= 10)
-            sys.error(s"snapshot commit lost the race $attempts times at $dir")
-          // jittered backoff: two writers in lockstep (each merge takes
-          // about as long as the other's) can otherwise starve one side
-          // for many consecutive versions
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-            .nextLong(10L, 100L * attempts))
+        // publish loop: first attempt carries from `base`; a lost race
+        // against writers of DISJOINT buckets rebases — re-carries from the
+        // winners' manifest and republishes the SAME data files (no
+        // recompute, no rewrite); an overlapping winner invalidates the
+        // computation and falls back to the outer recompute loop
+        var abandoned = false
+        var carryFrom = base
+        while (!committed && !abandoned) {
+          attempts += 1
+          val version = carryFrom.map(_ + 1L).getOrElse(0L)
+          val carryEntries = carryFrom.map(readManifest).getOrElse(Map.empty)
+          val newEntries = carryEntries ++
+            affected.map(b => b -> s"data/$commitId/__bucket=$b")
+          // prior head: recorded metadata, or — for a table whose manifests
+          // predate maxseq recording — ONE upgrade scan of the stored state
+          // (recording only the batch's max would UNDERSTATE the head and
+          // hand commitAligned a cut whose state reaches past it)
+          val priorMaxSeq: Option[Long] = carryFrom.flatMap { v =>
+            SnapshotParquetSink.manifestMaxSeq(dir, v).orElse(
+              Option(readAt(spark, v, DeleteMode.Logical)
+                .agg(max(col(seqCol).cast("long"))).head().get(0))
+                .map(_.asInstanceOf[Long]))
+          }
+          val maxSeqOpt: Option[Long] = (batchMaxSeq.toSeq ++ priorMaxSeq.toSeq)
+            .reduceOption((a: Long, b: Long) => math.max(a, b))
+          // stats/bloom carry-forward mirrors the entries': untouched
+          // buckets keep the lines of the commit that last wrote them
+          val priorStats = carryFrom.map(v => SnapshotParquetSink.manifestStats(dir, v))
+            .getOrElse(Map.empty)
+          val carried = (priorStats -- affected).toSeq.sortBy(_._1).flatMap {
+            case (b, cols) => cols.toSeq.sortBy(_._1).map {
+              case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
+          val priorBlooms = carryFrom
+            .map(v => SnapshotParquetSink.manifestBlooms(dir, v))
+            .getOrElse(Map.empty)
+          val carriedBlooms = (priorBlooms -- affected).toSeq.sortBy(_._1).flatMap {
+            case (b, cols) => cols.toSeq.sortBy(_._1).map {
+              case (c, (ty, rel)) => s"f $b $c $ty $rel" } }
+          val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
+            s"keys=${keys.mkString(",")}") ++
+            maxSeqOpt.map(m => s"maxseq=$m").toSeq ++
+            clusterLines ++
+            newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
+            carried ++ freshStats ++
+            carriedBlooms ++ freshBlooms)
+            .mkString("", "\n", "\n")
+          if (publish(version, commitId, body)) {
+            committed = true
+            lastCommitInfo = Some(SnapshotParquetSink.CommitInfo(
+              version, attempts, rebases, dataWrites))
+          } else {
+            if (attempts >= 10)
+              sys.error(s"snapshot commit lost the race $attempts times at $dir")
+            val cur = currentVersion.getOrElse(
+              sys.error(s"lost the commit race at $dir but no version is " +
+                "published — another writer's manifest vanished mid-race"))
+            // rebase precondition: the winners changed NEITHER the layout
+            // (bucket count / keys / cluster spec — guardLayout) NOR any
+            // bucket this computation read (its entry must still be what
+            // our base read) — then the merged files remain the correct
+            // next state of exactly those buckets
+            guardLayout(cur)
+            val curEntries = readManifest(cur)
+            val disjoint = affected.forall(b => curEntries.get(b) == entries.get(b))
+            if (disjoint) {
+              rebases += 1
+              carryFrom = Some(cur)
+            } else {
+              // best-effort: the orphan is unreferenced scratch — a
+              // transient delete failure must not abort the retry (vacuum
+              // collects it)
+              Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
+              abandoned = true
+              // jittered backoff: two writers in lockstep (each merge takes
+              // about as long as the other's) can otherwise starve one side
+              // for many consecutive versions
+              Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+                .nextLong(10L, 100L * attempts))
+            }
+          }
         }
       }
     } finally {
@@ -594,6 +815,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         val commitId = UUID.randomUUID().toString
         merged.repartition(affected.length, col("__bucket"))
           .write.mode("overwrite").partitionBy("__bucket")
+          .options(parquetBloomOpts(bloomCols))
           .parquet(s"$dir/data/$commitId")
         val newEntries = affected.map(b => b -> s"data/$commitId/__bucket=$b")
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
@@ -601,7 +823,8 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
           batchMaxSeq.map(m => s"maxseq=$m").toSeq ++
           clusterLines ++
           newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
-          statsLinesFor(spark, commitId))
+          statsLinesFor(spark, commitId) ++
+          bloomLinesFor(spark, commitId))
           .mkString("", "\n", "\n")
         if (publish(version, commitId, body)) {
           return
@@ -819,8 +1042,14 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val version = base + 1L
       val full = readFullState(spark, base)
       val commitId = UUID.randomUUID().toString
+      // bloom columns (handle's, or whatever the base manifest recorded):
+      // the rewrite must keep writing parquet-native row-group blooms
+      val baseBloomCols = SnapshotParquetSink.manifestBlooms(dir, base)
+        .values.flatMap(_.keys).toSeq.distinct.sorted
+      val effBloomCols = if (bloomCols.nonEmpty) bloomCols else baseBloomCols
       full.repartition(entries.size, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
+        .options(parquetBloomOpts(effBloomCols))
         .parquet(s"$dir/data/$commitId")
       val newEntries = entries.keys.map(b => b -> s"data/$commitId/__bucket=$b")
       // carry the recorded merge keys forward — compaction rewrites data
@@ -831,6 +1060,9 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val carried = SnapshotParquetSink.manifestStats(dir, base).toSeq.sortBy(_._1)
         .flatMap { case (b, cols) => cols.toSeq.sortBy(_._1).map {
           case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
+      // ... and so do the bloom sidecars (files copied under the new root —
+      // the same-root-as-entry invariant vacuum reachability relies on)
+      val copiedBlooms = copyBloomsInto(base, commitId, entries.keySet)
       // compaction rewrites files, never the routing — cluster spec carries
       val carriedCluster = SnapshotParquetSink.manifestCluster(dir, base)
         .map(c => s"c ${c.name} ${c.lo} ${c.hi}")
@@ -839,7 +1071,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
         carriedCluster ++
         newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
-        carried)
+        carried ++ copiedBlooms)
         .mkString("", "\n", "\n")
       if (publish(version, commitId, body)) {
         return version
@@ -890,8 +1122,14 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val full = readFullState(spark, base).drop("__bucket")
         .withColumn("__bucket", bucketExpr(baseKeys, newBuckets))
       val commitId = UUID.randomUUID().toString
+      // bloom sidecars must be RECOMPUTED (values re-partition across the
+      // new bucket set — carried filters would describe the old partition)
+      val baseBloomCols = SnapshotParquetSink.manifestBlooms(dir, base)
+        .values.flatMap(_.keys).toSeq.distinct.sorted
+      val effBloomCols = if (bloomCols.nonEmpty) bloomCols else baseBloomCols
       full.repartition(newBuckets, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
+        .options(parquetBloomOpts(effBloomCols))
         .parquet(s"$dir/data/$commitId")
       val writtenBuckets = Dfs.list(new HPath(s"$dir/data/$commitId"))
         .map(_.getPath.getName)
@@ -911,7 +1149,8 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
         clusterLines ++
         newEntries.map { case (b, rel) => s"b $b $rel" } ++
-        statsLinesFor(spark, commitId, statCols))
+        statsLinesFor(spark, commitId, statCols) ++
+        bloomLinesFor(spark, commitId, effBloomCols))
         .mkString("", "\n", "\n")
       if (publish(version, commitId, body)) {
         return version
@@ -961,8 +1200,12 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val purged = full.filter(
         coalesce(!(col("__is_deleted") && col(seqCol) <= horizonSeq), lit(true)))
       val commitId = UUID.randomUUID().toString
+      val baseBloomCols = SnapshotParquetSink.manifestBlooms(dir, base)
+        .values.flatMap(_.keys).toSeq.distinct.sorted
+      val effBloomCols = if (bloomCols.nonEmpty) bloomCols else baseBloomCols
       purged.repartition(entries.size, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
+        .options(parquetBloomOpts(effBloomCols))
         .parquet(s"$dir/data/$commitId")
       // a bucket whose every row was a purged tombstone writes no dir —
       // list what actually landed instead of assuming the old bucket set
@@ -996,15 +1239,18 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
             .flatMap { case (b, cols) => cols.toSeq.sortBy(_._1).map {
               case (c, (mn, mx)) => s"s $b $c $mn $mx" } }
         }
-      // purge removes rows, never the routing — cluster spec carries
+      // purge removes rows, never the routing — cluster spec carries; bloom
+      // sidecars COPY for surviving buckets (content only shrank, so the
+      // existing filters stay safe over-approximations of what remains)
       val carriedCluster = SnapshotParquetSink.manifestCluster(dir, base)
         .map(c => s"c ${c.name} ${c.lo} ${c.hi}")
+      val copiedBlooms = copyBloomsInto(base, commitId, writtenBuckets.toSet)
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
         headSeq.map(m => s"maxseq=$m").toSeq ++
         carriedCluster ++
         newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
-        statsOut)
+        statsOut ++ copiedBlooms)
         .mkString("", "\n", "\n")
       if (publish(version, commitId, body)) {
         return version

@@ -107,12 +107,9 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
     require(data.columns.contains(seqCol),
       s"graft-snapshot: seq column '$seqCol' absent from the batch " +
         "(option(\"seqCol\", ...) names the last-write-wins order column)")
-    // nBuckets: the manifest's value for an existing table (a mismatched
-    // writer would scatter keys across incompatible bucket layouts);
-    // the caller's choice (default 16) only on the very first commit
-    val nBuckets = existing.lastOption
-      .map(v => SnapshotParquetSink.manifest(dir, v)._1)
-      .getOrElse(params.get("nbuckets").map(_.toInt).getOrElse(16))
+    // nBuckets: the caller's choice (default 16) applies only on the very
+    // first commit — an existing table's layout comes from its manifest
+    val nBuckets = params.get("nbuckets").map(_.toInt).getOrElse(16)
     val (batch, delCol) = params.get("deletecol") match {
       case Some(c) =>
         require(data.columns.contains(c), s"delete column '$c' absent from the batch")
@@ -123,13 +120,15 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
         (data.withColumn("__is_deleted",
           org.apache.spark.sql.functions.lit(false)), "__is_deleted")
     }
-    // cluster spec: the manifest's, like nBuckets — a hash-routing writer on
-    // a Z-clustered table would scatter keys (the merge guard would refuse;
-    // self-aligning keeps SQL writes working on clustered tables)
-    val cluster = existing.lastOption
-      .map(v => SnapshotParquetSink.manifestCluster(dir, v)).getOrElse(Nil)
-    new SnapshotParquetSink(dir, nBuckets, clusterBy = cluster)
-      .merge(batch, keys, seqCol, delCol)
+    // existing table: self-align the WHOLE committed layout through
+    // forTable — nBuckets and cluster spec (a mismatch would scatter keys),
+    // and also statsCols/bloomCols: a SQL writer that constructed a bare
+    // handle would silently stop recording the table's data-skipping
+    // metadata for every bucket it rewrites
+    val sink =
+      if (existing.nonEmpty) SnapshotParquetSink.forTable(dir)
+      else new SnapshotParquetSink(dir, nBuckets)
+    sink.merge(batch, keys, seqCol, delCol)
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext = ctx
       override def schema: StructType = data.schema
@@ -141,7 +140,8 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
 private[sources] final case class SnapshotState(dir: String, version: Long,
     nBuckets: Int, entries: Map[Int, String], keys: Seq[String],
     stats: Map[Int, Map[String, (BigDecimal, BigDecimal)]] = Map.empty,
-    cluster: Seq[SnapshotParquetSink.ClusterCol] = Nil) {
+    cluster: Seq[SnapshotParquetSink.ClusterCol] = Nil,
+    blooms: Map[Int, Map[String, (String, String)]] = Map.empty) {
 
   def bucketPaths: Seq[String] = entries.toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
 
@@ -158,11 +158,14 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
       StructType(full.fields.filterNot(_.name == "__gen"))
     }
 
-  /** The file list a scan must read given the pushed filters: one bucket
-    * when every declared key is pinned by an equality, all buckets else.
+  /** The file list a scan must read given the pushed filters: key-equality
+    * routing first (one bucket when every routing input is pinned), then
+    * manifest min/max stats, then bloom-sidecar equality skipping — each
+    * stage a pure file-list optimization (every predicate stays residual).
     */
   def prunedPaths(filters: Seq[Expression]): Seq[String] =
-    statsPruned(filters, keyPruned(filters))
+    bloomPruned(filters, statsPruned(filters, keyPruned(filters)))
+      .toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
 
   /** Key-equality pruning: one bucket when the routing inputs are pinned by
     * equalities — every declared key on a hash-routed table, every CLUSTER
@@ -218,13 +221,11 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
     * predicate stays residual, so this is a pure file-list optimization.
     */
   private def statsPruned(filters: Seq[Expression],
-      surviving: Map[Int, String]): Seq[String] = {
+      surviving: Map[Int, String]): Map[Int, String] = {
     import org.apache.spark.sql.catalyst.expressions.{
       Attribute, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
       LessThanOrEqual, Literal}
-    def paths(m: Map[Int, String]): Seq[String] =
-      m.toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
-    if (stats.isEmpty) return paths(surviving)
+    if (stats.isEmpty) return surviving
     val rules: Seq[(String, (BigDecimal, BigDecimal) => Boolean)] = filters.flatMap {
       case EqualTo(a: Attribute, l: Literal) =>
         statLit(l).map(v => a.name -> ((mn: BigDecimal, mx: BigDecimal) => mn <= v && v <= mx))
@@ -248,15 +249,68 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
         statLit(l).map(v => a.name -> ((_: BigDecimal, mx: BigDecimal) => mx >= v))
       case _ => None
     }
-    if (rules.isEmpty) return paths(surviving)
-    paths(surviving.filter { case (b, _) =>
+    if (rules.isEmpty) return surviving
+    surviving.filter { case (b, _) =>
       rules.forall { case (c, keep) =>
         stats.get(b).flatMap(_.get(c)) match {
           case Some((mn, mx)) => keep(mn, mx)
           case None           => true // no recorded range — must keep
         }
       }
-    })
+    }
+  }
+
+  /** Bloom-sidecar pruning: drop buckets whose recorded filter for an
+    * equality-pushed column definitely excludes the literal. The literal is
+    * CAST to the type the sidecar's line records — the type the covered
+    * files actually stored, which under schema evolution can differ per
+    * bucket — then hashed exactly as the writer hashed the column
+    * ([[graft.sink.BloomIndex]]'s bit-identity contract). Buckets without a
+    * line, uncastable literals, and missing sidecar files (a reader racing
+    * vacuum on a superseded version) are all conservatively kept; every
+    * predicate stays residual, so a false positive only costs one file read.
+    */
+  private def bloomPruned(filters: Seq[Expression],
+      surviving: Map[Int, String]): Map[Int, String] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Attribute, Cast, EqualTo, Literal, XxHash64}
+    if (blooms.isEmpty) return surviving
+    val bloomedCols: Set[String] = blooms.values.flatMap(_.keys).toSet
+    val eqs: Seq[(String, Literal)] = filters.collect {
+      case EqualTo(a: Attribute, l: Literal)
+        if l.value != null && bloomedCols.contains(a.name) => a.name -> l
+      case EqualTo(l: Literal, a: Attribute)
+        if l.value != null && bloomedCols.contains(a.name) => a.name -> l
+    }
+    if (eqs.isEmpty) return surviving
+    // hash per (column, stored-type) — computed lazily and memoized so one
+    // query hashes each needed type exactly once
+    val hashCache = scala.collection.mutable.Map.empty[(String, String), Option[Long]]
+    def hashFor(c: String, ddl: String, l: Literal): Option[Long] =
+      hashCache.getOrElseUpdate((c, ddl), {
+        scala.util.Try {
+          val storedType = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+          val castLit: Expression =
+            if (l.dataType == storedType) l
+            else Cast(l, storedType, Some("UTC"))
+          new XxHash64(Seq(castLit)).eval(null).asInstanceOf[Long]
+        }.toOption
+      })
+    surviving.filter { case (b, _) =>
+      eqs.forall { case (c, l) =>
+        blooms.get(b).flatMap(_.get(c)) match {
+          case None => true // no filter recorded for this bucket — keep
+          case Some((ddl, rel)) =>
+            hashFor(c, ddl, l) match {
+              case None => true // uncastable literal — cannot prune safely
+              case Some(h) =>
+                graft.sink.BloomIndex
+                  .load(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+                  .forall(_.mightContain(h))
+            }
+        }
+      }
+    }
   }
 }
 
@@ -292,7 +346,8 @@ private[sources] object SnapshotState {
       } else keys // pre-keys-recording manifest: trust the caller (documented)
     SnapshotState(dir, version, nBuckets, entries, effectiveKeys,
       SnapshotParquetSink.manifestStats(dir, version),
-      SnapshotParquetSink.manifestCluster(dir, version))
+      SnapshotParquetSink.manifestCluster(dir, version),
+      SnapshotParquetSink.manifestBlooms(dir, version))
   }
 }
 

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sink.{BloomIndex, DeleteMode, SnapshotParquetSink}
+
+/** Bloom-sidecar equality file-skipping ([[graft.sink.BloomIndex]]): on a
+  * hash-bucketed table, a secondary identifier scatters uniformly, so
+  * min/max stats prune nothing — the per-bucket bloom is what turns
+  * `WHERE ext_id = 'X'` into a 1-2-of-n file read. These specs pin the
+  * skipping (planned file counts), the safety rails (no false negatives,
+  * conservative keeps for saturated/absent/evolved cases), and the
+  * lifecycle (carry across merges, copy across compact/purge, recompute
+  * across rebucket, reachability across vacuum).
+  */
+class BloomSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Seq[Long], tag: String = "e"): DataFrame =
+    ids.map(i => (i, 0L, s"$tag$i", false)).toDF("id", "seq", "ext", "is_delete")
+
+  private def scanFiles(df: DataFrame): Int = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.length
+        }
+    }.sum
+  }
+
+  test("equality on a bloom column plans a near-minimal file set; results exact") {
+    val dir = tmpDir("bloom") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+    sink.merge(rows(0L until 512L), Seq("id"), "seq", "is_delete")
+
+    val t = spark.read.format("graft-snapshot").load(dir)
+    assert(scanFiles(t) == 8, "no predicate reads every bucket")
+
+    // a present value: its own bucket plus ≈0.1% false positives — with 8
+    // buckets, ≥2 admitted files would already be a 3-in-1000 accident, so
+    // pin ≤2 and exactness of the result
+    val hit = t.filter($"ext" === "e37")
+    assert(scanFiles(hit) <= 2, s"bloom should skip most buckets, got ${scanFiles(hit)}")
+    assert(hit.select("id").collect().map(_.getLong(0)).toSeq == Seq(37L))
+
+    // an absent value: every bucket's filter rejects (modulo FPs) and the
+    // residual predicate guarantees zero rows regardless
+    val miss = t.filter($"ext" === "nope")
+    assert(scanFiles(miss) <= 1, s"absent value should plan ~0 files, got ${scanFiles(miss)}")
+    assert(miss.count() == 0L)
+
+    // min/max stats could never have pruned this: the ext values
+    // hash-scatter, which is exactly the gap the bloom covers
+  }
+
+  test("no false negatives: every stored value is admitted by its bucket's filter") {
+    val dir = tmpDir("bloomfn") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+    sink.merge(rows(0L until 256L), Seq("id"), "seq", "is_delete")
+    val t = spark.read.format("graft-snapshot").load(dir)
+    // the residual filter re-checks everything, so a false NEGATIVE (a
+    // wrongly skipped bucket) is the only way to lose rows — probe every
+    // value through the full DSv2 path
+    val found = (0L until 256L).count { i =>
+      t.filter($"ext" === s"e$i").count() == 1L
+    }
+    assert(found == 256, s"bloom pruning lost rows: $found/256 found")
+  }
+
+  test("blooms carry across merges; fresh buckets get fresh filters") {
+    val dir = tmpDir("bloomc") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+    sink.merge(rows(0L until 256L), Seq("id"), "seq", "is_delete")
+    // second commit touches a handful of buckets only
+    sink.merge(rows(Seq(1000L, 1001L), tag = "n"), Seq("id"), "seq", "is_delete")
+    val v1 = sink.currentVersion.get
+    val blooms = SnapshotParquetSink.manifestBlooms(dir, v1)
+    assert(blooms.size == 8, "every bucket keeps a bloom line after the merge")
+    // invariant vacuum reachability relies on: an f line references the
+    // same commit root as its bucket's b entry
+    val entries = SnapshotParquetSink.manifest(dir, v1)._2
+    blooms.foreach { case (b, cols) =>
+      val entryRoot = entries(b).substring(0, entries(b).indexOf("/__bucket="))
+      cols.values.foreach { case (_, rel) =>
+        assert(rel.startsWith(entryRoot + "/"),
+          s"bucket $b bloom $rel not under its entry root $entryRoot")
+      }
+    }
+    val t = spark.read.format("graft-snapshot").load(dir)
+    // values from BOTH commits stay findable under pruning
+    assert(t.filter($"ext" === "e37").count() == 1L)
+    assert(t.filter($"ext" === "n1000").count() == 1L)
+    assert(scanFiles(t.filter($"ext" === "e37")) <= 2)
+  }
+
+  test("saturation cap: an over-full bucket records no sidecar and stays readable") {
+    val dir = tmpDir("bloomsat") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 1, bloomCols = Seq("ext"))
+    val n = BloomIndex.MaxDistinct.toInt + 1024
+    sink.merge(
+      spark.range(n.toLong).select(col("id"), lit(0L).as("seq"),
+        concat(lit("e"), col("id")).as("ext"), lit(false).as("is_delete")),
+      Seq("id"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestBlooms(dir, 0L).isEmpty,
+      "a bucket over MaxDistinct must record NO filter (it would saturate)")
+    val t = spark.read.format("graft-snapshot").load(dir)
+    assert(t.filter($"ext" === "e12345").count() == 1L)
+    assert(scanFiles(t.filter($"ext" === "e12345")) == 1, "absence = no pruning")
+  }
+
+  test("schema evolution: type-widening migration and non-bigint literals stay consistent") {
+    val dir = tmpDir("bloomev") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+    // ext stored as INT — the recorded sidecar type must say so, and an
+    // equality with a BIGINT literal (what SQL pushes after implicit casts)
+    // must hash under the STORED type to find the row
+    sink.merge(
+      (0L until 64L).map(i => (i, 0L, i.toInt * 7, false)).toDF("id", "seq", "ext", "is_delete"),
+      Seq("id"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestBlooms(dir, 0L)
+      .values.flatMap(_.get("ext")).map(_._1).toSet == Set("int"))
+    val t0 = spark.read.format("graft-snapshot").load(dir)
+    assert(t0.filter($"ext" === 7L * 37L).count() == 1L)
+    assert(scanFiles(t0.filter($"ext" === 7L * 37L)) <= 2)
+
+    // the format's widening path is the truncate-and-load migration
+    // (replaceAll, the SchemaEvolution contract) — ONE fresh commit whose
+    // sidecars all recompute under the widened type
+    sink.replaceAll(
+      (0L until 64L).map(i => (i, 1L, i * 7, false)).toDF("id", "seq", "ext", "is_delete"),
+      Seq("id"), "seq", "is_delete")
+    val types = SnapshotParquetSink.manifestBlooms(dir, 1L)
+      .values.flatMap(_.get("ext")).map(_._1).toSet
+    assert(types == Set("bigint"), s"migrated sidecars must record the new type: $types")
+    val t = spark.read.format("graft-snapshot").load(dir)
+    val found = (0L until 64L).count(i => t.filter($"ext" === 7L * i).count() == 1L)
+    assert(found == 64, s"widening migration cost rows: $found/64")
+    assert(scanFiles(t.filter($"ext" === 7L * 37L)) <= 2)
+  }
+
+  test("compact and purge copy sidecars; vacuum never strands them; rebucket recomputes") {
+    val dir = tmpDir("bloomlc") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+    sink.merge(rows(0L until 256L), Seq("id"), "seq", "is_delete")
+    sink.merge(rows(Seq(300L), tag = "x"), Seq("id"), "seq", "is_delete")
+    sink.compact(spark)
+    sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    val t = spark.read.format("graft-snapshot").load(dir)
+    assert(t.filter($"ext" === "e37").count() == 1L)
+    assert(scanFiles(t.filter($"ext" === "e37")) <= 2,
+      "pruning must survive compact + vacuum (sidecars copied, not stranded)")
+
+    // purge: delete a row below the horizon, purge, blooms still safe
+    sink.merge(Seq((37L, 10L, "e37", true)).toDF("id", "seq", "ext", "is_delete"),
+      Seq("id"), "seq", "is_delete")
+    sink.purgeTombstones(spark, horizonSeq = 10L)
+    sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    val t2 = spark.read.format("graft-snapshot").load(dir)
+    assert(t2.filter($"ext" === "e37" && !col("__is_deleted")).count() == 0L)
+    assert(t2.filter($"ext" === "e38").count() == 1L)
+
+    // rebucket re-routes values — filters must be recomputed, not copied
+    val v = sink.rebucket(spark, 16)
+    assert(SnapshotParquetSink.manifestBlooms(dir, v).nonEmpty)
+    sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    val t3 = spark.read.format("graft-snapshot").load(dir)
+    assert(t3.filter($"ext" === "e41").count() == 1L)
+    assert(scanFiles(t3.filter($"ext" === "e41")) <= 3,
+      "recomputed filters keep pruning under the new layout")
+  }
+
+  test("forTable and SQL writes preserve the bloom layout") {
+    val dir = tmpDir("bloomsql") + "/t"
+    new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+      .merge(rows(0L until 128L), Seq("id"), "seq", "is_delete")
+    // a SQL writer names nothing — it must keep recording blooms for the
+    // buckets it rewrites
+    rows(Seq(500L), tag = "s").write.format("graft-snapshot").mode("append").save(dir)
+    val v = SnapshotParquetSink.versions(dir).last
+    assert(SnapshotParquetSink.manifestBlooms(dir, v).size == 8)
+    val t = spark.read.format("graft-snapshot").load(dir)
+    assert(t.filter($"ext" === "s500").count() == 1L)
+    assert(scanFiles(t.filter($"ext" === "s500")) <= 2)
+  }
+}
