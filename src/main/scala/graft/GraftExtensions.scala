@@ -18,7 +18,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * LLM-pipeline TABLE functions — `bm25_search`, `phrase_search`,
   * `knn_search`, `lsh_candidates` — so a SQL-only client can run retrieval,
   * ANN and dedup candidate generation with zero Scala
-  * (`SELECT * FROM bm25_search('/idx', 'query terms', 20)`). Each TVF
+  * (`SELECT * FROM bm25_search('/idx', 'query terms', 20)`), plus the
+  * table-format admin/DML surface: `table_history`, `table_changes`,
+  * `snapshot_merge` (SQL upsert into a snapshot table), `table_follow`
+  * (one incremental bronze→silver hop), and the matview lifecycle
+  * (`matagg_define`/`matjoin_define`/`matview_load`/`matview_refresh`/
+  * `matview_unregister`). Each TVF
   * builds the SAME DataFrame plan its Scala twin produces, so plan shape,
   * pruning and scoring are shared, not reimplemented. The in-process
   * alternatives remain for sessions built without the conf
@@ -118,6 +123,99 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new graft.sink.SnapshotParquetSink(litStr(exprs(0), "tableDir"))
           .changesBetween(SparkSession.active,
             litInt(exprs(1), "fromVersion").toLong, litInt(exprs(2), "toVersion").toLong)
+          .queryExecution.logical: LogicalPlan
+      }))
+    // snapshot-table READ for SQL-only clients: Spark's SQL-on-files
+    // resolution (`FROM format.`path``) only admits file formats, not DSv2
+    // providers, so the read face is a TVF like the rest of the surface —
+    // same DSv2 scan underneath (bucket/stats/bloom pruning included)
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_read"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "snapshot_read"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          "snapshot_read(tableDir[, asOfVersion])")
+        val spark = SparkSession.active
+        val reader = spark.read.format("graft-snapshot")
+        val withAsOf =
+          if (exprs.length == 2)
+            reader.option("asOf", litInt(exprs(1), "asOfVersion").toLong)
+          else reader
+        withAsOf.load(litStr(exprs(0), "tableDir"))
+          .queryExecution.logical: LogicalPlan
+      }))
+    // ---- SQL DML for snapshot tables: merge any table/temp view into a
+    // snapshot table (last-write-wins upsert, atomic manifest commit) —
+    // with the V1 writer fallback this makes the whole CDC apply path
+    // reachable from pure SQL. Existing tables self-align their committed
+    // layout via forTable (nBuckets, keys, cluster, stats, blooms).
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_merge"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "snapshot_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 3 && exprs.length <= 6,
+          "snapshot_merge(tableDir, sourceTableOrView, keysCsv[, seqCol[, deleteCol[, nBuckets]]])")
+        val spark = SparkSession.active
+        val dir = litStr(exprs(0), "tableDir")
+        val batch0 = spark.table(litStr(exprs(1), "sourceTableOrView"))
+        val keys = litStr(exprs(2), "keys").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val seqCol = if (exprs.length > 3) litStr(exprs(3), "seqCol") else "seq"
+        val delCol = if (exprs.length > 4) Some(litStr(exprs(4), "deleteCol")) else None
+        val sink =
+          if (graft.sink.SnapshotParquetSink.versions(dir).nonEmpty)
+            graft.sink.SnapshotParquetSink.forTable(dir)
+          else new graft.sink.SnapshotParquetSink(dir,
+            nBuckets = if (exprs.length > 5) litInt(exprs(5), "nBuckets") else 16)
+        val (batch, del) = delCol match {
+          case Some(c) =>
+            require(batch0.columns.contains(c), s"delete column '$c' absent from the source")
+            (batch0, c)
+          case None => (batch0.withColumn("__is_deleted",
+            org.apache.spark.sql.functions.lit(false)), "__is_deleted")
+        }
+        sink.merge(batch, keys, seqCol, del)
+        val info = sink.lastCommit
+        import spark.implicits._
+        Seq((dir, info.map(_.version).getOrElse(-1L),
+          info.map(_.attempts).getOrElse(0), info.map(_.rebases).getOrElse(0)))
+          .toDF("table_dir", "version", "attempts", "rebases")
+          .queryExecution.logical: LogicalPlan
+      }))
+    // one incremental table-to-table hop from SQL ([[graft.streaming
+    // .TableFollower]]): catch the downstream table up to the upstream's
+    // head, applying an optional ';'-separated selectExpr list as the
+    // row-wise transform (must pass keys, seqCol and is_deleted through —
+    // '*' projects everything: "*; upper(note) AS note_upper").
+    ext.injectTableFunction((
+      FunctionIdentifier("table_follow"),
+      new ExpressionInfo(classOf[graft.streaming.TableFollower].getName, "table_follow"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 4 && exprs.length <= 6,
+          "table_follow(upstreamDir, downstreamDir, name, keysCsv[, seqCol[, selectExprsSemicolonSep]])")
+        val spark = SparkSession.active
+        val upDir = litStr(exprs(0), "upstreamDir")
+        val downDir = litStr(exprs(1), "downstreamDir")
+        val name = litStr(exprs(2), "name")
+        val keys = litStr(exprs(3), "keys").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val seqCol = if (exprs.length > 4) litStr(exprs(4), "seqCol") else "seq"
+        val selects = if (exprs.length > 5)
+          litStr(exprs(5), "selectExprs").split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+        else Seq("*")
+        val down =
+          if (graft.sink.SnapshotParquetSink.versions(downDir).nonEmpty)
+            graft.sink.SnapshotParquetSink.forTable(downDir)
+          else new graft.sink.SnapshotParquetSink(downDir,
+            // default the downstream layout to the upstream's bucket count —
+            // the hop preserves row volume, so the same sizing rule applies
+            nBuckets = graft.sink.SnapshotParquetSink.versions(upDir).lastOption
+              .map(v => graft.sink.SnapshotParquetSink.manifest(upDir, v)._1)
+              .getOrElse(16))
+        val f = new graft.streaming.TableFollower(upDir, down, name)
+        val applied = f.catchUp(spark, keys, seqCol)(_.selectExpr(selects: _*))
+        import spark.implicits._
+        Seq((upDir, downDir, applied.orElse(f.appliedVersion).getOrElse(-1L),
+          applied.isDefined))
+          .toDF("upstream_dir", "downstream_dir", "applied_version", "advanced")
           .queryExecution.logical: LogicalPlan
       }))
     // ---- materialized views from SQL: define-or-advance an IVM aggregate

@@ -171,6 +171,27 @@ class BloomSnapshotSpec extends SparkSpec {
       "recomputed filters keep pruning under the new layout")
   }
 
+  test("bloom backfill: bulk-load plain, then one compact with a bloom handle indexes it") {
+    val dir = tmpDir("bloombf") + "/t"
+    // the fast initial load: no bloom pass
+    new SnapshotParquetSink(dir, nBuckets = 8)
+      .merge(rows(0L until 256L), Seq("id"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestBlooms(dir, 0L).isEmpty)
+    // the OPTIMIZE-with-index pass
+    val indexer = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+    val v = indexer.compact(spark)
+    assert(SnapshotParquetSink.manifestBlooms(dir, v).size == 8)
+    val t = spark.read.format("graft-snapshot").load(dir)
+    assert(t.filter($"ext" === "e37").count() == 1L)
+    assert(scanFiles(t.filter($"ext" === "e37")) <= 2)
+    // and forTable handles now self-align with the backfilled bloom cols
+    SnapshotParquetSink.forTable(dir)
+      .merge(rows(Seq(999L), tag = "z"), Seq("id"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestBlooms(dir, v + 1).size == 8)
+    assert(spark.read.format("graft-snapshot").load(dir)
+      .filter($"ext" === "z999").count() == 1L)
+  }
+
   test("forTable and SQL writes preserve the bloom layout") {
     val dir = tmpDir("bloomsql") + "/t"
     new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))

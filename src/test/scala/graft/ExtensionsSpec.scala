@@ -131,4 +131,72 @@ class ExtensionsSpec extends AnyFunSuite {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
   }
+
+  test("SQL-only table DML: snapshot_merge upserts, table_follow chains a hop") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_dml").toString
+      def bronze = s"snapshot_read('$base/t')"
+      def silver = s"snapshot_read('$base/s')"
+
+      Seq((1L, 1L, "a1", false), (2L, 1L, "a2", false))
+        .toDF("id", "seq", "note", "is_delete").createOrReplaceTempView("w1")
+      val st1 = s2.sql(
+        s"SELECT * FROM snapshot_merge('$base/t', 'w1', 'id', 'seq', 'is_delete', 8)").head
+      assert(st1.getLong(1) == 0L, s"first merge publishes v0: $st1")
+
+      // wave 2: an update, a delete, an insert — then read back through the
+      // snapshot_read TVF (the DSv2 scan underneath, zero Scala reads)
+      Seq((1L, 2L, "b1", false), (2L, 2L, "gone", true), (3L, 2L, "b3", false))
+        .toDF("id", "seq", "note", "is_delete").createOrReplaceTempView("w2")
+      assert(s2.sql(
+        s"SELECT * FROM snapshot_merge('$base/t', 'w2', 'id', 'seq', 'is_delete')")
+        .head.getLong(1) == 1L)
+      val live = s2.sql(
+        s"SELECT id, note FROM $bronze WHERE NOT __is_deleted ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(live == Seq((1L, "b1"), (3L, "b3")), s"got $live")
+      // time travel through the same TVF
+      val v0 = s2.sql(s"SELECT id, note FROM snapshot_read('$base/t', 0) " +
+        "WHERE NOT __is_deleted ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(v0 == Seq((1L, "a1"), (2L, "a2")), s"got $v0")
+
+      // one bronze→silver hop with a SQL transform; deletes must forward
+      val f1 = s2.sql(s"SELECT * FROM table_follow('$base/t', '$base/s', " +
+        "'silver', 'id', 'seq', '*; upper(note) AS note_u')").head
+      assert(f1.getLong(2) == 1L && f1.getBoolean(3), s"hop must advance: $f1")
+      val down = s2.sql(
+        s"SELECT id, note_u FROM $silver WHERE NOT __is_deleted ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(down == Seq((1L, "B1"), (3L, "B3")), s"got $down")
+
+      // already current: the second call reports no advance
+      val f2 = s2.sql(s"SELECT * FROM table_follow('$base/t', '$base/s', " +
+        "'silver', 'id', 'seq', '*; upper(note) AS note_u')").head
+      assert(!f2.getBoolean(3) && f2.getLong(2) == 1L, s"must be current: $f2")
+
+      // a third upstream wave flows through the same SQL-only loop
+      Seq((1L, 3L, "c1", false))
+        .toDF("id", "seq", "note", "is_delete").createOrReplaceTempView("w3")
+      s2.sql(s"SELECT * FROM snapshot_merge('$base/t', 'w3', 'id')").collect()
+      val f3 = s2.sql(s"SELECT * FROM table_follow('$base/t', '$base/s', " +
+        "'silver', 'id', 'seq', '*; upper(note) AS note_u')").head
+      assert(f3.getBoolean(3) && f3.getLong(2) == 2L)
+      assert(s2.sql(s"SELECT note_u FROM $silver WHERE id = 1 AND NOT __is_deleted")
+        .head.getString(0) == "C1")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
 }
