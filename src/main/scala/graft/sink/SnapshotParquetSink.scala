@@ -186,6 +186,24 @@ object SnapshotParquetSink {
       .groupBy(_._1)
       .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
 
+  /** The table's FILE schema union recorded at `version` (JSON StructType;
+    * includes `__gen` and the delete flag, excludes the `__bucket`
+    * partition directory) — what `mergeSchema` over every bucket file
+    * would reconstruct, recorded at commit time so READERS NEVER PAY A
+    * FOOTER SCAN TO RESOLVE THE SCHEMA: at 100 TB, "open every bucket's
+    * footer before planning" is a real planning-latency tax this line
+    * removes (the Delta metaData-action idea). None for manifests written
+    * before schema recording — consumers then fall back to the footer
+    * merge. Every rewrite that reads the full state (compact, rebucket,
+    * purge, replaceAll) records the line, upgrading legacy tables.
+    */
+  def manifestSchema(dir: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(dir, version)
+      .collectFirst { case l if l.startsWith("schema=") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType] }
+
   /** The merge-key columns recorded at `version` (the columns the bucket
     * hash routes on). Empty for manifests written before keys were
     * recorded — consumers then fall back to caller-declared keys.
@@ -507,6 +525,40 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         }
       }
 
+  /** `schema=<json>` line for a commit writing frames shaped `written`
+    * (the `__bucket` partition column is stripped — it never lands in the
+    * files), unioned with the carry source's RECORDED schema: untouched
+    * buckets may hold evolution-era columns this commit's affected set
+    * never read, and dropping them from the line would misdeclare the
+    * table. On a legacy table (carry source has no recorded schema) the
+    * line is omitted rather than derived — deriving would cost exactly the
+    * footer scan this line exists to remove; the next full rewrite
+    * (compact/rebucket/purge/replaceAll) upgrades it. A same-name type
+    * conflict cannot arise through the supported evolution paths (merge
+    * only ADDS columns; widening rewrites the whole table) and fails
+    * loudly if it ever appears.
+    */
+  private def schemaLine(written: org.apache.spark.sql.types.StructType,
+      carryFrom: Option[Long]): Option[String] = {
+    import org.apache.spark.sql.types.StructType
+    val fileSchema = StructType(written.fields.filterNot(_.name == "__bucket"))
+    val prior = carryFrom.flatMap(v => SnapshotParquetSink.manifestSchema(dir, v))
+    if (carryFrom.isDefined && prior.isEmpty) None
+    else {
+      val out = prior match {
+        case None => fileSchema
+        case Some(p) =>
+          val byName = fileSchema.fields.map(f => f.name -> f).toMap
+          p.fields.foreach(f => byName.get(f.name).foreach(n =>
+            require(n.dataType == f.dataType,
+              s"schema conflict on '${f.name}' at $dir: batch ${n.dataType} vs " +
+                s"recorded ${f.dataType} — type changes go through replaceAll")))
+          StructType(fileSchema.fields ++ p.fields.filterNot(f => byName.contains(f.name)))
+      }
+      Some("schema=" + out.json)
+    }
+  }
+
   /** Routing: key hash by default; on a clustered table, the top
     * log2(nBuckets) bits of the Morton code over the cluster columns —
     * Z-tiles instead of hash scatter, so per-bucket stats envelopes are
@@ -721,6 +773,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
           val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
             s"keys=${keys.mkString(",")}") ++
             maxSeqOpt.map(m => s"maxseq=$m").toSeq ++
+            schemaLine(merged.schema, carryFrom).toSeq ++
             clusterLines ++
             newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
             carried ++ freshStats ++
@@ -827,6 +880,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
           s"keys=${keys.mkString(",")}") ++
           batchMaxSeq.map(m => s"maxseq=$m").toSeq ++
+          schemaLine(merged.schema, None).toSeq ++
           clusterLines ++
           newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
           statsLinesFor(spark, commitId) ++
@@ -1081,6 +1135,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
+        schemaLine(full.schema, None).toSeq ++ // full rewrite: derive fresh
         carriedCluster ++
         newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
         carried ++ bloomsOut)
@@ -1159,6 +1214,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val body = (Seq(s"version=$version", s"nBuckets=$newBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
+        schemaLine(full.schema, None).toSeq ++ // full rewrite: derive fresh
         clusterLines ++
         newEntries.map { case (b, rel) => s"b $b $rel" } ++
         statsLinesFor(spark, commitId, statCols) ++
@@ -1260,6 +1316,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
         headSeq.map(m => s"maxseq=$m").toSeq ++
+        schemaLine(purged.schema, None).toSeq ++ // full rewrite: derive fresh
         carriedCluster ++
         newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
         statsOut ++ copiedBlooms)

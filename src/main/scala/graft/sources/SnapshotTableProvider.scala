@@ -149,13 +149,20 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
     * not-yet-published table (version −1): the writer fallback only needs
     * table RESOLUTION to succeed on a fresh dir — reads still fail loudly
     * at scan construction.
+    *
+    * Resolution order: the manifest's RECORDED schema when present (O(1)
+    * metadata read — at scale, resolving a table must not open every
+    * bucket's parquet footer), else the legacy footer merge.
     */
   lazy val dataSchema: StructType =
     if (entries.isEmpty) new StructType()
-    else {
-      val spark = SparkSession.active
-      val full = spark.read.option("mergeSchema", "true").parquet(bucketPaths: _*).schema
-      StructType(full.fields.filterNot(_.name == "__gen"))
+    else SnapshotParquetSink.manifestSchema(dir, version) match {
+      case Some(recorded) =>
+        StructType(recorded.fields.filterNot(_.name == "__gen"))
+      case None =>
+        val spark = SparkSession.active
+        val full = spark.read.option("mergeSchema", "true").parquet(bucketPaths: _*).schema
+        StructType(full.fields.filterNot(_.name == "__gen"))
     }
 
   /** The file list a scan must read given the pushed filters: key-equality
@@ -172,11 +179,13 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
     * column on a clustered one (routing there is a pure function of the
     * cluster columns alone; hashing would pick the WRONG bucket and
     * silently lose rows, so the committed cluster spec is authoritative).
+    * A SINGLE-key hash table additionally routes `key IN (...)` to the
+    * union of the values' buckets — the batched point-lookup pattern.
     */
   private def keyPruned(filters: Seq[Expression]): Map[Int, String] = {
     if (keys.isEmpty) return entries
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, In, InSet, Literal}
     val eqs = filters.collect {
       case EqualTo(a: Attribute, l: Literal) =>
         a.name -> CatalystTypeConverters.convertToScala(l.value, l.dataType)
@@ -195,10 +204,33 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
       val bucket = SnapshotParquetSink.clusterBucketFor(longs, cluster, nBuckets)
       return entries.get(bucket).map(rel => Map(bucket -> rel)).getOrElse(Map.empty)
     }
-    if (!keys.forall(eqs.contains)) return entries
-    val bucket = SnapshotParquetSink.bucketFor(
-      keys.map(eqs), keys.map(k => dataSchema(k).dataType), nBuckets)
-    entries.get(bucket).map(rel => Map(bucket -> rel)).getOrElse(Map.empty)
+    if (keys.forall(eqs.contains)) {
+      val bucket = SnapshotParquetSink.bucketFor(
+        keys.map(eqs), keys.map(k => dataSchema(k).dataType), nBuckets)
+      return entries.get(bucket).map(rel => Map(bucket -> rel)).getOrElse(Map.empty)
+    }
+    // IN on the single merge key: the union of the listed values' buckets
+    // (null list elements never match a row — skip them; an extra bucket is
+    // only a wasted read, a missing one would lose rows, so any non-literal
+    // element disables the pruning entirely)
+    if (keys.length == 1) {
+      val k = keys.head
+      val kt = dataSchema(k).dataType
+      val inValues: Option[Seq[Any]] = filters.collectFirst {
+        case In(a: Attribute, vs) if a.name == k && vs.forall(_.isInstanceOf[Literal]) =>
+          vs.collect { case Literal(v, dt) if v != null =>
+            CatalystTypeConverters.convertToScala(v, dt) }
+        case InSet(a: Attribute, hset) if a.name == k =>
+          hset.toSeq.filter(_ != null)
+            .map(v => CatalystTypeConverters.convertToScala(v, kt))
+      }
+      inValues.foreach { vs =>
+        val buckets = vs.map(v =>
+          SnapshotParquetSink.bucketFor(Seq(v), Seq(kt), nBuckets)).toSet
+        return entries.filter { case (b, _) => buckets.contains(b) }
+      }
+    }
+    entries
   }
 
   /** A pushed literal on a stats column as BigDecimal (timestamps compare
@@ -273,21 +305,31 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
   private def bloomPruned(filters: Seq[Expression],
       surviving: Map[Int, String]): Map[Int, String] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      Attribute, Cast, EqualTo, Literal, XxHash64}
+      Attribute, Cast, EqualTo, In, InSet, Literal, XxHash64}
     if (blooms.isEmpty) return surviving
     val bloomedCols: Set[String] = blooms.values.flatMap(_.keys).toSet
-    val eqs: Seq[(String, Literal)] = filters.collect {
+    // each rule: (column, candidate literals) — a bucket survives the rule
+    // iff ANY candidate is admitted (disjunction inside an IN list), and
+    // must survive every rule (conjunction across predicates). Null list
+    // elements never match a row, so they contribute no candidate.
+    val rules: Seq[(String, Seq[Literal])] = filters.collect {
       case EqualTo(a: Attribute, l: Literal)
-        if l.value != null && bloomedCols.contains(a.name) => a.name -> l
+        if l.value != null && bloomedCols.contains(a.name) => a.name -> Seq(l)
       case EqualTo(l: Literal, a: Attribute)
-        if l.value != null && bloomedCols.contains(a.name) => a.name -> l
-    }
-    if (eqs.isEmpty) return surviving
-    // hash per (column, stored-type) — computed lazily and memoized so one
-    // query hashes each needed type exactly once
-    val hashCache = scala.collection.mutable.Map.empty[(String, String), Option[Long]]
+        if l.value != null && bloomedCols.contains(a.name) => a.name -> Seq(l)
+      case In(a: Attribute, vs)
+        if bloomedCols.contains(a.name) && vs.forall(_.isInstanceOf[Literal]) =>
+        a.name -> vs.collect { case l: Literal if l.value != null => l }
+      case ins @ InSet(a: Attribute, hset) if bloomedCols.contains(a.name) =>
+        a.name -> hset.toSeq.filter(_ != null)
+          .map(v => Literal(v, ins.child.dataType))
+    }.filter(_._2.nonEmpty)
+    if (rules.isEmpty) return surviving
+    // hash per (column, stored-type, literal) — memoized so one query
+    // hashes each needed (type, value) exactly once
+    val hashCache = scala.collection.mutable.Map.empty[(String, String, Any), Option[Long]]
     def hashFor(c: String, ddl: String, l: Literal): Option[Long] =
-      hashCache.getOrElseUpdate((c, ddl), {
+      hashCache.getOrElseUpdate((c, ddl, l.value), {
         scala.util.Try {
           val storedType = org.apache.spark.sql.types.DataType.fromDDL(ddl)
           val castLit: Expression =
@@ -297,16 +339,17 @@ private[sources] final case class SnapshotState(dir: String, version: Long,
         }.toOption
       })
     surviving.filter { case (b, _) =>
-      eqs.forall { case (c, l) =>
+      rules.forall { case (c, lits) =>
         blooms.get(b).flatMap(_.get(c)) match {
           case None => true // no filter recorded for this bucket — keep
           case Some((ddl, rel)) =>
-            hashFor(c, ddl, l) match {
-              case None => true // uncastable literal — cannot prune safely
-              case Some(h) =>
-                graft.sink.BloomIndex
-                  .load(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
-                  .forall(_.mightContain(h))
+            lazy val bloom = graft.sink.BloomIndex
+              .load(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+            lits.exists { l =>
+              hashFor(c, ddl, l) match {
+                case None    => true // uncastable literal — cannot prune safely
+                case Some(h) => bloom.forall(_.mightContain(h))
+              }
             }
         }
       }

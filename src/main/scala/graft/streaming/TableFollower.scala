@@ -93,10 +93,16 @@ final class TableFollower(upstreamDir: String,
           case Some(changed) =>
             // evolution fallback: changed files may predate a column the
             // transform needs — when their merged schema lags the table's,
-            // fall back to the full state (correct, just unpruned)
-            val full = upstream.readAt(spark, latest, DeleteMode.Logical)
-            if (changed.columns.toSet == full.columns.toSet) Some(changed)
-            else Some(full)
+            // fall back to the full state (correct, just unpruned). The
+            // table's column set comes from the manifest's recorded schema
+            // when present (metadata-only); a full readAt is the legacy path
+            val fullCols: Set[String] =
+              SnapshotParquetSink.manifestSchema(upstreamDir, latest)
+                .map(_.fieldNames.toSet - "__gen" - "__is_deleted" + "is_deleted")
+                .getOrElse(
+                  upstream.readAt(spark, latest, DeleteMode.Logical).columns.toSet)
+            if (changed.columns.toSet == fullCols) Some(changed)
+            else Some(upstream.readAt(spark, latest, DeleteMode.Logical))
         }
       case Some(_) => // diff base vacuumed: one full resync, then incremental
         Some(upstream.readAt(spark, latest, DeleteMode.Logical))

@@ -171,6 +171,29 @@ class BloomSnapshotSpec extends SparkSpec {
       "recomputed filters keep pruning under the new layout")
   }
 
+  test("IN predicates prune: key IN routes to the union of buckets, bloom IN tests each value") {
+    val dir = tmpDir("bloomin") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
+    sink.merge(rows(0L until 512L), Seq("id"), "seq", "is_delete")
+    val t = spark.read.format("graft-snapshot").load(dir)
+
+    // batched point lookup on the merge key: ≤3 of 8 buckets planned
+    val keyIn = t.filter($"id".isin(7L, 19L, 130L))
+    assert(scanFiles(keyIn) <= 3, s"key IN must route to the values' buckets, got ${scanFiles(keyIn)}")
+    assert(keyIn.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 19L, 130L))
+
+    // IN on the bloom column: any-admitted semantics, ≤3 buckets + FP slack
+    val extIn = t.filter($"ext".isin("e7", "e19", "e130"))
+    assert(scanFiles(extIn) <= 4, s"bloom IN should skip non-candidate buckets, got ${scanFiles(extIn)}")
+    assert(extIn.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 19L, 130L))
+
+    // absent values: near-zero files, zero rows; a null element is ignored
+    val extMiss = t.filter($"ext".isin("nope1", "nope2"))
+    assert(scanFiles(extMiss) <= 1)
+    assert(extMiss.count() == 0L)
+    assert(t.filter($"id".isin(7L, 19L) && $"ext".isin("e7", "zzz")).count() == 1L)
+  }
+
   test("bloom backfill: bulk-load plain, then one compact with a bloom handle indexes it") {
     val dir = tmpDir("bloombf") + "/t"
     // the fast initial load: no bloom pass

@@ -180,6 +180,80 @@ class CatalogTxnStreamSpec extends SparkSpec {
     assert(fin == Set((Some("a"), 1L, 7L), (Some("b"), 1L, 10L)))
   }
 
+  test("a map view (per-row enrichment hop) advances inside the cut, cascade on top") {
+    val in = tmpDir("txn6_in")
+    val ckpt = tmpDir("txn6_ck")
+    val catDir = tmpDir("txn6_cat") + "/c"
+    val cat = new SnapshotCatalog(catDir)
+    val members = Seq(
+      CatalogTxnStream.Member("orders", _.filter(col("tbl") === "orders").drop("tbl"), 2))
+    val src = cat.openTable("orders", 2)
+    val enriched = cat.openTable("orders_silver", 2)
+    // map hop: derive cents, uppercase the note — then a rollup CASCADES on
+    // the map view's OUTPUT (bottom-up declaration order)
+    val mapView = new graft.streaming.MaterializedMap(src, enriched, Seq("primary_key"),
+      df => df.withColumn("cents", col("amt") * 100)
+        .withColumn("note_u", upper(col("note"))))
+    val rollup = new graft.sink.MaterializedAgg(enriched,
+      cat.openTable("silver_by_grp", 2),
+      Seq("grp"), Seq(count(lit(1)).as("n"), sum(col("cents")).as("total_cents")))
+    val stream = spark.readStream
+      .schema("tbl STRING, primary_key STRING, seq LONG, grp STRING, amt LONG, note STRING, is_delete BOOLEAN")
+      .json(in)
+    def startQ() = CatalogTxnStream.start(stream, cat, members,
+      Seq("primary_key"), "seq", "is_delete", ckpt, writerId = "w6",
+      views = Seq("orders_silver" -> mapView, "silver_by_grp" -> rollup))
+    def row(pk: String, seq: Long, grp: String, amt: Long, note: String, del: Boolean = false) =
+      s"""{"tbl":"orders","primary_key":"$pk","seq":$seq,"grp":"$grp","amt":$amt,"note":"$note","is_delete":$del}"""
+
+    writeChunk(in, "b0.jsonl", Seq(row("o1", 1, "a", 10, "x1"), row("o2", 2, "b", 5, "x2")))
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      // update + delete mid-stream: both must forward through the hop
+      writeChunk(in, "b1.jsonl",
+        Seq(row("o1", 3, "a", 20, "y1"), row("o2", 4, "b", 0, "gone", del = true)))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    injectCrash(ckpt)
+    writeChunk(in, "b2.jsonl", Seq(row("o3", 5, "a", 7, "z3")))
+    val q2 = startQ()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+
+    assert(cat.versions.size == 3, s"one cut per micro-batch, got ${cat.versions}")
+    // every cut pins (source, map view, rollup) together; the pinned map
+    // view equals transform(pinned source) and the pinned rollup equals a
+    // GROUP BY of the pinned map view — the whole cascade moves atomically
+    for (v <- cat.versions) {
+      val pins = cat.pins(v)
+      assert(pins.keySet == Set("orders", "orders_silver", "silver_by_grp"),
+        s"cut v$v pins $pins")
+      val srcState = src.readAt(spark, pins("orders"), DeleteMode.Hard)
+      val expectMap = srcState
+        .withColumn("cents", col("amt") * 100).withColumn("note_u", upper(col("note")))
+        .select("primary_key", "cents", "note_u")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val gotMap = enriched.readAt(spark, pins("orders_silver"), DeleteMode.Hard)
+        .select("primary_key", "cents", "note_u")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(gotMap == expectMap, s"map view lags its source in cut v$v")
+      val expectRoll = enriched.readAt(spark, pins("orders_silver"), DeleteMode.Hard)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val gotRoll = rollup.sink.readAt(spark, pins("silver_by_grp"), DeleteMode.Hard)
+        .select("grp", "n", "total_cents")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotRoll == expectRoll, s"rollup lags the map view in cut v$v")
+    }
+    // final content: o1 updated (2000 cents), o2 deleted, o3 arrived (700)
+    val fin = enriched.read(spark, DeleteMode.Hard)
+      .select("primary_key", "cents", "note_u")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(fin == Set(("o1", 2000L, "Y1"), ("o3", 700L, "Z3")), fin.toString)
+  }
+
   test("cascaded views (fact ⋈ dim, rollup on top) advance in one atomic cut") {
     val in = tmpDir("txn5_in")
     val ckpt = tmpDir("txn5_ck")

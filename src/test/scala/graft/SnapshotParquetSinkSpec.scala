@@ -965,4 +965,54 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("committed"))
   }
+
+  test("manifest-recorded schema: resolution is metadata-only, evolution unions, versions pin") {
+    val dir = tmpDir("mschema") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch(("a", 0, "a0", false), ("b", 1, "b0", false)),
+      Seq("primary_key"), "seq", "is_delete")
+    val s0 = SnapshotParquetSink.manifestSchema(dir, 0L)
+    assert(s0.isDefined, "every fresh commit records its schema")
+    assert(s0.get.fieldNames.contains("__gen") && !s0.get.fieldNames.contains("__bucket"))
+    // the recorded line must EQUAL what the footer merge reconstructs —
+    // the DSv2 resolve substitutes one for the other
+    val paths = SnapshotParquetSink.manifest(dir, 0L)._2.toSeq.sortBy(_._1)
+      .map { case (_, rel) => s"$dir/$rel" }
+    val footer = spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    assert(s0.get.fieldNames.sorted.toSeq == footer.fieldNames.sorted.toSeq)
+
+    // evolution: a new column in a 1-bucket commit must still appear in the
+    // RECORDED schema (union with the carry source), and the DSv2 read —
+    // which now resolves from the manifest — must surface it null-backfilled
+    sink.merge(Seq(("a", 5L, "a1", false, 42L))
+        .toDF("primary_key", "seq", "val", "is_delete", "extra"),
+      Seq("primary_key"), "seq", "is_delete")
+    val s1 = SnapshotParquetSink.manifestSchema(dir, 1L).get
+    assert(s1.fieldNames.contains("extra") && s1.fieldNames.contains("val"))
+    val t = spark.read.format("graft-snapshot").load(dir)
+    assert(t.columns.contains("extra"))
+    assert(t.filter(t("primary_key") === "b").select("extra").head.isNullAt(0))
+    // per-version pin: v0's recorded schema has no 'extra'
+    assert(!SnapshotParquetSink.manifestSchema(dir, 0L).get.fieldNames.contains("extra"))
+    // maintenance rewrites re-derive the line
+    sink.compact(spark)
+    assert(SnapshotParquetSink.manifestSchema(dir, 2L).get.fieldNames.contains("extra"))
+    // type conflicts refuse loudly (type changes go through replaceAll).
+    // The key must land in an EMPTY bucket: a batch touching a stored
+    // bucket would hit ANSI union coercion first (the round-9 gotcha),
+    // while the untouched-bucket case is exactly what only the RECORDED
+    // schema can catch — no footer in the plan carries the old type
+    import org.apache.spark.sql.types.StringType
+    val used = Seq("a", "b")
+      .map(k => SnapshotParquetSink.bucketFor(Seq(k), Seq(StringType), 4)).toSet
+    val z = Iterator.from(0).map(i => s"z$i")
+      .find(k => !used.contains(SnapshotParquetSink.bucketFor(Seq(k), Seq(StringType), 4)))
+      .get
+    val e2 = intercept[IllegalArgumentException] {
+      sink.merge(Seq((z, 9L, "z0", false, "now-a-string"))
+          .toDF("primary_key", "seq", "val", "is_delete", "extra"),
+        Seq("primary_key"), "seq", "is_delete")
+    }
+    assert(e2.getMessage.contains("schema conflict"))
+  }
 }
