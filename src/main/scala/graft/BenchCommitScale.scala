@@ -75,6 +75,32 @@ object BenchCommitScale {
           .merge(table(n, 1L), Seq("id"), "seq", "__del"))._2
       }.min
 
+      // point-lookup latency through the DSv2 scan: on the bloom-indexed
+      // table the planned file set is ~constant (target bucket + rare FPs),
+      // so probe wall time should stay FLAT across table scale, while the
+      // unindexed table's probe must open every bucket file
+      val probeTarget = s"x${(n / 2L) * 13L}"
+      def probe(dirP: String): (Double, Int) = {
+        val secs = (0 until runs).map { _ =>
+          val df = spark.read.format("graft-snapshot").load(dirP)
+            .filter(col("ext") === probeTarget)
+          timed(df.count())._2
+        }.min
+        val df = spark.read.format("graft-snapshot").load(dirP)
+          .filter(col("ext") === probeTarget)
+        df.count()
+        val files = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+                f.fileIndex.inputFiles.length
+            }
+        }.sum
+        (secs, files)
+      }
+      val (probeBloomSec, probeBloomFiles) = probe(s"$scratch/bloom_${n}_0")
+      val (probePlainSec, probePlainFiles) = probe(s"$scratch/plain_${n}_0")
+
       // sequential baseline: base commit + 4 disjoint merges, one handle
       val seqDir = s"$scratch/seq_$n"
       new SnapshotParquetSink(seqDir, nBuckets).merge(table(n, 1L), Seq("id"), "seq", "__del")
@@ -109,6 +135,8 @@ object BenchCommitScale {
       s""""$n":{"rows":$n,"nbuckets":$nBuckets,
          |"merge_sec":${num(plainSec)},"merge_bloom_sec":${num(bloomSec)},
          |"bloom_overhead":${num(bloomSec / math.max(plainSec, 1e-9) - 1.0)},
+         |"probe_bloom_sec":${num(probeBloomSec)},"probe_bloom_files":$probeBloomFiles,
+         |"probe_plain_sec":${num(probePlainSec)},"probe_plain_files":$probePlainFiles,
          |"seq_4_merges_sec":${num(seqSec)},"conc_4_writers_sec":${num(concSec)},
          |"conc_speedup":${num(seqSec / math.max(concSec, 1e-9))},
          |"rebases":$rebases,"data_writes":$dataWrites}"""

@@ -377,6 +377,26 @@ object Cdc {
       probe
     },
 
+    // SQL-ONLY table lifecycle (round 11): the whole CDC apply path —
+    // two last-write-wins upserts and the read-back — runs through the
+    // snapshot_merge / snapshot_read table functions with zero Scala sink
+    // calls, putting the SQL DML surface itself behind the correctness
+    // gate (the q84s pattern). Same oracle as q61/q61d: any divergence
+    // between the SQL face and the Scala face hash-mismatches.
+    QDef.df("q61t_sql_lifecycle",
+      s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1") { (s, _) =>
+      val (_, dirT) = freshSnapshotSink("q61t")
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      flat.filter(col("seq") <= 900).createOrReplaceTempView("q61t_w1")
+      flat.filter(col("seq") > 900).createOrReplaceTempView("q61t_w2")
+      s.sql(s"SELECT * FROM snapshot_merge('$dirT', 'q61t_w1', " +
+        "'primary_key', 'seq', 'is_delete', 8)").collect()
+      s.sql(s"SELECT * FROM snapshot_merge('$dirT', 'q61t_w2', " +
+        "'primary_key', 'seq', 'is_delete')").collect()
+      normalizedRowCols(
+        s.sql(s"SELECT * FROM snapshot_read('$dirT')").drop("__is_deleted"))
+    },
+
     // Table-to-table incremental pipeline (round 11,
     // [[graft.streaming.TableFollower]]): a downstream "silver" table
     // follows the upstream orders table's commit log — each catch-up reads

@@ -109,7 +109,24 @@ class CatalogTxnStreamSpec extends SparkSpec {
     finally { q1.stop(); q1.awaitTermination() }
     // maintenance between micro-batches: orders evolves its partition count
     // (openTable adopts the committed layout — the Member's declared
-    // nBuckets only seeds creation)
+    // nBuckets only seeds creation).
+    // First a CRASHED attempt: the rebucket dies at its manifest publish —
+    // manifest atomicity must leave the table fully intact (old layout, old
+    // version, readable), the pipeline un-wedged, and the orphan data root
+    // collectable; the RETRY then lands
+    val boom = new graft.engine.CommitLock {
+      override def publishOntoAbsent(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean =
+        throw new java.io.IOException("injected crash at rebucket publish")
+    }
+    intercept[java.io.IOException](graft.engine.CommitLock.withLock(boom)(
+      cat.openTable("orders").rebucket(spark, newBuckets = 8)))
+    assert(graft.sink.SnapshotParquetSink.manifest(s"$catDir/orders",
+      graft.sink.SnapshotParquetSink.versions(s"$catDir/orders").last)._1 == 2,
+      "a crashed rebucket must leave the committed layout untouched")
+    assert(cat.openTable("orders").read(spark, DeleteMode.Hard).count() == 1L)
+    val (_, orphans) = cat.openTable("orders").vacuum(keepLast = 10, minOrphanAgeMs = 0L)
+    assert(orphans >= 1, "the crashed attempt's data root is unreferenced scratch")
     cat.openTable("orders").rebucket(spark, newBuckets = 8)
     assert(graft.sink.SnapshotParquetSink.manifest(s"$catDir/orders",
       graft.sink.SnapshotParquetSink.versions(s"$catDir/orders").last)._1 == 8)
