@@ -24,10 +24,15 @@ import graft.engine.Dfs
   * bucket's `b` entry, so vacuum's root-reachability (derived from entries)
   * covers sidecars with no extra bookkeeping.
   *
-  * Honest sizing: m = [[BitsPerKey]] × distinct-count rounded up to a
-  * power of two (clamped to [[MinBits]]..[[MaxBits]]), k = [[K]] probes —
-  * ≈0.1% false positives at full load. A bucket whose distinct count
-  * exceeds [[MaxDistinct]] records NO sidecar (a saturated bloom admits
+  * Honest sizing: m = [[BitsPerKey]] × the bucket's distinct count
+  * rounded up to a power of two (clamped to [[MinBits]]..[[MaxBits]]),
+  * k = [[K]] probes — ≈0.1% false positives at full load. The distinct
+  * count is ESTIMATED from the full-size filter's own fill (the standard
+  * bloom inversion n̂ = −(m/k)·ln(1−X/m)) so the build is one pass; the
+  * BITS are exact regardless — a power-of-two filter folds down without
+  * re-hashing, so estimation error can only nudge m (FP rate), never
+  * drop an inserted value. A bucket whose estimate exceeds
+  * [[MaxDistinct]] records NO sidecar (a saturated bloom admits
   * everything — writing it would cost IO to prune nothing): absence means
   * "unknown, cannot prune", never a wrong skip. At 100 TB the very large
   * buckets therefore fall back to the parquet-NATIVE bloom filters the

@@ -452,53 +452,76 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       require(!ddl.exists(_.isWhitespace),
         s"bloom column '$c' has a non-atomic type ($ddl) — bloom skipping " +
           "covers atomic columns (equality on them is what gets pushed down)")
-      // no .distinct() materialization: duplicate values just re-set the
-      // same bits, and sizing uses count_distinct's partial aggregation —
-      // a full distinct SHUFFLE of the batch would dominate the commit
-      // (measured 2.5× merge cost at 2M rows before this was removed)
+      // ONE pass over the new files per bloom column: positions are set at
+      // the MAXIMUM size, and a power-of-two bloom folds down EXACTLY
+      // ((p mod 2^20) mod m = p mod m when m | 2^20 — the low log2(m) bits
+      // are untouched), so per-bucket sizing needs no separate distinct
+      // count: it reads the full-size filter's own fill. Duplicates just
+      // re-set the same bits — a `.distinct()` materialization was measured
+      // at 2.5× merge cost and a count_distinct pre-pass at ~1.4×, both
+      // replaced by this fold-down. The position formula must stay
+      // bit-identical to BloomIndex.position.
       val hashed = written.filter(col(c).isNotNull)
         .select(col("__bucket"), xxhash64(col(c)).as("__h"))
       locally {
-        val counts = hashed.groupBy(col("__bucket"))
-          .agg(count_distinct(col("__h")).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val ms = counts.toSeq.sortBy(_._1)
-          .flatMap { case (b, n) => BloomIndex.sizeFor(n).map(b -> _) }
-        if (ms.isEmpty) Nil
-        else {
-          // per-bucket filter size joined in (broadcast — ≤ nBuckets rows);
-          // the position formula below must stay bit-identical to
-          // BloomIndex.position
-          val mdf = spark.createDataFrame(ms.map { case (b, m) =>
-            org.apache.spark.sql.Row(b, m.toLong) }.asJava,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__bucket",
-                org.apache.spark.sql.types.IntegerType, nullable = false),
-              org.apache.spark.sql.types.StructField("__m",
-                org.apache.spark.sql.types.LongType, nullable = false))))
-          val h1 = col("__h").bitwiseAND(lit(0x7fffffffL))
-          val h2 = shiftrightunsigned(col("__h"), 32)
-            .bitwiseOR(lit(1L)).bitwiseAND(lit(0x7fffffffL))
-          val positions = array((0 until BloomIndex.K).map(i =>
-            pmod(h1 + lit(i.toLong) * h2, col("__m"))): _*)
-          val sparse = hashed.join(broadcast(mdf), "__bucket")
-            .select(col("__bucket"), explode(positions).as("__p"))
-            .select(col("__bucket"), shiftright(col("__p"), 6).as("__w"),
-              expr("shiftleft(cast(1 as bigint), cast(pmod(__p, 64) as int))")
-                .as("__mask"))
-            .groupBy(col("__bucket"), col("__w"))
-            .agg(expr("bit_or(__mask)").as("__bits"))
-            .collect()
-          val byBucket = sparse.groupBy(_.getInt(0))
-          ms.map { case (b, m) =>
-            val words = new Array[Long](m / 64)
-            byBucket.getOrElse(b, Array.empty).foreach { r =>
-              words(r.getLong(1).toInt) = r.getLong(2)
-            }
-            val rel = s"data/$commitId/__bloom/$c/$b.bf"
-            Dfs.writeBytes(new HPath(s"$dir/$rel"), BloomIndex.encode(m, words))
-            s"f $b $c $ddl $rel"
+        val h1 = col("__h").bitwiseAND(lit(0x7fffffffL))
+        val h2 = shiftrightunsigned(col("__h"), 32)
+          .bitwiseOR(lit(1L)).bitwiseAND(lit(0x7fffffffL))
+        val positions = array((0 until BloomIndex.K).map(i =>
+          pmod(h1 + lit(i.toLong) * h2, lit(BloomIndex.MaxBits.toLong))): _*)
+        // sparse full-size words: ≤ min(k·rows, 2^20/64) rows per bucket —
+        // tiny next to the batch; cached for the fill probe + the fold
+        val sparse20 = hashed
+          .select(col("__bucket"), explode(positions).as("__p"))
+          .select(col("__bucket"), shiftright(col("__p"), 6).as("__w"),
+            expr("shiftleft(cast(1 as bigint), cast(pmod(__p, 64) as int))")
+              .as("__mask"))
+          .groupBy(col("__bucket"), col("__w"))
+          .agg(expr("bit_or(__mask)").as("__bits"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // distinct-count estimate from the full-size filter's fill —
+          // the standard bloom inversion n̂ = −(m/k)·ln(1 − X/m); at the
+          // 64k-distinct cap X/m ≈ 0.31, where the estimator is tight
+          val fills = sparse20.groupBy(col("__bucket"))
+            .agg(sum(bit_count(col("__bits"))).as("x"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val m20 = BloomIndex.MaxBits.toDouble
+          val ms = fills.toSeq.sortBy(_._1).flatMap { case (b, x) =>
+            val nHat =
+              if (x >= BloomIndex.MaxBits) Long.MaxValue // filter saturated
+              else math.ceil(-m20 / BloomIndex.K * math.log1p(-x / m20)).toLong
+            BloomIndex.sizeFor(nHat).map(b -> _)
           }
+          if (ms.isEmpty) Nil
+          else {
+            // fold to each bucket's size: target word = w mod (m/64), bit
+            // position within the word unchanged — exact, no re-hash
+            val mdf = spark.createDataFrame(ms.map { case (b, m) =>
+              org.apache.spark.sql.Row(b, (m / 64).toLong) }.asJava,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__bucket",
+                  org.apache.spark.sql.types.IntegerType, nullable = false),
+                org.apache.spark.sql.types.StructField("__wn",
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+            val sparse = sparse20.join(broadcast(mdf), "__bucket")
+              .groupBy(col("__bucket"), pmod(col("__w"), col("__wn")).as("__wt"))
+              .agg(expr("bit_or(__bits)").as("__bits"))
+              .collect()
+            val byBucket = sparse.groupBy(_.getInt(0))
+            ms.map { case (b, m) =>
+              val words = new Array[Long](m / 64)
+              byBucket.getOrElse(b, Array.empty).foreach { r =>
+                words(r.getLong(1).toInt) = r.getLong(2)
+              }
+              val rel = s"data/$commitId/__bloom/$c/$b.bf"
+              Dfs.writeBytes(new HPath(s"$dir/$rel"), BloomIndex.encode(m, words))
+              s"f $b $c $ddl $rel"
+            }
+          }
+        } finally {
+          sparse20.unpersist()
+          ()
         }
       }
     }

@@ -98,7 +98,9 @@ class BloomSnapshotSpec extends SparkSpec {
   test("saturation cap: an over-full bucket records no sidecar and stays readable") {
     val dir = tmpDir("bloomsat") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 1, bloomCols = Seq("ext"))
-    val n = BloomIndex.MaxDistinct.toInt + 1024
+    // 1.3× the cap: comfortably past the skip threshold even under the
+    // fill-based distinct ESTIMATE's ±1% band
+    val n = (BloomIndex.MaxDistinct * 13L / 10L).toInt
     sink.merge(
       spark.range(n.toLong).select(col("id"), lit(0L).as("seq"),
         concat(lit("e"), col("id")).as("ext"), lit(false).as("is_delete")),
