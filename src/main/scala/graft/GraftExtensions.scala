@@ -144,6 +144,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         withAsOf.load(litStr(exprs(0), "tableDir"))
           .queryExecution.logical: LogicalPlan
       }))
+    // per-bucket manifest introspection — the ops face for layout sizing
+    // and skipping-coverage questions ("which buckets carry stats/bloom
+    // lines, how big are the files"): everything from the manifest plus
+    // one ContentSummary call per bucket, never a data read
+    ext.injectTableFunction((
+      FunctionIdentifier("table_files"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "table_files"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          "table_files(tableDir[, version])")
+        val spark = SparkSession.active
+        val dir = litStr(exprs(0), "tableDir")
+        val vs = graft.sink.SnapshotParquetSink.versions(dir)
+        require(vs.nonEmpty, s"no snapshot published at $dir")
+        val v = if (exprs.length == 2) litInt(exprs(1), "version").toLong else vs.last
+        val (_, entries) = graft.sink.SnapshotParquetSink.manifest(dir, v)
+        val stats = graft.sink.SnapshotParquetSink.manifestStats(dir, v)
+        val blooms = graft.sink.SnapshotParquetSink.manifestBlooms(dir, v)
+        val rows = entries.toSeq.sortBy(_._1).map { case (b, rel) =>
+          val (files, bytes) = graft.engine.Dfs.contentSummary(
+            new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+          org.apache.spark.sql.Row(b, rel, files, bytes,
+            stats.get(b).map(_.keys.toSeq.sorted.mkString(",")).getOrElse(""),
+            blooms.get(b).map(_.keys.toSeq.sorted.mkString(",")).getOrElse(""))
+        }
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("bucket", IntegerType, nullable = false),
+            StructField("path", StringType, nullable = false),
+            StructField("files", LongType, nullable = false),
+            StructField("bytes", LongType, nullable = false),
+            StructField("stats_cols", StringType, nullable = false),
+            StructField("bloom_cols", StringType, nullable = false))))
+          .queryExecution.logical: LogicalPlan
+      }))
     // ---- SQL DML for snapshot tables: merge any table/temp view into a
     // snapshot table (last-write-wins upsert, atomic manifest commit) —
     // with the V1 writer fallback this makes the whole CDC apply path

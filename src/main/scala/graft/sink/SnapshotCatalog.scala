@@ -95,13 +95,23 @@ final class SnapshotCatalog(dir: String) {
         name -> tv.toLong
       }.toMap
 
-  /** Publishes a catalog version pinning exactly `pinned`. Retries the
-    * optimistic lock like the table commits; returns the published catalog
+  /** Publishes a catalog version pinning `pinned`, CARRYING FORWARD every
+    * other table's (and writer's epoch) pin from the current catalog
+    * version — the same rule table manifests apply to untouched buckets.
+    * This is what makes the catalog MULTI-WRITER: two transactions over
+    * disjoint member sets interleave cuts, and every committed cut still
+    * describes the WHOLE warehouse (each table at its most recently
+    * pinned version), so a reader of any cut never loses sight of tables
+    * another writer owns. The carry is re-read per attempt inside the
+    * optimistic-lock retry, so losing a race to the other writer picks up
+    * their fresh pins before republishing. Returns the published catalog
     * version. Refuses to pin a table version that is not actually
     * published (a typo'd pin would brick every reader of the new catalog
     * version). `epoch` (writerId → batchId), when present, is recorded as
     * an `e <writer> <batch>` manifest line — the idempotence token
-    * [[commitEpoch]] reads to absorb streaming batch replays.
+    * [[commitEpoch]] reads to absorb streaming batch replays; carried
+    * epoch lines keep every writer's last stamp on the HEAD manifest, so
+    * [[lastEpoch]]'s newest-first scan normally stops at version one.
     */
   def commit(pinned: Map[String, Long], epoch: Map[String, Long] = Map.empty): Long = synchronized {
     require(pinned.nonEmpty, "a catalog commit must pin at least one table")
@@ -115,12 +125,17 @@ final class SnapshotCatalog(dir: String) {
     var attempts = 0
     while (true) {
       attempts += 1
-      val version = currentVersion.map(_ + 1L).getOrElse(0L)
+      val base = currentVersion
+      val version = base.map(_ + 1L).getOrElse(0L)
+      // carry-forward: other tables/writers keep their current pins; this
+      // commit's entries override its own
+      val allPins = base.map(pins).getOrElse(Map.empty) ++ pinned
+      val allEpochs = base.map(epochs).getOrElse(Map.empty) ++ epoch
       val commitId = java.util.UUID.randomUUID().toString
       val tmp = new HPath(catalogDir, s".tmp-$commitId")
       val body = (s"version=$version" +:
-        (pinned.toSeq.sortBy(_._1).map { case (n, tv) => s"t $n $tv" } ++
-          epoch.toSeq.sortBy(_._1).map { case (w, b) => s"e $w $b" }))
+        (allPins.toSeq.sortBy(_._1).map { case (n, tv) => s"t $n $tv" } ++
+          allEpochs.toSeq.sortBy(_._1).map { case (w, b) => s"e $w $b" }))
         .mkString("", "\n", "\n")
       Dfs.writeUtf8(tmp, body)
       // same pluggable commit seam as the table manifests (LogStore pattern)

@@ -356,6 +356,59 @@ class CatalogTxnStreamSpec extends SparkSpec {
     assert(fin == Set((Some("Acme Corp"), 2L, 15L), (None, 1L, 7L)))
   }
 
+  test("two streaming writers share one catalog: disjoint members, whole-warehouse cuts") {
+    val inA = tmpDir("txn7_ina"); val inB = tmpDir("txn7_inb")
+    val ckA = tmpDir("txn7_cka"); val ckB = tmpDir("txn7_ckb")
+    val catDir = tmpDir("txn7_cat") + "/c"
+    val cat = new SnapshotCatalog(catDir)
+    val schema = "tbl STRING, primary_key STRING, seq LONG, val STRING, is_delete BOOLEAN"
+    def startA() = CatalogTxnStream.start(
+      spark.readStream.schema(schema).json(inA), cat,
+      Seq(CatalogTxnStream.Member("orders", _.drop("tbl"), 2)),
+      Seq("primary_key"), "seq", "is_delete", ckA, writerId = "wA")
+    def startB() = CatalogTxnStream.start(
+      spark.readStream.schema(schema).json(inB), cat,
+      Seq(CatalogTxnStream.Member("shipments", _.drop("tbl"), 2)),
+      Seq("primary_key"), "seq", "is_delete", ckB, writerId = "wB")
+    def row(t: String, pk: String, n: Int) =
+      s"""{"tbl":"$t","primary_key":"$pk","seq":$n,"val":"b$n","is_delete":false}"""
+
+    // both writers run CONCURRENTLY against one catalog
+    writeChunk(inA, "a0.jsonl", Seq(row("orders", "o1", 0)))
+    writeChunk(inB, "b0.jsonl", Seq(row("shipments", "s1", 0)))
+    val qa = startA(); val qb = startB()
+    try {
+      qa.processAllAvailable(); qb.processAllAvailable()
+      writeChunk(inA, "a1.jsonl", Seq(row("orders", "o2", 1)))
+      writeChunk(inB, "b1.jsonl", Seq(row("shipments", "s2", 1)))
+      qa.processAllAvailable(); qb.processAllAvailable()
+    } finally {
+      qa.stop(); qb.stop(); qa.awaitTermination(); qb.awaitTermination()
+    }
+    assert(cat.versions.size == 4, s"two writers × two batches = 4 cuts, got ${cat.versions}")
+    // once both writers have committed, every later cut carries BOTH tables
+    val head = cat.currentVersion.get
+    assert(cat.pins(head).keySet == Set("orders", "shipments"), cat.pins(head).toString)
+    val view = cat.readAllAt(spark, head)
+    assert(view("orders").count() == 2L && view("shipments").count() == 2L)
+    // each writer's epoch trail is independent and complete on the head
+    assert(cat.epochs(head) == Map("wA" -> 1L, "wB" -> 1L), cat.epochs(head).toString)
+
+    // crash-replay one writer: its replayed batch adds NO duplicate cut and
+    // does not disturb the other writer's pins
+    injectCrash(ckA)
+    writeChunk(inA, "a2.jsonl", Seq(row("orders", "o3", 2)))
+    val qa2 = startA()
+    try qa2.processAllAvailable()
+    finally { qa2.stop(); qa2.awaitTermination() }
+    assert(cat.versions.size == 5, s"exactly one new cut, got ${cat.versions}")
+    val h2 = cat.currentVersion.get
+    assert(cat.epochs(h2) == Map("wA" -> 2L, "wB" -> 1L))
+    assert(cat.readAllAt(spark, h2)("orders").count() == 3L)
+    assert(cat.readAllAt(spark, h2)("shipments").count() == 2L,
+      "the other writer's table must ride along unchanged")
+  }
+
   test("a member with no rows yet is not pinned; it joins the cut when data arrives") {
     val in = tmpDir("txn2_in")
     val ckpt = tmpDir("txn2_ck")

@@ -193,6 +193,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(f3.getBoolean(3) && f3.getLong(2) == 2L)
       assert(s2.sql(s"SELECT note_u FROM $silver WHERE id = 1 AND NOT __is_deleted")
         .head.getString(0) == "C1")
+
+      // ops introspection: per-bucket layout + skipping coverage from SQL
+      val tf = s2.sql(s"SELECT * FROM table_files('$base/t')").collect()
+      assert(tf.nonEmpty && tf.forall(r => r.getLong(3) > 0L),
+        "every listed bucket has bytes on disk")
+      val tf0 = s2.sql(s"SELECT count(*) AS c FROM table_files('$base/t', 0)")
+        .head.getLong(0)
+      assert(tf0 >= 1L, "time-travel listing works")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

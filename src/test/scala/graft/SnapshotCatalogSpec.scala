@@ -64,6 +64,58 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("multi-writer catalog: disjoint transactions interleave, every cut sees the whole warehouse") {
+    val dir = tmpDir("catmw") + "/c"
+    val cat = new SnapshotCatalog(dir)
+    // writer 1 owns a, writer 2 owns b — independent transactions
+    cat.table("a", 2).merge(batch(("k", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitEpoch(Seq("a"), "w1", 0L)
+    cat.table("b", 2).merge(batch(("k", 0, "b0", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitEpoch(Seq("b"), "w2", 0L)
+    // w2's cut CARRIES w1's pin: the catalog version describes the whole
+    // warehouse, not just the committing transaction's tables
+    assert(cat.pins(1L) == Map("a" -> 0L, "b" -> 0L), cat.pins(1L).toString)
+    cat.openTable("a").merge(batch(("k", 1, "a1", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitEpoch(Seq("a"), "w1", 1L)
+    assert(cat.pins(2L) == Map("a" -> 1L, "b" -> 0L))
+    // epoch stamps carry to the head manifest — every writer's last batch
+    // is readable from one file
+    assert(cat.epochs(2L) == Map("w1" -> 1L, "w2" -> 0L))
+    assert(cat.lastEpoch("w2").contains(0L))
+    // a reader of the head cut sees BOTH writers' tables, each at its most
+    // recently pinned version
+    val view = cat.readAllAt(spark, 2L)
+    assert(view.keySet == Set("a", "b"))
+    assert(view("a").select("val").head.getString(0) == "a1")
+    assert(view("b").select("val").head.getString(0) == "b0")
+    // replayed epoch from either writer publishes nothing
+    assert(cat.commitEpoch(Seq("a"), "w1", 1L).isEmpty)
+    assert(cat.versions.size == 3)
+    // carried pins keep their table versions retained through the vacuum
+    // handshake: a@0 is still pinned by cut v1
+    assert(cat.retainedVersions(keepLast = cat.versions.size)("a").contains(0L))
+
+    // RACING writers: both cuts land in some order; the loser's carry
+    // re-reads the winner's pins, so the final head unions both
+    cat.openTable("a").merge(batch(("k", 2, "a2", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.openTable("b").merge(batch(("k", 2, "b2", false)), Seq("primary_key"), "seq", "is_delete")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = new SnapshotCatalog(dir).commitEpoch(Seq("a"), "w1", 2L)
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = new SnapshotCatalog(dir).commitEpoch(Seq("b"), "w2", 2L)
+      })
+      val got = Set(f1.get(60, java.util.concurrent.TimeUnit.SECONDS),
+        f2.get(60, java.util.concurrent.TimeUnit.SECONDS)).flatten
+      assert(got == Set(3L, 4L), s"both racing cuts must land: $got")
+    } finally pool.shutdownNow()
+    // a is at its 3rd table version (a0,a1,a2), b at its 2nd (b0,b2)
+    assert(cat.pins(4L) == Map("a" -> 2L, "b" -> 1L),
+      s"the second cut must carry the first's fresh pin: ${cat.pins(4L)}")
+  }
+
   test("graft-catalog DSv2: SQL reads resolve through the catalog's consistent cut") {
     val dir = tmpDir("catsql") + "/c"
     val cat = new SnapshotCatalog(dir)
