@@ -81,12 +81,51 @@ final class TableFollower(upstreamDir: String,
       sys.error(s"no committed version at $upstreamDir to follow"))
     val applied = appliedVersion
     if (applied.contains(latest)) return None
+    TableFollower.sliceFor(spark, upstream, name, applied, latest)
+      .foreach(df => applySlice(df, keys, seqCol, transform))
+    publishMarker(latest)
+    Some(latest)
+  }
+
+  private[streaming] def applySlice(df: DataFrame, keys: Seq[String],
+      seqCol: String, transform: DataFrame => DataFrame): Unit = {
+    val out = transform(df)
+    keys.foreach(k => require(out.columns.contains(k),
+      s"transform dropped merge key '$k' — keys must pass through"))
+    require(out.columns.contains(seqCol),
+      s"transform dropped seq column '$seqCol' — it must pass through")
+    require(out.columns.contains("is_deleted"),
+      "transform dropped 'is_deleted' — tombstones must pass through " +
+        "(filter by SETTING it, not by dropping rows)")
+    downstream.merge(out, keys, seqCol, "is_deleted")
+  }
+
+  private[streaming] def markerFor(v: Long): Unit = publishMarker(v)
+}
+
+object TableFollower {
+
+  /** One downstream hop of a [[fanOut]]: its own table, checkpoint name,
+    * merge keys and row-wise transform (the [[TableFollower]] contract).
+    */
+  final case class Hop(downstream: SnapshotParquetSink, name: String,
+      keys: Seq[String], transform: DataFrame => DataFrame,
+      seqCol: String = "seq")
+
+  /** The slice a follower at `applied` must merge to reach `latest`:
+    * changed buckets only on the incremental path, the full state on first
+    * run / vacuum self-heal / evolution lag, None when the manifests share
+    * every file (advance the marker, nothing to merge).
+    */
+  private[streaming] def sliceFor(spark: SparkSession,
+      upstream: SnapshotParquetSink, name: String,
+      applied: Option[Long], latest: Long): Option[DataFrame] = {
     applied.foreach(a => require(a <= latest,
       s"follower '$name' applied v$a but upstream head is v$latest — the " +
         "upstream table was rebuilt under the same path; delete the " +
         "follower checkpoint to restart from scratch"))
     val retained = upstream.versions.toSet
-    val slice: Option[DataFrame] = applied match {
+    applied match {
       case Some(prev) if retained.contains(prev) =>
         upstream.readChangedAt(spark, latest, prev, DeleteMode.Logical) match {
           case None => None // manifests share every file — nothing to apply
@@ -97,7 +136,7 @@ final class TableFollower(upstreamDir: String,
             // table's column set comes from the manifest's recorded schema
             // when present (metadata-only); a full readAt is the legacy path
             val fullCols: Set[String] =
-              SnapshotParquetSink.manifestSchema(upstreamDir, latest)
+              SnapshotParquetSink.manifestSchema(upstream.dir, latest)
                 .map(_.fieldNames.toSet - "__gen" - "__is_deleted" + "is_deleted")
                 .getOrElse(
                   upstream.readAt(spark, latest, DeleteMode.Logical).columns.toSet)
@@ -109,18 +148,55 @@ final class TableFollower(upstreamDir: String,
       case None => // first run: full initial load
         Some(upstream.readAt(spark, latest, DeleteMode.Logical))
     }
-    slice.foreach { df =>
-      val out = transform(df)
-      keys.foreach(k => require(out.columns.contains(k),
-        s"transform dropped merge key '$k' — keys must pass through"))
-      require(out.columns.contains(seqCol),
-        s"transform dropped seq column '$seqCol' — it must pass through")
-      require(out.columns.contains("is_deleted"),
-        "transform dropped 'is_deleted' — tombstones must pass through " +
-          "(filter by SETTING it, not by dropping rows)")
-      downstream.merge(out, keys, seqCol, "is_deleted")
+  }
+
+  /** FAN-OUT catch-up: one upstream serving N downstream hops — the
+    * one-bronze-many-silvers shape. Hops standing at the SAME applied
+    * version share ONE slice, computed once and persisted across their
+    * transforms and merges (N hops pay one upstream read instead of N);
+    * hops at different versions (a newly added hop's initial full load, a
+    * straggler's self-heal) group separately and get the slice their
+    * position requires. Each hop checkpoints independently, so a crash
+    * between two hops' merges replays idempotently per hop — exactly the
+    * single-hop contract, N times. Returns hop name → newly applied
+    * version (None = that hop was already current).
+    */
+  def fanOut(spark: SparkSession, upstreamDir: String,
+      hops: Seq[Hop]): Map[String, Option[Long]] = {
+    require(hops.nonEmpty, "fanOut needs at least one hop")
+    require(hops.map(_.name).distinct.size == hops.size,
+      "fanOut hop names must be distinct (each is a checkpoint identity)")
+    val upstream = SnapshotParquetSink.forTable(upstreamDir)
+    val latest = upstream.currentVersion.getOrElse(
+      sys.error(s"no committed version at $upstreamDir to follow"))
+    val withFollowers = hops.map(h =>
+      (h, new TableFollower(upstreamDir, h.downstream, h.name)))
+    val results = scala.collection.mutable.Map.empty[String, Option[Long]]
+    withFollowers.groupBy { case (_, f) => f.appliedVersion }.foreach {
+      case (applied, group) =>
+        if (applied.contains(latest)) {
+          group.foreach { case (h, _) => results(h.name) = None }
+        } else {
+          val slice = sliceFor(spark, upstream,
+            group.map(_._1.name).mkString("+"), applied, latest)
+          slice match {
+            case None =>
+              group.foreach { case (h, f) =>
+                f.markerFor(latest); results(h.name) = Some(latest) }
+            case Some(df0) =>
+              val df = df0.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try group.foreach { case (h, f) =>
+                f.applySlice(df, h.keys, h.seqCol, h.transform)
+                f.markerFor(latest)
+                results(h.name) = Some(latest)
+              } finally {
+                df.unpersist()
+                ()
+              }
+          }
+        }
     }
-    publishMarker(latest)
-    Some(latest)
+    results.toMap
   }
 }

@@ -118,6 +118,47 @@ class TableFollowerSpec extends SparkSpec {
     assert(out.count() == 17L)
   }
 
+  test("fan-out: N hops share one slice; a late-added hop full-loads while others stay incremental") {
+    import graft.streaming.TableFollower.{fanOut, Hop}
+    val up = tmpDir("tffup") + "/t"
+    val d1 = tmpDir("tffd1") + "/t"
+    val d2 = tmpDir("tffd2") + "/t"
+    val d3 = tmpDir("tffd3") + "/t"
+    val upSink = new SnapshotParquetSink(up, nBuckets = 8)
+    val cents = Hop(new SnapshotParquetSink(d1, 8), "cents", Seq("id"), enrich)
+    val upperH = Hop(new SnapshotParquetSink(d2, 8), "upper", Seq("id"),
+      df => df.withColumn("cents", col("amount") * 100)
+        .withColumn("note_u", upper(col("note"))))
+
+    upSink.merge(rows(0L until 64L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val r1 = fanOut(spark, up, Seq(cents, upperH))
+    assert(r1 == Map("cents" -> Some(0L), "upper" -> Some(0L)), r1.toString)
+    assert(expectState(d1) == directEnrich(up))
+    assert(SnapshotParquetSink.forTable(d2).read(spark, DeleteMode.Hard)
+      .filter(col("id") === 3L).select("note_u").head.getString(0) == "A3")
+
+    // wave 2: an update + a delete; both hops advance off ONE shared slice
+    upSink.merge(rows(Seq(3L, 5L), 1L, "b", del = Set(5L)), Seq("id"), "seq", "is_delete")
+    val r2 = fanOut(spark, up, Seq(cents, upperH))
+    assert(r2 == Map("cents" -> Some(1L), "upper" -> Some(1L)))
+    assert(expectState(d1) == directEnrich(up))
+    assert(!SnapshotParquetSink.forTable(d2).read(spark, DeleteMode.Hard)
+      .filter(col("id") === 5L).collect().nonEmpty, "delete forwards through both hops")
+
+    // a hop added LATE (applied=None) groups separately: it full-loads
+    // while the standing hops report already-current
+    val late = Hop(new SnapshotParquetSink(d3, 8), "late", Seq("id"), enrich)
+    val r3 = fanOut(spark, up, Seq(cents, upperH, late))
+    assert(r3 == Map("cents" -> None, "upper" -> None, "late" -> Some(1L)), r3.toString)
+    assert(expectState(d3) == directEnrich(up))
+
+    // idempotent re-run: everyone current
+    assert(fanOut(spark, up, Seq(cents, upperH, late)).values.forall(_.isEmpty))
+    // distinct-name and empty guards
+    intercept[IllegalArgumentException](fanOut(spark, up, Seq(cents, cents)))
+    intercept[IllegalArgumentException](fanOut(spark, up, Nil))
+  }
+
   test("transform contract violations fail loudly") {
     val up = tmpDir("tfxup") + "/t"
     val down = tmpDir("tfxdn") + "/t"
