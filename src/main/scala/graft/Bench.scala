@@ -13,7 +13,9 @@ package graft
   * machine load write garbage into the official artifact (BENCH_r02 recorded
   * a 30-minute suite for a binary that runs in 51 s idle); the median of
   * three absorbs a contended run, and the emitted "spread_max_sec" (largest
-  * per-query max−min) lets a reader see contention directly.
+  * per-query WARM spread — runs 2..n; run 1's one-time codegen is a
+  * deterministic cost, not contention) plus the per-query "queries_spread"
+  * map let a reader see contention directly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,9 +101,18 @@ object Bench {
         spillByQuery(name) = (m1 - m0, d1 - d0)
       }
       // any throwing run marks the query failed — a partially-failing query
-      // must not masquerade as a timing
+      // must not masquerade as a timing. Spread (the contention signal) is
+      // computed over the WARM runs only (2..n): run 1 pays the query's
+      // one-time whole-stage codegen and cache warm-up BY DESIGN — a
+      // deterministic cost, not box noise — and counting it branded
+      // provably-idle captures contended as the suite's share of heavy
+      // store-lifecycle queries grew (r11/r12 openers: load 0.2 box,
+      // rerun_divergent empty, yet 18-31 queries with >1 s run1-vs-min
+      // gaps). Median and min still cover all runs.
+      val warmSpread =
+        if (times.size >= 2) times.tail.max - times.tail.min else 0.0
       name -> (if (times.size == runs)
-        Some((times.sorted.apply(runs / 2), times.min, times.max - times.min)) else None)
+        Some((times.sorted.apply(runs / 2), times.min, warmSpread)) else None)
     }
     val suiteWall = (System.nanoTime() - suiteT0) / 1e9
 
@@ -143,6 +154,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val qposJson = results.zipWithIndex.map { case ((k, _), i) =>
       "\"" + k + "\":" + (i + 1)
+    }.mkString("{", ",", "}")
+    // per-query warm spread: lets a reader audit exactly which queries the
+    // contended flag counted instead of trusting one aggregate
+    val qspreadJson = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(m => num("%.3f", m._3)).getOrElse("null")
     }.mkString("{", ",", "}")
     val rerunJson = rerunMin.map { case (k, v) =>
       "\"" + k + "\":" + v.map(m => num("%.3f", m)).getOrElse("null")
@@ -188,7 +204,7 @@ object Bench {
       s""","spill":{"heap_max_bytes":${Runtime.getRuntime.maxMemory},"mem_bytes":$totalMem,"disk_bytes":$totalDisk,"by_query_mem_disk":$perQ}"""
     } else ""
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"queries_pos":$qposJson,"rerun_min":$rerunJson,"rerun_divergent":$divergentJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$spillJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"queries_pos":$qposJson,"queries_spread":$qspreadJson,"rerun_min":$rerunJson,"rerun_divergent":$divergentJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$spillJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

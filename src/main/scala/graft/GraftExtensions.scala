@@ -186,6 +186,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // with the V1 writer fallback this makes the whole CDC apply path
     // reachable from pure SQL. Existing tables self-align their committed
     // layout via forTable (nBuckets, keys, cluster, stats, blooms).
+    //
+    // SIDE-EFFECT CAVEAT (applies to snapshot_merge, table_follow and
+    // matagg_define alike): the write executes inside the TVF's
+    // logical-plan BUILDER, so every analysis of the statement — EXPLAIN,
+    // view expansion, a retried/re-resolved plan — performs another merge
+    // and publishes another table version. Content is idempotent (LWW
+    // keyed replay converges bit-identically), but version/commit churn is
+    // visible in history(); don't EXPLAIN these statements in production,
+    // and don't wrap them in views.
     ext.injectTableFunction((
       FunctionIdentifier("snapshot_merge"),
       new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "snapshot_merge"),

@@ -12,6 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
+  /** Driver-side collect with an ENFORCED row bound — the mechanized form
+    * of the "small/bounded by construction" convention that model and
+    * retrieval-page collects used to carry only as comments. The plan is
+    * truncated at `maxRows + 1` before collecting, so a violated bound can
+    * never OOM the driver, and exceeding `maxRows` throws naming the
+    * caller: the fix is the upstream cardinality (a centroid count, a page
+    * size), never blindly raising the bound. Ordering: `limit` on a sorted
+    * frame preserves the sort (TakeOrderedAndProject), so `orderBy(...)`
+    * callers keep their row order.
+    */
+  def boundedCollect(df: DataFrame, maxRows: Int,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    require(maxRows > 0, s"$what: collect bound must be positive (got $maxRows)")
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$what: driver-side collect exceeded its declared bound of $maxRows " +
+        "rows — bounded-model-state contract broken upstream")
+    rows
+  }
+
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
@@ -178,12 +198,15 @@ object Tables {
 
   /** Localize a small-by-construction frame so the cached model owns its
     * rows (no lineage back to session-scoped caches or temp views). The
-    * single implementation behind QDef.localized too.
+    * single implementation behind QDef.localized too. Bounded at 1M rows —
+    * generous for any model/page frame, but a hard stop before a
+    * corpus-sized localize takes down the driver.
     */
   private[graft] def localize(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      GraftSession.boundedCollect(df, 1 << 20, "localize").toIndexedSeq, 1),
+      df.schema)
 
   /** The q96-family near-dup pair graph (exact Jaccard ≥ 0.5 over the
     * doc_id < 50 restriction): the dedup pass's candidate state, computed

@@ -65,9 +65,11 @@ object Ranking {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // per-partition totals -> exclusive offsets; ≤ numShufflePartitions
-      // rows by construction, so the collect is bounded
-      val totals = sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // rows by construction, so the collect is bounded (and enforced)
+      val totals = GraftSession.boundedCollect(
+        sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__t")),
+        parts, "prefixSum partition totals")
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val pids = totals.keys.toSeq.sorted
       val offsets = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)).init)
       val offsetsDf = spark.createDataFrame(offsets.map { case (p, o) => Row(p, o) }.asJava,
@@ -173,8 +175,10 @@ object Ranking {
           val hitCond = targets.map { case (i, t) =>
             col("__b") === lit(i) && col("__idx") === lit(t)
           }.reduce(_ || _)
-          val hits = idx.filter(hitCond).select(col("__b"), col("__v"))
-            .collect().map(r => r.getInt(0) -> r.get(1)).toMap // ≤ k rows
+          val hits = GraftSession.boundedCollect(
+            idx.filter(hitCond).select(col("__b"), col("__v")),
+            qs.size, "quantile bracket hits") // ≤ k rows
+            .map(r => r.getInt(0) -> r.get(1)).toMap
           qs.indices.map(i => Some(hits(i)))
         }
       }
@@ -217,10 +221,12 @@ object Ranking {
     while (attempt < 20) {
       val qlo = math.max(0.0, q - qeps)
       val qhi = math.min(1.0, q + qeps)
-      val stats = base.groupBy("__g")
+      val statsDf = base.groupBy("__g")
         .agg(count(lit(1)).as("__n"),
           percentile_approx(col("__v"), array(lit(qlo), lit(qhi)), lit(accuracy)).as("__b"))
-        .limit(maxGroups + 1).collect()
+        .limit(maxGroups + 1) // deliberate +1: the overflow probe
+      val stats = GraftSession.boundedCollect(statsDf,
+        maxGroups + 1, "group quantile stats")
       require(stats.length <= maxGroups,
         s"more than $maxGroups groups — use approx_percentile for high-cardinality grouping")
       val bounds = stats.map { r =>
@@ -236,11 +242,12 @@ object Ranking {
           StructField("__r", LongType, nullable = false),
           StructField("__lo", vType), StructField("__hi", vType))))
       val joined = base.join(broadcast(boundsDf), "__g")
-      val counts = joined.groupBy(col("__g"), col("__r"))
+      val countsDf = joined.groupBy(col("__g"), col("__r"))
         .agg(sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).as("__below"),
           sum(when(col("__v") >= col("__lo") && col("__v") <= col("__hi"), 1L)
             .otherwise(0L)).as("__in"))
-        .collect() // ≤ maxGroups rows
+      val counts = GraftSession.boundedCollect(countsDf,
+        maxGroups, "group quantile counts") // ≤ maxGroups rows
       val ok = counts.forall(r =>
         r.getLong(2) < r.getLong(1) && r.getLong(2) + r.getLong(3) >= r.getLong(1))
       if (ok) {
@@ -251,12 +258,14 @@ object Ranking {
             StructField("__below", LongType, nullable = false))))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__g")).orderBy(col("__v"))
-        return joined.filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-          .join(broadcast(belowDf), "__g")
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === col("__r") - col("__below"))
-          .select(col("__g"), col("__v"))
-          .collect().map(r => (r.get(0), r.get(1)))
+        return GraftSession.boundedCollect(
+          joined.filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+            .join(broadcast(belowDf), "__g")
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") === col("__r") - col("__below"))
+            .select(col("__g"), col("__v")),
+          maxGroups, "group quantile results") // one row per group
+          .map(r => (r.get(0), r.get(1)))
           .sortBy(_._1.toString).toSeq
       }
       qeps *= 4
@@ -294,7 +303,8 @@ object Ranking {
         .crossJoin(broadcast(withPs.agg(sum(col("wv")).as("tot"))))
       val aggs = qsX1000.map(q =>
         min(when(col("cum") * 1000 >= col("tot") * q, col("v"))).as(s"p$q"))
-      val row = cum.agg(aggs.head, aggs.tail: _*).collect().head // 1 row
+      val row = GraftSession.boundedCollect(
+        cum.agg(aggs.head, aggs.tail: _*), 1, "weighted quantiles").head // 1 row
       spark.createDataFrame(java.util.Arrays.asList(row),
         org.apache.spark.sql.types.StructType(
           qsX1000.map(q => StructField(s"p$q", LongType))))

@@ -121,8 +121,8 @@ object Bpe {
     var table = preTokenTable(docs, textCol)
     val merges = Seq.newBuilder[Merge]
     for (it <- 0 until iters) {
-      val top = pairCounts(table)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      val top = graft.engine.GraftSession.boundedCollect(pairCounts(table)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1), 1, "bpe top pair")
       if (top.nonEmpty) {
         val r = top(0)
         val m = Merge(r.getString(0), r.getString(1), r.getLong(2))

@@ -69,19 +69,20 @@ object Ivf {
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("vec_id"), col(embCol))
     // the init frame is ≤ nCells rows by the limit — numbered on the driver
-    var cents: Centroids = base.orderBy("vec_id").limit(nCells)
-      .select(Similarity.asDouble(col(embCol)).as("centroid"))
-      .collect().toIndexedSeq.zipWithIndex
+    var cents: Centroids = graft.engine.GraftSession.boundedCollect(
+      base.orderBy("vec_id").limit(nCells)
+        .select(Similarity.asDouble(col(embCol)).as("centroid")),
+      nCells, "ivf init").toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toIndexedSeq) }
     for (_ <- 0 until iters) {
       val assigned = bestCell(base, cents, embCol)
-      cents = assigned
+      cents = graft.engine.GraftSession.boundedCollect(assigned
         .select(col("cell"), posexplode(Similarity.asDouble(col(embCol))).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .collect().toIndexedSeq // ≤ nCells rows by construction
+          s => s.getField("m")).as("centroid")),
+        nCells, "ivf step").toIndexedSeq // ≤ nCells rows by construction
         .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq)).sortBy(_._1)
     }
     val centroidDf = spark.createDataFrame(

@@ -46,11 +46,21 @@ object KMeans {
 
   private[graft] type Centroids = IndexedSeq[(Int, IndexedSeq[Long])]
 
+  /** Hard ceiling on driver-resident centroid counts: centroids are model
+    * state BY DESIGN (they broadcast into every assignment expression), and
+    * 64k cells × dim longs is already past any sane IVF layout — a frame
+    * larger than this is a bug, not a big index.
+    */
+  private[graft] val MaxDriverCentroids = 65536
+
   /** Collects a (cell, cv) centroid frame into driver-local form — bounded
-    * by construction (≤ k rows of k·dim longs).
+    * by construction (≤ k rows of k·dim longs) and ENFORCED at
+    * [[MaxDriverCentroids]] ([[graft.engine.GraftSession.boundedCollect]]).
     */
   private[graft] def collectCentroids(df: DataFrame): Centroids =
-    df.select(col("cell").cast("int"), col("cv")).collect().toIndexedSeq
+    graft.engine.GraftSession.boundedCollect(
+      df.select(col("cell").cast("int"), col("cv")),
+      MaxDriverCentroids, "kmeans centroids").toIndexedSeq
       .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq)).sortBy(_._1)
 
   /** [[assign]]'s narrow argmin as an added `cell` column, keeping every
@@ -126,10 +136,12 @@ object KMeans {
     val spark = corpus.sparkSession
     val q = corpus.select(col(idCol).as("vec_id"), quantize(col(embCol), scale).as("qv"))
     // init frame is ≤ k rows by the limit — numbered on the driver
-    var cents: Centroids = q.orderBy("vec_id").limit(k).collect().toIndexedSeq.zipWithIndex
+    var cents: Centroids = graft.engine.GraftSession.boundedCollect(
+      q.orderBy("vec_id").limit(k), k, "kmeans init").toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1).toIndexedSeq) }
     for (_ <- 0 until iters) {
-      cents = recompute(assign(q, cents)).collect().toIndexedSeq // ≤ k rows
+      cents = graft.engine.GraftSession.boundedCollect(
+        recompute(assign(q, cents)), k, "kmeans step").toIndexedSeq // ≤ k rows
         .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq)).sortBy(_._1)
     }
     val centroidSchema = org.apache.spark.sql.types.StructType(Seq(

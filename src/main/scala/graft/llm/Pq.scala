@@ -69,7 +69,8 @@ object Pq {
       // deterministic init: subspace s's codebook = the first kSub vectors'
       // s-slices, numbered 0..kSub-1 in id order (one ≤ kSub-row collect)
       var cents: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Long])]] = {
-        val init = q.orderBy("vec_id").limit(kSub).collect()
+        val init = graft.engine.GraftSession.boundedCollect(
+          q.orderBy("vec_id").limit(kSub), kSub, "pq init")
           .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
         (0 until nSub).map(s => init.zipWithIndex.map { case (qv, i) =>
           (i, qv.slice(s * subDim, (s + 1) * subDim))
@@ -81,7 +82,7 @@ object Pq {
         // ≤ nSub·kSub·subDim rows reach the driver
         val codeCols = (0 until nSub).map(s => codeExpr(s, subDim, cents(s)))
         val assigned = q.select(col("qv"), array(codeCols: _*).as("codes"))
-        val means = assigned
+        val meansDf = assigned
           .select(explode(expr(s"transform(sequence(0, ${nSub - 1}), " +
             s"s -> struct(s AS sub, element_at(codes, s + 1) AS cell, " +
             s"slice(qv, s * $subDim + 1, $subDim) AS sv))")).as("e"))
@@ -93,7 +94,8 @@ object Pq {
           .groupBy("sub", "cell")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
             x => x.getField("c")).as("cv"))
-          .collect()
+        val means = graft.engine.GraftSession.boundedCollect(
+          meansDf, nSub * kSub, "pq step") // ≤ nSub·kSub codebook rows
         val bySub = means.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
           .groupBy(_._1)
         cents = (0 until nSub).map(s =>
@@ -126,8 +128,10 @@ object Pq {
       .join(ivf.assigned.select(col("vec_id"), col("cell")), "cell")
       .select(col("q_id"), col("vec_id"))
     val spark = queries.sparkSession
-    val qs = quantized(queries, idCol, embCol, model.scale)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)) // ≤ nQ rows
+    val qs = graft.engine.GraftSession.boundedCollect(
+      quantized(queries, idCol, embCol, model.scale),
+      Similarity.MaxQueryPage, "pq query page")
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)) // ≤ nQ rows
     val scored = qs.map { case (qid, qv) =>
       val tables = (0 until model.nSub).map { s =>
         val sub = qv.slice(s * model.subDim, (s + 1) * model.subDim)
@@ -156,8 +160,10 @@ object Pq {
   def search(model: Model, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    val qs = quantized(queries, idCol, embCol, model.scale)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)) // ≤ nQ rows
+    val qs = graft.engine.GraftSession.boundedCollect(
+      quantized(queries, idCol, embCol, model.scale),
+      Similarity.MaxQueryPage, "pq query page")
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)) // ≤ nQ rows
     val perQuery = qs.map { case (qid, qv) =>
       val tables = (0 until model.nSub).map { s =>
         val sub = qv.slice(s * model.subDim, (s + 1) * model.subDim)

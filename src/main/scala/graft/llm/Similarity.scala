@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard ceiling on a driver-resident QUERY PAGE (the probe/rerank side of
+    * a search — never the corpus): retrieval pages are serving-sized by
+    * contract, and collecting past this is a corpus-sized frame on the
+    * wrong side of the join. Enforced via
+    * [[graft.engine.GraftSession.boundedCollect]].
+    */
+  private[graft] val MaxQueryPage = 65536
+
   /** float[] → double[] view (embeddings are list<float>). */
   def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
@@ -459,8 +467,10 @@ object Similarity {
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         cosineHof(col(s"a.$embCol"), col(s"b.$embCol")).cast("decimal(38,4)").as("sim"))
     // ≤ candK rows + ≤ candK² sims: the one retrieval page, driver-local
-    val rel = cand.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-    val sim = sims.collect()
+    val rel = graft.engine.GraftSession.boundedCollect(cand, candK, "mmr page")
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val sim = graft.engine.GraftSession
+      .boundedCollect(sims, candK * candK, "mmr sims")
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
     val lam = java.math.BigDecimal.valueOf(lamX10.toLong)
     val oneMinusLam = java.math.BigDecimal.valueOf(10L - lamX10)

@@ -341,6 +341,41 @@ object Cdc {
       }
     },
 
+    // SAME-TABLE pin conflict (round 12): writer B advances the member
+    // table and pins it; writer A then commits a STALE pin it observed
+    // before B's merge. Last-pin-wins would roll the catalog view back to
+    // the 600-cut (a lost update — the oracle would hash-mismatch); the
+    // default PinConflict.Advance resolves to the newer pin, so the head
+    // cut still reads the FULL log state. The Refuse path is asserted
+    // in-query (strict transactions get a loud ConcurrentPinException).
+    QDef.df("q61u_pin_conflict",
+      s"$LASTSTATE\nSELECT $rowColsOut FROM r WHERE rn = 1") { (s, _) =>
+      val base = sys.props("java.io.tmpdir") + "/graft_q61u_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(base))
+      graft.engine.Fs.reclaimAtExit(base)
+      val cat = new graft.sink.SnapshotCatalog(base)
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+      val t = cat.table("orders", nBuckets = 8)
+      t.merge(flat.filter(col("seq") <= 600), Seq("primary_key"), "seq", "is_delete") // orders@0
+      t.merge(flat, Seq("primary_key"), "seq", "is_delete") // orders@1 (full log)
+      cat.commit(Map("orders" -> 1L)) // writer B pins the fresh version
+      // stale writer A: Refuse throws; default Advance lands but never regresses
+      val refused =
+        try {
+          cat.commit(Map("orders" -> 0L), onConflict = graft.sink.PinConflict.Refuse)
+          false
+        } catch { case _: graft.sink.ConcurrentPinException => true }
+      require(refused, "Refuse must throw ConcurrentPinException on a stale pin")
+      val v = cat.commit(Map("orders" -> 0L))
+      require(cat.pins(v) == Map("orders" -> 1L),
+        s"Advance must keep the newer pin: ${cat.pins(v)}")
+      // Logical read: the LASTSTATE oracle keeps tombstoned keys as rows
+      // (their last event's values), exactly like q61q's DSv2 read
+      normalizedRowCols(
+        cat.readAll(s, graft.sink.DeleteMode.Logical)("orders"))
+    },
+
     // Bloom-sidecar equality skipping (round 11): a point lookup on a
     // NON-KEY high-cardinality string over the bloom-indexed events table
     // ([[graft.sink.BloomIndex]]) — the case min/max stats cannot prune

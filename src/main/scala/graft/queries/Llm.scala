@@ -1360,7 +1360,7 @@ object Llm {
     // within 2 edits, common words winning ties (dist ASC, corpus freq
     // DESC, token ASC) — the spell-correction leg of the retrieval stack.
     // Oracle replays vocabulary, levenshtein and ranking exactly.
-    QDef.df("q84s_spell_suggest",
+    QDef.df("q84y_spell_suggest",
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
         |q AS (SELECT unnest(['hsah', 'jion', 'mrge']) AS term),
@@ -1768,6 +1768,43 @@ object Llm {
         |SELECT doc_id, CAST(occ AS BIGINT) AS occ FROM o
         |WHERE occ > 0 ORDER BY occ DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val store = new graft.sink.TextIndexStore(Tables.ensureTextIndex(s, dir))
+      store.proximitySearch(s, "table", "hash", slop = 4, k = 20)
+    },
+
+    // Phrase search through the COMPACTED positional index: q84p's
+    // positional-intersection leg over the 3-batch store merged to one
+    // batch dir (TextIndexStore.compact) — proving compaction preserves
+    // POSITION LISTS, not just tf sums (q84r pins the tf side). The oracle
+    // recomputes the closed form from a fresh tokenization and never
+    // touches the index.
+    QDef.df("q84x_compacted_phrase",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |o AS (SELECT doc_id, len(list_filter(range(1, len(ts)),
+        |               i -> ts[i:i+1] = ['table', 'hash'])) AS occ
+        |      FROM d)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS occ FROM o
+        |WHERE occ > 0 ORDER BY occ DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val store = new graft.sink.TextIndexStore(Tables.ensureCompactTextIndex(s, dir))
+        store.phraseSearch(s, Seq("table", "hash"), k = 20)
+    },
+
+    // Ordered proximity through the STRAGGLER-MERGED index (q84w's
+    // concurrent-append/compaction interleaving on the positional leg):
+    // the late batch's positions must stay visible through the manifest
+    // watermark, so proximity counts still equal the fresh-tokenization
+    // closed form the oracle computes.
+    QDef.df("q84z_straggler_proximity",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |o AS (SELECT doc_id,
+        |        COALESCE(list_sum(list_transform(
+        |          list_filter(range(1, len(ts)+1), i -> ts[i] = 'table'),
+        |          i -> len(list_filter(range(i+1, least(i+4, len(ts))+1),
+        |                               j -> ts[j] = 'hash')))), 0) AS occ
+        |      FROM d)
+        |SELECT doc_id, CAST(occ AS BIGINT) AS occ FROM o
+        |WHERE occ > 0 ORDER BY occ DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val store = new graft.sink.TextIndexStore(Tables.ensureStragglerTextIndex(s, dir))
       store.proximitySearch(s, "table", "hash", slop = 4, k = 20)
     },
 

@@ -137,9 +137,14 @@ object BloomIndex {
       case None =>
         if (!Dfs.exists(path)) None
         else {
-          val b = decode(Dfs.readBytes(path))
-          cache.synchronized(cache.put(key, b))
-          Some(b)
+          // exists→read is not atomic: a vacuum deleting a superseded commit
+          // root between the two calls must degrade to "cannot prune" like
+          // the exists-false path, never throw out of the query
+          try {
+            val b = decode(Dfs.readBytes(path))
+            cache.synchronized(cache.put(key, b))
+            Some(b)
+          } catch { case _: java.io.FileNotFoundException => None }
         }
     }
   }

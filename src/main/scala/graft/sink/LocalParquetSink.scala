@@ -61,8 +61,7 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
           .map(_.asInstanceOf[Long]).getOrElse(-1L)
         (Some(c), maxGen + 1L)
       } else (None, 0L)
-    val incoming = batch
-      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+    val incoming = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
       .withColumn("__gen", lit(gen))
     val all = current match {
       case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
@@ -98,8 +97,7 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
         Option(spark.read.parquet(dir).agg(max(col("__gen"))).collect().head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(-1L) + 1L
       } else 0L
-    val incoming = batch
-      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+    val incoming = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
       .withColumn("__gen", lit(gen))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
@@ -123,7 +121,8 @@ final class LocalParquetSink(dir: String) extends UpsertSink {
     val t = spark.read.parquet(dir).drop("__gen")
     mode match {
       case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")
-      case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")
+      case DeleteMode.Logical => // 'is_deleted' reserved by Logical mode
+        t.drop("is_deleted").withColumnRenamed("__is_deleted", "is_deleted")
     }
   }
 

@@ -101,8 +101,7 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
     val spark = batch.sparkSession
     // persisted: the affected-bucket probe below and the union+write would
     // otherwise execute the batch's full lineage twice per micro-batch
-    val incoming0 = batch
-      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+    val incoming0 = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
       .withColumn("__bucket", bucketOf(keys))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -184,8 +183,7 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
           .map(_.asInstanceOf[Long]).getOrElse(-1L) + 1L
       } else 0L
     }
-    val incoming = batch
-      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+    val incoming = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
       .withColumn("__bucket", bucketOf(keys))
       .withColumn("__gen", lit(gen))
     val w = org.apache.spark.sql.expressions.Window
@@ -218,7 +216,8 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
     val t = spark.read.option("mergeSchema", "true").parquet(dir).drop("__gen", "__bucket")
     mode match {
       case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")
-      case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")
+      case DeleteMode.Logical => // 'is_deleted' reserved by Logical mode
+        t.drop("is_deleted").withColumnRenamed("__is_deleted", "is_deleted")
     }
   }
 
@@ -240,7 +239,8 @@ final class PartitionedParquetSink(dir: String, nBuckets: Int = 16) extends Upse
     require(keys.length == keyValues.length, "one value per key column")
     def shaped(df: DataFrame): DataFrame = mode match {
       case DeleteMode.Hard    => df.filter(!col("__is_deleted")).drop("__is_deleted")
-      case DeleteMode.Logical => df.withColumnRenamed("__is_deleted", "is_deleted")
+      case DeleteMode.Logical => // 'is_deleted' reserved by Logical mode
+        df.drop("is_deleted").withColumnRenamed("__is_deleted", "is_deleted")
     }
     val anyBucket = {
       val p = Paths.get(dir)

@@ -40,6 +40,26 @@ import graft.engine.Dfs
   * Layout: `dir/_catalog/v%08d.manifest` (text: one `t <name> <version>`
   * line per member), member tables at `dir/<name>`.
   */
+/** Resolution rule when a [[SnapshotCatalog.commit]] pins a table the
+  * current catalog version already pins at a NEWER table version — the
+  * same-table multi-writer seam (see the [[SnapshotCatalog.commit]]
+  * scaladoc for the semantics of each mode).
+  */
+sealed trait PinConflict
+object PinConflict {
+  /** Never regress: resolve to the newer of the two pins (default). */
+  case object Advance extends PinConflict
+  /** Throw [[ConcurrentPinException]]; the caller re-reads and retries. */
+  case object Refuse extends PinConflict
+  /** Raw override — pin exactly what was asked, even if it regresses. */
+  case object LastWins extends PinConflict
+}
+
+/** A [[PinConflict.Refuse]] commit observed another writer's newer pin on
+  * the same member table.
+  */
+final class ConcurrentPinException(msg: String) extends RuntimeException(msg)
+
 final class SnapshotCatalog(dir: String) {
 
   /** The catalog's root directory (member tables live at `root/<name>`). */
@@ -108,12 +128,31 @@ final class SnapshotCatalog(dir: String) {
     * version. Refuses to pin a table version that is not actually
     * published (a typo'd pin would brick every reader of the new catalog
     * version). `epoch` (writerId → batchId), when present, is recorded as
-    * an `e <writer> <batch>` manifest line — the idempotence token
-    * [[commitEpoch]] reads to absorb streaming batch replays; carried
-    * epoch lines keep every writer's last stamp on the HEAD manifest, so
-    * [[lastEpoch]]'s newest-first scan normally stops at version one.
+    * an `e <writer> <batch> <stampedAtVersion>` manifest line — the
+    * idempotence token [[commitEpoch]] reads to absorb streaming batch
+    * replays; carried epoch lines keep every writer's last stamp on the
+    * HEAD manifest, so [[lastEpoch]]'s newest-first scan normally stops at
+    * version one. Carried stamps whose stamping version has been vacuumed
+    * out of catalog history are DROPPED (not re-carried) — the epoch GC
+    * that keeps the head manifest bounded when writers come and go: a
+    * writer idle longer than the catalog's vacuum horizon loses replay
+    * protection, exactly like a follower lagging past a table's vacuum.
+    *
+    * SAME-TABLE conflict seam (`onConflict`): when the current catalog
+    * version already pins a table at a NEWER version than this commit
+    * wants, two writers are pinning the same member — last-pin-wins would
+    * silently roll the catalog view backwards over the other writer's
+    * update (a lost-update class). Per-table history is linear, so the
+    * newer version already contains the older one's merges; the default
+    * [[PinConflict.Advance]] therefore resolves by keeping the newer pin.
+    * [[PinConflict.Refuse]] instead throws [[ConcurrentPinException]] for
+    * transactions that need their exact observed cut or an explicit retry.
+    * [[PinConflict.LastWins]] keeps the raw override for coordinator-owned
+    * flows that pin OLDER versions deliberately ([[commitAligned]]'s
+    * seq-cuts, admin re-pins for catalog-level time travel).
     */
-  def commit(pinned: Map[String, Long], epoch: Map[String, Long] = Map.empty): Long = synchronized {
+  def commit(pinned: Map[String, Long], epoch: Map[String, Long] = Map.empty,
+      onConflict: PinConflict = PinConflict.Advance): Long = synchronized {
     require(pinned.nonEmpty, "a catalog commit must pin at least one table")
     pinned.keys.foreach(validName)
     epoch.keys.foreach(validName)
@@ -125,17 +164,42 @@ final class SnapshotCatalog(dir: String) {
     var attempts = 0
     while (true) {
       attempts += 1
-      val base = currentVersion
+      val retained = versions
+      val base = retained.lastOption
       val version = base.map(_ + 1L).getOrElse(0L)
       // carry-forward: other tables/writers keep their current pins; this
-      // commit's entries override its own
-      val allPins = base.map(pins).getOrElse(Map.empty) ++ pinned
-      val allEpochs = base.map(epochs).getOrElse(Map.empty) ++ epoch
+      // commit's entries override its own — except where the base already
+      // pins a NEWER version of the same table (see onConflict above).
+      // Re-evaluated per attempt: the conflict answer changes when a racing
+      // writer lands between attempts.
+      val basePins = base.map(pins).getOrElse(Map.empty)
+      val resolved = pinned.map { case (n, tv) =>
+        basePins.get(n) match {
+          case Some(cur) if cur > tv => onConflict match {
+            case PinConflict.Advance  => n -> cur
+            case PinConflict.LastWins => n -> tv
+            case PinConflict.Refuse => throw new ConcurrentPinException(
+              s"concurrent pin on table '$n' at $dir: this commit observed " +
+                s"v$tv but the catalog already pins v$cur — another writer " +
+                "advanced the same table; re-read and retry, or commit with " +
+                "PinConflict.Advance/LastWins")
+          }
+          case _ => n -> tv
+        }
+      }
+      val allPins = basePins ++ resolved
+      // epoch GC: carry a stamp only while the version that recorded it is
+      // still retained catalog history; fresh stamps record THIS version
+      val oldestRetained = retained.headOption.getOrElse(0L)
+      val carriedEpochs = base.map(epochStamps).getOrElse(Map.empty)
+        .filter { case (_, (_, at)) => at >= oldestRetained }
+      val allEpochs = carriedEpochs ++
+        epoch.map { case (w, b) => w -> (b, version) }
       val commitId = java.util.UUID.randomUUID().toString
       val tmp = new HPath(catalogDir, s".tmp-$commitId")
       val body = (s"version=$version" +:
         (allPins.toSeq.sortBy(_._1).map { case (n, tv) => s"t $n $tv" } ++
-          allEpochs.toSeq.sortBy(_._1).map { case (w, b) => s"e $w $b" }))
+          allEpochs.toSeq.sortBy(_._1).map { case (w, (b, at)) => s"e $w $b $at" }))
         .mkString("", "\n", "\n")
       Dfs.writeUtf8(tmp, body)
       // same pluggable commit seam as the table manifests (LogStore pattern)
@@ -152,9 +216,11 @@ final class SnapshotCatalog(dir: String) {
 
   /** Pins each listed table at its CURRENT published version — the normal
     * end-of-transaction call after a writer finished its per-table merges.
+    * `onConflict` defaults to [[PinConflict.Advance]] (see [[commit]]).
     */
-  def commitCurrent(tables: Seq[String]): Long =
-    commit(currentPins(tables))
+  def commitCurrent(tables: Seq[String],
+      onConflict: PinConflict = PinConflict.Advance): Long =
+    commit(currentPins(tables), onConflict = onConflict)
 
   private def currentPins(tables: Seq[String]): Map[String, Long] =
     tables.map { name =>
@@ -164,11 +230,19 @@ final class SnapshotCatalog(dir: String) {
 
   /** writerId → batchId epoch tokens recorded at catalog version `v`. */
   def epochs(v: Long): Map[String, Long] =
+    epochStamps(v).map { case (w, (b, _)) => w -> b }
+
+  /** writerId → (batchId, catalog version that stamped it). Legacy 3-token
+    * `e <w> <b>` lines (pre-GC format) read as stamped at `v` itself — a
+    * carried legacy line therefore always looks fresh and is never GC'd,
+    * which errs on the side of keeping replay protection.
+    */
+  def epochStamps(v: Long): Map[String, (Long, Long)] =
     Dfs.readUtf8(manifestPath(v)).split('\n').toSeq
       .filter(_.startsWith("e "))
       .map { line =>
-        val Array(_, w, b) = line.split(" ", 3)
-        w -> b.toLong
+        val toks = line.split(" ")
+        toks(1) -> (toks(2).toLong, if (toks.length > 3) toks(3).toLong else v)
       }.toMap
 
   /** The newest batchId `writerId` has committed a cut for, scanning
@@ -238,7 +312,9 @@ final class SnapshotCatalog(dir: String) {
           s"head is ${withSeq.head._2}) — retain more history or raise the cut")
       name -> ok.last._1
     }.toMap
-    commit(pinned)
+    // coordinator-owned: a seq-cut legitimately pins BELOW another writer's
+    // newer pin (the cut is a log position, not "latest") — raw override
+    commit(pinned, onConflict = PinConflict.LastWins)
   }
 
   /** Every member table AS OF catalog version `v` — the consistent

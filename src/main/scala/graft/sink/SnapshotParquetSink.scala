@@ -116,11 +116,47 @@ object SnapshotParquetSink {
     val v = versions(dir).lastOption.getOrElse(
       sys.error(s"no committed version at $dir — declare the layout via " +
         "the constructor for a new table"))
-    val statCols = manifestStats(dir, v).values.flatMap(_.keys).toSeq.distinct.sorted
-    val bloomColsV = manifestBlooms(dir, v).values.flatMap(_.keys).toSeq.distinct.sorted
     new SnapshotParquetSink(dir, nBuckets = manifest(dir, v)._1,
-      statsCols = statCols, clusterBy = manifestCluster(dir, v),
-      bloomCols = bloomColsV)
+      statsCols = declaredStatsCols(dir, v), clusterBy = manifestCluster(dir, v),
+      bloomCols = declaredBloomCols(dir, v))
+  }
+
+  /** The table's DECLARED data-skipping columns at `version`: the explicit
+    * `statscols=` / `bloomcols=` header line when present. Legacy manifests
+    * (written before headers) fall back to inferring from the per-bucket
+    * data lines — which UNDERSTATES the declaration when no bucket recorded
+    * a line (every bucket all-null, or over [[BloomIndex.MaxDistinct]]);
+    * the header exists so [[forTable]] writers never silently drop the
+    * table's skipping configuration on that gap.
+    */
+  def declaredStatsCols(dir: String, version: Long): Seq[String] =
+    headerCols(dir, version, "statscols=").getOrElse(
+      manifestStats(dir, version).values.flatMap(_.keys).toSeq.distinct.sorted)
+
+  /** Bloom twin of [[declaredStatsCols]]. */
+  def declaredBloomCols(dir: String, version: Long): Seq[String] =
+    headerCols(dir, version, "bloomcols=").getOrElse(
+      manifestBlooms(dir, version).values.flatMap(_.keys).toSeq.distinct.sorted)
+
+  private def headerCols(dir: String, version: Long,
+      prefix: String): Option[Seq[String]] =
+    manifestLines(dir, version).collectFirst { case l if l.startsWith(prefix) =>
+      l.stripPrefix(prefix).split(',').toSeq.map(_.trim).filter(_.nonEmpty) }
+
+  /** Absorbs the caller's delete-flag column into the internal
+    * `__is_deleted` (null → false). When the flag column is literally named
+    * `is_deleted` it is DROPPED from the data: that name is reserved by
+    * Logical-mode reads (which rename `__is_deleted` back to `is_deleted`),
+    * so persisting a literal copy would make every Logical read of the
+    * table carry two `is_deleted` columns and break the next hop of a
+    * [[graft.streaming.TableFollower]] chain with an ambiguous-reference
+    * error. Any other flag name (`is_delete`, `__del`, …) stays in the data
+    * unchanged — round-tripping it is harmless and callers may project it.
+    */
+  private[sink] def foldDeleteFlag(batch: DataFrame, isDeleteCol: String): DataFrame = {
+    val folded = batch.withColumn("__is_deleted",
+      coalesce(col(isDeleteCol).cast("boolean"), lit(false)))
+    if (isDeleteCol == "is_deleted") folded.drop("is_deleted") else folded
   }
 
   /** Outcome of the last successful [[SnapshotParquetSink.merge]] on a
@@ -132,6 +168,28 @@ object SnapshotParquetSink {
     */
   final case class CommitInfo(version: Long, attempts: Int, rebases: Int,
       dataWrites: Int)
+
+  /** Order-preserving parallel map over driver-side FS round-trips
+    * (sidecar writes/copies): each item is a tiny-file operation whose
+    * latency, not bandwidth, dominates — sequentially they scale O(buckets)
+    * with the table. Bounded I/O pool; exceptions propagate to the caller
+    * (a failed sidecar write must abort the commit, same as sequentially).
+    */
+  private[sink] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, items.size))
+    try {
+      items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      })).map(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally {
+      pool.shutdown()
+      ()
+    }
+  }
 
   def manifestsDir(dir: String): HPath = new HPath(dir, "manifests")
   def manifestPath(dir: String, v: Long): HPath =
@@ -431,6 +489,22 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
   private def bloomLinesFor(spark: SparkSession, commitId: String): Seq[String] =
     bloomLinesFor(spark, commitId, bloomCols)
 
+  /** `statscols=` / `bloomcols=` header lines recording the commit's
+    * EFFECTIVE skipping declaration: this handle's when it declares any,
+    * else carried from `carryFrom`'s manifest — so a maintenance or
+    * config-less writer never strips the table's declaration, and
+    * [[SnapshotParquetSink.forTable]] recovers it even when no bucket
+    * recorded a per-bucket data line. An explicitly empty header means
+    * "declared none"; a missing header means legacy (infer from lines).
+    */
+  private def skipColsLines(carryFrom: Option[Long]): Seq[String] = {
+    val st = if (statsCols.nonEmpty) statsCols
+      else carryFrom.map(SnapshotParquetSink.declaredStatsCols(dir, _)).getOrElse(Nil)
+    val bl = if (bloomCols.nonEmpty) bloomCols
+      else carryFrom.map(SnapshotParquetSink.declaredBloomCols(dir, _)).getOrElse(Nil)
+    Seq(s"statscols=${st.mkString(",")}", s"bloomcols=${bl.mkString(",")}")
+  }
+
   /** `f <bucket> <col> <type> <rel>` manifest lines + their sidecar files
     * for the freshly written commit root — one column-pruned,
     * distinct-hash scan of the NEW files per bloom column, never the whole
@@ -509,7 +583,11 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
               .agg(expr("bit_or(__bits)").as("__bits"))
               .collect()
             val byBucket = sparse.groupBy(_.getInt(0))
-            ms.map { case (b, m) =>
+            // sidecar publication is O(buckets) tiny-file FS round-trips —
+            // sequentially they dominated the whole bloom pass at O(100)
+            // buckets (measured 1.6× bulk-commit overhead at 80 buckets);
+            // write them concurrently, I/O-bound, bounded pool
+            SnapshotParquetSink.inParallel(ms) { case (b, m) =>
               val words = new Array[Long](m / 64)
               byBucket.getOrElse(b, Array.empty).foreach { r =>
                 words(r.getLong(1).toInt) = r.getLong(2)
@@ -536,17 +614,19 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     * reachability cover sidecars) survives the rewrite.
     */
   private def copyBloomsInto(base: Long, commitId: String,
-      keptBuckets: Set[Int]): Seq[String] =
-    SnapshotParquetSink.manifestBlooms(dir, base).toSeq.sortBy(_._1)
+      keptBuckets: Set[Int]): Seq[String] = {
+    val toCopy = SnapshotParquetSink.manifestBlooms(dir, base).toSeq.sortBy(_._1)
       .filter { case (b, _) => keptBuckets(b) }
       .flatMap { case (b, cols) =>
-        cols.toSeq.sortBy(_._1).map { case (c, (ty, rel)) =>
-          val newRel = s"data/$commitId/__bloom/$c/$b.bf"
-          Dfs.writeBytes(new HPath(s"$dir/$newRel"),
-            Dfs.readBytes(new HPath(s"$dir/$rel")))
-          s"f $b $c $ty $newRel"
-        }
+        cols.toSeq.sortBy(_._1).map { case (c, (ty, rel)) => (b, c, ty, rel) }
       }
+    SnapshotParquetSink.inParallel(toCopy) { case (b, c, ty, rel) =>
+      val newRel = s"data/$commitId/__bloom/$c/$b.bf"
+      Dfs.writeBytes(new HPath(s"$dir/$newRel"),
+        Dfs.readBytes(new HPath(s"$dir/$rel")))
+      s"f $b $c $ty $newRel"
+    }
+  }
 
   /** `schema=<json>` line for a commit writing frames shaped `written`
     * (the `__bucket` partition column is stripped — it never lands in the
@@ -668,8 +748,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       isDeleteCol: String): Unit = synchronized {
     keys.foreach(SnapshotParquetSink.validManifestName("key"))
     val spark = batch.sparkSession
-    val incoming0 = batch
-      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+    val incoming0 = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
       .withColumn("__bucket", bucketOf(keys))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -797,6 +876,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
             s"keys=${keys.mkString(",")}") ++
             maxSeqOpt.map(m => s"maxseq=$m").toSeq ++
             schemaLine(merged.schema, carryFrom).toSeq ++
+            skipColsLines(carryFrom) ++
             clusterLines ++
             newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
             carried ++ freshStats ++
@@ -857,8 +937,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       isDeleteCol: String): Unit = synchronized {
     keys.foreach(SnapshotParquetSink.validManifestName("key"))
     val spark = batch.sparkSession
-    val incoming0 = batch
-      .withColumn("__is_deleted", coalesce(col(isDeleteCol), lit(false)))
+    val incoming0 = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
       .withColumn("__bucket", bucketOf(keys))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -904,6 +983,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
           s"keys=${keys.mkString(",")}") ++
           batchMaxSeq.map(m => s"maxseq=$m").toSeq ++
           schemaLine(merged.schema, None).toSeq ++
+          skipColsLines(base) ++
           clusterLines ++
           newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
           statsLinesFor(spark, commitId) ++
@@ -942,7 +1022,12 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     val t = t0.drop("__gen", "__bucket")
     mode match {
       case DeleteMode.Hard    => t.filter(!col("__is_deleted")).drop("__is_deleted")
-      case DeleteMode.Logical => t.withColumnRenamed("__is_deleted", "is_deleted")
+      // 'is_deleted' is RESERVED by Logical mode: drop a literal column of
+      // that name (legacy files written before foldDeleteFlag absorbed it)
+      // before the rename — otherwise a multi-hop follower chain reads two
+      // 'is_deleted' columns and the next merge dies on ambiguous reference
+      case DeleteMode.Logical =>
+        t.drop("is_deleted").withColumnRenamed("__is_deleted", "is_deleted")
     }
   }
 
@@ -997,7 +1082,8 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     require(keys.length == keyValues.length, "one value per key column")
     def shaped(df: DataFrame): DataFrame = mode match {
       case DeleteMode.Hard    => df.filter(!col("__is_deleted")).drop("__is_deleted")
-      case DeleteMode.Logical => df.withColumnRenamed("__is_deleted", "is_deleted")
+      case DeleteMode.Logical => // 'is_deleted' reserved by Logical mode (see shape)
+        df.drop("is_deleted").withColumnRenamed("__is_deleted", "is_deleted")
     }
     currentVersion match {
       case None => spark.emptyDataFrame
@@ -1159,6 +1245,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         s"keys=${baseKeys.mkString(",")}") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
         schemaLine(full.schema, None).toSeq ++ // full rewrite: derive fresh
+        skipColsLines(Some(base)) ++
         carriedCluster ++
         newEntries.toSeq.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
         carried ++ bloomsOut)
@@ -1238,6 +1325,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         s"keys=${baseKeys.mkString(",")}") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
         schemaLine(full.schema, None).toSeq ++ // full rewrite: derive fresh
+        skipColsLines(Some(base)) ++
         clusterLines ++
         newEntries.map { case (b, rel) => s"b $b $rel" } ++
         statsLinesFor(spark, commitId, statCols) ++
@@ -1340,6 +1428,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         s"keys=${baseKeys.mkString(",")}") ++
         headSeq.map(m => s"maxseq=$m").toSeq ++
         schemaLine(purged.schema, None).toSeq ++ // full rewrite: derive fresh
+        skipColsLines(Some(base)) ++
         carriedCluster ++
         newEntries.sortBy(_._1).map { case (b, rel) => s"b $b $rel" } ++
         statsOut ++ copiedBlooms)

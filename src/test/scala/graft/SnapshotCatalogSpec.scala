@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.sink.{DeleteMode, SnapshotCatalog}
+import graft.sink.{ConcurrentPinException, DeleteMode, PinConflict, SnapshotCatalog}
 
 /** The catalog's contract: a catalog version is an atomic, immutable
   * cross-table cut — torn reads are impossible through it, concurrent
@@ -114,6 +114,68 @@ class SnapshotCatalogSpec extends SparkSpec {
     // a is at its 3rd table version (a0,a1,a2), b at its 2nd (b0,b2)
     assert(cat.pins(4L) == Map("a" -> 2L, "b" -> 1L),
       s"the second cut must carry the first's fresh pin: ${cat.pins(4L)}")
+  }
+
+  test("same-table pin conflict: Advance never regresses, Refuse throws, LastWins overrides") {
+    val dir = tmpDir("catpc") + "/c"
+    val cat = new SnapshotCatalog(dir)
+    val a = cat.table("a", 2)
+    a.merge(batch(("k", 0, "v0", false)), Seq("primary_key"), "seq", "is_delete") // a@0
+    cat.commitCurrent(Seq("a"))                                 // cat v0 -> a@0
+    a.merge(batch(("k", 1, "v1", false)), Seq("primary_key"), "seq", "is_delete") // a@1
+    a.merge(batch(("k", 2, "v2", false)), Seq("primary_key"), "seq", "is_delete") // a@2
+    cat.commit(Map("a" -> 2L))                                  // writer B pins a@2
+    // writer A is STALE (observed a@1). Default Advance: the commit lands
+    // but resolves to the newer pin — the catalog view never rolls back
+    // over B's update (per-table history is linear, a@2 contains a@1)
+    val v = cat.commit(Map("a" -> 1L))
+    assert(cat.pins(v) == Map("a" -> 2L), cat.pins(v).toString)
+    // Refuse: strict transactions get a loud conflict naming the table
+    val e = intercept[ConcurrentPinException](
+      cat.commit(Map("a" -> 1L), onConflict = PinConflict.Refuse))
+    assert(e.getMessage.contains("'a'") && e.getMessage.contains("v2"))
+    assert(cat.currentVersion.contains(v), "a refused commit publishes nothing")
+    // LastWins: the deliberate-override path (admin re-pin / time travel)
+    val v2 = cat.commit(Map("a" -> 1L), onConflict = PinConflict.LastWins)
+    assert(cat.pins(v2) == Map("a" -> 1L))
+  }
+
+  test("same-table race: two writers commit concurrently, the head never regresses") {
+    val dir = tmpDir("catrace") + "/c"
+    val cat = new SnapshotCatalog(dir)
+    val a = cat.table("a", 2)
+    a.merge(batch(("k", 0, "v0", false)), Seq("primary_key"), "seq", "is_delete") // a@0
+    a.merge(batch(("k", 1, "v1", false)), Seq("primary_key"), "seq", "is_delete") // a@1
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // stale writer pins a@0, fresh writer pins a@1, racing in any order —
+      // whichever lands second, the final head must pin a@1
+      val futs = Seq(0L, 1L).map { tv =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = new SnapshotCatalog(dir).commit(Map("a" -> tv))
+        })
+      }
+      val got = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS)).toSet
+      assert(got == Set(0L, 1L), s"both commits must land: $got")
+    } finally pool.shutdownNow()
+    assert(cat.pins(cat.currentVersion.get) == Map("a" -> 1L),
+      s"head regressed: ${cat.pins(cat.currentVersion.get)}")
+  }
+
+  test("epoch GC: stamps older than the vacuum horizon stop carrying; live writers keep protection") {
+    val cat = new SnapshotCatalog(tmpDir("categc") + "/c")
+    cat.table("a", 2).merge(batch(("k", 0, "v", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitEpoch(Seq("a"), "w1", 0L) // v0: w1 stamped at v0
+    cat.commitEpoch(Seq("a"), "w2", 0L) // v1: w2 stamped, w1 carried
+    cat.commitEpoch(Seq("a"), "w2", 1L) // v2
+    assert(cat.epochStamps(2L).keySet == Set("w1", "w2"), "carry keeps both on the head")
+    cat.vacuum(keepLast = 1, minOrphanAgeMs = 0L) // retained: {v2}; w1's stamping version (v0) expired
+    cat.commitEpoch(Seq("a"), "w2", 2L) // v3: carry must DROP w1 (stamped below the horizon)
+    assert(cat.epochStamps(3L).keySet == Set("w2"),
+      s"idle writer's stamp must GC: ${cat.epochStamps(3L)}")
+    cat.vacuum(keepLast = 1, minOrphanAgeMs = 0L) // retained: {v3}
+    assert(cat.lastEpoch("w2").contains(2L), "live writer keeps replay protection")
+    assert(cat.lastEpoch("w1").isEmpty, "idle-past-horizon writer's protection expired")
   }
 
   test("graft-catalog DSv2: SQL reads resolve through the catalog's consistent cut") {

@@ -914,6 +914,38 @@ class SnapshotParquetSinkSpec extends SparkSpec {
       s"rebucketed stats must still skip cold buckets, planned ${scanFiles(inc)}")
   }
 
+  test("skipping declaration survives a commit with no per-bucket stats lines") {
+    // regression: forTable used to INFER statsCols/bloomCols from per-bucket
+    // data lines — a version where no bucket recorded a line (all-null
+    // column) silently and permanently dropped the table's declared
+    // skipping config for every forTable-constructed writer
+    import spark.implicits._
+    val dir = tmpDir("skipdecl") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4,
+      statsCols = Seq("amount"), bloomCols = Seq("tag"))
+    def rows(amounts: Seq[java.lang.Long], seq: Long): DataFrame =
+      amounts.zipWithIndex.map { case (a, i) =>
+        (s"k$i", seq, a, s"t$i", false) }
+        .toDF("primary_key", "seq", "amount", "tag", "is_delete")
+    // v0: amount is ALL NULL — no 's' data line can be recorded
+    sink.merge(rows(Seq(null, null, null), 0L), Seq("primary_key"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestStats(dir, 0L).isEmpty)
+    assert(SnapshotParquetSink.declaredStatsCols(dir, 0L) == Seq("amount"))
+    assert(SnapshotParquetSink.declaredBloomCols(dir, 0L) == Seq("tag"))
+    // a forTable handle (the SQL/DSv2 writer path) must recover the
+    // declaration and record stats as soon as values appear
+    SnapshotParquetSink.forTable(dir)
+      .merge(rows(Seq(1L, 2L, 3L), 1L), Seq("primary_key"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestStats(dir, 1L)
+      .values.exists(_.contains("amount")))
+    assert(SnapshotParquetSink.declaredStatsCols(dir, 1L) == Seq("amount"))
+    // a config-less direct handle must not strip the declaration either
+    new SnapshotParquetSink(dir, nBuckets = 4)
+      .merge(rows(Seq(4L, 5L, 6L), 2L), Seq("primary_key"), "seq", "is_delete")
+    assert(SnapshotParquetSink.declaredStatsCols(dir, 2L) == Seq("amount"))
+    assert(SnapshotParquetSink.declaredBloomCols(dir, 2L) == Seq("tag"))
+  }
+
   test("keyed diffs read only CHANGED buckets (manifest-level pruning)") {
     val dir = tmpDir("ssink") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 8)

@@ -159,6 +159,53 @@ class TableFollowerSpec extends SparkSpec {
     intercept[IllegalArgumentException](fanOut(spark, up, Nil))
   }
 
+  test("multi-hop chain: bronze→silver→gold forwards updates and deletes through both hops") {
+    // regression: the silver table is WRITTEN by a follower merge whose
+    // delete flag is literally named 'is_deleted' — if the sink persisted
+    // that literal column, the gold follower's Logical read of silver would
+    // carry TWO 'is_deleted' columns and its merge would die on an
+    // ambiguous reference; the chain below must instead run indefinitely
+    val bronze = tmpDir("tfc2b") + "/t"
+    val silver = tmpDir("tfc2s") + "/t"
+    val gold = tmpDir("tfc2g") + "/t"
+    val bronzeSink = new SnapshotParquetSink(bronze, nBuckets = 4)
+    val silverSink = new SnapshotParquetSink(silver, nBuckets = 4)
+    val goldSink = new SnapshotParquetSink(gold, nBuckets = 4)
+    val hop1 = new TableFollower(bronze, silverSink, "silver")
+    val hop2 = new TableFollower(silver, goldSink, "gold")
+    def runChain(): Unit = {
+      hop1.catchUp(spark, Seq("id"))(enrich)
+      hop2.catchUp(spark, Seq("id"))(
+        _.withColumn("note_u", upper(col("note"))))
+    }
+
+    bronzeSink.merge(rows(0L until 16L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    runChain()
+    // exactly ONE is_deleted column on the Logical read of the silver table
+    val silverCols = SnapshotParquetSink.forTable(silver)
+      .read(spark, DeleteMode.Logical).columns.toSeq
+    assert(silverCols.count(_ == "is_deleted") == 1, silverCols.mkString(","))
+    assert(SnapshotParquetSink.forTable(gold).read(spark, DeleteMode.Hard)
+      .filter(col("id") === 3L).select("note_u").head.getString(0) == "A3")
+
+    // wave 2: update + delete must forward through BOTH hops incrementally
+    bronzeSink.merge(rows(Seq(3L, 5L), 1L, "b", del = Set(5L)),
+      Seq("id"), "seq", "is_delete")
+    runChain()
+    val goldState = SnapshotParquetSink.forTable(gold).read(spark, DeleteMode.Hard)
+    assert(goldState.filter(col("id") === 3L).select("note_u").head.getString(0) == "B3")
+    assert(goldState.filter(col("id") === 5L).collect().isEmpty,
+      "delete must forward through two hops")
+    assert(goldState.count() == 15L)
+    // and gold equals transform2(transform1(bronze)) column-for-column
+    val direct = enrich(SnapshotParquetSink.forTable(bronze).read(spark, DeleteMode.Hard))
+      .withColumn("note_u", upper(col("note")))
+      .select(col("id"), col("cents"), col("note_u"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(goldState.select(col("id"), col("cents"), col("note_u"))
+      .as[(Long, Long, String)].collect().sorted.toSeq == direct)
+  }
+
   test("transform contract violations fail loudly") {
     val up = tmpDir("tfxup") + "/t"
     val down = tmpDir("tfxdn") + "/t"
