@@ -264,6 +264,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toDF("upstream_dir", "downstream_dir", "applied_version", "advanced")
           .queryExecution.logical: LogicalPlan
       }))
+    // ---- multi-table transaction faces: COMMIT a consistent cut pinning
+    // the listed members at their current versions (the end-of-transaction
+    // call), and READ a member through a cut. catalog_commit shares
+    // snapshot_merge's side-effect caveat (executes in the plan builder).
+    // onConflict names the same-table multi-writer rule ([[PinConflict]]):
+    // 'advance' (default, never regress), 'refuse' (throw when another
+    // writer pinned the same table newer), 'lastwins' (raw override).
+    ext.injectTableFunction((
+      FunctionIdentifier("catalog_commit"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotCatalog].getName, "catalog_commit"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "catalog_commit(catalogDir, tablesCsv[, onConflict: advance|refuse|lastwins])")
+        val spark = SparkSession.active
+        val dir = litStr(exprs(0), "catalogDir")
+        val tables = litStr(exprs(1), "tables")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val mode = (if (exprs.length > 2) litStr(exprs(2), "onConflict")
+          else "advance").toLowerCase(java.util.Locale.ROOT) match {
+          case "advance"  => graft.sink.PinConflict.Advance
+          case "refuse"   => graft.sink.PinConflict.Refuse
+          case "lastwins" => graft.sink.PinConflict.LastWins
+          case other =>
+            sys.error(s"onConflict must be advance|refuse|lastwins, got '$other'")
+        }
+        val cat = new graft.sink.SnapshotCatalog(dir)
+        val v = cat.commitCurrent(tables, mode)
+        import spark.implicits._
+        cat.pins(v).toSeq.sortBy(_._1).map { case (t, tv) => (dir, v, t, tv) }
+          .toDF("catalog_dir", "catalog_version", "table_name", "pinned_version")
+          .queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("catalog_read"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotCatalog].getName, "catalog_read"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "catalog_read(catalogDir, table[, asOfCatalogVersion])")
+        val spark = SparkSession.active
+        val reader = spark.read.format("graft-catalog")
+          .option("table", litStr(exprs(1), "table"))
+        val withAsOf =
+          if (exprs.length == 3)
+            reader.option("asOfCatalog", litInt(exprs(2), "asOfCatalogVersion").toLong)
+          else reader
+        withAsOf.load(litStr(exprs(0), "catalogDir"))
+          .queryExecution.logical: LogicalPlan
+      }))
     // ---- materialized views from SQL: define-or-advance an IVM aggregate
     // over a snapshot table and register it for automatic query rewrite
     // ([[graft.plans.MatViewRewrite]]). Aggregate expressions are

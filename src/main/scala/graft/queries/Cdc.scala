@@ -782,6 +782,70 @@ object Cdc {
       rows.reduce(_.unionByName(_))
     },
 
+    // q61i's atomic multi-table transaction RE-EXPRESSED AS PURE SQL
+    // (round 12): merges via snapshot_merge, cuts via catalog_commit (the
+    // retried transaction commits under onConflict='refuse' — proving the
+    // strict mode passes on a normally-advancing commit), reads via
+    // catalog_read at both catalog versions. Same oracle as q61i: reading
+    // cut v0 after orders' unpinned head commit must still be the 600-cut
+    // on both tables.
+    QDef.df("q61v_sql_catalog_txn",
+      s"""$SRC,
+         |t2 AS (SELECT seq,
+         |        data['database_name'] || '.' ||
+         |          regexp_replace(data['table_name'], '_part_[0-9]+$$', '') AS ftn,
+         |        CAST(data['primary_key'] AS VARCHAR) AS pk,
+         |        coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM src),
+         |live AS (SELECT ftn, cutoff, pk FROM (
+         |          SELECT t2.ftn, c.cutoff, t2.pk, t2.is_del,
+         |                 row_number() OVER (PARTITION BY t2.ftn, c.cutoff, t2.pk
+         |                                    ORDER BY t2.seq DESC) AS rn
+         |          FROM t2, (VALUES (600), (1729)) c(cutoff)
+         |          WHERE t2.seq <= c.cutoff
+         |            AND t2.ftn IN ('shop.orders', 'shop.customers')) z
+         |         WHERE rn = 1 AND NOT is_del)
+         |SELECT CAST(CASE cutoff WHEN 600 THEN 0 ELSE 1 END AS BIGINT) AS catalog_version,
+         |       CASE ftn WHEN 'shop.orders' THEN 'orders' ELSE 'customers' END AS table_name,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CAST(pk AS INTEGER)) AS BIGINT) AS pk_sum
+         |FROM live GROUP BY 1, 2""".stripMargin) { (s, _) =>
+      val base = sys.props("java.io.tmpdir") + "/graft_q61v_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(base))
+      graft.engine.Fs.reclaimAtExit(base)
+      val e = env(s)
+      def flat(tbl: String) = CdcPipeline.expanded(CdcPipeline.forTable(e, tbl))
+      flat("shop.orders").filter(col("seq") <= 600).createOrReplaceTempView("q61v_o1")
+      flat("shop.customers").filter(col("seq") <= 600).createOrReplaceTempView("q61v_c1")
+      flat("shop.orders").createOrReplaceTempView("q61v_o2")
+      flat("shop.customers").createOrReplaceTempView("q61v_c2")
+      // transaction 1: both tables to seq<=600, pinned atomically as cut v0
+      s.sql(s"SELECT * FROM snapshot_merge('$base/orders', 'q61v_o1', " +
+        "'primary_key', 'seq', 'is_delete', 8)").collect()
+      s.sql(s"SELECT * FROM snapshot_merge('$base/customers', 'q61v_c1', " +
+        "'primary_key', 'seq', 'is_delete', 8)").collect()
+      s.sql(s"SELECT * FROM catalog_commit('$base', 'orders,customers')").collect()
+      // transaction 2 CRASHES half-way: orders advanced, catalog not
+      s.sql(s"SELECT * FROM snapshot_merge('$base/orders', 'q61v_o2', " +
+        "'primary_key', 'seq', 'is_delete')").collect()
+      // retried transaction completes under the STRICT conflict mode
+      s.sql(s"SELECT * FROM snapshot_merge('$base/customers', 'q61v_c2', " +
+        "'primary_key', 'seq', 'is_delete')").collect()
+      s.sql(s"SELECT * FROM catalog_commit('$base', 'orders,customers', 'refuse')").collect()
+      val rows = Seq(0L, 1L).flatMap { v =>
+        Seq("customers", "orders").map { t =>
+          s.sql(s"SELECT * FROM catalog_read('$base', '$t', $v)")
+            .filter(!col("__is_deleted"))
+            .agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("primary_key").cast("int")).cast("bigint").as("pk_sum"))
+            .select(lit(v).as("catalog_version"), lit(t).as("table_name"),
+              col("n_rows"), col("pk_sum"))
+        }
+      }
+      rows.reduce(_.unionByName(_))
+    },
+
     // Snapshot version history — the commit-log metadata view a lakehouse
     // operator reads before time-traveling or vacuuming: per committed
     // version, live-row and tombstone counts. The oracle replays each

@@ -342,6 +342,31 @@ final class SnapshotCatalog(dir: String) {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
   }
 
+  /** Warehouse-wide retention in ONE call — the ops loop a deployment
+    * otherwise hand-assembles from [[vacuum]] + [[retainedVersions]] +
+    * per-table [[SnapshotParquetSink.vacuumKeeping]]: expire catalog
+    * history to the newest `keepLast` cuts, then vacuum EVERY member table
+    * the surviving cuts reference down to exactly the pinned versions
+    * (plus each table's own head — an advanced-but-unpinned commit must
+    * stay readable for the next cut). Ordering matters and is enforced
+    * here: the catalog expires FIRST, so a table version can never be
+    * deleted while a surviving cut still pins it — the vacuum-discipline
+    * invariant from the class scaladoc, now mechanized. Tables present on
+    * disk but never pinned by surviving history are left untouched (they
+    * may belong to a writer that has not cut yet). Returns per-table
+    * (droppedManifests, deletedOrphanRoots) plus the catalog's own drop
+    * count under the pseudo-name "_catalog".
+    */
+  def vacuumAll(keepLast: Int = 1,
+      minOrphanAgeMs: Long = 3600000L): Map[String, (Int, Int)] = synchronized {
+    val catDropped = vacuum(keepLast, minOrphanAgeMs)
+    val perTable = retainedVersions(keepLast).map { case (name, pinned) =>
+      name -> SnapshotParquetSink.forTable(s"$dir/$name")
+        .vacuumKeeping(pinned, minOrphanAgeMs)
+    }
+    perTable + ("_catalog" -> ((catDropped, 0)))
+  }
+
   /** Expires catalog history: keeps the newest `keepLast` manifests plus
     * aged `.tmp-*` leftovers from crashed commits. Member-table vacuums are
     * separate ([[retainedVersions]] tells them what to keep).

@@ -226,4 +226,26 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(cat.readAllAt(spark, 1L)("a").collect().map(_.getString(2)).toSeq == Seq("v1"))
     intercept[IllegalArgumentException](a.vacuumKeeping(Set(99L)))
   }
+
+  test("vacuumAll: one call expires catalog history and vacuums members to pinned versions") {
+    val cat = new SnapshotCatalog(tmpDir("catva") + "/c")
+    val a = cat.table("a", 2)
+    for (i <- 0 until 3) {
+      a.merge(batch(("k", i.toLong, s"v$i", false)), Seq("primary_key"), "seq", "is_delete")
+      cat.commitCurrent(Seq("a"))                // cut i -> a@i
+    }
+    // an advanced-but-UNPINNED head commit: vacuumAll must keep it readable
+    a.merge(batch(("k", 9L, "head", false)), Seq("primary_key"), "seq", "is_delete") // a@3
+    val r = cat.vacuumAll(keepLast = 2, minOrphanAgeMs = 0L)
+    assert(r("_catalog")._1 == 1, r.toString)            // cut v0 expired
+    assert(r("a")._1 == 1, r.toString)                   // a@0 expired
+    assert(cat.versions == Seq(1L, 2L))
+    assert(a.versions == Seq(1L, 2L, 3L), "pinned versions + the unpinned head survive")
+    // every surviving cut still resolves; the invariant held mid-flight
+    assert(cat.readAllAt(spark, 1L)("a").collect().map(_.getString(2)).toSeq == Seq("v1"))
+    assert(cat.readAllAt(spark, 2L)("a").collect().map(_.getString(2)).toSeq == Seq("v2"))
+    // the next transaction pins the head and the loop continues
+    cat.commitCurrent(Seq("a"))
+    assert(cat.pins(3L) == Map("a" -> 3L))
+  }
 }
