@@ -752,16 +752,20 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       .withColumn("__bucket", bucketOf(keys))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ≤ nBuckets values by construction — this driver-side list is what
-      // limits the read and rewrite to affected buckets only
-      val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
+      // ONE probe job: the affected-bucket list (≤ nBuckets values by
+      // construction — the driver-side list that limits the read and
+      // rewrite to affected buckets only) AND the batch's applied head
+      // (recorded in the manifest, monotone across commits, so catalog
+      // seq-aligned cuts read metadata, not data; all-null seq contributes
+      // no head). Separate jobs here doubled the fixed per-job latency on
+      // every micro-commit — the q61 lifecycle tail is merge-count-bound.
+      val probe = incoming0.groupBy().agg(
+        collect_set(col("__bucket")).as("bs"),
+        max(col(seqCol).cast("long")).as("mx")).head()
+      val affected = probe.getSeq[Int](0).sorted.toArray
       if (affected.isEmpty) return
-      // the batch's applied head — recorded in the manifest (monotone across
-      // commits) so catalog-level seq-aligned cuts read metadata, not data.
-      // All-null seq (accepted by the LWW window) contributes no head.
       val batchMaxSeq: Option[Long] =
-        Option(incoming0.agg(max(col(seqCol).cast("long"))).head().get(0))
-          .map(_.asInstanceOf[Long])
+        if (probe.isNullAt(1)) None else Some(probe.getLong(1))
 
       /** Layout guards against the manifest at `v`: a writer with a
         * different bucket count or key set would scatter keys across
@@ -941,12 +945,15 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       .withColumn("__bucket", bucketOf(keys))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val affected = incoming0.select("__bucket").distinct().collect().map(_.getInt(0)).sorted
+      // one probe job for bucket list + applied head (see merge)
+      val probe = incoming0.groupBy().agg(
+        collect_set(col("__bucket")).as("bs"),
+        max(col(seqCol).cast("long")).as("mx")).head()
+      val affected = probe.getSeq[Int](0).sorted.toArray
       require(affected.nonEmpty,
         s"replaceAll with an empty batch would publish an unreadable empty table at $dir")
       val batchMaxSeq: Option[Long] =
-        Option(incoming0.agg(max(col(seqCol).cast("long"))).head().get(0))
-          .map(_.asInstanceOf[Long])
+        if (probe.isNullAt(1)) None else Some(probe.getLong(1))
       require(batchMaxSeq.isDefined,
         s"replaceAll batch carries no orderable $seqCol values — the rebuilt " +
           "table would record no applied head, and a later commitAligned " +
