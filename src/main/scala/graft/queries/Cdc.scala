@@ -461,6 +461,50 @@ object Cdc {
       }
     },
 
+    // Structured-Streaming table-to-table hop through the
+    // graft-snapshot-stream SOURCE (round 12 — the Delta streaming-source
+    // analog; q61s is the same pipeline through the marker-file
+    // TableFollower): a streaming query follows the upstream commit log
+    // with Spark-checkpointed offsets — initial snapshot, then a
+    // changed-bucket slice per upstream commit — enriches row-wise and
+    // merges downstream. Same oracle as q61s: any row the stream lost,
+    // resurrected or double-applied hash-mismatches.
+    QDef.df("q61w_stream_source",
+      s"$LASTSTATE\nSELECT $rowColsOut, upper(row_note) AS note_upper " +
+        "FROM r WHERE rn = 1 AND NOT is_del") { (s, _) =>
+      val (upSink, upDir) = freshSnapshotSink("q61w_up")
+      val (dnSink, _) = freshSnapshotSink("q61w_dn")
+      val ckpt = sys.props("java.io.tmpdir") + "/graft_q61w_ck_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(ckpt))
+      graft.engine.Fs.reclaimAtExit(ckpt)
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        upSink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
+        val q = s.readStream.format("graft-snapshot-stream").load(upDir)
+          .withColumn("note_upper", upper(col("row_note")))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) dnSink.merge(b, Seq("primary_key"), "seq", "is_deleted")
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable() // initial snapshot
+          upSink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
+          q.processAllAvailable() // changed-slice catch-up
+        } finally { q.stop(); q.awaitTermination() }
+        dnSink.read(s, graft.sink.DeleteMode.Hard)
+          .select(normalizedProjection :+ col("note_upper"): _*)
+      } finally {
+        flat.unpersist()
+        ()
+      }
+    },
+
     // Incrementally-maintained materialized aggregate (dirty-group
     // recompute IVM — [[graft.sink.MaterializedAgg]]): a grouped rollup
     // kept in its own snapshot table and advanced per source version from

@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.sink.{DeleteMode, SnapshotParquetSink}
+
+/** STREAMING SOURCE over a [[graft.sink.SnapshotParquetSink]] table — the
+  * Delta streaming-source analog: a Structured Streaming query follows the
+  * table's commit log with checkpointed offsets, so `readStream → transform
+  * → foreachBatch merge` chains snapshot tables with Spark's own recovery
+  * machinery instead of the hand-rolled [[graft.streaming.TableFollower]]
+  * marker files (both remain supported — the follower is the no-streaming-
+  * runtime option; this source is the idiomatic one):
+  *
+  * {{{
+  *   spark.readStream.format("graft-snapshot-stream").load(dir)
+  * }}}
+  *
+  * Semantics (UPSERT stream, not an append log):
+  *   - OFFSETS ARE TABLE VERSIONS. The first batch is the FULL state at
+  *     the then-current version (the "initial snapshot"); every later
+  *     batch is the CURRENT-state rows of the buckets whose files changed
+  *     in the offset range ([[SnapshotParquetSink.readChangedAt]] — cost
+  *     O(changed fraction), never O(table)).
+  *   - Rows are shaped `DeleteMode.Logical`: upstream tombstones arrive as
+  *     rows with `is_deleted = true`, so deletes FORWARD. The downstream
+  *     consumer must merge last-write-wins on the table's keys/seq (the
+  *     batch may re-deliver unchanged rows of changed buckets, and crash
+  *     replay re-delivers whole batches — idempotent merge absorbs both).
+  *   - VACUUM SELF-HEAL: a batch whose start version was vacuumed out of
+  *     upstream history degrades to the full state at the end version —
+  *     correct under idempotent merge, just unpruned (the TableFollower
+  *     retention handshake, same contract).
+  *   - Schema is FROZEN at stream start (the streaming contract). Changed
+  *     slices predating an evolution-added column conform by null-filling;
+  *     columns added upstream AFTER start are not emitted — stop/restart
+  *     the query to adopt them (the CdcStream edit-redeploy cycle).
+  */
+class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot-stream"
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.get("path").getOrElse(
+      sys.error("graft-snapshot-stream needs a path: .load(dir) or option(\"path\", dir)"))
+
+  private def logicalSchema(spark: org.apache.spark.sql.SparkSession,
+      dir: String): StructType = {
+    val sink = SnapshotParquetSink.forTable(dir)
+    sink.read(spark, DeleteMode.Logical).schema
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      schema.getOrElse(logicalSchema(ctx.sparkSession, dirOf(parameters))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val dir = dirOf(parameters)
+    new SnapshotStreamSource(ctx, dir,
+      schema.getOrElse(logicalSchema(ctx.sparkSession, dir)))
+  }
+}
+
+private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
+    frozenSchema: StructType) extends Source {
+
+  override def schema: StructType = frozenSchema
+
+  override def getOffset: Option[OffsetV1] =
+    SnapshotParquetSink.versions(dir).lastOption.map(v => LongOffset(v))
+
+  // V1 checkpoint recovery hands offsets back as SerializedOffset — the
+  // json IS the version number for LongOffset, so parse rather than match
+  private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
+
+  /** Null-fill frozen columns a changed slice predates, then project to
+    * the frozen shape (order included) — evolution-era old files stay
+    * consumable mid-stream.
+    */
+  private def conform(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    val filled = frozenSchema.fields.foldLeft(df)((d, f) =>
+      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    filled.select(frozenSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val spark = ctx.sparkSession
+    val sink = SnapshotParquetSink.forTable(dir)
+    val retained = SnapshotParquetSink.versions(dir)
+    // a restart can replay a committed batch whose END version has since
+    // been vacuumed — deliver the oldest still-retained version at or
+    // above it instead (a superset slice; the downstream idempotent merge
+    // absorbs it, and later ranges re-deliver their own states anyway)
+    val endV = retained.find(_ >= versionOf(end)).getOrElse(
+      sys.error(s"stream offset v${versionOf(end)} is beyond the retained " +
+        s"history at $dir (newest: ${retained.lastOption.getOrElse(-1L)})"))
+    val full = () => conform(sink.readAt(spark, endV, DeleteMode.Logical))
+    val batch = start.map(versionOf) match {
+      case None => full() // initial snapshot
+      case Some(s) if s == endV =>
+        // replayed no-op range: emit an empty frame of the frozen shape
+        full().filter(lit(false))
+      case Some(s) if !retained.contains(s) =>
+        full() // diff base vacuumed: one full resync (idempotent downstream)
+      case Some(s) =>
+        sink.readChangedAt(spark, endV, s, DeleteMode.Logical)
+          .map(conform).getOrElse(full().filter(lit(false)))
+    }
+    // the V1 contract: the returned plan must carry isStreaming=true
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$dir]"
+}

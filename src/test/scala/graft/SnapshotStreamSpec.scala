@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sink.{DeleteMode, SnapshotParquetSink}
+
+/** The `graft-snapshot-stream` streaming source (Delta streaming-source
+  * analog): a Structured Streaming query follows a snapshot table's commit
+  * log — initial snapshot, then changed-bucket slices per offset range —
+  * with Spark-checkpointed offsets, delete forwarding, vacuum self-heal
+  * and frozen-schema conformance.
+  */
+class SnapshotStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Seq[Long], seq: Long, tag: String,
+      del: Set[Long] = Set.empty): DataFrame =
+    ids.map(i => (i, seq, i * 10, s"$tag$i", del.contains(i)))
+      .toDF("id", "seq", "amount", "note", "is_delete")
+
+  private def state(dir: String): Map[Long, (Long, String)] =
+    SnapshotParquetSink.forTable(dir).read(spark, DeleteMode.Hard)
+      .select("id", "seq", "note").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  /** foreachBatch LWW merge — the canonical downstream of an upsert
+    * stream; `is_deleted` arrives as a row flag and forwards as the
+    * tombstone column.
+    */
+  private def follow(upDir: String, downDir: String, ckpt: String) =
+    spark.readStream.format("graft-snapshot-stream").load(upDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sink =
+            if (SnapshotParquetSink.versions(downDir).nonEmpty)
+              SnapshotParquetSink.forTable(downDir)
+            else new SnapshotParquetSink(downDir, nBuckets = 8)
+          sink.merge(batch, Seq("id"), "seq", "is_deleted")
+        }
+        ()
+      }
+      .start()
+
+  test("stream converges to the upstream state across waves; deletes forward; slices stay pruned") {
+    val up = tmpDir("ssup") + "/t"
+    val down = tmpDir("ssdn") + "/t"
+    val ckpt = tmpDir("ssck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 8)
+    upSink.merge(rows(0L until 64L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val q = follow(up, down, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(state(down) == state(up), "initial snapshot must land whole")
+      // wave 2: update + delete — only changed buckets may flow
+      upSink.merge(rows(Seq(3L, 5L), 1L, "b", del = Set(5L)),
+        Seq("id"), "seq", "is_delete")
+      q.processAllAvailable()
+      assert(state(down) == state(up))
+      assert(state(down)(3L)._2 == "b3")
+      assert(!state(down).contains(5L), "tombstone must forward")
+      // pruning: the second batch's input is the changed slice, not the
+      // table — ≤ 2 buckets of an 8-bucket/64-row table
+      val second = q.recentProgress.map(_.numInputRows)
+        .filter(_ > 0L).lastOption.getOrElse(0L)
+      assert(second > 0L && second <= 16L,
+        s"changed-slice batch read $second rows — expected a pruned slice")
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("checkpoint recovery: commits landed while down are caught up exactly-once") {
+    val up = tmpDir("ssrup") + "/t"
+    val down = tmpDir("ssrdn") + "/t"
+    val ckpt = tmpDir("ssrck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 16L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val q1 = follow(up, down, ckpt)
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    // two upstream commits while the stream is DOWN
+    upSink.merge(rows(Seq(2L), 1L, "b"), Seq("id"), "seq", "is_delete")
+    upSink.merge(rows(Seq(7L), 2L, "c", del = Set(7L)), Seq("id"), "seq", "is_delete")
+    val q2 = follow(up, down, ckpt) // same checkpoint → resumes from v0
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    assert(state(down) == state(up))
+    assert(state(down)(2L)._2 == "b2" && !state(down).contains(7L))
+  }
+
+  test("vacuum past the stream's offset: the next batch self-heals via full resync") {
+    val up = tmpDir("ssvup") + "/t"
+    val down = tmpDir("ssvdn") + "/t"
+    val ckpt = tmpDir("ssvck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 16L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val q1 = follow(up, down, ckpt)
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    upSink.merge(rows(Seq(1L), 1L, "b", del = Set(1L)), Seq("id"), "seq", "is_delete")
+    upSink.merge(rows(Seq(2L), 2L, "c"), Seq("id"), "seq", "is_delete")
+    upSink.vacuum(keepLast = 1, minOrphanAgeMs = 0L) // drops v0 — the stream's offset
+    val q2 = follow(up, down, ckpt)
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    assert(state(down) == state(up))
+    assert(!state(down).contains(1L), "tombstone forwards through the resync")
+  }
+
+  test("frozen schema: a column added upstream mid-stream null-conforms until restart") {
+    val up = tmpDir("sseup") + "/t"
+    val down = tmpDir("ssedn") + "/t"
+    val ckpt = tmpDir("sseck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 8L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val q = follow(up, down, ckpt)
+    try {
+      q.processAllAvailable()
+      // upstream evolves: new column the frozen schema does not carry
+      upSink.merge(
+        Seq((99L, 1L, 990L, "n99", false, "EXTRA"))
+          .toDF("id", "seq", "amount", "note", "is_delete", "extra"),
+        Seq("id"), "seq", "is_delete")
+      q.processAllAvailable() // must not crash; row lands without 'extra'
+      assert(state(down).contains(99L))
+      assert(!SnapshotParquetSink.forTable(down)
+        .read(spark, DeleteMode.Hard).columns.contains("extra"))
+    } finally { q.stop(); q.awaitTermination() }
+    // a RESTARTED stream adopts the evolved schema (fresh frozen shape)
+    val q2 = follow(up, down, ckpt)
+    try {
+      upSink.merge(
+        Seq((100L, 2L, 1000L, "n100", false, "MORE"))
+          .toDF("id", "seq", "amount", "note", "is_delete", "extra"),
+        Seq("id"), "seq", "is_delete")
+      q2.processAllAvailable()
+      val d = SnapshotParquetSink.forTable(down).read(spark, DeleteMode.Hard)
+      assert(d.columns.contains("extra"))
+      assert(d.filter(col("id") === 100L).select("extra").head.getString(0) == "MORE")
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+}
