@@ -63,18 +63,49 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    maxPerTrigger.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
     new SnapshotStreamSource(ctx, dir,
-      schema.getOrElse(logicalSchema(ctx.sparkSession, dir)))
+      schema.getOrElse(logicalSchema(ctx.sparkSession, dir)), maxPerTrigger)
   }
 }
 
 private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
-    frozenSchema: StructType) extends Source {
+    frozenSchema: StructType,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   override def schema: StructType = frozenSchema
 
+  // the end version of the last range this source served — the base the
+  // rate limit counts from (the built-in V1 file source's pattern: the
+  // source itself remembers its position between getOffset calls; a
+  // restart re-seeds it through getBatch's start offset)
+  @volatile private var lastServed: Option[Long] = None
+
+  /** `maxVersionsPerTrigger` (Delta's maxFilesPerTrigger analog): a stream
+    * that was down across N upstream commits otherwise catches up as ONE
+    * batch spanning all of them — unbounded batch size after unbounded
+    * downtime. Capped, each trigger advances at most the configured number
+    * of versions, so catch-up is a sequence of bounded batches. The cap is
+    * a THROUGHPUT knob, not a correctness one: every capped range is still
+    * a changed-slice read and the downstream merge is idempotent.
+    *
+    * Restart caveat: a V1 source cannot see the checkpointed offset before
+    * Spark hands it to getBatch, so the FIRST trigger after a restart whose
+    * WAL is fully committed is uncapped (the source has no base to count
+    * from); every subsequent trigger caps normally. Bounding that first
+    * catch-up too would need the source to keep its own metadata log —
+    * deliberately out of scope for the V1 seam.
+    */
   override def getOffset: Option[OffsetV1] =
-    SnapshotParquetSink.versions(dir).lastOption.map(v => LongOffset(v))
+    SnapshotParquetSink.versions(dir).lastOption.map { cur =>
+      val capped = (maxVersionsPerTrigger, lastServed) match {
+        case (Some(m), Some(base)) => math.min(cur, base + m)
+        case _ => cur
+      }
+      LongOffset(capped)
+    }
 
   // V1 checkpoint recovery hands offsets back as SerializedOffset — the
   // json IS the version number for LongOffset, so parse rather than match
@@ -114,6 +145,7 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
         sink.readChangedAt(spark, endV, s, DeleteMode.Logical)
           .map(conform).getOrElse(full().filter(lit(false)))
     }
+    lastServed = Some(endV)
     // the V1 contract: the returned plan must carry isStreaming=true
     org.apache.spark.sql.graftbridge.Bridge.asStreaming(batch)
   }

@@ -71,6 +71,42 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("maxVersionsPerTrigger bounds a running stream's catch-up batches") {
+    val up = tmpDir("sscup") + "/t"
+    val down = tmpDir("sscdn") + "/t"
+    val ckpt = tmpDir("sscck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 8L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val q = spark.readStream.format("graft-snapshot-stream")
+      .option("maxVersionsPerTrigger", "1").load(up)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sink =
+            if (SnapshotParquetSink.versions(down).nonEmpty)
+              SnapshotParquetSink.forTable(down)
+            else new SnapshotParquetSink(down, nBuckets = 8)
+          sink.merge(batch, Seq("id"), "seq", "is_deleted")
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // THREE upstream commits while the stream runs: the cap must split
+      // the catch-up into one batch per version, never one spanning batch
+      (1L to 3L).foreach(i =>
+        upSink.merge(rows(Seq(i), i, s"w$i"), Seq("id"), "seq", "is_delete"))
+      q.processAllAvailable()
+      assert(state(down) == state(up))
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0L)
+      assert(nonEmpty >= 4, // initial snapshot + 3 capped catch-ups
+        s"cap must yield one batch per version: ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("checkpoint recovery: commits landed while down are caught up exactly-once") {
     val up = tmpDir("ssrup") + "/t"
     val down = tmpDir("ssrdn") + "/t"
