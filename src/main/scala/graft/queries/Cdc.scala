@@ -305,6 +305,78 @@ object Cdc {
       sink.changesBetween(s, fromVersion = 0L, toVersion = 1L)
     },
 
+    // STREAMING change feed (round 12 — mode=changes on the
+    // graft-snapshot-stream source, the Delta CDF analog): the feed's
+    // accumulated rows across two commits must equal initial-state inserts
+    // plus the keyed diff of the second commit — computed by the oracle
+    // from the raw log, never touching the source. Exercises the streaming
+    // offsets, the insert-shaped initial batch, and changesBetween wiring
+    // in one gate (q61h oracles the batch diff alone).
+    QDef.df("q61x_stream_changes",
+      s"""$SRC,
+         |r AS (SELECT CAST(data['primary_key'] AS VARCHAR) AS pk, seq,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del
+         |      FROM f),
+         |a AS (SELECT pk, seq FROM (SELECT pk, seq, is_del,
+         |        row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |      FROM r WHERE seq <= 900) z WHERE rn = 1 AND NOT is_del),
+         |b AS (SELECT pk, seq FROM (SELECT pk, seq, is_del,
+         |        row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+         |      FROM r) z WHERE rn = 1 AND NOT is_del)
+         |SELECT pk AS primary_key, 'insert' AS change,
+         |       CAST(NULL AS BIGINT) AS seq_from, seq AS seq_to FROM a
+         |UNION ALL
+         |SELECT coalesce(b.pk, a.pk) AS primary_key,
+         |       CASE WHEN a.pk IS NULL THEN 'insert'
+         |            WHEN b.pk IS NULL THEN 'delete'
+         |            ELSE 'update' END AS change,
+         |       a.seq AS seq_from, b.seq AS seq_to
+         |FROM a FULL JOIN b ON a.pk = b.pk
+         |WHERE a.pk IS NULL OR b.pk IS NULL OR a.seq != b.seq""".stripMargin) { (s, _) =>
+      val (upSink, upDir) = freshSnapshotSink("q61x_up")
+      val ckpt = sys.props("java.io.tmpdir") + "/graft_q61x_ck_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(ckpt))
+      graft.engine.Fs.reclaimAtExit(ckpt)
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // driver-side feed accumulation — bounded by (live keys + changed
+        // keys), the retrieval-page class of collect
+        val buf = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[org.apache.spark.sql.Row]())
+        upSink.merge(flat.filter(col("seq") <= 900), Seq("primary_key"), "seq", "is_delete")
+        val q = s.readStream.format("graft-snapshot-stream")
+          .option("mode", "changes").load(upDir)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r => buf.add(r))
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable() // initial inserts
+          upSink.merge(flat.filter(col("seq") > 900), Seq("primary_key"), "seq", "is_delete")
+          q.processAllAvailable() // the diff batch
+        } finally { q.stop(); q.awaitTermination() }
+        val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("primary_key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("change",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("seq_from",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("seq_to",
+            org.apache.spark.sql.types.LongType)))
+        s.createDataFrame(buf, feedSchema)
+      } finally {
+        flat.unpersist()
+        ()
+      }
+    },
+
     // CONCURRENT disjoint-bucket merges (round 11): after a base commit, two
     // writers apply the rest of the log split by key-hash parity — bucket-
     // disjoint batches — RACING for the next version under a deterministic

@@ -39,6 +39,16 @@ import graft.sink.{DeleteMode, SnapshotParquetSink}
   *     slices predating an evolution-added column conform by null-filling;
   *     columns added upstream AFTER start are not emitted — stop/restart
   *     the query to adopt them (the CdcStream edit-redeploy cycle).
+  *
+  * CHANGE-FEED MODE (`option("mode", "changes")` — the Delta CDF analog):
+  * batches are the KEYED DIFF of the offset range instead of state slices
+  * — `(keys..., change ∈ insert|update|delete, seq_from, seq_to)` via
+  * [[SnapshotParquetSink.changesBetween]]; the first batch emits the
+  * initial state as inserts. Unlike upsert mode there is NO vacuum
+  * self-heal: a diff against a vacuumed base cannot reconstruct which keys
+  * were deleted, so the source fails loudly — change-feed consumers must
+  * retain upstream history covering their trigger cadence (the Delta CDF
+  * contract).
   */
 class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -48,16 +58,52 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
     parameters.get("path").getOrElse(
       sys.error("graft-snapshot-stream needs a path: .load(dir) or option(\"path\", dir)"))
 
+  private def changesMode(parameters: Map[String, String]): Boolean =
+    parameters.get("mode").map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case None | Some("upsert") => false
+      case Some("changes")       => true
+      case Some(other) =>
+        sys.error(s"graft-snapshot-stream mode must be upsert|changes, got '$other'")
+    }
+
   private def logicalSchema(spark: org.apache.spark.sql.SparkSession,
       dir: String): StructType = {
     val sink = SnapshotParquetSink.forTable(dir)
     sink.read(spark, DeleteMode.Logical).schema
   }
 
+  /** The change-feed shape: key columns at their stored types, then
+    * `change` and the seq-from/to stamps (the exact
+    * [[SnapshotParquetSink.changesBetween]] projection).
+    */
+  private def changesSchema(spark: org.apache.spark.sql.SparkSession,
+      dir: String): StructType = {
+    val v = SnapshotParquetSink.versions(dir).lastOption.getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val keys = SnapshotParquetSink.manifestKeys(dir, v)
+    require(keys.nonEmpty,
+      s"change-feed streaming needs recorded merge keys at $dir")
+    val data = logicalSchema(spark, dir)
+    val seqType = data("seq").dataType
+    StructType(
+      keys.map(k => org.apache.spark.sql.types.StructField(k, data(k).dataType)) ++
+        Seq(org.apache.spark.sql.types.StructField("change",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("seq_from", seqType),
+          org.apache.spark.sql.types.StructField("seq_to", seqType)))
+  }
+
+  private def schemaFor(ctx: SQLContext, schema: Option[StructType],
+      parameters: Map[String, String]): StructType =
+    schema.getOrElse {
+      val dir = dirOf(parameters)
+      if (changesMode(parameters)) changesSchema(ctx.sparkSession, dir)
+      else logicalSchema(ctx.sparkSession, dir)
+    }
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      schema.getOrElse(logicalSchema(ctx.sparkSession, dirOf(parameters))))
+    (shortName(), schemaFor(ctx, schema, parameters))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -66,14 +112,15 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxPerTrigger.foreach(m => require(m > 0,
       s"maxVersionsPerTrigger must be positive, got $m"))
-    new SnapshotStreamSource(ctx, dir,
-      schema.getOrElse(logicalSchema(ctx.sparkSession, dir)), maxPerTrigger)
+    new SnapshotStreamSource(ctx, dir, schemaFor(ctx, schema, parameters),
+      maxPerTrigger, changesMode(parameters))
   }
 }
 
 private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
     frozenSchema: StructType,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None,
+    changes: Boolean = false) extends Source {
 
   override def schema: StructType = frozenSchema
 
@@ -133,8 +180,18 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
     val endV = retained.find(_ >= versionOf(end)).getOrElse(
       sys.error(s"stream offset v${versionOf(end)} is beyond the retained " +
         s"history at $dir (newest: ${retained.lastOption.getOrElse(-1L)})"))
+    val batch = if (changes) changesBatch(spark, sink, retained, start, endV)
+      else upsertBatch(spark, sink, retained, start, endV)
+    lastServed = Some(endV)
+    // the V1 contract: the returned plan must carry isStreaming=true
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(batch)
+  }
+
+  private def upsertBatch(spark: org.apache.spark.sql.SparkSession,
+      sink: SnapshotParquetSink, retained: Seq[Long],
+      start: Option[OffsetV1], endV: Long): DataFrame = {
     val full = () => conform(sink.readAt(spark, endV, DeleteMode.Logical))
-    val batch = start.map(versionOf) match {
+    start.map(versionOf) match {
       case None => full() // initial snapshot
       case Some(s) if s == endV =>
         // replayed no-op range: emit an empty frame of the frozen shape
@@ -145,9 +202,33 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
         sink.readChangedAt(spark, endV, s, DeleteMode.Logical)
           .map(conform).getOrElse(full().filter(lit(false)))
     }
-    lastServed = Some(endV)
-    // the V1 contract: the returned plan must carry isStreaming=true
-    org.apache.spark.sql.graftbridge.Bridge.asStreaming(batch)
+  }
+
+  /** Change-feed batches: the keyed diff of the range; the initial batch
+    * emits the then-current state as inserts (seq_from null). A vacuumed
+    * diff base FAILS — deletions against a vanished base are
+    * unreconstructible, and fabricating an insert-only resync would
+    * corrupt every downstream accumulation (the Delta CDF contract).
+    */
+  private def changesBatch(spark: org.apache.spark.sql.SparkSession,
+      sink: SnapshotParquetSink, retained: Seq[Long],
+      start: Option[OffsetV1], endV: Long): DataFrame = {
+    val keys = frozenSchema.fieldNames.toSeq
+      .filterNot(Set("change", "seq_from", "seq_to"))
+    def initial(): DataFrame = conform(
+      sink.readAt(spark, endV, DeleteMode.Hard)
+        .select(keys.map(col) :+ col("seq").as("seq_to"): _*)
+        .withColumn("change", lit("insert"))
+        .withColumn("seq_from", lit(null).cast(frozenSchema("seq_from").dataType)))
+    start.map(versionOf) match {
+      case None => initial()
+      case Some(s) if s == endV => initial().filter(lit(false))
+      case Some(s) if !retained.contains(s) =>
+        sys.error(s"change-feed base v$s was vacuumed at $dir — deletions " +
+          "against a vanished base cannot be reconstructed; retain history " +
+          "covering the stream's trigger cadence, or use upsert mode")
+      case Some(s) => conform(sink.changesBetween(spark, s, endV))
+    }
   }
 
   override def stop(): Unit = ()

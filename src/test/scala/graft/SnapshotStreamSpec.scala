@@ -124,6 +124,52 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(state(down)(2L)._2 == "b2" && !state(down).contains(7L))
   }
 
+  test("mode=changes: keyed diff per commit, initial state as inserts, vacuumed base fails loudly") {
+    val up = tmpDir("sscdf") + "/t"
+    val ckpt = tmpDir("sscdfck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 8L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    def startFeed() = spark.readStream.format("graft-snapshot-stream")
+      .option("mode", "changes").load(up)
+      .writeStream.format("memory").queryName("cdf_feed")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    val q = startFeed()
+    try {
+      q.processAllAvailable()
+      val initial = spark.table("cdf_feed").collect()
+      assert(initial.length == 8 && initial.forall(_.getAs[String]("change") == "insert"))
+      assert(initial.forall(_.isNullAt(initial.head.fieldIndex("seq_from"))))
+      // wave 2: one update, one delete — exactly two change rows
+      upSink.merge(rows(Seq(2L, 3L), 1L, "b", del = Set(3L)), Seq("id"), "seq", "is_delete")
+      q.processAllAvailable()
+      val byId = spark.table("cdf_feed").collect()
+        .filter(!_.isNullAt(0)).groupBy(_.getLong(0))
+      assert(byId(2L).map(_.getAs[String]("change")).toSet == Set("insert", "update"))
+      assert(byId(3L).map(_.getAs[String]("change")).toSet == Set("insert", "delete"))
+      assert(byId(1L).map(_.getAs[String]("change")).toSet == Set("insert"))
+      assert(spark.table("cdf_feed").count() == 10)
+    } finally { q.stop(); q.awaitTermination() }
+    // vacuum the diff base out of history: a change feed CANNOT self-heal
+    // (restart via foreachBatch — the memory sink cannot recover a checkpoint)
+    upSink.merge(rows(Seq(4L), 2L, "c"), Seq("id"), "seq", "is_delete")
+    upSink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    val q2 = spark.readStream.format("graft-snapshot-stream")
+      .option("mode", "changes").load(up)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+      q2.awaitTermination()
+    }
+    assert(e.getMessage.contains("vacuumed") || e.getCause.getMessage.contains("vacuumed"),
+      e.toString)
+  }
+
   test("vacuum past the stream's offset: the next batch self-heals via full resync") {
     val up = tmpDir("ssvup") + "/t"
     val down = tmpDir("ssvdn") + "/t"
