@@ -297,6 +297,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("catalog_history"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotCatalog].getName, "catalog_history"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "catalog_history(catalogDir)")
+        val spark = SparkSession.active
+        val cat = new graft.sink.SnapshotCatalog(litStr(exprs(0), "catalogDir"))
+        import spark.implicits._
+        // one row per (cut, table) pin plus the cut's epoch stamps as a
+        // sorted csv — the DESCRIBE HISTORY of the transaction layer, read
+        // from catalog manifests alone (never a data scan)
+        cat.versions.flatMap { v =>
+          val ep = cat.epochStamps(v).toSeq.sortBy(_._1)
+            .map { case (w, (b, at)) => s"$w=$b@$at" }.mkString(",")
+          cat.pins(v).toSeq.sortBy(_._1).map { case (t, tv) => (v, t, tv, ep) }
+        }.toDF("catalog_version", "table_name", "pinned_version", "epochs")
+          .queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("catalog_read"),
       new ExpressionInfo(classOf[graft.sink.SnapshotCatalog].getName, "catalog_read"),
       (exprs: Seq[Expression]) => {

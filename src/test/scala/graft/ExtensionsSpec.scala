@@ -244,6 +244,11 @@ class ExtensionsSpec extends AnyFunSuite {
       val cat = new graft.sink.SnapshotCatalog(base)
       intercept[graft.sink.ConcurrentPinException](
         cat.commit(Map("orders" -> 0L), onConflict = graft.sink.PinConflict.Refuse))
+      // ops introspection: one row per (cut, table) pin, manifests only
+      val hist = s2.sql(s"SELECT * FROM catalog_history('$base') " +
+        "ORDER BY catalog_version").collect()
+      assert(hist.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        == Seq((0L, "orders", 0L), (1L, "orders", 1L)), hist.mkString(","))
       // bad mode name fails loudly at analysis
       val e = intercept[Exception](
         s2.sql(s"SELECT * FROM catalog_commit('$base', 'orders', 'zzz')").collect())

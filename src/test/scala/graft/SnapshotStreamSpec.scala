@@ -187,6 +187,40 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(!state(down).contains(1L), "tombstone forwards through the resync")
   }
 
+  test("Trigger.AvailableNow: process everything retained, then stop (the scheduled-job shape)") {
+    val up = tmpDir("ssaup") + "/t"
+    val down = tmpDir("ssadn") + "/t"
+    val ckpt = tmpDir("ssack")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 16L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    upSink.merge(rows(Seq(3L), 1L, "b", del = Set(3L)), Seq("id"), "seq", "is_delete")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot-stream").load(up)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val sink =
+              if (SnapshotParquetSink.versions(down).nonEmpty)
+                SnapshotParquetSink.forTable(down)
+              else new SnapshotParquetSink(down, nBuckets = 8)
+            sink.merge(batch, Seq("id"), "seq", "is_deleted")
+          }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    }
+    runOnce() // catches up both commits, then stops on its own
+    assert(state(down) == state(up))
+    assert(!state(down).contains(3L))
+    // the next scheduled run picks up exactly the new commit
+    upSink.merge(rows(Seq(7L), 2L, "c"), Seq("id"), "seq", "is_delete")
+    runOnce()
+    assert(state(down) == state(up) && state(down)(7L)._2 == "c7")
+  }
+
   test("frozen schema: a column added upstream mid-stream null-conforms until restart") {
     val up = tmpDir("sseup") + "/t"
     val down = tmpDir("ssedn") + "/t"
