@@ -1022,8 +1022,26 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     require(Dfs.exists(manifestPath(version)),
       s"snapshot v$version does not exist at $dir (vacuumed or never published)")
     val paths = readManifest(version).toSeq.sortBy(_._1).map { case (_, rel) => s"$dir/$rel" }
-    shape(spark.read.option("mergeSchema", "true").parquet(paths: _*), mode)
+    shape(readWithKnownSchema(spark, version, paths), mode)
   }
+
+  /** Plan a read of `paths` (files of `version`'s manifest) under the
+    * version's RECORDED schema when present — skipping the mergeSchema
+    * footer scan entirely: at scale, schema resolution must be O(1)
+    * metadata, not O(files) footer reads (and locally each skipped footer
+    * job shaves fixed latency off every readAt/readChangedAt of the
+    * merge-heavy lifecycle paths). The recorded schema is the union across
+    * commits with per-column type conflicts refused at write time, so an
+    * explicit-schema read null-fills evolution-era files exactly like
+    * mergeSchema resolved them. Legacy manifests (no schema line) keep the
+    * footer merge.
+    */
+  private def readWithKnownSchema(spark: SparkSession, version: Long,
+      paths: Seq[String]): DataFrame =
+    SnapshotParquetSink.manifestSchema(dir, version) match {
+      case Some(recorded) => spark.read.schema(recorded).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
 
   private def shape(t0: DataFrame, mode: DeleteMode): DataFrame = {
     val t = t0.drop("__gen", "__bucket")
@@ -1056,18 +1074,23 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
   /** The state at `version` restricted to buckets that differ from `other`
     * (see [[changedEntriesAt]]) — the diff-side read for change feeds and
     * IVM refreshes. None when the versions share every file (no possible
-    * change). Schema = mergeSchema over the CHANGED files only — footer IO
-    * stays proportional to the change, not the table (keys, seq and the
-    * delete flag exist in every committed file; a caller needing an
-    * evolution-era column absent from old changed files checks `columns`
-    * and falls back to [[readAt]]).
+    * change). Schema = the version's RECORDED schema (zero footer IO; the
+    * slice carries every table column, with evolution-era files
+    * null-filled), falling back to mergeSchema over the changed files on
+    * legacy manifests — where a caller needing an evolution-era column
+    * absent from old changed files checks `columns` and falls back to
+    * [[readAt]].
     */
   def readChangedAt(spark: SparkSession, version: Long, other: Long,
       mode: DeleteMode): Option[DataFrame] =
     changedEntriesAt(version, other) match {
       case Nil => None
       case paths =>
-        Some(shape(spark.read.option("mergeSchema", "true").parquet(paths: _*), mode))
+        // recorded-schema read: changed slices carry EVERY table column
+        // (evolution-era files null-fill), so consumers' "changed files
+        // predate a column" full-read fallbacks no longer trigger — the
+        // slice is always transform-complete
+        Some(shape(readWithKnownSchema(spark, version, paths), mode))
     }
 
   /** Point lookup against the LATEST snapshot, reading only the key's
