@@ -1125,7 +1125,14 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         // "absent" for live keys (merge guards divergence at write time;
         // lookup is read-only and must self-align instead)
         val (committedN, entries) = SnapshotParquetSink.manifest(dir, v)
-        val sample = spark.read.parquet(s"$dir/${entries.head._2}").drop("__gen")
+        // recorded schema when present (zero footer IO — the readAt rule);
+        // legacy manifests sample one file's footer as before
+        val sample = SnapshotParquetSink.manifestSchema(dir, v) match {
+          case Some(rec) =>
+            spark.read.schema(rec).parquet(s"$dir/${entries.head._2}").drop("__gen")
+          case None =>
+            spark.read.parquet(s"$dir/${entries.head._2}").drop("__gen")
+        }
         val schema = sample.schema
         val committedCluster = SnapshotParquetSink.manifestCluster(dir, v)
         val bucket =
@@ -1151,7 +1158,10 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         entries.get(bucket.toInt) match {
           case None => shaped(sample.limit(0))
           case Some(rel) =>
-            val t = spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel").drop("__gen")
+            val t = (SnapshotParquetSink.manifestSchema(dir, v) match {
+              case Some(rec) => spark.read.schema(rec).parquet(s"$dir/$rel")
+              case None => spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel")
+            }).drop("__gen")
             shaped(keys.zip(keyValues).foldLeft(t) { case (df, (k, kv)) => df.filter(col(k) === kv) })
         }
     }
