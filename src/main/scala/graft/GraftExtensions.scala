@@ -199,19 +199,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("snapshot_merge"),
       new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "snapshot_merge"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length >= 3 && exprs.length <= 6,
-          "snapshot_merge(tableDir, sourceTableOrView, keysCsv[, seqCol[, deleteCol[, nBuckets]]])")
+        require(exprs.length >= 3 && exprs.length <= 7,
+          "snapshot_merge(tableDir, sourceTableOrView, keysCsv[, seqCol[, " +
+            "deleteCol[, nBuckets[, layout]]]]) — layout (FIRST commit only): " +
+            "'stats=a,b;bloom=c;cluster=x:0:100'")
         val spark = SparkSession.active
         val dir = litStr(exprs(0), "tableDir")
         val batch0 = spark.table(litStr(exprs(1), "sourceTableOrView"))
         val keys = litStr(exprs(2), "keys").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         val seqCol = if (exprs.length > 3) litStr(exprs(3), "seqCol") else "seq"
         val delCol = if (exprs.length > 4) Some(litStr(exprs(4), "deleteCol")) else None
+        // layout arg (FIRST commit only — existing tables self-align via
+        // forTable): 'stats=a,b;bloom=c;cluster=x:0:100,y:0:50'
+        def csvOf(s: String) = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val layout: Map[String, String] =
+          if (exprs.length > 6)
+            litStr(exprs(6), "layout").split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+              .map { kv =>
+                val Array(k, v) = kv.split("=", 2)
+                k.trim.toLowerCase(java.util.Locale.ROOT) -> v.trim
+              }.toMap
+          else Map.empty
+        layout.keys.foreach(k => require(Set("stats", "bloom", "cluster")(k),
+          s"unknown layout key '$k' — expected stats|bloom|cluster"))
         val sink =
           if (graft.sink.SnapshotParquetSink.versions(dir).nonEmpty)
             graft.sink.SnapshotParquetSink.forTable(dir)
           else new graft.sink.SnapshotParquetSink(dir,
-            nBuckets = if (exprs.length > 5) litInt(exprs(5), "nBuckets") else 16)
+            nBuckets = if (exprs.length > 5) litInt(exprs(5), "nBuckets") else 16,
+            statsCols = layout.get("stats").map(csvOf).getOrElse(Nil),
+            clusterBy = layout.get("cluster").map(csvOf(_).map { spec =>
+              spec.split(':') match {
+                case Array(n, lo, hi) =>
+                  graft.sink.SnapshotParquetSink.ClusterCol(n, lo.toLong, hi.toLong)
+                case _ => sys.error(s"cluster entry '$spec' must be col:lo:hi")
+              }
+            }).getOrElse(Nil),
+            bloomCols = layout.get("bloom").map(csvOf).getOrElse(Nil))
         val (batch, del) = delCol match {
           case Some(c) =>
             require(batch0.columns.contains(c), s"delete column '$c' absent from the source")

@@ -52,7 +52,10 @@ import graft.sink.SnapshotParquetSink
   *     .option("keys", "id")             // merge keys (required)
   *     .option("seqCol", "seq")          // last-write-wins order (default: seq)
   *     .option("deleteCol", "is_delete") // optional tombstone flag
-  *     .option("nBuckets", 256)          // honored on the FIRST commit only
+  *     .option("nBuckets", 256)          // FIRST commit only (layout)
+  *     .option("statsCols", "seq,ts")    // FIRST commit only: min/max skipping
+  *     .option("bloomCols", "ext_id")    // FIRST commit only: bloom sidecars
+  *     .option("clusterBy", "ts:0:86400000") // FIRST commit only: Z-order routing
   *     .mode("append").save("/path/to/sink")
   * }}}
   */
@@ -107,9 +110,23 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
     require(data.columns.contains(seqCol),
       s"graft-snapshot: seq column '$seqCol' absent from the batch " +
         "(option(\"seqCol\", ...) names the last-write-wins order column)")
-    // nBuckets: the caller's choice (default 16) applies only on the very
-    // first commit — an existing table's layout comes from its manifest
+    // layout options (nBuckets, statsCols, bloomCols, clusterBy) — the
+    // caller's choice applies only on the very FIRST commit; an existing
+    // table's layout comes from its manifest (forTable below), so a
+    // SQL-only deployment can declare the whole skipping/clustering layout
+    // at creation and never repeat it
     val nBuckets = params.get("nbuckets").map(_.toInt).getOrElse(16)
+    def csv(s: String): Seq[String] = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val statsCols = params.get("statscols").map(csv).getOrElse(Nil)
+    val bloomCols = params.get("bloomcols").map(csv).getOrElse(Nil)
+    // clusterBy syntax: "col:lo:hi[,col2:lo:hi]" (bounds are part of the
+    // committed routing function — see ClusterCol)
+    val clusterBy = params.get("clusterby").map(csv(_).map { spec =>
+      spec.split(':') match {
+        case Array(n, lo, hi) => SnapshotParquetSink.ClusterCol(n, lo.toLong, hi.toLong)
+        case _ => sys.error(s"clusterBy entry '$spec' must be col:lo:hi")
+      }
+    }).getOrElse(Nil)
     val (batch, delCol) = params.get("deletecol") match {
       case Some(c) =>
         require(data.columns.contains(c), s"delete column '$c' absent from the batch")
@@ -127,7 +144,7 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister
     // metadata for every bucket it rewrites
     val sink =
       if (existing.nonEmpty) SnapshotParquetSink.forTable(dir)
-      else new SnapshotParquetSink(dir, nBuckets)
+      else new SnapshotParquetSink(dir, nBuckets, statsCols, clusterBy, bloomCols)
     sink.merge(batch, keys, seqCol, delCol)
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext = ctx

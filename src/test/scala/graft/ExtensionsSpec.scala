@@ -208,6 +208,56 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-only layout declaration: snapshot_merge layout arg and writer options record skipping config") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      import graft.sink.SnapshotParquetSink
+      val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+      Seq((1L, 1L, "e1", 10L, false), (2L, 1L, "e2", 20L, false))
+        .toDF("id", "seq", "ext", "v", "is_delete").createOrReplaceTempView("lw1")
+      // TVF path: 7th layout arg, first commit only
+      s2.sql(s"SELECT * FROM snapshot_merge('$base/t', 'lw1', 'id', 'seq', " +
+        "'is_delete', 8, 'stats=v;bloom=ext')").collect()
+      assert(SnapshotParquetSink.declaredStatsCols(s"$base/t", 0L) == Seq("v"))
+      assert(SnapshotParquetSink.declaredBloomCols(s"$base/t", 0L) == Seq("ext"))
+      assert(SnapshotParquetSink.manifestStats(s"$base/t", 0L)
+        .values.exists(_.contains("v")), "stats lines recorded from the first commit")
+      // a later layout-less SQL merge must keep the declaration
+      Seq((3L, 2L, "e3", 30L, false))
+        .toDF("id", "seq", "ext", "v", "is_delete").createOrReplaceTempView("lw2")
+      s2.sql(s"SELECT * FROM snapshot_merge('$base/t', 'lw2', 'id')").collect()
+      assert(SnapshotParquetSink.declaredBloomCols(s"$base/t", 1L) == Seq("ext"))
+      // DataFrameWriter path: same options at creation
+      Seq((1L, 1L, "x1", 5L, false))
+        .toDF("id", "seq", "ext", "v", "is_delete")
+        .write.format("graft-snapshot")
+        .option("keys", "id").option("deleteCol", "is_delete")
+        .option("nBuckets", "4").option("statsCols", "v").option("bloomCols", "ext")
+        .mode("append").save(s"$base/w")
+      assert(SnapshotParquetSink.declaredStatsCols(s"$base/w", 0L) == Seq("v"))
+      assert(SnapshotParquetSink.declaredBloomCols(s"$base/w", 0L) == Seq("ext"))
+      // bad layout key fails loudly
+      val e = intercept[Exception](
+        s2.sql(s"SELECT * FROM snapshot_merge('$base/z', 'lw1', 'id', 'seq', " +
+          "'is_delete', 8, 'zorder=v')").collect())
+      assert(e.getMessage.contains("stats|bloom|cluster")
+        || Option(e.getCause).exists(_.getMessage.contains("stats|bloom|cluster")),
+        e.toString)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
   test("SQL-only catalog transactions: catalog_commit cuts, catalog_read time-travels, refuse throws") {
     val prev = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
