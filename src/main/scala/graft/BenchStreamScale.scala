@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sink.SnapshotParquetSink
+
+/** Bench-only scale ladder for the `graft-snapshot-stream` SOURCE (round
+  * 12): the claim is that a catch-up trigger costs O(changed fraction),
+  * never O(table) — the offset range's batch reads changed-bucket slices
+  * ([[SnapshotParquetSink.readChangedAt]]). Measured per rung (1×/10× rows,
+  * constant ~25k-row buckets):
+  *
+  *   - `initial_sec`: the initial-snapshot batch (this one IS O(table) by
+  *     definition — it must deliver the whole state once);
+  *   - `catchup_sec`: a one-key upstream update followed by one trigger —
+  *     must stay FLAT across table growth (reads one bucket's slice);
+  *   - `catchup_rows`: the slice's numInputRows — bounded by bucket size,
+  *     not table size.
+  *
+  * Emits ONE JSON line: {"stream":{...}}.
+  */
+object BenchStreamScale {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = args.headOption.map(_.toLong).getOrElse(200000L)
+    val mults = if (args.length > 1) args(1).split(',').toSeq.map(_.toLong)
+      else Seq(1L, 10L)
+    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val scratch = java.nio.file.Files.createTempDirectory("streamscale").toString
+
+    def table(n: Long, seq: Long) = spark.range(n).select(
+      col("id"),
+      concat(lit("x"), col("id") * 13L).as("ext"),
+      (xxhash64(col("id"), lit(seq)) % 1000000L).as("v"),
+      lit(seq).as("seq"),
+      lit(false).as("__del"))
+
+    val rungs = mults.map { m =>
+      val n = base * m
+      val nBuckets = math.max(8, (n / 25000L).toInt)
+      val upDir = s"$scratch/up$n"
+      val downDir = s"$scratch/down$n"
+      val ckpt = s"$scratch/ck$n"
+      new SnapshotParquetSink(upDir, nBuckets)
+        .merge(table(n, 1L), Seq("id"), "seq", "__del")
+      @volatile var lastRows = 0L
+      val q = spark.readStream.format("graft-snapshot-stream").load(upDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val sink =
+              if (SnapshotParquetSink.versions(downDir).nonEmpty)
+                SnapshotParquetSink.forTable(downDir)
+              else new SnapshotParquetSink(downDir, nBuckets)
+            sink.merge(b, Seq("id"), "seq", "is_deleted") // Logical-shaped batch
+          }
+          ()
+        }
+        .start()
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val initialSec = timed(q.processAllAvailable())
+        // one-key update → one catch-up trigger: must stay flat across 10×
+        SnapshotParquetSink.forTable(upDir)
+          .merge(table(1L, 2L), Seq("id"), "seq", "__del")
+        val catchupSec = timed(q.processAllAvailable())
+        lastRows = q.recentProgress.map(_.numInputRows).filter(_ > 0L).last
+        n -> (nBuckets, initialSec, catchupSec, lastRows)
+      } finally { q.stop(); q.awaitTermination() }
+    }
+    val body = rungs.map { case (n, (b, init, cu, rows)) =>
+      s""""$n":{"nbuckets":$b,"initial_sec":${num(init)},""" +
+        s""""catchup_sec":${num(cu)},"catchup_rows":$rows}"""
+    }.mkString(",")
+    println(s"""{"stream":{$body}}""")
+    graft.engine.Fs.deleteTree(new java.io.File(scratch))
+    spark.stop()
+  }
+}
