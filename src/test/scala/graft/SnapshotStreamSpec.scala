@@ -187,6 +187,38 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(!state(down).contains(1L), "tombstone forwards through the resync")
   }
 
+  test("chaos: a writer committing WHILE the stream catches up never tears a batch") {
+    // every batch binds to a COMMITTED manifest (atomic publish), so a
+    // writer landing mid-trigger is simply the next offset — no torn reads,
+    // and the stream converges once the writer stops
+    val up = tmpDir("sschup") + "/t"
+    val down = tmpDir("sschdn") + "/t"
+    val ckpt = tmpDir("sschck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 8)
+    upSink.merge(rows(0L until 32L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val q = follow(up, down, ckpt)
+    val writer = new Thread(() => {
+      val w = SnapshotParquetSink.forTable(up)
+      (1L to 8L).foreach { i =>
+        w.merge(rows(Seq(i, i + 16L), i, s"w$i", del = Set(i + 16L)),
+          Seq("id"), "seq", "is_delete")
+        Thread.sleep(50L)
+      }
+    })
+    try {
+      writer.start()
+      // keep triggering while the writer races
+      while (writer.isAlive) q.processAllAvailable()
+      writer.join()
+      q.processAllAvailable() // drain whatever landed after the last trigger
+      assert(state(down) == state(up), "must converge despite the race")
+      assert((17L to 24L).forall(i => !state(down).contains(i)),
+        "racing deletes must all forward")
+      assert((1L to 8L).forall(i => state(down)(i)._2 == s"w$i$i"),
+        "racing updates must all forward")
+    } finally { q.stop(); q.awaitTermination(); writer.join() }
+  }
+
   test("Trigger.AvailableNow: process everything retained, then stop (the scheduled-job shape)") {
     val up = tmpDir("ssaup") + "/t"
     val down = tmpDir("ssadn") + "/t"
