@@ -3,25 +3,35 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Bench-only scale ladder for the IVM + change-feed family (SURVEY §8.12):
-  * the "refresh is O(changed), never O(table)" claim measured as a curve —
   * deterministic synthetic tables at 1×/10×/100× a base row count, a FIXED
   * 20-key change set, buckets sized to constant volume per rung (as any
   * 100 TB layout does: more data ⇒ more buckets, not bigger ones).
   *
-  * Claims measured per rung:
-  *   - `changed_files`: the manifest-level diff plans only the buckets the
-  *     20-key batch rewrote (≈20 of B), independent of table size;
-  *   - `refresh_sec` ([[graft.sink.MaterializedAgg.refresh]]): flat across
-  *     a 100× table growth — the dirty-group diff reads changed buckets,
-  *     the recompute reads only the dirty groups' rows;
-  *   - `feed_sec` ([[graft.sink.SnapshotParquetSink.changesBetween]]): the
-  *     change data feed is bucket-pruned the same way;
-  *   - `recompute_sec`: the from-scratch GROUP BY baseline the view
-  *     replaces — grows with the table, so `speedup` (recompute/refresh)
-  *     widens with scale.
+  * THREE regimes, with distinct honest claims:
+  *   - `ivm_delta` (SUM/COUNT-only view — [[graft.sink.MaterializedAgg]]'s
+  *     pure-delta path): refresh folds the changed-bucket slices into the
+  *     stored values arithmetically, touching NOTHING proportional to the
+  *     source — the wall curve stays near-flat while `recompute_sec` grows
+  *     with the table, so `speedup` (recompute/refresh) widens with scale
+  *     and refresh BEATS recompute from the 10M rung on (the round-12
+  *     artifact showed the pre-delta engine losing at every rung; this
+  *     regime is the fix).
+  *   - `ivm_rollup` (cross-key view carrying min/max): exact maintenance
+  *     must rescan the snapshot for dirty groups' rows, so refresh wall
+  *     time GROWS with the table and can lose to a plain recompute — the
+  *     measured win is WRITE-side only (`agg_changed_files` stays ~20 of B
+  *     while a recompute rewrites the whole `view_rows` view).
+  *   - `ivm_keyed` (groups ⊇ merge keys, with min/max): the recompute scan
+  *     itself prunes to changed buckets, so refresh stays O(changed) even
+  *     with non-delta-able aggregates.
+  *
+  * Shared claims: `changed_files` (manifest diff plans ≈20 of B buckets,
+  * independent of table size) and `feed_sec`
+  * ([[graft.sink.SnapshotParquetSink.changesBetween]] is bucket-pruned the
+  * same way).
   *
   * Synthesis is pure integer arithmetic (no RNG). Emits ONE JSON line:
-  * {"ivm":{"<rows>":{...}}}
+  * {"ivm_delta":{...},"ivm_rollup":{...},"ivm_keyed":{...}}
   */
 object BenchIvmScale {
   def main(args: Array[String]): Unit = {
@@ -65,20 +75,31 @@ object BenchIvmScale {
       ()
     }
 
-    def rung(tag: String, n: Long, groupCols: Seq[String]): String = {
+    def rung(tag: String, n: Long, groupCols: Seq[String],
+        deltaOnly: Boolean = false): String = {
       // constant-volume buckets: ~25k rows per bucket at every rung
       val nBuckets = math.max(8, (n / 25000L).toInt)
       val src = new graft.sink.SnapshotParquetSink(s"$scratch/${tag}_src_$n", nBuckets)
+      // view bucket sizing: a refresh's write amplification is (dirty
+      // groups' buckets) × (bucket size), so a MAINTAINED view wants
+      // smaller buckets than a fact table — ~2.5k-row view buckets keep a
+      // 20-group delta's rewrite O(dirty), where fact-sized 25k-row
+      // buckets would rewrite ~10× the rows per refresh
       val agg = new graft.sink.SnapshotParquetSink(s"$scratch/${tag}_agg_$n",
-        if (groupCols.contains("id")) nBuckets else math.max(8, nBuckets / 8))
-      val m = new graft.sink.MaterializedAgg(src, agg, groupCols,
-        Seq(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"),
-          min(col("v")).as("mn"), max(col("v")).as("mx")))
+        if (groupCols.contains("id")) nBuckets
+        else if (deltaOnly) nBuckets
+        else math.max(8, nBuckets / 8))
+      val viewAggs =
+        if (deltaOnly) Seq(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"))
+        else Seq(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val m = new graft.sink.MaterializedAgg(src, agg, groupCols, viewAggs)
       src.merge(table(n, 1L), Seq("id"), "seq", "__del")
       val (_, buildSec) = timed(m.refresh(spark))
       src.merge(changes(n, 2L), Seq("id"), "seq", "__del")
       val changedFiles = src.changedEntriesAt(1L, 0L).length
       val (_, refreshSec) = timed(m.refresh(spark))
+      val regime = m.lastRefreshRegime.getOrElse("none")
       // write-side volumes: the incremental path rewrites only the agg
       // buckets the ~20 dirty groups hash to; a from-scratch refresh
       // rewrites the whole n/10-row view
@@ -90,10 +111,10 @@ object BenchIvmScale {
       val (_, recomputeSec) = timed(
         src.read(spark, graft.sink.DeleteMode.Hard)
           .groupBy(groupCols.map(col): _*)
-          .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"),
-            min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .agg(viewAggs.head, viewAggs.tail: _*)
           .write.mode("overwrite").parquet(s"$scratch/${tag}_full_$n"))
-      s""""$n":{"rows":$n,"nbuckets":$nBuckets,"changed_files":$changedFiles,
+      s""""$n":{"rows":$n,"nbuckets":$nBuckets,"regime":"$regime",
+         |"changed_files":$changedFiles,
          |"agg_changed_files":$aggChangedFiles,"view_rows":$viewRows,
          |"feed_rows":$feedRows,"build_sec":${num(buildSec)},
          |"refresh_sec":${num(refreshSec)},"feed_sec":${num(feedSec)},
@@ -102,14 +123,18 @@ object BenchIvmScale {
          |"speedup_vs_rebuild":${num(buildSec / math.max(refreshSec, 1e-9))}}"""
         .stripMargin.replaceAll("\n", "")
     }
-    // two regimes: cross-key rollups (grp — exact IVM must scan the
-    // snapshot once; the win is the O(changed) WRITE side, measured as
-    // agg_changed_files vs view_rows) and KEYED views (groups ⊇ merge
-    // keys — the recompute scan is changed-bucket-pruned too, so the
-    // whole refresh is O(changed) and the wall curve stays flat)
+    // three regimes (scaladoc): pure-delta SUM/COUNT views, cross-key
+    // rollups with min/max (write-side win only), keyed views
+    // the delta ladder climbs one rung further (30x the top shared mult):
+    // the crossover vs recompute lands around the 10M rung and the gap
+    // must be shown WIDENING past it
+    val deltaMults = mults ++ mults.lastOption.map(_ * 3L).toSeq
+    val delta = deltaMults.map(m =>
+      rung("delta", base * m, Seq("grp"), deltaOnly = true))
     val rollup = mults.map(m => rung("rollup", base * m, Seq("grp")))
     val keyed = mults.map(m => rung("keyed", base * m, Seq("id", "grp")))
-    println(s"""{"ivm_rollup":{${rollup.mkString(",")}},""" +
+    println(s"""{"ivm_delta":{${delta.mkString(",")}},""" +
+      s""""ivm_rollup":{${rollup.mkString(",")}},""" +
       s""""ivm_keyed":{${keyed.mkString(",")}}}""")
     graft.engine.Fs.deleteTree(new java.io.File(scratch))
     spark.stop()

@@ -41,6 +41,11 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bloom_might_contain",
         exprs => BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))), "built-in")
+      // sidecar-bloom words built inside the data-write job (observe-fused;
+      // see SnapshotParquetSink.observeBlooms): (bucket, xxhash64) → per-
+      // bucket encoded filters
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bloom_words", exprs => BloomWordsAgg(exprs(0), exprs(1)), "built-in")
     }
 
   /** Codegen cosine similarity (see [[CosineSimilarity]]); requires

@@ -1,21 +1,37 @@
 package graft.sink
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Incrementally-maintained materialized aggregate over a snapshot table —
   * the "never recompute the world" leg of the table-format family: a
   * downstream GROUP BY is kept in its own [[SnapshotParquetSink]] and
-  * advanced per source version by DIRTY-GROUP RECOMPUTE, the
-  * incremental-view-maintenance strategy that stays EXACT for arbitrary
-  * aggregates. Delta-based maintenance (add inserts, subtract deletes) is
-  * cheaper but silently wrong for non-additive aggregates — deleting a
-  * group's current `max` row leaves a delta maintainer with a value no
-  * arithmetic can roll back. Recomputing only the groups the change feed
-  * touched costs O(changed groups' rows), not O(table), and is exact for
-  * `min`/`max`/`count_distinct`/anything Spark can express.
+  * advanced per source version by ONE OF TWO regimes, picked automatically
+  * from the declared aggregates:
   *
-  * Per [[refresh]]:
+  *   - **PURE DELTA** ([[deltaRefresh]]) when every aggregate is an
+  *     integer SUM or COUNT: per-group deltas fold out of the two
+  *     versions' changed-bucket slices alone and ADD into the stored
+  *     values — no snapshot rescan, no recompute, O(changed) end to end.
+  *     Hidden counters (`__rows` per group, `__nn_*` per sum) keep
+  *     group-death and all-null-sum semantics exact; integer addition
+  *     keeps the folded value bit-equal to a recompute. (Float sums would
+  *     drift and decimal sums re-widen — those stay on recompute.)
+  *   - **DIRTY-GROUP RECOMPUTE** otherwise — the strategy that stays
+  *     EXACT for arbitrary aggregates: deleting a group's current `max`
+  *     row leaves a delta maintainer with a value no arithmetic can roll
+  *     back, so the groups the change feed touched recompute from the
+  *     source's current snapshot (O(changed groups' rows) with changed-
+  *     bucket pruning for keyed views; one column-pruned scan for
+  *     cross-key rollups carrying `min`/`max`/`count_distinct`).
+  *
+  * The recompute regime per [[refresh]]:
   *   1. a key-level full outer join of the live states at the last applied
   *      version and the current version names the dirty GROUPS in one
   *      column-pruned pass (same change semantics as
@@ -80,6 +96,13 @@ final class MaterializedAgg(
   require(groupCols.nonEmpty, "materialized aggregate needs group columns")
   require(aggs.nonEmpty, "materialized aggregate needs aggregate columns")
 
+  /** Telemetry: which maintenance regime the last [[refresh]] ran —
+    * "initial" (first build), "delta" (pure arithmetic fold), "recompute"
+    * (dirty-group rescan), None before any refresh. Tests assert the delta
+    * fast path actually engages for SUM/COUNT views.
+    */
+  @volatile var lastRefreshRegime: Option[String] = None
+
   /** The source version the aggregate table currently reflects — the agg
     * manifest's recorded max seq (every refresh stamps its rows with the
     * source version, so this never needs a data read).
@@ -88,11 +111,17 @@ final class MaterializedAgg(
     sink.currentVersion.flatMap(v =>
       SnapshotParquetSink.manifestMaxSeq(sink.dir, v))
 
-  private def grouped(rows: DataFrame): DataFrame = {
-    val g = rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    require(g.columns.toSeq.distinct.size == g.columns.length,
-      s"aggregate names collide with group columns: ${g.columns.toSeq}")
-    val names = g.columns.toSeq.filterNot(groupCols.contains)
+  private def grouped(rows: DataFrame): DataFrame = groupedWith(rows, Nil)
+
+  /** The declared GROUP BY, optionally extended with maintenance aggregates
+    * (the delta regime's hidden counters) — extras are appended AFTER the
+    * user-name validation so `__`-prefixed bookkeeping never collides.
+    */
+  private def groupedWith(rows: DataFrame, extra: Seq[Column]): DataFrame = {
+    val user = rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    require(user.columns.toSeq.distinct.size == user.columns.length,
+      s"aggregate names collide with group columns: ${user.columns.toSeq}")
+    val names = user.columns.toSeq.filterNot(groupCols.contains)
     // unaliased aggregates get generated names like `sum(v)` — illegal in
     // parquet field names and useless downstream; demand explicit aliases
     names.foreach(n => require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -100,7 +129,15 @@ final class MaterializedAgg(
     val reserved = Set("seq", "__del", "__present")
     require(names.forall(n => !reserved(n)),
       s"aggregate names $names collide with bookkeeping columns $reserved")
-    g
+    // `__` is the maintenance namespace (delta-regime hidden counters live
+    // under `__rows`/`__nn_*`) — a user aggregate there would be silently
+    // shadowed, so refuse loudly
+    require(names.forall(n => !n.startsWith("__")),
+      s"aggregate names must not start with '__' (reserved for view " +
+        s"maintenance bookkeeping): $names")
+    if (extra.isEmpty) user
+    else rows.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, (aggs.tail ++ extra): _*)
   }
 
   private def aggNamesOf(g: DataFrame): Seq[String] =
@@ -111,6 +148,125 @@ final class MaterializedAgg(
   private def groupCond(left: DataFrame, right: DataFrame) =
     groupCols.map(k => left(k) <=> right(k)).reduce(_ && _)
 
+  // ------------------------------------------------------------ delta path
+
+  /** One delta-maintainable SUM: the view column name and the summed child
+    * expression's SQL (re-evaluated over change slices). `__nn_<name>`
+    * tracks the group's non-null input count so the stored value can return
+    * to SQL's `sum over all-null = NULL` when the last non-null row leaves.
+    */
+  private case class SumSpec(name: String, childSql: String)
+
+  /** One delta-maintainable COUNT: `condSql` is the non-null test over the
+    * counted children (None = count(*)/count(non-null literal) — every row
+    * counts).
+    */
+  private case class CountSpec(name: String, condSql: Option[String])
+
+  /** The view qualifies for pure-delta maintenance: every aggregate is a
+    * top-level aliased SUM or COUNT (no DISTINCT, no FILTER) over exact
+    * integer arithmetic. `refs` = source columns the agg inputs read.
+    */
+  private case class DeltaSpec(sums: Seq[SumSpec], counts: Seq[CountSpec],
+      refs: Seq[String])
+
+  /** Analyze the declared aggregates against the source's schema — None
+    * unless EVERY aggregate is delta-able. Restricted to LongType results
+    * (integral sums, counts): delta arithmetic on floats would drift from
+    * a recompute (non-associative addition), and decimal sums re-widen
+    * precision per addition — both stay on the exact dirty-group-recompute
+    * regime. Driver-side analysis only (the probe frame is never executed).
+    */
+  private def deltaSpec(sourceShaped: DataFrame): Option[DeltaSpec] =
+    try {
+      val analyzed = grouped(sourceShaped.limit(0)).queryExecution.analyzed
+      val agg = analyzed.collectFirst { case a: Aggregate => a }.getOrElse(return None)
+      val groupNames = groupCols.toSet
+      def stripCast(e: Expression): Expression = e match {
+        case c: Cast if c.child.dataType == c.dataType => stripCast(c.child)
+        case other => other
+      }
+      val sums = Seq.newBuilder[SumSpec]
+      val counts = Seq.newBuilder[CountSpec]
+      val refs = Seq.newBuilder[String]
+      agg.aggregateExpressions.foreach {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute
+            if groupNames(a.name) => // grouping key pass-through
+        case Alias(child, name) => stripCast(child) match {
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case s: Sum if ae.dataType == LongType =>
+                sums += SumSpec(name, s.child.sql)
+                refs ++= s.child.references.map(_.name)
+              case c: Count =>
+                val nonLit = c.children.filterNot(ch =>
+                  ch.foldable && ch.eval(null) != null)
+                if (nonLit.isEmpty) counts += CountSpec(name, None)
+                else {
+                  counts += CountSpec(name,
+                    Some(nonLit.map(ch => s"(${ch.sql}) IS NOT NULL")
+                      .mkString(" AND ")))
+                  refs ++= nonLit.flatMap(_.references.map(_.name))
+                }
+              case _ => return None
+            }
+          case _ => return None
+        }
+        case _ => return None
+      }
+      val spec = DeltaSpec(sums.result(), counts.result(), refs.result().distinct)
+      // round-trip check: every extracted SQL fragment must re-parse and
+      // resolve against the source shape, or the view is not delta-able
+      val probeSel = spec.sums.map(s => expr(s.childSql)) ++
+        spec.counts.flatMap(_.condSql).map(expr)
+      if (probeSel.nonEmpty)
+        sourceShaped.limit(0).select(probeSel: _*).schema
+      Some(spec)
+    } catch { case NonFatal(_) => None }
+
+  /** The hidden per-group counters a delta-regime view stores alongside the
+    * user aggregates: `__rows` (group liveness — 0 live rows ⇒ the group
+    * tombstones) and `__nn_<sum>` (non-null input count per SUM — 0 ⇒ the
+    * stored sum displays as NULL, SQL's empty-sum semantics).
+    */
+  private def hiddenAggs(spec: DeltaSpec): Seq[Column] =
+    count(lit(1)).as("__rows") +: spec.sums.map(s =>
+      sum(when(expr(s.childSql).isNotNull, 1L).otherwise(0L))
+        .as(s"__nn_${s.name}"))
+
+  private def hiddenNames(spec: DeltaSpec): Seq[String] =
+    "__rows" +: spec.sums.map(s => s"__nn_${s.name}")
+
+  /** A zero-row frame shaped like the source's Hard read — what
+    * [[deltaSpec]] resolves against. Built from the RECORDED schema when
+    * the manifest carries one: spec analysis is driver-side only and must
+    * not pay the 400-file listing a real `readAt` plan construction does.
+    */
+  private def sourceShaped(spark: SparkSession, srcV: Long): DataFrame =
+    SnapshotParquetSink.manifestSchema(source.dir, srcV) match {
+      case Some(rec) =>
+        val shape = org.apache.spark.sql.types.StructType(rec.fields.filterNot(
+          f => f.name == "__gen" || f.name == "__bucket" || f.name == "__is_deleted"))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
+      case None => source.readAt(spark, srcV, DeleteMode.Hard).limit(0)
+    }
+
+  /** Does the view's CURRENT committed schema carry the delta counters? A
+    * table built before the delta regime (or by a non-delta-able spec)
+    * lacks them and must stay on the recompute regime — merging
+    * counter-less rows into a counter-bearing table (or vice versa) would
+    * null-fill and corrupt later delta arithmetic.
+    */
+  private def storedHasHidden(spark: SparkSession): Boolean =
+    sink.currentVersion.exists { v =>
+      SnapshotParquetSink.manifestSchema(sink.dir, v) match {
+        case Some(s) => s.fieldNames.contains("__rows")
+        case None => sink.readAt(spark, v, DeleteMode.Hard)
+          .columns.contains("__rows")
+      }
+    }
+
   /** Advances the aggregate table to the source's current version.
     * Returns Some(appliedSourceVersion) when a refresh ran, None when
     * already current. A first call on an empty aggregate table builds it
@@ -119,13 +275,18 @@ final class MaterializedAgg(
   def refresh(spark: SparkSession): Option[Long] = synchronized {
     val srcV = source.currentVersion.getOrElse(
       sys.error(s"source table at ${source.dir} has no committed version"))
+    lazy val spec = deltaSpec(sourceShaped(spark, srcV))
     appliedVersion match {
       case Some(applied) if applied >= srcV => None
       case None =>
-        // initial build: the whole current snapshot, one grouped pass.
+        lastRefreshRegime = Some("initial")
+        // initial build: the whole current snapshot, one grouped pass —
+        // plus the delta regime's hidden counters when the view qualifies,
+        // so every later refresh can advance by pure arithmetic.
         // Persisted because merge evaluates its input several times
         // (affected buckets, max seq, write) — O(groups) rows, spillable.
-        val full = grouped(source.readAt(spark, srcV, DeleteMode.Hard))
+        val full = groupedWith(source.readAt(spark, srcV, DeleteMode.Hard),
+            spec.map(hiddenAggs).getOrElse(Nil))
           .withColumn("seq", lit(srcV))
           .withColumn("__del", lit(false))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -138,13 +299,25 @@ final class MaterializedAgg(
         }
       case Some(applied) =>
         val srcKeys = SnapshotParquetSink.manifestKeys(source.dir, srcV)
+        // regime pick: pure-delta needs (a) a delta-able spec, (b) a view
+        // that stores the hidden counters (a pre-delta table must stay on
+        // recompute — merging counter-less rows would corrupt arithmetic),
+        // (c) a retained diff base, (d) recorded merge keys for the slice
+        // join. Anything else falls to the exact dirty-group recompute —
+        // carrying the counters forward iff the table already stores them.
+        val deltaReady = spec.isDefined && storedHasHidden(spark)
+        val baseRetained0 = source.versions.contains(applied)
+        if (deltaReady && baseRetained0 && srcKeys.nonEmpty)
+          return deltaRefresh(spark, spec.get, applied, srcV, srcKeys)
+        lastRefreshRegime = Some("recompute")
+        val extraAggs = if (deltaReady) hiddenAggs(spec.get) else Nil
         // self-healing when the diff base is GONE (the view lagged past the
         // source's vacuum retention): every group on either side — current
         // view, current snapshot — is dirty, and the normal recompute +
         // outer-join machinery below rebuilds live groups and tombstones
         // vanished ones. Costs one full pass; the fix for recurrence is
         // retention covering the refresh cadence (class scaladoc).
-        val baseRetained = source.versions.contains(applied)
+        val baseRetained = baseRetained0
         // dirty groups = groups of the changed keys' rows at EITHER version
         // (an update can move a row between groups; a delete's group is
         // only visible on the from side). ONE plan — a key-level full outer
@@ -215,11 +388,11 @@ final class MaterializedAgg(
             else fullSnap
           val touched = snap.join(dirty, groupCond(snap, dirty), "left_semi")
           val recomputed =
-            try grouped(touched)
+            try groupedWith(touched, extraAggs)
             catch {
               case _: org.apache.spark.sql.AnalysisException if keyDetermined =>
                 val t = fullSnap.join(dirty, groupCond(fullSnap, dirty), "left_semi")
-                grouped(t)
+                groupedWith(t, extraAggs)
             }
           val names = aggNamesOf(recomputed)
           // one outer join covers both cases: dirty groups that still have
@@ -250,6 +423,162 @@ final class MaterializedAgg(
     }
   }
 
+  /** Pure-delta refresh for SUM/COUNT views — NO snapshot rescan, NO
+    * dirty-group recompute, NO view read outside the commit's own rewrite:
+    * the change is derived from the two versions' CHANGED-BUCKET slices
+    * alone and folded into the stored values inside the merge.
+    *
+    *   1. old/new changed-bucket slices join full-outer on the merge keys;
+    *      genuinely changed rows (presence diff or seq inequality — the
+    *      same change test as [[SnapshotParquetSink.changesBetween]])
+    *      explode into SIGNED images: old image weight −1, new image +1.
+    *   2. one GROUP BY over the signed rows yields per-group deltas:
+    *      Δrows = Σw, Δsum = Σ(±input), Δnn = Σ(w · input-not-null),
+    *      Δcount = Σ(w · counted).
+    *   3. the delta batch ships to [[SnapshotParquetSink.mergeFold]],
+    *      which COMBINES matching keys inside the affected-bucket rewrite
+    *      the commit already pays (stored rows re-encode as addable parts;
+    *      everything is a commutative integer monoid): a group whose
+    *      `__rows` reaches 0 folds to a logical delete; a SUM whose `__nn`
+    *      reaches 0 stores NULL (SQL's empty-sum), rebuilt from 0 when
+    *      rows return. The fold is guarded by the applied head
+    *      (`requireBaseSeq`) so a concurrent refresher can never
+    *      double-apply a delta — the loser recomputes and retries.
+    *
+    * Exactness: restricted to LongType sums and counts (integer addition is
+    * associative/commutative — the folded value is bit-equal to a
+    * recompute; floats would drift, decimals re-widen — both excluded by
+    * [[deltaSpec]]).
+    *
+    * Scale shape: the slice join shuffles O(changed rows); the view join
+    * shuffles O(dirty groups) against a column-pruned O(view) read; the
+    * merge rewrites only the agg buckets dirty groups hash to. NOTHING
+    * reads the source snapshot — the pre-round-13 cross-key regime
+    * re-scanned it per refresh and measurably LOST to a from-scratch
+    * recompute (BENCH_ivm_scale_r12 speedup 0.18–0.39); this path is what
+    * makes refresh O(changed) end to end for the delta-able majority
+    * (every declared q61 view is SUM/COUNT-shaped).
+    */
+  private def deltaRefresh(spark: SparkSession, spec: DeltaSpec,
+      applied: Long, srcV: Long, srcKeys: Seq[String]): Option[Long] = {
+    lastRefreshRegime = Some("delta")
+    def dbg[A](tag: String)(f: => A): A =
+      if (!sys.props.contains("graft.ivm.debug")) f
+      else { val t0 = System.nanoTime(); val a = f
+        System.err.println(f"[ivm] $tag%-12s ${(System.nanoTime()-t0)/1e9}%.3f s"); a }
+    val oldSlice = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
+    val newSlice = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
+    // prefix-aliased projections: keys, seq, group values and PRECOMPUTED
+    // aggregate inputs per side — column-pruned at the scan
+    def side(part: Option[DataFrame], marker: String): DataFrame = {
+      val rows = part.getOrElse(
+        source.readAt(spark, srcV, DeleteMode.Hard).filter(lit(false)))
+      rows.select(
+        srcKeys.map(k => col(k).as(s"__k_$k")) ++
+          Seq(col(seqCol).as("__seq")) ++
+          groupCols.map(g => col(g).as(s"__g_$g")) ++
+          spec.sums.zipWithIndex.map { case (s, i) =>
+            expr(s.childSql).as(s"__v$i") } ++
+          spec.counts.zipWithIndex.map { case (c, i) =>
+            (c.condSql match {
+              case None      => lit(1L)
+              case Some(sql) => when(expr(sql), 1L).otherwise(0L)
+            }).as(s"__c$i") } :+
+          lit(true).as(marker): _*)
+    }
+    val a = side(oldSlice, "__pa")
+    val b = side(newSlice, "__pb")
+    val keyCond = srcKeys.map(k => a(s"__k_$k") <=> b(s"__k_$k")).reduce(_ && _)
+    val changed = a.join(b, keyCond, "full_outer")
+      .filter(a("__pa").isNull || b("__pb").isNull ||
+        !(a("__seq") <=> b("__seq")))
+    val valueFields = groupCols.map(g => s"__g_$g") ++
+      spec.sums.indices.map(i => s"__v$i") ++
+      spec.counts.indices.map(i => s"__c$i")
+    def image(s: DataFrame, marker: String, w: Long) =
+      when(s(marker).isNotNull,
+        struct(lit(w).as("__w") +: valueFields.map(f => s(f).as(f)): _*))
+    val signed = changed
+      .select(explode(array(image(a, "__pa", -1L), image(b, "__pb", 1L))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.__w").as("__w") +: valueFields.map(f => col(s"r.$f").as(f)): _*)
+    val dAggCols =
+      Seq(sum(col("__w")).as("__drows")) ++
+        spec.sums.zipWithIndex.flatMap { case (_, i) => Seq(
+          sum(when(col(s"__v$i").isNotNull,
+            when(col("__w") === 1L, col(s"__v$i")).otherwise(-col(s"__v$i"))))
+            .as(s"__dv$i"),
+          sum(when(col(s"__v$i").isNotNull, col("__w")).otherwise(0L))
+            .as(s"__dnn$i")) } ++
+        spec.counts.indices.map(i =>
+          sum(col(s"__c$i") * col("__w")).as(s"__dc$i"))
+    // the delta batch, DELTA-ENCODED in the stored schema: sums carry the
+    // raw signed delta (never null — coalesced to 0), counters carry their
+    // deltas. The fold with the stored values happens INSIDE the merge's
+    // affected-bucket rewrite (mergeFold) — the commit's own read is the
+    // only read, so NOTHING here is proportional to the view, let alone
+    // the source. Persisted: merge walks the batch several times.
+    val delta = signed.groupBy(groupCols.map(g => col(s"__g_$g")): _*)
+      .agg(dAggCols.head, dAggCols.tail: _*)
+      .select(
+        groupCols.map(g => col(s"__g_$g").as(g)) ++
+          spec.sums.zipWithIndex.map { case (s, i) =>
+            coalesce(col(s"__dv$i"), lit(0L)).as(s.name) } ++
+          spec.counts.zipWithIndex.map { case (c, i) =>
+            col(s"__dc$i").as(c.name) } ++
+          spec.sums.zipWithIndex.map { case (s, i) =>
+            col(s"__dnn$i").as(s"__nn_${s.name}") } ++
+          Seq(col("__drows").as("__rows"), lit(false).as("__del"),
+            lit(srcV).as("seq")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    /** One row per group from stored state ⊎ delta parts: everything is a
+      * commutative integer monoid — stored live rows re-encode as parts
+      * (raw sum = coalesce(stored, 0), counters as-is), tombstones and
+      * nothing-to-fold groups contribute zeros, deltas add. Death (`__rows`
+      * = 0) and the all-null sum (`__nn` = 0 ⇒ NULL) are decided by the
+      * folded counters, bit-equal to a recompute.
+      */
+    def foldReduce(all: DataFrame): DataFrame = {
+      val dead = col("__is_deleted")
+      def part(c: Column) = sum(when(dead, lit(0L)).otherwise(coalesce(c, lit(0L))))
+      val folded =
+        Seq(part(col("__rows")).as("__rows_f")) ++
+          spec.sums.map(s => part(col(s.name)).as(s"__raw_${s.name}")) ++
+          spec.sums.map(s => part(col(s"__nn_${s.name}")).as(s"__nnf_${s.name}")) ++
+          spec.counts.map(c => part(col(c.name)).as(s"__cf_${c.name}")) ++
+          Seq(max(col("seq")).as("__seq_f"), max(col("__gen")).as("__gen_f"))
+      all.groupBy((col("__bucket") +: groupCols.map(col)): _*)
+        .agg(folded.head, folded.tail: _*)
+        .select(
+          (col("__bucket") +: groupCols.map(col)) ++
+            spec.sums.map(s =>
+              when(col(s"__nnf_${s.name}") === 0L, lit(null).cast(LongType))
+                .otherwise(col(s"__raw_${s.name}")).as(s.name)) ++
+            spec.counts.map(c => col(s"__cf_${c.name}").as(c.name)) ++
+            spec.sums.map(s => col(s"__nnf_${s.name}").as(s"__nn_${s.name}")) ++
+            Seq(col("__rows_f").as("__rows"),
+              (col("__rows_f") === 0L).as("__is_deleted"),
+              col("__seq_f").as("seq"), col("__gen_f").as("__gen")): _*)
+    }
+    try {
+      if (sys.props.contains("graft.ivm.debug")) dbg("materialize")(delta.count())
+      dbg("mergeFold")(
+        sink.mergeFold(delta, groupCols, "seq", "__del", Some(applied))(foldReduce))
+      Some(srcV)
+    } catch {
+      case _: SnapshotParquetSink.FoldBaseConflict =>
+        // someone advanced the view while this delta was in flight (a
+        // concurrent refresher, or a replay racing one) — re-read the
+        // applied head and go again; the synchronized refresh re-enters
+        // on the same thread
+        refresh(spark)
+    } finally {
+      delta.unpersist()
+      ()
+    }
+  }
+
   /** The aggregate-table version that reflects exactly `sourceVersion` —
     * the newest agg version whose recorded maxseq equals it (every refresh
     * stamps its rows with the source version it computed from, so the agg
@@ -263,9 +592,14 @@ final class MaterializedAgg(
     sink.versions.reverse.find(v =>
       SnapshotParquetSink.manifestMaxSeq(sink.dir, v).contains(sourceVersion))
 
-  /** The maintained aggregate — live groups only. */
-  def read(spark: SparkSession): DataFrame =
-    sink.read(spark, DeleteMode.Hard)
+  /** The maintained aggregate — live groups only, maintenance counters
+    * (`__rows`, `__nn_*` — the delta regime's bookkeeping) hidden.
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val df = sink.read(spark, DeleteMode.Hard)
+    df.columns.filter(n => n == "__rows" || n.startsWith("__nn_"))
+      .foldLeft(df)(_.drop(_))
+  }
 }
 
 /** Registry for automatic query rewrite ([[graft.plans.MatViewRewrite]]):

@@ -293,4 +293,153 @@ class MaterializedAggSpec extends SparkSpec {
       Seq(sum(col("v")).as("grp")))
     intercept[IllegalArgumentException](colliding.refresh(spark))
   }
+
+  // -------------------------------------------------------- delta regime
+
+  /** Nullable-value rows: `v = None` exercises SQL's null-ignoring
+    * SUM/COUNT semantics under pure-delta maintenance.
+    */
+  private def rowsN(t: (Int, String, Option[Long], Long)*): DataFrame =
+    t.toSeq.toDF("id", "grp", "v", "seq")
+      .withColumn("__del", lit(false))
+
+  private def mkDelta(tag: String): (SnapshotParquetSink, MaterializedAgg) = {
+    val src = new SnapshotParquetSink(tmpDir(s"magg_${tag}_src"), nBuckets = 4)
+    val agg = new SnapshotParquetSink(tmpDir(s"magg_${tag}_agg"), nBuckets = 4)
+    val m = new MaterializedAgg(src, agg, Seq("grp"),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        count(col("v")).as("nv")))
+    (src, m)
+  }
+
+  private def directDelta(src: SnapshotParquetSink): Set[(String, Long, Any, Long)] =
+    src.read(spark, DeleteMode.Hard)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        count(col("v")).as("nv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.getLong(3)))
+      .toSet
+
+  private def maintainedDelta(m: MaterializedAgg): Set[(String, Long, Any, Long)] =
+    m.read(spark).select("grp", "n", "sv", "nv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.getLong(3)))
+      .toSet
+
+  test("delta regime: SUM/COUNT views fold arithmetically, no snapshot rescan") {
+    val (src, m) = mkDelta("delta")
+    src.merge(rows((1, "a", 10, 1), (2, "a", 20, 2), (3, "b", 5, 3)),
+      Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(0L))
+    assert(m.lastRefreshRegime == Some("initial"))
+    assert(maintainedDelta(m) == directDelta(src))
+
+    // update + delete + group move, one wave — all folded by arithmetic
+    src.merge(rows((1, "a", 13, 4), (3, "a", 5, 5), (4, "b", 9, 6)),
+      Seq("id"), "seq", "__del")
+    src.merge(dels(7, 2), Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(2L))
+    assert(m.lastRefreshRegime == Some("delta"),
+      "a SUM/COUNT view must take the pure-delta path")
+    assert(maintainedDelta(m) == directDelta(src))
+    assert(maintainedDelta(m) ==
+      Set(("a", 2L, 18L, 2L), ("b", 1L, 9L, 1L)))
+  }
+
+  test("delta regime: group death and rebirth") {
+    val (src, m) = mkDelta("dd")
+    src.merge(rows((1, "a", 10, 1), (2, "b", 5, 2)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // group a's only row deleted — the group must vanish (tombstone)
+    src.merge(dels(3, 1), Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(1L))
+    assert(m.lastRefreshRegime == Some("delta"))
+    assert(maintainedDelta(m) == Set(("b", 1L, 5L, 1L)))
+    assert(m.sink.read(spark, DeleteMode.Logical)
+      .filter(col("grp") === "a" && col("is_deleted")).count() == 1)
+    // rebirth: a returns with fresh arithmetic (no stale residue)
+    src.merge(rows((5, "a", 7, 4)), Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(2L))
+    assert(m.lastRefreshRegime == Some("delta"))
+    assert(maintainedDelta(m) == directDelta(src))
+    assert(maintainedDelta(m) == Set(("a", 1L, 7L, 1L), ("b", 1L, 5L, 1L)))
+  }
+
+  test("delta regime: all-null SUM stores NULL, recovers when values return") {
+    val (src, m) = mkDelta("dn")
+    src.merge(rowsN((1, "a", None, 1), (2, "a", Some(4L), 2)),
+      Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(maintainedDelta(m) == Set(("a", 2L, 4L, 1L)))
+    // the last non-null row leaves: sum must return to SQL's NULL, count
+    // of v to 0 — the hidden __nn counter is what makes this exact
+    src.merge(dels(3, 2), Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(1L))
+    assert(m.lastRefreshRegime == Some("delta"))
+    assert(maintainedDelta(m) == directDelta(src))
+    assert(maintainedDelta(m) == Set(("a", 1L, null, 0L)))
+    // values return: sum rebuilds from 0, not from the displayed NULL
+    src.merge(rowsN((4, "a", Some(11L), 4)), Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(2L))
+    assert(maintainedDelta(m) == Set(("a", 2L, 11L, 1L)))
+  }
+
+  test("delta regime: counters are invisible to read(), present in storage") {
+    val (src, m) = mkDelta("dh")
+    src.merge(rows((1, "a", 1, 1)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(!m.read(spark).columns.exists(c =>
+      c == "__rows" || c.startsWith("__nn_")))
+    val stored = m.sink.read(spark, DeleteMode.Hard).columns.toSet
+    assert(stored.contains("__rows") && stored.contains("__nn_sv"))
+  }
+
+  test("delta regime: vacuumed diff base rebuilds once, then delta resumes") {
+    val (src, m) = mkDelta("dv")
+    src.merge(rows((1, "a", 10, 1), (2, "b", 5, 2)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    src.merge(rows((3, "c", 7, 3)), Seq("id"), "seq", "__del")
+    src.merge(dels(4, 2), Seq("id"), "seq", "__del")
+    src.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    assert(m.refresh(spark) == Some(2L))
+    assert(m.lastRefreshRegime == Some("recompute"),
+      "a vacuumed base must fall back to the rebuild path")
+    assert(maintainedDelta(m) == directDelta(src))
+    // the rebuild carried the hidden counters, so delta resumes
+    src.merge(rows((5, "a", 2, 5)), Seq("id"), "seq", "__del")
+    assert(m.refresh(spark) == Some(3L))
+    assert(m.lastRefreshRegime == Some("delta"))
+    assert(maintainedDelta(m) == directDelta(src))
+    assert(maintainedDelta(m) == Set(("a", 2L, 12L, 2L), ("c", 1L, 7L, 1L)))
+  }
+
+  test("min/max and non-integer sums stay on the recompute regime") {
+    val (src, m) = mk("nrg") // view carries min/max
+    src.merge(rows((1, "a", 10, 1)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    src.merge(rows((2, "a", 20, 2)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("recompute"))
+    assert(maintained(m) == direct(src))
+
+    // double sum: delta arithmetic would drift — must recompute
+    val src2 = new SnapshotParquetSink(tmpDir("magg_nrg2_src"), nBuckets = 4)
+    val agg2 = new SnapshotParquetSink(tmpDir("magg_nrg2_agg"), nBuckets = 4)
+    val md = new MaterializedAgg(src2, agg2, Seq("grp"),
+      Seq(sum(col("v").cast("double")).as("sd")))
+    src2.merge(rows((1, "a", 10, 1)), Seq("id"), "seq", "__del")
+    md.refresh(spark)
+    src2.merge(rows((2, "a", 20, 2)), Seq("id"), "seq", "__del")
+    md.refresh(spark)
+    assert(md.lastRefreshRegime == Some("recompute"))
+  }
+
+  test("delta regime: user aggregates may not use the __ namespace") {
+    val (src, _) = mk("ns")
+    val agg = new SnapshotParquetSink(tmpDir("magg_ns_agg"), nBuckets = 4)
+    src.merge(rows((1, "a", 1, 1)), Seq("id"), "seq", "__del")
+    val shadowing = new MaterializedAgg(src, agg, Seq("grp"),
+      Seq(sum(col("v")).as("__rows")))
+    intercept[IllegalArgumentException](shadowing.refresh(spark))
+  }
 }
