@@ -272,6 +272,23 @@ object SnapshotParquetSink {
         l.stripPrefix("keys=").split(',').toSeq.map(_.trim).filter(_.nonEmpty) }
       .getOrElse(Seq.empty)
 
+  /** The last-write-wins ORDER COLUMN recorded at `version` (`seqcol=`).
+    * Written by merge/replaceAll from the caller's declared `seqCol` and
+    * carried verbatim through full rewrites (compact/rebucket/purge), so
+    * downstream consumers — `changesBetween`, the change-feed stream
+    * source — resolve the table's real order column instead of assuming a
+    * column literally named `seq`. A table whose order column is `ts` but
+    * that also happens to carry an unrelated `seq` data column would
+    * otherwise get a silently wrong diff (updates not touching that column
+    * vanish). None for manifests written before recording — consumers then
+    * fall back to the caller-supplied or default name.
+    */
+  def manifestSeqCol(dir: String, version: Long): Option[String] =
+    manifestLines(dir, version)
+      .collectFirst { case l if l.startsWith("seqcol=") =>
+        l.stripPrefix("seqcol=").trim }
+      .filter(_.nonEmpty)
+
   /** The applied-head seq recorded at `version`: the max `seqCol` this
     * table has merged up to and including that commit (monotone across
     * versions). None for manifests written before it was recorded. This is
@@ -891,6 +908,12 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         require(priorKeys.isEmpty || priorKeys == keys,
           s"merge keys ${keys.mkString(",")} do not match the table's committed " +
             s"keys ${priorKeys.mkString(",")} at $dir")
+        // the order column is part of the layout contract too: two writers
+        // merging under different LWW columns produce an undefined winner
+        val priorSeq = SnapshotParquetSink.manifestSeqCol(dir, v)
+        require(priorSeq.forall(_ == seqCol),
+          s"seqCol '$seqCol' does not match the table's committed order " +
+            s"column '${priorSeq.getOrElse("")}' at $dir")
         requireClusterMatch(v)
       }
 
@@ -1022,7 +1045,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
             case (b, cols) => cols.toSeq.sortBy(_._1).map {
               case (c, (ty, rel)) => s"f $b $c $ty $rel" } }
           val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
-            s"keys=${keys.mkString(",")}") ++
+            s"keys=${keys.mkString(",")}", s"seqcol=$seqCol") ++
             maxSeqOpt.map(m => s"maxseq=$m").toSeq ++
             schemaLine(merged.schema, carryFrom).toSeq ++
             skipColsLines(carryFrom) ++
@@ -1134,7 +1157,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
           .parquet(s"$dir/data/$commitId")
         val newEntries = affected.map(b => b -> s"data/$commitId/__bucket=$b")
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
-          s"keys=${keys.mkString(",")}") ++
+          s"keys=${keys.mkString(",")}", s"seqcol=$seqCol") ++
           batchMaxSeq.map(m => s"maxseq=$m").toSeq ++
           schemaLine(merged.schema, None).toSeq ++
           skipColsLines(base) ++
@@ -1333,12 +1356,18 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     * changed-bucket projections instead of full snapshots.
     */
   def changesBetween(spark: SparkSession, fromVersion: Long, toVersion: Long,
-      seqCol: String = "seq"): DataFrame = {
+      seqColOverride: Option[String] = None): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion")
     val keys = SnapshotParquetSink.manifestKeys(dir, toVersion)
     require(keys.nonEmpty,
       s"the table at $dir records no merge keys (pre-keys-recording manifest)")
+    // the RECORDED order column governs (the manifest is the contract a
+    // table with an unrelated data column named `seq` relies on); the
+    // override and the literal-`seq` fallback serve pre-recording tables
+    val seqCol = seqColOverride
+      .orElse(SnapshotParquetSink.manifestSeqCol(dir, toVersion))
+      .getOrElse("seq")
     def live(v: Long, other: Long) = readChangedAt(spark, v, other, DeleteMode.Hard)
       .getOrElse(readAt(spark, v, DeleteMode.Hard).filter(lit(false)))
       .select(keys.map(col) :+ col(seqCol): _*)
@@ -1430,6 +1459,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         .map(c => s"c ${c.name} ${c.lo} ${c.hi}")
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
+        SnapshotParquetSink.manifestSeqCol(dir, base).map(s => s"seqcol=$s") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
         schemaLine(full.schema, None).toSeq ++ // full rewrite: derive fresh
         skipColsLines(Some(base)) ++
@@ -1510,6 +1540,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val statCols = if (statsCols.nonEmpty) statsCols else baseStatCols
       val body = (Seq(s"version=$version", s"nBuckets=$newBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
+        SnapshotParquetSink.manifestSeqCol(dir, base).map(s => s"seqcol=$s") ++
         baseMaxSeq.map(m => s"maxseq=$m").toSeq ++
         schemaLine(full.schema, None).toSeq ++ // full rewrite: derive fresh
         skipColsLines(Some(base)) ++
@@ -1546,11 +1577,15 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     * recomputing keeps pruning tight).
     */
   def purgeTombstones(spark: SparkSession, horizonSeq: Long,
-      seqCol: String = "seq"): Long = synchronized {
+      seqColDefault: String = "seq"): Long = synchronized {
     var attempts = 0
     while (true) {
       attempts += 1
       val base = currentVersion.getOrElse(sys.error(s"nothing to purge at $dir"))
+      // the recorded order column governs the horizon comparison; the
+      // parameter is the pre-recording fallback
+      val seqCol = SnapshotParquetSink.manifestSeqCol(dir, base)
+        .getOrElse(seqColDefault)
       val entries = readManifest(base)
       val version = base + 1L
       val full = readFullState(spark, base)
@@ -1613,6 +1648,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val copiedBlooms = copyBloomsInto(base, commitId, writtenBuckets.toSet)
       val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
         s"keys=${baseKeys.mkString(",")}") ++
+        SnapshotParquetSink.manifestSeqCol(dir, base).map(s => s"seqcol=$s") ++
         headSeq.map(m => s"maxseq=$m").toSeq ++
         schemaLine(purged.schema, None).toSeq ++ // full rewrite: derive fresh
         skipColsLines(Some(base)) ++

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -72,19 +73,37 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
     sink.read(spark, DeleteMode.Logical).schema
   }
 
+  /** The table's order column as this stream run will resolve it: an
+    * explicit `option("seqCol", ...)` wins, else the manifest's recorded
+    * `seqcol=` (written by every merge — the contract that protects a
+    * table whose real order column is `ts` but that also carries an
+    * unrelated data column named `seq`), else the literal `seq` fallback
+    * for pre-recording tables.
+    */
+  private def resolveSeqCol(dir: String,
+      parameters: Map[String, String]): String =
+    parameters.get("seqCol")
+      .orElse(SnapshotParquetSink.versions(dir).lastOption
+        .flatMap(v => SnapshotParquetSink.manifestSeqCol(dir, v)))
+      .getOrElse("seq")
+
   /** The change-feed shape: key columns at their stored types, then
     * `change` and the seq-from/to stamps (the exact
     * [[SnapshotParquetSink.changesBetween]] projection).
     */
   private def changesSchema(spark: org.apache.spark.sql.SparkSession,
-      dir: String): StructType = {
+      dir: String, parameters: Map[String, String]): StructType = {
     val v = SnapshotParquetSink.versions(dir).lastOption.getOrElse(
       sys.error(s"no committed version at $dir"))
     val keys = SnapshotParquetSink.manifestKeys(dir, v)
     require(keys.nonEmpty,
       s"change-feed streaming needs recorded merge keys at $dir")
     val data = logicalSchema(spark, dir)
-    val seqType = data("seq").dataType
+    val seqCol = resolveSeqCol(dir, parameters)
+    require(data.fieldNames.contains(seqCol),
+      s"order column '$seqCol' is not a column of the table at $dir — " +
+        "pass option(\"seqCol\", ...) naming the table's real order column")
+    val seqType = data(seqCol).dataType
     StructType(
       keys.map(k => org.apache.spark.sql.types.StructField(k, data(k).dataType)) ++
         Seq(org.apache.spark.sql.types.StructField("change",
@@ -97,7 +116,7 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): StructType =
     schema.getOrElse {
       val dir = dirOf(parameters)
-      if (changesMode(parameters)) changesSchema(ctx.sparkSession, dir)
+      if (changesMode(parameters)) changesSchema(ctx.sparkSession, dir, parameters)
       else logicalSchema(ctx.sparkSession, dir)
     }
 
@@ -113,22 +132,29 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
     maxPerTrigger.foreach(m => require(m > 0,
       s"maxVersionsPerTrigger must be positive, got $m"))
     new SnapshotStreamSource(ctx, dir, schemaFor(ctx, schema, parameters),
-      maxPerTrigger, changesMode(parameters))
+      maxPerTrigger, changesMode(parameters),
+      if (changesMode(parameters)) Some(resolveSeqCol(dir, parameters)) else None)
   }
 }
 
 private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
     frozenSchema: StructType,
     maxVersionsPerTrigger: Option[Int] = None,
-    changes: Boolean = false) extends Source {
+    changes: Boolean = false,
+    seqColOpt: Option[String] = None)
+  extends Source with SupportsTriggerAvailableNow {
 
   override def schema: StructType = frozenSchema
 
-  // the end version of the last range this source served — the base the
-  // rate limit counts from (the built-in V1 file source's pattern: the
-  // source itself remembers its position between getOffset calls; a
-  // restart re-seeds it through getBatch's start offset)
+  // the end version of the last range this source served — only the
+  // legacy getOffset path needs it as a counting base; the admission-
+  // control path is handed the checkpointed start offset directly
   @volatile private var lastServed: Option[Long] = None
+
+  // the upstream head frozen by Trigger.AvailableNow's prepare call: the
+  // run drains up to here in capped batches, then terminates — commits
+  // landing after prepare wait for the next scheduled run
+  @volatile private var availableNowBound: Option[Long] = None
 
   /** `maxVersionsPerTrigger` (Delta's maxFilesPerTrigger analog): a stream
     * that was down across N upstream commits otherwise catches up as ONE
@@ -138,25 +164,64 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
     * a THROUGHPUT knob, not a correctness one: every capped range is still
     * a changed-slice read and the downstream merge is idempotent.
     *
-    * Restart caveat: a V1 source cannot see the checkpointed offset before
-    * Spark hands it to getBatch, so the FIRST trigger after a restart whose
-    * WAL is fully committed is uncapped (the source has no base to count
-    * from); every subsequent trigger caps normally. Bounding that first
-    * catch-up too would need the source to keep its own metadata log —
-    * deliberately out of scope for the V1 seam.
+    * The cap rides DSv2 admission control mixed into the V1 seam (the
+    * Delta source's architecture): the engine calls
+    * [[latestOffset(start*, limit*)]] with the CHECKPOINTED start offset,
+    * so the first trigger after a restart caps exactly like any other —
+    * the unbounded "stream down for a week catches up as one batch"
+    * incident a getOffset-only V1 source cannot prevent (it has no base to
+    * count from until getBatch).
     */
-  override def getOffset: Option[OffsetV1] =
-    SnapshotParquetSink.versions(dir).lastOption.map { cur =>
-      val capped = (maxVersionsPerTrigger, lastServed) match {
-        case (Some(m), Some(base)) => math.min(cur, base + m)
-        case _ => cur
-      }
-      LongOffset(capped)
-    }
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(m => ReadLimit.maxFiles(m))
+      .getOrElse(ReadLimit.allAvailable())
 
-  // V1 checkpoint recovery hands offsets back as SerializedOffset — the
-  // json IS the version number for LongOffset, so parse rather than match
-  private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
+  /** Trigger.AvailableNow (the scheduled-job shape): freeze the current
+    * head; [[latestOffset]] never admits past it, so the run terminates
+    * after draining — in maxVersionsPerTrigger-sized steps when capped.
+    */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = SnapshotParquetSink.versions(dir).lastOption
+
+  /** The admitted end offset for the next batch: the current head, capped
+    * at the AvailableNow bound (if prepared) and at `start + limit`
+    * versions (if rate-limited). `start` is null on the very first trigger
+    * of a fresh query — the initial snapshot is the state AT one version,
+    * so there is nothing to cap: it's version-atomic regardless.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head = SnapshotParquetSink.versions(dir).lastOption
+    head match {
+      case None => null // nothing committed upstream yet
+      case Some(cur) =>
+        val bounded = availableNowBound.fold(cur)(math.min(cur, _))
+        val base = Option(start).map(versionOf)
+        val cap = limit match {
+          case f: ReadMaxFiles => Some(f.maxFiles)
+          case _ => maxVersionsPerTrigger
+        }
+        val admitted = (cap, base) match {
+          case (Some(m), Some(b)) => math.min(bounded, b + m)
+          case _ => bounded
+        }
+        // never regress below the checkpointed base (a vacuum can retract
+        // old version numbers but the log only grows forward)
+        LongOffset(base.fold(admitted)(math.max(admitted, _)))
+    }
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    SnapshotParquetSink.versions(dir).lastOption.map(LongOffset(_)).orNull
+
+  // legacy direct-driver path (the engine itself always goes through
+  // latestOffset above): same admission logic, counting from lastServed
+  override def getOffset: Option[OffsetV1] =
+    Option(latestOffset(lastServed.map(LongOffset(_)).orNull, getDefaultReadLimit))
+      .map(_.asInstanceOf[OffsetV1])
+
+  // checkpoint recovery hands offsets back as SerializedOffset — the json
+  // IS the version number for LongOffset, so parse rather than match
+  private def versionOf(o: OffsetV2): Long = o.json.trim.toLong
 
   /** Null-fill frozen columns a changed slice predates, then project to
     * the frozen shape (order included) — evolution-era old files stay
@@ -215,9 +280,11 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
       start: Option[OffsetV1], endV: Long): DataFrame = {
     val keys = frozenSchema.fieldNames.toSeq
       .filterNot(Set("change", "seq_from", "seq_to"))
+    // resolved at stream start by the provider (option > manifest > "seq")
+    val seqCol = seqColOpt.getOrElse("seq")
     def initial(): DataFrame = conform(
       sink.readAt(spark, endV, DeleteMode.Hard)
-        .select(keys.map(col) :+ col("seq").as("seq_to"): _*)
+        .select(keys.map(col) :+ col(seqCol).as("seq_to"): _*)
         .withColumn("change", lit("insert"))
         .withColumn("seq_from", lit(null).cast(frozenSchema("seq_from").dataType)))
     start.map(versionOf) match {
@@ -227,7 +294,7 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
         sys.error(s"change-feed base v$s was vacuumed at $dir — deletions " +
           "against a vanished base cannot be reconstructed; retain history " +
           "covering the stream's trigger cadence, or use upsert mode")
-      case Some(s) => conform(sink.changesBetween(spark, s, endV))
+      case Some(s) => conform(sink.changesBetween(spark, s, endV, seqColOpt))
     }
   }
 

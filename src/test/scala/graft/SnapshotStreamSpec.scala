@@ -107,6 +107,132 @@ class SnapshotStreamSpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("restart catch-up respects maxVersionsPerTrigger from the FIRST trigger (admission control)") {
+    // the V1-only seam could not cap the first post-restart batch (no base
+    // to count from before getBatch); the DSv2 admission-control mixin
+    // receives the CHECKPOINTED start offset, so a stream down across N
+    // commits catches up as N capped batches, never one spanning batch
+    val up = tmpDir("ssacup") + "/t"
+    val down = tmpDir("ssacdn") + "/t"
+    val ckpt = tmpDir("ssacck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 8L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    def run() = spark.readStream.format("graft-snapshot-stream")
+      .option("maxVersionsPerTrigger", "1").load(up)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sink =
+            if (SnapshotParquetSink.versions(down).nonEmpty)
+              SnapshotParquetSink.forTable(down)
+            else new SnapshotParquetSink(down, nBuckets = 8)
+          sink.merge(batch, Seq("id"), "seq", "is_deleted")
+        }
+        ()
+      }
+      .start()
+    val q1 = run()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    // THREE upstream commits while the stream is DOWN
+    (1L to 3L).foreach(i =>
+      upSink.merge(rows(Seq(i), i, s"w$i"), Seq("id"), "seq", "is_delete"))
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(state(down) == state(up))
+      val sizes = q2.recentProgress.map(_.numInputRows).filter(_ > 0L).toSeq
+      assert(sizes.length >= 3,
+        s"post-restart catch-up must arrive as one capped batch per version, got $sizes")
+      // each capped batch is ONE version's changed-bucket slice (each
+      // commit touched one key → one bucket ≈ ≤ 4 of the 11 current rows);
+      // the pre-fix spanning batch would union all three buckets at once
+      assert(sizes.forall(_ <= 4L),
+        s"a capped batch must stay a single-version slice, got $sizes")
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
+  test("change-feed resolves the RECORDED order column, not a decoy data column named 'seq'") {
+    // the table's real order column is `ts`; it also carries an unrelated
+    // business column literally named `seq` that never changes. A feed
+    // diffing on the decoy would drop every update (seq_from <=> seq_to);
+    // the manifest's seqcol= line routes the diff to `ts`
+    val up = tmpDir("ssqup") + "/t"
+    val ckpt = tmpDir("ssqck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    def mk(ids: Seq[Long], ts: Long, tag: String) =
+      ids.map(i => (i, ts, 999L, s"$tag$i", false))
+        .toDF("id", "ts", "seq", "note", "is_delete")
+    upSink.merge(mk(0L until 4L, 0L, "a"), Seq("id"), "ts", "is_delete")
+    assert(SnapshotParquetSink.manifestSeqCol(up,
+      SnapshotParquetSink.versions(up).last).contains("ts"))
+    val q = spark.readStream.format("graft-snapshot-stream")
+      .option("mode", "changes").load(up)
+      .writeStream.format("memory").queryName("cdf_seqcol")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      q.processAllAvailable()
+      // an update that does NOT touch the decoy column must still appear
+      upSink.merge(mk(Seq(2L), 1L, "b"), Seq("id"), "ts", "is_delete")
+      q.processAllAvailable()
+      val changes = spark.table("cdf_seqcol")
+        .filter(col("change") === "update").collect()
+      assert(changes.length == 1 && changes.head.getLong(0) == 2L,
+        s"update lost to the decoy seq column: ${changes.mkString(",")}")
+      assert(changes.head.getAs[Long]("seq_to") == 1L,
+        "seq_to must carry the ts order column's value")
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("orchestrated schema adoption: evolve mid-stream, adoptAndRestart emits the column, zero loss") {
+    import graft.streaming.SnapshotStreamFollower
+    val up = tmpDir("ssoup") + "/t"
+    val down = tmpDir("ssodn") + "/t"
+    val spec = SnapshotStreamFollower.FollowSpec(
+      upDir = up, downDir = down, checkpoint = tmpDir("ssock"),
+      downKeys = Seq("id"))
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 8L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    val r1 = SnapshotStreamFollower.start(spark, spec)
+    try {
+      r1.query.processAllAvailable()
+      assert(SnapshotStreamFollower.newColumns(spark, spec, r1.frozen).isEmpty)
+      // upstream evolves WHILE the query runs: new column + an update
+      upSink.merge(
+        Seq((3L, 1L, 30L, "b3", false, "X3"))
+          .toDF("id", "seq", "amount", "note", "is_delete", "extra"),
+        Seq("id"), "seq", "is_delete")
+      r1.query.processAllAvailable() // frozen shape: lands WITHOUT extra
+      assert(SnapshotStreamFollower.newColumns(spark, spec, r1.frozen)
+        .map(_.name) == Seq("extra"))
+    } finally { r1.query.stop(); r1.query.awaitTermination() }
+    val r2 = SnapshotStreamFollower.adoptAndRestart(spark, r1, spec)
+      .getOrElse(fail("evolution present — must restart"))
+    try {
+      // a post-adoption update carries the column end-to-end
+      upSink.merge(
+        Seq((5L, 2L, 50L, "c5", false, "X5"))
+          .toDF("id", "seq", "amount", "note", "is_delete", "extra"),
+        Seq("id"), "seq", "is_delete")
+      r2.query.processAllAvailable()
+      assert(SnapshotStreamFollower.adoptAndRestart(spark, r2, spec).isEmpty,
+        "schemas agree after adoption — no further restart")
+      val d = SnapshotParquetSink.forTable(down).read(spark, DeleteMode.Hard)
+      assert(d.count() == 8L, "zero row loss across the restart")
+      assert(d.columns.contains("extra"))
+      val byId = d.select("id", "extra").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(byId(5L).contains("X5"), "post-adoption rows carry the column")
+      // id=3 evolved BEFORE adoption: its slice replays only if a later
+      // commit touches its bucket; the guaranteed contract is null-filled
+      // history everywhere the column is absent
+      assert(byId(0L).isEmpty, "history rows null-fill the adopted column")
+    } finally { r2.query.stop(); r2.query.awaitTermination() }
+  }
+
   test("checkpoint recovery: commits landed while down are caught up exactly-once") {
     val up = tmpDir("ssrup") + "/t"
     val down = tmpDir("ssrdn") + "/t"
