@@ -16,6 +16,12 @@ package graft
   * per-query WARM spread — runs 2..n; run 1's one-time codegen is a
   * deterministic cost, not contention) plus the per-query "queries_spread"
   * map let a reader see contention directly.
+  *
+  * "bench_schema" versions the capture format so cross-round comparisons
+  * never silently mix metric definitions under one key:
+  *   1 (implied; captures without the field, ≤ r12) — spread/contended
+  *     computed over ALL runs including run 1's warm-up.
+  *   2 — spread/contended computed over WARM runs only (2..n).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -207,7 +213,7 @@ object Bench {
       s""","spill":{"heap_max_bytes":${Runtime.getRuntime.maxMemory},"mem_bytes":$totalMem,"disk_bytes":$totalDisk,"by_query_mem_disk":$perQ}"""
     } else ""
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"queries_pos":$qposJson,"queries_spread":$qspreadJson,"rerun_min":$rerunJson,"rerun_divergent":$divergentJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$incrLegsJson$spillJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","bench_schema":2,"capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"queries_pos":$qposJson,"queries_spread":$qspreadJson,"rerun_min":$rerunJson,"rerun_divergent":$divergentJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$incrLegsJson$spillJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

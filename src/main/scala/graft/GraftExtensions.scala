@@ -290,18 +290,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // ---- multi-table transaction faces: COMMIT a consistent cut pinning
     // the listed members at their current versions (the end-of-transaction
-    // call), and READ a member through a cut. catalog_commit shares
-    // snapshot_merge's side-effect caveat (executes in the plan builder).
-    // onConflict names the same-table multi-writer rule ([[PinConflict]]):
-    // 'advance' (default, never regress), 'refuse' (throw when another
-    // writer pinned the same table newer), 'lastwins' (raw override).
+    // call), and READ a member through a cut. Unlike snapshot_merge /
+    // table_follow (content-idempotent — a re-applied no-op), a catalog
+    // commit publishes reader-visible history per invocation, so its side
+    // effect is DEFERRED to execution via [[graft.plans
+    // .CatalogCommitCommand]]: EXPLAIN / view expansion / re-analysis
+    // construct the node without cutting. onConflict names the same-table
+    // multi-writer rule ([[PinConflict]]): 'advance' (default, never
+    // regress), 'refuse' (throw when another writer pinned the same table
+    // newer), 'lastwins' (raw override).
     ext.injectTableFunction((
       FunctionIdentifier("catalog_commit"),
       new ExpressionInfo(classOf[graft.sink.SnapshotCatalog].getName, "catalog_commit"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
           "catalog_commit(catalogDir, tablesCsv[, onConflict: advance|refuse|lastwins])")
-        val spark = SparkSession.active
         val dir = litStr(exprs(0), "catalogDir")
         val tables = litStr(exprs(1), "tables")
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -313,12 +316,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other =>
             sys.error(s"onConflict must be advance|refuse|lastwins, got '$other'")
         }
-        val cat = new graft.sink.SnapshotCatalog(dir)
-        val v = cat.commitCurrent(tables, mode)
-        import spark.implicits._
-        cat.pins(v).toSeq.sortBy(_._1).map { case (t, tv) => (dir, v, t, tv) }
-          .toDF("catalog_dir", "catalog_version", "table_name", "pinned_version")
-          .queryExecution.logical: LogicalPlan
+        graft.plans.CatalogCommitCommand(dir, tables, mode): LogicalPlan
       }))
     ext.injectTableFunction((
       FunctionIdentifier("catalog_history"),

@@ -60,7 +60,18 @@ object PinConflict {
   */
 final class ConcurrentPinException(msg: String) extends RuntimeException(msg)
 
-final class SnapshotCatalog(dir: String) {
+/** @param epochCarryMinVersions floor (in catalog versions) below which a
+  *   writer's epoch stamp is carried forward even after its stamping
+  *   version leaves retained history. Decouples replay protection from the
+  *   vacuum horizon: with `vacuum(keepLast = 1)` a slow-cadence streaming
+  *   writer would otherwise lose its stamp after roughly one intervening
+  *   commit + vacuum cycle, and a crash replay would publish a duplicate
+  *   cut. The floor bounds stamp retention in CUTS, not wall time — a
+  *   writer idle for more than `epochCarryMinVersions` catalog commits
+  *   past the vacuum horizon is declared dead and its stamp GC'd (one
+  *   manifest line per live writer is the entire carrying cost).
+  */
+final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
 
   /** The catalog's root directory (member tables live at `root/<name>`). */
   def root: String = dir
@@ -188,11 +199,14 @@ final class SnapshotCatalog(dir: String) {
         }
       }
       val allPins = basePins ++ resolved
-      // epoch GC: carry a stamp only while the version that recorded it is
-      // still retained catalog history; fresh stamps record THIS version
+      // epoch GC: carry a stamp while the version that recorded it is
+      // still retained catalog history OR within the epochCarryMinVersions
+      // floor (replay protection must not ride the vacuum horizon — see
+      // the class scaladoc); fresh stamps record THIS version
       val oldestRetained = retained.headOption.getOrElse(0L)
       val carriedEpochs = base.map(epochStamps).getOrElse(Map.empty)
-        .filter { case (_, (_, at)) => at >= oldestRetained }
+        .filter { case (_, (_, at)) =>
+          at >= oldestRetained || version - at <= epochCarryMinVersions.toLong }
       val allEpochs = carriedEpochs ++
         epoch.map { case (w, b) => w -> (b, version) }
       val commitId = java.util.UUID.randomUUID().toString
@@ -360,7 +374,17 @@ final class SnapshotCatalog(dir: String) {
   def vacuumAll(keepLast: Int = 1,
       minOrphanAgeMs: Long = 3600000L): Map[String, (Int, Int)] = synchronized {
     val catDropped = vacuum(keepLast, minOrphanAgeMs)
-    val perTable = retainedVersions(keepLast).map { case (name, pinned) =>
+    // pin-set from EVERY cut surviving the expire, RE-LISTED after it: a
+    // concurrent writer may publish a new cut between the expire and this
+    // point, making keepLast+1 survivors — `retainedVersions(keepLast)`
+    // would slide past the oldest surviving cut and strand the table
+    // versions it still pins. (A cut landing after even this listing is
+    // covered by the per-table manifest age floor — fresh versions are
+    // never dropped within the `minOrphanAgeMs` window.)
+    val survivors = versions
+    val pinnedAll = survivors.flatMap(v => pins(v).toSeq)
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+    val perTable = pinnedAll.map { case (name, pinned) =>
       name -> SnapshotParquetSink.forTable(s"$dir/$name")
         .vacuumKeeping(pinned, minOrphanAgeMs)
     }

@@ -154,6 +154,16 @@ object SnapshotParquetSink {
     * unchanged — round-tripping it is harmless and callers may project it.
     */
   private[sink] def foldDeleteFlag(batch: DataFrame, isDeleteCol: String): DataFrame = {
+    // loud, at WRITE time: a NON-flag data column named `is_deleted` would
+    // be silently dropped by every Logical-mode read (the name is where
+    // the tombstone flag resurfaces) — silent business-column loss. The
+    // read-side drop stays for legacy files whose FLAG was persisted under
+    // that name; new writes must rename or declare it as the flag.
+    require(isDeleteCol == "is_deleted" || !batch.columns.contains("is_deleted"),
+      s"column name 'is_deleted' is reserved by Logical-mode reads: a data " +
+        s"column of that name (the declared flag is '$isDeleteCol') would " +
+        "vanish on every Logical read — rename it before writing, or " +
+        "declare it as the table's delete-flag column")
     val folded = batch.withColumn("__is_deleted",
       coalesce(col(isDeleteCol).cast("boolean"), lit(false)))
     if (isDeleteCol == "is_deleted") folded.drop("is_deleted") else folded
@@ -1744,8 +1754,25 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
 
   private def vacuumDropping(dropSet: Set[Long], minOrphanAgeMs: Long): (Int, Int) = {
     val vs = versions
-    val drop = vs.filter(dropSet)
-    val keep = vs.filterNot(dropSet)
+    val nowForFloor = System.currentTimeMillis()
+    // MANIFEST AGE FLOOR (same window as the data-root orphan guard): a
+    // version younger than `minOrphanAgeMs` is never dropped even when the
+    // caller's keep-set excludes it — it may be a concurrent writer's
+    // commit, pinned by a catalog cut published AFTER the caller listed
+    // pins (the vacuumAll expire → per-table TOCTOU seam). The hour that
+    // protects in-flight data roots protects fresh history for the same
+    // reason; a version missing from the re-listing is likewise left alone.
+    val manifestAge: Map[Long, Long] = Dfs.list(manifestsDir)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".manifest"))
+          Some(n.stripPrefix("v").stripSuffix(".manifest").toLong ->
+            st.getModificationTime)
+        else None
+      }.toMap
+    val drop = vs.filter(dropSet).filter(v =>
+      manifestAge.get(v).exists(m => nowForFloor - m >= minOrphanAgeMs))
+    val keep = vs.filterNot(drop.toSet)
     val referencedRoots = keep.flatMap(v => readManifest(v).values)
       .map(rel => rel.substring(0, rel.indexOf("/__bucket="))).toSet
     val dataDir = new HPath(dir, "data")

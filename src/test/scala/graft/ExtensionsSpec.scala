@@ -305,6 +305,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("advance|refuse|lastwins")
         || Option(e.getCause).exists(_.getMessage.contains("advance|refuse|lastwins")),
         e.toString)
+      // side-effect DEFERRAL: the commit is a Command — EXPLAIN (and any
+      // other analysis-only pass) must publish NOTHING; running it again
+      // publishes exactly one more cut
+      val beforeExplain = cat.versions.size
+      s2.sql(s"EXPLAIN EXTENDED SELECT * FROM catalog_commit('$base', 'orders')").collect()
+      assert(cat.versions.size == beforeExplain,
+        "EXPLAIN of catalog_commit published a catalog version")
+      s2.sql(s"SELECT * FROM catalog_commit('$base', 'orders')").collect()
+      assert(cat.versions.size == beforeExplain + 1,
+        "executing catalog_commit must publish exactly one cut")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

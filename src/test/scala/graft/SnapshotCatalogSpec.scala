@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.sink.{ConcurrentPinException, DeleteMode, PinConflict, SnapshotCatalog}
+import graft.sink.{ConcurrentPinException, DeleteMode, PinConflict, SnapshotCatalog, SnapshotParquetSink}
 
 /** The catalog's contract: a catalog version is an atomic, immutable
   * cross-table cut — torn reads are impossible through it, concurrent
@@ -163,7 +163,8 @@ class SnapshotCatalogSpec extends SparkSpec {
   }
 
   test("epoch GC: stamps older than the vacuum horizon stop carrying; live writers keep protection") {
-    val cat = new SnapshotCatalog(tmpDir("categc") + "/c")
+    // floor 0 = the pure horizon-coupled regime (historical behavior)
+    val cat = new SnapshotCatalog(tmpDir("categc") + "/c", epochCarryMinVersions = 0)
     cat.table("a", 2).merge(batch(("k", 0, "v", false)), Seq("primary_key"), "seq", "is_delete")
     cat.commitEpoch(Seq("a"), "w1", 0L) // v0: w1 stamped at v0
     cat.commitEpoch(Seq("a"), "w2", 0L) // v1: w2 stamped, w1 carried
@@ -176,6 +177,88 @@ class SnapshotCatalogSpec extends SparkSpec {
     cat.vacuum(keepLast = 1, minOrphanAgeMs = 0L) // retained: {v3}
     assert(cat.lastEpoch("w2").contains(2L), "live writer keeps replay protection")
     assert(cat.lastEpoch("w1").isEmpty, "idle-past-horizon writer's protection expired")
+  }
+
+  test("epoch carry floor: a slow writer survives keepLast=1 vacuums; past the floor it GCs") {
+    // the default-regime fix: replay protection must NOT ride the vacuum
+    // horizon — a writer cutting every N batches while another cuts every
+    // batch would otherwise lose its stamp after ONE intervening
+    // commit + vacuum(keepLast=1) cycle, and its crash replay would
+    // publish a duplicate cut (commitEpoch Some instead of None)
+    val cat = new SnapshotCatalog(tmpDir("catef") + "/c", epochCarryMinVersions = 3)
+    cat.table("a", 2).merge(batch(("k", 0, "v", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitEpoch(Seq("a"), "slow", 7L) // v0: the slow writer's only cut
+    (0L to 1L).foreach { b =>
+      cat.commitEpoch(Seq("a"), "fast", b)
+      cat.vacuum(keepLast = 1, minOrphanAgeMs = 0L) // horizon passes v0 immediately
+    }
+    // v2 is the head; slow's stamp (at=0, head-at-carry 2 ≤ floor 3) carried
+    assert(cat.lastEpoch("slow").contains(7L),
+      "slow writer keeps protection within the floor despite keepLast=1 vacuums")
+    // its crash replay is still recognized as a duplicate
+    assert(cat.commitEpoch(Seq("a"), "slow", 7L).isEmpty,
+      "replayed batch must not publish a duplicate cut")
+    // beyond the floor the stamp finally GCs (bounded carry, not immortal)
+    (2L to 5L).foreach(b => cat.commitEpoch(Seq("a"), "fast", b))
+    cat.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+    cat.commitEpoch(Seq("a"), "fast", 6L)
+    assert(cat.lastEpoch("slow").isEmpty,
+      s"stamp must GC once idle past the floor: ${cat.epochStamps(cat.currentVersion.get)}")
+  }
+
+  test("chaos: vacuumAll racing a live writer never strands a surviving cut's pins") {
+    // the TOCTOU seams under test: (1) a cut published between the catalog
+    // expire and the pin listing must keep its pinned table versions —
+    // vacuumAll re-lists survivors after the expire; (2) a table version
+    // committed/pinned mid-vacuum is protected by the manifest age floor
+    // (minOrphanAgeMs) even when the pin listing predates it
+    val dir = tmpDir("catchaos") + "/c"
+    val cat = new SnapshotCatalog(dir)
+    val a = cat.table("a", 2)
+    a.merge(batch(("k", 0, "v0", false)), Seq("primary_key"), "seq", "is_delete")
+    cat.commitCurrent(Seq("a"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        val wcat = new SnapshotCatalog(dir)
+        val wa = SnapshotParquetSink.forTable(s"$dir/a")
+        var i = 1L
+        while (!stop.get()) {
+          wa.merge(batch(("k", i, s"v$i", false)),
+            Seq("primary_key"), "seq", "is_delete")
+          wcat.commitCurrent(Seq("a"))
+          i += 1L
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+    writer.start()
+    try {
+      // age floor 1500ms: history older than the floor is droppable while
+      // anything the racing writer just committed stays protected — the
+      // expire → per-table window is far inside the floor
+      val results = (0 until 12).map { _ =>
+        Thread.sleep(400L)
+        cat.vacuumAll(keepLast = 1, minOrphanAgeMs = 1500L)
+      }
+      stop.set(true); writer.join(30000L)
+      assert(writerErr.get() == null, s"writer crashed: ${writerErr.get()}")
+      // the vacuum must have actually done work (not a vacuous pass)
+      assert(results.map(_("_catalog")._1).sum > 0, "catalog history never expired")
+      assert(results.flatMap(_.get("a")).map(_._1).sum > 0, "table history never expired")
+      // invariant: EVERY surviving cut fully resolves — no stranded pin
+      val survivors = cat.versions
+      assert(survivors.nonEmpty)
+      survivors.foreach { v =>
+        cat.pins(v).foreach { case (name, tv) =>
+          assert(SnapshotParquetSink.versions(s"$dir/$name").contains(tv),
+            s"cut v$v pins $name@v$tv but the table version was vacuumed")
+        }
+      }
+      // and the head cut reads coherently end-to-end
+      val head = cat.readAll(spark)("a").collect()
+      assert(head.length == 1 && head.head.getString(0) == "k")
+    } finally { stop.set(true); writer.join() }
   }
 
   test("graft-catalog DSv2: SQL reads resolve through the catalog's consistent cut") {
