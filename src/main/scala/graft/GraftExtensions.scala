@@ -523,5 +523,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
     ext.injectOptimizerRule(_ => graft.plans.MatViewRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
   }
 }

@@ -282,19 +282,36 @@ object Relational {
       "q17_theta_join",
       "SELECT count(*) AS cnt FROM part, supplier WHERE p_size > s_suppkey * 4"),
 
-    QDef.sql(
+    // the natural range-join SQL, auto-routed: [[graft.plans
+    // .RangeJoinBinning]] rewrites the equi+interval join onto the binned
+    // plan (q18b's shape) inside the optimizer, so the user's query stops
+    // materializing O(pairs-per-key) before filtering. The guard fails the
+    // CORRECTNESS run if the rule ever stops engaging.
+    QDef.df(
       "q18_range_self_join",
-      """SELECT e1.event_type, count(*) AS cnt
-        |FROM events e1 JOIN events e2
-        |  ON e1.user_id = e2.user_id
-        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
-        |GROUP BY e1.event_type""".stripMargin,
       s"""$E
          |SELECT e1.event_type, count(*) AS cnt
          |FROM e e1 JOIN e e2
          |  ON e1.user_id = e2.user_id
          | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
-         |GROUP BY e1.event_type""".stripMargin),
+         |GROUP BY e1.event_type""".stripMargin) { (s, dir) =>
+      Tables.ensure(s, dir)
+      val df = s.sql(
+        """SELECT e1.event_type, count(*) AS cnt
+          |FROM events e1 JOIN events e2
+          |  ON e1.user_id = e2.user_id
+          | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+          |GROUP BY e1.event_type""".stripMargin)
+      val binned = df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.references.exists(
+              _.name.startsWith("__graft_bin"))) => j
+      }
+      require(binned.nonEmpty,
+        "RangeJoinBinning did not engage: q18 would run as an unbinned " +
+          "equi-join with the range as a post-filter (O(pairs-per-key))")
+      df
+    },
 
     // q18's semantics through the bin-bucketed range join: same oracle, but
     // the engine joins on (user, time-bin) instead of materializing every

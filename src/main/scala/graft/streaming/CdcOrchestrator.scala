@@ -60,20 +60,66 @@ object CdcOrchestrator {
     val toStart = discovered
       .filterNot(running.contains)       // R32: exists ⇒ skip
       .filter(specs.contains)            // no spec ⇒ skip (reference behavior)
-    def withExtraPk(table: TableSpec): TableSpec = extraPk match {
-      case None => table
-      case Some(pk) if table.colNames.contains(pk.name) =>
-        table.copy(cols = table.cols.map(c =>
-          if (c.name == pk.name) c.copy(isPrimaryKey = true) else c))
-      case Some(pk) => table.copy(cols = table.cols :+ pk.copy(isPrimaryKey = true))
-    }
     val started = toStart.map { t =>
       val safe = t.replace('.', '_')
       val spec = CdcStreamSpec(
-        inputDir, s"$checkpointRoot/$safe", withExtraPk(specs(t)),
+        inputDir, s"$checkpointRoot/$safe", withExtraPk(specs(t), extraPk),
         sinkFactory(s"$sinkRoot/$safe"),
         logicalDeletes = logicalDeletes,
         extraPk = extraPk.map(_.name))
+      t -> Running(t, spec, CdcStream.start(spark, spec))
+    }
+    running ++ started
+  }
+
+  /** R13: append (or promote) the configured extra primary-key column. */
+  private def withExtraPk(table: TableSpec,
+      extraPk: Option[graft.model.ColSpec]): TableSpec = extraPk match {
+    case None => table
+    case Some(pk) if table.colNames.contains(pk.name) =>
+      table.copy(cols = table.cols.map(c =>
+        if (c.name == pk.name) c.copy(isPrimaryKey = true) else c))
+    case Some(pk) => table.copy(cols = table.cols :+ pk.copy(isPrimaryKey = true))
+  }
+
+  /** R30 over an arbitrary TRANSPORT: the same fan-out contract as
+    * [[addNewTables]], but discovery and the per-table streams ride a
+    * [[CdcSource]] factory instead of a file listing — one consumer PER
+    * TABLE PIPELINE (the Kafka consumer-group shape: each pipeline
+    * checkpoints independently, so each owns its own delivery cursor;
+    * [[KafkaLikeSource.group]] is the test-double factory, a
+    * per-group-id `readStream.format("kafka")` reader the production one).
+    * Discovery replays the transport's retained log (`batch`) — the same
+    * data-derived table distribution R25 reads from the staged files.
+    */
+  def addNewTablesFromSource(
+      spark: SparkSession,
+      consumerFactory: () => CdcSource,
+      columnsPath: String,
+      sinkRoot: String,
+      checkpointRoot: String,
+      include: Seq[String],
+      exclude: Seq[String],
+      running: Map[String, Running] = Map.empty,
+      logicalDeletes: Boolean = false,
+      extraPk: Option[graft.model.ColSpec] = None,
+      sinkFactory: String => graft.sink.UpsertSink = new LocalParquetSink(_)): Map[String, Running] = {
+    val specs = TableSpec.loadCsv(columnsPath)
+    val discovered = Inspection.tables(consumerFactory().batch(spark))
+      .collect().map(_.getString(0)).toSeq.sorted
+      .filter(t => include.isEmpty || include.contains(t))
+      .filterNot(exclude.contains)
+    val toStart = discovered
+      .filterNot(running.contains)       // R32: exists ⇒ skip
+      .filter(specs.contains)            // no spec ⇒ skip (reference behavior)
+    val started = toStart.map { t =>
+      val safe = t.replace('.', '_')
+      val spec = CdcStreamSpec(
+        inputDir = "", s"$checkpointRoot/$safe", withExtraPk(specs(t), extraPk),
+        sinkFactory(s"$sinkRoot/$safe"),
+        logicalDeletes = logicalDeletes,
+        extraPk = extraPk.map(_.name),
+        source = Some(consumerFactory()))
       t -> Running(t, spec, CdcStream.start(spark, spec))
     }
     running ++ started

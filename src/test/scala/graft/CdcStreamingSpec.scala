@@ -497,6 +497,88 @@ class CdcStreamingSpec extends SparkSpec {
     } finally CdcOrchestrator.stopAll(running)
   }
 
+  test("R30/R31 fan-out over the Kafka transport: N tables converge exactly-once across a rebalance") {
+    import graft.streaming.{CdcOrchestrator, KafkaLikeSource}
+    // ONE multiplexed two-partition topic, N table pipelines fanned out
+    // over it — each pipeline its own consumer group (own cursor/commits),
+    // the R30 loop (/root/reference/add_output.py:458-561) riding the R1
+    // Kafka transport instead of a file listing
+    val topic = new KafkaLikeSource(spark, nPartitions = 2)
+    fixtureLines.zipWithIndex.foreach { case (l, i) => topic.publish(i % 2, l) }
+    val sinkRoot = tmpDir("korch_sink"); val ckptRoot = tmpDir("korch_ckpt")
+    val groups = scala.collection.mutable.ArrayBuffer.empty[KafkaLikeSource#Group]
+    def consumer(): graft.streaming.CdcSource = {
+      val g = topic.group(); groups += g; g
+    }
+    val include = Seq("shop.orders", "shop.customers", "crm.leads")
+    var running = CdcOrchestrator.addNewTablesFromSource(
+      spark, () => consumer(), Cdc.Fixtures.columnsPath, sinkRoot, ckptRoot,
+      include, exclude = Nil)
+    try {
+      assert(running.keySet == include.toSet, running.keySet.toString)
+      // one consumer group per started pipeline, plus the discovery probe
+      val pipelineGroups = groups.takeRight(running.size).toSeq
+      def processAll(): Unit = running.values.foreach(_.query.processAllAvailable())
+      // wave 1: partial delivery, then COMMIT the group offsets
+      pipelineGroups.foreach(_.deliverAvailable(maxPerPartition = 500))
+      processAll()
+      pipelineGroups.foreach(_.commit())
+      // wave 2: delivered but NOT committed
+      pipelineGroups.foreach(_.deliverAvailable(maxPerPartition = 300))
+      processAll()
+      def stateOf(t: String): Set[(String, Long)] =
+        running(t).spec.sink.read(spark, DeleteMode.Hard)
+          .select("primary_key", "seq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+      val beforeRebalance = include.map(t => t -> stateOf(t)).toMap
+      // REBALANCE FIRED BETWEEN MICRO-BATCHES on every group: the
+      // uncommitted slice re-delivers to every pipeline — at-least-once
+      // duplicates the per-table seq-idempotent merges must all absorb
+      pipelineGroups.foreach(_.rebalance())
+      pipelineGroups.foreach(_.deliverAvailable(maxPerPartition = 300))
+      processAll()
+      include.foreach { t =>
+        assert(stateOf(t) == beforeRebalance(t),
+          s"$t: redelivered slice across the rebalance changed state")
+      }
+      // drain the topic; every table converges to its batch materialization
+      while (pipelineGroups.map(_.deliverAvailable()).sum > 0) processAll()
+      val specs = TableSpec.loadCsv(Cdc.Fixtures.columnsPath)
+      include.foreach { t =>
+        val got = running(t).spec.sink.read(spark, DeleteMode.Hard)
+          .select("primary_key").collect().map(_.getString(0)).toSet
+        val expected = CdcPipeline.materialize(topic.group().batch(spark), specs(t))
+          .select("primary_key").collect().map(_.getString(0)).toSet
+        assert(got == expected && got.nonEmpty, s"$t diverged")
+      }
+      // R31 over the same transport: no evolution ⇒ every query untouched
+      val sameRunIds = running.values.map(_.query.runId).toSet
+      running = CdcOrchestrator.updateExistingTables(spark, running)
+      assert(running.values.map(_.query.runId).toSet == sameRunIds,
+        "R31 pass with no evolution must not restart anything")
+      // ...then a REAL evolution lands on the topic mid-run: orders grows
+      // loyalty_tier; the R31 pass must stop/backfill/restart ONLY orders
+      val ev =
+        """{"seq":99991,"ts":"2024-03-01T00:00:00Z","data":{"database_name":"shop","table_name":"orders_part_0","primary_key":"99991","metadata":{"is_delete":false},"row":{"id":"99991","loyalty_tier":"gold"}}}"""
+      topic.publish(0, ev)
+      pipelineGroups.foreach(_.deliverAvailable())
+      processAll()
+      running = CdcOrchestrator.updateExistingTables(spark, running)
+      // query.id is checkpoint-stable across restarts; runId is per-run
+      assert(!sameRunIds.contains(running("shop.orders").query.runId),
+        "orders must restart under the evolved spec")
+      assert(include.filterNot(_ == "shop.orders").forall(t =>
+        sameRunIds.contains(running(t).query.runId)),
+        "only the evolved table may restart")
+      assert(running("shop.orders").spec.table.colNames.contains("loyalty_tier"))
+      val evolved = running("shop.orders").spec.sink
+        .read(spark, DeleteMode.Hard)
+      assert(evolved.columns.contains("row_loyalty_tier"))
+      assert(evolved.filter(col("primary_key") === "99991")
+        .select("row_loyalty_tier").head.getString(0) == "gold")
+    } finally CdcOrchestrator.stopAll(running)
+  }
+
   test("extra-PK column widens the merge key to (primary_key, row_ext_id) (R13)") {
     import graft.streaming.CdcOrchestrator
     val in = tmpDir("xpk_in")

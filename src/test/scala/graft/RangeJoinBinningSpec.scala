@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+/** [[graft.plans.RangeJoinBinning]]: the optimizer rewrite that routes
+  * equi-key + bounded-interval range joins onto the binned plan. Every
+  * case compares the rewritten result against the SAME query with the rule
+  * disabled — semantics must be bit-identical; only the plan changes.
+  */
+class RangeJoinBinningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def binnedJoinsIn(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(
+        _.references.exists(_.name.startsWith("__graft_bin"))) => j
+    }.size
+
+  private def withRule[A](enabled: Boolean)(f: => A): A = {
+    spark.conf.set("spark.graft.rangeJoinBinning.enabled", enabled.toString)
+    try f finally
+      spark.conf.set("spark.graft.rangeJoinBinning.enabled", "true")
+  }
+
+  private def resultOf(sql: String): Seq[String] =
+    spark.sql(sql).collect().map(_.toString).sorted.toSeq
+
+  test("timestamp window self-join: rewritten, and bit-identical to the unbinned plan") {
+    // boundary-heavy data: rows exactly AT the window edge (t+1h), exactly
+    // at bin edges, and pre-1970 negative-micro timestamps (floorDiv vs
+    // truncating div is THE classic negative-value bug)
+    Seq(
+      (1L, "1969-12-31 22:30:00"), (1L, "1969-12-31 23:15:00"),
+      (1L, "1969-12-31 23:59:59"), (1L, "1970-01-01 00:00:00"),
+      (1L, "1970-01-01 00:30:00"), (1L, "1970-01-01 01:00:00"),
+      (1L, "1970-01-01 01:30:00"), (2L, "1970-01-01 00:10:00"),
+      (2L, "1970-01-01 01:10:00"), (3L, "2024-06-01 07:59:59"),
+      (3L, "2024-06-01 08:59:59"), (3L, "2024-06-01 09:00:00")
+    ).toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("rjb_t")
+    val q =
+      """SELECT a.k, unix_micros(a.ts) AS a_us, unix_micros(b.ts) AS b_us
+        |FROM rjb_t a JOIN rjb_t b
+        |  ON a.k = b.k AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin
+    val on = withRule(enabled = true) {
+      val df = spark.sql(q)
+      assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    val off = withRule(enabled = false) {
+      val df = spark.sql(q)
+      assert(binnedJoinsIn(df) == 0)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    assert(on == off, s"binned ${on.size} rows vs unbinned ${off.size}")
+    assert(on.nonEmpty, "degenerate fixture: no qualifying pairs at all")
+  }
+
+  test("inclusive lower bound (>=) keeps the self-pair; strict (>) drops it") {
+    Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:20:00"))
+      .toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("rjb_i")
+    def q(op: String) =
+      s"""SELECT count(*) AS cnt FROM rjb_i a JOIN rjb_i b
+         |  ON a.k = b.k AND b.ts $op a.ts
+         | AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+    for (op <- Seq(">", ">=")) {
+      val on = withRule(enabled = true) {
+        val df = spark.sql(q(op))
+        assert(binnedJoinsIn(df) == 1, s"rule must engage for '$op'")
+        df.head().getLong(0)
+      }
+      val off = withRule(enabled = false)(spark.sql(q(op)).head().getLong(0))
+      assert(on == off, s"op $op: binned $on vs unbinned $off")
+    }
+  }
+
+  test("numeric (long) bound columns with literal windows rewrite too") {
+    Seq((1L, 0L), (1L, 5L), (1L, 10L), (1L, 11L), (2L, 100L), (2L, 109L),
+      (2L, 111L)).toDF("k", "pos").createOrReplaceTempView("rjb_n")
+    val q =
+      """SELECT a.k, a.pos AS a_pos, b.pos AS b_pos
+        |FROM rjb_n a JOIN rjb_n b
+        |  ON a.k = b.k AND b.pos > a.pos AND b.pos <= a.pos + 10""".stripMargin
+    val on = withRule(enabled = true) {
+      val df = spark.sql(q)
+      assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    val off = withRule(enabled = false)(resultOf(q))
+    assert(on == off)
+  }
+
+  test("no rewrite without an equi key, or for month-bearing intervals") {
+    Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:20:00"))
+      .toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("rjb_g")
+    // pure range theta-join (no key): out of scope, must pass through
+    val theta = spark.sql(
+      """SELECT count(*) AS cnt FROM rjb_g a JOIN rjb_g b
+        |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin)
+    assert(binnedJoinsIn(theta) == 0)
+    // calendar-month window: not a constant micro offset, must pass through
+    val monthly = spark.sql(
+      """SELECT count(*) AS cnt FROM rjb_g a JOIN rjb_g b
+        |  ON a.k = b.k AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 1 MONTH""".stripMargin)
+    assert(binnedJoinsIn(monthly) == 0)
+    // both still EXECUTE correctly (the rule only declined, nothing broke)
+    assert(theta.head().getLong(0) == 1L)
+    assert(monthly.head().getLong(0) == 0L)
+  }
+}
