@@ -62,18 +62,21 @@ object BenchCommitScale {
     def rung(n: Long): String = {
       val nBuckets = math.max(16, (n / 25000L).toInt)
       // bloom overhead: same full-table merge with and without sidecars —
-      // min-of-3 interleaved (machine noise swings single merges 2-3×,
-      // which would make the overhead ratio meaningless)
-      val runs = 3
-      val plainSec = (0 until runs).map { r =>
-        timed(new SnapshotParquetSink(s"$scratch/plain_${n}_$r", nBuckets)
+      // min-of-5, GENUINELY interleaved plain/bloom pairs (running one
+      // variant's block before the other's hands the second block a warmer
+      // JIT/page cache and was measured to swing the overhead ratio
+      // 0.3↔1.0 between invocations of the same binary)
+      val runs = 5
+      val pairs = (0 until runs).map { r =>
+        val p = timed(new SnapshotParquetSink(s"$scratch/plain_${n}_$r", nBuckets)
           .merge(table(n, 1L), Seq("id"), "seq", "__del"))._2
-      }.min
-      val bloomSec = (0 until runs).map { r =>
-        timed(new SnapshotParquetSink(s"$scratch/bloom_${n}_$r", nBuckets,
+        val b = timed(new SnapshotParquetSink(s"$scratch/bloom_${n}_$r", nBuckets,
           bloomCols = Seq("ext"))
           .merge(table(n, 1L), Seq("id"), "seq", "__del"))._2
-      }.min
+        (p, b)
+      }
+      val plainSec = pairs.map(_._1).min
+      val bloomSec = pairs.map(_._2).min
 
       // point-lookup latency through the DSv2 scan: on the bloom-indexed
       // table the planned file set is ~constant (target bucket + rare FPs),

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *   - `ivm_delta` (SUM/COUNT-only view — [[graft.sink.MaterializedAgg]]'s
   *     pure-delta path): refresh folds the changed-bucket slices into the
   *     stored values arithmetically, touching NOTHING proportional to the
-  *     source — the wall curve stays near-flat while `recompute_sec` grows
-  *     with the table, so `speedup` (recompute/refresh) widens with scale
-  *     and refresh BEATS recompute from the 10M rung on (the round-12
-  *     artifact showed the pre-delta engine losing at every rung; this
-  *     regime is the fix).
+  *     source — measured refresh wall is FLAT (~3 s of fixed job latency
+  *     at every rung, BENCH_ivm_scale_r13) while `recompute_sec` grows
+  *     with the table, so `speedup` (recompute/refresh) widens with scale:
+  *     on this box the crossover lands between the 10M and 30M rungs and
+  *     refresh wins ~1.5–3× at 30M. (The round-12 artifact showed the
+  *     pre-delta engine losing at EVERY rung with refresh cost GROWING —
+  *     this regime is the fix; below the crossover the loss is bounded
+  *     fixed seconds, above it the win is unbounded in table size.)
   *   - `ivm_rollup` (cross-key view carrying min/max): exact maintenance
   *     must rescan the snapshot for dirty groups' rows, so refresh wall
   *     time GROWS with the table and can lose to a plain recompute — the
@@ -126,8 +129,8 @@ object BenchIvmScale {
     // three regimes (scaladoc): pure-delta SUM/COUNT views, cross-key
     // rollups with min/max (write-side win only), keyed views
     // the delta ladder climbs one rung further (30x the top shared mult):
-    // the crossover vs recompute lands around the 10M rung and the gap
-    // must be shown WIDENING past it
+    // the crossover vs recompute lands between the 10M and 30M rungs on
+    // this box and the gap must be shown WIDENING past it
     val deltaMults = mults ++ mults.lastOption.map(_ * 3L).toSeq
     val delta = deltaMults.map(m =>
       rung("delta", base * m, Seq("grp"), deltaOnly = true))

@@ -379,6 +379,45 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(state(down) == state(up) && state(down)(7L)._2 == "c7")
   }
 
+  test("Trigger.AvailableNow + maxVersionsPerTrigger: drains to the prepared head in capped steps") {
+    val up = tmpDir("ssanc") + "/t"
+    val down = tmpDir("ssancdn") + "/t"
+    val ckpt = tmpDir("ssancck")
+    val upSink = new SnapshotParquetSink(up, nBuckets = 4)
+    upSink.merge(rows(0L until 8L, 0L, "a"), Seq("id"), "seq", "is_delete")
+    def run() = spark.readStream.format("graft-snapshot-stream")
+      .option("maxVersionsPerTrigger", "1").load(up)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sink =
+            if (SnapshotParquetSink.versions(down).nonEmpty)
+              SnapshotParquetSink.forTable(down)
+            else new SnapshotParquetSink(down, nBuckets = 8)
+          sink.merge(batch, Seq("id"), "seq", "is_deleted")
+        }
+        ()
+      }
+      .start()
+    // fresh query: the initial snapshot is state-at-ONE-version — a single
+    // uncapped batch is correct (capping it would read MORE, not less)
+    val q1 = run()
+    assert(q1.awaitTermination(120000), "AvailableNow must self-terminate")
+    // 4 commits while down; the CATCH-UP run must drain them as 4 capped
+    // slices to the head frozen at prepare time, then self-terminate
+    (1L to 4L).foreach(i =>
+      upSink.merge(rows(Seq(i), i, s"w$i"), Seq("id"), "seq", "is_delete"))
+    val q2 = run()
+    assert(q2.awaitTermination(120000), "capped AvailableNow must self-terminate")
+    assert(state(down) == state(up))
+    assert((1L to 4L).forall(i => state(down)(i)._2 == s"w$i$i"))
+    val sizes = q2.recentProgress.map(_.numInputRows).filter(_ > 0L).toSeq
+    assert(sizes.length >= 4,
+      s"cap must split the catch-up drain into per-version slices: $sizes")
+  }
+
   test("frozen schema: a column added upstream mid-stream null-conforms until restart") {
     val up = tmpDir("sseup") + "/t"
     val down = tmpDir("ssedn") + "/t"
