@@ -77,10 +77,17 @@ object BenchCatalogScale {
     val headPin = stormCat.pins(stormCat.currentVersion.get)("hot")
 
     // --- epoch GC boundedness -------------------------------------------
+    // Two regimes since round 13 (epochCarryMinVersions):
+    //   horizon (floor 0): a stamp dies with its stamping version's
+    //     retention — the head manifest collapses 100 → 1 immediately;
+    //   floor (default 64): stamps survive ≥ floor catalog versions
+    //     regardless of vacuum — slow writers keep replay protection, and
+    //     the head manifest is bounded by (live writers + floor window),
+    //     never by total writers ever seen.
     val writers = 100
     val rounds = 3
     val gcDir = s"$scratch/egc"
-    val gcCat = new SnapshotCatalog(gcDir)
+    val gcCat = new SnapshotCatalog(gcDir, epochCarryMinVersions = 0)
     seedTable(gcCat, "a")
     // every writer stamps once (generation 0) ...
     (0 until writers).foreach(w => gcCat.commitEpoch(Seq("a"), s"w$w", 0L))
@@ -93,6 +100,30 @@ object BenchCatalogScale {
     val headEpochsAfterGc = gcCat.epochStamps(gcCat.currentVersion.get).size
     val liveProtected = gcCat.lastEpoch("w0").contains(rounds.toLong)
 
+    // floor regime: a slow writer (one stamp ever) must survive
+    // keepLast=1 vacuums while inside the floor window, and the head must
+    // stay bounded once the window passes — measured over 2× floor cuts
+    val floorN = 16
+    val floorDir = s"$scratch/egcf"
+    val floorCat = new SnapshotCatalog(floorDir, epochCarryMinVersions = floorN)
+    seedTable(floorCat, "a")
+    floorCat.commitEpoch(Seq("a"), "slow", 0L)
+    val protectedAtHalf = {
+      (1 to floorN / 2).foreach { r =>
+        floorCat.commitEpoch(Seq("a"), "fast", r.toLong)
+        floorCat.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+      }
+      floorCat.lastEpoch("slow").contains(0L)
+    }
+    val gcPastFloor = {
+      (1 to floorN * 2).foreach(r =>
+        floorCat.commitEpoch(Seq("a"), "fast", (floorN / 2 + r).toLong))
+      floorCat.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
+      floorCat.commitEpoch(Seq("a"), "fast", 999L)
+      floorCat.lastEpoch("slow").isEmpty
+    }
+    val floorHeadEpochs = floorCat.epochStamps(floorCat.currentVersion.get).size
+
     val commitJson = commitCosts.map { case (n, (warm, sec)) =>
       s""""$n":{"first_commit_sec":${num(warm)},"steady_commit_sec":${num(sec)}}"""
     }.mkString(",")
@@ -101,7 +132,9 @@ object BenchCatalogScale {
       s""""conflict_storm":{"writers":$stormWriters,"landed":$stormLanded,""" +
       s""""head_pin":$headPin,"hot_head":$hotHead,"wall_sec":${num(stormSec)}},""" +
       s""""epoch_gc":{"writers":$writers,"head_epochs_before_gc":$headEpochsBeforeGc,""" +
-      s""""head_epochs_after_gc":$headEpochsAfterGc,"live_writer_protected":$liveProtected}}}""")
+      s""""head_epochs_after_gc":$headEpochsAfterGc,"live_writer_protected":$liveProtected},""" +
+      s""""epoch_floor":{"floor":$floorN,"slow_protected_inside_floor":$protectedAtHalf,""" +
+      s""""slow_gcd_past_floor":$gcPastFloor,"head_epochs":$floorHeadEpochs}}}""")
     graft.engine.Fs.deleteTree(new java.io.File(scratch))
     spark.stop()
   }

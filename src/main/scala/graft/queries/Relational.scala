@@ -282,6 +282,21 @@ object Relational {
       "q17_theta_join",
       "SELECT count(*) AS cnt FROM part, supplier WHERE p_size > s_suppkey * 4"),
 
+    // q17's semantics through the ORDER-STATISTICS decomposition
+    // ([[graft.engine.OrderStatJoin]]): the monotone theta COUNT never
+    // materializes pairs — cross-bin pairs count from two B-row per-bin
+    // aggregate frames, only the boundary bin pays an exact equi-joined
+    // check. Same oracle as q17: the cartesian plan and the decomposition
+    // must agree to the row.
+    QDef.df("q17b_theta_rank",
+      "SELECT count(*) AS cnt FROM part, supplier WHERE p_size > s_suppkey * 4") {
+      (s, dir) =>
+        Tables.ensure(s, dir)
+        graft.engine.OrderStatJoin.countLess(
+          s.table("part"), col("p_size"),
+          s.table("supplier"), col("s_suppkey") * 4, binW = 16L)
+    },
+
     // the natural range-join SQL, auto-routed: [[graft.plans
     // .RangeJoinBinning]] rewrites the equi+interval join onto the binned
     // plan (q18b's shape) inside the optimizer, so the user's query stops
