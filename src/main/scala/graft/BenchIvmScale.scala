@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   *     pre-delta engine losing at EVERY rung with refresh cost GROWING —
   *     this regime is the fix; below the crossover the loss is bounded
   *     fixed seconds, above it the win is unbounded in table size.)
-  *   - `ivm_rollup` (cross-key view carrying min/max): exact maintenance
-  *     must rescan the snapshot for dirty groups' rows, so refresh wall
-  *     time GROWS with the table and can lose to a plain recompute — the
-  *     measured win is WRITE-side only (`agg_changed_files` stays ~20 of B
-  *     while a recompute rewrites the whole `view_rows` view).
+  *   - `ivm_rollup` (cross-key view carrying min/max): the EXTREMUM-AWARE
+  *     FOLD regime — sums/counts fold as deltas, min/max fold
+  *     monotonically, and only groups whose REMOVED values threaten the
+  *     stored extremum rescan (none in this ladder's change set). The
+  *     stored-row join costs a column-pruned O(view) read, so refresh
+  *     grows with the VIEW (n/10) while recompute grows with the SOURCE
+  *     (n) — `speedup` bends upward with scale (0.17→0.26→0.47 measured
+  *     r13; the r12 recompute regime flatlined ≤0.39) and the asymptote
+  *     is the group-cardinality factor. Write side unchanged:
+  *     `agg_changed_files` stays ~20 of B.
   *   - `ivm_keyed` (groups ⊇ merge keys, with min/max): the recompute scan
   *     itself prunes to changed buckets, so refresh stays O(changed) even
   *     with non-delta-able aggregates.

@@ -4,7 +4,7 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -12,8 +12,8 @@ import org.apache.spark.sql.types.LongType
 /** Incrementally-maintained materialized aggregate over a snapshot table —
   * the "never recompute the world" leg of the table-format family: a
   * downstream GROUP BY is kept in its own [[SnapshotParquetSink]] and
-  * advanced per source version by ONE OF TWO regimes, picked automatically
-  * from the declared aggregates:
+  * advanced per source version by ONE OF THREE regimes, picked
+  * automatically from the declared aggregates:
   *
   *   - **PURE DELTA** ([[deltaRefresh]]) when every aggregate is an
   *     integer SUM or COUNT: per-group deltas fold out of the two
@@ -23,13 +23,25 @@ import org.apache.spark.sql.types.LongType
   *     group-death and all-null-sum semantics exact; integer addition
   *     keeps the folded value bit-equal to a recompute. (Float sums would
   *     drift and decimal sums re-widen — those stay on recompute.)
+  *   - **EXTREMUM-AWARE FOLD** ([[foldRefresh]]) for CROSS-KEY rollups
+  *     where integer MIN/MAX ride alongside delta-able SUM/COUNTs:
+  *     sums/counts fold as above, and an extremum folds monotonically
+  *     (`least`/`greatest` with the new slice's candidate) — which is
+  *     exact UNLESS a REMOVED value ties-or-crosses the stored extremum
+  *     (deleting a group's current `max` leaves a value no arithmetic can
+  *     roll back, and a removed tie has unknowable multiplicity). Exactly
+  *     those groups — typically none — rescan from the source restricted
+  *     to them; everything else is O(changed) + one column-pruned O(view)
+  *     stored-row join, the view being smaller than the source by the
+  *     group-cardinality factor. (KEYED min/max views skip the fold: their
+  *     recompute scan already prunes to changed buckets — O(changed) beats
+  *     the O(view) stored read.)
   *   - **DIRTY-GROUP RECOMPUTE** otherwise — the strategy that stays
-  *     EXACT for arbitrary aggregates: deleting a group's current `max`
-  *     row leaves a delta maintainer with a value no arithmetic can roll
-  *     back, so the groups the change feed touched recompute from the
-  *     source's current snapshot (O(changed groups' rows) with changed-
-  *     bucket pruning for keyed views; one column-pruned scan for
-  *     cross-key rollups carrying `min`/`max`/`count_distinct`).
+  *     EXACT for arbitrary aggregates (float/decimal sums, avg,
+  *     count_distinct, UDAFs): the groups the change feed touched
+  *     recompute from the source's current snapshot (O(changed groups'
+  *     rows) with changed-bucket pruning for keyed views; one
+  *     column-pruned scan for cross-key rollups).
   *
   * The recompute regime per [[refresh]]:
   *   1. a key-level full outer join of the live states at the last applied
@@ -163,12 +175,21 @@ final class MaterializedAgg(
     */
   private case class CountSpec(name: String, condSql: Option[String])
 
-  /** The view qualifies for pure-delta maintenance: every aggregate is a
-    * top-level aliased SUM or COUNT (no DISTINCT, no FILTER) over exact
-    * integer arithmetic. `refs` = source columns the agg inputs read.
+  /** One MIN or MAX the fold regime maintains monotonically: candidates
+    * fold with least/greatest; only a REMOVED value tying the stored
+    * extremum forces a rescan of that group (multiplicity is unknowable
+    * from deltas — two rows may share the extremum).
+    */
+  private case class ExtSpec(name: String, childSql: String)
+
+  /** The view qualifies for arithmetic maintenance: every aggregate is a
+    * top-level aliased SUM, COUNT, MIN or MAX (no DISTINCT, no FILTER)
+    * over exact integer values. `refs` = source columns the agg inputs
+    * read. mins/maxs empty ⇒ the PURE-DELTA regime; non-empty ⇒ the FOLD
+    * regime (extremum-aware, rescans only threatened groups).
     */
   private case class DeltaSpec(sums: Seq[SumSpec], counts: Seq[CountSpec],
-      refs: Seq[String])
+      refs: Seq[String], mins: Seq[ExtSpec] = Nil, maxs: Seq[ExtSpec] = Nil)
 
   /** Analyze the declared aggregates against the source's schema — None
     * unless EVERY aggregate is delta-able. Restricted to LongType results
@@ -188,6 +209,8 @@ final class MaterializedAgg(
       }
       val sums = Seq.newBuilder[SumSpec]
       val counts = Seq.newBuilder[CountSpec]
+      val mins = Seq.newBuilder[ExtSpec]
+      val maxs = Seq.newBuilder[ExtSpec]
       val refs = Seq.newBuilder[String]
       agg.aggregateExpressions.foreach {
         case a: org.apache.spark.sql.catalyst.expressions.Attribute
@@ -198,6 +221,12 @@ final class MaterializedAgg(
               case s: Sum if ae.dataType == LongType =>
                 sums += SumSpec(name, s.child.sql)
                 refs ++= s.child.references.map(_.name)
+              case m: Min if ae.dataType == LongType =>
+                mins += ExtSpec(name, m.child.sql)
+                refs ++= m.child.references.map(_.name)
+              case m: Max if ae.dataType == LongType =>
+                maxs += ExtSpec(name, m.child.sql)
+                refs ++= m.child.references.map(_.name)
               case c: Count =>
                 val nonLit = c.children.filterNot(ch =>
                   ch.foldable && ch.eval(null) != null)
@@ -214,11 +243,13 @@ final class MaterializedAgg(
         }
         case _ => return None
       }
-      val spec = DeltaSpec(sums.result(), counts.result(), refs.result().distinct)
+      val spec = DeltaSpec(sums.result(), counts.result(),
+        refs.result().distinct, mins.result(), maxs.result())
       // round-trip check: every extracted SQL fragment must re-parse and
       // resolve against the source shape, or the view is not delta-able
       val probeSel = spec.sums.map(s => expr(s.childSql)) ++
-        spec.counts.flatMap(_.condSql).map(expr)
+        spec.counts.flatMap(_.condSql).map(expr) ++
+        (spec.mins ++ spec.maxs).map(m => expr(m.childSql))
       if (probeSel.nonEmpty)
         sourceShaped.limit(0).select(probeSel: _*).schema
       Some(spec)
@@ -307,8 +338,18 @@ final class MaterializedAgg(
         // carrying the counters forward iff the table already stores them.
         val deltaReady = spec.isDefined && storedHasHidden(spark)
         val baseRetained0 = source.versions.contains(applied)
-        if (deltaReady && baseRetained0 && srcKeys.nonEmpty)
-          return deltaRefresh(spark, spec.get, applied, srcV, srcKeys)
+        if (deltaReady && baseRetained0 && srcKeys.nonEmpty) {
+          val sp = spec.get
+          if (sp.mins.isEmpty && sp.maxs.isEmpty)
+            return deltaRefresh(spark, sp, applied, srcV, srcKeys)
+          // extremum fold pays a column-pruned O(view) stored-row read —
+          // a win for CROSS-KEY rollups (view ≪ source by the group
+          // cardinality factor) but a REGRESSION for keyed views, whose
+          // recompute path below already prunes its scan to changed
+          // buckets (O(changed) beats O(view) = O(source keys))
+          if (!srcKeys.forall(groupCols.contains))
+            return foldRefresh(spark, sp, applied, srcV, srcKeys)
+        }
         lastRefreshRegime = Some("recompute")
         val extraAggs = if (deltaReady) hiddenAggs(spec.get) else Nil
         // self-healing when the diff base is GONE (the view lagged past the
@@ -575,6 +616,167 @@ final class MaterializedAgg(
         refresh(spark)
     } finally {
       delta.unpersist()
+      ()
+    }
+  }
+
+  /** Extremum-aware FOLD refresh for views carrying MIN/MAX alongside
+    * SUM/COUNT — the regime between pure-delta and dirty-group recompute:
+    *
+    *   1. per-group deltas come from the changed-bucket slices exactly as
+    *      [[deltaRefresh]] (signed images, one GROUP BY), extended with
+    *      per-extremum CANDIDATES (min/max over the NEW side) and REMOVAL
+    *      bounds (min/max over the OLD side — values that left the group).
+    *   2. the stored dirty-group rows join in (a column-pruned read of the
+    *      VIEW — O(view), which for a cross-key rollup is the small side
+    *      by construction; never the source snapshot). Sums/counts fold
+    *      arithmetically; extremums fold monotonically:
+    *      `min' = least(stored, candidate)` is exact UNLESS a removed
+    *      value ties-or-crosses the stored extremum — multiplicity is
+    *      unknowable from deltas (two rows may share the min), so exactly
+    *      those groups are AT RISK.
+    *   3. at-risk groups (typically none: most changes don't touch a
+    *      group's extremum) recompute from the source snapshot restricted
+    *      to them — the only O(source-scan) step, skipped entirely when
+    *      the at-risk set is empty.
+    *   4. one guarded merge ([[SnapshotParquetSink.mergeGuarded]]) ships
+    *      the ABSOLUTE folded rows; a concurrent refresher moving the
+    *      applied head throws FoldBaseConflict and this refresh re-reads
+    *      and retries (same protocol as the delta regime).
+    *
+    * Exactness: sums/counts are the delta regime's integer arithmetic;
+    * extremums are either monotone folds (provably equal to a recompute
+    * when no removal threatens) or actual recomputes. Group death
+    * (`__rows` = 0) tombstones; rebirth folds from nothing.
+    */
+  private def foldRefresh(spark: SparkSession, spec: DeltaSpec,
+      applied: Long, srcV: Long, srcKeys: Seq[String]): Option[Long] = {
+    lastRefreshRegime = Some("fold")
+    val oldSlice = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
+    val newSlice = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
+    val exts = spec.mins.map(("mn", _)) ++ spec.maxs.map(("mx", _))
+    def side(part: Option[DataFrame], marker: String): DataFrame = {
+      val rows = part.getOrElse(
+        source.readAt(spark, srcV, DeleteMode.Hard).filter(lit(false)))
+      rows.select(
+        srcKeys.map(k => col(k).as(s"__k_$k")) ++
+          Seq(col(seqCol).as("__seq")) ++
+          groupCols.map(g => col(g).as(s"__g_$g")) ++
+          spec.sums.zipWithIndex.map { case (s, i) =>
+            expr(s.childSql).as(s"__v$i") } ++
+          spec.counts.zipWithIndex.map { case (c, i) =>
+            (c.condSql match {
+              case None      => lit(1L)
+              case Some(sql) => when(expr(sql), 1L).otherwise(0L)
+            }).as(s"__c$i") } ++
+          exts.zipWithIndex.map { case ((_, e), i) =>
+            expr(e.childSql).as(s"__e$i") } :+
+          lit(true).as(marker): _*)
+    }
+    val a = side(oldSlice, "__pa")
+    val b = side(newSlice, "__pb")
+    val keyCond = srcKeys.map(k => a(s"__k_$k") <=> b(s"__k_$k")).reduce(_ && _)
+    val changed = a.join(b, keyCond, "full_outer")
+      .filter(a("__pa").isNull || b("__pb").isNull ||
+        !(a("__seq") <=> b("__seq")))
+    val valueFields = groupCols.map(g => s"__g_$g") ++
+      spec.sums.indices.map(i => s"__v$i") ++
+      spec.counts.indices.map(i => s"__c$i") ++
+      exts.indices.map(i => s"__e$i")
+    def image(s: DataFrame, marker: String, w: Long) =
+      when(s(marker).isNotNull,
+        struct(lit(w).as("__w") +: valueFields.map(f => s(f).as(f)): _*))
+    val signed = changed
+      .select(explode(array(image(a, "__pa", -1L), image(b, "__pb", 1L))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.__w").as("__w") +: valueFields.map(f => col(s"r.$f").as(f)): _*)
+    val dAggCols =
+      Seq(sum(col("__w")).as("__drows")) ++
+        spec.sums.zipWithIndex.flatMap { case (_, i) => Seq(
+          sum(when(col(s"__v$i").isNotNull,
+            when(col("__w") === 1L, col(s"__v$i")).otherwise(-col(s"__v$i"))))
+            .as(s"__dv$i"),
+          sum(when(col(s"__v$i").isNotNull, col("__w")).otherwise(0L))
+            .as(s"__dnn$i")) } ++
+        spec.counts.indices.map(i =>
+          sum(col(s"__c$i") * col("__w")).as(s"__dc$i")) ++
+        exts.zipWithIndex.flatMap { case ((kind, _), i) =>
+          val agg: Column => Column = if (kind == "mn") min else max
+          Seq(
+            agg(when(col("__w") === 1L, col(s"__e$i"))).as(s"__cand$i"),
+            agg(when(col("__w") === -1L, col(s"__e$i"))).as(s"__rem$i")) }
+    val deltas = signed.groupBy(groupCols.map(g => col(s"__g_$g")): _*)
+      .agg(dAggCols.head, dAggCols.tail: _*)
+      .select((groupCols.map(g => col(s"__g_$g").as(g)) ++
+        Seq(col("__drows")) ++
+        spec.sums.indices.flatMap(i => Seq(col(s"__dv$i"), col(s"__dnn$i"))) ++
+        spec.counts.indices.map(i => col(s"__dc$i")) ++
+        exts.indices.flatMap(i => Seq(col(s"__cand$i"), col(s"__rem$i")))): _*)
+
+    // stored dirty-group state: the delta frame (O(dirty groups), tiny)
+    // drives a left join against the live VIEW — column-pruned O(view),
+    // never O(source). Dead/absent groups fold from nothing.
+    val stored = sink.read(spark, DeleteMode.Hard).alias("st")
+    val d = deltas.alias("d")
+    val j = d.join(stored, groupCols.map(g =>
+      col(s"d.$g") <=> col(s"st.$g")).reduce(_ && _), "left_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hasStored = col("st.__rows").isNotNull
+      val rowsF = coalesce(col("st.__rows"), lit(0L)) + col("__drows")
+      val atRiskCond = hasStored && (rowsF > 0L) && exts.zipWithIndex.map {
+        case ((kind, e), i) =>
+          val rem = col(s"__rem$i"); val st = col(s"st.${e.name}")
+          if (kind == "mn") rem.isNotNull && st.isNotNull && rem <= st
+          else rem.isNotNull && st.isNotNull && rem >= st
+      }.reduce(_ || _)
+      val risk = j.filter(atRiskCond)
+        .select(groupCols.map(g => col(s"d.$g").as(g)): _*)
+      // the at-risk set is a subset of the ~dirty groups — a bounded count
+      val nRisk = risk.count()
+      val foldedCols =
+        groupCols.map(g => col(s"d.$g").as(g)) ++
+          spec.sums.zipWithIndex.flatMap { case (s, i) =>
+            val nnF = coalesce(col(s"st.__nn_${s.name}"), lit(0L)) + col(s"__dnn$i")
+            val rawF = coalesce(col(s"st.${s.name}"), lit(0L)) + coalesce(col(s"__dv$i"), lit(0L))
+            Seq(when(nnF === 0L, lit(null).cast(LongType)).otherwise(rawF).as(s.name),
+              nnF.as(s"__nn_${s.name}")) } ++
+          spec.counts.zipWithIndex.map { case (c, i) =>
+            (coalesce(col(s"st.${c.name}"), lit(0L)) + col(s"__dc$i")).as(c.name) } ++
+          exts.zipWithIndex.map { case ((kind, e), i) =>
+            val cand = col(s"__cand$i"); val st = col(s"st.${e.name}")
+            (if (kind == "mn") least(st, cand) else greatest(st, cand)).as(e.name) } ++
+          Seq(rowsF.as("__rows"), (rowsF === 0L).as("__del"), lit(srcV).as("seq"))
+      val safe = j.filter(!atRiskCond).select(foldedCols: _*)
+      val batch =
+        if (nRisk == 0L) safe
+        else {
+          val snap = source.readAt(spark, srcV, DeleteMode.Hard)
+          val touched = snap.join(broadcast(risk),
+            groupCols.map(g => snap(g) <=> risk(g)).reduce(_ && _), "left_semi")
+          val rec = groupedWith(touched, hiddenAggs(spec))
+            .withColumn("__del", lit(false))
+            .withColumn("seq", lit(srcV))
+          // at-risk ⇒ rows remain (rowsF > 0), so the recompute covers
+          // every risk group; unionByName aligns the two column orders
+          safe.unionByName(rec.select(safe.columns.map(col).toIndexedSeq: _*))
+        }
+      val materialized = batch
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink.mergeGuarded(materialized, groupCols, "seq", "__del", Some(applied))
+        Some(srcV)
+      } catch {
+        case _: SnapshotParquetSink.FoldBaseConflict =>
+          // another refresher advanced the view while these ABSOLUTE rows
+          // were computed from the old head — re-read and go again
+          refresh(spark)
+      } finally {
+        materialized.unpersist()
+        ()
+      }
+    } finally {
+      j.unpersist()
       ()
     }
   }

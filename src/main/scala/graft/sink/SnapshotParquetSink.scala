@@ -878,6 +878,19 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       reduce: DataFrame => DataFrame): Unit =
     mergeImpl(batch, keys, seqCol, isDeleteCol, Some(reduce), requireBaseSeq)
 
+  /** [[merge]] under the optimistic applied-head guard: throws
+    * [[SnapshotParquetSink.FoldBaseConflict]] when the table's recorded
+    * maxseq moved off `requireBaseSeq` — for callers whose batch carries
+    * ABSOLUTE values computed FROM the stored state at that head (a moved
+    * head means another writer advanced the state; last-write-wins over
+    * stale absolutes would silently lose its update). Delta-shaped twins
+    * combine inside the rewrite instead ([[mergeFold]]); absolute twins
+    * catch the conflict and retry from a re-read.
+    */
+  def mergeGuarded(batch: DataFrame, keys: Seq[String], seqCol: String,
+      isDeleteCol: String, requireBaseSeq: Option[Long]): Unit =
+    mergeImpl(batch, keys, seqCol, isDeleteCol, None, requireBaseSeq)
+
   private def mergeImpl(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String, reduceOpt: Option[DataFrame => DataFrame],
       requireBaseSeq: Option[Long]): Unit = synchronized {

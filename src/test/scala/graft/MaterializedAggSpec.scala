@@ -413,13 +413,15 @@ class MaterializedAggSpec extends SparkSpec {
     assert(maintainedDelta(m) == Set(("a", 2L, 12L, 2L), ("c", 1L, 7L, 1L)))
   }
 
-  test("min/max and non-integer sums stay on the recompute regime") {
-    val (src, m) = mk("nrg") // view carries min/max
+  test("fold regime: min/max views fold monotonically; non-integer sums stay on recompute") {
+    val (src, m) = mk("nrg") // view carries count/sum/min/max
     src.merge(rows((1, "a", 10, 1)), Seq("id"), "seq", "__del")
     m.refresh(spark)
+    // an insert that touches neither extremum direction adversarially
     src.merge(rows((2, "a", 20, 2)), Seq("id"), "seq", "__del")
     m.refresh(spark)
-    assert(m.lastRefreshRegime == Some("recompute"))
+    assert(m.lastRefreshRegime == Some("fold"),
+      s"min/max view must take the extremum-aware fold: ${m.lastRefreshRegime}")
     assert(maintained(m) == direct(src))
 
     // double sum: delta arithmetic would drift — must recompute
@@ -432,6 +434,73 @@ class MaterializedAggSpec extends SparkSpec {
     src2.merge(rows((2, "a", 20, 2)), Seq("id"), "seq", "__del")
     md.refresh(spark)
     assert(md.lastRefreshRegime == Some("recompute"))
+  }
+
+  test("fold regime: deleting the current min/max rescans exactly (the at-risk path)") {
+    val (src, m) = mk("fext")
+    src.merge(rows((1, "a", 10, 1), (2, "a", 20, 2), (3, "a", 30, 3),
+      (4, "b", 7, 4)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // delete the group's MIN row: a monotone fold cannot roll 10 back —
+    // the at-risk rescan must land min=20 exactly
+    src.merge(dels(5, 1), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    assert(maintained(m).find(_._1 == "a").get._4 == 20L)
+    // delete the MAX row too
+    src.merge(dels(6, 3), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(maintained(m) == direct(src))
+    assert(maintained(m).find(_._1 == "a").get._5 == 20L)
+  }
+
+  test("fold regime: a removed value TYING the extremum rescans (multiplicity is unknowable)") {
+    val (src, m) = mk("ftie")
+    // two rows share the min value 5 — deleting ONE must keep min=5
+    src.merge(rows((1, "a", 5, 1), (2, "a", 5, 2), (3, "a", 9, 3)),
+      Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    src.merge(dels(4, 1), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    assert(maintained(m).find(_._1 == "a").get._4 == 5L)
+  }
+
+  test("fold regime: updates moving a value across the extremum stay exact") {
+    val (src, m) = mk("fupd")
+    src.merge(rows((1, "a", 10, 1), (2, "a", 20, 2)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // LOWER a non-extremum row below the min: pure monotone fold (no risk)
+    src.merge(rows((2, "a", 3, 3)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    assert(maintained(m).find(_._1 == "a").get._4 == 3L)
+    // RAISE the min row's value: removal ties the stored min → rescan
+    src.merge(rows((2, "a", 50, 4)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(maintained(m) == direct(src))
+    val a = maintained(m).find(_._1 == "a").get
+    assert(a._4 == 10L && a._5 == 50L)
+  }
+
+  test("fold regime: group death, rebirth, and a row moving between groups") {
+    val (src, m) = mk("fmov")
+    src.merge(rows((1, "a", 10, 1), (2, "b", 20, 2)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // move row 1 from group a to group b: a dies, b's extremums change
+    src.merge(rows((1, "b", 10, 3)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    assert(!maintained(m).exists(_._1 == "a"), "emptied group must vanish")
+    // rebirth: group a returns with fresh extremums
+    src.merge(rows((9, "a", 77, 4)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(maintained(m) == direct(src))
+    assert(maintained(m).find(_._1 == "a").get._4 == 77L)
   }
 
   test("delta regime: user aggregates may not use the __ namespace") {
