@@ -65,7 +65,7 @@ object OrderStatJoin {
       .join(r.alias("r"), col("l.bin") === col("r.bin") &&
         col("r.v") < col("l.v"))
       .agg(count(lit(1)).as("within"))
-    cross.crossJoin(within) // 1 row × 1 row
+    cross.crossJoin(broadcast(within)) // 1 row × 1 row
       .select((col("cross") + col("within")).as("cnt"))
   }
 }

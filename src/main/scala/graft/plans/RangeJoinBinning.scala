@@ -90,12 +90,17 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-    // lower bound: rTs > lTs (strict) or rTs >= lTs, in either written
-    // orientation; both sides must be bare attributes of a binnable type
-    def asLower(e: Expression): Option[(Attribute, Attribute, Boolean)] = {
+    // lower bound: probe > base (strict) or probe >= base, in either
+    // written orientation; both sides must be bare attributes of a
+    // binnable type. `baseLeft` names which JOIN CHILD holds the window
+    // BASE (the side that explodes to its window's bins) — the pattern is
+    // written both ways in the wild (`b.ts > a.ts AND b.ts <= a.ts + W`
+    // vs `a.ts > b.ts AND a.ts <= b.ts + W`).
+    def asLower(e: Expression,
+        baseLeft: Boolean): Option[(Attribute, Attribute, Boolean)] = {
       def mk(l: Expression, r: Expression, strict: Boolean) = (l, r) match {
         case (la: Attribute, ra: Attribute)
-            if sideOf(la).contains(true) && sideOf(ra).contains(false) &&
+            if sideOf(la).contains(baseLeft) && sideOf(ra).contains(!baseLeft) &&
               binnableType(la.dataType) && la.dataType == ra.dataType =>
           Some((la, ra, strict))
         case _ => None
@@ -139,11 +144,13 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-    // upper bound: rTs <= lTs + W (or <, or flipped orientation)
-    def asUpper(e: Expression): Option[(Attribute, Attribute, Long)] = {
+    // upper bound: probe <= base + W (or <, or flipped orientation)
+    def asUpper(e: Expression,
+        baseLeft: Boolean): Option[(Attribute, Attribute, Long)] = {
       def mk(r: Expression, shifted: Expression) = (r, asShifted(shifted)) match {
         case (ra: Attribute, Some((la, w)))
-            if sideOf(ra).contains(false) && sideOf(la).contains(true) && w > 0L =>
+            if sideOf(ra).contains(!baseLeft) && sideOf(la).contains(baseLeft) &&
+              w > 0L =>
           Some((la, ra, w))
         case _ => None
       }
@@ -156,17 +163,22 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
-    val lowers = conjuncts.flatMap(asLower)
-    val uppers = conjuncts.flatMap(asUpper)
-    // the first lower/upper pair over the SAME (left, right) attributes
-    val hit = lowers.flatMap { case (la, ra, strict) =>
-      uppers.collectFirst {
-        case (la2, ra2, w) if la2.semanticEquals(la) && ra2.semanticEquals(ra) =>
-          (la, ra, strict, w)
-      }
-    }.headOption
+    // the first lower/upper pair over the SAME (base, probe) attributes,
+    // trying the base on the left child first, then mirrored
+    def hitFor(baseLeft: Boolean): Option[(Attribute, Attribute, Boolean, Long)] = {
+      val lowers = conjuncts.flatMap(asLower(_, baseLeft))
+      val uppers = conjuncts.flatMap(asUpper(_, baseLeft))
+      lowers.flatMap { case (la, ra, strict) =>
+        uppers.collectFirst {
+          case (la2, ra2, w) if la2.semanticEquals(la) && ra2.semanticEquals(ra) =>
+            (la, ra, strict, w)
+        }
+      }.headOption
+    }
+    val hit = hitFor(baseLeft = true).map((_, true))
+      .orElse(hitFor(baseLeft = false).map((_, false)))
 
-    hit.map { case (lTs, rTs, strictLower, windowUs) =>
+    hit.map { case ((lTs, rTs, strictLower, windowUs), baseLeft) =>
       // integer micro image of the bound column: UnixMicros for
       // timestamps (exact internal micros), identity for integrals
       def us(a: Attribute): Expression = a.dataType match {
@@ -190,16 +202,22 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       // TimeZoneAware — unresolved until a zone is bound (inert for longs)
       val gen = Explode(Sequence(lo, hi, Some(Literal(1L, LongType)),
         Some(conf.sessionLocalTimeZone)))
-      val binL = AttributeReference(s"${BinPrefix}_l",
+      val binBase = AttributeReference(s"${BinPrefix}_l",
         LongType, nullable = gen.elementSchema.head.nullable)()
-      val newLeft = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(binL), child = j.left)
-      val binRAlias = Alias(floorDiv(us(rTs), w), s"${BinPrefix}_r")()
-      val newRight = Project(j.right.output :+ binRAlias, j.right)
-      val newCond = And(cond, EqualTo(binL, binRAlias.toAttribute))
+      val baseChild = if (baseLeft) j.left else j.right
+      val probeChild = if (baseLeft) j.right else j.left
+      val exploded = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(binBase), child = baseChild)
+      val binProbe = Alias(floorDiv(us(rTs), w), s"${BinPrefix}_r")()
+      val projected = Project(probeChild.output :+ binProbe, probeChild)
+      val newCond = And(cond, EqualTo(binBase, binProbe.toAttribute))
+      val rewritten =
+        if (baseLeft) j.copy(left = exploded, right = projected,
+          condition = Some(newCond))
+        else j.copy(left = projected, right = exploded,
+          condition = Some(newCond))
       // original output, original attr ids — parents never see the bins
-      Project(j.output,
-        j.copy(left = newLeft, right = newRight, condition = Some(newCond)))
+      Project(j.output, rewritten)
     }
   }
 }

@@ -92,6 +92,27 @@ class RangeJoinBinningSpec extends SparkSpec {
     assert(on == off)
   }
 
+  test("mirrored orientation (window base on the RIGHT table) rewrites and agrees") {
+    Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:20:00"),
+      (1L, "2024-01-01 00:59:59"), (1L, "2024-01-01 01:00:00"),
+      (2L, "2024-01-01 00:30:00"), (2L, "2024-01-01 01:29:59"))
+      .toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("rjb_m")
+    // same semantics as the canonical form, roles swapped: the LEFT row is
+    // the probe, the RIGHT row holds the window base
+    val q =
+      """SELECT a.k, unix_micros(a.ts) AS a_us, unix_micros(b.ts) AS b_us
+        |FROM rjb_m a JOIN rjb_m b
+        |  ON a.k = b.k AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 1 HOUR""".stripMargin
+    val on = withRule(enabled = true) {
+      val df = spark.sql(q)
+      assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    val off = withRule(enabled = false)(resultOf(q))
+    assert(on == off && on.nonEmpty)
+  }
+
   test("no rewrite without an equi key, or for month-bearing intervals") {
     Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:20:00"))
       .toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
