@@ -70,12 +70,37 @@ object BenchStreamScale {
           .merge(table(1L, 2L), Seq("id"), "seq", "__del")
         val catchupSec = timed(q.processAllAvailable())
         lastRows = q.recentProgress.map(_.numInputRows).filter(_ > 0L).last
-        n -> (nBuckets, initialSec, catchupSec, lastRows)
+        q.stop(); q.awaitTermination()
+        // RESTART-CAP leg (round 13, the admission-control claim): the
+        // stream is DOWN across 5 one-key commits, then restarts with
+        // maxVersionsPerTrigger=1 under AvailableNow — the catch-up must
+        // arrive as one bounded slice per version (the V1-only seam
+        // caught up as ONE unbounded batch), then self-terminate
+        val up = SnapshotParquetSink.forTable(upDir)
+        (3L to 7L).foreach(s => up.merge(table(1L, s), Seq("id"), "seq", "__del"))
+        val q2 = spark.readStream.format("graft-snapshot-stream")
+          .option("maxVersionsPerTrigger", "1").load(upDir)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty)
+              SnapshotParquetSink.forTable(downDir)
+                .merge(b, Seq("id"), "seq", "is_deleted")
+            ()
+          }
+          .start()
+        val restartSec = timed { assert(q2.awaitTermination(300000)) }
+        val sizes = q2.recentProgress.map(_.numInputRows).filter(_ > 0L)
+        n -> (nBuckets, initialSec, catchupSec, lastRows,
+          restartSec, sizes.length, if (sizes.isEmpty) 0L else sizes.max)
       } finally { q.stop(); q.awaitTermination() }
     }
-    val body = rungs.map { case (n, (b, init, cu, rows)) =>
+    val body = rungs.map { case (n, (b, init, cu, rows, rs, rb, rmax)) =>
       s""""$n":{"nbuckets":$b,"initial_sec":${num(init)},""" +
-        s""""catchup_sec":${num(cu)},"catchup_rows":$rows}"""
+        s""""catchup_sec":${num(cu)},"catchup_rows":$rows,""" +
+        s""""restart_capped_sec":${num(rs)},"restart_batches":$rb,""" +
+        s""""restart_max_batch_rows":$rmax}"""
     }.mkString(",")
     println(s"""{"stream":{$body}}""")
     graft.engine.Fs.deleteTree(new java.io.File(scratch))

@@ -486,6 +486,43 @@ class MaterializedAggSpec extends SparkSpec {
     assert(a._4 == 10L && a._5 == 50L)
   }
 
+  test("arithmetic regimes: CONCURRENT refreshers apply exactly once (FoldBaseConflict retry)") {
+    // two independent handles over the same view race a refresh of the
+    // same source commit: the guarded merge (mergeFold for deltas,
+    // mergeGuarded for fold absolutes) must refuse the loser's stale
+    // write — double-applying a delta, or last-write-winning a stale
+    // absolute, would corrupt the view silently
+    for ((tag, withExt) <- Seq(("delta", false), ("fold", true))) {
+      val srcDir = tmpDir(s"magg_race_${tag}_src")
+      val aggDir = tmpDir(s"magg_race_${tag}_agg")
+      val aggsOf = if (withExt)
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      else Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val src = new SnapshotParquetSink(srcDir, nBuckets = 4)
+      val m1 = new MaterializedAgg(src, new SnapshotParquetSink(aggDir, 4),
+        Seq("grp"), aggsOf)
+      src.merge(rows((1, "a", 10, 1), (2, "b", 20, 2)), Seq("id"), "seq", "__del")
+      m1.refresh(spark)
+      // a second commit, then two refreshers race it
+      src.merge(rows((3, "a", 5, 3), (2, "b", 25, 4)), Seq("id"), "seq", "__del")
+      val m2 = new MaterializedAgg(SnapshotParquetSink.forTable(srcDir),
+        SnapshotParquetSink.forTable(aggDir), Seq("grp"), aggsOf)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(m1, m2).map(m => new Thread(() =>
+        try { m.refresh(spark); () } catch { case t: Throwable => errs.add(t); () }))
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      assert(errs.isEmpty, s"$tag: refresher crashed: ${errs.peek()}")
+      val got = m1.read(spark).select("grp", "n", "sv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = src.read(spark, DeleteMode.Hard).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"$tag: raced refresh diverged: $got vs $want")
+      assert(m1.appliedVersion == Some(1L), s"$tag: ${m1.appliedVersion}")
+    }
+  }
+
   test("fold regime: group death, rebirth, and a row moving between groups") {
     val (src, m) = mk("fmov")
     src.merge(rows((1, "a", 10, 1), (2, "b", 20, 2)), Seq("id"), "seq", "__del")
