@@ -27,15 +27,19 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * (each qualifying pair meets in exactly one bin: the right row's), only
   * the join granularity shrinks from "key" to "key × time-bin".
   *
-  * Matched shape (conjuncts in any order, extra conjuncts preserved):
+  * Matched shape (conjuncts in any order, extra conjuncts preserved; the
+  * window BASE may sit on either join child — both orientations rewrite):
   *   - ≥ 1 equi conjunct `leftAttr = rightAttr` (either orientation);
-  *   - a lower bound `rTs > lTs` / `rTs >= lTs` (or flipped), both plain
-  *     attributes of TIMESTAMP or integral type;
-  *   - an upper bound `rTs <= lTs + W` / `rTs < lTs + W` (or flipped)
-  *     over the SAME pair, with `W` a foldable positive constant:
-  *     a day-time interval, a calendar interval with zero months/days
-  *     (month/day arithmetic is not a constant micro offset), or an
-  *     integral literal for numeric bound columns.
+  *   - a lower bound `probe > base + S_lo` / `>=` (S_lo any constant
+  *     offset, 0 for the bare-attribute form) and an upper bound
+  *     `probe <= base + S_hi` / `<` over the SAME attribute pair with
+  *     `S_hi > S_lo`, both attributes of TIMESTAMP or integral type.
+  *     Offsets are day-time intervals, zero-month/zero-day calendar
+  *     intervals (month/day arithmetic is not a constant micro offset),
+  *     or integral literals — so one-sided windows
+  *     (`b.ts > a.ts AND b.ts <= a.ts + W`) and symmetric proximity
+  *     bands (`b.ts > a.ts - W AND b.ts <= a.ts + W`) both normalize to
+  *     a `(base + S_lo, base + S_hi]` window of width `S_hi − S_lo`.
   *
   * Off-switch: `spark.graft.rangeJoinBinning.enabled = false` (default on).
   * Idempotent under the fixpoint optimizer batch: rewritten joins carry
@@ -90,30 +94,6 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-    // lower bound: probe > base (strict) or probe >= base, in either
-    // written orientation; both sides must be bare attributes of a
-    // binnable type. `baseLeft` names which JOIN CHILD holds the window
-    // BASE (the side that explodes to its window's bins) — the pattern is
-    // written both ways in the wild (`b.ts > a.ts AND b.ts <= a.ts + W`
-    // vs `a.ts > b.ts AND a.ts <= b.ts + W`).
-    def asLower(e: Expression,
-        baseLeft: Boolean): Option[(Attribute, Attribute, Boolean)] = {
-      def mk(l: Expression, r: Expression, strict: Boolean) = (l, r) match {
-        case (la: Attribute, ra: Attribute)
-            if sideOf(la).contains(baseLeft) && sideOf(ra).contains(!baseLeft) &&
-              binnableType(la.dataType) && la.dataType == ra.dataType =>
-          Some((la, ra, strict))
-        case _ => None
-      }
-      e match {
-        case GreaterThan(r, l)        => mk(l, r, strict = true)
-        case LessThan(l, r)           => mk(l, r, strict = true)
-        case GreaterThanOrEqual(r, l) => mk(l, r, strict = false)
-        case LessThanOrEqual(l, r)    => mk(l, r, strict = false)
-        case _ => None
-      }
-    }
-
     // strip the no-op cast the ANALYZED plan carries around
     // `ts + day-time-interval` (the optimizer's SimplifyCasts removes it,
     // but rule order within the fixpoint batch is not guaranteed)
@@ -128,8 +108,12 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-    // `lTs + W` with W a constant positive micro/integral offset
+    // `base + S` with S a constant SIGNED micro/integral offset — a bare
+    // binnable attribute reads as shift 0, so symmetric proximity bands
+    // (`r > l - W AND r <= l + W`) normalize the same way as one-sided
+    // windows
     def asShifted(e: Expression): Option[(Attribute, Long)] = uncast(e) match {
+      case a: Attribute if binnableType(a.dataType) => Some((a, 0L))
       case TimestampAddInterval(a: Attribute,
           Literal(us: Long, _: DayTimeIntervalType), _) =>
         Some((a, us))
@@ -141,44 +125,76 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         Some((a, v.toString.toLong))
       case Add(Literal(v, dt), a: Attribute, _) if integral(dt) =>
         Some((a, v.toString.toLong))
+      case Subtract(a: Attribute, Literal(v, dt), _) if integral(dt) =>
+        Some((a, -v.toString.toLong))
       case _ => None
     }
 
-    // upper bound: probe <= base + W (or <, or flipped orientation)
-    def asUpper(e: Expression,
-        baseLeft: Boolean): Option[(Attribute, Attribute, Long)] = {
-      def mk(r: Expression, shifted: Expression) = (r, asShifted(shifted)) match {
-        case (ra: Attribute, Some((la, w)))
-            if sideOf(ra).contains(!baseLeft) && sideOf(la).contains(baseLeft) &&
-              w > 0L =>
-          Some((la, ra, w))
-        case _ => None
-      }
+    // lower bound: probe > base + S_lo (strict) or >= — in either written
+    // orientation. `baseLeft` names which JOIN CHILD holds the window BASE
+    // (the side that explodes to its window's bins); the pattern is
+    // written both ways in the wild.
+    def asLower(e: Expression,
+        baseLeft: Boolean): Option[(Attribute, Attribute, Boolean, Long)] = {
+      def mk(b: Expression, p: Expression, strict: Boolean) =
+        (asShifted(b), p) match {
+          case (Some((ba, s)), pa: Attribute)
+              if sideOf(ba).contains(baseLeft) && sideOf(pa).contains(!baseLeft) &&
+                binnableType(ba.dataType) && ba.dataType == pa.dataType =>
+            Some((ba, pa, strict, s))
+          case _ => None
+        }
       e match {
-        case LessThanOrEqual(r, s)    => mk(r, s)
-        case LessThan(r, s)           => mk(r, s)
-        case GreaterThanOrEqual(s, r) => mk(r, s)
-        case GreaterThan(s, r)        => mk(r, s)
+        case GreaterThan(p, b)        => mk(b, p, strict = true)
+        case LessThan(b, p)           => mk(b, p, strict = true)
+        case GreaterThanOrEqual(p, b) => mk(b, p, strict = false)
+        case LessThanOrEqual(b, p)    => mk(b, p, strict = false)
         case _ => None
       }
     }
 
-    // the first lower/upper pair over the SAME (base, probe) attributes,
-    // trying the base on the left child first, then mirrored
-    def hitFor(baseLeft: Boolean): Option[(Attribute, Attribute, Boolean, Long)] = {
+    // upper bound: probe <= base + S_hi (or <, or flipped orientation).
+    // A strict upper keeps hi = floorDiv(base + S_hi, w): the bin range
+    // only has to COVER qualifying probes, the exact predicate re-checks.
+    def asUpper(e: Expression,
+        baseLeft: Boolean): Option[(Attribute, Attribute, Long)] = {
+      def mk(p: Expression, b: Expression) = (p, asShifted(b)) match {
+        case (pa: Attribute, Some((ba, s)))
+            if sideOf(pa).contains(!baseLeft) && sideOf(ba).contains(baseLeft) &&
+              binnableType(ba.dataType) && ba.dataType == pa.dataType =>
+          Some((ba, pa, s))
+        case _ => None
+      }
+      e match {
+        case LessThanOrEqual(p, b)    => mk(p, b)
+        case LessThan(p, b)           => mk(p, b)
+        case GreaterThanOrEqual(b, p) => mk(p, b)
+        case GreaterThan(b, p)        => mk(p, b)
+        case _ => None
+      }
+    }
+
+    // the first lower/upper pair over the SAME (base, probe) attributes
+    // with a positive window S_hi − S_lo, trying the base on the left
+    // child first, then mirrored. (The degenerate S_hi == S_lo band is an
+    // equality in disguise; non-positive windows never match a row.)
+    def hitFor(baseLeft: Boolean): Option[(Attribute, Attribute, Boolean, Long, Long)] = {
       val lowers = conjuncts.flatMap(asLower(_, baseLeft))
       val uppers = conjuncts.flatMap(asUpper(_, baseLeft))
-      lowers.flatMap { case (la, ra, strict) =>
+      lowers.flatMap { case (ba, pa, strict, sLo) =>
         uppers.collectFirst {
-          case (la2, ra2, w) if la2.semanticEquals(la) && ra2.semanticEquals(ra) =>
-            (la, ra, strict, w)
+          case (ba2, pa2, sHi)
+              if ba2.semanticEquals(ba) && pa2.semanticEquals(pa) &&
+                sHi > sLo =>
+            (ba, pa, strict, sLo, sHi)
         }
       }.headOption
     }
     val hit = hitFor(baseLeft = true).map((_, true))
       .orElse(hitFor(baseLeft = false).map((_, false)))
 
-    hit.map { case ((lTs, rTs, strictLower, windowUs), baseLeft) =>
+    hit.map { case ((lTs, rTs, strictLower, shiftLo, shiftHi), baseLeft) =>
+      val windowUs = shiftHi - shiftLo
       // integer micro image of the bound column: UnixMicros for
       // timestamps (exact internal micros), identity for integrals
       def us(a: Attribute): Expression = a.dataType match {
@@ -192,11 +208,15 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         val wl = Literal(w, LongType)
         IntegralDivide(Subtract(a, Pmod(a, wl)), wl)
       }
-      val w = windowUs // bin width = window: 1-2 bins per left row
+      val w = windowUs // bin width = window: 1-2 bins per base row
       val lUs = us(lTs)
       val adj = if (strictLower) 1L else 0L
-      val lo = floorDiv(Add(lUs, Literal(adj, LongType)), w)
-      val hi = floorDiv(Add(lUs, Literal(w, LongType)), w)
+      // window ends are base + shiftLo .. base + shiftHi (shiftLo = 0 for
+      // the canonical one-sided form, negative for proximity bands):
+      // qualifying probes fall in bins [floor((base+S_lo+adj)/w),
+      // floor((base+S_hi)/w)] — at most 2 bins since S_hi−S_lo = w
+      val lo = floorDiv(Add(lUs, Literal(shiftLo + adj, LongType)), w)
+      val hi = floorDiv(Add(lUs, Literal(shiftHi, LongType)), w)
       // explicit step: sequence(a, b) auto-picks direction; lo <= hi holds
       // (w >= adj), but the step must never silently flip. Sequence is
       // TimeZoneAware — unresolved until a zone is bound (inert for longs)

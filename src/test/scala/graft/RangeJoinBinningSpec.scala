@@ -113,6 +113,43 @@ class RangeJoinBinningSpec extends SparkSpec {
     assert(on == off && on.nonEmpty)
   }
 
+  test("symmetric proximity band (r within ±W of l) rewrites and agrees") {
+    // the "events within W of each other" shape: the lower bound is a
+    // SHIFTED base (l.ts - W), normalizing to a (base-W, base+W] window
+    Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:29:59"),
+      (1L, "2024-01-01 00:30:00"), (1L, "2024-01-01 01:00:00"),
+      (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 00:15:00"),
+      (2L, "2024-01-01 00:44:59"), (2L, "2024-01-01 00:45:00"))
+      .toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("rjb_band")
+    val q =
+      """SELECT a.k, unix_micros(a.ts) AS a_us, unix_micros(b.ts) AS b_us
+        |FROM rjb_band a JOIN rjb_band b
+        |  ON a.k = b.k AND b.ts > a.ts - INTERVAL 30 MINUTE
+        | AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+    val on = withRule(enabled = true) {
+      val df = spark.sql(q)
+      assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    val off = withRule(enabled = false)(resultOf(q))
+    assert(on == off && on.nonEmpty)
+    // numeric band via explicit +/- literals
+    Seq((1L, 0L), (1L, 9L), (1L, 10L), (1L, 11L), (1L, 30L))
+      .toDF("k", "pos").createOrReplaceTempView("rjb_nband")
+    val qn =
+      """SELECT a.k, a.pos AS a_pos, b.pos AS b_pos
+        |FROM rjb_nband a JOIN rjb_nband b
+        |  ON a.k = b.k AND b.pos >= a.pos - 10 AND b.pos < a.pos + 10""".stripMargin
+    val onN = withRule(enabled = true) {
+      val df = spark.sql(qn)
+      assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    val offN = withRule(enabled = false)(resultOf(qn))
+    assert(onN == offN && onN.nonEmpty)
+  }
+
   test("no rewrite without an equi key, or for month-bearing intervals") {
     Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:20:00"))
       .toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
