@@ -384,6 +384,41 @@ object Relational {
           sum(col("aid") + col("bid")).cast("bigint").as("id_sum"))
     },
 
+    // symmetric proximity band ("other events within ±30 min of this
+    // one") — the SHIFTED-lower-bound shape [[graft.plans
+    // .RangeJoinBinning]] normalizes to a (base−W, base+W] window; the
+    // guard fails CORRECTNESS if the auto-binning ever stops engaging on
+    // bands (q18's guard covers only the one-sided form)
+    QDef.df(
+      "q18d_proximity_band",
+      s"""$E
+         |SELECT e1.event_type, count(*) AS cnt
+         |FROM e e1 JOIN e e2
+         |  ON e1.user_id = e2.user_id
+         | AND e2.ts > e1.ts - INTERVAL 30 MINUTE
+         | AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+         | AND e1.event_id <> e2.event_id
+         |GROUP BY e1.event_type""".stripMargin) { (s, dir) =>
+      Tables.ensure(s, dir)
+      val df = s.sql(
+        """SELECT e1.event_type, count(*) AS cnt
+          |FROM events e1 JOIN events e2
+          |  ON e1.user_id = e2.user_id
+          | AND e2.ts > e1.ts - INTERVAL 30 MINUTE
+          | AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+          | AND e1.event_id <> e2.event_id
+          |GROUP BY e1.event_type""".stripMargin)
+      val binned = df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.references.exists(
+              _.name.startsWith("__graft_bin"))) => j
+      }
+      require(binned.nonEmpty,
+        "RangeJoinBinning did not engage on the proximity band — q18d " +
+          "would run as an unbinned equi-join with the band as a post-filter")
+      df
+    },
+
     QDef.sql(
       "q19_asof_join",
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
