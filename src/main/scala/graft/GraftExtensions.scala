@@ -318,6 +318,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.plans.CatalogCommitCommand(dir, tables, mode): LogicalPlan
       }))
+    // ---- retention faces: DESTRUCTIVE side effects, so both are
+    // Commands ([[graft.plans.SnapshotVacuumCommand]] /
+    // [[graft.plans.CatalogVacuumAllCommand]]) — EXPLAIN / re-analysis
+    // of a history-deleting statement must delete nothing; execution
+    // vacuums exactly once. minOrphanAgeMs defaults to the library's
+    // one-hour concurrent-writer protection window.
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_vacuum"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotParquetSink].getName, "snapshot_vacuum"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 2 && exprs.length <= 3,
+          "snapshot_vacuum(tableDir, keepLast[, minOrphanAgeMs])")
+        graft.plans.SnapshotVacuumCommand(
+          litStr(exprs(0), "tableDir"),
+          litInt(exprs(1), "keepLast"),
+          if (exprs.length > 2) litInt(exprs(2), "minOrphanAgeMs").toLong
+          else 3600000L): LogicalPlan
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("catalog_vacuum_all"),
+      new ExpressionInfo(classOf[graft.sink.SnapshotCatalog].getName, "catalog_vacuum_all"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 2 && exprs.length <= 3,
+          "catalog_vacuum_all(catalogDir, keepLast[, minOrphanAgeMs])")
+        graft.plans.CatalogVacuumAllCommand(
+          litStr(exprs(0), "catalogDir"),
+          litInt(exprs(1), "keepLast"),
+          if (exprs.length > 2) litInt(exprs(2), "minOrphanAgeMs").toLong
+          else 3600000L): LogicalPlan
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("catalog_history"),
       new ExpressionInfo(classOf[graft.sink.SnapshotCatalog].getName, "catalog_history"),

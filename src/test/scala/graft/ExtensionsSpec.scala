@@ -315,6 +315,35 @@ class ExtensionsSpec extends AnyFunSuite {
       s2.sql(s"SELECT * FROM catalog_commit('$base', 'orders')").collect()
       assert(cat.versions.size == beforeExplain + 1,
         "executing catalog_commit must publish exactly one cut")
+      // RETENTION faces: destructive side effects also defer — EXPLAIN of
+      // a vacuum deletes nothing; execution drops history and reports it
+      val tableVs = graft.sink.SnapshotParquetSink.versions(s"$base/orders")
+      assert(tableVs.size > 1, s"need history to vacuum: $tableVs")
+      s2.sql(s"EXPLAIN SELECT * FROM snapshot_vacuum('$base/orders', 1, 0)").collect()
+      assert(graft.sink.SnapshotParquetSink.versions(s"$base/orders") == tableVs,
+        "EXPLAIN of snapshot_vacuum deleted table history")
+      val catVs = cat.versions
+      s2.sql(s"EXPLAIN SELECT * FROM catalog_vacuum_all('$base', 1, 0)").collect()
+      assert(cat.versions == catVs, "EXPLAIN of catalog_vacuum_all deleted history")
+      // execute warehouse-wide retention: catalog expires to 1 cut, the
+      // member vacuums to its pinned versions + head; results reported
+      val va = s2.sql(s"SELECT * FROM catalog_vacuum_all('$base', 1, 0)").collect()
+        .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+      assert(va.contains("_catalog") && va.contains("orders"), va.toString)
+      assert(cat.versions.size == 1, s"catalog must keep 1 cut: ${cat.versions}")
+      // every surviving pin still resolves and the head still reads
+      cat.pins(cat.versions.head).foreach { case (t, tv) =>
+        assert(graft.sink.SnapshotParquetSink.versions(s"$base/$t").contains(tv)) }
+      assert(s2.sql(s"SELECT count(*) FROM catalog_read('$base', 'orders')")
+        .head.getLong(0) > 0L)
+      // per-table face reports drops on a fresh commit + vacuum cycle
+      Seq((9L, 9L, "z9", false))
+        .toDF("id", "seq", "note", "is_delete").createOrReplaceTempView("cw3")
+      s2.sql(s"SELECT * FROM snapshot_merge('$base/orders', 'cw3', 'id')").collect()
+      val sv = s2.sql(s"SELECT * FROM snapshot_vacuum('$base/orders', 1, 0)").head
+      assert(sv.getString(0).endsWith("/orders"))
+      assert(graft.sink.SnapshotParquetSink.versions(s"$base/orders").size <= 2,
+        "vacuum must expire unpinned history (pinned + head survive)")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
