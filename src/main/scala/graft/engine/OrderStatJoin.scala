@@ -38,14 +38,19 @@ object OrderStatJoin {
   def countLess(left: DataFrame, leftVal: Column,
       right: DataFrame, rightVal: Column, binW: Long): DataFrame = {
     require(binW > 0, "binW must be positive")
-    def binOf(v: Column): Column = {
-      val w = lit(binW)
-      (v - pmod(v, w)) / w // exact floor division, negative-safe
-    }
+    // exact floor division, overflow-safe across the FULL long domain:
+    // SQL `div` (integral — Column `/` would be double division, which
+    // collapses distinct bins above 2^53) truncates toward zero, corrected
+    // by one when a negative value doesn't divide evenly. The
+    // (v - pmod(v, w)) div w form would underflow within w of
+    // Long.MinValue and break the mapping's monotonicity right where the
+    // cross-bin prefix sum depends on it.
+    val binOfV: Column = expr(
+      s"(v div ${binW}L) - (CASE WHEN v % ${binW}L < 0 THEN 1 ELSE 0 END)")
     val l = left.select(leftVal.cast("long").as("v"))
-      .filter(col("v").isNotNull).withColumn("bin", binOf(col("v")).cast("long"))
+      .filter(col("v").isNotNull).withColumn("bin", binOfV)
     val r = right.select(rightVal.cast("long").as("v"))
-      .filter(col("v").isNotNull).withColumn("bin", binOf(col("v")).cast("long"))
+      .filter(col("v").isNotNull).withColumn("bin", binOfV)
 
     val lBins = l.groupBy("bin").agg(count(lit(1)).as("lc"))
     val rBins = r.groupBy("bin").agg(count(lit(1)).as("rc"))

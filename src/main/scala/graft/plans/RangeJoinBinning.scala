@@ -185,7 +185,11 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         uppers.collectFirst {
           case (ba2, pa2, sHi)
               if ba2.semanticEquals(ba) && pa2.semanticEquals(pa) &&
-                sHi > sLo =>
+                sHi > sLo &&
+                // window width must itself fit a long (a proximity band
+                // with shifts near ±Long.MaxValue would overflow sHi−sLo
+                // in the driver arithmetic below) — else don't rewrite
+                BigInt(sHi) - BigInt(sLo) <= BigInt(Long.MaxValue) =>
             (ba, pa, strict, sLo, sHi)
         }
       }.headOption
@@ -202,26 +206,62 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         case IntegerType   => Cast(a, LongType)
         case _             => a
       }
-      // exact floor division (timestamps can be negative micros —
-      // IntegralDivide truncates toward zero): (a - pmod(a, w)) div w
+      // exact floor division, overflow-safe across the FULL long domain:
+      // trunc-toward-zero quotient corrected by one when a negative value
+      // doesn't divide evenly. The previous (a - pmod(a, w)) div w form
+      // underflows for a within w of Long.MinValue (a - pmod wraps), which
+      // matters for integral bound columns — raw longs are user data;
+      // timestamps only cover ±2^59 micros.
       def floorDiv(a: Expression, w: Long): Expression = {
         val wl = Literal(w, LongType)
-        IntegralDivide(Subtract(a, Pmod(a, wl)), wl)
+        val zero = Literal(0L, LongType)
+        Subtract(IntegralDivide(a, wl),
+          If(LessThan(Remainder(a, wl), zero), Literal(1L, LongType), zero))
       }
+      // wrapping add for the bin endpoints (never throws under ANSI):
+      // the kept EXACT predicates re-check every candidate, so a wrapped
+      // endpoint can only cost false candidates, never wrong output
+      def addWrap(a: Expression, c: Long): Expression =
+        Add(a, Literal(c, LongType), EvalMode.LEGACY)
       val w = windowUs // bin width = window: 1-2 bins per base row
       val lUs = us(lTs)
       val adj = if (strictLower) 1L else 0L
       // window ends are base + shiftLo .. base + shiftHi (shiftLo = 0 for
       // the canonical one-sided form, negative for proximity bands):
       // qualifying probes fall in bins [floor((base+S_lo+adj)/w),
-      // floor((base+S_hi)/w)] — at most 2 bins since S_hi−S_lo = w
-      val lo = floorDiv(Add(lUs, Literal(shiftLo + adj, LongType)), w)
-      val hi = floorDiv(Add(lUs, Literal(shiftHi, LongType)), w)
-      // explicit step: sequence(a, b) auto-picks direction; lo <= hi holds
-      // (w >= adj), but the step must never silently flip. Sequence is
-      // TimeZoneAware — unresolved until a zone is bound (inert for longs)
-      val gen = Explode(Sequence(lo, hi, Some(Literal(1L, LongType)),
-        Some(conf.sessionLocalTimeZone)))
+      // floor((base+S_hi)/w)] — at most 2 bins since S_hi−S_lo = w.
+      //
+      // Domain-edge semantics (integral bound columns within |S| of the
+      // long edges): when BOTH endpoints wrap (base within S_lo of an
+      // edge with same-sign shifts) the wrapped window is exactly where
+      // non-ANSI Spark's own `base + S` arithmetic points, and these bins
+      // land there too — pairs the unrewritten wrap-semantics plan emits
+      // still meet. When only ONE endpoint wraps, the original conjunction
+      // is unsatisfiable for that row (the wrapped bound flips sign), and
+      // the span guard below feeds Explode an empty array instead of a
+      // domain-spanning Sequence. Under ANSI the unrewritten plan throws
+      // on such rows IF the equi-join pairs them; here the recheck throws
+      // identically for paired rows, and edge rows that pair with nothing
+      // are silently dropped rather than failing the query.
+      val lo = floorDiv(addWrap(lUs, shiftLo + adj), w)
+      val hi = floorDiv(addWrap(lUs, shiftHi), w)
+      // order-safe bounds + span guard: Sequence must never see a flipped
+      // step, and a wrap-separated (lo, hi) pair must not expand to the
+      // whole bin domain
+      val loS = Least(Seq(lo, hi))
+      val hiS = Greatest(Seq(lo, hi))
+      val span = Subtract(hiS, loS, EvalMode.LEGACY)
+      val spanOk = And(
+        GreaterThanOrEqual(span, Literal(0L, LongType)),
+        LessThanOrEqual(span, Literal(2L, LongType)))
+      // explicit step: sequence(a, b) auto-picks direction; the step must
+      // never silently flip. Sequence is TimeZoneAware — unresolved until
+      // a zone is bound (inert for longs)
+      val bins = If(spanOk,
+        Sequence(loS, hiS, Some(Literal(1L, LongType)),
+          Some(conf.sessionLocalTimeZone)),
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+      val gen = Explode(bins)
       val binBase = AttributeReference(s"${BinPrefix}_l",
         LongType, nullable = gen.elementSchema.head.nullable)()
       val baseChild = if (baseLeft) j.left else j.right

@@ -20,12 +20,14 @@ final case class SnapshotVacuumCommand(
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table_dir", StringType, nullable = false)(),
     AttributeReference("dropped_manifests", IntegerType, nullable = false)(),
-    AttributeReference("deleted_orphan_roots", IntegerType, nullable = false)())
+    AttributeReference("deleted_orphan_roots", IntegerType, nullable = false)(),
+    // "too young to drop" ≠ "nothing to drop" — the age floor's holdback
+    AttributeReference("withheld_by_age_floor", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (m, o) = graft.sink.SnapshotParquetSink.forTable(tableDir)
-      .vacuum(keepLast, minOrphanAgeMs)
-    Seq(Row(tableDir, m, o))
+    val sink = graft.sink.SnapshotParquetSink.forTable(tableDir)
+    val (m, o) = sink.vacuum(keepLast, minOrphanAgeMs)
+    Seq(Row(tableDir, m, o, sink.lastVacuumWithheld))
   }
 }
 

@@ -303,7 +303,26 @@ final class MaterializedAgg(
     * already current. A first call on an empty aggregate table builds it
     * fully from the source's current snapshot.
     */
-  def refresh(spark: SparkSession): Option[Long] = synchronized {
+  def refresh(spark: SparkSession): Option[Long] = refreshAttempt(spark, 0)
+
+  /** Bounded applied-head-conflict retry: a refresh whose guarded merge
+    * lost the head race re-reads and goes again, but only [[MaxConflictRetries]]
+    * times with linear backoff — two refreshers under sustained alternating
+    * contention must surface an error, not livelock (and the old unbounded
+    * recursion grew the stack one frame per conflict).
+    */
+  private def retryConflict(spark: SparkSession, attempt: Int): Option[Long] = {
+    if (attempt >= MaterializedAgg.MaxConflictRetries)
+      throw new IllegalStateException(
+        s"refresh of ${sink.dir} lost the applied-head race " +
+          s"${MaterializedAgg.MaxConflictRetries} times in a row — " +
+          "a concurrent refresher is starving this one; serialize refreshers " +
+          "or widen the refresh interval")
+    Thread.sleep(50L * (attempt + 1))
+    refreshAttempt(spark, attempt + 1)
+  }
+
+  private def refreshAttempt(spark: SparkSession, attempt: Int): Option[Long] = synchronized {
     val srcV = source.currentVersion.getOrElse(
       sys.error(s"source table at ${source.dir} has no committed version"))
     lazy val spec = deltaSpec(sourceShaped(spark, srcV))
@@ -341,14 +360,32 @@ final class MaterializedAgg(
         if (deltaReady && baseRetained0 && srcKeys.nonEmpty) {
           val sp = spec.get
           if (sp.mins.isEmpty && sp.maxs.isEmpty)
-            return deltaRefresh(spark, sp, applied, srcV, srcKeys)
-          // extremum fold pays a column-pruned O(view) stored-row read —
-          // a win for CROSS-KEY rollups (view ≪ source by the group
-          // cardinality factor) but a REGRESSION for keyed views, whose
-          // recompute path below already prunes its scan to changed
-          // buckets (O(changed) beats O(view) = O(source keys))
-          if (!srcKeys.forall(groupCols.contains))
-            return foldRefresh(spark, sp, applied, srcV, srcKeys)
+            return deltaRefresh(spark, sp, applied, srcV, srcKeys, attempt)
+          // extremum fold reads dirty view buckets (O(dirty), bucket-pruned)
+          // where cross-key recompute must rescan the SOURCE for its dirty
+          // groups (group values scatter across source buckets) — but fold
+          // pays two extra fixed-latency jobs (bucket probe, at-risk count),
+          // so on a SMALL source the recompute's single scan wins. The pick
+          // is COST-BASED on driver-side manifest file sizes (no data IO):
+          // fold iff its upper-bound read (whole view, ≥ the pruned dirty
+          // buckets) plus the fixed-job byte-equivalent undercuts the
+          // source scan. Keyed views (srcKeys ⊆ groups) never fold: their
+          // recompute scan already prunes to changed buckets, O(changed).
+          if (!srcKeys.forall(groupCols.contains)) {
+            val fixedEquiv = spark.conf.getOption(
+              "spark.graft.ivm.foldFixedCostBytes").map(_.toLong)
+              .getOrElse(MaterializedAgg.FoldFixedCostBytes)
+            val estFold = sink.currentVersion.map(sink.bytesAt).getOrElse(0L) + fixedEquiv
+            val estRecompute = source.bytesAt(srcV)
+            val forced = sys.props.get("graft.ivm.forceRegime") // bench/test twin knob
+            val pickFold = forced match {
+              case Some("fold")      => true
+              case Some("recompute") => false
+              case _                 => estFold < estRecompute
+            }
+            if (pickFold)
+              return foldRefresh(spark, sp, applied, srcV, srcKeys, attempt)
+          }
         }
         lastRefreshRegime = Some("recompute")
         val extraAggs = if (deltaReady) hiddenAggs(spec.get) else Nil
@@ -501,7 +538,8 @@ final class MaterializedAgg(
     * (every declared q61 view is SUM/COUNT-shaped).
     */
   private def deltaRefresh(spark: SparkSession, spec: DeltaSpec,
-      applied: Long, srcV: Long, srcKeys: Seq[String]): Option[Long] = {
+      applied: Long, srcV: Long, srcKeys: Seq[String],
+      attempt: Int): Option[Long] = {
     lastRefreshRegime = Some("delta")
     def dbg[A](tag: String)(f: => A): A =
       if (!sys.props.contains("graft.ivm.debug")) f
@@ -611,9 +649,9 @@ final class MaterializedAgg(
       case _: SnapshotParquetSink.FoldBaseConflict =>
         // someone advanced the view while this delta was in flight (a
         // concurrent refresher, or a replay racing one) — re-read the
-        // applied head and go again; the synchronized refresh re-enters
-        // on the same thread
-        refresh(spark)
+        // applied head and go again, bounded (the synchronized refresh
+        // re-enters on the same thread)
+        retryConflict(spark, attempt)
     } finally {
       delta.unpersist()
       ()
@@ -650,7 +688,8 @@ final class MaterializedAgg(
     * (`__rows` = 0) tombstones; rebirth folds from nothing.
     */
   private def foldRefresh(spark: SparkSession, spec: DeltaSpec,
-      applied: Long, srcV: Long, srcKeys: Seq[String]): Option[Long] = {
+      applied: Long, srcV: Long, srcKeys: Seq[String],
+      attempt: Int): Option[Long] = {
     lastRefreshRegime = Some("fold")
     val oldSlice = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
     val newSlice = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
@@ -714,13 +753,30 @@ final class MaterializedAgg(
         exts.indices.flatMap(i => Seq(col(s"__cand$i"), col(s"__rem$i")))): _*)
 
     // stored dirty-group state: the delta frame (O(dirty groups), tiny)
-    // drives a left join against the live VIEW — column-pruned O(view),
-    // never O(source). Dead/absent groups fold from nothing.
-    val stored = sink.read(spark, DeleteMode.Hard).alias("st")
-    val d = deltas.alias("d")
-    val j = d.join(stored, groupCols.map(g =>
-      col(s"d.$g") <=> col(s"st.$g")).reduce(_ && _), "left_outer")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // drives a left join against the view — BUCKET-PRUNED to the files the
+    // dirty groups hash to under the view's own merge layout (merge keys =
+    // groupCols), so the read is O(dirty buckets), never O(view) and never
+    // O(source). The r13 artifact showed the unpruned O(view) read growing
+    // 2.8→5.8 s as the view went 10k→1M rows while recompute stayed ahead;
+    // pruned, the fold is flat like the pure-delta regime. Dead/absent
+    // groups fold from nothing (left_outer misses).
+    val deltasP = deltas.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val j = try {
+      // one tiny job: the dirty groups' view buckets — ≤ nBuckets values
+      // (a layout constant), so the driver-side list is bounded by design
+      val dirtyBuckets = deltasP
+        .select(sink.bucketRouting(groupCols).as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val stored = sink.readAtBuckets(spark,
+        sink.currentVersion.getOrElse(sys.error(s"no snapshot at ${sink.dir}")),
+        dirtyBuckets, DeleteMode.Hard).alias("st")
+      val d = deltasP.alias("d")
+      d.join(stored, groupCols.map(g =>
+        col(s"d.$g") <=> col(s"st.$g")).reduce(_ && _), "left_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } catch {
+      case t: Throwable => deltasP.unpersist(); throw t
+    }
     try {
       val hasStored = col("st.__rows").isNotNull
       val rowsF = coalesce(col("st.__rows"), lit(0L)) + col("__drows")
@@ -769,14 +825,15 @@ final class MaterializedAgg(
       } catch {
         case _: SnapshotParquetSink.FoldBaseConflict =>
           // another refresher advanced the view while these ABSOLUTE rows
-          // were computed from the old head — re-read and go again
-          refresh(spark)
+          // were computed from the old head — re-read and go again, bounded
+          retryConflict(spark, attempt)
       } finally {
         materialized.unpersist()
         ()
       }
     } finally {
       j.unpersist()
+      deltasP.unpersist()
       ()
     }
   }
@@ -814,6 +871,19 @@ final class MaterializedAgg(
   * wins, mirroring how a warehouse resolves one matview per rewrite slot.
   */
 object MaterializedAgg {
+  /** Applied-head-conflict retries before a refresh errors out — two
+    * refreshers alternating forever must fail loudly, not livelock.
+    */
+  val MaxConflictRetries = 12
+
+  /** Byte-equivalent of the fold regime's extra fixed-latency jobs (bucket
+    * probe + at-risk count) in the cost-based fold-vs-recompute pick —
+    * calibrated to this class of box (~0.5 s of job latency at local
+    * parquet scan rates); override per session via
+    * `spark.graft.ivm.foldFixedCostBytes`.
+    */
+  val FoldFixedCostBytes = 64L * 1024 * 1024
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MaterializedAgg]()
 

@@ -1218,6 +1218,40 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     shape(readWithKnownSchema(spark, version, paths), mode)
   }
 
+  /** Bucket-routing column for rows keyed by this handle's layout —
+    * bit-identical to the write path's routing ([[bucketOf]]), exposed so
+    * a reader joining against a BOUNDED key set can compute which buckets
+    * those keys live in and prune its own read to them (the IVM fold
+    * regime's stored-view read rides this: ~20 dirty groups → ≤20 bucket
+    * files instead of the whole view).
+    */
+  def bucketRouting(keys: Seq[String]): org.apache.spark.sql.Column = bucketOf(keys)
+
+  /** [[readAt]] restricted to the listed buckets — the manifest turns a
+    * dirty-bucket set into a file list, so the scan is |buckets|/nBuckets
+    * of the table. Callers own the correctness argument that every row
+    * they need routes into `buckets` under [[bucketRouting]].
+    */
+  def readAtBuckets(spark: SparkSession, version: Long, buckets: Set[Int],
+      mode: DeleteMode): DataFrame = {
+    require(Dfs.exists(manifestPath(version)),
+      s"snapshot v$version does not exist at $dir (vacuumed or never published)")
+    val paths = readManifest(version).toSeq.sortBy(_._1)
+      .collect { case (b, rel) if buckets(b) => s"$dir/$rel" }
+    if (paths.isEmpty) readAt(spark, version, mode).filter(lit(false))
+    else shape(readWithKnownSchema(spark, version, paths), mode)
+  }
+
+  /** Total bytes of `version`'s manifest-listed bucket files — the cheap
+    * driver-side size proxy cost-based refresh decisions run on (one FS
+    * status per file, no data IO, no footer reads).
+    */
+  def bytesAt(version: Long): Long =
+    readManifest(version).valuesIterator.map { rel =>
+      val p = new HPath(s"$dir/$rel")
+      try Dfs.fs(p).getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
+    }.sum
+
   /** Plan a read of `paths` (files of `version`'s manifest) under the
     * version's RECORDED schema when present — skipping the mergeSchema
     * footer scan entirely: at scale, schema resolution must be O(1)
@@ -1743,6 +1777,12 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     * `.tmp-*` manifest leftovers) are collected on the next vacuum after
     * aging out. Returns (manifests deleted, data roots deleted).
     */
+  /** Versions the last vacuum WANTED to drop but withheld under the
+    * manifest age floor — lets operators distinguish "nothing to drop"
+    * from "too young to drop" ((0, 0) from [[vacuum]] is ambiguous).
+    */
+  @volatile var lastVacuumWithheld: Int = 0
+
   def vacuum(keepLast: Int = 1, minOrphanAgeMs: Long = 3600000L): (Int, Int) = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = versions
@@ -1785,6 +1825,10 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       }.toMap
     val drop = vs.filter(dropSet).filter(v =>
       manifestAge.get(v).exists(m => nowForFloor - m >= minOrphanAgeMs))
+    // the floor intervening is a DIFFERENT outcome than "nothing to drop"
+    // (an explicit vacuum(keepLast=1) on a young table reclaims nothing
+    // and should say why) — recorded for callers/SQL faces to surface
+    lastVacuumWithheld = vs.count(dropSet) - drop.size
     val keep = vs.filterNot(drop.toSet)
     val referencedRoots = keep.flatMap(v => readManifest(v).values)
       .map(rel => rel.substring(0, rel.indexOf("/__bucket="))).toSet

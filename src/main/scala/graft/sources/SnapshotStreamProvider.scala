@@ -181,7 +181,12 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
     * after draining — in maxVersionsPerTrigger-sized steps when capped.
     */
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowBound = SnapshotParquetSink.versions(dir).lastOption
+    // a table with NO committed version yet freezes to the -1 sentinel —
+    // leaving the bound unset would let latestOffset chase commits landing
+    // DURING the run, so a run-once job over a just-created table might
+    // never terminate; with the sentinel it admits nothing and exits
+    availableNowBound =
+      Some(SnapshotParquetSink.versions(dir).lastOption.getOrElse(-1L))
 
   /** The admitted end offset for the next batch: the current head, capped
     * at the AvailableNow bound (if prepared) and at `start + limit`
@@ -196,6 +201,10 @@ private[sources] final class SnapshotStreamSource(ctx: SQLContext, dir: String,
       case Some(cur) =>
         val bounded = availableNowBound.fold(cur)(math.min(cur, _))
         val base = Option(start).map(versionOf)
+        // AvailableNow prepared against a still-empty table (-1 sentinel)
+        // with no checkpointed base: admit nothing — the run terminates
+        // without serving commits that landed after prepare
+        if (bounded < 0 && base.isEmpty) return null
         val cap = limit match {
           case f: ReadMaxFiles => Some(f.maxFiles)
           case _ => maxVersionsPerTrigger

@@ -10,9 +10,31 @@ import graft.sink.{DeleteMode, MaterializedAgg, SnapshotParquetSink}
   * including the cases delta-based maintenance gets wrong (a deleted max,
   * a row moving between groups, a group vanishing entirely).
   */
-class MaterializedAggSpec extends SparkSpec {
+class MaterializedAggSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   import spark.implicits._
+
+  // the r14 COST-BASED fold/recompute pick routes this suite's tiny tables
+  // to recompute (a full scan of 10 rows beats the fold's extra fixed-cost
+  // jobs) — force the fold path suite-wide so these specs keep exercising
+  // the extremum-fold machinery they pin; the pick itself is tested below
+  // (suites run sequentially in the forked test JVM, so the global prop
+  // cannot race another suite)
+  override def beforeAll(): Unit = {
+    sys.props("graft.ivm.forceRegime") = "fold"
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    sys.props.remove("graft.ivm.forceRegime")
+    super.afterAll()
+  }
+
+  /** Runs `body` under the ambient (cost-based) regime pick. */
+  private def costBased[A](body: => A): A = {
+    sys.props.remove("graft.ivm.forceRegime")
+    try body finally { sys.props("graft.ivm.forceRegime") = "fold"; () }
+  }
 
   private def rows(t: (Int, String, Long, Long)*): DataFrame =
     t.toSeq.toDF("id", "grp", "v", "seq")
@@ -538,6 +560,53 @@ class MaterializedAggSpec extends SparkSpec {
     m.refresh(spark)
     assert(maintained(m) == direct(src))
     assert(maintained(m).find(_._1 == "a").get._4 == 77L)
+  }
+
+  test("cost-based pick: tiny source takes recompute, view ≪ source takes fold") {
+    costBased {
+      // tiny source: one full scan beats the fold's fixed-cost jobs — the
+      // byte model (view bytes + fixed-equiv vs source bytes) must say so
+      val (src, m) = mk("cost1")
+      src.merge(rows((1, "a", 10, 1), (2, "a", 20, 2), (3, "b", 5, 3)),
+        Seq("id"), "seq", "__del")
+      m.refresh(spark)
+      src.merge(rows((2, "a", 25, 4)), Seq("id"), "seq", "__del")
+      m.refresh(spark)
+      assert(m.lastRefreshRegime == Some("recompute"),
+        s"tiny source must cost-pick recompute: ${m.lastRefreshRegime}")
+      assert(maintained(m) == direct(src))
+
+      // source ≫ view with the fixed-cost term zeroed: the O(dirty-bucket)
+      // fold read undercuts the full source scan — fold must win the pick
+      val src2 = new SnapshotParquetSink(tmpDir("magg_cost2_src"), nBuckets = 8)
+      val agg2 = new SnapshotParquetSink(tmpDir("magg_cost2_agg"), nBuckets = 4)
+      val m2 = new MaterializedAgg(src2, agg2, Seq("grp"),
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx")))
+      val big = spark.range(20000).select(
+        col("id").cast("int").as("id"),
+        concat(lit("g"), pmod(col("id"), lit(3))).as("grp"),
+        (col("id") % 1000L).as("v"), lit(1L).as("seq"),
+        lit(false).as("__del"))
+      src2.merge(big, Seq("id"), "seq", "__del")
+      m2.refresh(spark)
+      src2.merge(rows((7, "g1", 999999, 2)), Seq("id"), "seq", "__del")
+      spark.conf.set("spark.graft.ivm.foldFixedCostBytes", "0")
+      try {
+        m2.refresh(spark)
+        assert(m2.lastRefreshRegime == Some("fold"),
+          s"view ≪ source must cost-pick fold: ${m2.lastRefreshRegime}")
+      } finally spark.conf.unset("spark.graft.ivm.foldFixedCostBytes")
+      val want = src2.read(spark, DeleteMode.Hard).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val got = m2.read(spark).select("grp", "n", "sv", "mn", "mx").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == want)
+    }
   }
 
   test("delta regime: user aggregates may not use the __ namespace") {

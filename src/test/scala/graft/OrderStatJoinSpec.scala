@@ -32,6 +32,20 @@ class OrderStatJoinSpec extends SparkSpec {
     }
   }
 
+  test("values above 2^53 keep distinct bins (integral division, not double)") {
+    // the r13 binOf used Column `/` (double division): above 2^53 adjacent
+    // bins collapsed, silently inflating the within-bin quadratic term —
+    // and at full-domain magnitudes even the COUNT could drift if the
+    // collapsed mapping lost monotonicity at the double's rounding edges
+    val base = (1L << 60)
+    val l = Seq(base, base + 1L, base + 100L, -base, Long.MaxValue, Long.MinValue + 1L)
+    val r = Seq(base - 1L, base, base + 99L, -base - 5L, Long.MaxValue - 2L, Long.MinValue)
+    val expect = brute(l, r)
+    for (w <- Seq(1L, 7L, 1000L)) {
+      assert(decomposed(l, r, w) == expect, s"binW=$w")
+    }
+  }
+
   test("strictness: equal values never pair; empty sides count zero") {
     assert(decomposed(Seq(5L, 5L), Seq(5L, 5L), 4L) == 0L)
     assert(decomposed(Seq.empty, Seq(1L, 2L), 4L) == 0L)

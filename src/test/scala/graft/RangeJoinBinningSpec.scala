@@ -92,6 +92,45 @@ class RangeJoinBinningSpec extends SparkSpec {
     assert(on == off)
   }
 
+  test("long domain edges: values within the window of ±Long.MaxValue neither throw nor drop pairs") {
+    // the r13 rewrite computed bin endpoints with plain adds and
+    // (a - pmod) div w — near Long.MaxValue the lo/hi pair wrapped (a
+    // Sequence step-direction crash, or silently dropped pairs), and near
+    // Long.MinValue the floor-division itself underflowed. The fixed form
+    // (wrap-mode adds + span guard + overflow-safe floorDiv) must agree
+    // with the unrewritten plan across the full domain.
+    val mx = Long.MaxValue
+    val mn = Long.MinValue
+    Seq(
+      // near MaxValue: base rows whose window arithmetic overflows
+      (1L, mx - 3L), (1L, mx - 2L), (1L, mx - 1L), (1L, mx),
+      // near MinValue: exact floor division at the negative edge
+      (2L, mn), (2L, mn + 3L), (2L, mn + 9L), (2L, mn + 11L),
+      // a normal key for sanity
+      (3L, 0L), (3L, 7L), (3L, 10L), (3L, 11L)
+    ).toDF("k", "pos").createOrReplaceTempView("rjb_edge")
+    val q =
+      """SELECT a.k, a.pos AS a_pos, b.pos AS b_pos
+        |FROM rjb_edge a JOIN rjb_edge b
+        |  ON a.k = b.k AND b.pos > a.pos AND b.pos <= a.pos + 10""".stripMargin
+    // wrap semantics on both plans: under ANSI the UNREWRITTEN plan throws
+    // on the edge rows' `a.pos + 10`, so agreement is only defined in
+    // legacy arithmetic — which is exactly where silent divergence lived
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val on = withRule(enabled = true) {
+        val df = spark.sql(q)
+        assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+        df.collect().map(_.toString).sorted.toSeq
+      }
+      val off = withRule(enabled = false)(resultOf(q))
+      assert(on == off, s"binned ${on.size} rows vs unbinned ${off.size}")
+      // the MinValue-side pairs must actually be there (floorDiv exactness)
+      assert(on.exists(_.contains(s"${mn + 3L}")), s"missing MinValue-edge pairs: $on")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("mirrored orientation (window base on the RIGHT table) rewrites and agrees") {
     Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:20:00"),
       (1L, "2024-01-01 00:59:59"), (1L, "2024-01-01 01:00:00"),

@@ -104,8 +104,15 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     sink.merge(batch(("a", 0, "a0", false)), Seq("primary_key"), "seq", "is_delete")
     sink.merge(batch(("a", 1, "a1", false)), Seq("primary_key"), "seq", "is_delete")
     sink.merge(batch(("a", 2, "a2", false)), Seq("primary_key"), "seq", "is_delete")
+    // the age floor intervening is REPORTED, not silent: a young table's
+    // explicit vacuum reclaims nothing and says why
+    val (m0, o0) = sink.vacuum(keepLast = 1)
+    assert((m0, o0) == (0, 0) && sink.lastVacuumWithheld == 2,
+      s"default 1h floor must withhold both droppable versions: " +
+        s"($m0,$o0) withheld=${sink.lastVacuumWithheld}")
     val (manifestsDropped, rootsDropped) = sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
     assert(manifestsDropped == 2 && rootsDropped == 2)
+    assert(sink.lastVacuumWithheld == 0)
     assert(sink.versions == Seq(2L))
     assert(state(sink, DeleteMode.Hard) == Map("a" -> (2L, "a2")))
     intercept[IllegalArgumentException](sink.readAt(spark, 0L, DeleteMode.Hard))
