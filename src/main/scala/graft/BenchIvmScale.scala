@@ -84,7 +84,7 @@ object BenchIvmScale {
     }
 
     def rung(tag: String, n: Long, groupCols: Seq[String],
-        deltaOnly: Boolean = false): String = {
+        deltaOnly: Boolean = false, recomputeTwin: Boolean = false): String = {
       // constant-volume buckets: ~25k rows per bucket at every rung
       val nBuckets = math.max(8, (n / 25000L).toInt)
       val src = new graft.sink.SnapshotParquetSink(s"$scratch/${tag}_src_$n", nBuckets)
@@ -102,12 +102,43 @@ object BenchIvmScale {
         else Seq(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"),
           min(col("v")).as("mn"), max(col("v")).as("mx"))
       val m = new graft.sink.MaterializedAgg(src, agg, groupCols, viewAggs)
+      // the OPPOSITE-regime TWIN (a second view of the SAME source): the
+      // "chosen regime >= the alternative at every rung" claim needs the
+      // alternative MEASURED, not argued. The chosen view refreshes FIRST
+      // so JIT/page-cache warmth biases toward the twin, against the claim.
+      val twin = if (!recomputeTwin) None else Some {
+        val aggT = new graft.sink.SnapshotParquetSink(
+          s"$scratch/${tag}_aggtwin_$n", math.max(8, nBuckets / 8))
+        new graft.sink.MaterializedAgg(src, aggT, groupCols, viewAggs)
+      }
       src.merge(table(n, 1L), Seq("id"), "seq", "__del")
       val (_, buildSec) = timed(m.refresh(spark))
+      twin.foreach(_.refresh(spark))
       src.merge(changes(n, 2L), Seq("id"), "seq", "__del")
       val changedFiles = src.changedEntriesAt(1L, 0L).length
-      val (_, refreshSec) = timed(m.refresh(spark))
+      // TWO measured rounds, min per variant: round 1 runs the chosen view
+      // cold and the twin warm (bias AGAINST the chosen pick); round 2 is
+      // warm for both, so the min strips the ordering asymmetry that made
+      // the crossover rung flap ±20% between invocations
+      def timedRefresh(v: graft.sink.MaterializedAgg,
+          force: Option[String]): Double = {
+        force.foreach(sys.props("graft.ivm.forceRegime") = _)
+        try timed(v.refresh(spark))._2
+        finally { force.foreach(_ => sys.props.remove("graft.ivm.forceRegime")); () }
+      }
+      var refreshSec = timedRefresh(m, None)
       val regime = m.lastRefreshRegime.getOrElse("none")
+      val opposite = if (regime == "fold") "recompute" else "fold"
+      var twinSec = twin.map(t => timedRefresh(t, Some(opposite)))
+      if (twin.isDefined) {
+        src.merge(changes(n, 3L), Seq("id"), "seq", "__del")
+        refreshSec = math.min(refreshSec, timedRefresh(m, Some(regime)))
+        twinSec = twinSec.map(s =>
+          math.min(s, timedRefresh(twin.get, Some(opposite))))
+      }
+      val twinJson = twinSec.map { s =>
+        s""","twin_regime":"$opposite","twin_refresh_sec":${num(s)},"chosen_not_worse":${refreshSec <= s * 1.15}"""
+      }.getOrElse("")
       // write-side volumes: the incremental path rewrites only the agg
       // buckets the ~20 dirty groups hash to; a from-scratch refresh
       // rewrites the whole n/10-row view
@@ -128,7 +159,7 @@ object BenchIvmScale {
          |"refresh_sec":${num(refreshSec)},"feed_sec":${num(feedSec)},
          |"recompute_sec":${num(recomputeSec)},
          |"speedup":${num(recomputeSec / math.max(refreshSec, 1e-9))},
-         |"speedup_vs_rebuild":${num(buildSec / math.max(refreshSec, 1e-9))}}"""
+         |"speedup_vs_rebuild":${num(buildSec / math.max(refreshSec, 1e-9))}$twinJson}"""
         .stripMargin.replaceAll("\n", "")
     }
     // three regimes (scaladoc): pure-delta SUM/COUNT views, cross-key
@@ -139,7 +170,11 @@ object BenchIvmScale {
     val deltaMults = mults ++ mults.lastOption.map(_ * 3L).toSeq
     val delta = deltaMults.map(m =>
       rung("delta", base * m, Seq("grp"), deltaOnly = true))
-    val rollup = mults.map(m => rung("rollup", base * m, Seq("grp")))
+    // the rollup ladder climbs to 30M too, and every rung carries a
+    // forced-recompute twin so the cost-based pick's "chosen regime is
+    // never worse" claim is MEASURED per rung, not argued
+    val rollup = deltaMults.map(m =>
+      rung("rollup", base * m, Seq("grp"), recomputeTwin = true))
     val keyed = mults.map(m => rung("keyed", base * m, Seq("id", "grp")))
     println(s"""{"ivm_delta":{${delta.mkString(",")}},""" +
       s""""ivm_rollup":{${rollup.mkString(",")}},""" +

@@ -257,16 +257,42 @@ final class MaterializedAgg(
 
   /** The hidden per-group counters a delta-regime view stores alongside the
     * user aggregates: `__rows` (group liveness — 0 live rows ⇒ the group
-    * tombstones) and `__nn_<sum>` (non-null input count per SUM — 0 ⇒ the
-    * stored sum displays as NULL, SQL's empty-sum semantics).
+    * tombstones), `__nn_<sum>` (non-null input count per SUM — 0 ⇒ the
+    * stored sum displays as NULL, SQL's empty-sum semantics), and per
+    * MIN/MAX the extremum BUFFER (`__bot_<name>` / `__top_<name>`, the k
+    * best values with multiplicity — [[MaterializedAgg.ExtremumBufferK]])
+    * plus its non-null input count `__nne_<name>` (0 ⇒ NULL extremum,
+    * distinguishing "all inputs null" from "buffer exhausted → rescan").
     */
-  private def hiddenAggs(spec: DeltaSpec): Seq[Column] =
-    count(lit(1)).as("__rows") +: spec.sums.map(s =>
+  private def hiddenAggs(spec: DeltaSpec,
+      withExtBufs: Boolean = true): Seq[Column] = {
+    val k = MaterializedAgg.ExtremumBufferK
+    def nne(e: ExtSpec) =
+      sum(when(expr(e.childSql).isNotNull, 1L).otherwise(0L)).as(s"__nne_${e.name}")
+    val base = count(lit(1)).as("__rows") +: spec.sums.map(s =>
       sum(when(expr(s.childSql).isNotNull, 1L).otherwise(0L))
         .as(s"__nn_${s.name}"))
+    // extremum buffers exist FOR the fold regime; a keyed view never folds
+    // (its recompute is already O(changed)), so building them there would
+    // tax every build/refresh with a non-codegen UDAF pass for nothing —
+    // measured 4.3× on a 9M-row keyed build
+    if (!withExtBufs) return base
+    base ++
+      // cast: the UDAF emits array<bigint NOT NULL> while the fold UDF
+      // emits nullable elements — one stored type, or schema-evolution
+      // checks refuse the merge
+      spec.mins.flatMap(e => Seq(
+        graft.engine.BoundedExtremesAgg.bottomK(expr(e.childSql), k)
+          .cast("array<bigint>").as(s"__bot_${e.name}"), nne(e))) ++
+      spec.maxs.flatMap(e => Seq(
+        graft.engine.BoundedExtremesAgg.topK(expr(e.childSql), k)
+          .cast("array<bigint>").as(s"__top_${e.name}"), nne(e)))
+  }
 
   private def hiddenNames(spec: DeltaSpec): Seq[String] =
-    "__rows" +: spec.sums.map(s => s"__nn_${s.name}")
+    ("__rows" +: spec.sums.map(s => s"__nn_${s.name}")) ++
+      spec.mins.flatMap(e => Seq(s"__bot_${e.name}", s"__nne_${e.name}")) ++
+      spec.maxs.flatMap(e => Seq(s"__top_${e.name}", s"__nne_${e.name}"))
 
   /** A zero-row frame shaped like the source's Hard read — what
     * [[deltaSpec]] resolves against. Built from the RECORDED schema when
@@ -297,6 +323,26 @@ final class MaterializedAgg(
           .columns.contains("__rows")
       }
     }
+
+  /** Does the view's committed SCHEMA carry the extremum buffers the fold
+    * regime folds against? A pre-buffer table (r13 format, or built by a
+    * non-delta spec) stays on recompute — which, when the spec qualifies,
+    * writes the buffers for the groups it rewrites, upgrading the view
+    * lazily (untouched groups carry null buffers until first dirty, when
+    * the fold's null-buffer rescan recomputes them exactly).
+    */
+  private def storedHasExtBufs(spark: SparkSession, spec: DeltaSpec): Boolean = {
+    val need = spec.mins.map(e => s"__bot_${e.name}") ++
+      spec.maxs.map(e => s"__top_${e.name}") ++
+      (spec.mins ++ spec.maxs).map(e => s"__nne_${e.name}")
+    sink.currentVersion.exists { v =>
+      val have = SnapshotParquetSink.manifestSchema(sink.dir, v) match {
+        case Some(s) => s.fieldNames.toSet
+        case None => sink.readAt(spark, v, DeleteMode.Hard).columns.toSet
+      }
+      need.forall(have)
+    }
+  }
 
   /** Advances the aggregate table to the source's current version.
     * Returns Some(appliedSourceVersion) when a refresh ran, None when
@@ -335,8 +381,14 @@ final class MaterializedAgg(
         // so every later refresh can advance by pure arithmetic.
         // Persisted because merge evaluates its input several times
         // (affected buckets, max seq, write) — O(groups) rows, spillable.
+        // extremum buffers only for FOLD-ELIGIBLE (cross-key) views — a
+        // keyed view's recompute never needs them (see hiddenAggs)
+        val crossKey = {
+          val ks = SnapshotParquetSink.manifestKeys(source.dir, srcV)
+          ks.nonEmpty && !ks.forall(groupCols.contains)
+        }
         val full = groupedWith(source.readAt(spark, srcV, DeleteMode.Hard),
-            spec.map(hiddenAggs).getOrElse(Nil))
+            spec.map(hiddenAggs(_, withExtBufs = crossKey)).getOrElse(Nil))
           .withColumn("seq", lit(srcV))
           .withColumn("__del", lit(false))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -364,19 +416,28 @@ final class MaterializedAgg(
           // extremum fold reads dirty view buckets (O(dirty), bucket-pruned)
           // where cross-key recompute must rescan the SOURCE for its dirty
           // groups (group values scatter across source buckets) — but fold
-          // pays two extra fixed-latency jobs (bucket probe, at-risk count),
-          // so on a SMALL source the recompute's single scan wins. The pick
-          // is COST-BASED on driver-side manifest file sizes (no data IO):
-          // fold iff its upper-bound read (whole view, ≥ the pruned dirty
-          // buckets) plus the fixed-job byte-equivalent undercuts the
-          // source scan. Keyed views (srcKeys ⊆ groups) never fold: their
+          // pays extra fixed-latency jobs (bucket probe, persists), so on
+          // a SMALL source the recompute's single scan wins. The pick is
+          // COST-BASED on driver-side manifest file sizes (no data IO):
+          // fold's read estimate is OPTIMISTIC (one view bucket — the
+          // bucket-pruned read scales with dirty groups, which a steady
+          // refresh keeps far below the bucket count; a pessimistic
+          // whole-view estimate was measured to skip fold exactly where it
+          // wins, a near-keyed 27M rung where fold ran 0.66× recompute's
+          // wall). Keyed views (srcKeys ⊆ groups) never fold: their
           // recompute scan already prunes to changed buckets, O(changed).
-          if (!srcKeys.forall(groupCols.contains)) {
+          if (!srcKeys.forall(groupCols.contains) &&
+              storedHasExtBufs(spark, sp)) {
             val fixedEquiv = spark.conf.getOption(
               "spark.graft.ivm.foldFixedCostBytes").map(_.toLong)
               .getOrElse(MaterializedAgg.FoldFixedCostBytes)
-            val estFold = sink.currentVersion.map(sink.bytesAt).getOrElse(0L) + fixedEquiv
+            val estFold = sink.currentVersion.map(v =>
+              sink.bytesAt(v) / math.max(1, sink.bucketCount)).getOrElse(0L) +
+              fixedEquiv
             val estRecompute = source.bytesAt(srcV)
+            if (sys.props.contains("graft.ivm.debug"))
+              System.err.println(s"[pick] estFold=$estFold (bucket+" +
+                s"$fixedEquiv fixed) estRecompute=$estRecompute")
             val forced = sys.props.get("graft.ivm.forceRegime") // bench/test twin knob
             val pickFold = forced match {
               case Some("fold")      => true
@@ -388,7 +449,11 @@ final class MaterializedAgg(
           }
         }
         lastRefreshRegime = Some("recompute")
-        val extraAggs = if (deltaReady) hiddenAggs(spec.get) else Nil
+        val extraAggs =
+          if (deltaReady)
+            hiddenAggs(spec.get, withExtBufs =
+              srcKeys.nonEmpty && !srcKeys.forall(groupCols.contains))
+          else Nil
         // self-healing when the diff base is GONE (the view lagged past the
         // source's vacuum retention): every group on either side — current
         // view, current snapshot — is dirty, and the normal recompute +
@@ -691,6 +756,10 @@ final class MaterializedAgg(
       applied: Long, srcV: Long, srcKeys: Seq[String],
       attempt: Int): Option[Long] = {
     lastRefreshRegime = Some("fold")
+    def dbg[A](tag: String)(f: => A): A =
+      if (!sys.props.contains("graft.ivm.debug")) f
+      else { val t0 = System.nanoTime(); val a = f
+        System.err.println(f"[fold] $tag%-12s ${(System.nanoTime()-t0)/1e9}%.3f s"); a }
     val oldSlice = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
     val newSlice = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
     val exts = spec.mins.map(("mn", _)) ++ spec.maxs.map(("mx", _))
@@ -740,17 +809,28 @@ final class MaterializedAgg(
         spec.counts.indices.map(i =>
           sum(col(s"__c$i") * col("__w")).as(s"__dc$i")) ++
         exts.zipWithIndex.flatMap { case ((kind, _), i) =>
-          val agg: Column => Column = if (kind == "mn") min else max
+          // bounded per-group delta arrays (O(k) state at every stage):
+          // the k best ADDED values are the only additions that can enter
+          // a k-slot buffer; the k+1 best REMOVED values suffice because
+          // k+1 buffer hits empty a k-slot buffer (→ rescan) and anything
+          // past a no-op removal no-ops too
+          val kk = MaterializedAgg.ExtremumBufferK
+          def bounded(c: Column, n: Int): Column =
+            if (kind == "mn") graft.engine.BoundedExtremesAgg.bottomK(c, n)
+            else graft.engine.BoundedExtremesAgg.topK(c, n)
           Seq(
-            agg(when(col("__w") === 1L, col(s"__e$i"))).as(s"__cand$i"),
-            agg(when(col("__w") === -1L, col(s"__e$i"))).as(s"__rem$i")) }
+            bounded(when(col("__w") === 1L, col(s"__e$i")), kk).as(s"__addk$i"),
+            bounded(when(col("__w") === -1L, col(s"__e$i")), kk + 1).as(s"__remk$i"),
+            sum(when(col(s"__e$i").isNotNull, col("__w")).otherwise(0L))
+              .as(s"__dnne$i")) }
     val deltas = signed.groupBy(groupCols.map(g => col(s"__g_$g")): _*)
       .agg(dAggCols.head, dAggCols.tail: _*)
       .select((groupCols.map(g => col(s"__g_$g").as(g)) ++
         Seq(col("__drows")) ++
         spec.sums.indices.flatMap(i => Seq(col(s"__dv$i"), col(s"__dnn$i"))) ++
         spec.counts.indices.map(i => col(s"__dc$i")) ++
-        exts.indices.flatMap(i => Seq(col(s"__cand$i"), col(s"__rem$i")))): _*)
+        exts.indices.flatMap(i =>
+          Seq(col(s"__addk$i"), col(s"__remk$i"), col(s"__dnne$i")))): _*)
 
     // stored dirty-group state: the delta frame (O(dirty groups), tiny)
     // drives a left join against the view — BUCKET-PRUNED to the files the
@@ -764,9 +844,9 @@ final class MaterializedAgg(
     val j = try {
       // one tiny job: the dirty groups' view buckets — ≤ nBuckets values
       // (a layout constant), so the driver-side list is bounded by design
-      val dirtyBuckets = deltasP
+      val dirtyBuckets = dbg("buckets")(deltasP
         .select(sink.bucketRouting(groupCols).as("__b")).distinct()
-        .collect().map(_.getInt(0)).toSet
+        .collect().map(_.getInt(0)).toSet)
       val stored = sink.readAtBuckets(spark,
         sink.currentVersion.getOrElse(sys.error(s"no snapshot at ${sink.dir}")),
         dirtyBuckets, DeleteMode.Hard).alias("st")
@@ -778,18 +858,33 @@ final class MaterializedAgg(
       case t: Throwable => deltasP.unpersist(); throw t
     }
     try {
-      val hasStored = col("st.__rows").isNotNull
       val rowsF = coalesce(col("st.__rows"), lit(0L)) + col("__drows")
-      val atRiskCond = hasStored && (rowsF > 0L) && exts.zipWithIndex.map {
-        case ((kind, e), i) =>
-          val rem = col(s"__rem$i"); val st = col(s"st.${e.name}")
-          if (kind == "mn") rem.isNotNull && st.isNotNull && rem <= st
-          else rem.isNotNull && st.isNotNull && rem >= st
+      // fold each extremum BUFFER through the refresh's removals/additions
+      // (MaterializedAgg.foldExtremumBuf — exact per its invariant, null
+      // when unaccountable); nne tracks non-null inputs so an all-null
+      // group reads NULL instead of looking buffer-exhausted
+      val k = MaterializedAgg.ExtremumBufferK
+      val jx = exts.zipWithIndex.foldLeft(j) { case (df, ((kind, e), i)) =>
+        val stBuf = col(if (kind == "mn") s"st.__bot_${e.name}"
+          else s"st.__top_${e.name}")
+        df.withColumn(s"__nnef$i",
+            coalesce(col(s"st.__nne_${e.name}"), lit(0L)) + col(s"__dnne$i"))
+          .withColumn(s"__buf$i",
+            MaterializedAgg.foldBufUdf(stBuf, col(s"__remk$i"),
+              col(s"__addk$i"), lit(kind == "mn"), lit(k)))
+      }
+      // at risk ⟺ the group still has non-null extremum inputs but its
+      // buffer exhausted (or the fold could not account a removal): only
+      // those groups rescan the source — single removals/ties fold exactly
+      // off the buffer now, so this fires when ≥ k removals hit one
+      // group's buffer in one refresh, not on every extremum-touching
+      // delete like the r13 min-only design
+      val atRiskCond = (rowsF > 0L) && exts.indices.map { i =>
+        (col(s"__nnef$i") > 0L) &&
+          (col(s"__buf$i").isNull || size(col(s"__buf$i")) === 0)
       }.reduce(_ || _)
-      val risk = j.filter(atRiskCond)
+      val risk = jx.filter(atRiskCond)
         .select(groupCols.map(g => col(s"d.$g").as(g)): _*)
-      // the at-risk set is a subset of the ~dirty groups — a bounded count
-      val nRisk = risk.count()
       val foldedCols =
         groupCols.map(g => col(s"d.$g").as(g)) ++
           spec.sums.zipWithIndex.flatMap { case (s, i) =>
@@ -799,28 +894,39 @@ final class MaterializedAgg(
               nnF.as(s"__nn_${s.name}")) } ++
           spec.counts.zipWithIndex.map { case (c, i) =>
             (coalesce(col(s"st.${c.name}"), lit(0L)) + col(s"__dc$i")).as(c.name) } ++
-          exts.zipWithIndex.map { case ((kind, e), i) =>
-            val cand = col(s"__cand$i"); val st = col(s"st.${e.name}")
-            (if (kind == "mn") least(st, cand) else greatest(st, cand)).as(e.name) } ++
+          exts.zipWithIndex.map { case ((_, e), i) =>
+            when(col(s"__nnef$i") === 0L, lit(null).cast(LongType))
+              .otherwise(element_at(col(s"__buf$i"), 1)).as(e.name) } ++
+          exts.zipWithIndex.flatMap { case ((kind, e), i) => Seq(
+            col(s"__buf$i").as(if (kind == "mn") s"__bot_${e.name}"
+              else s"__top_${e.name}"),
+            col(s"__nnef$i").as(s"__nne_${e.name}")) } ++
           Seq(rowsF.as("__rows"), (rowsF === 0L).as("__del"), lit(srcV).as("seq"))
-      val safe = j.filter(!atRiskCond).select(foldedCols: _*)
-      val batch =
-        if (nRisk == 0L) safe
-        else {
-          val snap = source.readAt(spark, srcV, DeleteMode.Hard)
-          val touched = snap.join(broadcast(risk),
-            groupCols.map(g => snap(g) <=> risk(g)).reduce(_ && _), "left_semi")
-          val rec = groupedWith(touched, hiddenAggs(spec))
-            .withColumn("__del", lit(false))
-            .withColumn("seq", lit(srcV))
-          // at-risk ⇒ rows remain (rowsF > 0), so the recompute covers
-          // every risk group; unionByName aligns the two column orders
-          safe.unionByName(rec.select(safe.columns.map(col).toIndexedSeq: _*))
-        }
+      val safe = jx.filter(!atRiskCond).select(foldedCols: _*)
+      // the at-risk rescan rides UNCONDITIONALLY in the plan: the rescan's
+      // probe is a semi-join against broadcast(risk), and when the at-risk
+      // set materializes EMPTY at runtime AQE converts the join to an empty
+      // relation and the source scan never runs — so the common benign
+      // refresh pays ZERO source IO without a driver-side count job (the
+      // count was measured at 0.85 s of pure fixed latency per refresh,
+      // dominating the fold-vs-recompute gap)
+      val batch = {
+        val snap = source.readAt(spark, srcV, DeleteMode.Hard)
+        val touched = snap.join(broadcast(risk),
+          groupCols.map(g => snap(g) <=> risk(g)).reduce(_ && _), "left_semi")
+        val rec = groupedWith(touched, hiddenAggs(spec))
+          .withColumn("__del", lit(false))
+          .withColumn("seq", lit(srcV))
+        // at-risk ⇒ rows remain (rowsF > 0), so the recompute covers
+        // every risk group; unionByName aligns the two column orders
+        safe.unionByName(rec.select(safe.columns.map(col).toIndexedSeq: _*))
+      }
       val materialized = batch
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        sink.mergeGuarded(materialized, groupCols, "seq", "__del", Some(applied))
+        if (sys.props.contains("graft.ivm.debug")) dbg("materialize")(materialized.count())
+        dbg("mergeFold")(
+          sink.mergeGuarded(materialized, groupCols, "seq", "__del", Some(applied)))
         Some(srcV)
       } catch {
         case _: SnapshotParquetSink.FoldBaseConflict =>
@@ -856,7 +962,8 @@ final class MaterializedAgg(
     */
   def read(spark: SparkSession): DataFrame = {
     val df = sink.read(spark, DeleteMode.Hard)
-    df.columns.filter(n => n == "__rows" || n.startsWith("__nn_"))
+    df.columns.filter(n => n == "__rows" || n.startsWith("__nn_") ||
+        n.startsWith("__nne_") || n.startsWith("__bot_") || n.startsWith("__top_"))
       .foldLeft(df)(_.drop(_))
   }
 }
@@ -876,13 +983,89 @@ object MaterializedAgg {
     */
   val MaxConflictRetries = 12
 
-  /** Byte-equivalent of the fold regime's extra fixed-latency jobs (bucket
-    * probe + at-risk count) in the cost-based fold-vs-recompute pick —
-    * calibrated to this class of box (~0.5 s of job latency at local
-    * parquet scan rates); override per session via
-    * `spark.graft.ivm.foldFixedCostBytes`.
+  /** Extremum buffer width: the view stores each group's k smallest /
+    * largest values (with multiplicity), so removals resolve EXACTLY
+    * unless k of them hit one group's buffer in a single refresh — the
+    * at-risk source rescan becomes the rare fallback instead of firing on
+    * every delete/update that ties the stored extremum (multiplicity
+    * unknowable from a bare MIN was the r13 design's per-refresh
+    * O(source) tax).
     */
-  val FoldFixedCostBytes = 64L * 1024 * 1024
+  val ExtremumBufferK = 8
+
+  /** Fold one group's extremum buffer through a refresh's removals and
+    * additions. `stored` is the buffer at the applied version (ascending
+    * for bottom, descending for top; null/empty for new groups), `rem` the
+    * (k+1) highest-priority REMOVED values, `add` the k highest-priority
+    * ADDED values — both from the changed-slice diff, both sorted in
+    * priority order.
+    *
+    * Invariant carried across refreshes (established by the exact initial
+    * build and preserved by every step here): the buffer is a sub-multiset
+    * of the group's live values, every group value with HIGHER priority
+    * than the buffer's last entry is in the buffer with full multiplicity,
+    * and the buffer's head is the group's exact extremum while the buffer
+    * is non-empty. Under it:
+    *   - a removal beyond the buffer's last entry provably cannot touch
+    *     the extremum → no-op;
+    *   - a removal within it must be present → remove one occurrence
+    *     (ties are value-interchangeable); absence, or any removal
+    *     against an emptied buffer, returns null → the caller rescans;
+    *   - additions insert in priority order, truncated to k (dropped
+    *     entries rank below the kept k and group values outside the
+    *     buffer, preserving the invariant).
+    *
+    * Null return = "cannot account exactly" — correctness never depends on
+    * the invariant holding, only rescan frequency does.
+    */
+  def foldExtremumBuf(stored: Seq[Long], rem: Seq[Long], add: Seq[Long],
+      bottom: Boolean, k: Int): Seq[Long] = {
+    @inline def le(a: Long, b: Long) = if (bottom) a <= b else a >= b
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (stored != null) buf ++= stored
+    if (rem != null) {
+      var i = 0
+      while (i < rem.length) {
+        val r = rem(i)
+        if (buf.isEmpty) return null // unaccountable removal → rescan
+        if (le(r, buf.last)) {
+          val at = buf.indexOf(r)
+          if (at < 0) return null // invariant broken (defensive) → rescan
+          buf.remove(at)
+        } // else: provably outside the buffered extremum prefix
+        i += 1
+      }
+    }
+    if (add != null) {
+      var i = 0
+      while (i < add.length) {
+        val a = add(i)
+        var at = 0
+        while (at < buf.length && !(if (bottom) a < buf(at) else a > buf(at))) at += 1
+        buf.insert(at, a)
+        if (buf.length > k) buf.remove(buf.length - 1)
+        i += 1
+      }
+    }
+    buf.toSeq
+  }
+
+  private[sink] val foldBufUdf = org.apache.spark.sql.functions.udf(
+    (stored: Seq[Long], rem: Seq[Long], add: Seq[Long], bottom: Boolean,
+     k: Int) => foldExtremumBuf(stored, rem, add, bottom, k))
+
+  /** Byte-equivalent of the fold regime's fixed floor in the cost-based
+    * fold-vs-recompute pick: the extra jobs (dirty-bucket probe, buffer
+    * fold, extra persists) plus the wider per-bucket rewrite the extremum
+    * buffers cost the merge. Measured on the r14 ladder: fold's refresh
+    * floors at ~6 s regardless of source size while the recompute regime
+    * tracks the source scan at ~100 MB/s effective — so fold starts paying
+    * off where the source outgrows ~200 MB. Override per session via
+    * `spark.graft.ivm.foldFixedCostBytes` (the constant encodes THIS box
+    * class; a cluster with higher scan bandwidth per fixed job second
+    * wants it larger).
+    */
+  val FoldFixedCostBytes = 192L * 1024 * 1024
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MaterializedAgg]()

@@ -814,6 +814,11 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
   }
 
   /** All published versions, ascending; empty before the first commit. */
+  /** This handle's bucket-layout width — cost models divide table bytes by
+    * it to price a bucket-pruned read.
+    */
+  def bucketCount: Int = nBuckets
+
   def versions: Seq[Long] = SnapshotParquetSink.versions(dir)
 
   def currentVersion: Option[Long] = versions.lastOption
@@ -1242,14 +1247,17 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     else shape(readWithKnownSchema(spark, version, paths), mode)
   }
 
-  /** Total bytes of `version`'s manifest-listed bucket files — the cheap
-    * driver-side size proxy cost-based refresh decisions run on (one FS
-    * status per file, no data IO, no footer reads).
+  /** Total bytes of `version`'s manifest-listed bucket entries — the cheap
+    * driver-side size proxy cost-based refresh decisions run on (FS
+    * metadata only, no data IO, no footer reads). Entries are bucket
+    * DIRECTORIES, so this is a content summary per entry, not a flat
+    * status (a directory's own status length is ~0 and would undercount
+    * the table by 1000×).
     */
   def bytesAt(version: Long): Long =
     readManifest(version).valuesIterator.map { rel =>
-      val p = new HPath(s"$dir/$rel")
-      try Dfs.fs(p).getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
+      try Dfs.contentSummary(new HPath(s"$dir/$rel"))._2
+      catch { case _: java.io.IOException => 0L }
     }.sum
 
   /** Plan a read of `paths` (files of `version`'s manifest) under the

@@ -562,6 +562,46 @@ class MaterializedAggSpec extends SparkSpec
     assert(maintained(m).find(_._1 == "a").get._4 == 77L)
   }
 
+  test("fold regime: exhausting a group's extremum buffer in one refresh rescans exactly") {
+    // the k-slot buffer absorbs up to k-1 bottom removals; deleting MORE
+    // of a group's smallest values than the buffer holds, in ONE refresh,
+    // must fall to the at-risk rescan and still land the exact min
+    val k = MaterializedAgg.ExtremumBufferK
+    val (src, m) = mk("fexh")
+    val n = k + 3 // group larger than the buffer, ids 1..k+3, values 10*id
+    src.merge(rows((1 to n).map(i => (i, "a", 10L * i, i.toLong)): _*),
+      Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // delete the k+1 smallest in one commit — buffer (k values) exhausts
+    src.merge(dels(100L, (1 to (k + 1)): _*), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    assert(maintained(m).find(_._1 == "a").get._4 == 10L * (k + 2),
+      "min after buffer exhaustion must come from the rescan")
+  }
+
+  test("foldExtremumBuf: removal/addition algebra across the invariant's edges") {
+    def fold(s: Seq[Long], r: Seq[Long], a: Seq[Long], bottom: Boolean = true) =
+      MaterializedAgg.foldExtremumBuf(s, r, a, bottom, 4)
+    // plain removal inside the buffer
+    assert(fold(Seq(1, 5, 9), Seq(5), Nil) == Seq(1, 9))
+    // tie at the boundary removes one occurrence
+    assert(fold(Seq(1, 5, 5), Seq(5), Nil) == Seq(1, 5))
+    // removal beyond the buffer's last entry is a provable no-op
+    assert(fold(Seq(1, 5, 9, 12), Seq(50), Nil) == Seq(1, 5, 9, 12))
+    // additions insert sorted and truncate to k
+    assert(fold(Seq(2, 4, 6, 8), Nil, Seq(1, 5)) == Seq(1, 2, 4, 5))
+    // removal on an emptied buffer is unaccountable → null (rescan)
+    assert(fold(Seq(3), Seq(3, 7), Nil) == null)
+    // removal below last but absent → defensive null
+    assert(fold(Seq(5, 9), Seq(7), Nil) == null)
+    // top-side (descending) symmetry
+    assert(fold(Seq(9, 5, 1), Seq(5), Seq(7), bottom = false) == Seq(9, 7, 1))
+    // new group: buffer built from additions alone
+    assert(fold(null, null, Seq(3, 8)) == Seq(3, 8))
+  }
+
   test("cost-based pick: tiny source takes recompute, view ≪ source takes fold") {
     costBased {
       // tiny source: one full scan beats the fold's fixed-cost jobs — the
