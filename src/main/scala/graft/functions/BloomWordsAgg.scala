@@ -62,32 +62,30 @@ case class BloomWordsAgg(
   override val dataType: DataType = BloomWordsAgg.OutType
 
   override def createAggregationBuffer(): BloomWordsAgg.Buf =
-    mutable.HashMap.empty
+    new BloomWordsAgg.Buf
 
   override def update(buf: BloomWordsAgg.Buf, input: InternalRow): BloomWordsAgg.Buf = {
     val b = bucket.eval(input)
     val h = hash.eval(input)
     if (b != null && h != null) {
-      val ent = buf.getOrElseUpdate(b.asInstanceOf[Int],
-        new BloomWordsAgg.Ent(BloomIndex.MaxBits,
-          new Array[Long](BloomIndex.MaxBits / 64), -1L))
-      ent.add(h.asInstanceOf[Long])
+      buf.entFor(b.asInstanceOf[Int]).add(h.asInstanceOf[Long])
     }
     buf
   }
 
   override def merge(a: BloomWordsAgg.Buf, b: BloomWordsAgg.Buf): BloomWordsAgg.Buf = {
-    b.foreach { case (bk, be) =>
-      a.get(bk) match {
-        case None     => a.put(bk, be)
-        case Some(ae) => a.put(bk, BloomWordsAgg.combine(ae, be))
+    b.entries.foreach { case (bk, be) =>
+      a.entries.get(bk) match {
+        case None     => a.entries.put(bk, be)
+        case Some(ae) => a.entries.put(bk, BloomWordsAgg.combine(ae, be))
       }
     }
+    a.invalidateCache()
     a
   }
 
   override def eval(buf: BloomWordsAgg.Buf): Any = {
-    val kept = buf.toSeq.sortBy(_._1).flatMap { case (bk, e) =>
+    val kept = buf.entries.toSeq.sortBy(_._1).flatMap { case (bk, e) =>
       val ent = e.foldedToEstimate()
       if (ent.m == 0) None
       else Some((bk, ent.nhat, BloomIndex.encode(ent.m, ent.words)))
@@ -100,8 +98,8 @@ case class BloomWordsAgg(
   override def serialize(buf: BloomWordsAgg.Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.toSeq.sortBy(_._1).foreach { case (bk, e) =>
+    out.writeInt(buf.entries.size)
+    buf.entries.toSeq.sortBy(_._1).foreach { case (bk, e) =>
       val ent = e.foldedToEstimate()
       out.writeInt(bk)
       out.writeLong(ent.nhat)
@@ -115,7 +113,7 @@ case class BloomWordsAgg(
   override def deserialize(bytes: Array[Byte]): BloomWordsAgg.Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf: BloomWordsAgg.Buf = mutable.HashMap.empty
+    val buf = new BloomWordsAgg.Buf
     var i = 0
     while (i < n) {
       val bk = in.readInt()
@@ -124,7 +122,7 @@ case class BloomWordsAgg(
       val words = new Array[Long](m / 64)
       var w = 0
       while (w < words.length) { words(w) = in.readLong(); w += 1 }
-      buf.put(bk, new BloomWordsAgg.Ent(m, words, nhat))
+      buf.entries.put(bk, new BloomWordsAgg.Ent(m, words, nhat))
       i += 1
     }
     buf
@@ -135,7 +133,32 @@ case class BloomWordsAgg(
 
 object BloomWordsAgg {
 
-  type Buf = mutable.HashMap[Int, Ent]
+  /** Per-task accumulation state: bucket → filter entry, with a LAST-ENTRY
+    * cache — the write frame is repartitioned by `__bucket`, so consecutive
+    * rows overwhelmingly share one; the cache turns the per-row boxed map
+    * probe into one probe per bucket RUN.
+    */
+  final class Buf {
+    val entries: mutable.HashMap[Int, Ent] = mutable.HashMap.empty
+    private var lastB: Int = 0
+    private var lastE: Ent = null
+
+    def entFor(b: Int): Ent = {
+      if (lastE != null && lastB == b) lastE
+      else {
+        val e = entries.getOrElseUpdate(b,
+          new Ent(BloomIndex.MaxBits, new Array[Long](BloomIndex.MaxBits / 64), -1L))
+        lastB = b
+        lastE = e
+        e
+      }
+    }
+
+    /** merge() replaces entries in place — a stale cache would OR bits
+      * into a dropped entry.
+      */
+    def invalidateCache(): Unit = lastE = null
+  }
 
   val OutType: DataType = MapType(IntegerType,
     StructType(Seq(
@@ -156,9 +179,17 @@ object BloomWordsAgg {
       */
     def add(h: Long): Unit =
       if (m > 0) {
+        // inlined BloomIndex.position (bit-identical: same h1/h2/mask
+        // formula) — h1/h2 hoisted out of the K-iteration loop; this runs
+        // K times per WRITTEN ROW in the fused sidecar build, so the
+        // redundant per-position recomputation was a measured slice of
+        // the commit overhead
+        val h1 = h & 0x7fffffffL
+        val h2 = ((h >>> 32) | 1L) & 0x7fffffffL
+        val mask = m - 1
         var i = 0
         while (i < BloomIndex.K) {
-          val p = BloomIndex.position(h, i, m)
+          val p = ((h1 + i.toLong * h2) & mask).toInt
           words(p >>> 6) |= 1L << (p & 63)
           i += 1
         }

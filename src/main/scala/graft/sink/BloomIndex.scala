@@ -81,7 +81,10 @@ object BloomIndex {
   def position(h: Long, i: Int, m: Int): Int = {
     val h1 = h & 0x7fffffffL
     val h2 = ((h >>> 32) | 1L) & 0x7fffffffL
-    ((h1 + i.toLong * h2) % m).toInt
+    // m is always a power of two (sizeFor/MaxBits): the mask is exactly
+    // the nonneg %, and this runs K times per written row in the fused
+    // sidecar build — keep it off the integer-division unit
+    ((h1 + i.toLong * h2) & (m - 1)).toInt
   }
 
   final case class Bloom(m: Int, words: Array[Long]) {

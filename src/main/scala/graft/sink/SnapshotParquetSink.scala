@@ -697,13 +697,24 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
           s"bloom column '$c' has a non-atomic type ($ddl) — bloom skipping " +
             "covers atomic columns (equality on them is what gets pushed down)")
         // null-gated: xxhash64(null) would hash the seed — a null must set
-        // no bits (an equality probe never matches null)
+        // no bits (an equality probe never matches null). The hash itself
+        // is PRECOMPUTED as a codegen'd projection column below: the
+        // CollectMetrics accumulator evaluates its children INTERPRETED
+        // per written row, and an interpreted xxhash64-over-string per row
+        // was a measured slice of the fused build's overhead — as a bound
+        // attribute it's one slot read
         call_function("graft_bloom_words", col("__bucket"),
-          when(col(c).isNotNull, xxhash64(col(c)))).as(s"__bf_$c")
+          col(s"__graft_bfh_$c")).as(s"__bf_$c")
       }
       val obs = org.apache.spark.sql.Observation(
         s"graft-blooms-${UUID.randomUUID()}")
-      new ObservedBlooms(toWrite.observe(obs, aggs.head, aggs.tail: _*),
+      val hashed = bloomCols.foldLeft(toWrite)((df, c) =>
+        df.withColumn(s"__graft_bfh_$c",
+          when(col(c).isNotNull, xxhash64(col(c)))))
+      // the drop ABOVE the observe keeps the helper out of the written
+      // files while CollectMetrics still sees it
+      new ObservedBlooms(hashed.observe(obs, aggs.head, aggs.tail: _*)
+        .drop(bloomCols.map(c => s"__graft_bfh_$c"): _*),
         Some(obs), bloomCols)
     }
 
