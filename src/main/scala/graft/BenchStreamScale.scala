@@ -102,7 +102,63 @@ object BenchStreamScale {
         s""""restart_capped_sec":${num(rs)},"restart_batches":$rb,""" +
         s""""restart_max_batch_rows":$rmax}"""
     }.mkString(",")
-    println(s"""{"stream":{$body}}""")
+
+    // ---- R30 FAN-OUT leg: ingest cost vs TABLE COUNT over one fixed-size
+    // multiplexed input. The per-table-query mode runs N queries that each
+    // scan (and JSON-parse) the whole input; shared-scan runs ONE query
+    // that caches each micro-batch once and routes N merges. With total
+    // input held constant, fanout wall grows ~linearly in N while shared
+    // stays ~flat — the N× topic-read cost the shared mode exists to kill.
+    def fanoutLeg(nTables: Int, totalRows: Int): (Double, Double) = {
+      import graft.streaming.{CdcOrchestrator, FileJsonlSource}
+      val root = s"$scratch/fan_$nTables"
+      val inDir = new java.io.File(root, "in"); inDir.mkdirs()
+      val rowsPerTable = totalRows / nTables
+      val w = new java.io.PrintWriter(new java.io.File(inDir, "events.jsonl"), "UTF-8")
+      try {
+        var seq = 0L; var t = 0
+        while (t < nTables) {
+          var r = 0
+          while (r < rowsPerTable) {
+            w.println(s"""{"seq":$seq,"ts":"2024-01-01T00:00:00Z","data":{"database_name":"db","table_name":"t${t}_part_0","primary_key":"$r","metadata":{"is_delete":false},"row":{"id":"$r","v":"${r * 7}"}}}""")
+            seq += 1; r += 1
+          }
+          t += 1
+        }
+      } finally w.close()
+      val csv = new java.io.File(root, "columns.csv")
+      val cw = new java.io.PrintWriter(csv, "UTF-8")
+      try (0 until nTables).foreach { t =>
+        cw.println(s"db.t$t,id,int8,true")
+        cw.println(s"db.t$t,v,varchar,false")
+      } finally cw.close()
+      def timedSec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val fanoutSec = timedSec {
+        val running = CdcOrchestrator.addNewTables(
+          spark, inDir.toString, csv.toString,
+          s"$root/fan_sink", s"$root/fan_ckpt", include = Nil, exclude = Nil)
+        running.values.foreach(_.query.processAllAvailable())
+        CdcOrchestrator.stopAll(running)
+      }
+      val sharedSec = timedSec {
+        val shared = CdcOrchestrator.addNewTablesSharedScan(
+          spark, () => FileJsonlSource(inDir.toString), csv.toString,
+          s"$root/sh_sink", s"$root/sh_ckpt", include = Nil, exclude = Nil)
+        shared.query.processAllAvailable()
+        shared.query.stop(); shared.query.awaitTermination()
+      }
+      (fanoutSec, sharedSec)
+    }
+    val fanTotal = 120000
+    val fanBody = Seq(2, 8).map { nT =>
+      val (f, s) = fanoutLeg(nT, fanTotal)
+      s""""$nT":{"tables":$nT,"total_rows":$fanTotal,""" +
+        s""""fanout_sec":${num(f)},"shared_scan_sec":${num(s)}}"""
+    }.mkString(",")
+
+    println(s"""{"stream":{$body},"fanout":{$fanBody}}""")
     graft.engine.Fs.deleteTree(new java.io.File(scratch))
     spark.stop()
   }

@@ -125,6 +125,138 @@ object CdcOrchestrator {
     running ++ started
   }
 
+  /** SHARED-SCAN fan-out (R30's scale-safe shape): ONE streaming query over
+    * ONE consumer, whose every micro-batch is cached once and routed to N
+    * per-table merges — ingest cost is one pass over the topic regardless
+    * of table count. The per-table-query mode above is faithful to the
+    * reference's one-output-per-table model (each pipeline owns its
+    * delivery cursor and restarts independently), but it re-reads the
+    * multiplexed stream N times (the Kafka path is explicitly N consumer
+    * groups): at a 100 TB topic that is N× the ingest. Here the checkpoint
+    * is the SHARED stream's; per-table exactly-once rides the sinks'
+    * last-write-wins merge idempotence (a replayed batch re-merges the
+    * same keyed rows — a mid-fan-out crash reapplies all N merges
+    * harmlessly).
+    *
+    * Trade-offs vs per-table queries, recorded for the operator: one
+    * failure domain (a poison table stalls the query), lock-step triggers,
+    * and adding a table requires a stop/backfill/restart (the shared
+    * checkpoint has already consumed the new table's history, so its
+    * catch-up is an explicit batch backfill — [[addNewTablesSharedScan]]
+    * does it on re-invocation).
+    */
+  final case class SharedRunning(
+      specs: Map[String, CdcStreamSpec],
+      checkpointDir: String,
+      consumerFactory: () => CdcSource,
+      query: org.apache.spark.sql.streaming.StreamingQuery)
+
+  def addNewTablesSharedScan(
+      spark: SparkSession,
+      consumerFactory: () => CdcSource,
+      columnsPath: String,
+      sinkRoot: String,
+      checkpointRoot: String,
+      include: Seq[String],
+      exclude: Seq[String],
+      running: Option[SharedRunning] = None,
+      logicalDeletes: Boolean = false,
+      extraPk: Option[graft.model.ColSpec] = None,
+      sinkFactory: String => graft.sink.UpsertSink = new LocalParquetSink(_)): SharedRunning = {
+    val specs = TableSpec.loadCsv(columnsPath)
+    val discovered = Inspection.tables(consumerFactory().batch(spark))
+      .collect().map(_.getString(0)).toSeq.sorted
+      .filter(t => include.isEmpty || include.contains(t))
+      .filterNot(exclude.contains)
+    val have = running.map(_.specs.keySet).getOrElse(Set.empty)
+    val toStart = discovered
+      .filterNot(have)                   // R32: exists ⇒ skip
+      .filter(specs.contains)            // no spec ⇒ skip (reference behavior)
+    running match {
+      case Some(r) if toStart.isEmpty => r // idempotent re-invocation
+      case prior =>
+        val checkpointDir = s"$checkpointRoot/__shared_scan"
+        val fresh = toStart.map { t =>
+          val safe = t.replace('.', '_')
+          t -> CdcStreamSpec(
+            inputDir = "", checkpointDir, withExtraPk(specs(t), extraPk),
+            sinkFactory(s"$sinkRoot/$safe"),
+            logicalDeletes = logicalDeletes,
+            extraPk = extraPk.map(_.name),
+            source = Some(consumerFactory()))
+        }.toMap
+        prior.foreach { r =>
+          r.query.stop()
+          r.query.awaitTermination()
+          // the shared checkpoint already consumed the new tables' history
+          // — catch each one up with a batch backfill before the restart
+          fresh.values.foreach(CdcStream.backfill(spark, _))
+        }
+        val all = prior.map(_.specs).getOrElse(Map.empty) ++ fresh
+        SharedRunning(all, checkpointDir, consumerFactory,
+          startShared(spark, consumerFactory(), all, checkpointDir))
+    }
+  }
+
+  private def startShared(
+      spark: SparkSession,
+      consumer: CdcSource,
+      specs: Map[String, CdcStreamSpec],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ordered = specs.toSeq.sortBy(_._1).map(_._2)
+    consumer.stream(spark, consumer.inferSchema(spark)).writeStream
+      .queryName("cdc_shared_scan")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // ONE pass over the input: the micro-batch caches once; each table's
+        // transform + merge reads the cache, never the transport
+        val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try ordered.foreach { sp =>
+          CdcStream.mergeInto(sp, CdcStream.transform(cached, sp))
+        } finally {
+          cached.unpersist()
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** R31 in shared-scan mode: detect new columns per table; if any table
+    * evolved, stop the ONE query, extend + backfill each evolved table
+    * (firstSeen − 1 minute, same R19 bound as the per-table cycle), and
+    * restart the shared scan with the extended specs.
+    */
+  def updateExistingTablesShared(
+      spark: SparkSession,
+      running: SharedRunning,
+      udtOf: String => String = _ => "varchar"): SharedRunning = {
+    val missing = running.specs.map { case (t, sp) =>
+      t -> SchemaEvolution.missingColumns(spark, sp.cdcSource, sp.table)
+    }.filter(_._2.nonEmpty)
+    if (missing.isEmpty) running
+    else {
+      running.query.stop()
+      running.query.awaitTermination()
+      val extended = running.specs.map { case (t, sp) =>
+        missing.get(t) match {
+          case None => t -> sp
+          case Some(cols) =>
+            val table2 = sp.table.copy(cols = sp.table.cols ++ cols.map {
+              case (n, _) => graft.model.ColSpec(n, udtOf(n), isPrimaryKey = false)
+            })
+            val earliest = cols.map(_._2.getTime).min - 60000L // R19: −1 min
+            CdcStream.backfill(spark, sp.copy(table = table2,
+              startFrom = StartFrom.AtTime(new java.sql.Timestamp(earliest))))
+            t -> sp.copy(table = table2)
+        }
+      }
+      running.copy(specs = extended,
+        query = startShared(spark, running.consumerFactory(), extended,
+          running.checkpointDir))
+    }
+  }
+
   /** R31: evolution pass over every running table — stop/backfill/restart
     * whichever ones grew new columns; others keep running untouched.
     */

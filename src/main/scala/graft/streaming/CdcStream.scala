@@ -105,8 +105,15 @@ object CdcStream {
     * same outcome the reference's warehouse-side column add yields for a
     * source that never populates the field.
     */
-  private def presentMergeKeys(spec: CdcStreamSpec, batch: DataFrame): Seq[String] =
+  private[streaming] def presentMergeKeys(spec: CdcStreamSpec,
+      batch: DataFrame): Seq[String] =
     spec.mergeKeys.filter(batch.columns.contains)
+
+  /** One table's merge of an already-transformed batch — the per-table step
+    * both the per-table queries and the shared-scan fan-out apply.
+    */
+  private[streaming] def mergeInto(spec: CdcStreamSpec, batch: DataFrame): Unit =
+    spec.sink.merge(batch, presentMergeKeys(spec, batch), "seq", "is_delete")
 
   /** One-shot batch backfill through the same transform — used for AtTime
     * replay and schema-evolution catch-up.

@@ -579,6 +579,70 @@ class CdcStreamingSpec extends SparkSpec {
     } finally CdcOrchestrator.stopAll(running)
   }
 
+  test("R30 shared-scan: 3 tables converge from ONE query/consumer; evolution loop still works") {
+    import graft.streaming.{CdcOrchestrator, KafkaLikeSource}
+    // the scale-safe fan-out shape: one consumer, one streaming query, each
+    // micro-batch cached once and routed to N per-table merges — vs the
+    // faithful per-table mode where N tables = N full topic reads
+    val topic = new KafkaLikeSource(spark, nPartitions = 2)
+    fixtureLines.zipWithIndex.foreach { case (l, i) => topic.publish(i % 2, l) }
+    val sinkRoot = tmpDir("shscan_sink"); val ckptRoot = tmpDir("shscan_ckpt")
+    val groups = scala.collection.mutable.ArrayBuffer.empty[KafkaLikeSource#Group]
+    def consumer(): graft.streaming.CdcSource = {
+      val g = topic.group(); groups += g; g
+    }
+    val include = Seq("shop.orders", "shop.customers", "crm.leads")
+    var shared = CdcOrchestrator.addNewTablesSharedScan(
+      spark, () => consumer(), Cdc.Fixtures.columnsPath, sinkRoot, ckptRoot,
+      include, exclude = Nil)
+    try {
+      assert(shared.specs.keySet == include.toSet, shared.specs.keySet.toString)
+      // the STREAM owns exactly one consumer group (created last); the
+      // other groups only served driver-side batch probes. Delivering to
+      // that ONE group must converge ALL tables — the proof the ingest is
+      // one pass over the topic, where the per-table mode needs N
+      // deliveries to N groups
+      val streamGroup = groups.last
+      while (streamGroup.deliverAvailable() > 0) shared.query.processAllAvailable()
+      val specs = TableSpec.loadCsv(Cdc.Fixtures.columnsPath)
+      def keysOf(t: String): Set[String] =
+        shared.specs(t).sink.read(spark, DeleteMode.Hard)
+          .select("primary_key").collect().map(_.getString(0)).toSet
+      include.foreach { t =>
+        val expected = CdcPipeline.materialize(topic.group().batch(spark), specs(t))
+          .select("primary_key").collect().map(_.getString(0)).toSet
+        assert(keysOf(t) == expected && expected.nonEmpty, s"$t diverged")
+      }
+      // R32 idempotence: re-invocation with no new tables returns the SAME
+      // running query (no restart)
+      val runId = shared.query.runId
+      shared = CdcOrchestrator.addNewTablesSharedScan(
+        spark, () => consumer(), Cdc.Fixtures.columnsPath, sinkRoot, ckptRoot,
+        include, exclude = Nil, running = Some(shared))
+      assert(shared.query.runId == runId, "idempotent re-invocation restarted")
+      // R31 evolution in shared mode: orders grows loyalty_tier — ONE
+      // stop/backfill/restart of the shared query, others' data untouched
+      val beforeCustomers = keysOf("shop.customers")
+      val ev =
+        """{"seq":99995,"ts":"2024-03-01T00:00:00Z","data":{"database_name":"shop","table_name":"orders_part_0","primary_key":"99995","metadata":{"is_delete":false},"row":{"id":"99995","loyalty_tier":"gold"}}}"""
+      topic.publish(0, ev)
+      streamGroup.deliverAvailable()
+      shared.query.processAllAvailable()
+      shared = CdcOrchestrator.updateExistingTablesShared(spark, shared)
+      assert(shared.query.runId != runId, "evolved shared scan must restart")
+      assert(shared.specs("shop.orders").table.colNames.contains("loyalty_tier"))
+      val evolved = shared.specs("shop.orders").sink.read(spark, DeleteMode.Hard)
+      assert(evolved.columns.contains("row_loyalty_tier"))
+      assert(evolved.filter(col("primary_key") === "99995")
+        .select("row_loyalty_tier").head.getString(0) == "gold")
+      assert(keysOf("shop.customers") == beforeCustomers,
+        "evolution of orders must not disturb customers")
+    } finally {
+      shared.query.stop()
+      shared.query.awaitTermination()
+    }
+  }
+
   test("extra-PK column widens the merge key to (primary_key, row_ext_id) (R13)") {
     import graft.streaming.CdcOrchestrator
     val in = tmpDir("xpk_in")
