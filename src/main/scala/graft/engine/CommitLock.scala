@@ -113,7 +113,15 @@ final class ObjectStoreCommitLock(
       if (Dfs.exists(dst)) false // lost: dst is another committer's manifest
       else {
         val body = Dfs.readUtf8(src) // metadata-sized by readUtf8's own guard
-        Dfs.writeUtf8(dst, body)     // one PUT — atomic on object stores
+        // a real store's PUT is atomically visible; the local-FS emulation
+        // must be too — a direct create+write let concurrent readers (who
+        // take no lock) observe a PARTIAL manifest body (seen as a
+        // "manifest lacks nBuckets" flake in the racing-writers spec), a
+        // failure mode the emulated store cannot actually produce
+        val staged = new Path(dst.getParent,
+          s".put-${java.util.UUID.randomUUID()}")
+        Dfs.writeUtf8(staged, body)
+        Dfs.rename(staged, dst)
         // scratch cleanup is best-effort; the slot is already won
         try Dfs.delete(src) catch { case _: java.io.IOException => () }
         true

@@ -80,6 +80,26 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
   private def manifestPath(v: Long): HPath =
     new HPath(catalogDir, f"v$v%08d.manifest")
 
+  /** Published catalog cuts are immutable (rename-onto-absent), so their
+    * lines cache like table manifests do ([[SnapshotParquetSink]]'s cache
+    * rationale): every commit re-reads the base cut for pin/epoch
+    * carry-forward, every seq-aligned read re-reads its cut — locally
+    * parse churn, on an object store a GET per call. Commit installs the
+    * fresh body; expiry evicts.
+    */
+  private def cutLines(v: Long): Seq[String] = {
+    val k = (dir, v)
+    val hit = SnapshotCatalog.cutCache.get(k)
+    if (hit != null) hit
+    else {
+      val lines = Dfs.readUtf8(manifestPath(v)).split('\n').toSeq
+      // complete bodies only — a put-style lock can expose the file before
+      // its content; that read must stay transient, not cache
+      if (lines.exists(_.startsWith("version="))) SnapshotCatalog.cutCache.put(k, lines)
+      lines
+    }
+  }
+
   /** Member table handle — tables live under the catalog dir by name. */
   private def validName(name: String): Unit =
     require(name.nonEmpty && name != "." && name != ".." && !name.startsWith("_") &&
@@ -119,7 +139,7 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
 
   /** table → pinned table-version at catalog version `v`. */
   def pins(v: Long): Map[String, Long] =
-    Dfs.readUtf8(manifestPath(v)).split('\n').toSeq
+    cutLines(v)
       .filter(_.startsWith("t "))
       .map { line =>
         val Array(_, name, tv) = line.split(" ", 3)
@@ -168,7 +188,9 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
     pinned.keys.foreach(validName)
     epoch.keys.foreach(validName)
     pinned.foreach { case (name, tv) =>
-      require(SnapshotParquetSink.versions(s"$dir/$name").contains(tv),
+      // one stat per pin, not a full manifests-dir listing per member —
+      // a 100-member commit paid 100 listings here
+      require(Dfs.exists(SnapshotParquetSink.manifestPath(s"$dir/$name", tv)),
         s"cannot pin $name@v$tv — that table version is not published")
     }
     Dfs.mkdirs(catalogDir)
@@ -217,8 +239,10 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
         .mkString("", "\n", "\n")
       Dfs.writeUtf8(tmp, body)
       // same pluggable commit seam as the table manifests (LogStore pattern)
-      if (graft.engine.CommitLock.current.publishOntoAbsent(tmp, manifestPath(version)))
+      if (graft.engine.CommitLock.current.publishOntoAbsent(tmp, manifestPath(version))) {
+        SnapshotCatalog.cutCache.put((dir, version), body.split('\n').toSeq)
         return version
+      }
       Dfs.delete(tmp)
       if (attempts >= 10)
         sys.error(s"catalog commit lost the race $attempts times at $dir")
@@ -252,7 +276,7 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
     * which errs on the side of keeping replay protection.
     */
   def epochStamps(v: Long): Map[String, (Long, Long)] =
-    Dfs.readUtf8(manifestPath(v)).split('\n').toSeq
+    cutLines(v)
       .filter(_.startsWith("e "))
       .map { line =>
         val toks = line.split(" ")
@@ -399,7 +423,11 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
     require(keepLast >= 1, "must keep at least the current catalog version")
     val vs = versions
     val drop = vs.dropRight(keepLast)
-    drop.foreach(v => Dfs.delete(manifestPath(v)))
+    drop.foreach { v =>
+      Dfs.delete(manifestPath(v))
+      SnapshotCatalog.cutCache.remove((dir, v))
+      ()
+    }
     val now = System.currentTimeMillis()
     Dfs.list(catalogDir)
       .filter(st => st.getPath.getName.startsWith(".tmp-"))
@@ -407,4 +435,16 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
       .foreach(st => Dfs.delete(st.getPath))
     drop.size
   }
+}
+
+object SnapshotCatalog {
+  // bounded (catalogDir, version) → cut lines; see cutLines for the
+  // immutability argument
+  private[sink] val cutCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Seq[String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+          size() > 256
+      })
 }

@@ -213,8 +213,48 @@ object SnapshotParquetSink {
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
       .sorted
 
-  private def manifestLines(dir: String, version: Long): Seq[String] =
-    Dfs.readUtf8(manifestPath(dir, version)).split('\n').toSeq
+  /** Bounded (dir, version) → lines cache. A published manifest is
+    * IMMUTABLE (publish is rename-onto-absent), so a hit can never be
+    * stale within a table's lifetime; the two mutation edges are handled
+    * explicitly — [[publish]] installs the fresh body (covering
+    * delete-tree-and-recreate fixtures reusing version numbers inside one
+    * JVM), and vacuum evicts what it drops. Commits re-read the SAME
+    * manifest ~a dozen times (layout guard, keys, seqcol, schema, maxseq,
+    * stats, blooms, skip-cols, entries); locally that is parse churn, on
+    * an object store it is a dozen GETs per commit.
+    */
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Seq[String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+          size() > 256
+      })
+
+  private[sink] def cacheManifest(dir: String, version: Long, body: String): Unit = {
+    manifestCache.put((dir, version), body.split('\n').toSeq)
+    ()
+  }
+
+  private[sink] def evictManifest(dir: String, version: Long): Unit = {
+    manifestCache.remove((dir, version))
+    ()
+  }
+
+  private def manifestLines(dir: String, version: Long): Seq[String] = {
+    val k = (dir, version)
+    val hit = manifestCache.get(k)
+    if (hit != null) hit
+    else {
+      val lines = Dfs.readUtf8(manifestPath(dir, version)).split('\n').toSeq
+      // cache only a COMPLETE body: under a put-style commit lock a racing
+      // reader can observe the file before its content — that read must
+      // stay transient (the caller fails/retries as before), never become
+      // a pinned empty manifest
+      if (lines.exists(_.startsWith("version="))) manifestCache.put(k, lines)
+      lines
+    }
+  }
 
   /** (declared nBuckets, bucket → path relative to `dir`) at `version`. */
   def manifest(dir: String, version: Long): (Int, Map[Int, String]) = {
@@ -851,6 +891,9 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     Dfs.writeUtf8(tmp, body)
     val won = graft.engine.CommitLock.current.publishOntoAbsent(tmp, manifestPath(version))
     if (!won) Dfs.delete(tmp)
+    // a win installs the authoritative body (also refreshing any stale
+    // entry left by a delete-tree-and-recreate of the same table path)
+    else SnapshotParquetSink.cacheManifest(dir, version, body)
     won
   }
 
@@ -910,6 +953,10 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
   private def mergeImpl(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String, reduceOpt: Option[DataFrame => DataFrame],
       requireBaseSeq: Option[Long]): Unit = synchronized {
+    def dbg[A](tag: String)(f: => A): A =
+      if (!sys.props.contains("graft.commit.debug")) f
+      else { val t0 = System.nanoTime(); val a = f
+        System.err.println(f"[commit] $tag%-10s ${(System.nanoTime()-t0)/1e9}%.3f s"); a }
     keys.foreach(SnapshotParquetSink.validManifestName("key"))
     val spark = batch.sparkSession
     val incoming0 = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
@@ -923,9 +970,9 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       // seq-aligned cuts read metadata, not data; all-null seq contributes
       // no head). Separate jobs here doubled the fixed per-job latency on
       // every micro-commit — the q61 lifecycle tail is merge-count-bound.
-      val probe = incoming0.groupBy().agg(
+      val probe = dbg("probe")(incoming0.groupBy().agg(
         collect_set(col("__bucket")).as("bs"),
-        max(col(seqCol).cast("long")).as("mx")).head()
+        max(col(seqCol).cast("long")).as("mx")).head())
       val affected = probe.getSeq[Int](0).sorted.toArray
       if (affected.isEmpty) return
       val batchMaxSeq: Option[Long] =
@@ -1027,14 +1074,14 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         // fresh files, zero extra jobs — the pre-fusion two-job build was
         // measured at 1.5–2.1× bulk-commit overhead
         val obs = observeBlooms(spark, toWrite, merged.schema)
-        obs.frame.write.mode("overwrite").partitionBy("__bucket")
+        dbg("write")(obs.frame.write.mode("overwrite").partitionBy("__bucket")
           .options(parquetBloomOpts(bloomCols))
-          .parquet(s"$dir/data/$commitId")
+          .parquet(s"$dir/data/$commitId"))
         dataWrites += 1
         // data-derived manifest lines depend only on the written files —
         // computed once, reused verbatim across rebase attempts
-        val freshStats = statsLinesFor(spark, commitId)
-        val freshBlooms = obs.lines(commitId, merged.schema)
+        val freshStats = dbg("stats")(statsLinesFor(spark, commitId))
+        val freshBlooms = dbg("blooms")(obs.lines(commitId, merged.schema))
 
         // publish loop: first attempt carries from `base`; a lost race
         // against writers of DISJOINT buckets rebases — re-carries from the
@@ -1858,7 +1905,10 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       .filter(st => now - st.getModificationTime >= minOrphanAgeMs)
     orphans.foreach(st => deleteTree(st.getPath))
     // strict: the RETURN VALUE reports these as expired
-    drop.foreach(v => Dfs.deleteStrict(manifestPath(v)))
+    drop.foreach { v =>
+      Dfs.deleteStrict(manifestPath(v))
+      SnapshotParquetSink.evictManifest(dir, v)
+    }
     // aged-out temp manifests from crashed commits (lost races clean their
     // own temp synchronously; a crash between write and publish does not)
     Dfs.list(manifestsDir)
