@@ -98,7 +98,39 @@ object BenchLlmScale {
       s""""$n":{"sec":${num(sec)},"sec_per_mvec":${num(sec * 1e6 / n)}}"""
     }.mkString("{", ",", "}")
 
-    println(s"""{"base":$base,"lsh":$lshJson,"ivf":$ivfJson,"pq":$pqJson}""")
+    // ---- positioned-shingle SPAN dedup (`Dedup.duplicateSpans`) and
+    // tf-idf pair mining (`TextAnalysis.tfidfPairs`): the two df-cut join
+    // families. Their fan-out bound is structural — a shingle/term joins
+    // ≤ dfCap/maxDf docs against themselves, so candidate volume is
+    // Σ_term df² ≤ maxDf · Σ df, linear in corpus for bounded df — and
+    // this leg turns that argument into a measured curve (sec_per_mdoc
+    // flat-ish, result volume tracking the engineered dup density).
+    // Same corpus generator as LSH: docs 8k/8k+1 are identical (maximal
+    // spans + maximal dot), everything else draws from an N-sized vocab.
+    graft.llm.Dedup.duplicateSpans(docs(2000L), k = 5, dfCap = 8, topN = 50)
+      .count() // untimed warm-up
+    val spanJson = mults.map { m =>
+      val n = base * m
+      val (rows, sec) = timed(
+        graft.llm.Dedup.duplicateSpans(docs(n), k = 5, dfCap = 8, topN = 50)
+          .count())
+      System.err.println(f"[scale] span n=$n rows=$rows sec=$sec%.1f")
+      s""""$n":{"sec":${num(sec)},"sec_per_mdoc":${num(sec * 1e6 / n)},"top_rows":$rows}"""
+    }.mkString("{", ",", "}")
+
+    graft.llm.TextAnalysis.tfidfPairs(docs(2000L), minDot = 1L, maxDf = 8L)
+      .count() // untimed warm-up
+    val tfidfJson = mults.map { m =>
+      val n = base * m
+      val (pairs, sec) = timed(
+        graft.llm.TextAnalysis.tfidfPairs(docs(n), minDot = 1L, maxDf = 8L)
+          .count())
+      System.err.println(f"[scale] tfidf n=$n pairs=$pairs sec=$sec%.1f")
+      s""""$n":{"sec":${num(sec)},"sec_per_mdoc":${num(sec * 1e6 / n)},"pairs":$pairs,"pairs_per_kdoc":${num(pairs * 1000.0 / n)}}"""
+    }.mkString("{", ",", "}")
+
+    println(s"""{"base":$base,"lsh":$lshJson,"ivf":$ivfJson,"pq":$pqJson,""" +
+      s""""span":$spanJson,"tfidf":$tfidfJson}""")
     spark.stop()
   }
 }

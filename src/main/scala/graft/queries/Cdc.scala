@@ -628,6 +628,56 @@ object Cdc {
       }
     },
 
+    // STREAM-DRIVEN materialized view ([[graft.streaming.MatViewStream]]):
+    // the same maintained-rollup contract as q61m, but the refreshes are
+    // fired by a streaming follower of the source table (the
+    // graft-snapshot-stream source as a commit cursor, one refresh per
+    // admitted version) instead of manual calls — the continuous-
+    // maintenance deployment shape. Three source commits land while the
+    // follower runs; the oracle replays the whole log once and groups the
+    // final live state, so any per-commit drift hash-mismatches.
+    QDef.df("q61y_stream_matview",
+      s"""$SRC,
+         |r AS (SELECT data['primary_key'] AS pk,
+         |             CAST(data['row']['qty'] AS BIGINT) AS qty,
+         |             coalesce(CAST(data['metadata']['is_delete'] AS BOOLEAN), false) AS is_del,
+         |             row_number() OVER (PARTITION BY data['primary_key'] ORDER BY seq DESC) AS rn
+         |      FROM f),
+         |live AS (SELECT qty FROM r WHERE rn = 1 AND NOT is_del)
+         |SELECT qty % 4 AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(qty) AS BIGINT) AS sum_qty
+         |FROM live GROUP BY 1""".stripMargin) { (s, _) =>
+      val (src, _) = freshSnapshotSink("q61y_src")
+      val (agg, _) = freshSnapshotSink("q61y_agg")
+      val ckpt = sys.props("java.io.tmpdir") + s"/graft_q61y_ckpt_" +
+        ProcessHandle.current().pid()
+      graft.engine.Fs.deleteTree(new java.io.File(ckpt))
+      val flat = CdcPipeline.expanded(CdcPipeline.forTable(env(s), "shop.orders"))
+        .withColumn("grp", col("row_qty").cast("long") % 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val m = new graft.sink.MaterializedAgg(src, agg, Seq("grp"),
+          Seq(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("row_qty").cast("long")).as("sum_qty")))
+        src.merge(flat.filter(col("seq") <= 400), Seq("primary_key"), "seq", "is_delete")
+        val q = graft.streaming.MatViewStream.follow(s, m, ckpt,
+          maxVersionsPerTrigger = 1)
+        try {
+          q.processAllAvailable()
+          for (wave <- Seq(col("seq") > 400 && col("seq") <= 600, col("seq") > 600)) {
+            src.merge(flat.filter(wave), Seq("primary_key"), "seq", "is_delete")
+            q.processAllAvailable()
+          }
+        } finally { q.stop(); q.awaitTermination() }
+        require(m.appliedVersion.contains(2L),
+          s"follower must have applied all 3 commits: ${m.appliedVersion}")
+        m.read(s).select(col("grp"), col("n_rows"), col("sum_qty"))
+      } finally {
+        flat.unpersist()
+        ()
+      }
+    },
+
     // Materialized-view QUERY REWRITE ([[graft.plans.MatViewRewrite]]): the
     // same maintained rollup, but the engine side never reads the view
     // handle — it runs a plain GROUP BY over the SOURCE table and the

@@ -349,7 +349,15 @@ final class MaterializedAgg(
     * already current. A first call on an empty aggregate table builds it
     * fully from the source's current snapshot.
     */
-  def refresh(spark: SparkSession): Option[Long] = refreshAttempt(spark, 0)
+  def refresh(spark: SparkSession): Option[Long] = refreshAttempt(spark, 0, None)
+
+  /** [[refresh]] bounded to a specific RETAINED source version — the
+    * streaming follower's per-commit advance ([[graft.streaming.MatViewStream]]
+    * admits upstream commits one version at a time and refreshes to each),
+    * and the replay primitive for tests that pin per-version view states.
+    */
+  def refreshTo(spark: SparkSession, sourceVersion: Long): Option[Long] =
+    refreshAttempt(spark, 0, Some(sourceVersion))
 
   /** Bounded applied-head-conflict retry: a refresh whose guarded merge
     * lost the head race re-reads and goes again, but only [[MaxConflictRetries]]
@@ -357,7 +365,8 @@ final class MaterializedAgg(
     * contention must surface an error, not livelock (and the old unbounded
     * recursion grew the stack one frame per conflict).
     */
-  private def retryConflict(spark: SparkSession, attempt: Int): Option[Long] = {
+  private def retryConflict(spark: SparkSession, attempt: Int,
+      target: Option[Long]): Option[Long] = {
     if (attempt >= MaterializedAgg.MaxConflictRetries)
       throw new IllegalStateException(
         s"refresh of ${sink.dir} lost the applied-head race " +
@@ -365,12 +374,16 @@ final class MaterializedAgg(
           "a concurrent refresher is starving this one; serialize refreshers " +
           "or widen the refresh interval")
     Thread.sleep(50L * (attempt + 1))
-    refreshAttempt(spark, attempt + 1)
+    refreshAttempt(spark, attempt + 1, target)
   }
 
-  private def refreshAttempt(spark: SparkSession, attempt: Int): Option[Long] = synchronized {
-    val srcV = source.currentVersion.getOrElse(
-      sys.error(s"source table at ${source.dir} has no committed version"))
+  private def refreshAttempt(spark: SparkSession, attempt: Int,
+      target: Option[Long]): Option[Long] = synchronized {
+    val srcV = target.getOrElse(source.currentVersion.getOrElse(
+      sys.error(s"source table at ${source.dir} has no committed version")))
+    target.foreach(v => require(source.versions.contains(v),
+      s"cannot refresh to source version $v at ${source.dir} — not published " +
+        "or vacuumed"))
     lazy val spec = deltaSpec(sourceShaped(spark, srcV))
     appliedVersion match {
       case Some(applied) if applied >= srcV => None
@@ -715,8 +728,8 @@ final class MaterializedAgg(
         // someone advanced the view while this delta was in flight (a
         // concurrent refresher, or a replay racing one) — re-read the
         // applied head and go again, bounded (the synchronized refresh
-        // re-enters on the same thread)
-        retryConflict(spark, attempt)
+        // re-enters on the same thread), re-targeting the same version
+        retryConflict(spark, attempt, Some(srcV))
     } finally {
       delta.unpersist()
       ()
@@ -932,7 +945,7 @@ final class MaterializedAgg(
         case _: SnapshotParquetSink.FoldBaseConflict =>
           // another refresher advanced the view while these ABSOLUTE rows
           // were computed from the old head — re-read and go again, bounded
-          retryConflict(spark, attempt)
+          retryConflict(spark, attempt, Some(srcV))
       } finally {
         materialized.unpersist()
         ()
