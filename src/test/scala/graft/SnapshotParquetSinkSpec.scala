@@ -118,6 +118,37 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](sink.readAt(spark, 0L, DeleteMode.Hard))
   }
 
+  test("readAtBuckets prunes to the listed buckets, bit-consistent with bucketRouting") {
+    val dir = tmpDir("ssink") + "/rab"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch((0 to 40).map(i => (s"k$i", i.toLong, s"v$i", false)): _*),
+      Seq("primary_key"), "seq", "is_delete")
+    val v = sink.currentVersion.get
+    val all = sink.readAt(spark, v, DeleteMode.Hard)
+    // routing column == write-path routing: restricting a read to the
+    // buckets a key set hashes to must return exactly those keys' rows
+    val routed = all.withColumn("__b",
+      sink.bucketRouting(Seq("primary_key")))
+      .select("primary_key", "__b").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val pick = Set(0, 2)
+    val got = sink.readAtBuckets(spark, v, pick, DeleteMode.Hard)
+      .select("primary_key").collect().map(_.getString(0)).toSet
+    val want = routed.collect { case (k, b) if pick(b) => k }.toSet
+    assert(got == want && got.nonEmpty && got.size < routed.size,
+      s"pruned read must be exactly the picked buckets: got ${got.size} of ${routed.size}")
+    // empty bucket set reads as an empty, correctly-shaped frame
+    val empty = sink.readAtBuckets(spark, v, Set.empty, DeleteMode.Hard)
+    assert(empty.count() == 0 && empty.columns.contains("primary_key"))
+    // bytesAt sees data bytes (content summary), not directory stats: it
+    // must equal the actual parquet file sizes under the commit roots
+    val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => p.toFile.length()).sum()
+    assert(sink.bytesAt(v) >= walked && walked > 0L,
+      s"bytesAt=${sink.bytesAt(v)} must cover the $walked parquet bytes")
+  }
+
   test("compact folds all buckets into one commit root; vacuum then reclaims every old root") {
     val dir = tmpDir("ssink") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 4)
