@@ -117,9 +117,11 @@ final class ObjectStoreCommitLock(
         // must be too — a direct create+write let concurrent readers (who
         // take no lock) observe a PARTIAL manifest body (seen as a
         // "manifest lacks nBuckets" flake in the racing-writers spec), a
-        // failure mode the emulated store cannot actually produce
+        // failure mode the emulated store cannot actually produce. The
+        // stage name keeps the sink's `.tmp-` prefix so a crash between
+        // write and rename leaves a file vacuum's aged-out sweep collects
         val staged = new Path(dst.getParent,
-          s".put-${java.util.UUID.randomUUID()}")
+          s".tmp-put-${java.util.UUID.randomUUID()}")
         Dfs.writeUtf8(staged, body)
         Dfs.rename(staged, dst)
         // scratch cleanup is best-effort; the slot is already won

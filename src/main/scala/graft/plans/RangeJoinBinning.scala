@@ -41,6 +41,12 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *     bands (`b.ts > a.ts - W AND b.ts <= a.ts + W`) both normalize to
   *     a `(base + S_lo, base + S_hi]` window of width `S_hi − S_lo`.
   *
+  * ANSI caveat: when `spark.sql.ansi.enabled` is true and the bound
+  * column is a raw integral (not a timestamp), the rule declines — near
+  * the Long-domain edges the rewrite would silently drop rows the
+  * unrewritten ANSI plan turns into an arithmetic-overflow error. Integral
+  * range joins keep the binned plan under legacy arithmetic.
+  *
   * Off-switch: `spark.graft.rangeJoinBinning.enabled = false` (default on).
   * Idempotent under the fixpoint optimizer batch: rewritten joins carry
   * the synthetic `__graft_bin` attributes in their condition and are
@@ -196,6 +202,14 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     }
     val hit = hitFor(baseLeft = true).map((_, true))
       .orElse(hitFor(baseLeft = false).map((_, false)))
+      // ANSI + raw integral bound column: at the Long-domain edges the
+      // rewrite's wrapping span guard DROPS single-wrap rows where the
+      // unrewritten plan would throw an arithmetic-overflow error — a
+      // rewrite-visible divergence. Integral bound columns are user data
+      // and can sit within |S| of the edge; timestamps cannot (±2^59
+      // micros), so they stay rewritable under either mode.
+      .filterNot { case ((lTs, _, _, _, _), _) =>
+        conf.ansiEnabled && lTs.dataType != TimestampType }
 
     hit.map { case ((lTs, rTs, strictLower, shiftLo, shiftHi), baseLeft) =>
       val windowUs = shiftHi - shiftLo
@@ -240,9 +254,10 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       // is unsatisfiable for that row (the wrapped bound flips sign), and
       // the span guard below feeds Explode an empty array instead of a
       // domain-spanning Sequence. Under ANSI the unrewritten plan throws
-      // on such rows IF the equi-join pairs them; here the recheck throws
-      // identically for paired rows, and edge rows that pair with nothing
-      // are silently dropped rather than failing the query.
+      // on such rows IF the equi-join pairs them; the recheck would throw
+      // for paired rows but edge rows that pair with nothing would be
+      // silently dropped rather than failing the query — so ANSI + raw
+      // integral bound columns are gated off above and never reach here.
       val lo = floorDiv(addWrap(lUs, shiftLo + adj), w)
       val hi = floorDiv(addWrap(lUs, shiftHi), w)
       // order-safe bounds + span guard: Sequence must never see a flipped

@@ -289,11 +289,6 @@ final class MaterializedAgg(
           .cast("array<bigint>").as(s"__top_${e.name}"), nne(e)))
   }
 
-  private def hiddenNames(spec: DeltaSpec): Seq[String] =
-    ("__rows" +: spec.sums.map(s => s"__nn_${s.name}")) ++
-      spec.mins.flatMap(e => Seq(s"__bot_${e.name}", s"__nne_${e.name}")) ++
-      spec.maxs.flatMap(e => Seq(s"__top_${e.name}", s"__nne_${e.name}"))
-
   /** A zero-row frame shaped like the source's Hard read — what
     * [[deltaSpec]] resolves against. Built from the RECORDED schema when
     * the manifest carries one: spec analysis is driver-side only and must
@@ -884,17 +879,27 @@ final class MaterializedAgg(
             coalesce(col(s"st.__nne_${e.name}"), lit(0L)) + col(s"__dnne$i"))
           .withColumn(s"__buf$i",
             MaterializedAgg.foldBufUdf(stBuf, col(s"__remk$i"),
-              col(s"__addk$i"), lit(kind == "mn"), lit(k)))
+              col(s"__addk$i"), lit(kind == "mn"), lit(k),
+              coalesce(col(s"st.__nne_${e.name}"), lit(0L))))
       }
       // at risk ⟺ the group still has non-null extremum inputs but its
       // buffer exhausted (or the fold could not account a removal): only
       // those groups rescan the source — single removals/ties fold exactly
       // off the buffer now, so this fires when ≥ k removals hit one
       // group's buffer in one refresh, not on every extremum-touching
-      // delete like the r13 min-only design
-      val atRiskCond = (rowsF > 0L) && exts.indices.map { i =>
-        (col(s"__nnef$i") > 0L) &&
-          (col(s"__buf$i").isNull || size(col(s"__buf$i")) === 0)
+      // delete like the r13 min-only design. A LIVE stored group with a
+      // NULL stored buffer (a lazily-upgraded pre-buffer row, or a row
+      // null-filled because a later recompute only rewrote OTHER groups
+      // after the view's extremum list grew) also rescans: folding it
+      // "from nothing" would report the delta's own values as the group's
+      // extremum — for an add-only delta the fold returns non-empty with
+      // nnef > 0, so the exhaustion clause alone never catches it.
+      val atRiskCond = (rowsF > 0L) && exts.zipWithIndex.map { case ((kind, e), i) =>
+        val stBuf = col(if (kind == "mn") s"st.__bot_${e.name}"
+          else s"st.__top_${e.name}")
+        (col("st.__rows").isNotNull && stBuf.isNull) ||
+          ((col(s"__nnef$i") > 0L) &&
+            (col(s"__buf$i").isNull || size(col(s"__buf$i")) === 0))
       }.reduce(_ || _)
       val risk = jx.filter(atRiskCond)
         .select(groupCols.map(g => col(s"d.$g").as(g)): _*)
@@ -1011,7 +1016,8 @@ object MaterializedAgg {
     * for bottom, descending for top; null/empty for new groups), `rem` the
     * (k+1) highest-priority REMOVED values, `add` the k highest-priority
     * ADDED values — both from the changed-slice diff, both sorted in
-    * priority order.
+    * priority order. `storedNne` is the group's stored non-null input
+    * count at the applied version (0 for new groups).
     *
     * Invariant carried across refreshes (established by the exact initial
     * build and preserved by every step here): the buffer is a sub-multiset
@@ -1026,16 +1032,31 @@ object MaterializedAgg {
     *     against an emptied buffer, returns null → the caller rescans;
     *   - additions insert in priority order, truncated to k (dropped
     *     entries rank below the kept k and group values outside the
-    *     buffer, preserving the invariant).
+    *     buffer, preserving the invariant) — EXCEPT an insert past the
+    *     buffer's current tail, which is only sound when the buffer is
+    *     COMPLETE (holds every live value): an incomplete buffer may be
+    *     missing values that rank between its tail and the addition, so
+    *     appending would fabricate a false prefix (k=4, live {1..6},
+    *     buffer [1,2,3,4]: remove 2, add 10 → [1,3,4,10] silently omits
+    *     5 and 6; later removals of 1,3,4 would report MIN=10).
+    *     Completeness is tracked numerically: the buffer is a sub-multiset
+    *     of the live values, so `buf.length == live count` ⟺ buffer ==
+    *     live multiset. The tracked count starts at `storedNne` and moves
+    *     with each processed removal/addition; rem/add truncation only
+    *     ever makes the check CONSERVATIVE (tracked ≥ true under removal
+    *     truncation — equality then forces true equality via ⊆; addition
+    *     truncation drops only values ranked below every kept addition,
+    *     which cannot invalidate an allowed append).
     *
     * Null return = "cannot account exactly" — correctness never depends on
     * the invariant holding, only rescan frequency does.
     */
   def foldExtremumBuf(stored: Seq[Long], rem: Seq[Long], add: Seq[Long],
-      bottom: Boolean, k: Int): Seq[Long] = {
+      bottom: Boolean, k: Int, storedNne: Long): Seq[Long] = {
     @inline def le(a: Long, b: Long) = if (bottom) a <= b else a >= b
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     if (stored != null) buf ++= stored
+    var live = storedNne // tracked non-null live count alongside the fold
     if (rem != null) {
       var i = 0
       while (i < rem.length) {
@@ -1046,6 +1067,7 @@ object MaterializedAgg {
           if (at < 0) return null // invariant broken (defensive) → rescan
           buf.remove(at)
         } // else: provably outside the buffered extremum prefix
+        live -= 1
         i += 1
       }
     }
@@ -1055,7 +1077,10 @@ object MaterializedAgg {
         val a = add(i)
         var at = 0
         while (at < buf.length && !(if (bottom) a < buf(at) else a > buf(at))) at += 1
+        if (at == buf.length && buf.length.toLong != live)
+          return null // append past an incomplete buffer → rescan
         buf.insert(at, a)
+        live += 1
         if (buf.length > k) buf.remove(buf.length - 1)
         i += 1
       }
@@ -1065,7 +1090,8 @@ object MaterializedAgg {
 
   private[sink] val foldBufUdf = org.apache.spark.sql.functions.udf(
     (stored: Seq[Long], rem: Seq[Long], add: Seq[Long], bottom: Boolean,
-     k: Int) => foldExtremumBuf(stored, rem, add, bottom, k))
+     k: Int, storedNne: Long) =>
+      foldExtremumBuf(stored, rem, add, bottom, k, storedNne))
 
   /** Byte-equivalent of the fold regime's fixed floor in the cost-based
     * fold-vs-recompute pick: the extra jobs (dirty-bucket probe, buffer

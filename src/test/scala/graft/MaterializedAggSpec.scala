@@ -582,24 +582,112 @@ class MaterializedAggSpec extends SparkSpec
   }
 
   test("foldExtremumBuf: removal/addition algebra across the invariant's edges") {
-    def fold(s: Seq[Long], r: Seq[Long], a: Seq[Long], bottom: Boolean = true) =
-      MaterializedAgg.foldExtremumBuf(s, r, a, bottom, 4)
+    def fold(s: Seq[Long], r: Seq[Long], a: Seq[Long], nne: Long,
+        bottom: Boolean = true) =
+      MaterializedAgg.foldExtremumBuf(s, r, a, bottom, 4, nne)
     // plain removal inside the buffer
-    assert(fold(Seq(1, 5, 9), Seq(5), Nil) == Seq(1, 9))
+    assert(fold(Seq(1, 5, 9), Seq(5), Nil, 3) == Seq(1, 9))
     // tie at the boundary removes one occurrence
-    assert(fold(Seq(1, 5, 5), Seq(5), Nil) == Seq(1, 5))
+    assert(fold(Seq(1, 5, 5), Seq(5), Nil, 3) == Seq(1, 5))
     // removal beyond the buffer's last entry is a provable no-op
-    assert(fold(Seq(1, 5, 9, 12), Seq(50), Nil) == Seq(1, 5, 9, 12))
+    assert(fold(Seq(1, 5, 9, 12), Seq(50), Nil, 5) == Seq(1, 5, 9, 12))
     // additions insert sorted and truncate to k
-    assert(fold(Seq(2, 4, 6, 8), Nil, Seq(1, 5)) == Seq(1, 2, 4, 5))
+    assert(fold(Seq(2, 4, 6, 8), Nil, Seq(1, 5), 6) == Seq(1, 2, 4, 5))
     // removal on an emptied buffer is unaccountable → null (rescan)
-    assert(fold(Seq(3), Seq(3, 7), Nil) == null)
+    assert(fold(Seq(3), Seq(3, 7), Nil, 2) == null)
     // removal below last but absent → defensive null
-    assert(fold(Seq(5, 9), Seq(7), Nil) == null)
+    assert(fold(Seq(5, 9), Seq(7), Nil, 2) == null)
     // top-side (descending) symmetry
-    assert(fold(Seq(9, 5, 1), Seq(5), Seq(7), bottom = false) == Seq(9, 7, 1))
+    assert(fold(Seq(9, 5, 1), Seq(5), Seq(7), 3, bottom = false) == Seq(9, 7, 1))
     // new group: buffer built from additions alone
-    assert(fold(null, null, Seq(3, 8)) == Seq(3, 8))
+    assert(fold(null, null, Seq(3, 8), 0) == Seq(3, 8))
+  }
+
+  test("foldExtremumBuf: append past an INCOMPLETE buffer is unaccountable") {
+    def fold(s: Seq[Long], r: Seq[Long], a: Seq[Long], nne: Long,
+        bottom: Boolean = true) =
+      MaterializedAgg.foldExtremumBuf(s, r, a, bottom, 4, nne)
+    // the r14 silent-wrong-MIN shape: k=4, live {1..6} (buffer incomplete —
+    // 5 and 6 were truncated out), one refresh removes 2 and adds 10.
+    // Appending 10 after 4 would fabricate the false prefix [1,3,4,10]
+    // (5 and 6 rank between 4 and 10); the fold must punt to the rescan.
+    assert(fold(Seq(1, 2, 3, 4), Seq(2), Seq(10), 6) == null)
+    // same addition against a COMPLETE buffer (live == buffer) is exact
+    assert(fold(Seq(1, 2, 3), Seq(2), Seq(10), 3) == Seq(1, 3, 10))
+    // completeness moves with the fold: a complete 4-buffer that truncates
+    // on one addition is no longer complete for the next append
+    assert(fold(Seq(1, 2, 3, 4), Nil, Seq(0, 10), 4) == null)
+    // a mid-buffer insert never needs completeness (prefix stays covered)
+    assert(fold(Seq(1, 2, 3, 4), Nil, Seq(2), 6) == Seq(1, 2, 2, 3))
+    // top-side symmetry of the incomplete-append guard
+    assert(fold(Seq(100, 90, 80, 70), Seq(90), Seq(5), 6,
+      bottom = false) == null)
+  }
+
+  test("fold regime: shrunken-buffer append falls to the rescan (exact MIN survives)") {
+    // end-to-end r14 ADVICE scenario: a group larger than the buffer takes
+    // a remove+add refresh that shrinks the buffer then lands an addition
+    // past its tail; the fold must rescan, and LATER removals of the
+    // remaining buffered values must still report the true min — the
+    // pre-fix fold fabricated [.., add] and served the added value as MIN
+    val k = MaterializedAgg.ExtremumBufferK
+    val (src, m) = mk("fshrunk")
+    val n = k + 2 // live values 10,20,...,10(k+2): buffer holds k smallest
+    src.merge(rows((1 to n).map(i => (i, "a", 10L * i, i.toLong)): _*),
+      Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // one refresh: remove a mid-buffer value AND add one past everything
+    src.merge(dels(50L, 2), Seq("id"), "seq", "__del")
+    src.merge(rows((100, "a", 100000L, 51L)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    // now delete every ORIGINAL small value — the maintained min must come
+    // from the values the shrunken buffer never held, not the late addition
+    src.merge(dels(60L, (1 to 5): _*), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(maintained(m) == direct(src))
+    assert(maintained(m).find(_._1 == "a").get._4 == 60L,
+      "min after shrunken-buffer folds must be exact, not the fabricated tail")
+  }
+
+  test("fold regime: a live group with a NULL stored buffer rescans on an add-only delta") {
+    // lazily-upgraded state (pre-buffer rows, or a view whose extremum list
+    // grew: recompute null-fills untouched rows): the stored group is live
+    // and correct but carries no buffer. An add-only delta folds from
+    // nothing and — pre-fix — overwrote the group's MIN with the delta's
+    // own value (nnef > 0 and a non-empty fold result dodge the exhaustion
+    // clause). The null-buffer clause must route the group to the rescan.
+    val (src, m) = mk("fnullbuf")
+    src.merge(rows((1, "a", 3, 1), (2, "a", 7, 2), (3, "b", 5, 3)),
+      Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // craft the lazily-upgraded state: rewrite group a's stored row with
+    // null extremum buffers/counters (same seq; the later commit's __gen
+    // wins the tie), exactly what a pre-buffer row reads as after schema
+    // evolution null-fills the new columns
+    val stored = m.sink.read(spark, DeleteMode.Hard)
+    val crafted = stored.filter(col("grp") === "a")
+      .withColumn("__bot_mn", lit(null).cast("array<bigint>"))
+      .withColumn("__nne_mn", lit(null).cast("bigint"))
+      .withColumn("__top_mx", lit(null).cast("array<bigint>"))
+      .withColumn("__nne_mx", lit(null).cast("bigint"))
+      .withColumn("__del", lit(false))
+    m.sink.merge(crafted, Seq("grp"), "seq", "__del")
+    // add-only delta: a value WORSE than the group's true extremum on both
+    // sides (10 > min 3, 10 > ... below max? use 4: 3 < 4 < 7 — still must
+    // not displace either stored extremum)
+    src.merge(rows((4, "a", 4, 10L)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    val a = maintained(m).find(_._1 == "a").get
+    assert(a._4 == 3L && a._5 == 7L,
+      s"null-buffer group must rescan, not fold from nothing: $a")
+    // and the rescan restored real buffers: the NEXT delta folds exactly
+    src.merge(rows((5, "a", 1, 11L)), Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    assert(maintained(m) == direct(src))
   }
 
   test("cost-based pick: tiny source takes recompute, view ≪ source takes fold") {

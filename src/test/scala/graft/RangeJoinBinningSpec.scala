@@ -76,20 +76,26 @@ class RangeJoinBinningSpec extends SparkSpec {
     }
   }
 
-  test("numeric (long) bound columns with literal windows rewrite too") {
-    Seq((1L, 0L), (1L, 5L), (1L, 10L), (1L, 11L), (2L, 100L), (2L, 109L),
-      (2L, 111L)).toDF("k", "pos").createOrReplaceTempView("rjb_n")
-    val q =
-      """SELECT a.k, a.pos AS a_pos, b.pos AS b_pos
-        |FROM rjb_n a JOIN rjb_n b
-        |  ON a.k = b.k AND b.pos > a.pos AND b.pos <= a.pos + 10""".stripMargin
-    val on = withRule(enabled = true) {
-      val df = spark.sql(q)
-      assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
-      df.collect().map(_.toString).sorted.toSeq
-    }
-    val off = withRule(enabled = false)(resultOf(q))
-    assert(on == off)
+  test("numeric (long) bound columns with literal windows rewrite too (legacy arithmetic)") {
+    // integral bounds only bin under legacy arithmetic — under ANSI the
+    // rule declines them (see the ANSI-gate test below)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      Seq((1L, 0L), (1L, 5L), (1L, 10L), (1L, 11L), (2L, 100L), (2L, 109L),
+        (2L, 111L)).toDF("k", "pos").createOrReplaceTempView("rjb_n")
+      val q =
+        """SELECT a.k, a.pos AS a_pos, b.pos AS b_pos
+          |FROM rjb_n a JOIN rjb_n b
+          |  ON a.k = b.k AND b.pos > a.pos AND b.pos <= a.pos + 10""".stripMargin
+      val on = withRule(enabled = true) {
+        val df = spark.sql(q)
+        assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+        df.collect().map(_.toString).sorted.toSeq
+      }
+      val off = withRule(enabled = false)(resultOf(q))
+      assert(on == off)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
   test("long domain edges: values within the window of ±Long.MaxValue neither throw nor drop pairs") {
@@ -173,20 +179,25 @@ class RangeJoinBinningSpec extends SparkSpec {
     }
     val off = withRule(enabled = false)(resultOf(q))
     assert(on == off && on.nonEmpty)
-    // numeric band via explicit +/- literals
-    Seq((1L, 0L), (1L, 9L), (1L, 10L), (1L, 11L), (1L, 30L))
-      .toDF("k", "pos").createOrReplaceTempView("rjb_nband")
-    val qn =
-      """SELECT a.k, a.pos AS a_pos, b.pos AS b_pos
-        |FROM rjb_nband a JOIN rjb_nband b
-        |  ON a.k = b.k AND b.pos >= a.pos - 10 AND b.pos < a.pos + 10""".stripMargin
-    val onN = withRule(enabled = true) {
-      val df = spark.sql(qn)
-      assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
-      df.collect().map(_.toString).sorted.toSeq
-    }
-    val offN = withRule(enabled = false)(resultOf(qn))
-    assert(onN == offN && onN.nonEmpty)
+    // numeric band via explicit +/- literals (legacy arithmetic: integral
+    // bounds decline the rewrite under ANSI — see the ANSI-gate test)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      Seq((1L, 0L), (1L, 9L), (1L, 10L), (1L, 11L), (1L, 30L))
+        .toDF("k", "pos").createOrReplaceTempView("rjb_nband")
+      val qn =
+        """SELECT a.k, a.pos AS a_pos, b.pos AS b_pos
+          |FROM rjb_nband a JOIN rjb_nband b
+          |  ON a.k = b.k AND b.pos >= a.pos - 10 AND b.pos < a.pos + 10""".stripMargin
+      val onN = withRule(enabled = true) {
+        val df = spark.sql(qn)
+        assert(binnedJoinsIn(df) == 1, df.queryExecution.optimizedPlan.treeString)
+        df.collect().map(_.toString).sorted.toSeq
+      }
+      val offN = withRule(enabled = false)(resultOf(qn))
+      assert(onN == offN && onN.nonEmpty)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
   test("no rewrite without an equi key, or for month-bearing intervals") {
@@ -207,5 +218,35 @@ class RangeJoinBinningSpec extends SparkSpec {
     // both still EXECUTE correctly (the rule only declined, nothing broke)
     assert(theta.head().getLong(0) == 1L)
     assert(monthly.head().getLong(0) == 0L)
+  }
+
+  test("ANSI mode: integral bound columns decline the rewrite; timestamps still bin") {
+    // at the Long-domain edges the rewrite's span guard DROPS single-wrap
+    // rows where ANSI's unrewritten plan would THROW — a rewrite-visible
+    // divergence, so ANSI + raw integral bounds must pass through
+    // unrewritten (timestamps can't reach the edge and keep the rewrite)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      Seq((1L, 0L), (1L, 5L), (1L, 10L), (1L, 11L))
+        .toDF("k", "pos").createOrReplaceTempView("rjb_ansi_n")
+      val qn = spark.sql(
+        """SELECT count(*) AS cnt FROM rjb_ansi_n a JOIN rjb_ansi_n b
+          |  ON a.k = b.k AND b.pos > a.pos AND b.pos <= a.pos + 10""".stripMargin)
+      assert(binnedJoinsIn(qn) == 0,
+        "ANSI + integral bound must decline: " +
+          qn.queryExecution.optimizedPlan.treeString)
+      assert(qn.head().getLong(0) == 5L) // still executes, just unbinned
+      Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:20:00"))
+        .toDF("k", "s").selectExpr("k", "CAST(s AS TIMESTAMP) AS ts")
+        .createOrReplaceTempView("rjb_ansi_t")
+      val qt = spark.sql(
+        """SELECT count(*) AS cnt FROM rjb_ansi_t a JOIN rjb_ansi_t b
+          |  ON a.k = b.k AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin)
+      assert(binnedJoinsIn(qt) == 1,
+        "ANSI must not gate TIMESTAMP bounds: " +
+          qt.queryExecution.optimizedPlan.treeString)
+      assert(qt.head().getLong(0) == 1L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 }

@@ -805,9 +805,16 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     val stray = new org.apache.hadoop.fs.Path(
       SnapshotParquetSink.manifestsDir(dir), ".tmp-crashed")
     Dfs.writeUtf8(stray, "version=99\n")
+    // ... and a crash inside the object-store lock's atomic-put emulation
+    // (between its staged write and rename) leaves ITS stage file — named
+    // under the same `.tmp-` prefix precisely so this sweep collects it
+    val strayPut = new org.apache.hadoop.fs.Path(
+      SnapshotParquetSink.manifestsDir(dir), ".tmp-put-c0ffee")
+    Dfs.writeUtf8(strayPut, "version=99\n")
     assert(sink.versions == Seq(0L)) // never surfaces as a version
     sink.vacuum(keepLast = 1, minOrphanAgeMs = 0L)
     assert(!Dfs.exists(stray))
+    assert(!Dfs.exists(strayPut))
     assert(state(sink, DeleteMode.Hard) == Map("a" -> (0L, "a0")))
   }
 
