@@ -116,10 +116,12 @@ object BenchIvmScale {
       twin.foreach(_.refresh(spark))
       src.merge(changes(n, 2L), Seq("id"), "seq", "__del")
       val changedFiles = src.changedEntriesAt(1L, 0L).length
-      // TWO measured rounds, min per variant: round 1 runs the chosen view
-      // cold and the twin warm (bias AGAINST the chosen pick); round 2 is
-      // warm for both, so the min strips the ordering asymmetry that made
-      // the crossover rung flap ±20% between invocations
+      // THREE measured rounds, min per variant: round 1 runs the chosen
+      // view cold and the twin warm (bias AGAINST the chosen pick); rounds
+      // 2-3 are warm for both, so the min strips the ordering asymmetry
+      // that made the crossover rung flap ±20% between invocations. Three
+      // rounds buy the tighter 1.05 not-worse slack (r14 used 1.15 over
+      // two rounds — the slack is part of the claim and stated with it).
       def timedRefresh(v: graft.sink.MaterializedAgg,
           force: Option[String]): Double = {
         force.foreach(sys.props("graft.ivm.forceRegime") = _)
@@ -131,13 +133,15 @@ object BenchIvmScale {
       val opposite = if (regime == "fold") "recompute" else "fold"
       var twinSec = twin.map(t => timedRefresh(t, Some(opposite)))
       if (twin.isDefined) {
-        src.merge(changes(n, 3L), Seq("id"), "seq", "__del")
-        refreshSec = math.min(refreshSec, timedRefresh(m, Some(regime)))
-        twinSec = twinSec.map(s =>
-          math.min(s, timedRefresh(twin.get, Some(opposite))))
+        for (round <- Seq(3L, 4L)) {
+          src.merge(changes(n, round), Seq("id"), "seq", "__del")
+          refreshSec = math.min(refreshSec, timedRefresh(m, Some(regime)))
+          twinSec = twinSec.map(s =>
+            math.min(s, timedRefresh(twin.get, Some(opposite))))
+        }
       }
       val twinJson = twinSec.map { s =>
-        s""","twin_regime":"$opposite","twin_refresh_sec":${num(s)},"chosen_not_worse":${refreshSec <= s * 1.15}"""
+        s""","twin_regime":"$opposite","twin_refresh_sec":${num(s)},"chosen_not_worse":${refreshSec <= s * 1.05}"""
       }.getOrElse("")
       // write-side volumes: the incremental path rewrites only the agg
       // buckets the ~20 dirty groups hash to; a from-scratch refresh
@@ -167,15 +171,23 @@ object BenchIvmScale {
     // the delta ladder climbs one rung further (30x the top shared mult):
     // the crossover vs recompute lands between the 10M and 30M rungs on
     // this box and the gap must be shown WIDENING past it
-    val deltaMults = mults ++ mults.lastOption.map(_ * 3L).toSeq
-    val delta = deltaMults.map(m =>
+    // PROFILING knobs (never set for artifact captures): GRAFT_IVM_FAMS
+    // comma-filters the families, GRAFT_IVM_NO_EXTEND drops the 3× tail
+    // rung — single-rung single-family iteration while tuning the fold
+    val fams = sys.env.get("GRAFT_IVM_FAMS")
+      .map(_.split(',').toSet).getOrElse(Set("delta", "rollup", "keyed"))
+    val deltaMults =
+      if (sys.env.contains("GRAFT_IVM_NO_EXTEND")) mults
+      else mults ++ mults.lastOption.map(_ * 3L).toSeq
+    val delta = if (!fams("delta")) Nil else deltaMults.map(m =>
       rung("delta", base * m, Seq("grp"), deltaOnly = true))
     // the rollup ladder climbs to 30M too, and every rung carries a
     // forced-recompute twin so the cost-based pick's "chosen regime is
     // never worse" claim is MEASURED per rung, not argued
-    val rollup = deltaMults.map(m =>
+    val rollup = if (!fams("rollup")) Nil else deltaMults.map(m =>
       rung("rollup", base * m, Seq("grp"), recomputeTwin = true))
-    val keyed = mults.map(m => rung("keyed", base * m, Seq("id", "grp")))
+    val keyed = if (!fams("keyed")) Nil
+      else mults.map(m => rung("keyed", base * m, Seq("id", "grp")))
     println(s"""{"ivm_delta":{${delta.mkString(",")}},""" +
       s""""ivm_rollup":{${rollup.mkString(",")}},""" +
       s""""ivm_keyed":{${keyed.mkString(",")}}}""")

@@ -849,12 +849,16 @@ final class MaterializedAgg(
     // pruned, the fold is flat like the pure-delta regime. Dead/absent
     // groups fold from nothing (left_outer misses).
     val deltasP = deltas.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val j = try {
-      // one tiny job: the dirty groups' view buckets — ≤ nBuckets values
-      // (a layout constant), so the driver-side list is bounded by design
-      val dirtyBuckets = dbg("buckets")(deltasP
+    // one tiny job: the dirty groups' view buckets — ≤ nBuckets values
+    // (a layout constant), so the driver-side list is bounded by design
+    val dirtyBuckets = try {
+      dbg("buckets")(deltasP
         .select(sink.bucketRouting(groupCols).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet)
+    } catch {
+      case t: Throwable => deltasP.unpersist(); throw t
+    }
+    val j = try {
       val stored = sink.readAtBuckets(spark,
         sink.currentVersion.getOrElse(sys.error(s"no snapshot at ${sink.dir}")),
         dirtyBuckets, DeleteMode.Hard).alias("st")
@@ -921,30 +925,54 @@ final class MaterializedAgg(
             col(s"__nnef$i").as(s"__nne_${e.name}")) } ++
           Seq(rowsF.as("__rows"), (rowsF === 0L).as("__del"), lit(srcV).as("seq"))
       val safe = jx.filter(!atRiskCond).select(foldedCols: _*)
-      // the at-risk rescan rides UNCONDITIONALLY in the plan: the rescan's
-      // probe is a semi-join against broadcast(risk), and when the at-risk
-      // set materializes EMPTY at runtime AQE converts the join to an empty
-      // relation and the source scan never runs — so the common benign
-      // refresh pays ZERO source IO without a driver-side count job (the
-      // count was measured at 0.85 s of pure fixed latency per refresh,
-      // dominating the fold-vs-recompute gap)
+      // the at-risk set is DECIDED on the driver before the batch plan is
+      // built. The r14 design left the rescan in the plan unconditionally,
+      // betting AQE's empty-broadcast elimination would skip the source
+      // scan — it does not fire under the batch's persist (cached plans
+      // pin their compiled shape), so EVERY benign refresh silently paid
+      // a FULL source scan (measured: a 1-row upsert on a 200k-row source
+      // read 235k records; the fold ladder's "fixed floor" grew with the
+      // source). The probe is ONE count over the join — a pass the
+      // refresh pays anyway, since it fully populates j's cache for the
+      // batch compute below (a limit-collect probe was measured ~4 s at
+      // the 30M rung: CollectLimit runs the uncached join in several
+      // sequential incremental jobs). The benign batch then contains no
+      // source read AT ALL; an at-risk set past the collect cap (a bulk
+      // refresh gone pathological) falls back to the in-plan semi join —
+      // correct, just scan-priced.
+      val riskCap = 65536
+      val nRisk = dbg("risk")(jx.filter(atRiskCond).count())
       val batch = {
-        val snap = source.readAt(spark, srcV, DeleteMode.Hard)
-        val touched = snap.join(broadcast(risk),
-          groupCols.map(g => snap(g) <=> risk(g)).reduce(_ && _), "left_semi")
-        val rec = groupedWith(touched, hiddenAggs(spec))
-          .withColumn("__del", lit(false))
-          .withColumn("seq", lit(srcV))
-        // at-risk ⇒ rows remain (rowsF > 0), so the recompute covers
-        // every risk group; unionByName aligns the two column orders
-        safe.unionByName(rec.select(safe.columns.map(col).toIndexedSeq: _*))
+        def rescanOf(riskSide: DataFrame): DataFrame = {
+          val snap = source.readAt(spark, srcV, DeleteMode.Hard)
+          val touched = snap.join(broadcast(riskSide),
+            groupCols.map(g => snap(g) <=> riskSide(g)).reduce(_ && _),
+            "left_semi")
+          val rec = groupedWith(touched, hiddenAggs(spec))
+            .withColumn("__del", lit(false))
+            .withColumn("seq", lit(srcV))
+          // at-risk ⇒ rows remain (rowsF > 0), so the recompute covers
+          // every risk group; the select aligns the two column orders
+          rec.select(safe.columns.map(col).toIndexedSeq: _*)
+        }
+        if (nRisk == 0L) safe
+        else if (nRisk <= riskCap)
+          // second tiny job, served from the cache the count populated
+          safe.unionByName(rescanOf(spark.createDataFrame(
+            java.util.Arrays.asList(risk.collect(): _*), risk.schema)))
+        else safe.unionByName(rescanOf(risk))
       }
       val materialized = batch
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (sys.props.contains("graft.ivm.debug")) dbg("materialize")(materialized.count())
+        // probe hint: every dirty group appears in the batch (safe covers
+        // all of deltas, rec replaces the at-risk subset), so the affected
+        // agg buckets are exactly the dirty-bucket probe's result and the
+        // applied head is the stamped srcV — the merge skips its probe job
         dbg("mergeFold")(
-          sink.mergeGuarded(materialized, groupCols, "seq", "__del", Some(applied)))
+          sink.mergeGuardedHinted(materialized, groupCols, "seq", "__del",
+            Some(applied), dirtyBuckets.toArray.sorted, Some(srcV)))
         Some(srcV)
       } catch {
         case _: SnapshotParquetSink.FoldBaseConflict =>
@@ -1030,15 +1058,20 @@ object MaterializedAgg {
     *   - a removal within it must be present → remove one occurrence
     *     (ties are value-interchangeable); absence, or any removal
     *     against an emptied buffer, returns null → the caller rescans;
-    *   - additions insert in priority order, truncated to k (dropped
-    *     entries rank below the kept k and group values outside the
-    *     buffer, preserving the invariant) — EXCEPT an insert past the
-    *     buffer's current tail, which is only sound when the buffer is
-    *     COMPLETE (holds every live value): an incomplete buffer may be
-    *     missing values that rank between its tail and the addition, so
-    *     appending would fabricate a false prefix (k=4, live {1..6},
-    *     buffer [1,2,3,4]: remove 2, add 10 → [1,3,4,10] silently omits
-    *     5 and 6; later removals of 1,3,4 would report MIN=10).
+    *   - additions WITHIN the buffer insert in priority order, truncated
+    *     to k (dropped entries rank below the kept k and group values
+    *     outside the buffer, preserving the invariant). An addition
+    *     ranking at-or-below the buffer's TAIL is left out (a no-op):
+    *     the invariant constrains only values with higher priority than
+    *     the tail, so a below-tail value may live outside the buffer —
+    *     appending it instead (the r14 behavior) made IT the new tail
+    *     and fabricated a false prefix when the buffer was incomplete
+    *     (k=4, live {1..6}, buffer [1,2,3,4]: remove 2, add 10 →
+    *     [1,3,4,10] silently omits 5 and 6; later removals of 1,3,4
+    *     reported MIN=10). The ONE sound growth case appends anyway:
+    *     a buffer below k that is COMPLETE (length == live count — the
+    *     buffer IS the group) keeps completeness by absorbing every
+    *     addition, which is how new/small groups grow exact buffers.
     *     Completeness is tracked numerically: the buffer is a sub-multiset
     *     of the live values, so `buf.length == live count` ⟺ buffer ==
     *     live multiset. The tracked count starts at `storedNne` and moves
@@ -1077,11 +1110,17 @@ object MaterializedAgg {
         val a = add(i)
         var at = 0
         while (at < buf.length && !(if (bottom) a < buf(at) else a > buf(at))) at += 1
-        if (at == buf.length && buf.length.toLong != live)
-          return null // append past an incomplete buffer → rescan
-        buf.insert(at, a)
-        live += 1
-        if (buf.length > k) buf.remove(buf.length - 1)
+        if (at == buf.length &&
+            !(buf.length < k && buf.length.toLong == live)) {
+          // at-or-below the tail: stays outside the buffer (valid prefix
+          // preserved) — UNLESS a complete sub-k buffer absorbs it to
+          // keep completeness (new/small groups growing exact buffers)
+          live += 1
+        } else {
+          buf.insert(at, a)
+          live += 1
+          if (buf.length > k) buf.remove(buf.length - 1)
+        }
         i += 1
       }
     }
@@ -1094,17 +1133,17 @@ object MaterializedAgg {
       foldExtremumBuf(stored, rem, add, bottom, k, storedNne))
 
   /** Byte-equivalent of the fold regime's fixed floor in the cost-based
-    * fold-vs-recompute pick: the extra jobs (dirty-bucket probe, buffer
-    * fold, extra persists) plus the wider per-bucket rewrite the extremum
-    * buffers cost the merge. Measured on the r14 ladder: fold's refresh
-    * floors at ~6 s regardless of source size while the recompute regime
-    * tracks the source scan at ~100 MB/s effective — so fold starts paying
-    * off where the source outgrows ~200 MB. Override per session via
-    * `spark.graft.ivm.foldFixedCostBytes` (the constant encodes THIS box
-    * class; a cluster with higher scan bandwidth per fixed job second
-    * wants it larger).
+    * fold-vs-recompute pick: the extra jobs (dirty-bucket probe, the
+    * at-risk count, extra persists) plus the per-bucket rewrite. Measured
+    * on the r15 ladder AFTER the fold stopped paying a benign-path source
+    * scan and a merge probe job (r14's floor was ~6 s ⇒ 192 MB): the
+    * floor is now ~3 s against the recompute regime's ~100 MB/s effective
+    * scan — fold starts paying off where the source outgrows ~100 MB.
+    * Override per session via `spark.graft.ivm.foldFixedCostBytes` (the
+    * constant encodes THIS box class; a cluster with higher scan
+    * bandwidth per fixed job second wants it larger).
     */
-  val FoldFixedCostBytes = 192L * 1024 * 1024
+  val FoldFixedCostBytes = 96L * 1024 * 1024
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MaterializedAgg]()

@@ -907,7 +907,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
 
   override def merge(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String): Unit =
-    mergeImpl(batch, keys, seqCol, isDeleteCol, None, None)
+    mergeImpl(batch, keys, seqCol, isDeleteCol, None, None, None)
 
   /** [[merge]] where matching keys COMBINE through a caller-provided
     * aggregation instead of last-write-wins replacement — the LSM
@@ -935,7 +935,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
   def mergeFold(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String, requireBaseSeq: Option[Long])(
       reduce: DataFrame => DataFrame): Unit =
-    mergeImpl(batch, keys, seqCol, isDeleteCol, Some(reduce), requireBaseSeq)
+    mergeImpl(batch, keys, seqCol, isDeleteCol, Some(reduce), requireBaseSeq, None)
 
   /** [[merge]] under the optimistic applied-head guard: throws
     * [[SnapshotParquetSink.FoldBaseConflict]] when the table's recorded
@@ -945,14 +945,37 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     * stale absolutes would silently lose its update). Delta-shaped twins
     * combine inside the rewrite instead ([[mergeFold]]); absolute twins
     * catch the conflict and retry from a re-read.
+    *
+    * Dedup semantics under the guard: the batch is AUTHORITATIVE for its
+    * keys (replace-by-key — held base ⇒ the absolutes supersede whatever
+    * the bucket stores for those keys, and callers stamp seq at-or-above
+    * the head anyway), executed as a broadcast anti-join instead of the
+    * plain merge's whole-bucket window sort. Batches must be key-unique.
     */
   def mergeGuarded(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String, requireBaseSeq: Option[Long]): Unit =
-    mergeImpl(batch, keys, seqCol, isDeleteCol, None, requireBaseSeq)
+    mergeImpl(batch, keys, seqCol, isDeleteCol, None, requireBaseSeq, None)
+
+  /** [[mergeGuarded]] with the probe PRECOMPUTED: callers that already
+    * know the batch's affected buckets and applied head (the IVM fold
+    * derives both from its own dirty-group probe) skip the merge's probe
+    * job — one fewer fixed-latency action per refresh. The hint contract
+    * is EXACTNESS, enforced after the write by comparing the written
+    * bucket directories against the hint (one driver-side listing): a
+    * missing bucket would otherwise publish a manifest entry pointing at
+    * an unwritten file, an extra one would orphan written rows — both
+    * silent corruption, so a mismatch fails the commit loudly.
+    */
+  def mergeGuardedHinted(batch: DataFrame, keys: Seq[String], seqCol: String,
+      isDeleteCol: String, requireBaseSeq: Option[Long],
+      affectedBuckets: Array[Int], batchMaxSeq: Option[Long]): Unit =
+    mergeImpl(batch, keys, seqCol, isDeleteCol, None, requireBaseSeq,
+      Some((affectedBuckets, batchMaxSeq)))
 
   private def mergeImpl(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String, reduceOpt: Option[DataFrame => DataFrame],
-      requireBaseSeq: Option[Long]): Unit = synchronized {
+      requireBaseSeq: Option[Long],
+      probeHint: Option[(Array[Int], Option[Long])]): Unit = synchronized {
     def dbg[A](tag: String)(f: => A): A =
       if (!sys.props.contains("graft.commit.debug")) f
       else { val t0 = System.nanoTime(); val a = f
@@ -970,13 +993,19 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       // seq-aligned cuts read metadata, not data; all-null seq contributes
       // no head). Separate jobs here doubled the fixed per-job latency on
       // every micro-commit — the q61 lifecycle tail is merge-count-bound.
-      val probe = dbg("probe")(incoming0.groupBy().agg(
-        collect_set(col("__bucket")).as("bs"),
-        max(col(seqCol).cast("long")).as("mx")).head())
-      val affected = probe.getSeq[Int](0).sorted.toArray
+      // A caller-provided hint skips even this one job (exactness enforced
+      // against the written bucket dirs below).
+      val (affected, batchMaxSeq) = probeHint match {
+        case Some((bs, mx)) => (bs.sorted, mx)
+        case None =>
+          val probe = dbg("probe")(incoming0.groupBy().agg(
+            collect_set(col("__bucket")).as("bs"),
+            max(col(seqCol).cast("long")).as("mx")).head())
+          (probe.getSeq[Int](0).sorted.toArray,
+            if (probe.isNullAt(1)) None
+            else Some(probe.getLong(1)): Option[Long])
+      }
       if (affected.isEmpty) return
-      val batchMaxSeq: Option[Long] =
-        if (probe.isNullAt(1)) None else Some(probe.getLong(1))
 
       /** Layout guards against the manifest at `v`: a writer with a
         * different bucket count or key set would scatter keys across
@@ -1051,18 +1080,37 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         // which are strictly smaller.
         val targetVersion = base.map(_ + 1L).getOrElse(0L)
         val incoming = incoming0.withColumn("__gen", lit(targetVersion))
-        val all = current match {
+        lazy val all = current match {
           case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
           case None    => incoming
         }
-        val merged = reduceOpt match {
-          case None =>
+        val merged = (reduceOpt, requireBaseSeq) match {
+          case (Some(reduce), _) => reduce(all)
+          case (None, Some(_)) =>
+            // guarded-ABSOLUTE contract: the batch's rows were computed
+            // FROM the stored state at the guarded head (checked above and
+            // re-checked per publish attempt) and stamped at-or-above it,
+            // so the batch is authoritative for its keys — LWW reduces to
+            // replace-by-key. A broadcast anti-join of the carried state
+            // against the (small-by-design: dirty groups) incoming keys
+            // replaces the window dedup, which shuffled AND sorted the
+            // entire affected-bucket content on every fold refresh.
+            current match {
+              case None => incoming
+              case Some(c) =>
+                val inKeys = broadcast(
+                  incoming.select(keys.map(col): _*).distinct())
+                c.join(inKeys,
+                    keys.map(k => c(k) <=> inKeys(k)).reduce(_ && _),
+                    "left_anti")
+                  .unionByName(incoming, allowMissingColumns = true)
+            }
+          case (None, None) =>
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(keys.map(col): _*)
               .orderBy(col(seqCol).desc, col("__gen").desc)
             all.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
-          case Some(reduce) => reduce(all)
         }
 
         val commitId = UUID.randomUUID().toString
@@ -1078,6 +1126,20 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
           .options(parquetBloomOpts(bloomCols))
           .parquet(s"$dir/data/$commitId"))
         dataWrites += 1
+        // hinted probes are trusted into the manifest — verify the written
+        // bucket dirs match EXACTLY (one driver-side listing): a hinted
+        // bucket with no written dir would publish an entry pointing at a
+        // missing file; an unhinted written dir would orphan those rows
+        probeHint.foreach { _ =>
+          val written = Dfs.list(new HPath(s"$dir/data/$commitId"))
+            .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+            .map(_.stripPrefix("__bucket=").toInt).toSet
+          require(written == affected.toSet,
+            s"probe hint mismatch at $dir: hinted buckets " +
+              s"${affected.mkString(",")} but the write produced " +
+              s"${written.toSeq.sorted.mkString(",")} — the caller's " +
+              "affected-bucket precomputation is wrong")
+        }
         // data-derived manifest lines depend only on the written files —
         // computed once, reused verbatim across rebase attempts
         val freshStats = dbg("stats")(statsLinesFor(spark, commitId))

@@ -603,33 +603,40 @@ class MaterializedAggSpec extends SparkSpec
     assert(fold(null, null, Seq(3, 8), 0) == Seq(3, 8))
   }
 
-  test("foldExtremumBuf: append past an INCOMPLETE buffer is unaccountable") {
+  test("foldExtremumBuf: below-tail additions stay OUT of an incomplete buffer") {
     def fold(s: Seq[Long], r: Seq[Long], a: Seq[Long], nne: Long,
         bottom: Boolean = true) =
       MaterializedAgg.foldExtremumBuf(s, r, a, bottom, 4, nne)
     // the r14 silent-wrong-MIN shape: k=4, live {1..6} (buffer incomplete —
     // 5 and 6 were truncated out), one refresh removes 2 and adds 10.
-    // Appending 10 after 4 would fabricate the false prefix [1,3,4,10]
-    // (5 and 6 rank between 4 and 10); the fold must punt to the rescan.
-    assert(fold(Seq(1, 2, 3, 4), Seq(2), Seq(10), 6) == null)
-    // same addition against a COMPLETE buffer (live == buffer) is exact
+    // r14 APPENDED, fabricating the false prefix [1,3,4,10] (5 and 6 rank
+    // between 4 and 10; later removals of 1,3,4 reported MIN=10). The
+    // addition must stay outside the buffer — [1,3,4] remains a valid,
+    // exact prefix of the group's live values.
+    assert(fold(Seq(1, 2, 3, 4), Seq(2), Seq(10), 6) == Seq(1, 3, 4))
+    // same addition against a COMPLETE sub-k buffer (live == length) is
+    // absorbed — the buffer IS the group and stays complete
     assert(fold(Seq(1, 2, 3), Seq(2), Seq(10), 3) == Seq(1, 3, 10))
-    // completeness moves with the fold: a complete 4-buffer that truncates
-    // on one addition is no longer complete for the next append
-    assert(fold(Seq(1, 2, 3, 4), Nil, Seq(0, 10), 4) == null)
+    // at-or-below a FULL buffer's tail: provable no-op
+    assert(fold(Seq(1, 2, 3, 4), Nil, Seq(0, 10), 4) == Seq(0, 1, 2, 3))
+    assert(fold(Seq(1, 2, 3, 4), Nil, Seq(10), 6) == Seq(1, 2, 3, 4))
     // a mid-buffer insert never needs completeness (prefix stays covered)
     assert(fold(Seq(1, 2, 3, 4), Nil, Seq(2), 6) == Seq(1, 2, 2, 3))
-    // top-side symmetry of the incomplete-append guard
+    // top-side symmetry of the below-tail drop
     assert(fold(Seq(100, 90, 80, 70), Seq(90), Seq(5), 6,
-      bottom = false) == null)
+      bottom = false) == Seq(100, 80, 70))
+    // the buffer never reports an extremum it cannot prove: emptied by
+    // removals with live values remaining → empty buffer → at-risk rescan
+    assert(fold(Seq(3, 5), Seq(3, 5), Seq(9), 4) == Nil)
   }
 
-  test("fold regime: shrunken-buffer append falls to the rescan (exact MIN survives)") {
+  test("fold regime: additions past a shrunken buffer never fabricate the MIN") {
     // end-to-end r14 ADVICE scenario: a group larger than the buffer takes
     // a remove+add refresh that shrinks the buffer then lands an addition
-    // past its tail; the fold must rescan, and LATER removals of the
-    // remaining buffered values must still report the true min — the
-    // pre-fix fold fabricated [.., add] and served the added value as MIN
+    // past its tail. The pre-fix fold APPENDED the addition ([.., add] —
+    // a fabricated prefix) and later removals of the buffered values made
+    // the view serve the added value as MIN; the fixed fold leaves the
+    // addition outside the buffer, which stays an exact prefix throughout.
     val k = MaterializedAgg.ExtremumBufferK
     val (src, m) = mk("fshrunk")
     val n = k + 2 // live values 10,20,...,10(k+2): buffer holds k smallest
@@ -688,6 +695,74 @@ class MaterializedAggSpec extends SparkSpec
     src.merge(rows((5, "a", 1, 11L)), Seq("id"), "seq", "__del")
     m.refresh(spark)
     assert(maintained(m) == direct(src))
+  }
+
+  test("fold regime: a benign refresh reads NOTHING proportional to the source") {
+    // the fold's scale contract: when no group's buffer exhausts, the
+    // refresh touches only the changed slices + the dirty view/agg buckets
+    // — the at-risk rescan's source scan must not run. Measured via task
+    // input metrics: a source-proportional read here is the difference
+    // between O(changed) and O(source) at every refresh.
+    val n = 200000L
+    val src = new SnapshotParquetSink(tmpDir("magg_noio_src"), nBuckets = 16)
+    val agg = new SnapshotParquetSink(tmpDir("magg_noio_agg"), nBuckets = 4)
+    val m = new MaterializedAgg(src, agg, Seq("grp"),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx")))
+    // v = id keeps every group's values DISTINCT: the update below must
+    // fold exactly (remove found in buffer, add a mid-range value), never
+    // trip the at-risk rescan — which WOULD legitimately scan the source
+    val big = spark.range(n).select(
+      col("id").cast("int").as("id"),
+      concat(lit("g"), pmod(col("id"), lit(20000L))).as("grp"),
+      col("id").as("v"), lit(1L).as("seq"), lit(false).as("__del"))
+    src.merge(big, Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    // one benign change: update id 7 (group g7's min, values 7, 20007,
+    // 40007, …) to a value inside the bottom buffer and far from the top
+    src.merge(rows((7, "g7", 500, 2L)), Seq("id"), "seq", "__del")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+          byStage.merge(te.stageId, te.taskMetrics.inputMetrics.recordsRead,
+            (a, b) => a + b)
+          ()
+        }
+      }
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stageName.put(ss.stageInfo.stageId, ss.stageInfo.name.take(120))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      m.refresh(spark)
+      // no public listener-bus flush: poll until the metric stabilizes
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 25) {
+        last = read.get(); Thread.sleep(200L); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(m.lastRefreshRegime == Some("fold"))
+    assert(maintained(m) == direct(src))
+    // budget: 2 changed-slice reads (≤ 2 source buckets ≈ 25k) + dirty
+    // view/agg buckets (≈ 2 × 5k) + merge re-reads; a leaked source scan
+    // adds the full 200k and must fail this
+    val r = read.get()
+    import scala.jdk.CollectionConverters._
+    lazy val breakdown = byStage.asScala.toSeq.sortBy(-_._2).take(8).map {
+      case (sid, n) => s"stage $sid ($n rows): ${stageName.getOrDefault(sid, "?")}"
+    }.mkString("\n  ")
+    assert(r < 100000L,
+      s"benign fold refresh read $r records — a source-proportional scan " +
+        s"leaked in:\n  $breakdown")
   }
 
   test("cost-based pick: tiny source takes recompute, view ≪ source takes fold") {
