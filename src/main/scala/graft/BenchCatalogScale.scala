@@ -47,7 +47,10 @@ object BenchCatalogScale {
       val names = (0 until n).map(i => s"t$i")
       names.foreach(seedTable(cat, _))
       val (_, warm) = timed(cat.commitCurrent(names)) // v0 (includes mkdir)
-      val (_, sec) = timed(cat.commitCurrent(names))  // v1 (steady state)
+      // steady state as min-of-5: a single ~50 ms commit is timer/dentry
+      // noise-dominated — the min is the protocol's actual cost on an
+      // idle box (each repetition publishes a real new catalog version)
+      val sec = (0 until 5).map(_ => timed(cat.commitCurrent(names))._2).min
       n -> (warm, sec)
     }
 

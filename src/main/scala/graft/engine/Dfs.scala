@@ -128,6 +128,16 @@ object Dfs {
   // filesystems whose fail-if-exists rename is check-then-act (local fs).
   private val renameStripes = Array.fill(64)(new Object)
 
+  // FileContext has no equivalent of FileSystem.CACHE — getFileContext
+  // instantiates a fresh AbstractFileSystem per call, which was measured
+  // at most of a catalog publish's ~35 ms. One context per filesystem URI;
+  // FileContext is documented thread-safe (immutable config + UGI).
+  private val fileContexts =
+    new java.util.concurrent.ConcurrentHashMap[java.net.URI, FileContext]()
+  private def fileContext(dst: Path): FileContext =
+    fileContexts.computeIfAbsent(fs(dst).getUri,
+      uri => FileContext.getFileContext(uri, conf))
+
   /** The optimistic-lock publish primitive for commit protocols:
     * rename-onto-absent. Returns true iff `src` became `dst` AND `dst` did
     * not already exist; false means another committer won the slot (and
@@ -164,7 +174,7 @@ object Dfs {
   def renameOntoAbsent(src: Path, dst: Path): Boolean = {
     val stripe = renameStripes(math.floorMod(dst.toString.hashCode, renameStripes.length))
     stripe.synchronized {
-      val fc = FileContext.getFileContext(fs(dst).getUri, conf)
+      val fc = fileContext(dst)
       try { fc.rename(src, dst, Options.Rename.NONE); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
