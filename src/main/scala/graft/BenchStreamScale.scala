@@ -158,7 +158,55 @@ object BenchStreamScale {
         s""""fanout_sec":${num(f)},"shared_scan_sec":${num(s)}}"""
     }.mkString(",")
 
-    println(s"""{"stream":{$body},"fanout":{$fanBody}}""")
+    // ---- FOLLOWER-BREAKDOWN leg (q61y's lifecycle shape, instrumented):
+    // where a stream-driven matview's wall goes — streaming-query
+    // bootstrap, per-commit trigger+refresh, stop — against a TWIN that
+    // runs the SAME source commits and refreshes via direct refreshTo
+    // calls (no stream). commit_trigger − direct_refresh isolates the
+    // commit-cursor overhead (offset admission + trigger dispatch, Spark-
+    // owned) from the refresh protocol the view pays either way.
+    def followerLeg(): String = {
+      import graft.sink.{MaterializedAgg, SnapshotParquetSink => Sink}
+      def timedSec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def mkPair(tag: String): (Sink, MaterializedAgg) = {
+        val src = new Sink(s"$scratch/fol_${tag}_src", 8)
+        val agg = new Sink(s"$scratch/fol_${tag}_agg", 8)
+        src.merge(table(50000L, 1L), Seq("id"), "seq", "__del")
+        (src, new MaterializedAgg(src, agg, Seq("ext"),
+          Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"))))
+      }
+      def oneKey(seq: Long) = table(1L, seq)
+      // streamed follower
+      val (src1, m1) = mkPair("stream")
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      val startSec = timedSec {
+        q = graft.streaming.MatViewStream.follow(
+          spark, m1, s"$scratch/fol_ckpt", maxVersionsPerTrigger = 1)
+      }
+      val initialSec = timedSec(q.processAllAvailable())
+      val commitSecs = (2L to 3L).map { s =>
+        src1.merge(oneKey(s), Seq("id"), "seq", "__del")
+        timedSec(q.processAllAvailable())
+      }
+      val stopSec = timedSec { q.stop(); q.awaitTermination() }
+      // direct twin: same commits, refreshes without the stream
+      val (src2, m2) = mkPair("direct")
+      val directInitial = timedSec { m2.refresh(spark); () }
+      val directSecs = (2L to 3L).map { s =>
+        src2.merge(oneKey(s), Seq("id"), "seq", "__del")
+        timedSec { m2.refresh(spark); () }
+      }
+      s""""follower":{"rows":50000,"start_sec":${num(startSec)},""" +
+        s""""initial_trigger_sec":${num(initialSec)},""" +
+        s""""commit_trigger_secs":[${commitSecs.map(num).mkString(",")}],""" +
+        s""""stop_sec":${num(stopSec)},""" +
+        s""""direct_initial_sec":${num(directInitial)},""" +
+        s""""direct_refresh_secs":[${directSecs.map(num).mkString(",")}]}"""
+    }
+
+    println(s"""{"stream":{$body},"fanout":{$fanBody},${followerLeg()}}""")
     graft.engine.Fs.deleteTree(new java.io.File(scratch))
     spark.stop()
   }
