@@ -212,8 +212,58 @@ object Bench {
         .mkString("{", ",", "}")
       s""","spill":{"heap_max_bytes":${Runtime.getRuntime.maxMemory},"mem_bytes":$totalMem,"disk_bytes":$totalDisk,"by_query_mem_disk":$perQ}"""
     } else ""
+    // CANARY vs the last committed idle capture (round 15): a STEADY
+    // whole-capture handicap — wrong driver heap (r14 ran under sbt's 8g
+    // fork default and read 1.23× across unchanged queries), throttled
+    // CPU, constant background load — inflates every query uniformly, and
+    // spread-based contention detection only catches INTERMITTENT load.
+    // SPARK_GRAFT_CANARY_BASELINE names a previous idle capture; this
+    // capture then emits per-canary min ratios (now/baseline) over five
+    // code-stable queries spanning scan/agg/join/scalar/hash shapes, and
+    // self-flags (canary_ok=false) when the MEDIAN ratio exceeds 1.15 —
+    // a machine-detectable "this capture is uniformly handicapped".
+    val canaryQueries = Seq("q01_count", "q20_tpch_q1", "q48i_tpch_q6",
+      "q50_string_suite", "q87_simhash")
+    val canaryJson = sys.env.get("SPARK_GRAFT_CANARY_BASELINE").flatMap { p =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val marker = "\"queries_min\":{"
+        val start = txt.indexOf(marker)
+        if (start < 0) None
+        else {
+          val s = start + marker.length
+          val baseMins = txt.substring(s, txt.indexOf('}', s)).split(',')
+            .flatMap(_.split(':') match {
+              case Array(k, v) => v.toDoubleOption.map(
+                k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
+              case _ => None
+            }).toMap
+          val ratios = canaryQueries.flatMap { q =>
+            for {
+              b <- baseMins.get(q) if b > 0.0
+              cur <- results.collectFirst { case (`q`, Some((_, mn, _))) => mn }
+            } yield q -> cur / b
+          }
+          if (ratios.isEmpty) None
+          else {
+            val sorted = ratios.map(_._2).sorted
+            val median = sorted(sorted.size / 2)
+            val rjson = ratios.map { case (q, r) =>
+              "\"" + q + "\":" + num("%.3f", r) }.mkString("{", ",", "}")
+            Some(s""","canary_baseline":"$p","canary_min_ratio":$rjson,""" +
+              s""""canary_median_ratio":${num("%.3f", median)},""" +
+              s""""canary_ok":${median <= 1.15}""")
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] canary baseline unreadable: $e"); None
+      }
+    }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","bench_schema":2,"capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"queries_pos":$qposJson,"queries_spread":$qspreadJson,"rerun_min":$rerunJson,"rerun_divergent":$divergentJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$incrLegsJson$spillJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","bench_schema":2,"capture_id":"$captureId","capture_ts":"$captureTs","runs":$runs,"total_min_sec":${num("%.3f", totalMin)},"contended":$contended,"spread_max_sec":${num("%.3f", spreadMax)},"n_spread_gt_1s":$nSpreadGt1,"suite_wall_sec":${num("%.3f", suiteWall)},"queries":$qjson,"queries_min":$qminJson,"queries_pos":$qposJson,"queries_spread":$qspreadJson,"rerun_min":$rerunJson,"rerun_divergent":$divergentJson,"failed":$failed,"cdc_events_per_sec":$epsJson,"cdc_incremental_merge_speedup":$incrJson$incrLegsJson$spillJson$canaryJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
