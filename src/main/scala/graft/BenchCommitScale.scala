@@ -67,16 +67,26 @@ object BenchCommitScale {
       // JIT/page cache and was measured to swing the overhead ratio
       // 0.3↔1.0 between invocations of the same binary)
       val runs = 5
-      val pairs = (0 until runs).map { r =>
+      // three interleaved variants: plain, bloom (the DEFAULT path —
+      // fused sidecar build; parquet-native filters are evidence-gated
+      // off for a healthy layout), and bloom with the native layer
+      // FORCED (what a table with saturated buckets pays)
+      val triples = (0 until runs).map { r =>
         val p = timed(new SnapshotParquetSink(s"$scratch/plain_${n}_$r", nBuckets)
           .merge(table(n, 1L), Seq("id"), "seq", "__del"))._2
         val b = timed(new SnapshotParquetSink(s"$scratch/bloom_${n}_$r", nBuckets,
           bloomCols = Seq("ext"))
           .merge(table(n, 1L), Seq("id"), "seq", "__del"))._2
-        (p, b)
+        sys.props("graft.bloom.forceNative") = "1"
+        val bn = try timed(new SnapshotParquetSink(
+          s"$scratch/bloomnat_${n}_$r", nBuckets, bloomCols = Seq("ext"))
+          .merge(table(n, 1L), Seq("id"), "seq", "__del"))._2
+        finally { sys.props.remove("graft.bloom.forceNative"); () }
+        (p, b, bn)
       }
-      val plainSec = pairs.map(_._1).min
-      val bloomSec = pairs.map(_._2).min
+      val plainSec = triples.map(_._1).min
+      val bloomSec = triples.map(_._2).min
+      val bloomNativeSec = triples.map(_._3).min
 
       // point-lookup latency through the DSv2 scan: on the bloom-indexed
       // table the planned file set is ~constant (target bucket + rare FPs),
@@ -138,6 +148,8 @@ object BenchCommitScale {
       s""""$n":{"rows":$n,"nbuckets":$nBuckets,
          |"merge_sec":${num(plainSec)},"merge_bloom_sec":${num(bloomSec)},
          |"bloom_overhead":${num(bloomSec / math.max(plainSec, 1e-9) - 1.0)},
+         |"merge_bloom_native_sec":${num(bloomNativeSec)},
+         |"bloom_native_overhead":${num(bloomNativeSec / math.max(plainSec, 1e-9) - 1.0)},
          |"probe_bloom_sec":${num(probeBloomSec)},"probe_bloom_files":$probeBloomFiles,
          |"probe_plain_sec":${num(probePlainSec)},"probe_plain_files":$probePlainFiles,
          |"seq_4_merges_sec":${num(seqSec)},"conc_4_writers_sec":${num(concSec)},

@@ -38,7 +38,9 @@ import graft.engine.Dfs
   * buckets therefore fall back to the parquet-NATIVE bloom filters the
   * sink also writes for bloom columns (`parquet.bloom.filter.enabled#col`),
   * which skip at row-group granularity inside the files this layer could
-  * not drop.
+  * not drop. The native layer is EVIDENCE-GATED per commit — written only
+  * once the prior manifest shows a saturated (sidecar-less) bloom bucket;
+  * see `SnapshotParquetSink.nativeBloomsWanted` for the measurement.
   *
   * Hash contract: positions derive from `xxhash64(col)` (seed 42 — the
   * same function the bucket routing uses), with the query-side literal

@@ -553,6 +553,34 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     * layer that still pays off when a bucket's distinct count exceeds what
     * the manifest-level sidecar will cover ([[BloomIndex]]'s scaladoc).
     */
+  /** Parquet-native bloom writing is EVIDENCE-GATED per commit: the
+    * sidecar layer exactly covers buckets up to [[BloomIndex.MaxDistinct]]
+    * distinct values, so the in-file row-group filters only ever prune
+    * where a bucket has OUTGROWN the sidecar — and writing them
+    * unconditionally was measured at ~0.21× bulk-commit overhead
+    * (2M rows / 80 buckets, the whole gap between the fused sidecar
+    * build's 0.08× and the 0.29× total) protecting nothing under the
+    * recommended ≤25k-row bucket layout. A commit therefore writes the
+    * native filters iff the PRIOR manifest shows a bloom-declared bucket
+    * without a sidecar line (the build's saturation marker — also set by
+    * all-null buckets and pre-declaration legacy buckets, an acceptable
+    * conservative over-trigger): the first oversized commit goes
+    * native-less (a missing filter prunes nothing, never wrongly) and
+    * every later commit carries the native layer. `graft.bloom.forceNative`
+    * forces the layer on (bench/test pin of the native-write cost).
+    */
+  private def nativeBloomsWanted(prior: Option[Long], cols: Seq[String]): Boolean =
+    sys.props.contains("graft.bloom.forceNative") ||
+      (cols.nonEmpty && prior.exists { v =>
+        val blooms = SnapshotParquetSink.manifestBlooms(dir, v)
+        readManifest(v).keys.exists(b =>
+          cols.exists(c => !blooms.get(b).exists(_.contains(c))))
+      })
+
+  private def parquetBloomOptsFor(prior: Option[Long],
+      cols: Seq[String]): Map[String, String] =
+    if (nativeBloomsWanted(prior, cols)) parquetBloomOpts(cols) else Map.empty
+
   private def parquetBloomOpts(cols: Seq[String]): Map[String, String] =
     cols.flatMap(c => Seq(
       s"parquet.bloom.filter.enabled#$c" -> "true",
@@ -1123,7 +1151,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         // measured at 1.5–2.1× bulk-commit overhead
         val obs = observeBlooms(spark, toWrite, merged.schema)
         dbg("write")(obs.frame.write.mode("overwrite").partitionBy("__bucket")
-          .options(parquetBloomOpts(bloomCols))
+          .options(parquetBloomOptsFor(base, bloomCols))
           .parquet(s"$dir/data/$commitId"))
         dataWrites += 1
         // hinted probes are trusted into the manifest — verify the written
@@ -1301,7 +1329,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         // same in-write bloom fusion as merge (see observeBlooms)
         val obs = observeBlooms(spark, toWrite, merged.schema)
         obs.frame.write.mode("overwrite").partitionBy("__bucket")
-          .options(parquetBloomOpts(bloomCols))
+          .options(parquetBloomOptsFor(base, bloomCols))
           .parquet(s"$dir/data/$commitId")
         val newEntries = affected.map(b => b -> s"data/$commitId/__bucket=$b")
         val body = (Seq(s"version=$version", s"nBuckets=$nBuckets",
@@ -1613,13 +1641,14 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val full = readFullState(spark, base)
       val commitId = UUID.randomUUID().toString
       // bloom columns (handle's, or whatever the base manifest recorded):
-      // the rewrite must keep writing parquet-native row-group blooms
+      // the rewrite keeps the parquet-native row-group blooms where the
+      // base manifest evidences saturated buckets (parquetBloomOptsFor)
       val baseBloomCols = SnapshotParquetSink.manifestBlooms(dir, base)
         .values.flatMap(_.keys).toSeq.distinct.sorted
       val effBloomCols = if (bloomCols.nonEmpty) bloomCols else baseBloomCols
       full.repartition(entries.size, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
-        .options(parquetBloomOpts(effBloomCols))
+        .options(parquetBloomOptsFor(Some(base), effBloomCols))
         .parquet(s"$dir/data/$commitId")
       val newEntries = entries.keys.map(b => b -> s"data/$commitId/__bucket=$b")
       // carry the recorded merge keys forward — compaction rewrites data
@@ -1708,7 +1737,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val effBloomCols = if (bloomCols.nonEmpty) bloomCols else baseBloomCols
       full.repartition(newBuckets, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
-        .options(parquetBloomOpts(effBloomCols))
+        .options(parquetBloomOptsFor(Some(base), effBloomCols))
         .parquet(s"$dir/data/$commitId")
       val writtenBuckets = Dfs.list(new HPath(s"$dir/data/$commitId"))
         .map(_.getPath.getName)
@@ -1791,7 +1820,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val effBloomCols = if (bloomCols.nonEmpty) bloomCols else baseBloomCols
       purged.repartition(entries.size, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
-        .options(parquetBloomOpts(effBloomCols))
+        .options(parquetBloomOptsFor(Some(base), effBloomCols))
         .parquet(s"$dir/data/$commitId")
       // a bucket whose every row was a purged tombstone writes no dir —
       // list what actually landed instead of assuming the old bucket set

@@ -112,6 +112,52 @@ class BloomSnapshotSpec extends SparkSpec {
     assert(scanFiles(t.filter($"ext" === "e12345")) == 1, "absence = no pruning")
   }
 
+  test("parquet-native blooms are EVIDENCE-GATED: off until a saturated bucket, on after") {
+    // the sidecar layer covers every bucket up to MaxDistinct; the
+    // in-file row-group filters only prune where a bucket outgrew it, so
+    // a healthy-layout commit must not pay the native write (measured
+    // ~0.21x bulk-commit overhead). Evidence = a bloom-declared bucket
+    // with no sidecar line in the PRIOR manifest: commit 1 on a fresh
+    // table writes no native filters even though its bucket saturates;
+    // commit 2 sees the saturation marker and writes them.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    def nativeBloomUnder(dir: String, commitRootOf: Long): Boolean = {
+      val rel = SnapshotParquetSink.manifest(dir, commitRootOf)._2.head._2
+      val bucketDir = new java.io.File(s"$dir/$rel")
+      val pq = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pq.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+      try rdr.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists(c =>
+        c.getPath.toDotString == "ext" && c.getBloomFilterOffset >= 0L))
+      finally rdr.close()
+    }
+    val dir = tmpDir("bloomgate") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 1, bloomCols = Seq("ext"))
+    val n = (BloomIndex.MaxDistinct * 13L / 10L).toInt
+    def batch(seq: Long) =
+      spark.range(n.toLong).select(col("id"), lit(seq).as("seq"),
+        concat(lit("e"), col("id")).as("ext"), lit(false).as("is_delete"))
+    sink.merge(batch(0L), Seq("id"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestBlooms(dir, 0L).isEmpty) // saturated
+    assert(!nativeBloomUnder(dir, 0L),
+      "no prior saturation evidence — commit 1 must not pay the native write")
+    sink.merge(batch(1L), Seq("id"), "seq", "is_delete")
+    assert(nativeBloomUnder(dir, 1L),
+      "prior manifest shows a sidecar-less bloom bucket — commit 2 must go native")
+    // and a healthy table (sidecars present) never pays it
+    val hDir = tmpDir("bloomgate_h") + "/t"
+    val hSink = new SnapshotParquetSink(hDir, nBuckets = 1, bloomCols = Seq("ext"))
+    def small(seq: Long) = spark.range(64L).select(col("id"), lit(seq).as("seq"),
+      concat(lit("e"), col("id")).as("ext"), lit(false).as("is_delete"))
+    hSink.merge(small(0L), Seq("id"), "seq", "is_delete")
+    hSink.merge(small(1L), Seq("id"), "seq", "is_delete")
+    assert(!nativeBloomUnder(hDir, 1L),
+      "sidecars cover the bucket — the native layer must stay gated off")
+  }
+
   test("schema evolution: type-widening migration and non-bigint literals stay consistent") {
     val dir = tmpDir("bloomev") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 8, bloomCols = Seq("ext"))
