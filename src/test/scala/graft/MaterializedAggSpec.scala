@@ -697,6 +697,114 @@ class MaterializedAggSpec extends SparkSpec
     assert(maintained(m) == direct(src))
   }
 
+  test("foldExtremumBuf property: the maintained buffer never misreports the extremum") {
+    // model-checked against a brute-force live multiset: random initial
+    // groups and refresh steps (removals drawn from live, additions with
+    // heavy ties), folded through the REAL engine inputs — rem truncated
+    // to the k+1 best, add to the k best, nne moved by FULL counts (the
+    // dnne contract). After every step the maintained buffer must be a
+    // sub-multiset of the live values, priority-sorted, exact at the
+    // head, and prefix-complete below its tail; a null/exhausted fold
+    // takes the model's rescan exactly where atRiskCond would. This is
+    // the invariant both r14 ADVICE bugs violated.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 4
+    val smallVal = Gen.choose(0L, 12L) // small domain ⇒ frequent ties
+    val genInit = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, smallVal))
+    val genStep = for {
+      remCount <- Gen.choose(0, 6)
+      remSeed <- Gen.choose(0, Int.MaxValue)
+      addCount <- Gen.choose(0, 6)
+      adds <- Gen.listOfN(addCount, smallVal)
+    } yield (remCount, remSeed, adds)
+    val genSteps = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, genStep))
+    def subMultiset(small: Seq[Long], big: Seq[Long]): Boolean = {
+      val b = big.toBuffer
+      small.forall { v =>
+        val i = b.indexOf(v); if (i >= 0) { b.remove(i); true } else false
+      }
+    }
+    val prop = Prop.forAll(genInit, genSteps, Gen.oneOf(true, false)) {
+      (init, steps, bottom) =>
+        def pri(s: Seq[Long]) = if (bottom) s.sorted else s.sorted.reverse
+        var live: Vector[Long] = init.toVector
+        var buf: Seq[Long] = pri(live).take(k) // exact initial build
+        var nne: Long = live.size.toLong
+        var ok = true
+        for ((remCount, remSeed, adds) <- steps if ok) {
+          val rnd = new scala.util.Random(remSeed)
+          val removed = rnd.shuffle(live).take(math.min(remCount, live.size))
+          val rest = live.toBuffer
+          removed.foreach { r => rest.remove(rest.indexOf(r)); () }
+          live = rest.toVector ++ adds
+          val out = MaterializedAgg.foldExtremumBuf(buf,
+            pri(removed).take(k + 1), pri(adds).take(k), bottom, k, nne)
+          nne = nne - removed.size + adds.size
+          ok = ok && nne == live.size.toLong // dnne bookkeeping stays exact
+          if (out == null || (out.isEmpty && nne > 0)) {
+            buf = pri(live).take(k) // the at-risk rescan recomputes exactly
+          } else {
+            buf = out
+            ok = ok && subMultiset(buf, live) && buf == pri(buf)
+            if (buf.nonEmpty) {
+              ok = ok && buf.head == (if (bottom) live.min else live.max)
+              val better = live.filter(v =>
+                if (bottom) v < buf.last else v > buf.last)
+              ok = ok && subMultiset(better, buf)
+            } else ok = ok && live.isEmpty
+          }
+        }
+        ok
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("delta regime: a benign refresh reads NOTHING proportional to the source") {
+    // the pure-delta (SUM/COUNT) twin of the fold IO guard: a one-key
+    // upsert must read only the changed slices + dirty agg buckets
+    val n = 200000L
+    val src = new SnapshotParquetSink(tmpDir("magg_dnoio_src"), nBuckets = 16)
+    val agg = new SnapshotParquetSink(tmpDir("magg_dnoio_agg"), nBuckets = 4)
+    val m = new MaterializedAgg(src, agg, Seq("grp"),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    val big = spark.range(n).select(
+      col("id").cast("int").as("id"),
+      concat(lit("g"), pmod(col("id"), lit(20000L))).as("grp"),
+      col("id").as("v"), lit(1L).as("seq"), lit(false).as("__del"))
+    src.merge(big, Seq("id"), "seq", "__del")
+    m.refresh(spark)
+    src.merge(rows((7, "g7", 500, 2L)), Seq("id"), "seq", "__del")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null)
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      m.refresh(spark)
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 25) {
+        last = read.get(); Thread.sleep(200L); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(m.lastRefreshRegime == Some("delta"))
+    val g7 = m.read(spark).filter(col("grp") === "g7")
+      .select("n", "sv").head()
+    assert(g7.getLong(0) == 10L && g7.getLong(1) == (7L + 20007L + 40007L +
+      60007L + 80007L + 100007L + 120007L + 140007L + 160007L + 180007L
+      - 7L + 500L))
+    val r = read.get()
+    assert(r < 100000L,
+      s"benign delta refresh read $r records — a source-proportional scan leaked in")
+  }
+
   test("fold regime: a benign refresh reads NOTHING proportional to the source") {
     // the fold's scale contract: when no group's buffer exhausts, the
     // refresh touches only the changed slices + the dirty view/agg buckets
