@@ -782,6 +782,45 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     assert(Dfs.exists(old)) // loser's src left in place for its caller
   }
 
+  test("mergeGuardedHinted: exact hints commit probe-free; inexact hints fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("hinted") + "/t"
+    val sink = new SnapshotParquetSink(dir, nBuckets = 4)
+    sink.merge(batch(("a", 0L, "a0", false)), Seq("primary_key"), "seq", "is_delete")
+    val b = batch(("b", 1L, "b1", false))
+    val realBucket = b.select(sink.bucketRouting(Seq("primary_key")).as("__b"))
+      .head().getInt(0)
+    // a WRONG hint (an extra bucket holding neither current rows nor batch
+    // rows) must fail the commit before publish — it would otherwise land
+    // a manifest entry pointing at a file the write never produced. (An
+    // extra hinted bucket that HAS current rows is merely a wasteful
+    // identical rewrite — legal by design.)
+    val aBucket = batch(("a", 0L, "a0", false))
+      .select(sink.bucketRouting(Seq("primary_key")).as("__b")).head().getInt(0)
+    val emptyBucket = (0 until 4).filterNot(Set(aBucket, realBucket)).head
+    val wrong = Array(emptyBucket, realBucket)
+    intercept[IllegalArgumentException] {
+      sink.mergeGuardedHinted(batch(("b", 1L, "b1", false)),
+        Seq("primary_key"), "seq", "is_delete", requireBaseSeq = Some(0L),
+        affectedBuckets = wrong.sorted, batchMaxSeq = Some(1L))
+    }
+    // nothing published by the failed attempt
+    assert(sink.versions == Seq(0L))
+    // the EXACT hint commits (probe job skipped) with correct state + head
+    sink.mergeGuardedHinted(b, Seq("primary_key"), "seq", "is_delete",
+      requireBaseSeq = Some(0L), affectedBuckets = Array(realBucket),
+      batchMaxSeq = Some(1L))
+    assert(state(sink, DeleteMode.Hard) ==
+      Map("a" -> (0L, "a0"), "b" -> (1L, "b1")))
+    assert(SnapshotParquetSink.manifestMaxSeq(dir, 1L).contains(1L))
+    // guarded-absolute semantics: the batch REPLACES its keys
+    sink.mergeGuardedHinted(batch(("b", 2L, "b2", false)),
+      Seq("primary_key"), "seq", "is_delete", requireBaseSeq = Some(1L),
+      affectedBuckets = Array(realBucket), batchMaxSeq = Some(2L))
+    assert(state(sink, DeleteMode.Hard) ==
+      Map("a" -> (0L, "a0"), "b" -> (2L, "b2")))
+  }
+
   test("Dfs.renameOntoAbsent: loser keeps src, winner owns dst, content intact") {
     import org.apache.hadoop.fs.{Path => HPath}
     import graft.engine.Dfs
