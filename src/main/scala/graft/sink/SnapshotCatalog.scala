@@ -454,20 +454,12 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
 object SnapshotCatalog {
   /** Per-member metadata ops (listings, stats, maxseq reads) mapped
     * CONCURRENTLY, order-preserving: each touches a different directory,
-    * so a commit over N members costs ~one round-trip instead of N. The
-    * first failure rethrows as-is (pin validation `require`s must surface
-    * their own message). Hadoop FileSystem metadata calls are thread-safe.
+    * so a commit over N members costs ~one round-trip instead of N —
+    * [[SnapshotParquetSink.inParallel]] (the sidecar-write pool), shared
+    * rather than re-implemented. Hadoop metadata calls are thread-safe.
     */
-  private[sink] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
-    if (items.lengthCompare(2) < 0) return items.map(f)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    try Await.result(Future.traverse(items)(a => Future(f(a))), Duration.Inf)
-    catch {
-      case e: java.util.concurrent.ExecutionException => throw e.getCause
-    }
-  }
+  private[sink] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    SnapshotParquetSink.inParallel(items)(f)
 
   // bounded (catalogDir, version) → cut lines; see cutLines for the
   // immutability argument
