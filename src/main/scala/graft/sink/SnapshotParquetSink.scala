@@ -179,25 +179,36 @@ object SnapshotParquetSink {
   final case class CommitInfo(version: Long, attempts: Int, rebases: Int,
       dataWrites: Int)
 
+  /** Shared driver-side FS-op pool for [[inParallel]]: bounded daemon
+    * threads created ONCE — a per-call `newFixedThreadPool` paid thread
+    * creation on every invocation, which at the catalog's ~40 ms commit
+    * budget was a measured ~20 ms regression per commit. Callers must not
+    * nest `inParallel` inside an `inParallel` task (a bounded shared pool
+    * would deadlock on itself); no current call site does.
+    */
+  private lazy val fsIoPool = java.util.concurrent.Executors.newFixedThreadPool(
+    32,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-fs-io")
+      t.setDaemon(true)
+      t
+    })
+
   /** Order-preserving parallel map over driver-side FS round-trips
-    * (sidecar writes/copies): each item is a tiny-file operation whose
-    * latency, not bandwidth, dominates — sequentially they scale O(buckets)
-    * with the table. Bounded I/O pool; exceptions propagate to the caller
-    * (a failed sidecar write must abort the commit, same as sequentially).
+    * (sidecar writes/copies, catalog member metadata): each item is a
+    * tiny-file/metadata operation whose latency, not bandwidth, dominates
+    * — sequentially they scale O(buckets)/O(members). Exceptions propagate
+    * to the caller (a failed sidecar write must abort the commit, same as
+    * sequentially).
     */
   private[sink] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.size <= 1) return items.map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, items.size))
     try {
-      items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+      items.map(a => fsIoPool.submit(new java.util.concurrent.Callable[B] {
         def call(): B = f(a)
       })).map(_.get())
     } catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally {
-      pool.shutdown()
-      ()
     }
   }
 
