@@ -458,7 +458,7 @@ object SnapshotCatalog {
     * [[SnapshotParquetSink.inParallel]] (the sidecar-write pool), shared
     * rather than re-implemented. Hadoop metadata calls are thread-safe.
     */
-  private[sink] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+  private[graft] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
     SnapshotParquetSink.inParallel(items)(f)
 
   // bounded (catalogDir, version) → cut lines; see cutLines for the

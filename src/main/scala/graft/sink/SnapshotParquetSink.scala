@@ -182,14 +182,13 @@ object SnapshotParquetSink {
   /** Shared driver-side FS-op pool for [[inParallel]]: bounded daemon
     * threads created ONCE — a per-call `newFixedThreadPool` paid thread
     * creation on every invocation, which at the catalog's ~40 ms commit
-    * budget was a measured ~20 ms regression per commit. Callers must not
-    * nest `inParallel` inside an `inParallel` task (a bounded shared pool
-    * would deadlock on itself); no current call site does.
+    * budget was a measured ~20 ms regression per commit.
     */
+  private val fsIoPoolName = "graft-fs-io"
   private lazy val fsIoPool = java.util.concurrent.Executors.newFixedThreadPool(
     32,
     (r: Runnable) => {
-      val t = new Thread(r, "graft-fs-io")
+      val t = new Thread(r, fsIoPoolName)
       t.setDaemon(true)
       t
     })
@@ -199,10 +198,16 @@ object SnapshotParquetSink {
     * tiny-file/metadata operation whose latency, not bandwidth, dominates
     * — sequentially they scale O(buckets)/O(members). Exceptions propagate
     * to the caller (a failed sidecar write must abort the commit, same as
-    * sequentially).
+    * sequentially). A call issued FROM a pool task runs inline on the
+    * caller's thread: a bounded shared pool must never wait on itself
+    * (outer tasks holding every thread while their inner futures sit
+    * queued behind them is a deadlock, not a slowdown), and no current
+    * call site nests anyway — the guard makes the helper safe for future
+    * call sites rather than relying on a doc-only contract.
     */
-  private[sink] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
-    if (items.size <= 1) return items.map(f)
+  private[graft] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 1 || Thread.currentThread().getName == fsIoPoolName)
+      return items.map(f)
     try {
       items.map(a => fsIoPool.submit(new java.util.concurrent.Callable[B] {
         def call(): B = f(a)

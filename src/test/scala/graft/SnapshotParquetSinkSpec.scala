@@ -1131,4 +1131,33 @@ class SnapshotParquetSinkSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("schema conflict"))
   }
+
+  test("nested inParallel runs inline instead of deadlocking the shared pool") {
+    // The FS-op pool is a single bounded shared executor: if an outer task
+    // could SUBMIT (and block on) inner work, outer tasks occupying every
+    // pool thread would wait forever on inner futures queued behind them.
+    // The re-entrance guard runs nested calls inline on the pool thread —
+    // pin it with a fan-out wide enough (64 > 32 threads) that a submitting
+    // implementation would deadlock rather than merely slow down.
+    // run on a scratch thread with a bounded join: a submitting
+    // implementation deadlocks, and the suite must FAIL, not hang
+    @volatile var outer: Seq[Int] = null
+    val t = new Thread(() => {
+      outer = SnapshotParquetSink.inParallel(1 to 64) { i =>
+        SnapshotParquetSink.inParallel(1 to 64)(j => i * 1000 + j).sum
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    t.join(30000)
+    assert(!t.isAlive, "nested inParallel deadlocked the shared pool")
+    assert(outer === (1 to 64).map(i => (1 to 64).map(j => i * 1000 + j).sum))
+    // order preservation and exception propagation survive the guard
+    val e = intercept[IllegalStateException] {
+      SnapshotParquetSink.inParallel(1 to 8) { i =>
+        if (i == 5) throw new IllegalStateException("boom") else i
+      }
+    }
+    assert(e.getMessage == "boom")
+  }
 }
