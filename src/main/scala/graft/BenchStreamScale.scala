@@ -27,6 +27,9 @@ object BenchStreamScale {
     val mults = if (args.length > 1) args(1).split(',').toSeq.map(_.toLong)
       else Seq(1L, 10L)
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def timedSec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
     val scratch = java.nio.file.Files.createTempDirectory("streamscale").toString
 
     def table(n: Long, seq: Long) = spark.range(n).select(
@@ -60,15 +63,12 @@ object BenchStreamScale {
           ()
         }
         .start()
-      def timed(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       try {
-        val initialSec = timed(q.processAllAvailable())
+        val initialSec = timedSec(q.processAllAvailable())
         // one-key update → one catch-up trigger: must stay flat across 10×
         SnapshotParquetSink.forTable(upDir)
           .merge(table(1L, 2L), Seq("id"), "seq", "__del")
-        val catchupSec = timed(q.processAllAvailable())
+        val catchupSec = timedSec(q.processAllAvailable())
         lastRows = q.recentProgress.map(_.numInputRows).filter(_ > 0L).last
         q.stop(); q.awaitTermination()
         // RESTART-CAP leg (round 13, the admission-control claim): the
@@ -90,7 +90,7 @@ object BenchStreamScale {
             ()
           }
           .start()
-        val restartSec = timed { assert(q2.awaitTermination(300000)) }
+        val restartSec = timedSec { assert(q2.awaitTermination(300000)) }
         val sizes = q2.recentProgress.map(_.numInputRows).filter(_ > 0L)
         n -> (nBuckets, initialSec, catchupSec, lastRows,
           restartSec, sizes.length, if (sizes.isEmpty) 0L else sizes.max)
@@ -132,9 +132,6 @@ object BenchStreamScale {
         cw.println(s"db.t$t,id,int8,true")
         cw.println(s"db.t$t,v,varchar,false")
       } finally cw.close()
-      def timedSec(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val fanoutSec = timedSec {
         val running = CdcOrchestrator.addNewTables(
           spark, inDir.toString, csv.toString,
@@ -167,9 +164,6 @@ object BenchStreamScale {
     // owned) from the refresh protocol the view pays either way.
     def followerLeg(): String = {
       import graft.sink.{MaterializedAgg, SnapshotParquetSink => Sink}
-      def timedSec(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       def mkPair(tag: String): (Sink, MaterializedAgg) = {
         val src = new Sink(s"$scratch/fol_${tag}_src", 8)
         val agg = new Sink(s"$scratch/fol_${tag}_agg", 8)

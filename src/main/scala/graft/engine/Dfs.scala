@@ -130,13 +130,26 @@ object Dfs {
 
   // FileContext has no equivalent of FileSystem.CACHE — getFileContext
   // instantiates a fresh AbstractFileSystem per call, which was measured
-  // at most of a catalog publish's ~35 ms. One context per filesystem URI;
-  // FileContext is documented thread-safe (immutable config + UGI).
-  private val fileContexts =
-    new java.util.concurrent.ConcurrentHashMap[java.net.URI, FileContext]()
-  private def fileContext(dst: Path): FileContext =
-    fileContexts.computeIfAbsent(fs(dst).getUri,
-      uri => FileContext.getFileContext(uri, conf))
+  // at most of a catalog publish's ~35 ms. One context per filesystem URI,
+  // refreshed when the ACTIVE session's Configuration instance changes: a
+  // context pins the conf (and UGI) it was built with, so caching on URI
+  // alone would keep publishing through a stopped session's credentials
+  // after a new session with different fs.* settings takes over. The conf
+  // reference is the freshness token (sessions never mutate the identity
+  // of sparkContext.hadoopConfiguration); `null` (no session) matches
+  // `null` — default-conf contexts are interchangeable. FileContext is
+  // documented thread-safe (immutable config + UGI).
+  private val fileContexts = new java.util.concurrent.ConcurrentHashMap[
+    java.net.URI, (Configuration, FileContext)]()
+  private def fileContext(dst: Path): FileContext = {
+    val c = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration).orNull
+    fileContexts.compute(fs(dst).getUri, (uri, prev) =>
+      if (prev != null && (prev._1 eq c)) prev
+      else (c, FileContext.getFileContext(uri,
+        if (c != null) c else new Configuration()))
+    )._2
+  }
 
   /** The optimistic-lock publish primitive for commit protocols:
     * rename-onto-absent. Returns true iff `src` became `dst` AND `dst` did

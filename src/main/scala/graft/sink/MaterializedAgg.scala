@@ -614,10 +614,7 @@ final class MaterializedAgg(
       applied: Long, srcV: Long, srcKeys: Seq[String],
       attempt: Int): Option[Long] = {
     lastRefreshRegime = Some("delta")
-    def dbg[A](tag: String)(f: => A): A =
-      if (!sys.props.contains("graft.ivm.debug")) f
-      else { val t0 = System.nanoTime(); val a = f
-        System.err.println(f"[ivm] $tag%-12s ${(System.nanoTime()-t0)/1e9}%.3f s"); a }
+    val dbg = new graft.engine.Dbg("graft.ivm.debug", "[ivm]")
     val oldSlice = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
     val newSlice = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
     // prefix-aliased projections: keys, seq, group values and PRECOMPUTED
@@ -764,10 +761,7 @@ final class MaterializedAgg(
       applied: Long, srcV: Long, srcKeys: Seq[String],
       attempt: Int): Option[Long] = {
     lastRefreshRegime = Some("fold")
-    def dbg[A](tag: String)(f: => A): A =
-      if (!sys.props.contains("graft.ivm.debug")) f
-      else { val t0 = System.nanoTime(); val a = f
-        System.err.println(f"[fold] $tag%-12s ${(System.nanoTime()-t0)/1e9}%.3f s"); a }
+    val dbg = new graft.engine.Dbg("graft.ivm.debug", "[fold]")
     val oldSlice = source.readChangedAt(spark, applied, srcV, DeleteMode.Hard)
     val newSlice = source.readChangedAt(spark, srcV, applied, DeleteMode.Hard)
     val exts = spec.mins.map(("mn", _)) ++ spec.maxs.map(("mx", _))
@@ -943,10 +937,14 @@ final class MaterializedAgg(
       val riskCap = 65536
       val nRisk = dbg("risk")(jx.filter(atRiskCond).count())
       val batch = {
-        def rescanOf(riskSide: DataFrame): DataFrame = {
+        def rescanOf(riskSide: DataFrame, hintBroadcast: Boolean): DataFrame = {
           val snap = source.readAt(spark, srcV, DeleteMode.Hard)
-          val touched = snap.join(broadcast(riskSide),
-            groupCols.map(g => snap(g) <=> riskSide(g)).reduce(_ && _),
+          // the hint is only sound on the collected ≤riskCap side; the
+          // oversized fallback must let the planner shuffle — a forced
+          // broadcast of an unbounded risk set is a driver OOM, not a plan
+          val riskX = if (hintBroadcast) broadcast(riskSide) else riskSide
+          val touched = snap.join(riskX,
+            groupCols.map(g => snap(g) <=> riskX(g)).reduce(_ && _),
             "left_semi")
           val rec = groupedWith(touched, hiddenAggs(spec))
             .withColumn("__del", lit(false))
@@ -959,8 +957,9 @@ final class MaterializedAgg(
         else if (nRisk <= riskCap)
           // second tiny job, served from the cache the count populated
           safe.unionByName(rescanOf(spark.createDataFrame(
-            java.util.Arrays.asList(risk.collect(): _*), risk.schema)))
-        else safe.unionByName(rescanOf(risk))
+            java.util.Arrays.asList(risk.collect(): _*), risk.schema),
+            hintBroadcast = true))
+        else safe.unionByName(rescanOf(risk, hintBroadcast = false))
       }
       val materialized = batch
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

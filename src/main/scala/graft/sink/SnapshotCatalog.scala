@@ -184,10 +184,7 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
     */
   def commit(pinned: Map[String, Long], epoch: Map[String, Long] = Map.empty,
       onConflict: PinConflict = PinConflict.Advance): Long = synchronized {
-    def dbg[A](tag: String)(f: => A): A =
-      if (!sys.props.contains("graft.catalog.debug")) f
-      else { val t0 = System.nanoTime(); val a = f
-        System.err.println(f"[catalog] $tag%-10s ${(System.nanoTime()-t0)/1e9}%.4f s"); a }
+    val dbg = new graft.engine.Dbg("graft.catalog.debug", "[catalog]")
     require(pinned.nonEmpty, "a catalog commit must pin at least one table")
     pinned.keys.foreach(validName)
     epoch.keys.foreach(validName)
@@ -265,18 +262,15 @@ final class SnapshotCatalog(dir: String, epochCarryMinVersions: Int = 64) {
     commit(currentPins(tables), onConflict = onConflict)
 
   private def currentPins(tables: Seq[String]): Map[String, Long] = {
-    val t0 = System.nanoTime()
+    val dbg = new graft.engine.Dbg("graft.catalog.debug", "[catalog]")
     // one manifests-dir listing per member, issued CONCURRENTLY: the
     // listings are independent metadata ops against different directories
     // and serializing them made the steady commit listing-bound (the
     // 10-member steady_commit_sec was ~2/3 sequential member metadata)
-    val out = SnapshotCatalog.inParallel(tables) { name =>
+    dbg("pins")(SnapshotCatalog.inParallel(tables) { name =>
       name -> SnapshotParquetSink.versions(s"$dir/$name").lastOption
         .getOrElse(sys.error(s"table $name has no published version to pin"))
-    }.toMap
-    if (sys.props.contains("graft.catalog.debug"))
-      System.err.println(f"[catalog] pins       ${(System.nanoTime()-t0)/1e9}%.4f s")
-    out
+    }.toMap)
   }
 
   /** writerId → batchId epoch tokens recorded at catalog version `v`. */

@@ -208,9 +208,21 @@ object SnapshotParquetSink {
   private[graft] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.size <= 1 || Thread.currentThread().getName == fsIoPoolName)
       return items.map(f)
+    // propagate the CALLER's active session into each task: pool threads
+    // are created once and inherit the session thread-local of whichever
+    // thread first populated the pool — without the per-task set, FS ops
+    // on reused pool threads would resolve a long-stopped session's
+    // Hadoop conf (Dfs.conf reads the active-session thread-local)
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
     try {
       items.map(a => fsIoPool.submit(new java.util.concurrent.Callable[B] {
-        def call(): B = f(a)
+        def call(): B = {
+          sess match {
+            case Some(s) => org.apache.spark.sql.SparkSession.setActiveSession(s)
+            case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+          }
+          f(a)
+        }
       })).map(_.get())
     } catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
@@ -1020,10 +1032,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       isDeleteCol: String, reduceOpt: Option[DataFrame => DataFrame],
       requireBaseSeq: Option[Long],
       probeHint: Option[(Array[Int], Option[Long])]): Unit = synchronized {
-    def dbg[A](tag: String)(f: => A): A =
-      if (!sys.props.contains("graft.commit.debug")) f
-      else { val t0 = System.nanoTime(); val a = f
-        System.err.println(f"[commit] $tag%-10s ${(System.nanoTime()-t0)/1e9}%.3f s"); a }
+    val dbg = new graft.engine.Dbg("graft.commit.debug", "[commit]")
     keys.foreach(SnapshotParquetSink.validManifestName("key"))
     val spark = batch.sparkSession
     val incoming0 = SnapshotParquetSink.foldDeleteFlag(batch, isDeleteCol)
@@ -1178,11 +1187,18 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
           val written = Dfs.list(new HPath(s"$dir/data/$commitId"))
             .map(_.getPath.getName).filter(_.startsWith("__bucket="))
             .map(_.stripPrefix("__bucket=").toInt).toSet
-          require(written == affected.toSet,
-            s"probe hint mismatch at $dir: hinted buckets " +
-              s"${affected.mkString(",")} but the write produced " +
-              s"${written.toSeq.sorted.mkString(",")} — the caller's " +
-              "affected-bucket precomputation is wrong")
+          if (written != affected.toSet) {
+            // drop the never-published write before surfacing — the other
+            // abort paths (FoldBaseConflict, overlap-abandon) do the same,
+            // and a retrying caller must not leak one bucket-rewrite tree
+            // per attempt until a vacuum runs
+            Dfs.deleteTreeQuiet(new HPath(s"$dir/data/$commitId"))
+            throw new IllegalArgumentException(
+              s"probe hint mismatch at $dir: hinted buckets " +
+                s"${affected.mkString(",")} but the write produced " +
+                s"${written.toSeq.sorted.mkString(",")} — the caller's " +
+                "affected-bucket precomputation is wrong")
+          }
         }
         // data-derived manifest lines depend only on the written files —
         // computed once, reused verbatim across rebase attempts
@@ -1751,9 +1767,29 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val baseBloomCols = SnapshotParquetSink.manifestBlooms(dir, base)
         .values.flatMap(_.keys).toSeq.distinct.sorted
       val effBloomCols = if (bloomCols.nonEmpty) bloomCols else baseBloomCols
+      // native blooms for the rewrite are decided by the NEW geometry, not
+      // the prior manifest: rebucket re-partitions values, so prior
+      // saturation evidence describes buckets that no longer exist (a
+      // shrink can saturate every new bucket of a previously all-healthy
+      // table, which would otherwise ship sidecar-less AND native-less).
+      // A bucket whose ROW count stays ≤ MaxDistinct cannot saturate any
+      // column's sidecar (distinct ≤ rows) — one column-pruned count job
+      // over the re-routed state decides, exact in the skip direction and
+      // conservatively over-triggering only on heavily duplicated columns.
+      val nativeOpts =
+        if (effBloomCols.isEmpty) Map.empty[String, String]
+        else if (sys.props.contains("graft.bloom.forceNative"))
+          parquetBloomOpts(effBloomCols)
+        else {
+          val maxBucketRows = Option(full.groupBy(col("__bucket")).count()
+            .agg(max("count")).head().get(0)).map(_.asInstanceOf[Long])
+          if (maxBucketRows.exists(_ > BloomIndex.MaxDistinct))
+            parquetBloomOpts(effBloomCols)
+          else Map.empty[String, String]
+        }
       full.repartition(newBuckets, col("__bucket"))
         .write.mode("overwrite").partitionBy("__bucket")
-        .options(parquetBloomOptsFor(Some(base), effBloomCols))
+        .options(nativeOpts)
         .parquet(s"$dir/data/$commitId")
       val writtenBuckets = Dfs.list(new HPath(s"$dir/data/$commitId"))
         .map(_.getPath.getName)

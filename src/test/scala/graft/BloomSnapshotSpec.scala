@@ -19,6 +19,25 @@ class BloomSnapshotSpec extends SparkSpec {
   private def rows(ids: Seq[Long], tag: String = "e"): DataFrame =
     ids.map(i => (i, 0L, s"$tag$i", false)).toDF("id", "seq", "ext", "is_delete")
 
+  /** Does the first bucket file of version `commitRootOf` carry a
+    * parquet-native bloom filter on `ext`? (footer check — the
+    * evidence-gating specs' assertion primitive)
+    */
+  private def nativeBloomUnder(dir: String, commitRootOf: Long): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val rel = SnapshotParquetSink.manifest(dir, commitRootOf)._2.head._2
+    val bucketDir = new java.io.File(s"$dir/$rel")
+    val pq = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pq.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try rdr.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists(c =>
+      c.getPath.toDotString == "ext" && c.getBloomFilterOffset >= 0L))
+    finally rdr.close()
+  }
+
   private def scanFiles(df: DataFrame): Int = {
     df.collect()
     df.queryExecution.executedPlan.collect {
@@ -120,20 +139,6 @@ class BloomSnapshotSpec extends SparkSpec {
     // with no sidecar line in the PRIOR manifest: commit 1 on a fresh
     // table writes no native filters even though its bucket saturates;
     // commit 2 sees the saturation marker and writes them.
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    def nativeBloomUnder(dir: String, commitRootOf: Long): Boolean = {
-      val rel = SnapshotParquetSink.manifest(dir, commitRootOf)._2.head._2
-      val bucketDir = new java.io.File(s"$dir/$rel")
-      val pq = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(pq.getAbsolutePath),
-        spark.sparkContext.hadoopConfiguration))
-      try rdr.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists(c =>
-        c.getPath.toDotString == "ext" && c.getBloomFilterOffset >= 0L))
-      finally rdr.close()
-    }
     val dir = tmpDir("bloomgate") + "/t"
     val sink = new SnapshotParquetSink(dir, nBuckets = 1, bloomCols = Seq("ext"))
     val n = (BloomIndex.MaxDistinct * 13L / 10L).toInt
@@ -156,6 +161,40 @@ class BloomSnapshotSpec extends SparkSpec {
     hSink.merge(small(1L), Seq("id"), "seq", "is_delete")
     assert(!nativeBloomUnder(hDir, 1L),
       "sidecars cover the bucket — the native layer must stay gated off")
+  }
+
+  test("rebucket gates natives on the NEW geometry, not the prior manifest") {
+    // rebucket re-partitions values, so prior saturation evidence
+    // describes buckets that no longer exist. The rewrite decides from
+    // the re-routed per-bucket ROW counts (rows ≤ MaxDistinct ⇒ no
+    // column can saturate): a shrink that saturates its new buckets
+    // writes natives IMMEDIATELY (prior manifest was all-healthy — the
+    // old prior-evidence gate shipped it native-less AND sidecar-less),
+    // and a grow that de-saturates skips them (prior manifest evidences
+    // saturation the new layout no longer has).
+    val n = (BloomIndex.MaxDistinct * 13L / 10L).toInt
+    def batch(seq: Long) =
+      spark.range(n.toLong).select(col("id"), lit(seq).as("seq"),
+        concat(lit("e"), col("id")).as("ext"), lit(false).as("is_delete"))
+    // shrink: 4 healthy ~21k-row buckets -> 1 saturated ~85k-row bucket
+    val sDir = tmpDir("rebloom_s") + "/t"
+    val sSink = new SnapshotParquetSink(sDir, nBuckets = 4, bloomCols = Seq("ext"))
+    sSink.merge(batch(0L), Seq("id"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestBlooms(sDir, 0L).nonEmpty, "healthy start")
+    val sv = sSink.rebucket(spark, 1)
+    assert(SnapshotParquetSink.manifestBlooms(sDir, sv).isEmpty, "now saturated")
+    assert(nativeBloomUnder(sDir, sv),
+      "the shrunk bucket outgrew the sidecar — the rewrite itself must go native")
+    // grow: 1 saturated bucket -> 4 healthy buckets
+    val gDir = tmpDir("rebloom_g") + "/t"
+    val gSink = new SnapshotParquetSink(gDir, nBuckets = 1, bloomCols = Seq("ext"))
+    gSink.merge(batch(0L), Seq("id"), "seq", "is_delete")
+    assert(SnapshotParquetSink.manifestBlooms(gDir, 0L).isEmpty, "saturated start")
+    val gv = gSink.rebucket(spark, 4)
+    assert(SnapshotParquetSink.manifestBlooms(gDir, gv).nonEmpty,
+      "the grown layout is sidecar-covered again")
+    assert(!nativeBloomUnder(gDir, gv),
+      "no new bucket can saturate — the rewrite must not pay the native write")
   }
 
   test("schema evolution: type-widening migration and non-bigint literals stay consistent") {

@@ -804,8 +804,15 @@ class SnapshotParquetSinkSpec extends SparkSpec {
         Seq("primary_key"), "seq", "is_delete", requireBaseSeq = Some(0L),
         affectedBuckets = wrong.sorted, batchMaxSeq = Some(1L))
     }
-    // nothing published by the failed attempt
+    // nothing published by the failed attempt — and nothing LEAKED: the
+    // aborted write's data/<commitId> tree is deleted before surfacing
+    // (a retrying caller must not orphan one bucket-rewrite per attempt)
     assert(sink.versions == Seq(0L))
+    val v0DataDirs = SnapshotParquetSink.manifest(dir, 0L)._2.values
+      .map(rel => rel.split('/')(1)).toSet
+    val onDisk = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
+    assert(onDisk == v0DataDirs,
+      s"failed hinted merge left an orphan commit tree: ${onDisk -- v0DataDirs}")
     // the EXACT hint commits (probe job skipped) with correct state + head
     sink.mergeGuardedHinted(b, Seq("primary_key"), "seq", "is_delete",
       requireBaseSeq = Some(0L), affectedBuckets = Array(realBucket),
