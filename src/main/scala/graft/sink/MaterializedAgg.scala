@@ -934,7 +934,12 @@ final class MaterializedAgg(
       // source read AT ALL; an at-risk set past the collect cap (a bulk
       // refresh gone pathological) falls back to the in-plan semi join —
       // correct, just scan-priced.
-      val riskCap = 65536
+      // test override (`graft.ivm.riskCap`): the fallback branch below
+      // needs >riskCap at-risk GROUPS to fire naturally — far past what a
+      // spec can afford — so specs shrink the cap to force the scan-priced
+      // path and pin its correctness
+      val riskCap = sys.props.get("graft.ivm.riskCap")
+        .flatMap(_.toIntOption).getOrElse(65536)
       val nRisk = dbg("risk")(jx.filter(atRiskCond).count())
       val batch = {
         def rescanOf(riskSide: DataFrame, hintBroadcast: Boolean): DataFrame = {

@@ -477,6 +477,32 @@ class MaterializedAggSpec extends SparkSpec
     assert(maintained(m).find(_._1 == "a").get._5 == 20L)
   }
 
+  test("fold regime: the oversized at-risk FALLBACK (scan-priced semi join) stays exact") {
+    // the production path collects at-risk groups (≤65536) and broadcasts
+    // them into the rescan's semi join; past the cap it must fall back to
+    // an UNHINTED join (a forced broadcast of an unbounded risk frame is a
+    // driver OOM, not a plan). The cap is far beyond a spec's budget, so
+    // shrink it to 0 via the test knob and re-run the canonical at-risk
+    // shape — every risk group now takes the fallback, which must land
+    // the same exact state as the broadcast path.
+    sys.props("graft.ivm.riskCap") = "0"
+    try {
+      val (src, m) = mk("fcap")
+      src.merge(rows((1, "a", 10, 1), (2, "a", 20, 2), (3, "a", 30, 3),
+        (4, "b", 7, 4)), Seq("id"), "seq", "__del")
+      m.refresh(spark)
+      src.merge(dels(5, 1), Seq("id"), "seq", "__del") // kill group a's MIN
+      m.refresh(spark)
+      assert(m.lastRefreshRegime == Some("fold"))
+      assert(maintained(m) == direct(src))
+      assert(maintained(m).find(_._1 == "a").get._4 == 20L)
+      src.merge(dels(6, 3), Seq("id"), "seq", "__del") // kill group a's MAX
+      m.refresh(spark)
+      assert(maintained(m) == direct(src))
+      assert(maintained(m).find(_._1 == "a").get._5 == 20L)
+    } finally { sys.props.remove("graft.ivm.riskCap"); () }
+  }
+
   test("fold regime: a removed value TYING the extremum rescans (multiplicity is unknowable)") {
     val (src, m) = mk("ftie")
     // two rows share the min value 5 — deleting ONE must keep min=5
