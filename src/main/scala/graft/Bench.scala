@@ -32,6 +32,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cached plans coalesce adaptively too (GraftSession.builder note)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        graft.engine.GraftSession.cachedPlanAqe)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // SQL faces: functions + TVFs

@@ -19,10 +19,14 @@ import graft.types.UdtMapper
 object CdcPipeline {
 
   /** Reads a batch of CDC envelope documents (JSONL). Schema is inferred —
-    * the reference similarly infers from data (SURVEY §1.1).
+    * the reference similarly infers from data (SURVEY §1.1) — with the
+    * inference result cached per observed file state: un-schema'd
+    * `read.json` runs a full parse job at CONSTRUCTION time, which
+    * re-readers of an immutable input paid once per build
+    * ([[graft.engine.JsonSchemaCache]]).
     */
   def readBatch(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+    graft.engine.JsonSchemaCache.read(spark, path)
 
   /** R3 calculated field (README.md:29-32): strip the `_part_N` shard suffix
     * and qualify with the database name.

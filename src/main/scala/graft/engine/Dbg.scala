@@ -19,3 +19,18 @@ final class Dbg(prop: String, prefix: String) {
       a
     }
 }
+
+/** Labels every Spark job submitted inside `f` with a protocol-phase tag
+  * (guide: "label your jobs") — the UI and job-level profilers can then
+  * attribute a lifecycle query's jobs to commit/IVM phases. Thread-local
+  * (actions inside merges run on the caller thread); restores the caller's
+  * own description on exit so labels never leak into user jobs.
+  */
+object JobTag {
+  def apply[A](spark: org.apache.spark.sql.SparkSession, tag: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(tag)
+    try f finally sc.setJobDescription(prev)
+  }
+}

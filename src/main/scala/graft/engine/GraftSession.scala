@@ -32,6 +32,11 @@ object GraftSession {
     rows
   }
 
+  /** Whether AQE may re-coalesce CACHED plan output partitioning (A/B knob
+    * for the optimization rounds; default on — see builder note).
+    */
+  def cachedPlanAqe: String = sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true")
+
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
@@ -41,6 +46,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-coalesce the output partitioning of CACHED plans too:
+      // persisted micro-batch/protocol frames otherwise pin the static
+      // shuffle-partition count into every downstream stage (measured on
+      // the q61 lifecycle tail: 40-56-task jobs over tens of rows). At
+      // cluster scale the same conf sizes cached-plan partitions by bytes
+      // — the scale-adaptive behavior §2.2 of the optimization guide asks
+      // for, applied to the one plan class AQE skips by default.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", cachedPlanAqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet has shipped ts as TIMESTAMP(NANOS) — unreadable by
@@ -64,6 +77,8 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", cachedPlanAqe)
     graft.functions.GraftFunctions.register(spark)
     CommitLock.fromConf(spark)
   }

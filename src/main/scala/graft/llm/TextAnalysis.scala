@@ -1158,9 +1158,15 @@ object TextAnalysis {
         expr("CAST(length(bin((n_src + vocab) DIV (coalesce(c, 0L) + 1))) - 1 AS BIGINT)"))
       .groupBy("doc_id", "actual", "src")
       .agg(sum(col("cost")).cast("long").as("total"))
-    val w = Window.partitionBy("doc_id").orderBy(col("total").asc, col("src").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .groupBy(col("actual"), col("src").as("predicted"))
+    // argmin via one grouped MIN over (total, src) structs — struct
+    // ordering is field-lexicographic, so the minimum IS "lowest total,
+    // ties to the lexicographically smallest source". Replaces a
+    // row_number window (extra sort of every (doc, class) row) with a
+    // partial-aggregable min — one less sort, map-side combinable.
+    scored
+      .groupBy(col("doc_id"), col("actual"))
+      .agg(min(struct(col("total"), col("src"))).as("best"))
+      .groupBy(col("actual"), col("best.src").as("predicted"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"))
   }
 }

@@ -1028,6 +1028,38 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
     mergeImpl(batch, keys, seqCol, isDeleteCol, None, requireBaseSeq,
       Some((affectedBuckets, batchMaxSeq)))
 
+  /** The commit probe — the batch's affected-bucket list and applied head
+    * — as ONE single-stage job, no shuffle: a per-partition fold over the
+    * two probe columns, combined on the driver (≤ nPartitions tiny
+    * triples). The former groupBy().agg() shape paid an exchange plus one
+    * AQE stage-job per exchange — measured 3 driver-job round trips per
+    * micro-commit for a 2-value answer. This action is also what
+    * materializes the incoming persist, exactly as before.
+    */
+  private def probeBucketsAndHead(incoming0: DataFrame,
+      seqCol: String): (Array[Int], Option[Long]) = {
+    val parts = incoming0.select(col("__bucket"), col(seqCol).cast("long"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val seen = new scala.collection.mutable.BitSet()
+        var mx = Long.MinValue
+        var any = false
+        while (it.hasNext) {
+          val r = it.next()
+          seen += r.getInt(0)
+          if (!r.isNullAt(1)) {
+            val v = r.getLong(1)
+            if (v > mx) mx = v
+            any = true
+          }
+        }
+        Iterator.single((seen, any, mx))
+      }.collect()
+    val bs = parts.iterator.map(_._1)
+      .foldLeft(new scala.collection.mutable.BitSet())(_ |= _)
+    val mxs = parts.iterator.filter(_._2).map(_._3)
+    (bs.toArray, if (mxs.isEmpty) None else Some(mxs.max))
+  }
+
   private def mergeImpl(batch: DataFrame, keys: Seq[String], seqCol: String,
       isDeleteCol: String, reduceOpt: Option[DataFrame => DataFrame],
       requireBaseSeq: Option[Long],
@@ -1051,12 +1083,8 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       val (affected, batchMaxSeq) = probeHint match {
         case Some((bs, mx)) => (bs.sorted, mx)
         case None =>
-          val probe = dbg("probe")(incoming0.groupBy().agg(
-            collect_set(col("__bucket")).as("bs"),
-            max(col(seqCol).cast("long")).as("mx")).head())
-          (probe.getSeq[Int](0).sorted.toArray,
-            if (probe.isNullAt(1)) None
-            else Some(probe.getLong(1)): Option[Long])
+          dbg("probe")(graft.engine.JobTag(spark, "commit:probe") {
+            probeBucketsAndHead(incoming0, seqCol) })
       }
       if (affected.isEmpty) return
 
@@ -1133,10 +1161,22 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         // which are strictly smaller.
         val targetVersion = base.map(_ + 1L).getOrElse(0L)
         val incoming = incoming0.withColumn("__gen", lit(targetVersion))
-        lazy val all = current match {
+        // the one-file-per-bucket layout shuffle, applied BELOW the dedup/
+        // fold instead of above the write: __bucket is a function of the
+        // merge keys, so hash-partitioning by __bucket alone already
+        // clusters every key's rows into one partition — a window over
+        // (__bucket +: keys) and the fold's groupBy(__bucket +: groups)
+        // are then exchange-free on top of it (ClusteredDistribution is
+        // satisfied by a subset partitioning), where the old shape paid a
+        // second full exchange: keys-window-shuffle THEN bucket-repartition
+        // (one exchange per micro-commit saved, plus its AQE stage-job).
+        // Parallelism note: the dedup now runs at affected-bucket
+        // granularity, the same granularity the per-bucket file write
+        // always ran at — bounded by the recommended small-bucket layout.
+        lazy val all = (current match {
           case Some(c) => c.unionByName(incoming, allowMissingColumns = true)
           case None    => incoming
-        }
+        }).repartition(affected.length, col("__bucket"))
         val merged = (reduceOpt, requireBaseSeq) match {
           case (Some(reduce), _) => reduce(all)
           case (None, Some(_)) =>
@@ -1148,7 +1188,7 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
             // against the (small-by-design: dirty groups) incoming keys
             // replaces the window dedup, which shuffled AND sorted the
             // entire affected-bucket content on every fold refresh.
-            current match {
+            (current match {
               case None => incoming
               case Some(c) =>
                 val inKeys = broadcast(
@@ -1157,27 +1197,28 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
                     keys.map(k => c(k) <=> inKeys(k)).reduce(_ && _),
                     "left_anti")
                   .unionByName(incoming, allowMissingColumns = true)
-            }
+            }).repartition(affected.length, col("__bucket"))
           case (None, None) =>
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(keys.map(col): _*)
+              .partitionBy((col("__bucket") +: keys.map(col)): _*)
               .orderBy(col(seqCol).desc, col("__gen").desc)
             all.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
         }
 
         val commitId = UUID.randomUUID().toString
-        // one output file per bucket — a file per shuffle partition per
-        // bucket would swamp the manifest's pruning win with small files
-        val toWrite = merged.repartition(affected.length, col("__bucket"))
+        // one output file per bucket: every branch above is already
+        // partitioned by __bucket into affected.length partitions
+        val toWrite = merged
         // bloom sidecars build INSIDE the write job (observe + the
         // BloomWordsAgg imperative aggregate): zero extra reads of the
         // fresh files, zero extra jobs — the pre-fusion two-job build was
         // measured at 1.5–2.1× bulk-commit overhead
         val obs = observeBlooms(spark, toWrite, merged.schema)
-        dbg("write")(obs.frame.write.mode("overwrite").partitionBy("__bucket")
-          .options(parquetBloomOptsFor(base, bloomCols))
-          .parquet(s"$dir/data/$commitId"))
+        dbg("write")(graft.engine.JobTag(spark, "commit:write") {
+          obs.frame.write.mode("overwrite").partitionBy("__bucket")
+            .options(parquetBloomOptsFor(base, bloomCols))
+            .parquet(s"$dir/data/$commitId") })
         dataWrites += 1
         // hinted probes are trusted into the manifest — verify the written
         // bucket dirs match EXACTLY (one driver-side listing): a hinted
@@ -1202,8 +1243,10 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
         }
         // data-derived manifest lines depend only on the written files —
         // computed once, reused verbatim across rebase attempts
-        val freshStats = dbg("stats")(statsLinesFor(spark, commitId))
-        val freshBlooms = dbg("blooms")(obs.lines(commitId, merged.schema))
+        val freshStats = dbg("stats")(graft.engine.JobTag(spark, "commit:stats") {
+          statsLinesFor(spark, commitId) })
+        val freshBlooms = dbg("blooms")(graft.engine.JobTag(spark, "commit:blooms") {
+          obs.lines(commitId, merged.schema) })
 
         // publish loop: first attempt carries from `base`; a lost race
         // against writers of DISJOINT buckets rebases — re-carries from the
@@ -1322,14 +1365,9 @@ final class SnapshotParquetSink(val dir: String, nBuckets: Int = 16,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one probe job for bucket list + applied head (see merge)
-      val probe = incoming0.groupBy().agg(
-        collect_set(col("__bucket")).as("bs"),
-        max(col(seqCol).cast("long")).as("mx")).head()
-      val affected = probe.getSeq[Int](0).sorted.toArray
+      val (affected, batchMaxSeq) = probeBucketsAndHead(incoming0, seqCol)
       require(affected.nonEmpty,
         s"replaceAll with an empty batch would publish an unreadable empty table at $dir")
-      val batchMaxSeq: Option[Long] =
-        if (probe.isNullAt(1)) None else Some(probe.getLong(1))
       require(batchMaxSeq.isDefined,
         s"replaceAll batch carries no orderable $seqCol values — the rebuilt " +
           "table would record no applied head, and a later commitAligned " +

@@ -35,7 +35,7 @@ trait CdcSource {
   */
 final case class FileJsonlSource(inputDir: String) extends CdcSource {
   override def inferSchema(spark: SparkSession): StructType =
-    spark.read.json(inputDir).schema
+    graft.engine.JsonSchemaCache.schemaOf(spark, inputDir)
   override def stream(spark: SparkSession, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(inputDir)
   override def batch(spark: SparkSession): DataFrame =
