@@ -145,16 +145,27 @@ object Compaction {
     */
   private[graft] def contentFingerprint(spark: SparkSession,
       path: Path): (Long, BigDecimal) = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, sum, xxhash64}
     val df = spark.read.parquet(path.toString)
+    val (c, s) = fingerprintAggs(df)
+    val row = df.agg(c, s).head()
+    (row.getLong(0), BigDecimal(row.getDecimal(1)))
+  }
+
+  /** The fingerprint's two aggregate columns (row count, decimal hash sum)
+    * over `df`'s rows — shared by the standalone scan ([[contentFingerprint]])
+    * and the `observe`-fused form the rewrite job rides (the source-side
+    * fingerprint is computed from the SAME rows the rewrite reads, so
+    * fusing it removes one full partition read per compaction, 3 scans per
+    * byte → 2).
+    */
+  private def fingerprintAggs(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, struct, sum, xxhash64}
     val cols = df.schema.fields.sortBy(_.name)
       .map(f => canonicalizeForHash(df.col(f.name), f.dataType).as(f.name))
-    val row = df.select(xxhash64(struct(cols.toIndexedSeq: _*))
-        .cast("decimal(38,0)").as("h"))
-      .agg(count(lit(1)).as("c"),
-        coalesce(sum(col("h")), lit(java.math.BigDecimal.ZERO)).as("s"))
-      .head()
-    (row.getLong(0), BigDecimal(row.getDecimal(1)))
+    val h = xxhash64(struct(cols.toIndexedSeq: _*)).cast("decimal(38,0)")
+    (count(lit(1)).as("c"),
+      coalesce(sum(h), lit(java.math.BigDecimal.ZERO)).as("s"))
   }
 
   /** Rewrites a column into a hash-stable shape: maps (unhashable,
@@ -254,9 +265,17 @@ object Compaction {
               val part = new Path(dir, s"$column=${pl.value}")
               val tmp  = new Path(scratchRoot(dir), s"tmp_${pl.value}")
               val old  = new Path(scratchRoot(dir), s"old_${pl.value}")
-              val pre = countAndHash(part)
-              spark.read.parquet(part.toString)
+              // source fingerprint rides the rewrite's own read (observe):
+              // identical rows to the former standalone pre-scan, one full
+              // partition read saved. The POST side must stay a separate
+              // scan — it verifies what actually landed on disk.
+              val src = spark.read.parquet(part.toString)
+              val ob = org.apache.spark.sql.Observation(s"cmp_${pl.value}")
+              val (cAgg, sAgg) = fingerprintAggs(src)
+              src.observe(ob, cAgg, sAgg)
                 .repartition(pl.targetFiles).write.mode("overwrite").parquet(tmp.toString)
+              val pre = (ob.get("c").asInstanceOf[Long],
+                BigDecimal(ob.get("s").asInstanceOf[java.math.BigDecimal]))
               val post = countAndHash(tmp)
               if (post != pre) {
                 Dfs.deleteTreeStrict(tmp)
